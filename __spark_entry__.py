@@ -1,38 +1,1540 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exercises one operator family from
+SURVEY.md §2 (or an engine extension) against the driver's synthetic
+TPC-H-ish tables; ``oracle_sql()`` holds the DuckDB-equivalent ANSI
+SQL. Numeric determinism policy: inputs are cast to DECIMAL before
+arithmetic on BOTH sides (exact, engine-portable), and only final
+results are cast to DOUBLE — so value hashes match bit-for-bit.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+from claims_data_spark.functions.datetime import (
+    age_years,
+    date_to_yyyymm,
+    tsql_datediff_month,
+)
+from claims_data_spark.functions.text import (
+    LANG_MARKERS,
+    doc_fingerprint,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+    token_count_bpe,
+    token_count_ws,
+)
+from claims_data_spark.operators.asof import asof_join, join_to_running_min
+from claims_data_spark.operators.dedup import (
+    exact_dedup,
+    minhash_near_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
+)
+from claims_data_spark.operators.dense_id import dense_global_id
+from claims_data_spark.operators.episodes import episode_table
+from claims_data_spark.operators.intervals import (
+    collapse_islands,
+    coverage_stats,
+    resegment_overlaps,
+)
+from claims_data_spark.operators.mode import mode_value
+from claims_data_spark.operators.rolling import densify_months, rolling_month_agg
+from claims_data_spark.operators.similarity import brute_force_topk, ivf_build, ivf_topk
+from claims_data_spark.operators.tabulate import suppress, tabloop
+from claims_data_spark.operators.unpivot import unpivot
+from claims_data_spark.plans.predicates import apply_filters
+from claims_data_spark.plans.prefix_join import prefix_join
+from claims_data_spark.sources.calendar import date_dim
+
+DEFAULT_SF = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet carries TIMESTAMP(NANOS), which Spark's parquet
+    reader rejects; read nanos as long (runtime-settable legacy conf)
+    and rebuild a microsecond timestamp with integer division (`div`,
+    not `/` — long/long in Spark is a double and loses precision at
+    1e18 nanos)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = _t(spark, sf_dir, "events")
+    return ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _ds(c) -> F.Column:
+    """Date column -> 'yyyy-MM-dd' string: engine-portable value
+    representation for the oracle hash compare."""
+    col = F.col(c) if isinstance(c, str) else c
+    return col.cast("string")
+
+
+def _dec(c, scale=2, prec=12):
+    col = F.col(c) if isinstance(c, str) else c
+    return col.cast(f"decimal({prec},{scale})")
+
+
+def _dbl(c) -> F.Column:
+    return c.cast("double")
+
+
+# ---------------------------------------------------------------------------
+# §2.4 A1/A2 + §2.9 math — TPC-H Q1-shaped pricing summary
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").cast("date") <= F.lit("1998-09-02").cast("date")
+    )
+    qty, price = _dec("l_quantity"), _dec("l_extendedprice")
+    disc, tax = _dec("l_discount"), _dec("l_tax")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dbl(F.sum(qty)).alias("sum_qty"),
+            _dbl(F.sum(price)).alias("sum_base_price"),
+            _dbl(F.sum(price * (F.lit(1) - disc))).alias("sum_disc_price"),
+            _dbl(F.sum(price * (F.lit(1) - disc) * (F.lit(1) + tax))).alias("sum_charge"),
+            (_dbl(F.sum(qty)) / F.count(F.lit(1))).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) * (1 + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.2 P1/P2 — typed projection + conditional cleaning
+# ---------------------------------------------------------------------------
+
+def q_typed_projection(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        F.col("c_custkey").alias("custkey"),
+        F.upper("c_name").alias("name_upper"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.when(
+            F.col("c_mktsegment").isin("AUTOMOBILE", "MACHINERY"),
+            F.col("c_mktsegment"),
+        ).alias("segment_clean"),
+        F.lpad(F.col("c_nationkey").cast("string"), 3, "0").alias("nation_code"),
+        _dbl(_dec("c_acctbal")).alias("acctbal_2dp"),
+    )
+
+
+SQL_TYPED_PROJECTION = """
+SELECT c_custkey AS custkey,
+  UPPER(c_name) AS name_upper,
+  SUBSTRING(c_name, 1, 8) AS name_prefix,
+  CASE WHEN c_mktsegment IN ('AUTOMOBILE','MACHINERY') THEN c_mktsegment END AS segment_clean,
+  LPAD(CAST(c_nationkey AS VARCHAR), 3, '0') AS nation_code,
+  CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS acctbal_2dp
+FROM customer
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.2 P3/P4 — dynamic predicate assembly
+# ---------------------------------------------------------------------------
+
+def q_dynamic_filter(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "o_orderdate", F.col("o_orderdate").cast("date")
+    )
+    spec = {
+        "o_orderstatus": ["F", "O"],
+        "o_totalprice": {"min": 50000.0, "max": 200000.0},
+        "o_orderdate": {"between": ("1996-01-01", "1997-12-31")},
+        "o_orderpriority": None,  # inactive param, reference's NULL convention
+    }
+    return apply_filters(o, spec).select(
+        "o_orderkey", "o_custkey", "o_totalprice", _ds("o_orderdate").alias("o_orderdate")
+    )
+
+
+SQL_DYNAMIC_FILTER = """
+SELECT o_orderkey, o_custkey, o_totalprice, CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_orderdate
+FROM orders
+WHERE LOWER(o_orderstatus) IN ('f','o')
+  AND o_totalprice >= 50000.0 AND o_totalprice <= 200000.0
+  AND CAST(o_orderdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.2 P5 — DISTINCT dedup
+# ---------------------------------------------------------------------------
+
+def q_distinct(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_linestatus")
+        .distinct()
+    )
+
+
+SQL_DISTINCT = "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"
+
+
+# ---------------------------------------------------------------------------
+# §2.2 P6 — dedup with priority rule (min unless sentinel then max)
+# ---------------------------------------------------------------------------
+
+def q_dedup_priority(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.when(F.min("o_orderstatus") == "F", F.max("o_orderstatus"))
+        .otherwise(F.min("o_orderstatus"))
+        .alias("status_pick"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+SQL_DEDUP_PRIORITY = """
+SELECT o_custkey,
+  CASE WHEN MIN(o_orderstatus) = 'F' THEN MAX(o_orderstatus) ELSE MIN(o_orderstatus) END AS status_pick,
+  COUNT(*) AS n_orders
+FROM orders GROUP BY o_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.2 P7 — dedup by ordered row_number = 1
+# ---------------------------------------------------------------------------
+
+def q_first_order(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "o_orderdate", F.col("o_orderdate").cast("date")
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("first_orderkey"),
+            _ds("o_orderdate").alias("first_orderdate"),
+        )
+    )
+
+
+SQL_FIRST_ORDER = """
+SELECT o_custkey, o_orderkey AS first_orderkey, CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS first_orderdate
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS rn
+  FROM orders
+) WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.2 P8 — seeded-random dedup, pinned via md5 (engine-portable)
+# ---------------------------------------------------------------------------
+
+def q_dedup_seeded(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.md5(F.col("o_orderkey").cast("string")), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("o_custkey", F.col("o_orderkey").alias("picked_orderkey"))
+    )
+
+
+SQL_DEDUP_SEEDED = """
+SELECT o_custkey, o_orderkey AS picked_orderkey
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY MD5(CAST(o_orderkey AS VARCHAR)), o_orderkey) AS rn
+  FROM orders
+) WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.2 P9 — ICD-CM-style code normalization (rpad + cutover)
+# ---------------------------------------------------------------------------
+
+def _synth_code():
+    """Derive an ICD-shaped code from l_partkey so every branch of the
+    normalizer (numeric 3/4-char, V-, E-prefixed) is exercised."""
+    pk = F.col("l_partkey")
+    return (
+        F.when(pk % 4 == 0, (pk % 900 + 100).cast("string"))
+        .when(pk % 4 == 1, (pk % 9000 + 1000).cast("string"))
+        .when(pk % 4 == 2, F.concat(F.lit("V"), (pk % 90 + 10).cast("string")))
+        .otherwise(F.concat(F.lit("E"), (pk % 900 + 100).cast("string")))
+    )
+
+
+def q_icd_normalize(spark, sf_dir):
+    from claims_data_spark.functions.strings import icdcm_version, normalize_icdcm
+
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "svc_date", F.col("l_shipdate").cast("date")
+    ).withColumn("code_raw", _synth_code())
+    out = li.select(
+        "code_raw",
+        normalize_icdcm("code_raw", "svc_date").alias("code_norm"),
+        icdcm_version("code_raw", "svc_date").cast("int").alias("icd_version"),
+    )
+    return out.groupBy("code_norm", "icd_version").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+SQL_ICD_NORMALIZE = """
+WITH coded AS (
+  SELECT CASE
+      WHEN l_partkey % 4 = 0 THEN CAST(l_partkey % 900 + 100 AS VARCHAR)
+      WHEN l_partkey % 4 = 1 THEN CAST(l_partkey % 9000 + 1000 AS VARCHAR)
+      WHEN l_partkey % 4 = 2 THEN 'V' || CAST(l_partkey % 90 + 10 AS VARCHAR)
+      ELSE 'E' || CAST(l_partkey % 900 + 100 AS VARCHAR)
+    END AS code_raw,
+    CAST(l_shipdate AS DATE) AS svc_date
+  FROM lineitem
+), norm AS (
+  SELECT code_raw,
+    CASE
+      WHEN regexp_full_match(code_raw, '[0-9]{3,4}') THEN rpad(code_raw, 5, '0')
+      WHEN regexp_full_match(code_raw, 'V[0-9]+') AND svc_date < DATE '2015-10-01' THEN rpad(code_raw, 5, '0')
+      WHEN regexp_full_match(code_raw, 'E[0-9]+') AND svc_date < DATE '2015-10-01' AND length(code_raw) < 5 THEN rpad(code_raw, 5, '0')
+      ELSE code_raw
+    END AS code_norm,
+    CASE
+      WHEN regexp_full_match(code_raw, '[0-9]{3,5}')
+        OR (regexp_full_match(code_raw, '[VE][0-9]+') AND svc_date < DATE '2015-10-01')
+      THEN 9 ELSE 10
+    END AS icd_version
+  FROM coded
+)
+SELECT code_norm, icd_version, COUNT(*) AS n FROM norm GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.2 P10 — format classification via length/regex rules
+# ---------------------------------------------------------------------------
+
+def q_format_classify(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    pk = F.col("c_custkey")
+    ident = (
+        F.when(pk % 3 == 0, F.lpad((pk * 7919 % 2000000000 + 1000000000).cast("string"), 10, "1"))
+        .when(pk % 3 == 1, F.concat(F.lit("AB"), F.lpad((pk % 10000000).cast("string"), 7, "0")))
+        .otherwise(F.concat(F.lit("X"), pk.cast("string")))
+    )
+    classified = c.withColumn("ident", ident).withColumn(
+        "id_class",
+        F.when(
+            (F.length("ident") == 10)
+            & F.col("ident").rlike("^[12][0-9]{9}$"),
+            F.lit("NPI"),
+        )
+        .when(F.col("ident").rlike("^[A-Z]{2}[0-9]{7}$"), F.lit("DEA"))
+        .otherwise(F.lit("UNKNOWN")),
+    )
+    return classified.groupBy("id_class").agg(F.count(F.lit(1)).alias("n"))
+
+
+SQL_FORMAT_CLASSIFY = """
+WITH idents AS (
+  SELECT CASE
+      WHEN c_custkey % 3 = 0 THEN lpad(CAST(c_custkey * 7919 % 2000000000 + 1000000000 AS VARCHAR), 10, '1')
+      WHEN c_custkey % 3 = 1 THEN 'AB' || lpad(CAST(c_custkey % 10000000 AS VARCHAR), 7, '0')
+      ELSE 'X' || CAST(c_custkey AS VARCHAR)
+    END AS ident
+  FROM customer
+)
+SELECT CASE
+    WHEN length(ident) = 10 AND regexp_full_match(ident, '[12][0-9]{9}') THEN 'NPI'
+    WHEN regexp_full_match(ident, '[A-Z]{2}[0-9]{7}') THEN 'DEA'
+    ELSE 'UNKNOWN'
+  END AS id_class, COUNT(*) AS n
+FROM idents GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.3 J1/J16 — inner equi joins with broadcast dims
+# ---------------------------------------------------------------------------
+
+def q_join_revenue_by_nation(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            _dbl(F.sum(_dec("o_totalprice"))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+SQL_JOIN_REVENUE = """
+SELECT r_name, n_name,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.3 J2 + §2.8 R3/A2 — multi-way left join of pre-aggregated flag tables
+# ---------------------------------------------------------------------------
+
+def q_order_flags(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    returns = li.groupBy("l_orderkey").agg(
+        F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("has_return")
+    )
+    bigqty = li.groupBy("l_orderkey").agg(
+        F.max(F.when(F.col("l_quantity") > 45, 1).otherwise(0)).alias("has_big_line")
+    )
+    counts = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n_lines"))
+    return (
+        o.join(returns, o.o_orderkey == returns.l_orderkey, "left").drop("l_orderkey")
+        .join(bigqty, o.o_orderkey == bigqty.l_orderkey, "left").drop("l_orderkey")
+        .join(counts, o.o_orderkey == counts.l_orderkey, "left").drop("l_orderkey")
+        .select(
+            "o_orderkey",
+            F.coalesce("has_return", F.lit(0)).alias("has_return"),
+            F.coalesce("has_big_line", F.lit(0)).alias("has_big_line"),
+            F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+        )
+    )
+
+
+SQL_ORDER_FLAGS = """
+SELECT o_orderkey,
+  COALESCE(r.has_return, 0) AS has_return,
+  COALESCE(b.has_big_line, 0) AS has_big_line,
+  COALESCE(c.n_lines, 0) AS n_lines
+FROM orders
+LEFT JOIN (SELECT l_orderkey, MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS has_return FROM lineitem GROUP BY 1) r ON o_orderkey = r.l_orderkey
+LEFT JOIN (SELECT l_orderkey, MAX(CASE WHEN l_quantity > 45 THEN 1 ELSE 0 END) AS has_big_line FROM lineitem GROUP BY 1) b ON o_orderkey = b.l_orderkey
+LEFT JOIN (SELECT l_orderkey, COUNT(*) AS n_lines FROM lineitem GROUP BY 1) c ON o_orderkey = c.l_orderkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.3 J3 — right outer join
+# ---------------------------------------------------------------------------
+
+def q_right_join(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_lines"))
+    return per_part.join(p, per_part.l_partkey == p.p_partkey, "right").select(
+        "p_partkey", F.coalesce("n_lines", F.lit(0)).alias("n_lines")
+    )
+
+
+SQL_RIGHT_JOIN = """
+SELECT p_partkey, COALESCE(n_lines, 0) AS n_lines
+FROM (SELECT l_partkey, COUNT(*) AS n_lines FROM lineitem GROUP BY 1) x
+RIGHT JOIN part ON l_partkey = p_partkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.3 J4 — full outer join + coalesced keys
+# ---------------------------------------------------------------------------
+
+def q_full_outer(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    s = _t(spark, sf_dir, "supplier").groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers")
+    )
+    return c.join(s, c.c_nationkey == s.s_nationkey, "full").select(
+        F.coalesce("c_nationkey", "s_nationkey").alias("nationkey"),
+        F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+        F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+    )
+
+
+SQL_FULL_OUTER = """
+SELECT COALESCE(c_nationkey, s_nationkey) AS nationkey,
+  COALESCE(n_customers, 0) AS n_customers,
+  COALESCE(n_suppliers, 0) AS n_suppliers
+FROM (SELECT c_nationkey, COUNT(*) AS n_customers FROM customer GROUP BY 1) c
+FULL JOIN (SELECT s_nationkey, COUNT(*) AS n_suppliers FROM supplier GROUP BY 1) s
+  ON c_nationkey = s_nationkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.3 J5/J6 + §2.4 A10 — cross-join grid densify + zero fill
+# ---------------------------------------------------------------------------
+
+def q_grid_zerofill(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    facts = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    grid = (
+        r.select("r_name").distinct()
+        .crossJoin(o.select("o_orderstatus").distinct())
+    )
+    return grid.join(facts, ["r_name", "o_orderstatus"], "left").fillna(
+        {"n_orders": 0}
+    )
+
+
+SQL_GRID_ZEROFILL = """
+SELECT g.r_name, g.o_orderstatus, COALESCE(f.n_orders, 0) AS n_orders
+FROM (SELECT r_name, o_orderstatus FROM (SELECT DISTINCT r_name FROM region) CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders)) g
+LEFT JOIN (
+  SELECT r_name, o_orderstatus, COUNT(*) AS n_orders
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY 1, 2
+) f ON g.r_name = f.r_name AND g.o_orderstatus = f.o_orderstatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.3 J11 — semi join
+# ---------------------------------------------------------------------------
+
+def q_semi_join(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+SQL_SEMI_JOIN = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.3 J12 — anti join
+# ---------------------------------------------------------------------------
+
+def q_anti_join(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+SQL_ANTI_JOIN = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.3 J13 / §2.7 U3 — EXCEPT
+# ---------------------------------------------------------------------------
+
+def q_except(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    high = o.filter(F.col("o_totalprice") > 150000).select("o_orderkey")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    return high.exceptAll(urgent).distinct()
+
+
+SQL_EXCEPT = """
+SELECT o_orderkey FROM orders WHERE o_totalprice > 150000
+EXCEPT
+SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.3 J14 — as-of (running-min variant: reference's MOUD rule shape)
+# ---------------------------------------------------------------------------
+
+def q_asof_min(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "o_orderdate", F.col("o_orderdate").cast("date")
+    )
+    within = join_to_running_min(
+        o, o, key="o_custkey", left_date="o_orderdate",
+        right_date="o_orderdate", min_col="first_orderdate",
+    ).filter(F.datediff("o_orderdate", "first_orderdate") <= 90)
+    return within.select(
+        "o_orderkey", "o_custkey",
+        F.datediff("o_orderdate", "first_orderdate").alias("days_since_first"),
+        _ds("first_orderdate").alias("first_orderdate"),
+    )
+
+
+SQL_ASOF_MIN = """
+WITH firsts AS (
+  SELECT o_custkey AS k, MIN(CAST(o_orderdate AS DATE)) AS first_orderdate FROM orders GROUP BY 1
+)
+SELECT o_orderkey, o_custkey, CAST(first_orderdate AS VARCHAR) AS first_orderdate,
+  DATEDIFF('day', first_orderdate, CAST(o_orderdate AS DATE)) AS days_since_first
+FROM orders JOIN firsts ON o_custkey = k
+WHERE DATEDIFF('day', first_orderdate, CAST(o_orderdate AS DATE)) <= 90
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.3 J15 — point-in-dimension join to a generated calendar
+# ---------------------------------------------------------------------------
+
+def q_calendar_join(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "d", F.col("o_orderdate").cast("date")
+    )
+    cal = date_dim(spark, "1995-01-01", "2001-12-31")
+    return o.join(F.broadcast(cal), o.d == cal.date).select(
+        "o_orderkey",
+        _ds("first_day_month").alias("first_day_month"),
+        _ds("last_day_month").alias("last_day_month"),
+        F.col("is_weekend").cast("int").alias("is_weekend"),
+    )
+
+
+SQL_CALENDAR_JOIN = """
+SELECT o_orderkey,
+  CAST(CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS VARCHAR) AS first_day_month,
+  CAST(CAST(date_trunc('month', CAST(o_orderdate AS DATE)) + INTERVAL 1 MONTH - INTERVAL 1 DAY AS DATE) AS VARCHAR) AS last_day_month,
+  CASE WHEN dayofweek(CAST(o_orderdate AS DATE)) IN (0, 6) THEN 1 ELSE 0 END AS is_weekend
+FROM orders
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.3 J9 / §4.1 — LIKE-prefix join rewritten as equi-join
+# ---------------------------------------------------------------------------
+
+def q_prefix_join(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    ref5 = p.filter(F.col("p_size") < 10).select(
+        F.substring("p_type", 1, 5).alias("pfx")
+    ).distinct()
+    ref8 = p.filter(F.col("p_size") > 40).select(
+        F.substring("p_type", 1, 8).alias("pfx")
+    ).distinct()
+    ref = ref5.unionByName(ref8).distinct()
+    joined = prefix_join(p, ref, fact_code="p_type", ref_prefix="pfx")
+    return joined.groupBy("pfx").agg(F.count(F.lit(1)).alias("n_parts"))
+
+
+SQL_PREFIX_JOIN = """
+WITH ref AS (
+  SELECT DISTINCT SUBSTRING(p_type, 1, 5) AS pfx FROM part WHERE p_size < 10
+  UNION
+  SELECT DISTINCT SUBSTRING(p_type, 1, 8) AS pfx FROM part WHERE p_size > 40
+)
+SELECT pfx, COUNT(*) AS n_parts
+FROM part JOIN ref ON p_type LIKE pfx || '%'
+GROUP BY pfx
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.5 W1 — LAG gap between consecutive per-key events
+# ---------------------------------------------------------------------------
+
+def q_window_lag(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "d", F.col("o_orderdate").cast("date")
+    )
+    w = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(F.col("d"), F.lag("d").over(w)).alias("gap_days"),
+    )
+
+
+SQL_WINDOW_LAG = """
+SELECT o_orderkey, o_custkey,
+  DATEDIFF('day', LAG(CAST(o_orderdate AS DATE)) OVER (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey), CAST(o_orderdate AS DATE)) AS gap_days
+FROM orders
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.5 W2/W3 — gaps-and-islands collapse
+# ---------------------------------------------------------------------------
+
+def q_islands(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("from_date"),
+        F.col("o_orderdate").cast("date").alias("to_date"),
+    )
+    islands = collapse_islands(
+        o, ["o_custkey"], "from_date", "to_date", max_gap_days=30,
+        out_from="island_from", out_to="island_to",
+    )
+    return islands.select(
+        "o_custkey",
+        _ds("island_from").alias("island_from"),
+        _ds("island_to").alias("island_to"),
+        "n_segments", "island_days",
+    )
+
+
+SQL_ISLANDS = """
+WITH pts AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d FROM orders
+), flagged AS (
+  SELECT o_custkey, d,
+    CASE WHEN MAX(d) OVER (PARTITION BY o_custkey ORDER BY d, d ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+           OR DATEDIFF('day', MAX(d) OVER (PARTITION BY o_custkey ORDER BY d, d ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), d) > 30
+         THEN 1 ELSE 0 END AS s
+  FROM pts
+), grp AS (
+  SELECT o_custkey, d,
+    SUM(s) OVER (PARTITION BY o_custkey ORDER BY d, d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM flagged
+)
+SELECT o_custkey, CAST(MIN(d) AS VARCHAR) AS island_from, CAST(MAX(d) AS VARCHAR) AS island_to,
+  COUNT(*) AS n_segments,
+  DATEDIFF('day', MIN(d), MAX(d)) + 1 AS island_days
+FROM grp GROUP BY o_custkey, island
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.5 W11 + coverage stats (flagship: claims_elig cov_days/cov_pct shape)
+# ---------------------------------------------------------------------------
+
+def q_coverage(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("from_date"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("to_date"),
+    )
+    return coverage_stats(
+        o, ["o_custkey"], "from_date", "to_date",
+        win_from="1996-01-01", win_to="1996-12-31",
+    ).select(
+        "o_custkey", "cov_days", "cov_pct", "pre_gap", "post_gap", "covgap_max"
+    )
+
+
+SQL_COVERAGE = """
+WITH iv AS (
+  SELECT o_custkey,
+    CAST(o_orderdate AS DATE) AS f,
+    CAST(o_orderdate AS DATE) + 30 AS t
+  FROM orders
+  WHERE CAST(o_orderdate AS DATE) <= DATE '1996-12-31'
+    AND CAST(o_orderdate AS DATE) + 30 >= DATE '1996-01-01'
+), flagged AS (
+  SELECT o_custkey, f, t,
+    CASE WHEN MAX(t) OVER (PARTITION BY o_custkey ORDER BY f, t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+           OR DATEDIFF('day', MAX(t) OVER (PARTITION BY o_custkey ORDER BY f, t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), f) > 0
+         THEN 1 ELSE 0 END AS s
+  FROM iv
+), grp AS (
+  SELECT *, SUM(s) OVER (PARTITION BY o_custkey ORDER BY f, t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM flagged
+), islands AS (
+  SELECT o_custkey, MIN(f) AS f, MAX(t) AS t
+  FROM grp GROUP BY o_custkey, island
+), clipped AS (
+  SELECT o_custkey,
+    GREATEST(f, DATE '1996-01-01') AS cf,
+    LEAST(t, DATE '1996-12-31') AS ct
+  FROM islands
+), gaps AS (
+  SELECT o_custkey, cf, ct,
+    COALESCE(
+      DATEDIFF('day', LAG(ct) OVER (PARTITION BY o_custkey ORDER BY cf), cf) - 1,
+      DATEDIFF('day', DATE '1996-01-01', cf)
+    ) AS gap_before
+  FROM clipped
+)
+SELECT o_custkey,
+  SUM(DATEDIFF('day', cf, ct) + 1) AS cov_days,
+  ROUND(SUM(DATEDIFF('day', cf, ct) + 1) / 366.0 * 100, 1) AS cov_pct,
+  DATEDIFF('day', DATE '1996-01-01', MIN(cf)) AS pre_gap,
+  DATEDIFF('day', MAX(ct), DATE '1996-12-31') AS post_gap,
+  GREATEST(MAX(gap_before),
+           DATEDIFF('day', DATE '1996-01-01', MIN(cf)),
+           DATEDIFF('day', MAX(ct), DATE '1996-12-31')) AS covgap_max
+FROM gaps GROUP BY o_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.5 W4/W5 — episode grouping + scalable global dense ids
+# ---------------------------------------------------------------------------
+
+def q_episodes(spark, sf_dir):
+    ev = _events(spark, sf_dir).select(
+        "user_id", F.col("ts").cast("date").alias("event_date")
+    )
+    eps = episode_table(
+        ev, ["user_id"], "event_date", merge_gap_days=1, global_id_col="episode_id"
+    )
+    return eps.select(
+        "episode_id", "user_id",
+        _ds("episode_start").alias("episode_start"),
+        _ds("episode_end").alias("episode_end"),
+        "n_events",
+    )
+
+
+SQL_EPISODES = """
+WITH ev AS (
+  SELECT user_id, CAST(ts AS DATE) AS event_date FROM events
+), flagged AS (
+  SELECT user_id, event_date,
+    CASE WHEN LAG(event_date) OVER (PARTITION BY user_id ORDER BY event_date) IS NULL
+           OR DATEDIFF('day', LAG(event_date) OVER (PARTITION BY user_id ORDER BY event_date), event_date) > 1
+         THEN 1 ELSE 0 END AS inc
+  FROM ev
+), grp AS (
+  SELECT user_id, event_date,
+    SUM(inc) OVER (PARTITION BY user_id ORDER BY event_date ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS wep
+  FROM flagged
+), collapsed AS (
+  SELECT user_id, wep, MIN(event_date) AS episode_start, MAX(event_date) AS episode_end, COUNT(*) AS n_events
+  FROM grp GROUP BY user_id, wep
+)
+SELECT DENSE_RANK() OVER (ORDER BY user_id, wep) AS episode_id,
+  user_id, CAST(episode_start AS VARCHAR) AS episode_start,
+  CAST(episode_end AS VARCHAR) AS episode_end, n_events
+FROM collapsed
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.5 W6 + §2.4 A13 — month densify + rolling frames
+# ---------------------------------------------------------------------------
+
+def q_rolling_months(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "year_month", date_to_yyyymm(F.col("o_orderdate").cast("date"))
+    )
+    monthly = o.groupBy("o_custkey", "year_month").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    dense = densify_months(
+        monthly, ["o_custkey"], "year_month", 199501, 200108,
+        fill={"n_orders": 0},
+    )
+    rolled = rolling_month_agg(
+        dense, ["o_custkey"], "year_month",
+        {"n_orders_12m": ("n_orders", -11, 0)},
+    )
+    return rolled.filter(F.col("n_orders_12m") > 0).select(
+        "o_custkey", "year_month", "n_orders", "n_orders_12m"
+    )
+
+
+SQL_ROLLING_MONTHS = """
+WITH months AS (
+  SELECT CAST(strftime(m, '%Y%m') AS INT) AS year_month
+  FROM (SELECT unnest(generate_series(DATE '1995-01-01', DATE '2001-08-01', INTERVAL 1 MONTH)) AS m)
+), ids AS (
+  SELECT DISTINCT o_custkey FROM orders
+), grid AS (
+  SELECT o_custkey, year_month FROM ids CROSS JOIN months
+), monthly AS (
+  SELECT o_custkey, CAST(strftime(CAST(o_orderdate AS DATE), '%Y%m') AS INT) AS year_month, COUNT(*) AS n_orders
+  FROM orders GROUP BY 1, 2
+), dense AS (
+  SELECT g.o_custkey, g.year_month, COALESCE(m.n_orders, 0) AS n_orders
+  FROM grid g LEFT JOIN monthly m ON g.o_custkey = m.o_custkey AND g.year_month = m.year_month
+)
+SELECT o_custkey, year_month, n_orders,
+  SUM(n_orders) OVER (PARTITION BY o_custkey ORDER BY year_month ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS n_orders_12m
+FROM dense
+QUALIFY n_orders_12m > 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.4 A4 — mode with deterministic tiebreak
+# ---------------------------------------------------------------------------
+
+def q_mode(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return mode_value(
+        ev, ["user_id"], "event_type",
+        out_col="top_event_type", keep_weight_as="n",
+    ).select("user_id", "top_event_type", "n")
+
+
+SQL_MODE = """
+SELECT user_id, event_type AS top_event_type, n FROM (
+  SELECT user_id, event_type, COUNT(*) AS n,
+    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY COUNT(*) DESC, event_type) AS rn
+  FROM events GROUP BY user_id, event_type
+) WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.4 A5 — weighted mode (most person-time analog: weight = sum(value))
+# ---------------------------------------------------------------------------
+
+def q_mode_weighted(spark, sf_dir):
+    ev = _events(spark, sf_dir).withColumn("w", _dec("value"))
+    out = mode_value(
+        ev, ["user_id"], "event_type", weight=F.col("w"),
+        out_col="top_type_by_value", keep_weight_as="weight_sum",
+    )
+    return out.select(
+        "user_id", "top_type_by_value", _dbl(F.col("weight_sum")).alias("weight_sum")
+    )
+
+
+SQL_MODE_WEIGHTED = """
+SELECT user_id, event_type AS top_type_by_value, CAST(w AS DOUBLE) AS weight_sum FROM (
+  SELECT user_id, event_type, SUM(CAST(value AS DECIMAL(12,2))) AS w,
+    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY SUM(CAST(value AS DECIMAL(12,2))) DESC, event_type) AS rn
+  FROM events GROUP BY user_id, event_type
+) WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.4 A7/A8 — person-time percentages + ever-flags
+# ---------------------------------------------------------------------------
+
+def q_pct_flags(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.round(
+            F.sum(F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0))
+            * F.lit(100.0)
+            / F.count(F.lit(1)),
+            1,
+        ).alias("pct_urgent"),
+        F.max(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("ever_f"),
+    )
+
+
+SQL_PCT_FLAGS = """
+SELECT o_custkey,
+  ROUND(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) * 100.0 / COUNT(*), 1) AS pct_urgent,
+  MAX(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS ever_f
+FROM orders GROUP BY o_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.4 A3 — COUNT DISTINCT
+# ---------------------------------------------------------------------------
+
+def q_count_distinct(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_partkey").agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+SQL_COUNT_DISTINCT = """
+SELECT l_partkey, COUNT(DISTINCT l_suppkey) AS n_suppliers, COUNT(DISTINCT l_orderkey) AS n_orders
+FROM lineitem GROUP BY l_partkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.4 A12 / §2.6 O3 — top-k with rank ties
+# ---------------------------------------------------------------------------
+
+def q_topk_ties(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    counts = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_regionkey", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    w = Window.partitionBy("n_regionkey").orderBy(F.col("n_customers").desc())
+    return (
+        counts.withColumn("rk", F.rank().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("n_regionkey", "n_name", "n_customers", "rk")
+    )
+
+
+SQL_TOPK_TIES = """
+SELECT n_regionkey, n_name, n_customers, rk FROM (
+  SELECT n_regionkey, n_name, COUNT(*) AS n_customers,
+    RANK() OVER (PARTITION BY n_regionkey ORDER BY COUNT(*) DESC) AS rk
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_regionkey, n_name
+) WHERE rk <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.8 R1 — unpivot wide measures to long
+# ---------------------------------------------------------------------------
+
+def q_unpivot(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    long_df = unpivot(
+        li,
+        id_cols=["l_orderkey", "l_linenumber"],
+        value_cols={
+            "l_quantity": "quantity",
+            "l_extendedprice": "extendedprice",
+            "l_discount": "discount",
+            "l_tax": "tax",
+        },
+        var_name="measure",
+        value_name="value",
+    )
+    return long_df.groupBy("measure").agg(
+        F.count(F.lit(1)).alias("n"),
+        _dbl(F.sum(_dec("value", 2, 18))).alias("total"),
+    )
+
+
+SQL_UNPIVOT = """
+WITH long_t AS (
+  SELECT 'quantity' AS measure, l_quantity AS value FROM lineitem
+  UNION ALL SELECT 'extendedprice', l_extendedprice FROM lineitem
+  UNION ALL SELECT 'discount', l_discount FROM lineitem
+  UNION ALL SELECT 'tax', l_tax FROM lineitem
+)
+SELECT measure, COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM long_t WHERE value IS NOT NULL GROUP BY measure
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.7 U1/U2 — union distinct / union all stacking
+# ---------------------------------------------------------------------------
+
+def q_union(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("int").alias("nationkey"),
+        F.lit("customer").alias("src"),
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").cast("int").alias("nationkey"),
+        F.lit("supplier").alias("src"),
+    )
+    return c.unionByName(s).groupBy("nationkey", "src").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+SQL_UNION = """
+SELECT nationkey, src, COUNT(*) AS n FROM (
+  SELECT CAST(c_nationkey AS INT) AS nationkey, 'customer' AS src FROM customer
+  UNION ALL
+  SELECT CAST(s_nationkey AS INT) AS nationkey, 'supplier' AS src FROM supplier
+) GROUP BY nationkey, src
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.7 U4 — INTERSECT
+# ---------------------------------------------------------------------------
+
+def q_intersect(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("int").alias("nationkey")
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").cast("int").alias("nationkey")
+    )
+    return c.intersect(s)
+
+
+SQL_INTERSECT = """
+SELECT CAST(c_nationkey AS INT) AS nationkey FROM customer
+INTERSECT
+SELECT CAST(s_nationkey AS INT) AS nationkey FROM supplier
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.9 — T-SQL-compatible scalar date math
+# ---------------------------------------------------------------------------
+
+def q_scalar_datetime(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "d", F.col("o_orderdate").cast("date")
+    )
+    anchor = F.lit("2000-01-15").cast("date")
+    enriched = o.select(
+        tsql_datediff_month("d", anchor).alias("months_to_anchor"),
+        _ds(F.last_day("d")).alias("month_end"),
+        date_to_yyyymm("d").alias("yyyymm"),
+        age_years("d", anchor).alias("age_years"),
+    )
+    return enriched.groupBy("months_to_anchor", "month_end", "yyyymm", "age_years").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+SQL_SCALAR_DATETIME = """
+WITH e AS (
+  SELECT
+    (2000 - YEAR(CAST(o_orderdate AS DATE))) * 12 + (1 - MONTH(CAST(o_orderdate AS DATE))) AS months_to_anchor,
+    CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end,
+    CAST(strftime(CAST(o_orderdate AS DATE), '%Y%m') AS INT) AS yyyymm,
+    FLOOR((DATEDIFF('day', CAST(o_orderdate AS DATE), DATE '2000-01-15') + 1) / 365.25) AS age_years
+  FROM orders
+)
+SELECT months_to_anchor, month_end, yyyymm, CAST(age_years AS BIGINT) AS age_years, COUNT(*) AS n
+FROM e GROUP BY 1, 2, 3, 4
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.5 W5 / §4.2 — scalable global dense ids vs DENSE_RANK oracle
+# ---------------------------------------------------------------------------
+
+def q_dense_global(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "d", F.col("o_orderdate").cast("date")
+    )
+    with_id = dense_global_id(
+        o.select("o_orderkey", "o_custkey", "d"),
+        order_cols=["o_custkey", "d"],
+        out_col="event_seq_id",
+    )
+    return with_id.select("o_orderkey", "event_seq_id")
+
+
+SQL_DENSE_GLOBAL = """
+SELECT o_orderkey,
+  DENSE_RANK() OVER (ORDER BY o_custkey, CAST(o_orderdate AS DATE)) AS event_seq_id
+FROM orders
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.4 A9-A11 — tabloop multi-stat tabulation + suppression
+# ---------------------------------------------------------------------------
+
+def q_tabloop(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").withColumn("price_dec", _dec("o_totalprice"))
+    tab = tabloop(
+        o,
+        fixed=[],
+        loop_vars=["o_orderstatus", "o_orderpriority"],
+        stats={
+            "n": ("count", "price_dec"),
+            "n_cust": ("count_distinct", "o_custkey"),
+            "total": ("sum", "price_dec"),
+        },
+    )
+    tab = tab.withColumn("total", _dbl(F.col("total")))
+    return suppress(tab, ["n"], lower=1, upper=5).select(
+        "group_cat", "group", "n", "n_cust", "total"
+    )
+
+
+SQL_TABLOOP = """
+WITH stacked AS (
+  SELECT 'o_orderstatus' AS group_cat, CAST(o_orderstatus AS VARCHAR) AS "group",
+    COUNT(*) AS n_raw, COUNT(DISTINCT o_custkey) AS n_cust,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+  FROM orders GROUP BY o_orderstatus
+  UNION ALL
+  SELECT 'o_orderpriority', CAST(o_orderpriority AS VARCHAR),
+    COUNT(*), COUNT(DISTINCT o_custkey),
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT group_cat, "group",
+  CASE WHEN n_raw BETWEEN 1 AND 5 THEN NULL ELSE n_raw END AS n,
+  n_cust, total
+FROM stacked
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.5 W10 — interval overlap re-segmentation (dual timelines)
+# ---------------------------------------------------------------------------
+
+def q_resegment(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "d", F.col("o_orderdate").cast("date")
+    )
+    a = o.select(
+        "o_custkey",
+        F.col("d").alias("from_date"),
+        F.date_add("d", 20).alias("to_date"),
+    )
+    b = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_custkey",
+        F.date_add("d", 10).alias("from_date"),
+        F.date_add("d", 40).alias("to_date"),
+    )
+    seg = resegment_overlaps(a, b, "o_custkey", "from_date", "to_date", "cov_a", "cov_b")
+    return seg.select(
+        "o_custkey",
+        _ds("from_date").alias("from_date"),
+        _ds("to_date").alias("to_date"),
+        F.col("cov_a").cast("int").alias("cov_a"),
+        F.col("cov_b").cast("int").alias("cov_b"),
+    )
+
+
+SQL_RESEGMENT = """
+WITH a AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS f, CAST(o_orderdate AS DATE) + 20 AS t,
+         TRUE AS is_a, FALSE AS is_b
+  FROM orders
+), b AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) + 10 AS f, CAST(o_orderdate AS DATE) + 40 AS t,
+         FALSE AS is_a, TRUE AS is_b
+  FROM orders WHERE o_orderpriority = '1-URGENT'
+), both_t AS (
+  SELECT * FROM a UNION ALL SELECT * FROM b
+), pts AS (
+  SELECT DISTINCT o_custkey, f AS p FROM both_t
+  UNION
+  SELECT DISTINCT o_custkey, t + 1 FROM both_t
+), segs AS (
+  SELECT o_custkey, p AS seg_from,
+    LEAD(p) OVER (PARTITION BY o_custkey ORDER BY p) - 1 AS seg_to
+  FROM pts
+  QUALIFY seg_to IS NOT NULL
+)
+SELECT s.o_custkey, CAST(s.seg_from AS VARCHAR) AS from_date, CAST(s.seg_to AS VARCHAR) AS to_date,
+  CAST(MAX(CASE WHEN bt.is_a THEN 1 ELSE 0 END) AS INT) AS cov_a,
+  CAST(MAX(CASE WHEN bt.is_b THEN 1 ELSE 0 END) AS INT) AS cov_b
+FROM segs s JOIN both_t bt
+  ON s.o_custkey = bt.o_custkey AND s.seg_from >= bt.f AND s.seg_to <= bt.t
+GROUP BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Engine extensions: documents / embeddings pipeline
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return exact_dedup(d, "text", "doc_id").select("doc_id", "lang", "source")
+
+
+SQL_DEDUP_EXACT = """
+WITH fp AS (
+  SELECT doc_id, lang, source,
+    MD5(regexp_replace(LOWER(TRIM(text)), '\\s+', ' ', 'g')) AS f
+  FROM documents
+), keep AS (
+  SELECT MIN(doc_id) AS doc_id FROM fp GROUP BY f
+)
+SELECT d.doc_id, d.lang, d.source FROM fp d JOIN keep k ON d.doc_id = k.doc_id
+"""
+
+
+def q_text_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count_ws("text").alias("n_tokens"),
+        token_count_bpe("text").alias("n_bpe_tokens"),
+        F.round(punct_ratio("text"), 4).alias("punct_ratio"),
+        F.round(stopword_ratio("text"), 4).alias("stopword_ratio"),
+        F.length("text").alias("n_chars_check"),
+    )
+
+
+SQL_TEXT_STATS = """
+SELECT doc_id,
+  CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0 ELSE len(string_split_regex(TRIM(text), '\\s+')) END AS n_tokens,
+  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
+  ROUND(
+    CASE WHEN LENGTH(regexp_replace(text, '\\s', '', 'g')) = 0 THEN 0.0
+         ELSE LENGTH(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0 / LENGTH(regexp_replace(text, '\\s', '', 'g'))
+    END, 4) AS punct_ratio,
+  ROUND(
+    len(list_filter(string_split_regex(LOWER(TRIM(text)), '\\s+'),
+        x -> x IN ('the','a','an','and','or','of','to','in','is','it'))) * 1.0
+      / len(string_split_regex(LOWER(TRIM(text)), '\\s+')),
+    4) AS stopword_ratio,
+  LENGTH(text) AS n_chars_check
+FROM documents
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    from claims_data_spark.functions.text import lang_marker_hits
+
+    hits = d.select(
+        "doc_id",
+        *[lang_marker_hits("text", lg).alias(f"hits_{lg}") for lg in LANG_MARKERS],
+    )
+    langs = list(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"hits_{lg}") for lg in langs])
+    pred = F.lit("unknown")
+    for lg in reversed(langs):
+        pred = F.when((best > 0) & (F.col(f"hits_{lg}") == best), F.lit(lg)).otherwise(pred)
+    return hits.select("doc_id", pred.alias("pred_lang"))
+
+
+def _sql_lang_id() -> str:
+    markers = {
+        lg: ",".join(f"'{w}'" for w in ws) for lg, ws in LANG_MARKERS.items()
+    }
+    hit_cols = ",\n    ".join(
+        f"len(list_filter(string_split_regex(LOWER(TRIM(text)), '\\s+'), x -> x IN ({markers[lg]}))) AS hits_{lg}"
+        for lg in LANG_MARKERS
+    )
+    langs = list(LANG_MARKERS)
+    greatest = ", ".join(f"hits_{lg}" for lg in langs)
+    case = "CASE"
+    for lg in langs:
+        case += f" WHEN best > 0 AND hits_{lg} = best THEN '{lg}'"
+    case += " ELSE 'unknown' END"
+    return f"""
+WITH hits AS (
+  SELECT doc_id,
+    {hit_cols}
+  FROM documents
+), best_t AS (
+  SELECT *, GREATEST({greatest}) AS best FROM hits
+)
+SELECT doc_id, {case} AS pred_lang FROM best_t
+"""
+
+
+def q_quality(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        quality_score("text").alias("quality"),
+        doc_fingerprint("text").alias("fingerprint"),
+    )
+
+
+SQL_QUALITY = """
+WITH base AS (
+  SELECT doc_id, text,
+    CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0 ELSE len(string_split_regex(TRIM(text), '\\s+')) END AS n_tok,
+    CASE WHEN LENGTH(regexp_replace(text, '\\s', '', 'g')) = 0 THEN 0.0
+         ELSE LENGTH(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0 / LENGTH(regexp_replace(text, '\\s', '', 'g'))
+    END AS pr,
+    len(list_filter(string_split_regex(LOWER(TRIM(text)), '\\s+'),
+        x -> x IN ('the','a','an','and','or','of','to','in','is','it'))) * 1.0
+      / len(string_split_regex(LOWER(TRIM(text)), '\\s+')) AS sr
+  FROM documents
+)
+SELECT doc_id,
+  ROUND((LEAST(n_tok / 50.0, 1.0) + GREATEST(0.0, 1.0 - pr * 4) + LEAST(sr * 5.0, 1.0)) / 3.0, 4) AS quality,
+  MD5(regexp_replace(LOWER(TRIM(text)), '\\s+', ' ', 'g')) AS fingerprint
+FROM base
+"""
+
+
+def q_knn_bruteforce(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "vec", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("query_vec")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 5).select("vec_id", F.col("vec").alias("embedding"))
+    return brute_force_topk(corpus, queries, k=5)
+
+
+SQL_KNN_BRUTEFORCE = """
+WITH emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, vec AS qv FROM emb WHERE vec_id < 5
+), c AS (
+  SELECT vec_id, vec FROM emb WHERE vec_id >= 5
+), scored AS (
+  SELECT q.query_id, c.vec_id,
+    list_aggregate(list_transform(generate_series(1, len(c.vec)), i -> c.vec[i] * q.qv[i]), 'sum')
+      / (SQRT(list_aggregate(list_transform(generate_series(1, len(c.vec)), i -> c.vec[i] * c.vec[i]), 'sum'))
+         * SQRT(list_aggregate(list_transform(generate_series(1, len(q.qv)), i -> q.qv[i] * q.qv[i]), 'sum'))) AS cs
+  FROM c CROSS JOIN q
+)
+SELECT query_id, vec_id, ROUND(cs, 6) AS cos_sim, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cs DESC, vec_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+def q_minhash_dedup(spark, sf_dir):
+    """MinHash+LSH near-dup pairs — signature math is not reasonably
+    SQL-expressible, so this entry is rows-only checked."""
+    d = _t(spark, sf_dir, "documents")
+    return minhash_near_dup_pairs(
+        d, "doc_id", "text", shingle_k=3, num_hashes=32, bands=8,
+        jaccard_threshold=0.8,
+    )
+
+
+def q_simhash_dedup(spark, sf_dir):
+    """SimHash near-dup pairs — rows-only checked."""
+    d = _t(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(d, "doc_id", "text", max_hamming=8)
+
+
+def q_knn_ivf(spark, sf_dir):
+    """IVF approximate nearest neighbors — rows-only checked (approx)."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "vec", F.transform("embedding", lambda x: x.cast("double"))
+    ).select("vec_id", F.col("vec").alias("embedding"))
+    assigned, cents = ivf_build(emb, num_centroids=8, vec_col="embedding")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ivf_topk(assigned, cents, queries, k=5, nprobe=3)
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the claims_elig-shaped coverage query (islands +
+    clipping + coverage stats) on sf0.001."""
+    return q_coverage(spark, DEFAULT_SF)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "pricing_summary": q_pricing_summary,
+        "typed_projection": q_typed_projection,
+        "dynamic_filter": q_dynamic_filter,
+        "distinct_dedup": q_distinct,
+        "dedup_priority": q_dedup_priority,
+        "dedup_first_row": q_first_order,
+        "dedup_seeded": q_dedup_seeded,
+        "icd_normalize": q_icd_normalize,
+        "format_classify": q_format_classify,
+        "join_revenue_by_nation": q_join_revenue_by_nation,
+        "multi_left_join_flags": q_order_flags,
+        "right_join": q_right_join,
+        "full_outer_coalesce": q_full_outer,
+        "grid_zerofill": q_grid_zerofill,
+        "semi_join": q_semi_join,
+        "anti_join": q_anti_join,
+        "except_distinct": q_except,
+        "asof_running_min": q_asof_min,
+        "calendar_join": q_calendar_join,
+        "prefix_join": q_prefix_join,
+        "window_lag_gap": q_window_lag,
+        "islands_collapse": q_islands,
+        "coverage_stats": q_coverage,
+        "episodes_dense_id": q_episodes,
+        "rolling_months": q_rolling_months,
+        "mode_tiebreak": q_mode,
+        "mode_weighted": q_mode_weighted,
+        "pct_flags": q_pct_flags,
+        "count_distinct": q_count_distinct,
+        "topk_ties": q_topk_ties,
+        "unpivot_long": q_unpivot,
+        "union_stack": q_union,
+        "intersect_keys": q_intersect,
+        "scalar_datetime": q_scalar_datetime,
+        "dense_global_id": q_dense_global,
+        "tabloop_suppress": q_tabloop,
+        "interval_resegment": q_resegment,
+        "dedup_exact": q_dedup_exact,
+        "text_stats": q_text_stats,
+        "lang_id": q_lang_id,
+        "quality_fingerprint": q_quality,
+        "knn_bruteforce": q_knn_bruteforce,
+        "minhash_near_dup": q_minhash_dedup,
+        "simhash_near_dup": q_simhash_dedup,
+        "knn_ivf": q_knn_ivf,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pricing_summary": SQL_PRICING,
+        "typed_projection": SQL_TYPED_PROJECTION,
+        "dynamic_filter": SQL_DYNAMIC_FILTER,
+        "distinct_dedup": SQL_DISTINCT,
+        "dedup_priority": SQL_DEDUP_PRIORITY,
+        "dedup_first_row": SQL_FIRST_ORDER,
+        "dedup_seeded": SQL_DEDUP_SEEDED,
+        "icd_normalize": SQL_ICD_NORMALIZE,
+        "format_classify": SQL_FORMAT_CLASSIFY,
+        "join_revenue_by_nation": SQL_JOIN_REVENUE,
+        "multi_left_join_flags": SQL_ORDER_FLAGS,
+        "right_join": SQL_RIGHT_JOIN,
+        "full_outer_coalesce": SQL_FULL_OUTER,
+        "grid_zerofill": SQL_GRID_ZEROFILL,
+        "semi_join": SQL_SEMI_JOIN,
+        "anti_join": SQL_ANTI_JOIN,
+        "except_distinct": SQL_EXCEPT,
+        "asof_running_min": SQL_ASOF_MIN,
+        "calendar_join": SQL_CALENDAR_JOIN,
+        "prefix_join": SQL_PREFIX_JOIN,
+        "window_lag_gap": SQL_WINDOW_LAG,
+        "islands_collapse": SQL_ISLANDS,
+        "coverage_stats": SQL_COVERAGE,
+        "episodes_dense_id": SQL_EPISODES,
+        "rolling_months": SQL_ROLLING_MONTHS,
+        "mode_tiebreak": SQL_MODE,
+        "mode_weighted": SQL_MODE_WEIGHTED,
+        "pct_flags": SQL_PCT_FLAGS,
+        "count_distinct": SQL_COUNT_DISTINCT,
+        "topk_ties": SQL_TOPK_TIES,
+        "unpivot_long": SQL_UNPIVOT,
+        "union_stack": SQL_UNION,
+        "intersect_keys": SQL_INTERSECT,
+        "scalar_datetime": SQL_SCALAR_DATETIME,
+        "dense_global_id": SQL_DENSE_GLOBAL,
+        "tabloop_suppress": SQL_TABLOOP,
+        "interval_resegment": SQL_RESEGMENT,
+        "dedup_exact": SQL_DEDUP_EXACT,
+        "text_stats": SQL_TEXT_STATS,
+        "lang_id": _sql_lang_id(),
+        "quality_fingerprint": SQL_QUALITY,
+        "knn_bruteforce": SQL_KNN_BRUTEFORCE,
+        # minhash_near_dup / simhash_near_dup / knn_ivf: rows-only
+        # (signature math & approximate recall are not SQL-expressible)
+    }

@@ -1,0 +1,255 @@
+"""Document deduplication at scale: exact, MinHash+LSH, SimHash, and
+n-gram Jaccard (engine extension for training-data pipelines).
+
+Design for 100 TB:
+- Exact dedup is a fingerprint groupBy — one shuffle on a 32-byte key.
+- Near-dup never compares all pairs. MinHash signatures are computed
+  row-local (higher-order functions over the shingle array, pure JVM),
+  then banded: a candidate pair must collide in ≥1 band, so the join
+  is an equi-join on (band_id, band_hash) — shuffle ~H/r rows per doc,
+  not O(n²). SimHash analogously bands its 64-bit fingerprint into
+  16-bit chunks.
+- All hash functions are seeded Spark built-ins (murmur3 ``hash`` /
+  ``xxhash64`` / ``md5``), so results are deterministic run-to-run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from claims_data_spark.functions.text import doc_fingerprint
+
+
+def _norm_words(text: Column) -> Column:
+    return F.split(
+        F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "), " "
+    )
+
+
+def word_shingles(text: Column | str, k: int = 3) -> Column:
+    """k-word shingles (distinct) of the normalized text, as an array —
+    row-local, no shuffle."""
+    t = F.col(text) if isinstance(text, str) else text
+    words = _norm_words(t)
+    n = F.size(words)
+    sh = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(words, i, k)),
+    )
+    return F.array_distinct(sh)
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str, id_col: str, keep: str = "min"
+) -> DataFrame:
+    """Exact dedup on the normalized-content fingerprint: keep one doc
+    (min/max id) per distinct content. Returns the surviving rows."""
+    fp = df.withColumn("_fp", doc_fingerprint(text_col))
+    keeper = F.min(id_col) if keep == "min" else F.max(id_col)
+    keep_ids = fp.groupBy("_fp").agg(keeper.alias(id_col)).select(id_col)
+    return df.join(keep_ids, id_col, "left_semi")
+
+
+def minhash_signature(
+    shingle_col: Column, num_hashes: int = 32
+) -> Column:
+    """MinHash signature: for hash i, min over shingles of
+    murmur3(shingle, i). Array<int> of length num_hashes, computed
+    entirely row-local."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(shingle_col, lambda s: F.hash(s, F.lit(i)))
+            )
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_bands(
+    df: DataFrame,
+    id_col: str,
+    sig_col: str = "_sig",
+    bands: int = 8,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Explode a signature into (band_id, band_hash) rows — the LSH
+    bucketing join key."""
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.hash(
+                    *[F.col(sig_col)[b * rows_per_band + r] for r in range(rows_per_band)]
+                ).alias("band_hash"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return df.select(id_col, F.explode(band_structs).alias("_b")).select(
+        id_col, F.col("_b.band_id").alias("band_id"), F.col("_b.band_hash").alias("band_hash")
+    )
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, jaccard >= threshold).
+
+    Pipeline: shingle → minhash → band → self-equi-join on band bucket
+    → exact Jaccard verification on the candidate pairs only (shingle
+    sets re-joined from the docs; array_intersect/union are row-local).
+    """
+    rows_per_band = num_hashes // bands
+    with_sig = (
+        df.select(id_col, F.col(text_col))
+        .withColumn("_sh", word_shingles(text_col, shingle_k))
+        .withColumn("_sig", minhash_signature(F.col("_sh"), num_hashes))
+    )
+    with_sig = with_sig.persist()
+    banded = minhash_bands(with_sig, id_col, "_sig", bands, rows_per_band)
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    sh = with_sig.select(F.col(id_col), F.col("_sh"))
+    verified = (
+        cand.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("_sh", "_sh_a"), "id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("_sh", "_sh_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("_sh_a", "_sh_b"))
+            / F.size(F.array_union("_sh_a", "_sh_b")),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+    return verified
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    block_col: Column | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs within a blocking
+    key (default: first normalized word — cheap blocking so the
+    self-join is an equi-join, not cartesian)."""
+    t = F.col(text_col)
+    block = block_col if block_col is not None else _norm_words(t)[0]
+    base = df.select(
+        F.col(id_col), word_shingles(text_col, shingle_k).alias("_sh"), block.alias("_blk")
+    )
+    a, b = base.alias("a"), base.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a._blk") == F.col("b._blk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("a._sh", "b._sh"))
+            / F.size(F.array_union("a._sh", "b._sh")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round("jaccard", 4).alias("jaccard"),
+        )
+    )
+
+
+def simhash64(text_col: Column | str, token_k: int = 1) -> Column:
+    """64-bit SimHash of the document's token set: bit j is set when
+    the sum over tokens of ±1 (sign = bit j of xxhash64(token)) is
+    positive. Pure higher-order expressions, row-local (shift amounts
+    are Python ints — Spark's shift functions take literal bit
+    counts)."""
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
+    tokens = word_shingles(t, token_k)
+    hashes = F.transform(tokens, lambda s: F.xxhash64(s))
+
+    def bit_sum(j: int) -> Column:
+        def merge(acc: Column, h: Column) -> Column:
+            return acc + F.when(
+                F.shiftrightunsigned(h, j).bitwiseAND(F.lit(1)) != 0, 1
+            ).otherwise(-1)
+
+        return F.aggregate(hashes, F.lit(0), merge)
+
+    out = F.lit(0).cast("long")
+    for j in range(64):
+        # bit 63 is the sign bit of a signed 64-bit long
+        mask = (1 << j) if j < 63 else -(1 << 63)
+        out = out.bitwiseOR(
+            F.when(bit_sum(j) > 0, F.lit(mask).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return out
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 8,
+) -> DataFrame:
+    """SimHash near-dup pairs: band the 64-bit fingerprint into four
+    16-bit chunks (pigeonhole: any pair with hamming ≤ 3 collides in
+    ≥1 chunk; wider radii still prune most of the space), equi-join on
+    chunks, verify with bit_count(xor)."""
+    base = df.select(F.col(id_col), simhash64(text_col).alias("_sh64"))
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk_id"),
+                F.shiftrightunsigned("_sh64", c * 16)
+                .bitwiseAND(F.lit(0xFFFF).cast("long"))
+                .alias("chunk_val"),
+            )
+            for c in range(4)
+        ]
+    )
+    banded = base.select(id_col, "_sh64", F.explode(chunks).alias("_c")).select(
+        id_col, "_sh64", F.col("_c.chunk_id").alias("chunk_id"), F.col("_c.chunk_val").alias("chunk_val")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(F.col("a._sh64").bitwiseXOR(F.col("b._sh64"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,69 @@
+"""Scalable global dense ranking (SURVEY.md §4 item 2).
+
+The reference assigns warehouse-wide event ids with
+``DENSE_RANK() OVER (ORDER BY ...)`` — an un-partitioned window
+(``load_stage.mcaid_claim_header.R:865-967``). On Spark that funnels
+the whole table through ONE task; fine at 60k rows, fatal at 100 TB.
+
+``dense_global_id`` keeps the same semantics (dense, 1-based, ordered
+by the given columns) with a two-phase plan:
+
+1. distinct key tuples (partial-aggregated map-side; the distinct set
+   is orders of magnitude smaller than the fact table),
+2. range-repartition by the key order so partitions are themselves
+   ordered,
+3. per-partition ``row_number`` (parallel windows), plus a prefix-sum
+   of per-partition counts (only #partitions integers ever reach the
+   driver) as offsets,
+4. broadcast the tiny key->id map back onto the fact rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dense_global_id(
+    df: DataFrame,
+    order_cols: list[str],
+    out_col: str = "global_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Attach a globally dense 1-based id ordered by ``order_cols``."""
+    keys = df.select(*order_cols).distinct()
+    if num_partitions:
+        keys = keys.repartitionByRange(num_partitions, *order_cols)
+    else:
+        keys = keys.repartitionByRange(*order_cols)
+
+    with_pid = keys.withColumn("_pid", F.spark_partition_id())
+    w_in = Window.partitionBy("_pid").orderBy(*order_cols)
+    ranked = with_pid.withColumn("_rn", F.row_number().over(w_in))
+
+    # Offsets: one row per partition — tiny, safe to collect.
+    counts = (
+        ranked.groupBy("_pid").agg(F.max("_rn").alias("_cnt")).orderBy("_pid").collect()
+    )
+    offsets, running = {}, 0
+    for row in counts:
+        offsets[row["_pid"]] = running
+        running += row["_cnt"]
+    spark = df.sparkSession
+    offset_df = spark.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()], "_pid int, _off long"
+    )
+    key_ids = (
+        ranked.join(F.broadcast(offset_df), "_pid")
+        .withColumn(out_col, (F.col("_rn") + F.col("_off")).cast("long"))
+        .select(*order_cols, out_col)
+    )
+    return df.join(F.broadcast(key_ids) if _small(key_ids) else key_ids, order_cols)
+
+
+def _small(df: DataFrame) -> bool:
+    """Heuristic: broadcast the key->id map only when the distinct key
+    set is plausibly small. We cannot know cardinality without a count,
+    so default to a shuffle join and let AQE convert it to broadcast at
+    runtime when the built side is under the threshold."""
+    return False

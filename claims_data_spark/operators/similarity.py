@@ -1,0 +1,158 @@
+"""Embedding similarity search: brute-force cosine top-k (baseline) and
+an IVF-partitioned variant (scale path).
+
+Brute force is the correctness oracle: broadcast the (small) query set
+against the embedding corpus — one pass, no shuffle of the corpus,
+cosine computed with ``zip_with``/``aggregate`` (JVM, no Python).
+
+IVF is how the same query survives 100 TB: a one-pass assignment of
+every vector to its nearest of C coarse centroids (vectorized Pandas
+UDF over Arrow batches), corpus written partitioned by centroid id,
+queries probe only ``nprobe`` nearest lists → the scan prunes to
+nprobe/C of the data.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """Exact cosine top-k per query. Queries are broadcast; the corpus
+    is scanned once. Top-k via per-query row_number window over the
+    scored rows (the scored set is |corpus|×|queries| rows but never
+    wider than 3 columns — Catalyst prunes the vectors after scoring).
+    """
+    q = F.broadcast(queries.select(query_id, query_vec))
+    scored = corpus.select(corpus_id, corpus_vec).crossJoin(q).select(
+        query_id,
+        corpus_id,
+        cosine(F.col(corpus_vec), F.col(query_vec)).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("cos_sim").desc(), F.col(corpus_id).asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(query_id, corpus_id, F.round("cos_sim", 6).alias("cos_sim"), F.col("_rn").alias("rank"))
+    )
+
+
+def _assign_udf(centroids: np.ndarray):
+    """Vectorized nearest-centroid assignment (Arrow-batched)."""
+    cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+
+    @F.pandas_udf(T.IntegerType())
+    def assign(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy())
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(m @ cn.T, axis=1).astype("int32"))
+
+    return assign
+
+
+def ivf_build(
+    corpus: DataFrame,
+    num_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_n: int = 4096,
+    kmeans_iters: int = 5,
+    seed: int = 42,
+):
+    """Train coarse centroids (mini k-means on a driver-side sample —
+    the sample is bounded, the corpus pass is distributed) and return
+    (assigned_corpus, centroids). The assigned corpus carries a
+    ``centroid_id`` column; at scale you would write it out
+    ``partitionBy('centroid_id')`` so probes prune file groups."""
+    sample = np.stack(
+        [
+            np.asarray(r[0], dtype=np.float64)
+            for r in corpus.select(vec_col).limit(sample_n).collect()
+        ]
+    )
+    rng = np.random.RandomState(seed)
+    cents = sample[rng.choice(len(sample), min(num_centroids, len(sample)), replace=False)]
+    for _ in range(kmeans_iters):
+        sn = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+        cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+        lab = np.argmax(sn @ cn.T, axis=1)
+        for c in range(len(cents)):
+            pts = sample[lab == c]
+            if len(pts):
+                cents[c] = pts.mean(axis=0)
+    assigned = corpus.withColumn("centroid_id", _assign_udf(cents)(F.col(vec_col)))
+    return assigned, cents
+
+
+def ivf_topk(
+    assigned_corpus: DataFrame,
+    centroids: np.ndarray,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """Approximate top-k: each query scans only its ``nprobe`` nearest
+    centroid lists. The (query, centroid_id) probe table is broadcast;
+    the corpus-side join key is ``centroid_id`` → partition pruning at
+    scale."""
+    cn = centroids / np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def probes(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy())
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        order = np.argsort(-(m @ cn.T), axis=1)[:, :nprobe]
+        return pd.Series(list(order.astype("int32")))
+
+    q = queries.withColumn("_probe", F.explode(probes(F.col(query_vec)))).select(
+        query_id, query_vec, F.col("_probe").alias("centroid_id")
+    )
+    scored = assigned_corpus.join(F.broadcast(q), "centroid_id").select(
+        query_id,
+        corpus_id,
+        cosine(F.col(corpus_vec), F.col(query_vec)).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("cos_sim").desc(), F.col(corpus_id).asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(query_id, corpus_id, F.round("cos_sim", 6).alias("cos_sim"), F.col("_rn").alias("rank"))
+    )

@@ -1,0 +1,81 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The reference hand-tunes its MPP layout (HASH-distributed heap
+staging tables, clustered indexes, TABLOCK bulk loads — see
+SURVEY.md §4). On Spark the equivalents are AQE, broadcast
+thresholds, and shuffle-partition sizing, which we centralize here
+so every entry point (tests, bench, driver) gets the same plan
+behavior.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "claims_data_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession tuned for this engine.
+
+    Defaults target the test harness (local[N]) but every setting is
+    the one you would also ship to a 1000-executor cluster:
+
+    - AQE on (runtime shuffle coalescing, skew-join splitting) so a
+      plan sized for 100 TB does not need hand-tuned partition counts.
+    - Broadcast threshold raised to 64 MB: every reference lookup
+      (claim-type crosswalk, ICD master ~90k rows, value sets) is a
+      dimension table that must never shuffle the fact side.
+    - Arrow enabled for the few Pandas-UDF paths (similarity,
+      multimodal) so Python crossings are batched, not per-row.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if str(cpus).isdigit() else 32
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None):
+    """Register the driver's parquet tables as temp views; return dict of DataFrames.
+
+    Mirrors the reference's ``schema.table`` catalog reads
+    (``R/claims_elig.R:1405``): every query starts from named tables,
+    never inlined file paths, so Catalyst sees one consistent relation
+    per table (scan reuse, pushdown).
+    """
+    all_names = [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]
+    out = {}
+    for name in names or all_names:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            df = spark.read.parquet(path)
+            df.createOrReplaceTempView(name)
+            out[name] = df
+    return out

@@ -1,0 +1,118 @@
+"""Readers, writers, and table-lifecycle operations (SURVEY.md §2.1).
+
+The reference's load surface — ``COPY INTO`` bulk ingest
+(``copy_into.R``), chunked/per-year local loads (``load_table.R``),
+archive-truncate-insert incremental refresh, stage→final promotion
+(``table_duplicate``/``alter_schema``) — maps onto Spark writers plus
+catalog operations. No row ever passes through the driver.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def read_file(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema: T.StructType | None = None,
+    csv_options: dict[str, str] | None = None,
+) -> DataFrame:
+    """Bulk file ingest (COPY INTO analog, ``copy_into.R:21-32,213-224``):
+    csv/parquet/orc with an optional declared schema. Compression
+    (gzip/snappy/none) is transparent to Spark readers."""
+    if fmt == "csv":
+        opts = {"header": "true", "sep": ","}
+        opts.update(csv_options or {})
+        reader = spark.read.options(**opts)
+        return reader.csv(path, schema=schema) if schema else reader.option(
+            "inferSchema", "true"
+        ).csv(path)
+    if fmt == "parquet":
+        return spark.read.parquet(path)
+    if fmt == "orc":
+        return spark.read.orc(path)
+    raise ValueError(f"unsupported format {fmt!r}")
+
+
+def with_audit(df: DataFrame) -> DataFrame:
+    """Every reference load appends ``getdate() AS last_run``
+    (``load_stage.mcaid_claim_header.R:1049-1055``)."""
+    return df.withColumn("last_run", F.current_timestamp())
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    fmt: str = "parquet",
+) -> None:
+    """Partition-aware table write. ``partition_by`` is the per-year
+    split the reference does with a load loop
+    (``load_table.R:294-375``) — here it's a property of the layout,
+    and downstream readers get dynamic partition pruning for free."""
+    writer = df.write.mode(mode).format(fmt)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)
+
+
+def incremental_merge(
+    spark: SparkSession,
+    existing_path: str,
+    incoming: DataFrame,
+    natural_keys: list[str],
+    fmt: str = "parquet",
+) -> DataFrame:
+    """The reference's refresh contract (``README.md:5``): "old records
+    will be replaced with new records where duplicates exist, and new
+    records without old duplicates will simply be appended."
+
+    Without a transactional table format this is anti-join the existing
+    rows against the incoming natural keys, union the incoming, rewrite
+    (the reference's archive-truncate-insert, ``load_table.R:461-805``,
+    does the same full rewrite server-side). On Delta/Iceberg the same
+    function is a ``MERGE INTO`` keyed on the natural keys — the
+    rewrite is then limited to touched files; we keep the API so the
+    storage backend can swap in.
+    """
+    if os.path.exists(existing_path):
+        existing = read_file(spark, existing_path, fmt)
+        kept = existing.join(
+            incoming.select(*natural_keys).distinct(), natural_keys, "left_anti"
+        )
+        merged = kept.unionByName(incoming, allowMissingColumns=True)
+    else:
+        merged = incoming
+    return merged
+
+
+def promote(
+    spark: SparkSession,
+    stage_path: str,
+    final_path: str,
+    expected_rows: int | None = None,
+    fmt: str = "parquet",
+) -> int:
+    """Stage→final promotion with row-count QA
+    (``master_mcaid_analytic.R:433-487``): copy, verify, swap."""
+    df = read_file(spark, stage_path, fmt)
+    n = df.count()
+    if expected_rows is not None and n != expected_rows:
+        raise AssertionError(
+            f"promotion row-count mismatch: stage={n} expected={expected_rows}"
+        )
+    tmp = final_path + "._tmp"
+    df.write.mode("overwrite").format(fmt).save(tmp)
+    import shutil
+
+    if os.path.exists(final_path):
+        shutil.rmtree(final_path)
+    os.rename(tmp, final_path)
+    return n

@@ -1,0 +1,247 @@
+"""Operator unit tests: modes, episodes, dense ids, rolling frames,
+unpivot, tabulation/suppression, as-of joins, prefix join, dynamic
+predicates, scalar functions, schema registry."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from claims_data_spark.functions.datetime import (
+    tsql_datediff_month,
+    yyyymm_add,
+)
+from claims_data_spark.functions.strings import (
+    like_charset_to_regex,
+    normalize_icdcm,
+    icdcm_version,
+)
+from claims_data_spark.operators.asof import asof_join
+from claims_data_spark.operators.dense_id import dense_global_id
+from claims_data_spark.operators.episodes import episode_table
+from claims_data_spark.operators.mode import mode_value
+from claims_data_spark.operators.rolling import densify_months, rolling_month_agg
+from claims_data_spark.operators.tabulate import suppress, tabloop, zero_fill
+from claims_data_spark.operators.unpivot import unpivot, unpivot_with_fanout
+from claims_data_spark.plans.predicates import apply_filters
+from claims_data_spark.plans.prefix_join import prefix_join
+from claims_data_spark.schema import SchemaRegistry, sql_type_to_spark
+
+
+def d(s):
+    return dt.date.fromisoformat(s)
+
+
+# --- modes -----------------------------------------------------------------
+
+def test_mode_frequency_and_tiebreak(spark):
+    df = spark.createDataFrame(
+        [("p1", "EN"), ("p1", "EN"), ("p1", "ES"), ("p2", "ES"), ("p2", "EN")],
+        "id string, lang string",
+    )
+    out = {r["id"]: r["lang"] for r in mode_value(df, ["id"], "lang").collect()}
+    assert out == {"p1": "EN", "p2": "EN"}  # p2 ties -> ascending value
+
+
+def test_mode_weighted(spark):
+    df = spark.createDataFrame(
+        [("p1", "98101", 10), ("p1", "98101", 10), ("p1", "98052", 300)],
+        "id string, zip string, cov_days int",
+    )
+    out = mode_value(
+        df, ["id"], "zip", weight=F.col("cov_days"), keep_weight_as="days"
+    ).collect()
+    assert out[0]["zip"] == "98052" and out[0]["days"] == 300
+
+
+# --- episodes + dense ids (FIXTURES.md §14.3) ------------------------------
+
+def test_episode_merging_golden(spark):
+    df = spark.createDataFrame(
+        [("p", d("2020-01-01")), ("p", d("2020-01-02")), ("p", d("2020-01-04"))],
+        "id string, visit date",
+    )
+    eps = episode_table(df, ["id"], "visit", merge_gap_days=1).orderBy("episode_start")
+    rows = eps.collect()
+    assert len(rows) == 2
+    assert (rows[0]["episode_start"], rows[0]["episode_end"], rows[0]["n_events"]) == (
+        d("2020-01-01"), d("2020-01-02"), 2,
+    )
+    assert rows[1]["episode_start"] == d("2020-01-04")
+    assert sorted(r["episode_id"] for r in rows) == [1, 2]
+
+
+def test_dense_global_id_matches_dense_rank(spark):
+    df = spark.createDataFrame(
+        [(i % 7, i % 13) for i in range(200)], "a int, b int"
+    )
+    out = dense_global_id(df, ["a", "b"], out_col="gid")
+    expected = df.withColumn(
+        "gid_exp",
+        F.dense_rank().over(__import__("pyspark").sql.Window.orderBy("a", "b")),
+    )
+    joined = out.join(expected, ["a", "b"]).filter(F.col("gid") != F.col("gid_exp"))
+    assert joined.count() == 0
+    # dense: ids are 1..N with no holes
+    ids = sorted(r["gid"] for r in out.select("gid").distinct().collect())
+    assert ids == list(range(1, len(ids) + 1))
+
+
+# --- rolling (FIXTURES.md §14.7) --------------------------------------------
+
+def test_rolling_12m_enrollment(spark):
+    # enrolled 7 of the last 12 months at the series edge
+    months = [202001 + i for i in range(5)] + [202008 + i for i in range(2)]
+    df = spark.createDataFrame([("p", m, 1) for m in months], "id string, ym int, enrolled int")
+    dense = densify_months(df, ["id"], "ym", 202001, 202012, fill={"enrolled": 0})
+    rolled = rolling_month_agg(dense, ["id"], "ym", {"enr_12m": ("enrolled", -11, 0)})
+    end = rolled.filter(F.col("ym") == 202012).collect()[0]
+    assert end["enr_12m"] == 7
+    assert rolled.count() == 12
+
+
+def test_yyyymm_add_year_boundary(spark):
+    df = spark.createDataFrame([(201911,), (201912,), (202001,)], "ym int")
+    out = df.select(yyyymm_add("ym", 2).alias("x")).collect()
+    assert [r["x"] for r in out] == [202001, 202002, 202003]
+
+
+# --- unpivot -----------------------------------------------------------------
+
+def test_unpivot_drops_nulls(spark):
+    df = spark.createDataFrame(
+        [(1, "A00", None, "B11")], "claim int, dx1 string, dx2 string, dx3 string"
+    )
+    out = unpivot(df, ["claim"], {"dx1": "01", "dx2": "02", "dx3": "03"},
+                  var_name="icdcm_number", value_name="icdcm")
+    rows = {(r["icdcm_number"], r["icdcm"]) for r in out.collect()}
+    assert rows == {("01", "A00"), ("03", "B11")}
+
+
+def test_unpivot_modifier_fanout(spark):
+    df = spark.createDataFrame(
+        [(1, "99213", None, "GT", None), (2, "99214", None, None, None)],
+        "claim int, px1 string, m1 string, m2 string, m3 string",
+    )
+    out = unpivot_with_fanout(
+        df, ["claim"], {"px1": "1"}, ["m1", "m2", "m3"],
+        var_name="number", value_name="pcode", fanout_name="modifier",
+    )
+    rows = {(r["claim"], r["pcode"], r["modifier"]) for r in out.collect()}
+    assert rows == {(1, "99213", "GT"), (2, "99214", None)}
+
+
+# --- tabulate ----------------------------------------------------------------
+
+def test_tabloop_and_suppress(spark):
+    df = spark.createDataFrame(
+        [("F", "HIGH", 10.0), ("F", "LOW", 20.0), ("O", "HIGH", 30.0)],
+        "status string, prio string, amt double",
+    )
+    tab = tabloop(df, [], ["status", "prio"], {"n": ("count", "amt"), "s": ("sum", "amt")})
+    got = {(r["group_cat"], r["group"]): (r["n"], r["s"]) for r in tab.collect()}
+    assert got[("status", "F")] == (2, 30.0)
+    assert got[("prio", "HIGH")] == (2, 40.0)
+    sup = suppress(tab, ["n"], lower=1, upper=1)
+    vals = {(r["group_cat"], r["group"]): r["n"] for r in sup.collect()}
+    assert vals[("status", "O")] is None and vals[("status", "F")] == 2
+
+
+def test_zero_fill(spark):
+    dims = [
+        spark.createDataFrame([("F",), ("O",)], "status string"),
+        spark.createDataFrame([("HIGH",), ("LOW",)], "prio string"),
+    ]
+    facts = spark.createDataFrame([("F", "HIGH", 5)], "status string, prio string, n int")
+    out = zero_fill(facts, dims, {"n": 0})
+    assert out.count() == 4
+    assert out.filter((F.col("status") == "O") & (F.col("n") == 0)).count() == 2
+
+
+# --- as-of join ---------------------------------------------------------------
+
+def test_asof_join_backward(spark):
+    left = spark.createDataFrame(
+        [("u", d("2020-01-05")), ("u", d("2020-01-01")), ("v", d("2020-01-03"))],
+        "id string, ts date",
+    )
+    right = spark.createDataFrame(
+        [("u", d("2020-01-02"), 10.0), ("u", d("2020-01-05"), 20.0), ("w", d("2020-01-01"), 9.0)],
+        "id string, rts date, px double",
+    )
+    out = asof_join(left, right, ["id"], "ts", "rts", ["px"])
+    got = {(r["id"], r["ts"]): r["px"] for r in out.collect()}
+    # equal timestamps match (right sorts first at ties)
+    assert got == {("u", d("2020-01-05")): 20.0, ("u", d("2020-01-01")): None,
+                   ("v", d("2020-01-03")): None}
+
+
+# --- prefix join ----------------------------------------------------------------
+
+def test_prefix_join_matches_like(spark):
+    fact = spark.createDataFrame(
+        [("T369",), ("T379",), ("E9500",), ("A001",)], "code string"
+    )
+    ref = spark.createDataFrame([("T36",), ("E950",)], "pfx string")
+    out = prefix_join(fact, ref, "code", "pfx")
+    got = {(r["code"], r["pfx"]) for r in out.collect()}
+    assert got == {("T369", "T36"), ("E9500", "E950")}
+
+
+# --- predicates ------------------------------------------------------------------
+
+def test_dynamic_predicates(spark):
+    df = spark.createDataFrame(
+        [(1, "F", 10.0), (2, "O", 100.0), (3, "P", 250.0)],
+        "k int, status string, amt double",
+    )
+    out = apply_filters(df, {"status": ["f", "o"], "amt": {"min": 50}, "k": None})
+    assert [r["k"] for r in out.collect()] == [2]
+
+
+# --- scalar functions ---------------------------------------------------------------
+
+def test_tsql_month_diff_boundary(spark):
+    df = spark.createDataFrame([(d("2020-01-31"), d("2020-02-01"))], "a date, b date")
+    assert df.select(tsql_datediff_month("a", "b").alias("m")).collect()[0]["m"] == 1
+
+
+def test_like_charset_regex():
+    assert like_charset_to_regex("045[01269]") == "^045[01269]$"
+    assert like_charset_to_regex("T3[679]9%") == "^T3[679]9.*$"
+    assert like_charset_to_regex("A_C") == "^A.C$"
+
+
+def test_icd_normalization_cutover(spark):
+    # FIXTURES.md §14.6: '250' -> '25000'; 'V10' version depends on date
+    df = spark.createDataFrame(
+        [("250", d("2015-01-01")), ("V10", d("2015-01-01")), ("V10", d("2016-01-01"))],
+        "code string, svc date",
+    )
+    out = df.select(
+        normalize_icdcm("code", "svc").alias("norm"),
+        icdcm_version("code", "svc").alias("ver"),
+    ).collect()
+    assert (out[0]["norm"], out[0]["ver"]) == ("25000", 9)
+    assert (out[1]["norm"], out[1]["ver"]) == ("V1000", 9)
+    assert (out[2]["norm"], out[2]["ver"]) == ("V10", 10)
+
+
+# --- schema registry ------------------------------------------------------------------
+
+def test_schema_registry_roundtrip(spark):
+    reg = SchemaRegistry()
+    reg.declare("stage.elig", {"id": "varchar(200)", "cov_pct": "numeric(4,1)", "geo_kc": "bit"})
+    st = reg.schema("stage.elig")
+    assert st["cov_pct"].dataType.simpleString() == "decimal(4,1)"
+    assert st["geo_kc"].dataType.simpleString() == "boolean"
+    df = spark.createDataFrame([("a", 99.95, 1, "extra")], "id string, cov_pct double, geo_kc int, junk string")
+    out = reg.apply(df, "stage.elig")
+    assert out.columns == ["id", "cov_pct", "geo_kc"]
+    row = out.collect()[0]
+    assert str(row["cov_pct"]) in ("99.9", "100.0")  # decimal(4,1) rounding applied
+
+
+def test_sql_type_mapping():
+    assert sql_type_to_spark("TIME(0)").simpleString() == "string"
+    assert sql_type_to_spark("numeric(19,3)").simpleString() == "decimal(19,3)"
+    assert sql_type_to_spark("tinyint").simpleString() == "tinyint"

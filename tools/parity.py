@@ -1,0 +1,120 @@
+"""Local stand-in for the driver's correctness gate: run each
+``queries()`` entry in Spark and its ``oracle_sql()`` in DuckDB over
+the same parquet dir, normalize, and compare row counts + sorted
+values. Usage: python tools/parity.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import traceback
+
+import duckdb
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def norm_cell(v):
+    import datetime
+    import decimal
+
+    import numpy as np
+    import pandas as pd
+
+    if v is None:
+        return None
+    if isinstance(v, float) and math.isnan(v):
+        return None
+    if isinstance(v, (np.floating,)):
+        v = float(v)
+    if isinstance(v, (np.integer,)):
+        v = int(v)
+    if isinstance(v, decimal.Decimal):
+        v = float(v)
+    if isinstance(v, pd.Timestamp):
+        v = v.to_pydatetime()
+    if isinstance(v, datetime.datetime):
+        return v.strftime("%Y-%m-%d %H:%M:%S")
+    if isinstance(v, datetime.date):
+        return v.strftime("%Y-%m-%d")
+    if isinstance(v, float):
+        if v == int(v) and abs(v) < 1e15:
+            return int(v)
+        return round(v, 9)
+    if isinstance(v, bool):
+        return int(v)
+    return v
+
+
+def frame_to_rows(df) -> list[tuple]:
+    cols = sorted(df.columns)
+    rows = [tuple(norm_cell(r[c]) for c in cols) for _, r in df[cols].iterrows()]
+    return sorted(rows, key=lambda t: tuple((x is None, str(x)) for x in t))
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entrymod
+    from claims_data_spark.session import get_spark
+
+    spark = get_spark("parity", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    results = {}
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception:
+            results[name] = "SPARK-ERROR"
+            traceback.print_exc()
+            continue
+        if name not in oracles:
+            results[name] = f"ROWS-ONLY ({len(sdf)} rows)"
+            continue
+        try:
+            odf = con.execute(oracles[name]).df()
+        except Exception:
+            results[name] = "ORACLE-ERROR"
+            traceback.print_exc()
+            continue
+        s_cols, o_cols = sorted(sdf.columns), sorted(odf.columns)
+        if s_cols != o_cols:
+            results[name] = f"SCHEMA-MISMATCH spark={s_cols} oracle={o_cols}"
+            continue
+        if len(sdf) != len(odf):
+            results[name] = f"ROWCOUNT-MISMATCH spark={len(sdf)} oracle={len(odf)}"
+            continue
+        srows, orows = frame_to_rows(sdf), frame_to_rows(odf)
+        if srows == orows:
+            results[name] = f"OK ({len(sdf)} rows)"
+        else:
+            diffs = [
+                (a, b) for a, b in zip(srows, orows) if a != b
+            ][:3]
+            results[name] = f"VALUE-MISMATCH e.g. {diffs}"
+
+    width = max(len(k) for k in results)
+    n_ok = sum(1 for v in results.values() if v.startswith(("OK", "ROWS-ONLY")))
+    for k, v in results.items():
+        print(f"{k:<{width}}  {v}")
+    print(f"\n{n_ok}/{len(results)} passing")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
