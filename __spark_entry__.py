@@ -51,6 +51,7 @@ from claims_data_spark.operators.tabulate import suppress, tabloop
 from claims_data_spark.operators.unpivot import unpivot
 from claims_data_spark.plans.predicates import apply_filters
 from claims_data_spark.plans.prefix_join import prefix_join
+from claims_data_spark.session import spread
 from claims_data_spark.sources.calendar import date_dim
 
 DEFAULT_SF = "/root/testdata/sf0.001"
@@ -1272,7 +1273,7 @@ SELECT d.doc_id, d.lang, d.source FROM fp d JOIN keep k ON d.doc_id = k.doc_id
 
 
 def q_text_stats(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = spread(_t(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
         token_count_ws("text").alias("n_tokens"),
@@ -1302,7 +1303,7 @@ FROM documents
 
 
 def q_lang_id(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = spread(_t(spark, sf_dir, "documents"))
     from claims_data_spark.functions.text import lang_marker_hits
 
     hits = d.select(
@@ -1344,7 +1345,7 @@ SELECT doc_id, {case} AS pred_lang FROM best_t
 
 
 def q_quality(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = spread(_t(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
         quality_score("text").alias("quality"),

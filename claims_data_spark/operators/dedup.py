@@ -19,6 +19,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from claims_data_spark.functions.text import doc_fingerprint
+from claims_data_spark.session import spread
 
 
 def _norm_words(text: Column) -> Column:
@@ -109,7 +110,7 @@ def minhash_near_dup_pairs(
     """
     rows_per_band = num_hashes // bands
     with_sig = (
-        df.select(id_col, F.col(text_col))
+        spread(df.select(id_col, F.col(text_col)))
         .withColumn("_sh", word_shingles(text_col, shingle_k))
         .withColumn("_sig", minhash_signature(F.col("_sh"), num_hashes))
     )
@@ -158,7 +159,7 @@ def ngram_jaccard_pairs(
     self-join is an equi-join, not cartesian)."""
     t = F.col(text_col)
     block = block_col if block_col is not None else _norm_words(t)[0]
-    base = df.select(
+    base = spread(df.select(F.col(id_col), t.alias(text_col))).select(
         F.col(id_col), word_shingles(text_col, shingle_k).alias("_sh"), block.alias("_blk")
     )
     a, b = base.alias("a"), base.alias("b")
@@ -222,7 +223,9 @@ def simhash_near_dup_pairs(
     16-bit chunks (pigeonhole: any pair with hamming ≤ 3 collides in
     ≥1 chunk; wider radii still prune most of the space), equi-join on
     chunks, verify with bit_count(xor)."""
-    base = df.select(F.col(id_col), simhash64(text_col).alias("_sh64"))
+    base = spread(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), simhash64(text_col).alias("_sh64")
+    )
     chunks = F.array(
         *[
             F.struct(

@@ -20,6 +20,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from claims_data_spark.session import spread
+
 
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -54,7 +56,7 @@ def brute_force_topk(
     wider than 3 columns — Catalyst prunes the vectors after scoring).
     """
     q = F.broadcast(queries.select(query_id, query_vec))
-    scored = corpus.select(corpus_id, corpus_vec).crossJoin(q).select(
+    scored = spread(corpus.select(corpus_id, corpus_vec)).crossJoin(q).select(
         query_id,
         corpus_id,
         cosine(F.col(corpus_vec), F.col(query_vec)).alias("cos_sim"),

@@ -59,6 +59,25 @@ def get_spark(
     return builder.getOrCreate()
 
 
+def spread(df, min_partitions: int | None = None):
+    """Ensure a DataFrame has enough partitions for a CPU-heavy map
+    stage.
+
+    Small single-row-group parquet files scan as ONE task, which
+    serializes expression-heavy stages (shingling, simhash bit math,
+    cosine scoring) no matter how many cores exist. At 100 TB inputs
+    arrive as thousands of splits and this is a no-op; on small or
+    badly-laid-out inputs it round-robins rows across the default
+    parallelism so the map stage actually uses the cluster. Only
+    repartitions when the input has FEWER partitions than requested —
+    never shrinks, never shuffles an already-parallel scan.
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None):
     """Register the driver's parquet tables as temp views; return dict of DataFrames.
 
