@@ -1,0 +1,176 @@
+"""Interactive query API (reference: ``R/claims_elig.R``,
+``R/claims_condition.R``, ``R/top_causes.R``,
+``R/elig_timevar_collapse.R``).
+
+The reference assembles SQL text per parameter and round-trips
+R↔ODBC↔engine 5+ times per query (SURVEY.md §3.1). Here each entry
+point builds ONE lazy DataFrame plan; Catalyst does the predicate
+pushdown the reference writes by hand, and the cohort never leaves the
+cluster (no ``##temp_ids`` literal shipping — cohorts are DataFrames).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from claims_data_spark.functions.datetime import age_years
+from claims_data_spark.operators.intervals import collapse_islands, coverage_stats
+from claims_data_spark.operators.mode import mode_value
+from claims_data_spark.plans.predicates import apply_filters
+
+
+def claims_elig(
+    demo: DataFrame,
+    timevar: DataFrame,
+    from_date: str,
+    to_date: str,
+    cov_min: float = 0.0,
+    covgap_max: int | None = None,
+    age_min: int | None = None,
+    age_max: int | None = None,
+    demo_filters: dict[str, Any] | None = None,
+    timevar_values: list[str] | None = None,
+    id_col: str = "id_mcaid",
+) -> DataFrame:
+    """Eligibility cohort query (``R/claims_elig.R:159-1452``).
+
+    Returns one row per qualifying member with coverage stats
+    (cov_days/cov_pct/pre_gap/post_gap/covgap_max — the
+    ``##cov_time_part``/``##cov_time_tot`` stages as cached
+    sub-plans) plus, for each requested time-varying column, the
+    most-person-time value over the window (the ``timevar_gen_sql``
+    pattern, ``:788-881``).
+    """
+    cov = coverage_stats(
+        timevar, [id_col], "from_date", "to_date", from_date, to_date
+    ).filter(F.col("cov_pct") >= cov_min)
+    if covgap_max is not None:
+        cov = cov.filter(F.col("covgap_max") <= covgap_max)
+
+    out = demo.join(cov, id_col)  # J1: demo × coverage totals
+
+    if age_min is not None or age_max is not None:
+        age = age_years(F.col("dob"), F.lit(to_date).cast("date"))
+        out = out.withColumn("age", age)
+        if age_min is not None:
+            out = out.filter(F.col("age") >= age_min)
+        if age_max is not None:
+            out = out.filter(F.col("age") <= age_max)
+
+    if demo_filters:
+        out = apply_filters(out, demo_filters)
+
+    # per-variable most-person-time subqueries (A5), overlap-clipped
+    win_from, win_to = F.lit(from_date).cast("date"), F.lit(to_date).cast("date")
+    overlapping = timevar.filter(
+        (F.col("from_date") <= win_to) & (F.col("to_date") >= win_from)
+    ).withColumn(
+        "_cov_days",
+        F.datediff(
+            F.least("to_date", win_to), F.greatest("from_date", win_from)
+        )
+        + 1,
+    )
+    for var in timevar_values or []:
+        best = mode_value(
+            overlapping,
+            [id_col],
+            var,
+            weight=F.col("_cov_days"),
+            keep_weight_as=f"{var}_cov_days",
+        )
+        out = out.join(best, id_col, "left")
+    return out
+
+
+def claims_condition(
+    condition_table: DataFrame,
+    condition: str,
+    from_date: str,
+    to_date: str,
+    cond_col: str = "ccw_desc",
+    id_col: str = "id_mcaid",
+) -> DataFrame:
+    """Members whose condition interval overlaps the request window
+    (``R/claims_condition.R:126-132`` — J8 range predicate)."""
+    return condition_table.filter(
+        (F.lower(F.col(cond_col)) == condition.lower())
+        & (F.col("first_encounter_date") <= F.lit(to_date).cast("date"))
+        & (F.col("last_encounter_date") >= F.lit(from_date).cast("date"))
+    ).select(id_col, cond_col, "first_encounter_date", "last_encounter_date")
+
+
+def top_causes(
+    cohort: DataFrame,
+    header: DataFrame,
+    icdcm: DataFrame,
+    ref_icdcm: DataFrame,
+    from_date: str,
+    to_date: str,
+    top_n: int = 10,
+    event_id_col: str = "ed_pophealth_id",
+    id_col: str = "id_mcaid",
+) -> DataFrame:
+    """Top causes (CCS categories) among a cohort's events
+    (``R/top_causes.R:55-346``): cohort ⋈ date/event-filtered headers
+    ⋈ primary dx ⋈ CCS reference, drop catch-all categories, count
+    distinct events per category, top-N with rank ties (A12/O3).
+
+    The cohort is a DataFrame — no 1,000-literal ``##temp_ids``
+    batches (``:216-273``); the join IS the temp table.
+    """
+    events = (
+        header.join(cohort.select(id_col).distinct(), id_col, "left_semi")
+        .filter(
+            (F.col("first_service_date") >= F.lit(from_date).cast("date"))
+            & (F.col("first_service_date") <= F.lit(to_date).cast("date"))
+            & F.col(event_id_col).isNotNull()
+            & F.col("primary_diagnosis").isNotNull()
+        )
+        .select("claim_header_id", id_col, event_id_col)
+    )
+    primary_dx = icdcm.filter(F.col("icdcm_number") == "01").select(
+        "claim_header_id", "icdcm_norm", "icdcm_version"
+    )
+    ccs = ref_icdcm.select(
+        F.col("icdcm").alias("icdcm_norm"),
+        "icdcm_version",
+        "ccs_detail_desc",
+        "ccs_catch_all",
+    )
+    counted = (
+        events.join(primary_dx, "claim_header_id")
+        .join(F.broadcast(ccs), ["icdcm_norm", "icdcm_version"])
+        .filter(F.col("ccs_catch_all") == 0)  # R/top_causes.R:314-316
+        .groupBy("ccs_detail_desc")
+        .agg(F.countDistinct(event_id_col).alias("event_count"))
+    )
+    w = Window.orderBy(F.col("event_count").desc())
+    return (
+        counted.withColumn("rk", F.rank().over(w))
+        .filter(F.col("rk") <= top_n)
+        .select("ccs_detail_desc", "event_count", "rk")
+    )
+
+
+def elig_timevar_collapse(
+    timevar: DataFrame,
+    group_cols: list[str],
+    id_col: str = "id_mcaid",
+    from_col: str = "from_date",
+    to_col: str = "to_date",
+) -> DataFrame:
+    """Re-collapse the timevar table keeping only a user-chosen subset
+    of covariates (``R/elig_timevar_collapse.R:251-283``): adjacent
+    periods that agree on the kept columns merge into wider islands."""
+    return collapse_islands(
+        timevar.select(id_col, from_col, to_col, *group_cols),
+        [id_col],
+        from_col,
+        to_col,
+        group_cols=group_cols,
+        max_gap_days=1,
+    )

@@ -1,0 +1,80 @@
+"""Performance-measure layer (reference:
+``create_stage.sp_mcaid_perf_enroll_denom.sql``,
+``create_stage.sp_perf_measures.sql`` — stored-proc batches over a
+dense member-month grid with rolling 12/24-month frames).
+
+Measures are registered as (numerator-builder, denominator rule)
+pairs; the engine densifies once and runs every measure's frames over
+the same id-partitioned window pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from claims_data_spark.operators.rolling import densify_months, rolling_month_agg
+
+
+def build_enroll_denom(
+    elig_month: DataFrame,
+    ym_min: int,
+    ym_max: int,
+    id_col: str = "id_mcaid",
+) -> DataFrame:
+    """Dense member-month enrollment with the reference's rolling
+    frames (``sp_mcaid_perf_enroll_denom.sql:53-80``):
+    enrolled_any_t_12_m (11 preceding..current), prior-year
+    (23..12 preceding), and lookahead (current..1 following)."""
+    monthly = elig_month.groupBy(id_col, "year_month").agg(
+        F.max("enrolled_any").alias("enrolled_any"),
+        F.sum("cov_days").alias("cov_days"),
+    )
+    dense = densify_months(
+        monthly, [id_col], "year_month", ym_min, ym_max,
+        fill={"enrolled_any": 0, "cov_days": 0},
+    )
+    return rolling_month_agg(
+        dense,
+        [id_col],
+        "year_month",
+        {
+            "enrolled_any_t_12_m": ("enrolled_any", -11, 0),
+            "enrolled_prior_t_12_m": ("enrolled_any", -23, -12),
+            "enrolled_ahead_2_m": ("enrolled_any", 0, 1),
+        },
+    )
+
+
+def build_measure(
+    denom: DataFrame,
+    events: DataFrame,
+    measure_name: str,
+    end_month: int,
+    months_enrolled_min: int = 11,
+    id_col: str = "id_mcaid",
+) -> DataFrame:
+    """One measure batch (the ``@measure_name/@end_month_int`` stored
+    procedure contract, ``sp_perf_measures.sql:44-58``): members
+    continuously enrolled per the rolling denominator at ``end_month``,
+    numerator = any qualifying event in the 12-month window. The
+    delete-then-recompute refresh becomes "recompute this
+    (measure, end_month) slice" — idempotent by construction."""
+    eligible = denom.filter(
+        (F.col("year_month") == end_month)
+        & (F.col("enrolled_any_t_12_m") >= months_enrolled_min)
+    ).select(id_col)
+    start_month = end_month - 100  # same month, prior year (yyyymm)
+    window_events = events.filter(
+        (F.col("year_month") > start_month) & (F.col("year_month") <= end_month)
+    )
+    numer = window_events.join(eligible, id_col, "left_semi").select(id_col).distinct()
+    return eligible.join(
+        numer.withColumn("numerator", F.lit(1)), id_col, "left"
+    ).select(
+        F.lit(measure_name).alias("measure_name"),
+        F.lit(end_month).alias("end_year_month"),
+        id_col,
+        F.coalesce("numerator", F.lit(0)).alias("numerator"),
+        F.lit(1).alias("denominator"),
+    )

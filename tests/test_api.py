@@ -1,0 +1,133 @@
+"""Interactive API tests: claims_elig cohort query, claims_condition,
+top_causes, elig_timevar_collapse, perf measures."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from claims_data_spark.api import (
+    claims_condition,
+    claims_elig,
+    elig_timevar_collapse,
+    top_causes,
+)
+from claims_data_spark.tables.claim_children import build_claim_icdcm_header
+from claims_data_spark.tables.claim_header import build_claim_header
+from claims_data_spark.tables.conditions import build_claim_ccw
+from claims_data_spark.tables.elig_demo import build_elig_demo
+from claims_data_spark.tables.elig_month import build_elig_month
+from claims_data_spark.tables.elig_timevar import build_elig_timevar
+from claims_data_spark.tables.perf import build_enroll_denom, build_measure
+from tests import fixtures as fx
+
+
+def d(s):
+    return dt.date.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def tables(spark):
+    raw_elig = fx.raw_mcaid_elig(spark)
+    raw_claim = fx.raw_mcaid_claim(spark)
+    clean, geocode = fx.ref_address(spark)
+    tv = build_elig_timevar(raw_elig, fx.ref_rac_code(spark), clean, geocode).cache()
+    demo = build_elig_demo(raw_elig).cache()
+    icdcm = build_claim_icdcm_header(raw_claim)
+    header = build_claim_header(
+        raw_claim, icdcm,
+        ref_xwalk=fx.ref_claim_type_xwalk(spark),
+        ref_hedis=fx.ref_hedis(spark),
+        ref_telehealth=fx.ref_telehealth(spark),
+        ref_icdcm=fx.ref_icdcm_codes(spark),
+    ).cache()
+    return {"tv": tv, "demo": demo, "icdcm": icdcm, "header": header}
+
+
+def test_claims_elig_coverage_and_mode(spark, tables):
+    cohort = claims_elig(
+        tables["demo"], tables["tv"],
+        from_date="2017-01-01", to_date="2017-06-30",
+        timevar_values=["geo_zip_clean"],
+    )
+    rows = {r["id_mcaid"]: r for r in cohort.collect()}
+    p1 = rows["p1"]
+    # Jan-Mar (90d) + May-Jun (61d) = 151 of 181 days
+    assert p1["cov_days"] == 151
+    assert float(p1["cov_pct"]) == round(151 / 181 * 100, 1)
+    assert p1["covgap_max"] == 30  # April gap
+    # most-person-time zip: 98004 (120d) vs 98101 (31d)
+    assert p1["geo_zip_clean"] == "98004"
+    p3 = rows["p3"]
+    assert p3["cov_days"] == 11 and p3["pre_gap"] == 9
+
+
+def test_claims_elig_filters(spark, tables):
+    cohort = claims_elig(
+        tables["demo"], tables["tv"],
+        from_date="2017-01-01", to_date="2017-06-30",
+        cov_min=50.0,
+        age_min=18,
+        demo_filters={"gender_me": ["female"]},
+    )
+    ids = [r["id_mcaid"] for r in cohort.collect()]
+    assert ids == ["p1"]  # p3 under cov_min, p2 Multiple gender
+
+
+def test_claims_condition_window(spark, tables):
+    ccw = build_claim_ccw(
+        tables["icdcm"], tables["header"], fx.ref_icdcm_codes(spark),
+        [r.asDict() for r in fx.ref_ccw_lookup(spark).collect()],
+    )
+    hits = claims_condition(ccw, "ccw_diabetes", "2017-02-01", "2017-02-28")
+    assert [r["id_mcaid"] for r in hits.collect()] == ["p1"]
+    none = claims_condition(ccw, "ccw_diabetes", "2018-01-01", "2018-12-31")
+    assert none.count() == 0
+
+
+def test_top_causes(spark, tables):
+    cohort = tables["demo"].select("id_mcaid")
+    out = top_causes(
+        cohort, tables["header"], tables["icdcm"], fx.ref_icdcm_codes(spark),
+        from_date="2017-01-01", to_date="2017-12-31", top_n=5,
+    ).collect()
+    by_desc = {r["ccs_detail_desc"]: r["event_count"] for r in out}
+    # ED events: TCN1/2 (episode 1) + TCN3 (episode 2), primary dx
+    # 25000 x2 claims but 2 distinct episodes for diabetes desc:
+    # TCN1(ep1), TCN2(ep1) -> 1 distinct; TCN3 V100 -> personal history
+    assert by_desc["Diabetes mellitus without complication"] == 1
+    assert "Personal history of malignancy" not in by_desc  # V100 in 2017 is v10, no ref match
+
+
+def test_elig_timevar_collapse(spark, tables):
+    # dropping the address covariate merges p1's Jan | Feb-Mar islands
+    collapsed = elig_timevar_collapse(
+        tables["tv"], group_cols=["cov_type"]
+    )
+    p1 = sorted(
+        collapsed.filter(F.col("id_mcaid") == "p1").collect(),
+        key=lambda r: r["from_date"],
+    )
+    assert [(r["from_date"], r["to_date"]) for r in p1] == [
+        (d("2017-01-01"), d("2017-03-31")),
+        (d("2017-05-01"), d("2017-06-30")),
+    ]
+
+
+def test_perf_denominator_and_measure(spark, tables):
+    em = build_elig_month(tables["tv"])
+    denom = build_enroll_denom(em, 201701, 201712)
+    p1_dec = denom.filter(
+        (F.col("id_mcaid") == "p1") & (F.col("year_month") == 201712)
+    ).collect()[0]
+    assert p1_dec["enrolled_any_t_12_m"] == 5  # 01,02,03,05,06
+    # measure: ED visit during the year, denominator = 5+ enrolled months
+    events = spark.createDataFrame(
+        [("p1", 201701)], "id_mcaid string, year_month int"
+    )
+    m = build_measure(
+        denom, events, "ed_visit", 201712, months_enrolled_min=5
+    ).collect()
+    rows = {r["id_mcaid"]: r for r in m}
+    assert rows["p1"]["numerator"] == 1 and rows["p1"]["denominator"] == 1
+    assert "p3" not in rows  # 1 enrolled month < 5

@@ -1,0 +1,290 @@
+"""Domain-layer tests: the claims analytic tables built from the
+FIXTURES.md synthetic raw extracts, checked against hand-computed
+expectations plus the reference's QA invariants (SURVEY.md §5)."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from claims_data_spark.qa import (
+    check_event_id_single_person,
+    check_event_ids_dense,
+    check_intervals_valid,
+    check_keys_unique,
+    check_no_overlap_within_person,
+    check_referential,
+)
+from claims_data_spark.tables.claim_children import (
+    build_claim_icdcm_header,
+    build_claim_line,
+    build_claim_pharm,
+    build_claim_procedure,
+)
+from claims_data_spark.tables.claim_header import build_claim_header
+from claims_data_spark.tables.conditions import build_claim_bh, build_claim_ccw
+from claims_data_spark.tables.elig_demo import build_elig_demo
+from claims_data_spark.tables.elig_month import build_elig_month
+from claims_data_spark.tables.elig_timevar import build_elig_timevar
+from tests import fixtures as fx
+
+
+def d(s):
+    return dt.date.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def raw_elig(spark):
+    return fx.raw_mcaid_elig(spark)
+
+
+@pytest.fixture(scope="module")
+def raw_claim(spark):
+    return fx.raw_mcaid_claim(spark)
+
+
+@pytest.fixture(scope="module")
+def icdcm(raw_claim):
+    return build_claim_icdcm_header(raw_claim)
+
+
+@pytest.fixture(scope="module")
+def header(spark, raw_claim, icdcm):
+    return build_claim_header(
+        raw_claim,
+        icdcm,
+        ref_xwalk=fx.ref_claim_type_xwalk(spark),
+        ref_hedis=fx.ref_hedis(spark),
+        ref_telehealth=fx.ref_telehealth(spark),
+        ref_icdcm=fx.ref_icdcm_codes(spark),
+    ).cache()
+
+
+# --- elig_demo ---------------------------------------------------------------
+
+def test_demo_dob_mode_recency(spark, raw_elig):
+    demo = build_elig_demo(raw_elig)
+    rows = {r["id_mcaid"]: r for r in demo.collect()}
+    # p2: 1985-01-01 appears 2x vs 1985-01-02 1x -> mode wins
+    assert rows["p2"]["dob"] == d("1985-01-01")
+    assert rows["p1"]["dob"] == d("1990-05-15")
+
+
+def test_demo_gender_multiple_and_pct(spark, raw_elig):
+    demo = build_elig_demo(raw_elig)
+    rows = {r["id_mcaid"]: r for r in demo.collect()}
+    assert rows["p2"]["gender_me"] == "Multiple"  # switched M -> F
+    assert rows["p1"]["gender_me"] == "Female"
+    assert float(rows["p1"]["gender_female_t"]) == 100.0
+
+
+def test_demo_race_other_nulled(spark, raw_elig):
+    demo = build_elig_demo(raw_elig)
+    p2 = demo.filter(F.col("id_mcaid") == "p2").collect()[0]
+    # race1 OTHER nulled; ASIAN from race2 still counts (ever-flag)
+    assert p2["race_asian"] == 1
+    assert p2["race_white"] == 0
+
+
+def test_demo_language_deterministic(spark, raw_elig):
+    demo = build_elig_demo(raw_elig)
+    p2 = demo.filter(F.col("id_mcaid") == "p2").collect()[0]
+    # EN and ES tie 3-3 across spoken+written; tiebreak is md5-pinned
+    assert p2["lang_max"] in ("ENGLISH", "SPANISH")
+    again = build_elig_demo(raw_elig).filter(F.col("id_mcaid") == "p2").collect()[0]
+    assert again["lang_max"] == p2["lang_max"]
+
+
+# --- elig_timevar -------------------------------------------------------------
+
+def test_timevar_islands_and_address_split(spark, raw_elig):
+    clean, geocode = fx.ref_address(spark)
+    tv = build_elig_timevar(raw_elig, fx.ref_rac_code(spark), clean, geocode)
+    p1 = sorted(
+        tv.filter(F.col("id_mcaid") == "p1").collect(),
+        key=lambda r: r["from_date"],
+    )
+    spans = [(r["from_date"], r["to_date"]) for r in p1]
+    # address change between Jan and Feb splits; Apr gap splits
+    assert spans == [
+        (d("2017-01-01"), d("2017-01-31")),
+        (d("2017-02-01"), d("2017-03-31")),
+        (d("2017-05-01"), d("2017-06-30")),
+    ]
+    assert [r["contiguous"] for r in p1] == [None, 1, 0]
+    assert [r["cov_time_day"] for r in p1] == [31, 59, 61]
+    assert p1[0]["geo_zip_clean"] == "98101" and p1[1]["geo_zip_clean"] == "98004"
+    assert all(r["geo_kc"] == 1 for r in p1)
+
+
+def test_timevar_submonth_clip(spark, raw_elig):
+    tv = build_elig_timevar(raw_elig)
+    p3 = tv.filter(F.col("id_mcaid") == "p3").collect()[0]
+    assert (p3["from_date"], p3["to_date"]) == (d("2017-01-10"), d("2017-01-20"))
+    assert p3["cov_time_day"] == 11
+
+
+def test_timevar_dual_rule_and_rac_drop(spark, raw_elig):
+    tv = build_elig_timevar(raw_elig, fx.ref_rac_code(spark))
+    jan = tv.filter(
+        (F.col("id_mcaid") == "p2") & (F.col("from_date") == d("2017-01-01"))
+    ).collect()
+    assert len(jan) == 1  # secondary RAC 1002 dropped
+    assert jan[0]["rac_code"] == 1001
+    assert jan[0]["dual"] == "Y"  # min=='N/A' -> max rule
+    assert jan[0]["full_benefit"] == "Y"
+
+
+def test_timevar_qa_invariants(spark, raw_elig):
+    tv = build_elig_timevar(raw_elig)
+    for name, ok, detail in [
+        check_intervals_valid(tv),
+        check_no_overlap_within_person(tv, ["id_mcaid"]),
+    ]:
+        assert ok, f"{name}: {detail}"
+
+
+# --- elig_month ---------------------------------------------------------------
+
+def test_elig_month_explode(spark, raw_elig):
+    tv = build_elig_timevar(raw_elig)
+    em = build_elig_month(tv)
+    p1 = {r["year_month"]: r for r in em.filter(F.col("id_mcaid") == "p1").collect()}
+    assert sorted(p1) == [201701, 201702, 201703, 201705, 201706]
+    assert p1[201702]["cov_days"] == 28
+    p3 = em.filter(F.col("id_mcaid") == "p3").collect()[0]
+    assert p3["cov_days"] == 11  # clipped sub-month span
+
+
+# --- claim children -----------------------------------------------------------
+
+def test_claim_line_grain(spark, raw_claim):
+    line = build_claim_line(raw_claim)
+    name, ok, detail = check_keys_unique(line, ["claim_line_id"])
+    assert ok, detail
+    assert line.filter(F.col("claim_header_id") == 13).count() == 2
+
+
+def test_icdcm_unpivot_and_normalize(spark, icdcm):
+    tcn1 = {r["icdcm_number"]: r for r in icdcm.filter(F.col("claim_header_id") == 1).collect()}
+    assert set(tcn1) == {"01", "02"}  # nulls dropped
+    assert tcn1["01"]["icdcm_norm"] == "25000" and tcn1["01"]["icdcm_version"] == 9
+    assert tcn1["02"]["icdcm_norm"] == "E9501"  # 5-char e-code kept as-is
+
+
+def test_procedure_fanout(spark, raw_claim):
+    px = build_claim_procedure(raw_claim)
+    line13 = px.filter(
+        (F.col("claim_header_id") == 13) & (F.col("procedure_code") == "99213")
+    ).collect()
+    mods = {r["modifier_code"] for r in line13}
+    assert mods == {"25", "59"}  # two raw lines, one modifier each
+
+
+def test_pharm_classifier(spark, raw_claim):
+    ph = build_claim_pharm(raw_claim)
+    rows = ph.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["rx_fill_date"] == d("2017-02-20")  # coalesced from TO_SRVC
+    assert r["prescriber_id_format"] == "NPI"
+
+
+# --- claim_header -------------------------------------------------------------
+
+def test_header_grain_and_types(spark, header, raw_claim):
+    name, ok, detail = check_keys_unique(header, ["claim_header_id"])
+    assert ok, detail
+    types = {r["claim_header_id"]: r["claim_type_id"] for r in header.collect()}
+    assert types[1] == 4 and types[4] == 1 and types[6] == 5
+
+
+def test_header_ed_flags_and_episodes(spark, header):
+    ed = {r["claim_header_id"]: r for r in header.filter(F.col("ed_flag") == 1).collect()}
+    assert set(ed) == {1, 2, 3}
+    # visits 01-05, 01-06 merge; 01-08 separate (FIXTURES §14.3)
+    assert ed[1]["ed_pophealth_id"] == ed[2]["ed_pophealth_id"]
+    assert ed[3]["ed_pophealth_id"] != ed[1]["ed_pophealth_id"]
+    # ed_perform: one id per (person, date) -> 3 distinct
+    assert len({r["ed_perform_id"] for r in ed.values()}) == 3
+    for check in [
+        check_event_id_single_person(header, "ed_pophealth_id", "id_mcaid"),
+        check_event_ids_dense(header, "ed_pophealth_id"),
+    ]:
+        assert check[1], f"{check[0]}: {check[2]}"
+
+
+def test_header_hedis_inpatient_exclusion(spark, header):
+    flags = {r["claim_header_id"]: r["inpatient_flag"] for r in header.collect()}
+    assert flags[4] == 1   # acute TOB
+    assert flags[5] == 0   # nonacute UBTOB excluded (FIXTURES §14.4)
+
+
+def test_header_telehealth_and_npi_rule(spark, header):
+    r6 = header.filter(F.col("claim_header_id") == 6).collect()[0]
+    assert r6["telehealth_flag"] == 1  # 99213 + GT modifier
+    assert r6["billing_provider_npi"] == 333  # status 83, NPI null -> blng
+    r4 = header.filter(F.col("claim_header_id") == 4).collect()[0]
+    assert r4["admsn_time"] == "09:00:00"
+
+
+def test_header_bh_and_injury(spark, header):
+    rows = {r["claim_header_id"]: r for r in header.collect()}
+    assert rows[4]["mh_flag"] == 1      # F329 dx2 (v10 2017)
+    assert rows[8]["sud_flag"] == 1     # F1120
+    assert rows[1]["intent"] == "suicide"  # E9501 matches E950 prefix
+    assert rows[1]["mechanism"] == "poisoning"
+
+
+def test_header_referential_qa(spark, header, raw_elig):
+    tv = build_elig_timevar(raw_elig)
+    # claim members must exist in elig (p1,p2,p3 all present)
+    check = check_referential(
+        header.select(F.col("id_mcaid")), tv.select("id_mcaid"), ["id_mcaid"]
+    )
+    assert check[1], check[2]
+
+
+# --- conditions ---------------------------------------------------------------
+
+def test_ccw_type1_and_type2(spark, icdcm, header):
+    ccw = build_claim_ccw(
+        icdcm,
+        header,
+        fx.ref_icdcm_codes(spark),
+        [r.asDict() for r in fx.ref_ccw_lookup(spark).collect()],
+    )
+    got = {(r["id_mcaid"], r["ccw_desc"]) for r in ccw.collect()}
+    assert ("p1", "ccw_hypertension") in got   # type-1, single claim
+    assert ("p2", "ccw_hypertension") in got
+    assert ("p1", "ccw_diabetes") in got       # 2 claims 1 day apart
+    # p3: second diabetes claim excluded (64891), only one left -> no
+    assert ("p3", "ccw_diabetes") not in got
+
+
+def test_ccw_dates(spark, icdcm, header):
+    ccw = build_claim_ccw(
+        icdcm, header, fx.ref_icdcm_codes(spark),
+        [r.asDict() for r in fx.ref_ccw_lookup(spark).collect()],
+    )
+    p1_dm = ccw.filter(
+        (F.col("id_mcaid") == "p1") & (F.col("ccw_desc") == "ccw_diabetes")
+    ).collect()[0]
+    assert p1_dm["first_encounter_date"] == d("2017-01-05")
+    assert p1_dm["last_encounter_date"] == d("2017-02-10")
+
+
+def test_bh_conditions_and_moud_asof(spark, raw_claim, icdcm):
+    bh = build_claim_bh(
+        icdcm,
+        build_claim_pharm(raw_claim),
+        build_claim_procedure(raw_claim),
+        fx.ref_rda_value_sets(spark),
+    )
+    got = {(r["id_mcaid"], r["bh_cond"]): r for r in bh.collect()}
+    assert ("p2", "mh_depression") in got
+    assert ("p2", "sud_opioid") in got
+    # p3's H0020 has no prior OUD dx -> as-of rule rejects (J14)
+    assert ("p3", "sud_opioid") not in got
+    # p2 first encounter = NDC fill 02-20 (earliest across dx/rx/px)
+    assert got[("p2", "sud_opioid")]["first_encounter_date"] == d("2017-02-20")
