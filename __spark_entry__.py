@@ -1433,6 +1433,243 @@ def q_knn_ivf(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# §2.3 J10 — theta join: OR of attribute combos, as a union of equi-joins
+# ---------------------------------------------------------------------------
+
+def q_theta_or_join(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    ref = spark.createDataFrame(
+        [("Brand#13", 5, None), ("Brand#9", 12, None),
+         ("Brand#7", None, None), ("Brand#1", None, None),
+         (None, None, "STANDARD X"), (None, None, "ECONOMY Y")],
+        "ref_brand string, ref_size int, ref_container string",
+    )
+    # disjuncts: (brand AND size) OR (brand AND container-prefixless) OR container-only
+    d1 = p.join(
+        F.broadcast(ref.filter(F.col("ref_size").isNotNull())),
+        (p.p_brand == F.col("ref_brand")) & (p.p_size == F.col("ref_size")),
+    ).select("p_partkey", F.lit("brand+size").alias("match_rule"))
+    d2 = p.join(
+        F.broadcast(
+            ref.filter(F.col("ref_size").isNull() & F.col("ref_brand").isNotNull())
+        ),
+        (p.p_brand == F.col("ref_brand")),
+    ).select("p_partkey", F.lit("brand").alias("match_rule"))
+    d3 = p.join(
+        F.broadcast(ref.filter(F.col("ref_brand").isNull())),
+        F.substring(p.p_type, 1, 6) == F.substring(F.col("ref_container"), 1, 6),
+    ).select("p_partkey", F.lit("container").alias("match_rule"))
+    return (
+        d1.unionByName(d2).unionByName(d3)
+        .groupBy("match_rule")
+        .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("p_partkey").alias("n_parts"))
+    )
+
+
+SQL_THETA_OR = """
+WITH ref AS (
+  SELECT * FROM (VALUES
+    ('Brand#13', 5, CAST(NULL AS VARCHAR)),
+    ('Brand#9', 12, NULL),
+    ('Brand#7', NULL, NULL),
+    ('Brand#1', NULL, NULL),
+    (NULL, NULL, 'STANDARD X'),
+    (NULL, NULL, 'ECONOMY Y')
+  ) AS t(ref_brand, ref_size, ref_container)
+), matches AS (
+  SELECT p_partkey, 'brand+size' AS match_rule
+  FROM part JOIN ref ON p_brand = ref_brand AND p_size = ref_size
+  UNION ALL
+  SELECT p_partkey, 'brand'
+  FROM part JOIN ref ON ref_size IS NULL AND ref_brand IS NOT NULL AND p_brand = ref_brand
+  UNION ALL
+  SELECT p_partkey, 'container'
+  FROM part JOIN ref ON ref_brand IS NULL AND SUBSTRING(p_type,1,6) = SUBSTRING(ref_container,1,6)
+)
+SELECT match_rule, COUNT(*) AS n, COUNT(DISTINCT p_partkey) AS n_parts
+FROM matches GROUP BY match_rule
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.5 W9 — sub-month interval clipping
+# ---------------------------------------------------------------------------
+
+def q_submonth_clip(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "d", F.col("o_orderdate").cast("date")
+    )
+    clipped = o.select(
+        "o_orderkey",
+        F.greatest(F.col("d"), F.trunc("d", "month")).alias("cf"),
+        F.least(F.date_add("d", 40), F.last_day("d")).alias("ct"),
+    )
+    return clipped.select(
+        "o_orderkey",
+        _ds("cf").alias("clip_from"),
+        _ds("ct").alias("clip_to"),
+        (F.datediff("ct", "cf") + 1).alias("clip_days"),
+    )
+
+
+SQL_SUBMONTH_CLIP = """
+SELECT o_orderkey,
+  CAST(GREATEST(CAST(o_orderdate AS DATE), date_trunc('month', CAST(o_orderdate AS DATE))) AS VARCHAR) AS clip_from,
+  CAST(LEAST(CAST(o_orderdate AS DATE) + 40, last_day(CAST(o_orderdate AS DATE))) AS VARCHAR) AS clip_to,
+  DATEDIFF('day',
+    GREATEST(CAST(o_orderdate AS DATE), date_trunc('month', CAST(o_orderdate AS DATE))),
+    LEAST(CAST(o_orderdate AS DATE) + 40, last_day(CAST(o_orderdate AS DATE)))) + 1 AS clip_days
+FROM orders
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.4 A6 — mode with "random" tiebreak, pinned via md5 (NEWID stand-in)
+# ---------------------------------------------------------------------------
+
+def q_mode_random_tiebreak(spark, sf_dir):
+    from claims_data_spark.operators.mode import deterministic_tiebreak
+
+    ev = _events(spark, sf_dir)
+    out = mode_value(
+        ev, ["user_id"], "event_type",
+        tiebreak=deterministic_tiebreak("user_id", "event_type"),
+        out_col="top_type", keep_weight_as="n",
+    )
+    return out.select("user_id", "top_type", "n")
+
+
+SQL_MODE_RANDOM = """
+SELECT user_id, event_type AS top_type, n FROM (
+  SELECT user_id, event_type, COUNT(*) AS n,
+    ROW_NUMBER() OVER (
+      PARTITION BY user_id
+      ORDER BY COUNT(*) DESC,
+        MD5(CAST(user_id AS VARCHAR) || chr(31) || event_type)
+    ) AS rn
+  FROM events GROUP BY user_id, event_type
+) WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.7 U5 — bind_rows with mismatched columns (union-by-name, fill null)
+# ---------------------------------------------------------------------------
+
+def q_union_bindrows(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("entity_id"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("entity_id"),
+        F.col("s_acctbal").alias("acctbal"),
+    )
+    stacked = c.unionByName(s, allowMissingColumns=True)
+    return stacked.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n"),
+        _dbl(F.sum(_dec("acctbal"))).alias("total_bal"),
+    )
+
+
+SQL_UNION_BINDROWS = """
+WITH stacked AS (
+  SELECT c_custkey AS entity_id, c_acctbal AS acctbal, c_mktsegment AS segment FROM customer
+  UNION ALL BY NAME
+  SELECT s_suppkey AS entity_id, s_acctbal AS acctbal FROM supplier
+)
+SELECT segment, COUNT(*) AS n,
+  CAST(SUM(CAST(acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+FROM stacked GROUP BY segment
+"""
+
+
+# ---------------------------------------------------------------------------
+# Streaming surface (batch-equivalent): watermarked tumbling windows
+# ---------------------------------------------------------------------------
+
+def q_windowed_events(spark, sf_dir):
+    from claims_data_spark.streaming.ingest import windowed_counts
+
+    ev = _events(spark, sf_dir).withColumn("value", _dec("value"))
+    out = windowed_counts(ev, window="6 hours", group_cols=["event_type"])
+    return out.select(
+        F.unix_millis("window_start").alias("window_start_ms"),
+        "event_type",
+        "n_events",
+        _dbl(F.col("sum_value")).alias("sum_value"),
+    )
+
+
+SQL_WINDOWED_EVENTS = """
+SELECT epoch_ms(time_bucket(INTERVAL 6 HOURS, CAST(ts AS TIMESTAMP))) AS window_start_ms,
+  event_type, COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing: binary columns + Arrow-batched feature extraction
+# ---------------------------------------------------------------------------
+
+def q_multimodal_features(spark, sf_dir):
+    from claims_data_spark.operators.multimodal import extract_features
+
+    d = spread(_t(spark, sf_dir, "documents"))
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("media_type"),
+        F.encode("text", "UTF-8").alias("content"),
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    feats = extract_features(media)
+    return feats.select("media_id", "media_type", "n_bytes", "content_sha")
+
+
+SQL_MULTIMODAL = """
+SELECT doc_id AS media_id,
+  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+  octet_length(encode(text)) AS n_bytes,
+  sha256(text) AS content_sha
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.9 misc — JSON property extraction (events.props)
+# ---------------------------------------------------------------------------
+
+def q_json_props(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return (
+        ev.withColumn("k", F.get_json_object("props", "$.k").cast("int"))
+        .groupBy((F.col("k") % 10).alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _dbl(F.sum(_dec("value"))).alias("sum_value"),
+        )
+    )
+
+
+SQL_JSON_PROPS = """
+SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -1489,6 +1726,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dup": q_minhash_dedup,
         "simhash_near_dup": q_simhash_dedup,
         "knn_ivf": q_knn_ivf,
+        "theta_or_join": q_theta_or_join,
+        "submonth_clip": q_submonth_clip,
+        "mode_random_tiebreak": q_mode_random_tiebreak,
+        "union_bindrows": q_union_bindrows,
+        "windowed_events": q_windowed_events,
+        "multimodal_features": q_multimodal_features,
+        "json_props": q_json_props,
     }
 
 
@@ -1536,6 +1780,13 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _sql_lang_id(),
         "quality_fingerprint": SQL_QUALITY,
         "knn_bruteforce": SQL_KNN_BRUTEFORCE,
+        "theta_or_join": SQL_THETA_OR,
+        "submonth_clip": SQL_SUBMONTH_CLIP,
+        "mode_random_tiebreak": SQL_MODE_RANDOM,
+        "union_bindrows": SQL_UNION_BINDROWS,
+        "windowed_events": SQL_WINDOWED_EVENTS,
+        "multimodal_features": SQL_MULTIMODAL,
+        "json_props": SQL_JSON_PROPS,
         # minhash_near_dup / simhash_near_dup / knn_ivf: rows-only
         # (signature math & approximate recall are not SQL-expressible)
     }
