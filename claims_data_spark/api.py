@@ -22,6 +22,17 @@ from claims_data_spark.operators.mode import mode_value
 from claims_data_spark.plans.predicates import apply_filters
 
 
+def _validate_window(from_date: str, to_date: str) -> None:
+    """Up-front argument validation (the reference checks its ~50 args
+    before emitting SQL, ``R/claims_elig.R:237-411``). An inverted
+    window would silently return an empty cohort — fail loudly."""
+    import datetime as dt
+
+    f, t = dt.date.fromisoformat(from_date), dt.date.fromisoformat(to_date)
+    if f > t:
+        raise ValueError(f"from_date {from_date} is after to_date {to_date}")
+
+
 def claims_elig(
     demo: DataFrame,
     timevar: DataFrame,
@@ -44,6 +55,7 @@ def claims_elig(
     most-person-time value over the window (the ``timevar_gen_sql``
     pattern, ``:788-881``).
     """
+    _validate_window(from_date, to_date)
     cov = coverage_stats(
         timevar, [id_col], "from_date", "to_date", from_date, to_date
     ).filter(F.col("cov_pct") >= cov_min)
@@ -96,6 +108,7 @@ def claims_condition(
 ) -> DataFrame:
     """Members whose condition interval overlaps the request window
     (``R/claims_condition.R:126-132`` — J8 range predicate)."""
+    _validate_window(from_date, to_date)
     return condition_table.filter(
         (F.lower(F.col(cond_col)) == condition.lower())
         & (F.col("first_encounter_date") <= F.lit(to_date).cast("date"))

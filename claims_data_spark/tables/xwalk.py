@@ -1,0 +1,77 @@
+"""Identity crosswalk + dual-source eligibility reconciliation
+(reference: ``load_stage.xwalk_apde_mcaid_mcare_pha.R:1-195`` and
+``load_stage.mcaid_mcare_elig_timevar.R``).
+
+The crosswalk links per-source person ids (id_mcaid, id_mcare,
+id_apcd) to a unified ``id_apde`` keyed off a master person index,
+with DOB decomposition for match confidence (``:75-81``). The dual
+timeline merge uses ``resegment_overlaps`` — the boundary-point
+method, not the reference's 7-case row replication.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from claims_data_spark.operators.intervals import resegment_overlaps
+
+
+def build_xwalk(
+    mcaid_persons: DataFrame,
+    mcare_persons: DataFrame,
+    match_cols: list[str] = ("dob", "name_hash"),
+) -> DataFrame:
+    """Link Medicaid and Medicare person tables on the match columns
+    (full outer, so unmatched persons on either side keep their own
+    row) and mint a dense ``id_apde``.
+
+    Inputs: ``mcaid_persons(id_mcaid, <match_cols>)``,
+    ``mcare_persons(id_mcare, <match_cols>)``. DOB decomposition (the
+    reference matches on year/month/day separately for fuzzy passes)
+    is the caller's choice of ``match_cols``.
+    """
+    joined = mcaid_persons.join(mcare_persons, list(match_cols), "full")
+    w = Window.orderBy(
+        F.coalesce(
+            F.col("id_mcaid").cast("string"), F.col("id_mcare").cast("string")
+        ),
+        *[F.col(c).cast("string") for c in match_cols],
+    )
+    # dense id via the scalable two-phase pattern would be overkill for
+    # the person dimension (≪ fact scale); a plain dense_rank over the
+    # person table is the right size tradeoff, mirrored from the
+    # reference's KCMASTER_ID assignment
+    return joined.withColumn("id_apde", F.dense_rank().over(w)).select(
+        "id_apde", "id_mcaid", "id_mcare", *match_cols
+    )
+
+
+def build_dual_elig_timevar(
+    mcaid_timevar: DataFrame,
+    mcare_timevar: DataFrame,
+    xwalk: DataFrame,
+) -> DataFrame:
+    """Reconcile Medicaid and Medicare interval sets onto the unified
+    id: disjoint segments tagged ``mcaid``/``mcare``/``dual``
+    (``load_stage.mcaid_mcare_elig_timevar.R:103-239``; W10).
+
+    The reference enumerates 7 overlap cases with up to 3× row
+    replication and benchmarks the interval-permutation method at 39 s
+    vs ~12 min for per-day explosion; the boundary-point resegmentation
+    here is case-free and one window pass per side.
+    """
+    a = mcaid_timevar.join(
+        xwalk.select("id_mcaid", "id_apde"), "id_mcaid"
+    ).select("id_apde", "from_date", "to_date")
+    b = mcare_timevar.join(
+        xwalk.select("id_mcare", "id_apde"), "id_mcare"
+    ).select("id_apde", "from_date", "to_date")
+    seg = resegment_overlaps(
+        a, b, "id_apde", "from_date", "to_date", "mcaid", "mcare"
+    )
+    return seg.withColumn(
+        "dual", (F.col("mcaid") & F.col("mcare")).cast("int")
+    ).withColumn(
+        "cov_time_day", F.datediff("to_date", "from_date") + F.lit(1)
+    )
