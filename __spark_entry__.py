@@ -1166,11 +1166,14 @@ def q_tabloop(spark, sf_dir):
             "n": ("count", "price_dec"),
             "n_cust": ("count_distinct", "o_custkey"),
             "total": ("sum", "price_dec"),
+            "med_price": ("median", "o_totalprice"),
         },
     )
-    tab = tab.withColumn("total", _dbl(F.col("total")))
+    tab = tab.withColumn("total", _dbl(F.col("total"))).withColumn(
+        "med_price", F.round("med_price", 4)
+    )
     return suppress(tab, ["n"], lower=1, upper=5).select(
-        "group_cat", "group", "n", "n_cust", "total"
+        "group_cat", "group", "n", "n_cust", "total", "med_price"
     )
 
 
@@ -1178,17 +1181,19 @@ SQL_TABLOOP = """
 WITH stacked AS (
   SELECT 'o_orderstatus' AS group_cat, CAST(o_orderstatus AS VARCHAR) AS "group",
     COUNT(*) AS n_raw, COUNT(DISTINCT o_custkey) AS n_cust,
-    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+    ROUND(quantile_cont(o_totalprice, 0.5), 4) AS med_price
   FROM orders GROUP BY o_orderstatus
   UNION ALL
   SELECT 'o_orderpriority', CAST(o_orderpriority AS VARCHAR),
     COUNT(*), COUNT(DISTINCT o_custkey),
-    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE),
+    ROUND(quantile_cont(o_totalprice, 0.5), 4)
   FROM orders GROUP BY o_orderpriority
 )
 SELECT group_cat, "group",
   CASE WHEN n_raw BETWEEN 1 AND 5 THEN NULL ELSE n_raw END AS n,
-  n_cust, total
+  n_cust, total, med_price
 FROM stacked
 """
 
@@ -1646,6 +1651,46 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
+# Streaming surface: session windows (gap-based), batch equivalent
+# ---------------------------------------------------------------------------
+
+def q_session_windows(spark, sf_dir):
+    ev = _events(spark, sf_dir).withColumn("value", _dec("value"))
+    sess = ev.groupBy(
+        F.session_window("ts", "30 minutes").alias("sw"), "user_id"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        _dbl(F.sum("value")).alias("sum_value"),
+    )
+    return sess.select(
+        "user_id",
+        F.unix_millis("sw.start").alias("session_start_ms"),
+        "n_events",
+        "sum_value",
+    )
+
+
+# Spark's session_window groups events where each is within the gap of
+# the previous — identical semantics to the gaps-and-islands idiom on
+# the event sequence, which IS expressible in SQL:
+SQL_SESSION_WINDOWS = """
+WITH ordered AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS t, CAST(value AS DECIMAL(12,2)) AS v,
+    CASE WHEN LAG(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+           OR CAST(ts AS TIMESTAMP) - LAG(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTES
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events
+), grp AS (
+  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+  FROM ordered
+)
+SELECT user_id, epoch_ms(MIN(t)) AS session_start_ms,
+  COUNT(*) AS n_events, CAST(SUM(v) AS DOUBLE) AS sum_value
+FROM grp GROUP BY user_id, sess
+"""
+
+
+# ---------------------------------------------------------------------------
 # §2.9 misc — JSON property extraction (events.props)
 # ---------------------------------------------------------------------------
 
@@ -1731,6 +1776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mode_random_tiebreak": q_mode_random_tiebreak,
         "union_bindrows": q_union_bindrows,
         "windowed_events": q_windowed_events,
+        "session_windows": q_session_windows,
         "multimodal_features": q_multimodal_features,
         "json_props": q_json_props,
     }
@@ -1785,6 +1831,7 @@ def oracle_sql() -> dict[str, str]:
         "mode_random_tiebreak": SQL_MODE_RANDOM,
         "union_bindrows": SQL_UNION_BINDROWS,
         "windowed_events": SQL_WINDOWED_EVENTS,
+        "session_windows": SQL_SESSION_WINDOWS,
         "multimodal_features": SQL_MULTIMODAL,
         "json_props": SQL_JSON_PROPS,
         # minhash_near_dup / simhash_near_dup / knn_ivf: rows-only

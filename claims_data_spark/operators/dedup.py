@@ -45,11 +45,19 @@ def exact_dedup(
     df: DataFrame, text_col: str, id_col: str, keep: str = "min"
 ) -> DataFrame:
     """Exact dedup on the normalized-content fingerprint: keep one doc
-    (min/max id) per distinct content. Returns the surviving rows."""
-    fp = df.withColumn("_fp", doc_fingerprint(text_col))
-    keeper = F.min(id_col) if keep == "min" else F.max(id_col)
-    keep_ids = fp.groupBy("_fp").agg(keeper.alias(id_col)).select(id_col)
-    return df.join(keep_ids, id_col, "left_semi")
+    (min/max id) per distinct content. Returns the surviving rows.
+
+    Single pass: one shuffle on the fingerprint, rank-1 window — the
+    groupBy + semi-join form scans the corpus twice; at 100 TB the
+    second scan is the dominant cost."""
+    order = F.col(id_col).asc() if keep == "min" else F.col(id_col).desc()
+    w = Window.partitionBy("_fp").orderBy(order)
+    return (
+        df.withColumn("_fp", doc_fingerprint(text_col))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_fp", "_rn")
+    )
 
 
 def minhash_signature(
@@ -213,6 +221,40 @@ def simhash64(text_col: Column | str, token_k: int = 1) -> Column:
     return out
 
 
+def simhash_table(
+    df: DataFrame, id_col: str, text_col: str, token_k: int = 1
+) -> DataFrame:
+    """(id, _sh64) via the scalable explode→groupBy plan: one row per
+    (doc, token), 64 conditional sums in ONE aggregate pass (map-side
+    partial-combined), then the bit assembly on the tiny per-doc
+    result. Replaces 64 per-row array-fold aggregates with vectorized
+    codegen — the per-row ``simhash64`` expression is kept for
+    composability but this is the plan to use on a corpus."""
+    tokens = spread(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col),
+        F.explode(word_shingles(text_col, token_k)).alias("_tok"),
+    )
+    hashed = tokens.select(id_col, F.xxhash64("_tok").alias("_h"))
+    bit_aggs = [
+        F.sum(
+            F.when(
+                F.shiftrightunsigned("_h", j).bitwiseAND(F.lit(1)) != 0, 1
+            ).otherwise(-1)
+        ).alias(f"_b{j}")
+        for j in range(64)
+    ]
+    sums = hashed.groupBy(id_col).agg(*bit_aggs)
+    sh = F.lit(0).cast("long")
+    for j in range(64):
+        mask = (1 << j) if j < 63 else -(1 << 63)
+        sh = sh.bitwiseOR(
+            F.when(F.col(f"_b{j}") > 0, F.lit(mask).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return sums.select(F.col(id_col), sh.alias("_sh64"))
+
+
 def simhash_near_dup_pairs(
     df: DataFrame,
     id_col: str,
@@ -223,9 +265,7 @@ def simhash_near_dup_pairs(
     16-bit chunks (pigeonhole: any pair with hamming ≤ 3 collides in
     ≥1 chunk; wider radii still prune most of the space), equi-join on
     chunks, verify with bit_count(xor)."""
-    base = spread(df.select(F.col(id_col), F.col(text_col))).select(
-        F.col(id_col), simhash64(text_col).alias("_sh64")
-    )
+    base = simhash_table(df, id_col, text_col)
     chunks = F.array(
         *[
             F.struct(

@@ -1,0 +1,96 @@
+"""Property-based tests (hypothesis): the interval operators against
+brute-force day-set oracles. The reference has no property testing
+(SURVEY.md §5); this is our stronger replacement for its golden spot
+checks — any random interval multiset must collapse/measure exactly
+like the set-of-days model."""
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from claims_data_spark.operators.intervals import collapse_islands, coverage_stats
+
+BASE = dt.date(2020, 1, 1)
+
+interval = st.tuples(
+    st.integers(min_value=0, max_value=120),
+    st.integers(min_value=0, max_value=30),
+).map(lambda t: (BASE + dt.timedelta(days=t[0]), BASE + dt.timedelta(days=t[0] + t[1])))
+
+interval_sets = st.lists(interval, min_size=1, max_size=12)
+
+
+def day_set(intervals):
+    days = set()
+    for f, t in intervals:
+        cur = f
+        while cur <= t:
+            days.add(cur)
+            cur += dt.timedelta(days=1)
+    return days
+
+
+def islands_from_days(days, max_gap_days):
+    """Brute-force oracle: sort the covered days, split where the gap
+    exceeds max_gap_days + contiguity."""
+    out = []
+    for day in sorted(days):
+        if out and (day - out[-1][1]).days <= max_gap_days + 1:
+            out[-1][1] = day
+        else:
+            out.append([day, day])
+    return [(a, b) for a, b in out]
+
+
+_settings = settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+
+@given(ivs=interval_sets, gap=st.integers(min_value=0, max_value=3))
+@_settings
+def test_collapse_islands_matches_dayset_oracle(spark, ivs, gap):
+    df = spark.createDataFrame(
+        [("p", f, t) for f, t in ivs], "id string, from_date date, to_date date"
+    )
+    got = sorted(
+        (r["from_date"], r["to_date"])
+        for r in collapse_islands(df, ["id"], max_gap_days=gap).collect()
+    )
+    expected = islands_from_days(day_set(ivs), gap)
+    assert got == expected
+
+
+@given(ivs=interval_sets)
+@_settings
+def test_coverage_days_matches_dayset_oracle(spark, ivs):
+    win_from, win_to = dt.date(2020, 2, 1), dt.date(2020, 4, 30)
+    df = spark.createDataFrame(
+        [("p", f, t) for f, t in ivs], "id string, from_date date, to_date date"
+    )
+    out = coverage_stats(
+        df, ["id"], "from_date", "to_date", str(win_from), str(win_to)
+    ).collect()
+    covered = {d for d in day_set(ivs) if win_from <= d <= win_to}
+    if not covered:
+        assert out == []
+        return
+    r = out[0]
+    assert r["cov_days"] == len(covered)
+    assert r["pre_gap"] == (min(covered) - win_from).days
+    assert r["post_gap"] == (win_to - max(covered)).days
+    # covgap_max: longest uncovered run within the window
+    runs, cur = [], 0
+    day = win_from
+    while day <= win_to:
+        if day in covered:
+            runs.append(cur)
+            cur = 0
+        else:
+            cur += 1
+        day += dt.timedelta(days=1)
+    runs.append(cur)
+    assert r["covgap_max"] == max(runs)
