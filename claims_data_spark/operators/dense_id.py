@@ -39,7 +39,9 @@ def dense_global_id(
 
     with_pid = keys.withColumn("_pid", F.spark_partition_id())
     w_in = Window.partitionBy("_pid").orderBy(*order_cols)
-    ranked = with_pid.withColumn("_rn", F.row_number().over(w_in))
+    # persist: the offsets collect below materializes the ranked keys;
+    # without it the final join would recompute the distinct + window
+    ranked = with_pid.withColumn("_rn", F.row_number().over(w_in)).persist()
 
     # Offsets: one row per partition — tiny, safe to collect.
     counts = (
