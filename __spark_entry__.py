@@ -1715,6 +1715,83 @@ FROM events GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# Engine extension: embedding-cosine near-duplicate pairs (blocked)
+# ---------------------------------------------------------------------------
+
+def q_embedding_near_dup(spark, sf_dir):
+    """Near-dup vector pairs above a cosine threshold, blocked by the
+    label column (the realistic scale pattern: LSH/IVF assigns the
+    block; comparisons never cross blocks, so the join is an equi-join
+    on the block key, not a cartesian)."""
+    from claims_data_spark.operators.similarity import cosine
+
+    emb = spread(_t(spark, sf_dir, "embeddings")).select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
+    )
+    a, b = emb.alias("a"), emb.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.label") == F.col("b.label"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("id_a"),
+        F.col("b.vec_id").alias("id_b"),
+        cosine(F.col("a.vec"), F.col("b.vec")).alias("cs"),
+    )
+    return pairs.filter(F.col("cs") >= 0.3).select(
+        "id_a", "id_b", F.round("cs", 6).alias("cos_sim")
+    )
+
+
+SQL_EMBEDDING_NEAR_DUP = """
+WITH emb AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+), pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    list_aggregate(list_transform(generate_series(1, len(a.vec)), i -> a.vec[i] * b.vec[i]), 'sum')
+      / (SQRT(list_aggregate(list_transform(generate_series(1, len(a.vec)), i -> a.vec[i] * a.vec[i]), 'sum'))
+         * SQRT(list_aggregate(list_transform(generate_series(1, len(b.vec)), i -> b.vec[i] * b.vec[i]), 'sum'))) AS cs
+  FROM emb a JOIN emb b ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, ROUND(cs, 6) AS cos_sim FROM pairs WHERE cs >= 0.3
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.4 A9 alternative — GROUPING SETS (cube-style multi-level tabulation)
+# ---------------------------------------------------------------------------
+
+def q_grouping_sets(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("_orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+          COUNT(*) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+          GROUPING(o_orderstatus) AS g_status,
+          GROUPING(o_orderpriority) AS g_prio
+        FROM _orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+SQL_GROUPING_SETS = """
+SELECT o_orderstatus, o_orderpriority,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+  CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+  CAST(GROUPING(o_orderpriority) AS INT) AS g_prio
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -1779,6 +1856,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_windows": q_session_windows,
         "multimodal_features": q_multimodal_features,
         "json_props": q_json_props,
+        "embedding_near_dup": q_embedding_near_dup,
+        "grouping_sets": q_grouping_sets,
     }
 
 
@@ -1833,6 +1912,8 @@ def oracle_sql() -> dict[str, str]:
         "windowed_events": SQL_WINDOWED_EVENTS,
         "session_windows": SQL_SESSION_WINDOWS,
         "multimodal_features": SQL_MULTIMODAL,
+        "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
+        "grouping_sets": SQL_GROUPING_SETS,
         "json_props": SQL_JSON_PROPS,
         # minhash_near_dup / simhash_near_dup / knn_ivf: rows-only
         # (signature math & approximate recall are not SQL-expressible)

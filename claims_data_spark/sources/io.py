@@ -93,6 +93,31 @@ def incremental_merge(
     return merged
 
 
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Write a bucketed (and optionally sorted) catalog table — the
+    Spark analog of the reference's Synapse ``DISTRIBUTION =
+    HASH(id_mcaid)`` staging layout (``load_stage.mcaid_elig_month.R:51-56``).
+
+    Two tables bucketed on the same key with the same bucket count
+    join WITHOUT a shuffle (and without even a sort, if sorted): at
+    100 TB this converts the warehouse's dominant join pattern
+    (everything joins on the person id) from an all-to-all exchange
+    into a per-bucket local merge.
+    """
+    writer = df.write.mode(mode).format(fmt).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table_name)
+
+
 def promote(
     spark: SparkSession,
     stage_path: str,
