@@ -40,11 +40,17 @@ def collapse_islands(
     min ``from`` / max ``to``, plus ``n_segments`` (source rows merged)
     and ``island_days`` (closed-interval day count).
 
-    Rows merge when the next interval starts within ``max_gap_days``
-    days after the running maximum ``to`` seen so far. ``max_gap_days=1``
-    is the reference's "contiguous" rule (gap of exactly 1 day merges,
-    ``load_stage.mcaid_elig_timevar.R:287-385`` steps 3a-4a);
-    ``max_gap_days=0`` merges only true overlap/abutment.
+    Merge rule (datediff semantics, matching the reference's literal
+    formulation): an interval joins the current island when
+    ``datediff(from, running_max_to) <= max_gap_days``.
+    ``max_gap_days=1`` merges adjacent/abutting intervals — the
+    reference's "contiguous" rule (gap of exactly 1 day merges,
+    ``load_stage.mcaid_elig_timevar.R:287-385`` steps 3a-4a) and its
+    ED-episode rule (visits <= 1 day apart). ``max_gap_days=0`` merges
+    only intervals that truly overlap (share a day) — abutting
+    closed intervals [d1,d1],[d1+1,d1+1] stay separate rows, which is
+    what coverage accounting wants: disjoint segments, no double
+    count, zero uncovered days between.
 
     Implementation is the scalable unification of the reference's three
     island idioms (W2 lag-diff + running max, W3 months-minus-rownum,

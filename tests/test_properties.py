@@ -32,11 +32,14 @@ def day_set(intervals):
 
 
 def islands_from_days(days, max_gap_days):
-    """Brute-force oracle: sort the covered days, split where the gap
-    exceeds max_gap_days + contiguity."""
+    """Brute-force oracle mirroring the operator's contract: a day
+    extends the island when its day-difference from the island's max
+    day is <= max_gap_days (datediff semantics — the reference's
+    'contiguous = gap exactly 1 day' and 'ED visits <= 1 day apart'
+    rules are both max_gap_days=1)."""
     out = []
     for day in sorted(days):
-        if out and (day - out[-1][1]).days <= max_gap_days + 1:
+        if out and (day - out[-1][1]).days <= max_gap_days:
             out[-1][1] = day
         else:
             out.append([day, day])
