@@ -53,9 +53,24 @@ _settings = settings(
 )
 
 
-@given(ivs=interval_sets, gap=st.integers(min_value=0, max_value=3))
+def islands_from_intervals(ivs, max_gap_days):
+    """Sequential 10-line reference for the interval-merge contract —
+    independent check of the distributed running-max/island-propagation
+    window mechanics."""
+    out = []
+    for f, t in sorted(ivs):
+        if out and (f - out[-1][1]).days <= max_gap_days:
+            out[-1][1] = max(out[-1][1], t)
+        else:
+            out.append([f, t])
+    return [(a, b) for a, b in out]
+
+
+@given(ivs=interval_sets, gap=st.integers(min_value=1, max_value=3))
 @_settings
 def test_collapse_islands_matches_dayset_oracle(spark, ivs, gap):
+    # day-set model applies for gap >= 1 (consecutive covered days
+    # always merge); gap=0 island semantics are interval-based
     df = spark.createDataFrame(
         [("p", f, t) for f, t in ivs], "id string, from_date date, to_date date"
     )
@@ -65,6 +80,19 @@ def test_collapse_islands_matches_dayset_oracle(spark, ivs, gap):
     )
     expected = islands_from_days(day_set(ivs), gap)
     assert got == expected
+
+
+@given(ivs=interval_sets, gap=st.integers(min_value=0, max_value=3))
+@_settings
+def test_collapse_islands_matches_sequential_oracle(spark, ivs, gap):
+    df = spark.createDataFrame(
+        [("p", f, t) for f, t in ivs], "id string, from_date date, to_date date"
+    )
+    got = sorted(
+        (r["from_date"], r["to_date"])
+        for r in collapse_islands(df, ["id"], max_gap_days=gap).collect()
+    )
+    assert got == islands_from_intervals(ivs, gap)
 
 
 @given(ivs=interval_sets)
