@@ -1792,6 +1792,26 @@ GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
 
 
 # ---------------------------------------------------------------------------
+# Sketches: mergeable HLL distinct rollup (approximate — rows-only)
+# ---------------------------------------------------------------------------
+
+def q_sketch_distinct(spark, sf_dir):
+    """Year-level distinct customers from merged per-month HLL
+    sketches — the store-sketch-bytes, merge-on-rollup pattern.
+    Approximate by design: rows-only checked."""
+    from claims_data_spark.operators.sketches import rollup_distinct_via_sketches
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.year(F.col("o_orderdate").cast("date")).alias("year"),
+        F.month(F.col("o_orderdate").cast("date")).alias("month"),
+        "o_custkey",
+    )
+    return rollup_distinct_via_sketches(
+        o, ["year", "month"], ["year"], "o_custkey"
+    )
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -1858,6 +1878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_props": q_json_props,
         "embedding_near_dup": q_embedding_near_dup,
         "grouping_sets": q_grouping_sets,
+        "sketch_distinct_rollup": q_sketch_distinct,
     }
 
 
