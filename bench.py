@@ -32,6 +32,10 @@ HEADLINE = [
     "minhash_near_dup",
     "text_stats",
     "knn_bruteforce",
+    "session_windows",
+    "grouping_sets",
+    "simhash_near_dup",
+    "embedding_near_dup",
 ]
 
 

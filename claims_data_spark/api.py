@@ -44,6 +44,7 @@ def claims_elig(
     age_max: int | None = None,
     demo_filters: dict[str, Any] | None = None,
     timevar_values: list[str] | None = None,
+    timevar_pct: list[str] | None = None,
     id_col: str = "id_mcaid",
 ) -> DataFrame:
     """Eligibility cohort query (``R/claims_elig.R:159-1452``).
@@ -95,6 +96,30 @@ def claims_elig(
             keep_weight_as=f"{var}_cov_days",
         )
         out = out.join(best, id_col, "left")
+
+    # the reference's second subquery form (R/claims_elig.R:788-881):
+    # top value plus its share of the person's covered days, as a
+    # percentage of the coverage denominator
+    for var in timevar_pct or []:
+        denom = overlapping.groupBy(id_col).agg(
+            F.sum("_cov_days").alias("_denom_days")
+        )
+        best = mode_value(
+            overlapping,
+            [id_col],
+            var,
+            weight=F.col("_cov_days"),
+            keep_weight_as=f"_{var}_days",
+        )
+        value_cols = [] if var in (timevar_values or []) else [F.col(var)]
+        pct = best.join(denom, id_col).select(
+            id_col,
+            *value_cols,
+            F.round(
+                F.col(f"_{var}_days") * 100.0 / F.col("_denom_days"), 1
+            ).alias(f"{var}_pct"),
+        )
+        out = out.join(pct, id_col, "left")
     return out
 
 

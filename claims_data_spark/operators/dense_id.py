@@ -31,6 +31,9 @@ def dense_global_id(
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Attach a globally dense 1-based id ordered by ``order_cols``."""
+    # the offsets collect below runs the upstream plan once; persist so
+    # the final join doesn't run it a second time
+    df = df.persist()
     keys = df.select(*order_cols).distinct()
     if num_partitions:
         keys = keys.repartitionByRange(num_partitions, *order_cols)

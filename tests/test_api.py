@@ -62,6 +62,18 @@ def test_claims_elig_coverage_and_mode(spark, tables):
     assert p3["cov_days"] == 11 and p3["pre_gap"] == 9
 
 
+def test_claims_elig_pct_mode(spark, tables):
+    cohort = claims_elig(
+        tables["demo"], tables["tv"],
+        from_date="2017-01-01", to_date="2017-06-30",
+        timevar_pct=["geo_zip_clean"],
+    )
+    p1 = cohort.filter(F.col("id_mcaid") == "p1").collect()[0]
+    # 98004 covers 120 of p1's 151 covered days -> 79.5%
+    assert p1["geo_zip_clean"] == "98004"
+    assert float(p1["geo_zip_clean_pct"]) == round(120 / 151 * 100, 1)
+
+
 def test_claims_elig_filters(spark, tables):
     cohort = claims_elig(
         tables["demo"], tables["tv"],
