@@ -30,7 +30,7 @@ from claims_data_spark.functions.text import (
     token_count_bpe,
     token_count_ws,
 )
-from claims_data_spark.operators.asof import asof_join, join_to_running_min
+from claims_data_spark.operators.asof import join_to_running_min
 from claims_data_spark.operators.dedup import (
     exact_dedup,
     minhash_near_dup_pairs,
@@ -1796,6 +1796,43 @@ GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
 
 
 # ---------------------------------------------------------------------------
+# Engine extension: exact n-gram Jaccard near-dup pairs (blocked)
+# ---------------------------------------------------------------------------
+
+def q_ngram_jaccard(spark, sf_dir):
+    d = spread(_t(spark, sf_dir, "documents"))
+    pairs = ngram_jaccard_pairs(
+        d, "doc_id", "text", shingle_k=2, threshold=0.1,
+        block_col=F.col("source"),
+    )
+    return pairs.select("id_a", "id_b", "jaccard")
+
+
+SQL_NGRAM_JACCARD = """
+WITH norm AS (
+  SELECT doc_id, source,
+    string_split(regexp_replace(LOWER(TRIM(text)), '\\s+', ' ', 'g'), ' ') AS w
+  FROM documents
+), sh AS (
+  SELECT doc_id, source,
+    list_distinct(
+      list_transform(
+        generate_series(1, GREATEST(len(w) - 1, 1)),
+        i -> array_to_string(w[i:i+1], ' ')
+      )
+    ) AS s
+  FROM norm
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  ROUND(len(list_intersect(a.s, b.s)) * 1.0
+        / len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
+FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE len(list_intersect(a.s, b.s)) * 1.0
+      / len(list_distinct(list_concat(a.s, b.s))) >= 0.1
+"""
+
+
+# ---------------------------------------------------------------------------
 # Sketches: mergeable HLL distinct rollup (approximate — rows-only)
 # ---------------------------------------------------------------------------
 
@@ -1883,6 +1920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "grouping_sets": q_grouping_sets,
         "sketch_distinct_rollup": q_sketch_distinct,
+        "ngram_jaccard": q_ngram_jaccard,
     }
 
 
@@ -1940,6 +1978,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
         "grouping_sets": SQL_GROUPING_SETS,
         "json_props": SQL_JSON_PROPS,
-        # minhash_near_dup / simhash_near_dup / knn_ivf: rows-only
-        # (signature math & approximate recall are not SQL-expressible)
+        "ngram_jaccard": SQL_NGRAM_JACCARD,
+        # minhash_near_dup / simhash_near_dup / knn_ivf /
+        # sketch_distinct_rollup: rows-only (signature math and
+        # approximate estimates are not SQL-expressible)
     }

@@ -167,8 +167,10 @@ def ngram_jaccard_pairs(
     self-join is an equi-join, not cartesian)."""
     t = F.col(text_col)
     block = block_col if block_col is not None else _norm_words(t)[0]
-    base = spread(df.select(F.col(id_col), t.alias(text_col))).select(
-        F.col(id_col), word_shingles(text_col, shingle_k).alias("_sh"), block.alias("_blk")
+    base = spread(
+        df.select(F.col(id_col), t.alias(text_col), block.alias("_blk"))
+    ).select(
+        F.col(id_col), word_shingles(text_col, shingle_k).alias("_sh"), "_blk"
     )
     a, b = base.alias("a"), base.alias("b")
     return (

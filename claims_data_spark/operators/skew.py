@@ -19,7 +19,7 @@ DataFrame transforms.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # Aggregates that re-combine losslessly across salt buckets:

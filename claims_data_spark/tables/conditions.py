@@ -11,7 +11,7 @@ each is a filter + aggregate over the same shuffle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from claims_data_spark.functions.datetime import tsql_datediff_month

@@ -8,8 +8,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from claims_data_spark.functions.datetime import yyyymm_to_date
-
 
 def build_elig_month(timevar: DataFrame) -> DataFrame:
     """timevar intervals -> member-month rows with cov_days per month.
