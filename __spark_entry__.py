@@ -604,7 +604,7 @@ def q_asof_min(spark, sf_dir):
     ).filter(F.datediff("o_orderdate", "first_orderdate") <= 90)
     return within.select(
         "o_orderkey", "o_custkey",
-        F.datediff("o_orderdate", "first_orderdate").alias("days_since_first"),
+        F.datediff("o_orderdate", "first_orderdate").cast("long").alias("days_since_first"),
         _ds("first_orderdate").alias("first_orderdate"),
     )
 
@@ -716,7 +716,8 @@ def q_islands(spark, sf_dir):
         "o_custkey",
         _ds("island_from").alias("island_from"),
         _ds("island_to").alias("island_to"),
-        "n_segments", "island_days",
+        "n_segments",
+        F.col("island_days").cast("long").alias("island_days"),
     )
 
 
@@ -755,7 +756,12 @@ def q_coverage(spark, sf_dir):
         o, ["o_custkey"], "from_date", "to_date",
         win_from="1996-01-01", win_to="1996-12-31",
     ).select(
-        "o_custkey", "cov_days", "cov_pct", "pre_gap", "post_gap", "covgap_max"
+        "o_custkey",
+        "cov_days",
+        "cov_pct",
+        F.col("pre_gap").cast("long").alias("pre_gap"),
+        F.col("post_gap").cast("long").alias("post_gap"),
+        F.col("covgap_max").cast("long").alias("covgap_max"),
     )
 
 
@@ -793,7 +799,7 @@ WITH iv AS (
   FROM clipped
 )
 SELECT o_custkey,
-  SUM(DATEDIFF('day', cf, ct) + 1) AS cov_days,
+  CAST(SUM(DATEDIFF('day', cf, ct) + 1) AS BIGINT) AS cov_days,
   ROUND(SUM(DATEDIFF('day', cf, ct) + 1) / 366.0 * 100, 1) AS cov_pct,
   DATEDIFF('day', DATE '1996-01-01', MIN(cf)) AS pre_gap,
   DATEDIFF('day', MAX(ct), DATE '1996-12-31') AS post_gap,
@@ -887,7 +893,7 @@ WITH months AS (
   FROM grid g LEFT JOIN monthly m ON g.o_custkey = m.o_custkey AND g.year_month = m.year_month
 )
 SELECT o_custkey, year_month, n_orders,
-  SUM(n_orders) OVER (PARTITION BY o_custkey ORDER BY year_month ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS n_orders_12m
+  CAST(SUM(n_orders) OVER (PARTITION BY o_custkey ORDER BY year_month ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_orders_12m
 FROM dense
 QUALIFY n_orders_12m > 0
 """
@@ -997,7 +1003,7 @@ def q_topk_ties(spark, sf_dir):
     return (
         counts.withColumn("rk", F.rank().over(w))
         .filter(F.col("rk") <= 3)
-        .select("n_regionkey", "n_name", "n_customers", "rk")
+        .select("n_regionkey", "n_name", "n_customers", F.col("rk").cast("long").alias("rk"))
     )
 
 
@@ -1105,7 +1111,7 @@ def q_scalar_datetime(spark, sf_dir):
     )
     anchor = F.lit("2000-01-15").cast("date")
     enriched = o.select(
-        tsql_datediff_month("d", anchor).alias("months_to_anchor"),
+        tsql_datediff_month("d", anchor).cast("long").alias("months_to_anchor"),
         _ds(F.last_day("d")).alias("month_end"),
         date_to_yyyymm("d").alias("yyyymm"),
         age_years("d", anchor).alias("age_years"),
@@ -1281,11 +1287,11 @@ def q_text_stats(spark, sf_dir):
     d = spread(_t(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
-        token_count_ws("text").alias("n_tokens"),
-        token_count_bpe("text").alias("n_bpe_tokens"),
+        token_count_ws("text").cast("long").alias("n_tokens"),
+        token_count_bpe("text").cast("long").alias("n_bpe_tokens"),
         F.round(punct_ratio("text"), 4).alias("punct_ratio"),
         F.round(stopword_ratio("text"), 4).alias("stopword_ratio"),
-        F.length("text").alias("n_chars_check"),
+        F.length("text").cast("long").alias("n_chars_check"),
     )
 
 
@@ -1517,7 +1523,7 @@ def q_submonth_clip(spark, sf_dir):
         "o_orderkey",
         _ds("cf").alias("clip_from"),
         _ds("ct").alias("clip_to"),
-        (F.datediff("ct", "cf") + 1).alias("clip_days"),
+        (F.datediff("ct", "cf") + 1).cast("long").alias("clip_days"),
     )
 
 
@@ -1776,8 +1782,8 @@ def q_grouping_sets(spark, sf_dir):
         SELECT o_orderstatus, o_orderpriority,
           COUNT(*) AS n,
           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
-          GROUPING(o_orderstatus) AS g_status,
-          GROUPING(o_orderpriority) AS g_prio
+          CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+          CAST(GROUPING(o_orderpriority) AS INT) AS g_prio
         FROM _orders_gs
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """

@@ -67,7 +67,7 @@ def brute_force_topk(
     return (
         scored.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= k)
-        .select(query_id, corpus_id, F.round("cos_sim", 6).alias("cos_sim"), F.col("_rn").alias("rank"))
+        .select(query_id, corpus_id, F.round("cos_sim", 6).alias("cos_sim"), F.col("_rn").cast("long").alias("rank"))
     )
 
 
@@ -156,5 +156,5 @@ def ivf_topk(
     return (
         scored.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= k)
-        .select(query_id, corpus_id, F.round("cos_sim", 6).alias("cos_sim"), F.col("_rn").alias("rank"))
+        .select(query_id, corpus_id, F.round("cos_sim", 6).alias("cos_sim"), F.col("_rn").cast("long").alias("rank"))
     )
