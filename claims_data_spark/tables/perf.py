@@ -46,6 +46,64 @@ def build_enroll_denom(
     )
 
 
+def follow_up_after_ed(
+    header: DataFrame,
+    follow_up_days: int = 30,
+    id_col: str = "id_mcaid",
+) -> DataFrame:
+    """FUA/FUM-style measure component (reference:
+    ``fn_perf_fua_ed_index_visit.sql`` + ``fn_perf_fum_follow_up_visit.sql``):
+    for each index ED episode, did a qualifying follow-up visit occur
+    within N days after discharge?
+
+    Index events = one row per ``ed_pophealth_id`` (episode end date);
+    follow-ups = non-ED primary-care/telehealth visits. The match is a
+    forward as-of join per person — one shuffle on the id, no range
+    join (``operators/asof.asof_join`` direction='forward').
+    """
+    from claims_data_spark.operators.asof import asof_join
+
+    index_visits = (
+        header.filter(F.col("ed_pophealth_id").isNotNull())
+        .groupBy(id_col, "ed_pophealth_id")
+        .agg(F.max("first_service_date").alias("index_date"))
+    )
+    follow_ups = header.filter(
+        (F.col("ed_flag") == 0)
+        & (
+            (F.col("pc_visit_flag") == 1)
+            | (F.col("telehealth_flag") == 1)
+        )
+    ).select(
+        id_col,
+        F.col("first_service_date").alias("fu_date"),
+        F.col("claim_header_id").alias("fu_claim_id"),
+    )
+    matched = asof_join(
+        index_visits,
+        follow_ups,
+        [id_col],
+        left_ts="index_date",
+        right_ts="fu_date",
+        right_payload=["fu_date", "fu_claim_id"],
+        direction="forward",
+    )
+    return matched.select(
+        id_col,
+        "ed_pophealth_id",
+        "index_date",
+        F.when(
+            F.col("fu_date").isNotNull()
+            & (F.datediff("fu_date", "index_date") <= follow_up_days)
+            & (F.datediff("fu_date", "index_date") >= 0),
+            1,
+        )
+        .otherwise(0)
+        .alias("followed_up"),
+        "fu_date",
+    )
+
+
 def build_measure(
     denom: DataFrame,
     events: DataFrame,

@@ -126,6 +126,20 @@ def test_elig_timevar_collapse(spark, tables):
     ]
 
 
+def test_follow_up_after_ed(spark, tables):
+    from claims_data_spark.tables.perf import follow_up_after_ed
+
+    out = follow_up_after_ed(tables["header"], follow_up_days=60)
+    rows = {r["ed_pophealth_id"]: r for r in out.collect()}
+    # p1 has two ED episodes (Jan 05-06 and Jan 08); first qualifying
+    # non-ED follow-up for p1 is the pc_visit claim on 2017-05-20 —
+    # beyond 60 days -> neither episode followed up within window
+    assert len(rows) == 2
+    assert all(r["followed_up"] == 0 for r in rows.values())
+    wide = follow_up_after_ed(tables["header"], follow_up_days=365)
+    assert all(r["followed_up"] == 1 for r in wide.collect())
+
+
 def test_perf_denominator_and_measure(spark, tables):
     em = build_elig_month(tables["tv"])
     denom = build_enroll_denom(em, 201701, 201712)
