@@ -68,16 +68,14 @@ def follow_up_after_ed(
         .groupBy(id_col, "ed_pophealth_id")
         .agg(F.max("first_service_date").alias("index_date"))
     )
-    follow_ups = header.filter(
-        (F.col("ed_flag") == 0)
-        & (
-            (F.col("pc_visit_flag") == 1)
-            | (F.col("telehealth_flag") == 1)
-        )
-    ).select(
+    # telehealth_flag only exists when claim_header was built with the
+    # telehealth ref; the measure degrades to pc visits without it
+    qualifies = F.col("pc_visit_flag") == 1
+    if "telehealth_flag" in header.columns:
+        qualifies = qualifies | (F.col("telehealth_flag") == 1)
+    follow_ups = header.filter((F.col("ed_flag") == 0) & qualifies).select(
         id_col,
         F.col("first_service_date").alias("fu_date"),
-        F.col("claim_header_id").alias("fu_claim_id"),
     )
     matched = asof_join(
         index_visits,
@@ -85,19 +83,16 @@ def follow_up_after_ed(
         [id_col],
         left_ts="index_date",
         right_ts="fu_date",
-        right_payload=["fu_date", "fu_claim_id"],
+        right_payload=["fu_date"],
         direction="forward",
     )
+    # forward as-of guarantees fu_date >= index_date when matched, and
+    # a null fu_date null-propagates through datediff into otherwise(0)
     return matched.select(
         id_col,
         "ed_pophealth_id",
         "index_date",
-        F.when(
-            F.col("fu_date").isNotNull()
-            & (F.datediff("fu_date", "index_date") <= follow_up_days)
-            & (F.datediff("fu_date", "index_date") >= 0),
-            1,
-        )
+        F.when(F.datediff("fu_date", "index_date") <= follow_up_days, 1)
         .otherwise(0)
         .alias("followed_up"),
         "fu_date",

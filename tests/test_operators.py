@@ -175,6 +175,34 @@ def test_asof_join_backward(spark):
                    ("v", d("2020-01-03")): None}
 
 
+def test_asof_join_forward(spark):
+    left = spark.createDataFrame(
+        [("u", d("2020-01-05")), ("u", d("2020-01-20")), ("v", d("2020-01-03"))],
+        "id string, ts date",
+    )
+    right = spark.createDataFrame(
+        [("u", d("2020-01-05"), 1.0), ("u", d("2020-01-10"), 2.0), ("w", d("2020-01-01"), 9.0)],
+        "id string, rts date, px double",
+    )
+    out = asof_join(left, right, ["id"], "ts", "rts", ["px"], direction="forward")
+    got = {(r["id"], r["ts"]): r["px"] for r in out.collect()}
+    # same-day tie matches (1.0); next event takes the NEAREST future
+    # right row; key with no right rows gets null
+    assert got == {
+        ("u", d("2020-01-05")): 1.0,
+        ("u", d("2020-01-20")): None,
+        ("v", d("2020-01-03")): None,
+    }
+    # nearest-of-several: left at 01-06 must take 01-10, not a later one
+    left2 = spark.createDataFrame([("u", d("2020-01-06"))], "id string, ts date")
+    right2 = spark.createDataFrame(
+        [("u", d("2020-01-10"), 2.0), ("u", d("2020-01-15"), 3.0)],
+        "id string, rts date, px double",
+    )
+    out2 = asof_join(left2, right2, ["id"], "ts", "rts", ["px"], direction="forward")
+    assert out2.collect()[0]["px"] == 2.0
+
+
 # --- prefix join ----------------------------------------------------------------
 
 def test_prefix_join_matches_like(spark):
