@@ -55,45 +55,48 @@ def asof_join(
     if direction not in ("backward", "forward"):
         raise ValueError(direction)
 
+    # The payload is carried as ONE struct per right row, so all payload
+    # fields come atomically from the same matched row — carrying columns
+    # independently with last(ignorenulls) would substitute stale values
+    # for genuinely-NULL fields and stitch together a row that never
+    # existed.
     l_tag = left.select(
         *key_cols,
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_is_left"),
         F.struct(*[F.col(c) for c in left.columns]).alias("_lrow"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in right_payload],
+        F.lit(None)
+        .cast(
+            "struct<"
+            + ",".join(
+                f"{c}:{right.schema[c].dataType.simpleString()}" for c in right_payload
+            )
+            + ">"
+        )
+        .alias("_rrow"),
     )
     r_tag = right.select(
         *key_cols,
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_is_left"),
-        F.lit(None).cast(
-            l_tag.schema["_lrow"].dataType
-        ).alias("_lrow"),
-        *[F.col(c).alias(f"_r_{c}") for c in right_payload],
+        F.lit(None).cast(l_tag.schema["_lrow"].dataType).alias("_lrow"),
+        F.struct(*[F.col(c) for c in right_payload]).alias("_rrow"),
     )
     unioned = l_tag.unionByName(r_tag)
 
-    if direction == "backward":
-        # Right rows sort before left rows at equal ts so "at or before" includes ties.
-        w = (
-            Window.partitionBy(*key_cols)
-            .orderBy(F.col("_ts").asc(), F.col("_is_left").asc())
-            .rowsBetween(Window.unboundedPreceding, 0)
-        )
-        carry = {c: F.last(f"_r_{c}", ignorenulls=True).over(w) for c in right_payload}
-    else:
-        w = (
-            Window.partitionBy(*key_cols)
-            .orderBy(F.col("_ts").desc(), F.col("_is_left").asc())
-            .rowsBetween(Window.unboundedPreceding, 0)
-        )
-        carry = {c: F.last(f"_r_{c}", ignorenulls=True).over(w) for c in right_payload}
-
+    # Right rows sort before left rows at equal ts so "at or before"
+    # (resp. "at or after") includes ties.
+    order = F.col("_ts").asc() if direction == "backward" else F.col("_ts").desc()
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(order, F.col("_is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     carried = unioned.select(
-        "*", *[carry[c].alias(f"_asof_{c}") for c in right_payload]
+        "*", F.last("_rrow", ignorenulls=True).over(w).alias("_asof")
     ).filter(F.col("_is_left") == 1)
 
     return carried.select(
         F.col("_lrow.*"),
-        *[F.col(f"_asof_{c}").alias(c) for c in right_payload],
+        *[F.col(f"_asof.{c}").alias(c) for c in right_payload],
     )

@@ -49,11 +49,18 @@ def exact_dedup(
 
     Single pass: one shuffle on the fingerprint, rank-1 window — the
     groupBy + semi-join form scans the corpus twice; at 100 TB the
-    second scan is the dominant cost."""
+    second scan is the dominant cost.
+
+    NULL-text rows have no content to compare, so they all survive
+    (a NULL fingerprint must not act as a shared hash that collapses
+    distinct empty documents into one)."""
     order = F.col(id_col).asc() if keep == "min" else F.col(id_col).desc()
     w = Window.partitionBy("_fp").orderBy(order)
+    fp = F.when(
+        F.col(text_col).isNotNull(), doc_fingerprint(text_col)
+    ).otherwise(F.concat(F.lit("__null__"), F.col(id_col).cast("string")))
     return (
-        df.withColumn("_fp", doc_fingerprint(text_col))
+        df.withColumn("_fp", fp)
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_fp", "_rn")
@@ -122,6 +129,10 @@ def minhash_near_dup_pairs(
         .withColumn("_sh", word_shingles(text_col, shingle_k))
         .withColumn("_sig", minhash_signature(F.col("_sh"), num_hashes))
     )
+    # persisted because banding + two verification joins reuse it; the
+    # cache is LRU-evictable and bounded by the shingle arrays — at
+    # warehouse scale prefer checkpointing this frame to storage and
+    # unpersisting after the pairs are materialized
     with_sig = with_sig.persist()
     banded = minhash_bands(with_sig, id_col, "_sig", bands, rows_per_band)
 
@@ -264,9 +275,14 @@ def simhash_near_dup_pairs(
     max_hamming: int = 8,
 ) -> DataFrame:
     """SimHash near-dup pairs: band the 64-bit fingerprint into four
-    16-bit chunks (pigeonhole: any pair with hamming ≤ 3 collides in
-    ≥1 chunk; wider radii still prune most of the space), equi-join on
-    chunks, verify with bit_count(xor)."""
+    16-bit chunks, equi-join on chunks, verify with bit_count(xor).
+
+    Recall contract: by pigeonhole, every pair with hamming ≤ 3 is
+    guaranteed to collide in at least one chunk; for
+    ``max_hamming > 3`` the banding is a CANDIDATE FILTER — a pair
+    whose differing bits spread 1-per-chunk across all four chunks is
+    never generated (the standard approximate-LSH tradeoff; use more/
+    overlapping bands for a hard guarantee at wider radii)."""
     base = simhash_table(df, id_col, text_col)
     chunks = F.array(
         *[

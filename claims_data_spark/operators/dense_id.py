@@ -29,11 +29,18 @@ def dense_global_id(
     order_cols: list[str],
     out_col: str = "global_id",
     num_partitions: int | None = None,
+    persist_input: bool = False,
 ) -> DataFrame:
-    """Attach a globally dense 1-based id ordered by ``order_cols``."""
-    # the offsets collect below runs the upstream plan once; persist so
-    # the final join doesn't run it a second time
-    df = df.persist()
+    """Attach a globally dense 1-based id ordered by ``order_cols``.
+
+    ``persist_input=True`` caches ``df`` across the offsets job and the
+    final join — use it when ``df`` is an already-reduced frame (e.g.
+    collapsed episodes) whose upstream plan is expensive. Leave False
+    for warehouse-scale inputs: caching 100 TB to save one columnar
+    re-scan is a bad trade, and only the tiny ranked-key frame (always
+    persisted) must be stable for correctness."""
+    if persist_input:
+        df = df.persist()
     keys = df.select(*order_cols).distinct()
     if num_partitions:
         keys = keys.repartitionByRange(num_partitions, *order_cols)

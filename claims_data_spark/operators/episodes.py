@@ -57,8 +57,12 @@ def episode_table(
         F.max(date_col).alias("episode_end"),
         F.count(F.lit(1)).alias("n_events"),
     )
+    # collapsed is one row per episode — orders of magnitude smaller
+    # than the event table — so caching it across the ranking's two
+    # jobs is cheap and saves recomputing the window pipeline
     return dense_global_id(
         collapsed,
         order_cols=id_cols + ["within_person_episode_id"],
         out_col=global_id_col,
+        persist_input=True,
     )

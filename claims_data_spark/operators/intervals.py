@@ -178,60 +178,59 @@ def resegment_overlaps(
     ``load_stage.mcaid_mcare_elig_timevar.R:108-239``).
 
     The reference enumerates 7 overlap cases and replicates rows 1-3×
-    per case. We use the boundary-point method instead, which is
-    case-free and scales as two windows over the id partition:
-    collect every interval start and every ``to+1`` as breakpoints,
-    sort them per person, form candidate segments between consecutive
-    breakpoints, then keep segments covered by either side with
-    coverage flags. (Same output, no cartesian per-key join — the
-    reference's own benchmark shows why per-day explosion loses:
-    39 s vs ~12 min, ``load_stage.mcaid_mcare_elig_timevar.R:99-104``.)
+    per case. We sweep instead: every interval contributes +1 at its
+    start and -1 at ``to+1``; per person, the running sum of each
+    side's deltas over the sorted breakpoints says whether that side
+    covers the segment up to the next breakpoint. One shuffle on the
+    id, one aggregate, one window — O(n log n) per person with NO
+    per-key segment×interval join, so a mega-utilizer with thousands
+    of intervals costs thousands of rows, not millions. (The
+    reference's own benchmark shows why blowups lose: 39 s
+    interval-permutation vs ~12 min per-day explosion,
+    ``load_stage.mcaid_mcare_elig_timevar.R:99-104``.)
 
     Output: ``id, from_date, to_date, <left_tag>, <right_tag>``
-    (boolean coverage flags), disjoint and sorted per person.
+    (boolean coverage flags), disjoint and sorted per person; segments
+    covered by neither side are not emitted.
     """
-    lt, rt = f"_{left_tag}", f"_{right_tag}"
-    a = left.select(
-        F.col(id_col).alias("_id"),
-        F.col(from_col).alias("_f"),
-        F.col(to_col).alias("_t"),
-        F.lit(True).alias(lt),
-        F.lit(False).alias(rt),
-    )
-    b = right.select(
-        F.col(id_col).alias("_id"),
-        F.col(from_col).alias("_f"),
-        F.col(to_col).alias("_t"),
-        F.lit(False).alias(lt),
-        F.lit(True).alias(rt),
-    )
-    both = a.unionByName(b)
 
+    def deltas(df: DataFrame, col: str) -> DataFrame:
+        starts = df.select(
+            F.col(id_col).alias("_id"),
+            F.col(from_col).alias("_p"),
+            F.lit(1).alias(col),
+        )
+        ends = df.select(
+            F.col(id_col).alias("_id"),
+            F.date_add(to_col, 1).alias("_p"),
+            F.lit(-1).alias(col),
+        )
+        return starts.unionByName(ends)
+
+    da = deltas(left, "_da").withColumn("_db", F.lit(0))
+    db = deltas(right, "_db").withColumn("_da", F.lit(0))
     points = (
-        both.select("_id", F.col("_f").alias("_p"))
-        .unionByName(both.select("_id", F.date_add("_t", 1).alias("_p")))
-        .distinct()
+        da.unionByName(db)
+        .groupBy("_id", "_p")
+        .agg(F.sum("_da").alias("_da"), F.sum("_db").alias("_db"))
     )
     w = Window.partitionBy("_id").orderBy("_p")
-    segments = (
-        points.withColumn("_next", F.lead("_p").over(w))
-        .filter(F.col("_next").isNotNull())
-        .select(
-            "_id",
-            F.col("_p").alias("seg_from"),
-            F.date_sub("_next", 1).alias("seg_to"),
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    swept = (
+        points.withColumn("_ca", F.sum("_da").over(run))
+        .withColumn("_cb", F.sum("_db").over(run))
+        .withColumn("_next", F.lead("_p").over(w))
+    )
+    return (
+        swept.filter(
+            F.col("_next").isNotNull()
+            & ((F.col("_ca") > 0) | (F.col("_cb") > 0))
         )
-    )
-    covered = (
-        segments.join(both, on="_id")
-        .filter((F.col("seg_from") >= F.col("_f")) & (F.col("seg_to") <= F.col("_t")))
-        .groupBy("_id", "seg_from", "seg_to")
-        .agg(F.max(lt).alias(left_tag), F.max(rt).alias(right_tag))
-    )
-    return covered.select(
-        F.col("_id").alias(id_col),
-        F.col("seg_from").alias(from_col),
-        F.col("seg_to").alias(to_col),
-        left_tag,
-        right_tag,
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_p").alias(from_col),
+            F.date_sub("_next", 1).alias(to_col),
+            (F.col("_ca") > 0).alias(left_tag),
+            (F.col("_cb") > 0).alias(right_tag),
+        )
     )

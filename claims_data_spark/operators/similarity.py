@@ -73,7 +73,9 @@ def brute_force_topk(
 
 def _assign_udf(centroids: np.ndarray):
     """Vectorized nearest-centroid assignment (Arrow-batched)."""
-    cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    cn = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+    )
 
     @F.pandas_udf(T.IntegerType())
     def assign(vecs: pd.Series) -> pd.Series:

@@ -22,6 +22,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+def _det_salt(df: DataFrame, salt_buckets: int):
+    """Deterministic salt from the full row content. ``rand(seed)``
+    depends on partition row order, which is unstable under task retry
+    downstream of a shuffle — a recomputed map task could re-salt rows
+    into different buckets and double-count/drop them. Hashing the row
+    is retry-stable; fully-identical rows share a bucket, which only
+    matters in the degenerate all-duplicates case."""
+    return F.pmod(
+        F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt_buckets)
+    ).cast("int")
+
+
 # Aggregates that re-combine losslessly across salt buckets:
 # (first-phase agg, second-phase combiner)
 _COMBINABLE = {
@@ -50,9 +62,7 @@ def salted_agg(
     for fn, _ in aggs.values():
         if fn not in _COMBINABLE:
             raise ValueError(f"non-decomposable aggregate {fn!r}")
-    salted = df.withColumn(
-        "_salt", (F.rand(seed=42) * salt_buckets).cast("int")
-    )
+    salted = df.withColumn("_salt", _det_salt(df, salt_buckets))
     phase1 = salted.groupBy(*keys, "_salt").agg(
         *[_COMBINABLE[fn][0](col).alias(out) for out, (fn, col) in aggs.items()]
     )
@@ -72,13 +82,19 @@ def salted_join(
     dimension is too big to broadcast outright but small enough to
     replicate ``salt_buckets``×.
 
-    Fact rows get a random salt; the dimension is exploded once per
-    salt value; the join key becomes (key, salt) so the hot key's rows
-    spread over ``salt_buckets`` tasks instead of one straggler.
+    Fact rows get a deterministic content salt; the dimension is
+    exploded once per salt value; the join key becomes (key, salt) so
+    the hot key's rows spread over ``salt_buckets`` tasks instead of
+    one straggler. Only 'inner' and 'left' are valid: the replicated
+    dimension side would emit unmatched rows ``salt_buckets`` times
+    under right/full joins.
     """
-    fact = skewed.withColumn(
-        "_salt", (F.rand(seed=42) * salt_buckets).cast("int")
-    )
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'/'left', got {how!r} "
+            "(replicated dim rows would duplicate under right/full)"
+        )
+    fact = skewed.withColumn("_salt", _det_salt(skewed, salt_buckets))
     dim = small.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
     )

@@ -31,8 +31,14 @@ def unpivot(
     NOT NULL per branch.
     """
     n = len(value_cols)
+    # labels/columns are interpolated into SQL: escape quotes in labels
+    # and reject backticks in column names rather than corrupt the plan
+    for col in value_cols:
+        if "`" in col:
+            raise ValueError(f"column name may not contain backtick: {col!r}")
     pairs = ", ".join(
-        f"'{label}', `{col}`" for col, label in value_cols.items()
+        "'{}', `{}`".format(str(label).replace("'", "''"), col)
+        for col, label in value_cols.items()
     )
     stacked = df.select(
         *id_cols,

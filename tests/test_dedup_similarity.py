@@ -36,6 +36,16 @@ def test_exact_dedup(spark):
     assert sorted(r["doc_id"] for r in out.collect()) == [1, 4, 5]
 
 
+def test_exact_dedup_preserves_null_text_rows(spark):
+    docs = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, None), (4, None)],
+        "doc_id long, text string",
+    )
+    out = exact_dedup(docs, "text", "doc_id")
+    # content dups collapse; NULL-text rows are not each other's dups
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 3, 4]
+
+
 def test_minhash_finds_near_dups(spark):
     pairs = minhash_near_dup_pairs(
         _docs(spark), "doc_id", "text", shingle_k=3, num_hashes=32, bands=16,

@@ -117,6 +117,13 @@ def test_unpivot_drops_nulls(spark):
     assert rows == {("01", "A00"), ("03", "B11")}
 
 
+def test_unpivot_label_escaping(spark):
+    df = spark.createDataFrame([(1, "A00")], "claim int, dx1 string")
+    out = unpivot(df, ["claim"], {"dx1": "patient's dx"},
+                  var_name="n", value_name="v").collect()
+    assert out[0]["n"] == "patient's dx"
+
+
 def test_unpivot_modifier_fanout(spark):
     df = spark.createDataFrame(
         [(1, "99213", None, "GT", None), (2, "99214", None, None, None)],
@@ -173,6 +180,18 @@ def test_asof_join_backward(spark):
     # equal timestamps match (right sorts first at ties)
     assert got == {("u", d("2020-01-05")): 20.0, ("u", d("2020-01-01")): None,
                    ("v", d("2020-01-03")): None}
+
+
+def test_asof_join_null_payload_atomicity(spark):
+    # the latest right row's genuinely-NULL field must NOT be patched
+    # with a stale value from an older row
+    left = spark.createDataFrame([("p", d("2020-01-10"))], "id string, ts date")
+    right = spark.createDataFrame(
+        [("p", d("2020-01-01"), "A", None), ("p", d("2020-01-05"), None, "C")],
+        "id string, rts date, addr string, city string",
+    )
+    out = asof_join(left, right, ["id"], "ts", "rts", ["addr", "city"]).collect()[0]
+    assert (out["addr"], out["city"]) == (None, "C")
 
 
 def test_asof_join_forward(spark):
