@@ -100,10 +100,12 @@ def claims_elig(
     # the reference's second subquery form (R/claims_elig.R:788-881):
     # top value plus its share of the person's covered days, as a
     # percentage of the coverage denominator
-    for var in timevar_pct or []:
+    denom = None
+    if timevar_pct:
         denom = overlapping.groupBy(id_col).agg(
             F.sum("_cov_days").alias("_denom_days")
         )
+    for var in timevar_pct or []:
         best = mode_value(
             overlapping,
             [id_col],
@@ -182,7 +184,9 @@ def top_causes(
     counted = (
         events.join(primary_dx, "claim_header_id")
         .join(F.broadcast(ccs), ["icdcm_norm", "icdcm_version"])
-        .filter(F.col("ccs_catch_all") == 0)  # R/top_causes.R:314-316
+        # keep NULL catch-all like the reference's
+        # `is.na(ccs_catch_all) | ccs_catch_all == 0` (R/top_causes.R:314-316)
+        .filter(F.col("ccs_catch_all").isNull() | (F.col("ccs_catch_all") == 0))
         .groupBy("ccs_detail_desc")
         .agg(F.countDistinct(event_id_col).alias("event_count"))
     )

@@ -21,10 +21,31 @@ def _nn(col: str):
     return F.col(col).isNotNull()
 
 
+def _any_payer(df: DataFrame, payer: str):
+    """Any of the med/rx/dental eligibility ids for a payer non-null
+    (guarded on column presence — extracts vary in which id columns
+    they carry)."""
+    cols = [
+        c
+        for c in (
+            f"med_{payer}_eligibility_id",
+            f"rx_{payer}_eligibility_id",
+            f"dental_{payer}_eligibility_id",
+        )
+        if c in df.columns
+    ]
+    cond = F.lit(False)
+    for c in cols:
+        cond = cond | F.col(c).isNotNull()
+    return cond
+
+
 def derive_covgrp(df: DataFrame) -> DataFrame:
     """Add ``covgrp`` (0-8) + ``dual_flag`` per the reference's case
-    cascade (``load_stage.apcd_elig_timevar.R:30-66``): medical
-    coverage by payer combination, 0 = none."""
+    cascade (``load_stage.apcd_elig_timevar.R:30-66``): covgrp from
+    MEDICAL coverage by payer combination (0 = none); the empirical
+    ``dual_flag`` from ANY (med/rx/dental) Medicaid id together with
+    ANY Medicare id (``:29-33``)."""
     med_mcaid = _nn("med_medicaid_eligibility_id")
     med_mcare = _nn("med_medicare_eligibility_id")
     med_comm = _nn("med_commercial_eligibility_id")
@@ -40,7 +61,8 @@ def derive_covgrp(df: DataFrame) -> DataFrame:
         .otherwise(0)
     )
     return df.withColumn("covgrp", covgrp).withColumn(
-        "dual_flag", (med_mcaid & med_mcare).cast("int")
+        "dual_flag",
+        (_any_payer(df, "medicaid") & _any_payer(df, "medicare")).cast("int"),
     )
 
 

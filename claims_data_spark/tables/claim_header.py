@@ -20,7 +20,7 @@ from claims_data_spark.operators.dense_id import dense_global_id
 from claims_data_spark.plans.prefix_join import prefix_join
 
 ED_REV_PATTERN = "045[01269]"      # load_stage.mcaid_claim_header.R:242
-ED_PX_PATTERN = "9928[12345]"      # :285 (99281-99285) + 99291 below
+ED_PX_PATTERN = "9928[123458]"     # :285 (99281-99285 + 99288)
 ED_CLAIM_TYPES = (3, 26, 34)       # :410-411
 PC_EXCLUDE_TYPES = (19, 31, 33)    # :419
 TELEHEALTH_POS = ("02", "10")      # :422,424
@@ -83,8 +83,7 @@ def _line_flags(raw: DataFrame) -> DataFrame:
         ).alias("ed_rev_flag"),
         F.max(
             F.when(
-                tsql_like(F.coalesce("PRCDR_CODE_1", "LINE_PRCDR_CODE"), ED_PX_PATTERN)
-                | (F.coalesce("PRCDR_CODE_1", "LINE_PRCDR_CODE") == "99291"),
+                tsql_like(F.coalesce("PRCDR_CODE_1", "LINE_PRCDR_CODE"), ED_PX_PATTERN),
                 1,
             ).otherwise(0)
         ).alias("ed_px_flag"),
@@ -116,7 +115,7 @@ def _hedis_inpatient(
     ).select(F.col("code").alias("_tob"))
 
     candidates = raw.join(F.broadcast(ip_rev), "REVENUE_CODE").select(
-        F.col("TCN").alias("claim_header_id"), tob.alias("_tob")
+        F.col("TCN").alias("claim_header_id")
     ).distinct()
     excluded = (
         raw.join(F.broadcast(nonacute_rev), "REVENUE_CODE")

@@ -78,18 +78,21 @@ def build_claim_ccw(
             types or None,
         )
 
-        # exclusion diagnoses on the same claim disqualify it (J12)
-        excl_abbrev = f"{abbrev}_exclude1"
-        if excl_abbrev in ref_icdcm.columns:
-            excl_claims = icdcm.join(
-                F.broadcast(
-                    ref_icdcm.filter(F.col(excl_abbrev) == 1).select(
-                        F.col("icdcm").alias("icdcm_norm"), "icdcm_version"
-                    )
-                ),
-                ["icdcm_norm", "icdcm_version"],
-            ).select("claim_header_id").distinct()
-            dx = dx.join(excl_claims, "claim_header_id", "left_anti")
+        # exclusion diagnoses on the same claim disqualify it (J12);
+        # the reference carries up to two exclusion sets per condition
+        # (load_ccw.R:43-56,293-296)
+        for suffix in ("_exclude1", "_exclude2"):
+            excl_abbrev = f"{abbrev}{suffix}"
+            if excl_abbrev in ref_icdcm.columns:
+                excl_claims = icdcm.join(
+                    F.broadcast(
+                        ref_icdcm.filter(F.col(excl_abbrev) == 1).select(
+                            F.col("icdcm").alias("icdcm_norm"), "icdcm_version"
+                        )
+                    ),
+                    ["icdcm_norm", "icdcm_version"],
+                ).select("claim_header_id").distinct()
+                dx = dx.join(excl_claims, "claim_header_id", "left_anti")
 
         if int(cfg.get("condition_type", 1)) == 2:
             # two-claim qualification: a DIFFERENT claim date within

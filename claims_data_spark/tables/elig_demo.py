@@ -74,13 +74,17 @@ def build_elig_demo(raw_elig: DataFrame) -> DataFrame:
         ).alias("gender_male_t"),
         F.max(F.when(F.col("gender") == "FEMALE", 1).otherwise(0)).alias("_ever_f"),
         F.max(F.when(F.col("gender") == "MALE", 1).otherwise(0)).alias("_ever_m"),
-        F.max(F.when(F.col("race1_name") == "WHITE", 1).otherwise(0)).alias("race_white"),
-        F.max(F.when(F.col("race1_name") == "BLACK", 1).otherwise(0)).alias("race_black"),
-        F.max(
-            F.when(
-                (F.col("race1_name") == "ASIAN") | (F.col("race2_name") == "ASIAN"), 1
-            ).otherwise(0)
-        ).alias("race_asian"),
+        # every race flag scans BOTH race columns — the reference
+        # matches against the concatenation of all race fields
+        # (load_stage.mcaid_elig_demo.R:235-238)
+        *[
+            F.max(
+                F.when(
+                    (F.col("race1_name") == race) | (F.col("race2_name") == race), 1
+                ).otherwise(0)
+            ).alias(f"race_{race.lower()}")
+            for race in ("WHITE", "BLACK", "ASIAN")
+        ],
     ).withColumn(
         "gender_me",
         F.when((F.col("_ever_f") == 1) & (F.col("_ever_m") == 1), "Multiple")

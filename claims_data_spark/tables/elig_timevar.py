@@ -50,23 +50,47 @@ def build_elig_timevar(
         F.col("geo_hash_raw"),
     )
 
-    # P6: conflicting dual values in one member-month: MIN unless the
-    # min is 'N/A', then MAX (load_stage.mcaid_elig_timevar.R:96-108)
-    dual = e.groupBy("id_mcaid", "ym").agg(
+    # P6: collapse duplicate rows WITHIN each full covariate tuple;
+    # conflicting dual values take MIN unless the min is 'N/A', then
+    # MAX. The reference applies the rule inside its GROUP BY over all
+    # covariates (load_stage.mcaid_elig_timevar.R:96-108 step 1a), so
+    # a dual value never leaks across rows that differ in RAC/MCO/etc.
+    group_cols = [c for c in e.columns if c != "dual_raw"]
+    e = e.groupBy(*group_cols).agg(
         F.when(F.min("dual_raw") == "N/A", F.max("dual_raw"))
         .otherwise(F.min("dual_raw"))
         .alias("dual")
     )
-    e = e.join(dual, ["id_mcaid", "ym"]).drop("dual_raw")
+
+    # full_benefit is a member-MONTH property: MAX over ALL RAC rows
+    # before the secondary-RAC drop (reference steps 1b/2c compute
+    # MAX(full_benefit) across the month's RACs, so a full-benefit
+    # secondary RAC still marks the month)
+    fb_month = None
+    if ref_rac is not None:
+        fb_month = (
+            e.join(
+                F.broadcast(ref_rac.select("rac_code", "full_benefit")),
+                "rac_code",
+                "left",
+            )
+            .groupBy("id_mcaid", "ym")
+            .agg(F.max("full_benefit").alias("full_benefit"))
+        )
 
     # P7: drop secondary RAC rows — keep lowest rac_code per
-    # member-month (load_stage.mcaid_elig_timevar.R:142-166)
-    w_rac = Window.partitionBy("id_mcaid", "ym").orderBy("rac_code")
+    # member-month (load_stage.mcaid_elig_timevar.R:142-166); the
+    # remaining covariates break rac_code ties deterministically so
+    # the survivor is stable across runs and partitionings
+    tiebreak = [c for c in group_cols if c not in ("id_mcaid", "ym", "rac_code")]
+    w_rac = Window.partitionBy("id_mcaid", "ym").orderBy("rac_code", *tiebreak)
     e = (
         e.withColumn("_rn", F.row_number().over(w_rac))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+    if fb_month is not None:
+        e = e.join(fb_month, ["id_mcaid", "ym"], "left")
 
     # month bounds (step 2a) clipped to sub-month RAC spans (step 2b, W9)
     month_start = yyyymm_to_date("ym")
@@ -85,13 +109,18 @@ def build_elig_timevar(
         ).otherwise(month_end),
     )
 
-    # steps 3a-4a: islands of contiguous months with constant covariates
+    # steps 3a-4a: islands of contiguous months with constant
+    # covariates; full_benefit (month-level, step 2c) is itself a
+    # covariate — a benefit-level change splits the island
+    island_groups = COVARIATES + (
+        ["full_benefit"] if fb_month is not None else []
+    )
     islands = collapse_islands(
         e,
         ["id_mcaid"],
         "from_date",
         "to_date",
-        group_cols=COVARIATES,
+        group_cols=island_groups,
         max_gap_days=1,
     ).withColumnRenamed("island_days", "cov_time_day").drop("n_segments")
 
@@ -105,11 +134,7 @@ def build_elig_timevar(
         ).cast("int"),
     )
 
-    # step 1b/2c: RAC -> full_benefit; step 5b: address -> geo columns
-    if ref_rac is not None:
-        out = out.join(
-            F.broadcast(ref_rac.select("rac_code", "full_benefit")), "rac_code", "left"
-        )
+    # step 5b: address -> geo columns
     if ref_address is not None:
         addr = ref_address.select(
             "geo_hash_raw", "geo_zip_clean", "geo_hash_geocode"

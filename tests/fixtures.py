@@ -37,11 +37,13 @@ def raw_mcaid_elig(spark):
         # gap (April), then May-June
         (201705, "p1", d("1990-05-15"), "Female", "WHITE", None, None, "ENGLISH", "ENGLISH", 1001, 10, d("2017-05-01"), d("2017-05-31"), "FFS", None, "N", "N", H2),
         (201706, "p1", d("1990-05-15"), "Female", "WHITE", None, None, "ENGLISH", "ENGLISH", 1001, 10, d("2017-06-01"), d("2017-06-30"), "FFS", None, "N", "N", H2),
-        # p2: dual-RAC month (1002 secondary must drop), conflicting dual
-        # indicator ('N/A' + 'Y' -> max rule picks 'Y'), DOB conflict
-        # (1985-01-01 x2 beats 1985-01-02 x1), language tie EN/ES,
-        # gender switches -> Multiple, race OTHER -> null
+        # p2: dual-RAC month (1002 secondary must drop), conflicting
+        # dual indicator WITHIN the rac-1001 covariate tuple ('N/A' +
+        # 'Y' -> max rule picks 'Y'), DOB conflict (1985-01-01 beats
+        # 1985-01-02), language tie EN/ES, gender switch -> Multiple,
+        # race OTHER -> null
         (201701, "p2", d("1985-01-01"), "Male", "OTHER", "ASIAN", None, "SPANISH", "ENGLISH", 1001, 10, d("2017-01-01"), d("2017-01-31"), "MC", "m1", "N/A", "Y", H1),
+        (201701, "p2", d("1985-01-01"), "Male", "OTHER", "ASIAN", None, "SPANISH", "ENGLISH", 1001, 10, d("2017-01-01"), d("2017-01-31"), "MC", "m1", "Y", "Y", H1),
         (201701, "p2", d("1985-01-01"), "Male", "OTHER", "ASIAN", None, "SPANISH", "ENGLISH", 1002, 11, d("2017-01-01"), d("2017-01-31"), "MC", "m1", "Y", "Y", H1),
         (201702, "p2", d("1985-01-02"), "Female", "OTHER", "ASIAN", None, "ENGLISH", "SPANISH", 1001, 10, d("2017-02-01"), d("2017-02-28"), "MC", "m1", "N", "Y", H1),
         # p3: sub-month RAC span (Jan 10-20) -> clipped interval
