@@ -320,13 +320,13 @@ WITH coded AS (
   SELECT code_raw,
     CASE
       WHEN regexp_full_match(code_raw, '[0-9]{3,4}') THEN rpad(code_raw, 5, '0')
-      WHEN regexp_full_match(code_raw, 'V[0-9]+') AND svc_date < DATE '2015-10-01' THEN rpad(code_raw, 5, '0')
-      WHEN regexp_full_match(code_raw, 'E[0-9]+') AND svc_date < DATE '2015-10-01' AND length(code_raw) < 5 THEN rpad(code_raw, 5, '0')
+      WHEN regexp_full_match(code_raw, '[VE][0-9]+') AND length(code_raw) BETWEEN 3 AND 4
+           AND svc_date < DATE '2015-10-01' THEN rpad(code_raw, 5, '0')
       ELSE code_raw
     END AS code_norm,
     CASE
-      WHEN regexp_full_match(code_raw, '[0-9]{3,5}')
-        OR (regexp_full_match(code_raw, '[VE][0-9]+') AND svc_date < DATE '2015-10-01')
+      WHEN regexp_matches(code_raw, '^[0-9]')
+        OR (regexp_matches(code_raw, '^[VE]') AND svc_date < DATE '2015-10-01')
       THEN 9 ELSE 10
     END AS icd_version
   FROM coded
@@ -687,7 +687,7 @@ def q_window_lag(spark, sf_dir):
     return o.select(
         "o_orderkey",
         "o_custkey",
-        F.datediff(F.col("d"), F.lag("d").over(w)).alias("gap_days"),
+        F.datediff(F.col("d"), F.lag("d").over(w)).cast("long").alias("gap_days"),
     )
 
 

@@ -71,29 +71,37 @@ def normalize_icdcm(code: Column | str, service_date: Column | str) -> Column:
     """ICD-CM normalization (``load_stage.mcaid_claim_icdcm_header.R:76-106``):
 
     - ICD-9 numeric 3/4-char codes right-zero-padded to 5 ('250' -> '25000')
-    - V/E-prefixed codes are ICD-9 only before the 2015-10-01 cutover;
-      V-codes pad to 5, E-codes to at most 5 unless already longer
-    - ICD-10 codes (service date >= cutover, alpha-prefixed other than
-      pre-cutover V/E) pass through unchanged
+    - V/E-prefixed 3/4-char codes are ICD-9 only before the 2015-10-01
+      cutover and pad to 5
+    - everything else passes through UNCHANGED — the reference pads
+      only length-3/4 codes and never truncates, so a dirty overlong
+      code ('V12345') or a short fragment ('V1') survives as-is rather
+      than being silently corrupted (rpad truncates longer inputs)
     """
     c = F.upper(F.trim(_col(code)))
     sd = _col(service_date)
     cutover = F.lit("2015-10-01").cast("date")
     numeric9 = c.rlike("^[0-9]{3,4}$")
-    ve9 = c.rlike("^[VE][0-9]+$") & (sd < cutover)
+    ve9 = (
+        c.rlike("^[VE][0-9]+$")
+        & F.length(c).between(3, 4)
+        & (sd < cutover)
+    )
     return (
         F.when(numeric9, F.rpad(c, 5, "0"))
-        .when(ve9 & c.startswith("V"), F.rpad(c, 5, "0"))
-        .when(ve9 & c.startswith("E") & (F.length(c) < 5), F.rpad(c, 5, "0"))
+        .when(ve9, F.rpad(c, 5, "0"))
         .otherwise(c)
     )
 
 
 def icdcm_version(code: Column | str, service_date: Column | str) -> Column:
     """Derive icdcm_version 9/10 per the cutover rule
-    (``load_stage.mcaid_claim_icdcm_header.R:76-106``)."""
+    (``load_stage.mcaid_claim_icdcm_header.R:76-106``). Prefix
+    semantics like the reference's LIKE patterns: any digit-led code
+    is ICD-9 (dotted/overlong variants included); V/E-led codes are
+    ICD-9 only before the cutover; other letters are ICD-10."""
     c = F.upper(F.trim(_col(code)))
     sd = _col(service_date)
     cutover = F.lit("2015-10-01").cast("date")
-    is9 = c.rlike("^[0-9]{3,5}$") | (c.rlike("^[VE][0-9]+$") & (sd < cutover))
+    is9 = c.rlike("^[0-9]") | (c.rlike("^[VE]") & (sd < cutover))
     return F.when(is9, F.lit(9)).otherwise(F.lit(10)).cast("tinyint")

@@ -28,7 +28,18 @@ def build_predicate(spec: dict[str, Any], df: DataFrame | None = None) -> Column
                            like the reference's LOWER(col) IN fragments)
     - dict with any of  min/max (inclusive bounds), like (T-SQL LIKE),
       not_null (bool), between=(lo, hi)
+
+    When ``df`` is given, spec keys are validated against its columns
+    up front (the reference validates every arg before emitting SQL) —
+    a typo'd filter name fails here, not at analysis time.
     """
+    if df is not None:
+        unknown = [k for k in spec if k not in df.columns]
+        if unknown:
+            raise KeyError(
+                f"filter spec references unknown columns {unknown}; "
+                f"available: {sorted(df.columns)}"
+            )
     conds: list[Column] = []
     for name, v in spec.items():
         if v is None:

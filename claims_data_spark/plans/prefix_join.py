@@ -57,9 +57,14 @@ def prefix_join(
             .withColumnRenamed("_pfx", ref_prefix)
         )
         pieces.append(piece)
-    matched = reduce(lambda a, b: a.unionByName(b), pieces) if pieces else None
-    if how == "inner" or matched is None:
-        return matched if matched is not None else fact.limit(0)
+    if not pieces:
+        # empty/all-null ref: preserve the full output schema (fact +
+        # ref columns) — inner yields zero rows, left yields every
+        # fact row with null ref columns
+        return fact.join(F.broadcast(ref), F.lit(False), how)
+    matched = reduce(lambda a, b: a.unionByName(b), pieces)
+    if how == "inner":
+        return matched
     if how == "left":
         unmatched = fact.join(
             matched.select(fact_code).distinct(), fact_code, "left_anti"

@@ -100,15 +100,27 @@ class SchemaRegistry:
     def tables(self) -> list[str]:
         return sorted(self._tables)
 
-    def apply(self, df, qualified_name: str):
+    def apply(self, df, qualified_name: str, strict: bool = False):
         """Project/cast a DataFrame onto the declared schema (declared
         column order, declared types). Missing columns raise; extra
         columns are dropped — same contract as inserting into a
-        pre-created SQL table."""
+        pre-created SQL table.
+
+        ``strict=True`` uses the ANSI cast, which FAILS the job on any
+        un-parseable value (Spark 4 default semantics) — declare-don't-
+        infer all the way down. ``strict=False`` uses ``try_cast``:
+        un-coercible cells become NULL silently, which is only
+        appropriate for exploratory loads."""
         from pyspark.sql import functions as F
 
         st = self.schema(qualified_name)
         missing = [f.name for f in st.fields if f.name not in df.columns]
         if missing:
             raise ValueError(f"{qualified_name}: missing columns {missing}")
-        return df.select(*[F.col(f.name).cast(f.dataType).alias(f.name) for f in st.fields])
+        if strict:
+            cols = [F.col(f.name).cast(f.dataType).alias(f.name) for f in st.fields]
+        else:
+            cols = [
+                F.col(f.name).try_cast(f.dataType).alias(f.name) for f in st.fields
+            ]
+        return df.select(*cols)

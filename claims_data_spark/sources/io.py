@@ -69,6 +69,7 @@ def incremental_merge(
     incoming: DataFrame,
     natural_keys: list[str],
     fmt: str = "parquet",
+    write_back: bool = False,
 ) -> DataFrame:
     """The reference's refresh contract (``README.md:5``): "old records
     will be replaced with new records where duplicates exist, and new
@@ -81,6 +82,12 @@ def incremental_merge(
     function is a ``MERGE INTO`` keyed on the natural keys — the
     rewrite is then limited to touched files; we keep the API so the
     storage backend can swap in.
+
+    The returned frame LAZILY READS ``existing_path`` — writing it
+    straight back over that path would delete its own input mid-read.
+    Pass ``write_back=True`` to do the rewrite safely (materialize to a
+    temp sibling, atomic directory swap, return a reader over the new
+    data).
     """
     if os.path.exists(existing_path):
         existing = read_file(spark, existing_path, fmt)
@@ -90,7 +97,16 @@ def incremental_merge(
         merged = kept.unionByName(incoming, allowMissingColumns=True)
     else:
         merged = incoming
-    return merged
+    if not write_back:
+        return merged
+    import shutil
+
+    tmp = existing_path.rstrip("/") + "._merge_tmp"
+    merged.write.mode("overwrite").format(fmt).save(tmp)
+    if os.path.exists(existing_path):
+        shutil.rmtree(existing_path)
+    os.rename(tmp, existing_path)
+    return read_file(spark, existing_path, fmt)
 
 
 def write_bucketed(
@@ -126,17 +142,22 @@ def promote(
     fmt: str = "parquet",
 ) -> int:
     """Stage→final promotion with row-count QA
-    (``master_mcaid_analytic.R:433-487``): copy, verify, swap."""
+    (``master_mcaid_analytic.R:433-487``): copy, verify, swap.
+
+    Single data pass: write the tmp copy first, then count the WRITTEN
+    output (a parquet metadata read, not a rescan) and gate the swap on
+    it — counting before writing would read the stage table twice."""
+    import shutil
+
     df = read_file(spark, stage_path, fmt)
-    n = df.count()
+    tmp = final_path + "._tmp"
+    df.write.mode("overwrite").format(fmt).save(tmp)
+    n = read_file(spark, tmp, fmt).count()
     if expected_rows is not None and n != expected_rows:
+        shutil.rmtree(tmp)
         raise AssertionError(
             f"promotion row-count mismatch: stage={n} expected={expected_rows}"
         )
-    tmp = final_path + "._tmp"
-    df.write.mode("overwrite").format(fmt).save(tmp)
-    import shutil
-
     if os.path.exists(final_path):
         shutil.rmtree(final_path)
     os.rename(tmp, final_path)

@@ -27,15 +27,19 @@ def streaming_ingest(
     fmt: str = "parquet",
 ) -> DataFrame:
     """File-source stream deduplicated on natural keys within the
-    watermark horizon. State is bounded by the watermark — at 100 TB
-    the key-dedup state must not grow unboundedly, so late duplicates
-    beyond the horizon are handled by the batch reconciliation job
-    (``sources.io.incremental_merge``), the same split the reference
-    makes between monthly refresh and full rebuild."""
+    watermark horizon. ``dropDuplicatesWithinWatermark`` is the
+    bounded-state form: plain ``dropDuplicates`` on keys that exclude
+    the event-time column would keep every key ever seen in the state
+    store forever. Late duplicates beyond the horizon are handled by
+    the batch reconciliation job (``sources.io.incremental_merge``),
+    the same split the reference makes between monthly refresh and
+    full rebuild."""
     stream = (
         spark.readStream.format(fmt).schema(schema).load(source_dir)
     )
-    return stream.withWatermark(ts_col, watermark).dropDuplicates(natural_keys)
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        natural_keys
+    )
 
 
 def windowed_counts(

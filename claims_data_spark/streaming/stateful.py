@@ -15,7 +15,6 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-RUNNING_SCHEMA = "user_id long, n_events long, sum_value double"
 STATE_SCHEMA = "n long, s double"
 
 
@@ -25,13 +24,16 @@ def running_totals(
     value_col: str = "value",
 ) -> DataFrame:
     """Per-key running totals that survive micro-batch boundaries: each
-    trigger emits the key's cumulative (count, sum) so far.
+    trigger emits the key's cumulative (count, sum) so far, keyed and
+    labeled by the caller's actual column names.
 
     This is the minimal template for the reference-style 'rolling
     measure over an unbounded history' computed incrementally instead
     of by monthly rebuild: the state is the aggregate, each batch
     folds into it, and nothing is ever recomputed.
     """
+    key_type = events.schema[key_col].dataType.simpleString()
+    out_schema = f"{key_col} {key_type}, n_events long, sum_value double"
 
     def fold(
         key: tuple[Any, ...],
@@ -47,12 +49,12 @@ def running_totals(
             s += float(pdf[value_col].sum())
         state.update((n, s))
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "sum_value": [round(s, 2)]}
+            {key_col: [key[0]], "n_events": [n], "sum_value": [round(s, 2)]}
         )
 
     return events.groupBy(key_col).applyInPandasWithState(
         fold,
-        outputStructType=RUNNING_SCHEMA,
+        outputStructType=out_schema,
         stateStructType=STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,

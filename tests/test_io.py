@@ -63,6 +63,47 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+def test_incremental_merge_write_back(spark, tmp_path):
+    from claims_data_spark.sources.io import incremental_merge
+
+    p = str(tmp_path / "tbl")
+    write_table(spark.createDataFrame([(1, "old"), (2, "old")], "id int, v string"), p)
+    incoming = spark.createDataFrame([(2, "new"), (3, "new")], "id int, v string")
+    out = incremental_merge(spark, p, incoming, ["id"], write_back=True)
+    # returned frame reads the REWRITTEN path; in-place write was safe
+    assert {(r["id"], r["v"]) for r in out.collect()} == {
+        (1, "old"), (2, "new"), (3, "new"),
+    }
+    assert {(r["id"], r["v"]) for r in read_file(spark, p).collect()} == {
+        (1, "old"), (2, "new"), (3, "new"),
+    }
+
+
+def test_schema_apply_strict_catches_drift(spark):
+    from claims_data_spark.schema import SchemaRegistry
+
+    reg = SchemaRegistry()
+    reg.declare("stage.t", {"id": "bigint", "v": "int"})
+    df = spark.createDataFrame([("7", "ok-ish")], "id string, v string")
+    # non-strict try_cast: silent NULL coercion (documented)
+    assert reg.apply(df, "stage.t").collect()[0]["v"] is None
+    import pytest
+
+    # strict ANSI cast: the job fails on the un-parseable value
+    with pytest.raises(Exception):
+        reg.apply(df, "stage.t", strict=True).collect()
+
+
+def test_predicates_unknown_column_fails_fast(spark):
+    import pytest
+
+    from claims_data_spark.plans.predicates import apply_filters
+
+    df = spark.createDataFrame([(1,)], "k int")
+    with pytest.raises(KeyError, match="unknown columns"):
+        apply_filters(df, {"typo_col": 5})
+
+
 def test_promote_rowcount_gate(spark, tmp_path):
     stage = str(tmp_path / "stage")
     final = str(tmp_path / "final")

@@ -234,6 +234,16 @@ def test_prefix_join_matches_like(spark):
     assert got == {("T369", "T36"), ("E9500", "E950")}
 
 
+def test_prefix_join_empty_ref_keeps_schema(spark):
+    fact = spark.createDataFrame([("T369",)], "code string")
+    empty_ref = spark.createDataFrame([], "pfx string")
+    inner = prefix_join(fact, empty_ref, "code", "pfx")
+    assert inner.columns == ["code", "pfx"] and inner.count() == 0
+    left = prefix_join(fact, empty_ref, "code", "pfx", how="left")
+    rows = left.collect()
+    assert len(rows) == 1 and rows[0]["pfx"] is None
+
+
 # --- predicates ------------------------------------------------------------------
 
 def test_dynamic_predicates(spark):
@@ -271,6 +281,23 @@ def test_icd_normalization_cutover(spark):
     assert (out[0]["norm"], out[0]["ver"]) == ("25000", 9)
     assert (out[1]["norm"], out[1]["ver"]) == ("V1000", 9)
     assert (out[2]["norm"], out[2]["ver"]) == ("V10", 10)
+
+
+def test_icd_normalization_never_corrupts_dirty_codes(spark):
+    # only length-3/4 codes pad; overlong/short/dotted codes pass
+    # through untouched (the reference never truncates or fabricates)
+    df = spark.createDataFrame(
+        [("V12345", d("2014-06-01")), ("V1", d("2014-06-01")),
+         ("250.00", d("2014-06-01")), ("E9501", d("2014-06-01"))],
+        "code string, svc date",
+    )
+    out = df.select(
+        normalize_icdcm("code", "svc").alias("norm"),
+        icdcm_version("code", "svc").alias("ver"),
+    ).collect()
+    assert [r["norm"] for r in out] == ["V12345", "V1", "250.00", "E9501"]
+    # dotted digit-led code is still ICD-9 (prefix semantics)
+    assert out[2]["ver"] == 9
 
 
 # --- schema registry ------------------------------------------------------------------
