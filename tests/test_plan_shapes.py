@@ -1,0 +1,88 @@
+"""Plan-shape guards: the scale properties SCALE.md documents, asserted
+on the physical plans so a regression (extra shuffle, lost broadcast,
+lost pushdown) fails CI instead of silently degrading at 100 TB."""
+
+import re
+
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _n_exchanges(plan: str) -> int:
+    # count shuffle exchanges only (broadcast exchanges are fine)
+    return len(re.findall(r"Exchange (?:hash|range)partitioning", plan))
+
+
+def test_coverage_stats_single_shuffle(spark, sf_dir):
+    from claims_data_spark.operators.intervals import coverage_stats
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("from_date"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("to_date"),
+    )
+    cov = coverage_stats(
+        o, ["o_custkey"], "from_date", "to_date", "1996-01-01", "1996-12-31"
+    )
+    plan = _plan(cov)
+    # the whole islands+clip+gaps pipeline reuses ONE shuffle on the id
+    assert _n_exchanges(plan) == 1, plan
+
+
+def test_islands_single_shuffle(spark, sf_dir):
+    from claims_data_spark.operators.intervals import collapse_islands
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("from_date"),
+        F.col("o_orderdate").cast("date").alias("to_date"),
+    )
+    islands = collapse_islands(o, ["o_custkey"], max_gap_days=30)
+    assert _n_exchanges(_plan(islands)) == 1
+
+
+def test_dim_joins_broadcast_not_shuffle(spark, sf_dir):
+    """The fact table must not shuffle for dimension joins — only the
+    final aggregation exchange is allowed."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    agg = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    plan = _plan(agg)
+    assert "BroadcastHashJoin" in plan
+    assert _n_exchanges(plan) <= 1, plan
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    q = li.filter(
+        F.col("l_shipdate").cast("date") <= F.lit("1996-01-01").cast("date")
+    ).select("l_quantity")
+    plan = _plan(q)
+    assert "PushedFilters: [" in plan and "LessThan" in plan, plan
+    # column pruning: the scan reads only the two needed columns
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and len(m.group(1).split(",")) <= 2, plan
+
+
+def test_resegment_no_cartesian(spark, sf_dir):
+    from claims_data_spark.operators.intervals import resegment_overlaps
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("from_date"),
+        F.date_add(F.col("o_orderdate").cast("date"), 20).alias("to_date"),
+    )
+    seg = resegment_overlaps(o, o, "o_custkey")
+    plan = _plan(seg)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan  # sweep line: no join at all
+    assert "BroadcastNestedLoop" not in plan

@@ -95,6 +95,39 @@ def test_collapse_islands_matches_sequential_oracle(spark, ivs, gap):
     assert got == islands_from_intervals(ivs, gap)
 
 
+@given(ivs_a=interval_sets, ivs_b=interval_sets)
+@_settings
+def test_resegment_matches_day_oracle(spark, ivs_a, ivs_b):
+    from claims_data_spark.operators.intervals import resegment_overlaps
+
+    a = spark.createDataFrame(
+        [("p", f, t) for f, t in ivs_a], "id string, from_date date, to_date date"
+    )
+    b = spark.createDataFrame(
+        [("p", f, t) for f, t in ivs_b], "id string, from_date date, to_date date"
+    )
+    segs = resegment_overlaps(a, b, "id").collect()
+    # 1) segments are disjoint, sorted, valid
+    spans = sorted((r["from_date"], r["to_date"]) for r in segs)
+    for (f1, t1), (f2, t2) in zip(spans, spans[1:]):
+        assert t1 < f2
+    # 2) per-day flags match the day-set ground truth exactly
+    da, db = day_set(ivs_a), day_set(ivs_b)
+    flags = {}
+    for r in segs:
+        cur = r["from_date"]
+        while cur <= r["to_date"]:
+            flags[cur] = (r["a"], r["b"])
+            cur += dt.timedelta(days=1)
+    for day in da | db:
+        assert flags[day] == (day in da, day in db), day
+    # no uncovered day appears in any segment
+    assert set(flags) == (da | db)
+    # 3) flags are constant within a segment by construction; each
+    # segment must be covered by at least one side
+    assert all(r["a"] or r["b"] for r in segs)
+
+
 @given(ivs=interval_sets)
 @_settings
 def test_coverage_days_matches_dayset_oracle(spark, ivs):
