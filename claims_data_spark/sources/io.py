@@ -109,6 +109,41 @@ def incremental_merge(
     return read_file(spark, existing_path, fmt)
 
 
+def update_columns(
+    target: DataFrame,
+    evidence: DataFrame,
+    keys: list[str],
+    updates: dict[str, str],
+    only_when_null: bool = True,
+) -> DataFrame:
+    """UPDATE-from-join (the reference's ``elig_demo_extra`` step:
+    ``master_mcaid_analytic.R:373-393`` updates demographic columns
+    from claim evidence).
+
+    ``updates`` maps target column -> evidence column. With
+    ``only_when_null`` (the reference's behavior) evidence only fills
+    gaps; otherwise evidence wins wherever present. Left join keeps
+    every target row; evidence must be unique per key (enforced — a
+    duplicate-evidence fan-out would silently multiply target rows).
+    """
+    ev_cols = list(dict.fromkeys(updates.values()))
+    ev = evidence.select(*keys, *ev_cols)
+    dup = ev.groupBy(*keys).count().filter(F.col("count") > 1)
+    if dup.limit(1).count() > 0:
+        raise ValueError(f"evidence is not unique on {keys}")
+    renamed = ev.select(
+        *keys, *[F.col(c).alias(f"_ev_{c}") for c in ev_cols]
+    )
+    out = target.join(renamed, keys, "left")
+    for tgt_col, ev_col in updates.items():
+        if only_when_null:
+            new_val = F.coalesce(F.col(tgt_col), F.col(f"_ev_{ev_col}"))
+        else:
+            new_val = F.coalesce(F.col(f"_ev_{ev_col}"), F.col(tgt_col))
+        out = out.withColumn(tgt_col, new_val)
+    return out.drop(*[f"_ev_{c}" for c in ev_cols])
+
+
 def write_bucketed(
     df: DataFrame,
     table_name: str,

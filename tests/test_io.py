@@ -63,6 +63,33 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+def test_update_columns_from_evidence(spark):
+    import pytest
+
+    from claims_data_spark.sources.io import update_columns
+
+    demo = spark.createDataFrame(
+        [("p1", None), ("p2", "Female"), ("p3", None)], "id string, gender string"
+    )
+    evidence = spark.createDataFrame(
+        [("p1", "Female"), ("p2", "Male")], "id string, gender_claim string"
+    )
+    out = update_columns(demo, evidence, ["id"], {"gender": "gender_claim"})
+    got = {r["id"]: r["gender"] for r in out.collect()}
+    # evidence fills p1's gap; p2's existing value is NOT overwritten;
+    # p3 (no evidence) stays null
+    assert got == {"p1": "Female", "p2": "Female", "p3": None}
+    forced = update_columns(
+        demo, evidence, ["id"], {"gender": "gender_claim"}, only_when_null=False
+    )
+    assert {r["id"]: r["gender"] for r in forced.collect()}["p2"] == "Male"
+    dup_ev = spark.createDataFrame(
+        [("p1", "A"), ("p1", "B")], "id string, gender_claim string"
+    )
+    with pytest.raises(ValueError, match="not unique"):
+        update_columns(demo, dup_ev, ["id"], {"gender": "gender_claim"})
+
+
 def test_incremental_merge_write_back(spark, tmp_path):
     from claims_data_spark.sources.io import incremental_merge
 
