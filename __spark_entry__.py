@@ -1205,6 +1205,40 @@ FROM stacked
 
 
 # ---------------------------------------------------------------------------
+# §2.4 A9 — tabloop with FIXED columns × loop variables
+# ---------------------------------------------------------------------------
+
+def q_tabloop_fixed(spark, sf_dir):
+    """The reference's full tabloop shape: fixed grouping columns kept
+    across every loop variable (R/tabloop.R:137-523)."""
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year(F.col("o_orderdate").cast("date"))
+    ).withColumn("price_dec", _dec("o_totalprice"))
+    tab = tabloop(
+        o,
+        fixed=["order_year"],
+        loop_vars=["o_orderstatus", "o_orderpriority"],
+        stats={"n": ("count", "price_dec"), "total": ("sum", "price_dec")},
+    )
+    return tab.withColumn("total", _dbl(F.col("total"))).select(
+        "order_year", "group_cat", "group", "n", "total"
+    )
+
+
+SQL_TABLOOP_FIXED = """
+SELECT YEAR(CAST(o_orderdate AS DATE)) AS order_year,
+  'o_orderstatus' AS group_cat, CAST(o_orderstatus AS VARCHAR) AS "group",
+  COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+FROM orders GROUP BY 1, 3
+UNION ALL
+SELECT YEAR(CAST(o_orderdate AS DATE)),
+  'o_orderpriority', CAST(o_orderpriority AS VARCHAR),
+  COUNT(*), CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+FROM orders GROUP BY 1, 3
+"""
+
+
+# ---------------------------------------------------------------------------
 # §2.5 W10 — interval overlap re-segmentation (dual timelines)
 # ---------------------------------------------------------------------------
 
@@ -1906,6 +1940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_datetime": q_scalar_datetime,
         "dense_global_id": q_dense_global,
         "tabloop_suppress": q_tabloop,
+        "tabloop_fixed": q_tabloop_fixed,
         "interval_resegment": q_resegment,
         "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
@@ -1968,6 +2003,7 @@ def oracle_sql() -> dict[str, str]:
         "scalar_datetime": SQL_SCALAR_DATETIME,
         "dense_global_id": SQL_DENSE_GLOBAL,
         "tabloop_suppress": SQL_TABLOOP,
+        "tabloop_fixed": SQL_TABLOOP_FIXED,
         "interval_resegment": SQL_RESEGMENT,
         "dedup_exact": SQL_DEDUP_EXACT,
         "text_stats": SQL_TEXT_STATS,

@@ -62,6 +62,23 @@ def test_claims_elig_coverage_and_mode(spark, tables):
     assert p3["cov_days"] == 11 and p3["pre_gap"] == 9
 
 
+def test_claims_elig_covgap_filter(spark, tables):
+    # p1's longest gap in H1 2017 is April (30 days): covgap_max=29
+    # keeps p2/p3 out too (their pre/post gaps exceed it)
+    cohort = claims_elig(
+        tables["demo"], tables["tv"],
+        from_date="2017-01-01", to_date="2017-06-30",
+        covgap_max=30,
+    )
+    assert [r["id_mcaid"] for r in cohort.collect()] == ["p1"]
+    none = claims_elig(
+        tables["demo"], tables["tv"],
+        from_date="2017-01-01", to_date="2017-06-30",
+        covgap_max=10,
+    )
+    assert none.count() == 0
+
+
 def test_claims_elig_pct_mode(spark, tables):
     cohort = claims_elig(
         tables["demo"], tables["tv"],

@@ -25,6 +25,12 @@ def test_csv_read_with_declared_schema(spark, tmp_path):
     assert df.count() == 2
 
 
+def test_orc_roundtrip(spark, tmp_path):
+    p = str(tmp_path / "t.orc")
+    spark.range(10).toDF("id").write.orc(p)
+    assert read_file(spark, p, "orc").count() == 10
+
+
 def test_audit_column(spark):
     df = with_audit(spark.range(3))
     assert "last_run" in df.columns

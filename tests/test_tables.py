@@ -236,6 +236,48 @@ def test_header_bh_and_injury(spark, header):
     assert rows[1]["mechanism"] == "poisoning"
 
 
+def test_header_event_id_companion_invariants(spark, header):
+    # reference QA: no ed_perform_id without ed_pophealth_id and vice
+    # versa (load_stage.apcd_claim_header.R:1226-1233)
+    orphan = header.filter(
+        F.col("ed_perform_id").isNotNull() & F.col("ed_pophealth_id").isNull()
+    ).count()
+    assert orphan == 0
+    orphan2 = header.filter(
+        F.col("ed_pophealth_id").isNotNull() & F.col("ed_perform_id").isNull()
+    ).count()
+    assert orphan2 == 0
+    # 1-day overlap correctness: consecutive claims in one episode are
+    # <= 1 day apart; distinct episodes of a person are > 1 day apart
+    # (:1234-1253)
+    import itertools
+
+    eps = {}
+    for r in header.filter(F.col("ed_pophealth_id").isNotNull()).collect():
+        eps.setdefault((r["id_mcaid"], r["ed_pophealth_id"]), []).append(
+            r["first_service_date"]
+        )
+    for (pid, ep), dates in eps.items():
+        ds = sorted(dates)
+        for a, b in zip(ds, ds[1:]):
+            assert (b - a).days <= 1
+    by_person = {}
+    for (pid, ep), dates in eps.items():
+        by_person.setdefault(pid, []).append((min(dates), max(dates)))
+    for pid, spans in by_person.items():
+        for (f1, t1), (f2, t2) in itertools.combinations(sorted(spans), 2):
+            assert (f2 - t1).days > 1
+
+
+def test_inpatient_rows_have_discharge(spark, header):
+    # reference QA: inpatient stays carry a discharge date
+    # (load_stage.apcd_claim_header.R:1157-1164)
+    bad = header.filter(
+        (F.col("inpatient_flag") == 1) & F.col("discharge_date").isNull()
+    ).count()
+    assert bad == 0
+
+
 def test_header_referential_qa(spark, header, raw_elig):
     tv = build_elig_timevar(raw_elig)
     # claim members must exist in elig (p1,p2,p3 all present)
