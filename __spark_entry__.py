@@ -347,15 +347,10 @@ def q_format_classify(spark, sf_dir):
         .when(pk % 3 == 1, F.concat(F.lit("AB"), F.lpad((pk % 10000000).cast("string"), 7, "0")))
         .otherwise(F.concat(F.lit("X"), pk.cast("string")))
     )
+    from claims_data_spark.functions.strings import provider_id_format
+
     classified = c.withColumn("ident", ident).withColumn(
-        "id_class",
-        F.when(
-            (F.length("ident") == 10)
-            & F.col("ident").rlike("^[12][0-9]{9}$"),
-            F.lit("NPI"),
-        )
-        .when(F.col("ident").rlike("^[A-Z]{2}[0-9]{7}$"), F.lit("DEA"))
-        .otherwise(F.lit("UNKNOWN")),
+        "id_class", provider_id_format("ident")
     )
     return classified.groupBy("id_class").agg(F.count(F.lit(1)).alias("n"))
 

@@ -61,6 +61,21 @@ def tsql_like(c: Column | str, pattern: str) -> Column:
     return _col(c).rlike(like_charset_to_regex(pattern))
 
 
+def provider_id_format(c: Column | str) -> Column:
+    """Provider-ID format classification (P10,
+    ``load_stage.mcaid_claim_pharm.R:63-71``): 10-digit starting 1/2 =
+    NPI, 2-alpha + 7-digit = DEA, the known sentinel, else UNKNOWN."""
+    col = _col(c)
+    return (
+        F.when(
+            (F.length(col) == 10) & col.rlike("^[12][0-9]{9}$"), F.lit("NPI")
+        )
+        .when(col.rlike("^[A-Z]{2}[0-9]{7}$"), F.lit("DEA"))
+        .when(col == "5123456787", F.lit("SENTINEL"))
+        .otherwise(F.lit("UNKNOWN"))
+    )
+
+
 def zero_pad_left(c: Column | str, width: int) -> Column:
     """Zero-pad idiom ``'0'+type_of_bill``
     (``load_stage.mcaid_claim_header.R:353``), generalized via lpad."""
@@ -87,11 +102,7 @@ def normalize_icdcm(code: Column | str, service_date: Column | str) -> Column:
         & F.length(c).between(3, 4)
         & (sd < cutover)
     )
-    return (
-        F.when(numeric9, F.rpad(c, 5, "0"))
-        .when(ve9, F.rpad(c, 5, "0"))
-        .otherwise(c)
-    )
+    return F.when(numeric9 | ve9, F.rpad(c, 5, "0")).otherwise(c)
 
 
 def icdcm_version(code: Column | str, service_date: Column | str) -> Column:

@@ -70,12 +70,7 @@ def dense_global_id(
         .withColumn(out_col, (F.col("_rn") + F.col("_off")).cast("long"))
         .select(*order_cols, out_col)
     )
-    return df.join(F.broadcast(key_ids) if _small(key_ids) else key_ids, order_cols)
-
-
-def _small(df: DataFrame) -> bool:
-    """Heuristic: broadcast the key->id map only when the distinct key
-    set is plausibly small. We cannot know cardinality without a count,
-    so default to a shuffle join and let AQE convert it to broadcast at
-    runtime when the built side is under the threshold."""
-    return False
+    # plain shuffle join back to the rows: AQE converts it to broadcast
+    # at runtime whenever the key->id map is under the threshold, so a
+    # driver-side size heuristic here would be redundant
+    return df.join(key_ids, order_cols)

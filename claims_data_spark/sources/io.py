@@ -40,6 +40,16 @@ def read_file(
     raise ValueError(f"unsupported format {fmt!r}")
 
 
+def _swap_dir(tmp: str, final: str) -> None:
+    """Replace ``final`` with ``tmp`` (local-FS atomic-ish swap; on an
+    object store this is the rename the table format would manage)."""
+    import shutil
+
+    if os.path.exists(final):
+        shutil.rmtree(final)
+    os.rename(tmp, final)
+
+
 def with_audit(df: DataFrame) -> DataFrame:
     """Every reference load appends ``getdate() AS last_run``
     (``load_stage.mcaid_claim_header.R:1049-1055``)."""
@@ -99,13 +109,9 @@ def incremental_merge(
         merged = incoming
     if not write_back:
         return merged
-    import shutil
-
     tmp = existing_path.rstrip("/") + "._merge_tmp"
     merged.write.mode("overwrite").format(fmt).save(tmp)
-    if os.path.exists(existing_path):
-        shutil.rmtree(existing_path)
-    os.rename(tmp, existing_path)
+    _swap_dir(tmp, existing_path)
     return read_file(spark, existing_path, fmt)
 
 
@@ -182,18 +188,16 @@ def promote(
     Single data pass: write the tmp copy first, then count the WRITTEN
     output (a parquet metadata read, not a rescan) and gate the swap on
     it — counting before writing would read the stage table twice."""
-    import shutil
-
     df = read_file(spark, stage_path, fmt)
     tmp = final_path + "._tmp"
     df.write.mode("overwrite").format(fmt).save(tmp)
     n = read_file(spark, tmp, fmt).count()
     if expected_rows is not None and n != expected_rows:
+        import shutil
+
         shutil.rmtree(tmp)
         raise AssertionError(
             f"promotion row-count mismatch: stage={n} expected={expected_rows}"
         )
-    if os.path.exists(final_path):
-        shutil.rmtree(final_path)
-    os.rename(tmp, final_path)
+    _swap_dir(tmp, final_path)
     return n

@@ -87,16 +87,9 @@ def build_claim_pharm(raw: DataFrame) -> DataFrame:
     """Pharmacy fills (``load_stage.mcaid_claim_pharm.R:45-90``):
     NDC-filtered, fill date coalesced to service date, prescriber-ID
     format classified (P10)."""
-    prescriber_class = (
-        F.when(
-            (F.length("PRSCRBR_ID") == 10)
-            & F.col("PRSCRBR_ID").rlike("^[12][0-9]{9}$"),
-            "NPI",
-        )
-        .when(F.col("PRSCRBR_ID").rlike("^[A-Z]{2}[0-9]{7}$"), "DEA")
-        .when(F.col("PRSCRBR_ID") == "5123456787", "SENTINEL")
-        .otherwise("UNKNOWN")
-    )
+    from claims_data_spark.functions.strings import provider_id_format
+
+    prescriber_class = provider_id_format("PRSCRBR_ID")
     return (
         raw.filter(F.col("NDC").isNotNull())
         .select(
