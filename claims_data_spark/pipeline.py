@@ -1,0 +1,141 @@
+"""Warehouse pipeline orchestrator (reference:
+``db_loader/mcaid/master_mcaid_analytic.R`` — the master script that
+builds every analytic table in dependency order with QA gates between
+stages).
+
+The reference's DAG (``:157-371``): elig_demo → elig_timevar →
+elig_month; the four claim child tables depend only on the raw claims
+extract; claim_header depends on all children; conditions depend on
+header + icdcm. Here each stage is a lazy DataFrame; "promotion" is
+the caller's choice of writer (``sources.io.write_table`` /
+``write_bucketed``); QA gates run as assertions and are returned as a
+log table like ``metadata.qa_mcaid``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from claims_data_spark.qa import (
+    QaResult,
+    check_intervals_valid,
+    check_keys_unique,
+    check_no_overlap_within_person,
+    check_referential,
+    check_event_id_single_person,
+    check_event_ids_dense,
+    run_qa,
+)
+from claims_data_spark.tables.claim_children import (
+    build_claim_icdcm_header,
+    build_claim_line,
+    build_claim_pharm,
+    build_claim_procedure,
+)
+from claims_data_spark.tables.claim_header import build_claim_header
+from claims_data_spark.tables.conditions import build_claim_bh, build_claim_ccw
+from claims_data_spark.tables.elig_demo import build_elig_demo
+from claims_data_spark.tables.elig_month import build_elig_month
+from claims_data_spark.tables.elig_timevar import build_elig_timevar
+
+
+@dataclass
+class PipelineResult:
+    tables: dict[str, DataFrame]
+    qa: list[tuple[str, QaResult]] = field(default_factory=list)
+
+    def qa_log(self, spark: SparkSession) -> DataFrame:
+        by_table: dict[str, list[QaResult]] = {}
+        for table, res in self.qa:
+            by_table.setdefault(table, []).append(res)
+        logs = [run_qa(spark, checks, table) for table, checks in by_table.items()]
+        out = logs[0]
+        for l in logs[1:]:
+            out = out.unionByName(l)
+        return out
+
+    def failures(self) -> list[tuple[str, QaResult]]:
+        return [(t, r) for t, r in self.qa if not r[1]]
+
+
+def run_mcaid_pipeline(
+    spark: SparkSession,
+    raw_elig: DataFrame,
+    raw_claim: DataFrame,
+    ref_rac: DataFrame | None = None,
+    ref_address: DataFrame | None = None,
+    ref_geocode: DataFrame | None = None,
+    ref_xwalk: DataFrame | None = None,
+    ref_hedis: DataFrame | None = None,
+    ref_telehealth: DataFrame | None = None,
+    ref_icdcm: DataFrame | None = None,
+    ref_rda: DataFrame | None = None,
+    ccw_config: list[dict] | None = None,
+    strict_qa: bool = True,
+) -> PipelineResult:
+    """Build the full Medicaid analytic layer in dependency order,
+    running the reference's QA invariants after each stage.
+
+    ``strict_qa=True`` raises on the first FAIL (the reference's
+    master script stops the load and emails); ``False`` records the
+    results and continues.
+    """
+    qa: list[tuple[str, QaResult]] = []
+
+    def gate(table: str, *checks: QaResult) -> None:
+        for c in checks:
+            qa.append((table, c))
+            if strict_qa and not c[1]:
+                raise AssertionError(f"QA FAIL {table}: {c[0]} ({c[2]})")
+
+    demo = build_elig_demo(raw_elig)
+    gate("elig_demo", check_keys_unique(demo, ["id_mcaid"]))
+
+    timevar = build_elig_timevar(raw_elig, ref_rac, ref_address, ref_geocode)
+    gate(
+        "elig_timevar",
+        check_intervals_valid(timevar),
+        check_no_overlap_within_person(timevar, ["id_mcaid"]),
+    )
+
+    elig_month = build_elig_month(timevar)
+
+    line = build_claim_line(raw_claim)
+    gate("claim_line", check_keys_unique(line, ["claim_line_id"]))
+    icdcm = build_claim_icdcm_header(raw_claim)
+    procedure = build_claim_procedure(raw_claim)
+    pharm = build_claim_pharm(raw_claim)
+
+    header = build_claim_header(
+        raw_claim, icdcm, ref_xwalk, ref_hedis, ref_telehealth, ref_icdcm
+    )
+    gate(
+        "claim_header",
+        check_keys_unique(header, ["claim_header_id"]),
+        check_event_id_single_person(header, "ed_pophealth_id", "id_mcaid"),
+        check_event_ids_dense(header, "ed_pophealth_id"),
+        check_referential(
+            header.select("id_mcaid"), timevar.select("id_mcaid"), ["id_mcaid"],
+            name="claim-members-in-elig",
+        ),
+    )
+
+    tables = {
+        "elig_demo": demo,
+        "elig_timevar": timevar,
+        "elig_month": elig_month,
+        "claim_line": line,
+        "claim_icdcm_header": icdcm,
+        "claim_procedure": procedure,
+        "claim_pharm": pharm,
+        "claim_header": header,
+    }
+
+    if ref_icdcm is not None and ccw_config:
+        tables["claim_ccw"] = build_claim_ccw(icdcm, header, ref_icdcm, ccw_config)
+    if ref_rda is not None:
+        tables["claim_bh"] = build_claim_bh(icdcm, pharm, procedure, ref_rda)
+
+    return PipelineResult(tables=tables, qa=qa)
