@@ -1690,6 +1690,38 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
+# Streaming surface: SLIDING windows (each event in w/s buckets)
+# ---------------------------------------------------------------------------
+
+def q_sliding_windows(spark, sf_dir):
+    from claims_data_spark.streaming.ingest import windowed_counts
+
+    ev = _events(spark, sf_dir).withColumn("value", _dec("value"))
+    out = windowed_counts(ev, window="6 hours", slide="3 hours",
+                          group_cols=["event_type"])
+    return out.select(
+        F.unix_millis("window_start").alias("window_start_ms"),
+        "event_type",
+        "n_events",
+        _dbl(F.col("sum_value")).alias("sum_value"),
+    )
+
+
+# each event lands in window/slide = 2 overlapping buckets; replicate
+# via a 2-row offset join in the oracle
+SQL_SLIDING_WINDOWS = """
+WITH assigned AS (
+  SELECT epoch_ms(time_bucket(INTERVAL 3 HOURS, CAST(ts AS TIMESTAMP)) - k * INTERVAL 3 HOURS) AS window_start_ms,
+    event_type, CAST(value AS DECIMAL(12,2)) AS v
+  FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k)
+)
+SELECT window_start_ms, event_type, COUNT(*) AS n_events,
+  CAST(SUM(v) AS DOUBLE) AS sum_value
+FROM assigned GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # Streaming surface: session windows (gap-based), batch equivalent
 # ---------------------------------------------------------------------------
 
@@ -1950,6 +1982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mode_random_tiebreak": q_mode_random_tiebreak,
         "union_bindrows": q_union_bindrows,
         "windowed_events": q_windowed_events,
+        "sliding_windows": q_sliding_windows,
         "session_windows": q_session_windows,
         "multimodal_features": q_multimodal_features,
         "json_props": q_json_props,
@@ -2010,6 +2043,7 @@ def oracle_sql() -> dict[str, str]:
         "mode_random_tiebreak": SQL_MODE_RANDOM,
         "union_bindrows": SQL_UNION_BINDROWS,
         "windowed_events": SQL_WINDOWED_EVENTS,
+        "sliding_windows": SQL_SLIDING_WINDOWS,
         "session_windows": SQL_SESSION_WINDOWS,
         "multimodal_features": SQL_MULTIMODAL,
         "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
