@@ -11,7 +11,12 @@ results are cast to DOUBLE — so value hashes match bit-for-bit.
 from __future__ import annotations
 
 import os
+import sys
 from collections.abc import Callable
+
+# make the sibling claims_data_spark package importable no matter what
+# working directory the driver loads this module from
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
