@@ -11,39 +11,27 @@ each is a filter + aggregate over the same shuffle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from claims_data_spark.functions.datetime import tsql_datediff_month
 from claims_data_spark.operators.asof import join_to_running_min
 
 
-def _dx_claims_for(
-    icdcm: DataFrame,
-    ref_icdcm: DataFrame,
-    header: DataFrame,
-    abbrev: str,
-    dx_fields: str,
-    claim_types: list[int] | None,
-) -> DataFrame:
-    """Claims whose diagnoses carry the condition flag, honoring the
-    dx-position rule ('1', '1-2', 'any'; ``load_ccw.R:289-302``) and
-    claim-type restriction."""
-    flagged_codes = ref_icdcm.filter(F.col(abbrev) == 1).select(
-        F.col("icdcm").alias("icdcm_norm"), F.col("icdcm_version")
+def _parse_claim_types(value) -> list[int]:
+    if value is None or str(value).strip() == "":
+        return []
+    return [int(x) for x in str(value).split(";") if str(x).strip() != ""]
+
+
+def _dx_fields_ok(fields_col: F.Column, number_col: F.Column) -> F.Column:
+    """Generic dx-position predicate ('1' | '1-2'/'1;2' | 'any';
+    ``load_ccw.R:346-360``)."""
+    return (
+        F.when(fields_col == "1", number_col == "01")
+        .when(fields_col.isin("1-2", "1;2"), number_col.isin("01", "02"))
+        .otherwise(F.lit(True))
     )
-    dx = icdcm.join(F.broadcast(flagged_codes), ["icdcm_norm", "icdcm_version"])
-    if dx_fields == "1":
-        dx = dx.filter(F.col("icdcm_number") == "01")
-    elif dx_fields == "1-2":
-        dx = dx.filter(F.col("icdcm_number").isin("01", "02"))
-    out = dx.select("id_mcaid", "claim_header_id", "first_service_date")
-    if claim_types:
-        hdr_types = header.select("claim_header_id", "claim_type_id")
-        out = out.join(hdr_types, "claim_header_id").filter(
-            F.col("claim_type_id").isin(*claim_types)
-        ).drop("claim_type_id")
-    return out
 
 
 def build_claim_ccw(
@@ -58,77 +46,174 @@ def build_claim_ccw(
     Config rows mirror ``ref_ccw_lookup`` (FIXTURES.md §10):
     ccw_abbrev, dx_fields, claim_type_1/2 (';'-separated), exclusion
     abbrev rows (``*_exclude``), condition_type 1|2, lookback_months.
-    Type-2 conditions need two claims within the lookback window
-    (``load_ccw.R:580-589``); exclusions are anti-joins at the claim
-    level (``:411-465``).
+
+    Reference-faithful qualification (``load_ccw.R:509-633``): each
+    claim carries ``condition1`` = claim_type in claim_type_1 (valid
+    encounter unconditionally) and ``condition2`` = claim_type in
+    claim_type_2 (valid only when an ADJACENT condition-2 claim for
+    the same person falls within ``lookback_months`` and >= 1 day
+    away — the reference's lead/lag formulation, ``:580-589``).
+    Encounter min/max collapse runs over the FILTERED row set, and
+    first/last are LEAST/GREATEST across the two date families
+    (``:620-633``). Exclusion diagnoses disqualify the whole claim
+    (``:411-465``), with the exclusion rows' own dx-position rule.
+
+    Plan (all 31 conditions in one pass): the ref flag matrix is
+    melted to long (icdcm, version, condition, is_excl, dx_fields)
+    and broadcast, so the dx table is scanned ONCE; claim-level
+    condition/exclusion membership is one aggregation keyed by
+    (claim_header_id, condition); the two-claim rule is one window
+    pass per (condition, person) — no per-person self-join.
     """
-    results = []
     conditions = [
-        r for r in ccw_lookup_rows if not r["ccw_abbrev"].endswith("_exclude1")
+        r for r in ccw_lookup_rows
+        if not r["ccw_abbrev"].endswith("_exclude1")
         and not r["ccw_abbrev"].endswith("_exclude2")
     ]
+    excl_fields = {
+        r["ccw_abbrev"]: r.get("dx_fields", "any") or "any"
+        for r in ccw_lookup_rows
+        if r["ccw_abbrev"].endswith("_exclude1")
+        or r["ccw_abbrev"].endswith("_exclude2")
+    }
+    spark = icdcm.sparkSession
+
+    # long-format flag map: one row per (flag column, role); exclusion
+    # rows point at their parent condition so claim membership and
+    # exclusion collapse in the same aggregation
+    map_rows: list[tuple] = []
+    cfg_rows: list[tuple] = []
     for cfg in conditions:
         abbrev = cfg["ccw_abbrev"]
-        types = []
-        for key in ("claim_type_1", "claim_type_2"):
-            if cfg.get(key):
-                types += [int(x) for x in str(cfg[key]).split(";")]
-        dx = _dx_claims_for(
-            icdcm, ref_icdcm, header, abbrev, cfg.get("dx_fields", "any"),
-            types or None,
-        )
-
-        # exclusion diagnoses on the same claim disqualify it (J12);
-        # the reference carries up to two exclusion sets per condition
-        # (load_ccw.R:43-56,293-296)
+        if abbrev not in ref_icdcm.columns:
+            continue
+        map_rows.append((abbrev, abbrev, 0, cfg.get("dx_fields", "any") or "any"))
         for suffix in ("_exclude1", "_exclude2"):
-            excl_abbrev = f"{abbrev}{suffix}"
-            if excl_abbrev in ref_icdcm.columns:
-                excl_claims = icdcm.join(
-                    F.broadcast(
-                        ref_icdcm.filter(F.col(excl_abbrev) == 1).select(
-                            F.col("icdcm").alias("icdcm_norm"), "icdcm_version"
-                        )
-                    ),
-                    ["icdcm_norm", "icdcm_version"],
-                ).select("claim_header_id").distinct()
-                dx = dx.join(excl_claims, "claim_header_id", "left_anti")
-
-        if int(cfg.get("condition_type", 1)) == 2:
-            # two-claim qualification: a DIFFERENT claim date within
-            # lookback_months (boundary-crossing month diff, §2.9)
-            lb = int(cfg.get("lookback_months", 24))
-            dates = dx.select("id_mcaid", "first_service_date").distinct()
-            a, b = dates.alias("a"), dates.alias("b")
-            qualified_ids = (
-                a.join(b, "id_mcaid")
-                .filter(
-                    (F.col("a.first_service_date") < F.col("b.first_service_date"))
-                    & (
-                        tsql_datediff_month(
-                            F.col("a.first_service_date"),
-                            F.col("b.first_service_date"),
-                        )
-                        <= lb
-                    )
+            excl = f"{abbrev}{suffix}"
+            if excl in ref_icdcm.columns:
+                map_rows.append(
+                    (excl, abbrev, 1, excl_fields.get(excl, "any"))
                 )
-                .select("id_mcaid")
-                .distinct()
-            )
-            dx = dx.join(qualified_ids, "id_mcaid", "left_semi")
-
-        results.append(
-            dx.groupBy("id_mcaid").agg(
-                F.lit(abbrev).alias("ccw_desc"),
-                F.min("first_service_date").alias("first_encounter_date"),
-                F.max("first_service_date").alias("last_encounter_date"),
+        cfg_rows.append(
+            (
+                abbrev,
+                _parse_claim_types(cfg.get("claim_type_1")),
+                _parse_claim_types(cfg.get("claim_type_2")),
+                int(cfg.get("condition_type", 1)),
+                int(cfg.get("lookback_months", 24)),
             )
         )
-    out = results[0]
-    for r in results[1:]:
-        out = out.unionByName(r)
-    return out.select(
-        "id_mcaid", "ccw_desc", "first_encounter_date", "last_encounter_date"
+
+    flag_cols = sorted({m[0] for m in map_rows})
+    stack_expr = ", ".join(f"'{c}', `{c}`" for c in flag_cols)
+    long_ref = (
+        ref_icdcm.selectExpr(
+            "icdcm", "icdcm_version",
+            f"stack({len(flag_cols)}, {stack_expr}) as (flag_col, flag)",
+        )
+        .filter(F.col("flag") == 1)
+        .select(F.col("icdcm").alias("icdcm_norm"), "icdcm_version", "flag_col")
+    )
+    flag_map = spark.createDataFrame(
+        map_rows, "flag_col string, abbrev string, is_excl int, dx_fields string"
+    )
+    cond_cfg = spark.createDataFrame(
+        cfg_rows,
+        "abbrev string, claim_types_1 array<int>, claim_types_2 array<int>, "
+        "condition_type int, lookback_months int",
+    )
+
+    # ONE scan of the dx table -> claim-level condition membership
+    hits = (
+        icdcm.select(
+            "id_mcaid", "claim_header_id", "first_service_date",
+            "icdcm_norm", "icdcm_version", "icdcm_number",
+        )
+        .join(F.broadcast(long_ref.join(flag_map, "flag_col")),
+              ["icdcm_norm", "icdcm_version"])
+        .filter(_dx_fields_ok(F.col("dx_fields"), F.col("icdcm_number")))
+    )
+    claim_cond = (
+        hits.groupBy("claim_header_id", "abbrev")
+        .agg(
+            F.first("id_mcaid").alias("id_mcaid"),
+            F.first("first_service_date").alias("first_service_date"),
+            F.max(1 - F.col("is_excl")).alias("has_cond"),
+            F.max("is_excl").alias("has_excl"),
+        )
+        .filter((F.col("has_cond") == 1) & (F.col("has_excl") == 0))
+        .drop("has_cond", "has_excl")
+    )
+
+    # claim-type split -> condition1/condition2 from-dates
+    # (load_ccw.R:509-527); empty type list matches nothing, like the
+    # reference's IN ('')
+    typed = (
+        claim_cond.join(
+            header.select("claim_header_id", "claim_type_id"), "claim_header_id"
+        )
+        .join(F.broadcast(cond_cfg), "abbrev")
+        .withColumn(
+            "condition1", F.array_contains("claim_types_1", F.col("claim_type_id"))
+        )
+        .withColumn(
+            "condition2", F.array_contains("claim_types_2", F.col("claim_type_id"))
+        )
+        .filter(F.col("condition1") | F.col("condition2"))
+        .select(
+            "abbrev", "id_mcaid", "condition_type", "lookback_months",
+            "first_service_date",
+            F.when(F.col("condition1"), F.col("first_service_date")).alias(
+                "condition_1_from_date"
+            ),
+            F.when(F.col("condition2"), F.col("first_service_date")).alias(
+                "condition_2_from_date"
+            ),
+        )
+        .distinct()  # the reference's UNION across ICD versions dedups
+    )
+
+    # adjacent-claim rule: sorted lead/lag per (condition, person) —
+    # O(n log n), replaces the reference's identical window SQL and the
+    # old per-person date self-join (load_ccw.R:580-589)
+    w = Window.partitionBy("abbrev", "id_mcaid").orderBy("condition_2_from_date")
+    c2 = F.col("condition_2_from_date")
+    lead_c2 = F.lead("condition_2_from_date").over(w)
+    lag_c2 = F.lag("condition_2_from_date").over(w)
+    lb = F.col("lookback_months")
+    two_claim_ok = c2.isNotNull() & (
+        (
+            (tsql_datediff_month(c2, lead_c2) <= lb)
+            & (F.datediff(lead_c2, c2) >= 1)
+        )
+        | (
+            (tsql_datediff_month(lag_c2, c2) <= lb)
+            & (F.datediff(c2, lag_c2) >= 1)
+        )
+    )
+    kept = (
+        typed.withColumn("_two_claim_ok", two_claim_ok)
+        .filter(
+            F.col("condition_1_from_date").isNotNull()
+            | ((F.col("condition_type") == 2) & F.col("_two_claim_ok"))
+        )
+        .drop("_two_claim_ok")
+    )
+
+    return (
+        kept.groupBy("id_mcaid", F.col("abbrev").alias("ccw_desc"))
+        .agg(
+            F.min("condition_1_from_date").alias("c1_min"),
+            F.max("condition_1_from_date").alias("c1_max"),
+            F.min("condition_2_from_date").alias("c2_min"),
+            F.max("condition_2_from_date").alias("c2_max"),
+        )
+        .select(
+            "id_mcaid",
+            "ccw_desc",
+            F.least("c1_min", "c2_min").alias("first_encounter_date"),
+            F.greatest("c1_max", "c2_max").alias("last_encounter_date"),
+        )
     )
 
 

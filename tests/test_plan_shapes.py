@@ -86,3 +86,45 @@ def test_resegment_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan  # sweep line: no join at all
     assert "BroadcastNestedLoop" not in plan
+
+def test_ccw_single_dx_scan(spark, sf_dir):
+    """The CCW engine must scan the dx table ONCE for all conditions:
+    the flag matrix melts to a broadcast long map, so N conditions are
+    one join + one aggregation, not N differently-filtered joins
+    (reference runs 31 sequential per-condition builds)."""
+    from claims_data_spark.tables.conditions import build_claim_ccw
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    icdcm = li.join(
+        o.select("o_orderkey", "o_custkey", "o_orderdate"),
+        li["l_orderkey"] == o["o_orderkey"],
+    ).select(
+        F.col("o_custkey").alias("id_mcaid"),
+        F.col("o_orderkey").alias("claim_header_id"),
+        F.col("o_orderdate").cast("date").alias("first_service_date"),
+        F.format_string("C%03d", F.col("l_partkey") % 50).alias("icdcm_norm"),
+        F.lit(10).alias("icdcm_version"),
+        F.lpad(F.col("l_linenumber").cast("string"), 2, "0").alias("icdcm_number"),
+    )
+    header = o.select(
+        F.col("o_orderkey").alias("claim_header_id"),
+        (F.col("o_orderkey") % 6).cast("int").alias("claim_type_id"),
+    )
+    ref = spark.range(50).select(
+        F.format_string("C%03d", F.col("id")).alias("icdcm"),
+        F.lit(10).alias("icdcm_version"),
+        *[
+            F.when(F.col("id") % 7 == i, 1).otherwise(0).alias(f"ccw_c{i}")
+            for i in range(5)
+        ],
+    )
+    cfg = [
+        {"ccw_abbrev": f"ccw_c{i}", "dx_fields": "any", "claim_type_1": "1",
+         "claim_type_2": "2;3", "condition_type": 2, "lookback_months": 12}
+        for i in range(5)
+    ]
+    ccw = build_claim_ccw(icdcm, header, ref, cfg)
+    plan = _plan(ccw)
+    # one scan of lineitem (the dx fact) regardless of condition count
+    assert plan.count("lineitem.parquet") == 1, plan
