@@ -2014,6 +2014,132 @@ FROM kept GROUP BY id_mcaid
 
 
 # ---------------------------------------------------------------------------
+# APCD claim_header ED-episode path (load_stage.apcd_claim_header.R:
+# 74-148 flags, 984-1018 Yale 1-day episode clustering) on synthetic
+# APCD claims carved from orders/lineitem
+# ---------------------------------------------------------------------------
+
+def q_apcd_ed_episode(spark, sf_dir):
+    """Full builder run: denied-claim exclusion -> line/procedure
+    rollups -> kc claim-type crosswalk -> Yale ED flag trio +
+    ED-perform -> 1-day episode clustering -> globally dense
+    ed_pophealth_id (two-phase ranking, not a single-partition
+    DENSE_RANK)."""
+    from claims_data_spark.tables.apcd import build_apcd_claim_header
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    d = F.col("o_orderdate").cast("date")
+    hdr = o.select(
+        F.col("o_custkey").alias("internal_member_id"),
+        F.col("o_orderkey").alias("medical_claim_header_id"),
+        F.lit(1).cast("long").alias("product_code_id"),
+        d.alias("first_service_dt"),
+        d.alias("last_service_dt"),
+        d.alias("first_paid_dt"),
+        d.alias("last_paid_dt"),
+        F.col("o_totalprice").cast("decimal(19,2)").alias("charge_amt"),
+        F.lit("P").alias("header_status"),
+        F.lit(None).cast("string").alias("type_of_bill_code"),
+        (F.col("o_orderkey") % 3).cast("string").alias("claim_type_id"),
+        F.lit("S").alias("type_of_setting_id"),
+        F.lit("1").alias("place_of_setting_id"),
+        F.when(F.col("o_orderkey") % 11 == 0, "Y").otherwise("N").alias(
+            "emergency_room_flag"
+        ),
+        F.when(F.col("o_orderkey") % 13 == 0, "Y").otherwise("N").alias(
+            "denied_header_flag"
+        ),
+        F.lit("N").alias("orphaned_header_flag"),
+    )
+    line = li.select(
+        F.col("l_orderkey").alias("claim_header_id"),
+        F.col("l_shipdate").cast("date").alias("discharge_date"),
+        F.when(F.col("l_linenumber") % 4 == 0, "23").otherwise("11").alias(
+            "place_of_service_code"
+        ),
+        F.when(F.col("l_partkey") % 9 == 0, "0450")
+        .when(F.col("l_partkey") % 9 == 1, "0981")
+        .otherwise("0300")
+        .alias("revenue_code"),
+    )
+    px = li.select(
+        F.col("l_orderkey").alias("claim_header_id"),
+        F.when(F.col("l_suppkey") % 17 == 0, "99284").otherwise("87070").alias(
+            "procedure_code"
+        ),
+    )
+    icd = o.select(
+        F.col("o_custkey").alias("id_apcd"),
+        F.col("o_orderkey").alias("claim_header_id"),
+        F.lit("25000").alias("icdcm_norm"),
+        F.lit(9).alias("icdcm_version"),
+        F.lit("01").alias("icdcm_number"),
+    )
+    status = spark.createDataFrame(
+        [("P", 1)], "claim_status_code string, claim_status_id long"
+    )
+    xwalk = spark.createDataFrame(
+        [("apcd", "0.S.1", 1), ("apcd", "1.S.1", 4), ("apcd", "2.S.1", 5)],
+        "source_desc string, source_clm_type_id string, kc_clm_type_id int",
+    )
+    out = build_apcd_claim_header(
+        hdr, line, icd, px, ref_claim_status=status, ref_xwalk=xwalk
+    )
+    return out.filter(F.col("ed_pophealth_id").isNotNull()).select(
+        "claim_header_id", "id_apcd",
+        "ed_yale_carrier", "ed_yale_opt", "ed_yale_ipt", "ed_perform",
+        F.col("ed_pophealth_id").cast("long").alias("ed_pophealth_id"),
+    )
+
+
+SQL_APCD_ED_EPISODE = """
+WITH hdr AS (
+  SELECT o_custkey AS id_apcd, o_orderkey AS claim_header_id,
+         CAST(o_orderdate AS DATE) AS fsd,
+         CASE CAST(o_orderkey % 3 AS INT) WHEN 0 THEN 1 WHEN 1 THEN 4 ELSE 5 END AS kc,
+         CASE WHEN o_orderkey % 11 = 0 THEN 1 ELSE 0 END AS ed_perform_temp
+  FROM orders WHERE o_orderkey % 13 <> 0
+), ln AS (
+  SELECT l_orderkey AS claim_header_id,
+         MAX(CASE WHEN l_linenumber % 4 = 0 THEN 1 ELSE 0 END) AS ed_pos,
+         MAX(CASE WHEN l_partkey % 9 IN (0,1) THEN 1 ELSE 0 END) AS ed_rev,
+         MAX(CASE WHEN l_suppkey % 17 = 0 THEN 1 ELSE 0 END) AS ed_px
+  FROM lineitem GROUP BY l_orderkey
+), flags AS (
+  SELECT h.id_apcd, h.claim_header_id, h.fsd,
+    CASE WHEN h.kc = 5 AND ((COALESCE(l.ed_px,0) = 1 AND COALESCE(l.ed_pos,0) = 1)
+                            OR COALESCE(l.ed_rev,0) = 1)
+         THEN 1 ELSE 0 END AS ed_yale_carrier,
+    CASE WHEN h.kc = 4 AND (COALESCE(l.ed_rev,0) = 1 OR COALESCE(l.ed_pos,0) = 1
+                            OR COALESCE(l.ed_px,0) = 1)
+         THEN 1 ELSE 0 END AS ed_yale_opt,
+    CASE WHEN h.kc = 1 AND (COALESCE(l.ed_rev,0) = 1 OR COALESCE(l.ed_pos,0) = 1
+                            OR COALESCE(l.ed_px,0) = 1)
+         THEN 1 ELSE 0 END AS ed_yale_ipt,
+    CASE WHEN h.ed_perform_temp = 1 AND h.kc = 4 THEN 1 ELSE 0 END AS ed_perform
+  FROM hdr h LEFT JOIN ln l USING (claim_header_id)
+), ed AS (
+  SELECT *, CASE
+      WHEN row_number() OVER w = 1 THEN 0
+      WHEN date_diff('day', lag(fsd) OVER w, fsd) <= 1 THEN 0
+      ELSE 1 END AS inc
+  FROM flags
+  WHERE ed_yale_carrier = 1 OR ed_yale_opt = 1 OR ed_yale_ipt = 1
+  WINDOW w AS (PARTITION BY id_apcd ORDER BY fsd, claim_header_id)
+), ep AS (
+  SELECT *, SUM(inc) OVER (PARTITION BY id_apcd ORDER BY fsd, claim_header_id
+                           ROWS UNBOUNDED PRECEDING) + 1 AS within_id
+  FROM ed
+)
+SELECT claim_header_id, id_apcd,
+  ed_yale_carrier, ed_yale_opt, ed_yale_ipt, ed_perform,
+  dense_rank() OVER (ORDER BY id_apcd, within_id) AS ed_pophealth_id
+FROM ep
+"""
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -2085,6 +2211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_distinct_rollup": q_sketch_distinct,
         "ngram_jaccard": q_ngram_jaccard,
         "ccw_two_claim": q_ccw_two_claim,
+        "apcd_ed_episode": q_apcd_ed_episode,
     }
 
 
@@ -2146,6 +2273,7 @@ def oracle_sql() -> dict[str, str]:
         "json_props": SQL_JSON_PROPS,
         "ngram_jaccard": SQL_NGRAM_JACCARD,
         "ccw_two_claim": SQL_CCW_TWO_CLAIM,
+        "apcd_ed_episode": SQL_APCD_ED_EPISODE,
         # minhash_near_dup / simhash_near_dup / knn_ivf /
         # sketch_distinct_rollup: rows-only (signature math and
         # approximate estimates are not SQL-expressible)

@@ -116,12 +116,20 @@ def minhash_near_dup_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     jaccard_threshold: float = 0.8,
+    eager_cleanup: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard >= threshold).
 
     Pipeline: shingle → minhash → band → self-equi-join on band bucket
     → exact Jaccard verification on the candidate pairs only (shingle
     sets re-joined from the docs; array_intersect/union are row-local).
+
+    ``eager_cleanup=True`` materializes the (small) pair output via
+    ``localCheckpoint`` and unpersists the signature cache before
+    returning — use in long-lived sessions / pipelines so repeated
+    calls don't accumulate cached partitions until LRU eviction. The
+    default keeps the plan fully lazy (caller owns the action and may
+    call ``.unpersist()`` on cached deps when done).
     """
     rows_per_band = num_hashes // bands
     with_sig = (
@@ -162,6 +170,10 @@ def minhash_near_dup_pairs(
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
     )
+    if eager_cleanup:
+        out = verified.localCheckpoint(eager=True)
+        with_sig.unpersist()
+        return out
     return verified
 
 
@@ -173,11 +185,25 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     block_col: Column | None = None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity for all pairs within a blocking
-    key (default: first normalized word — cheap blocking so the
-    self-join is an equi-join, not cartesian)."""
+    """Exact n-gram Jaccard similarity for pairs within a blocking key.
+
+    With an explicit ``block_col`` the result is exact within blocks
+    (equi-join, never cartesian). Without one, blocking falls back to
+    MinHash bands (``minhash_near_dup_pairs`` with exact-Jaccard
+    verification): a first-word-style content key creates one
+    quadratic hot block on stopword-led corpora ("the ..." = 30% of
+    documents), while banded LSH spreads candidates across
+    (band_id, band_hash) buckets with a published recall contract
+    1-(1-s^r)^b — at threshold 0.5 with 16 hashes / 8 bands that is
+    ~0.9 recall and no skew: the scale-safe default.
+    """
+    if block_col is None:
+        return minhash_near_dup_pairs(
+            df, id_col, text_col, shingle_k=shingle_k,
+            num_hashes=16, bands=8, jaccard_threshold=threshold,
+        )
     t = F.col(text_col)
-    block = block_col if block_col is not None else _norm_words(t)[0]
+    block = block_col
     base = spread(
         df.select(F.col(id_col), t.alias(text_col), block.alias("_blk"))
     ).select(

@@ -30,6 +30,7 @@ def dense_global_id(
     out_col: str = "global_id",
     num_partitions: int | None = None,
     persist_input: bool = False,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Attach a globally dense 1-based id ordered by ``order_cols``.
 
@@ -38,9 +39,17 @@ def dense_global_id(
     collapsed episodes) whose upstream plan is expensive. Leave False
     for warehouse-scale inputs: caching 100 TB to save one columnar
     re-scan is a bad trade, and only the tiny ranked-key frame (always
-    persisted) must be stable for correctness."""
+    persisted) must be stable for correctness.
+
+    Long-lived sessions: every persisted frame (the ranked-key frame,
+    plus ``df`` under ``persist_input``) is appended to
+    ``cache_registry`` when one is passed — after materializing the
+    result, call ``.unpersist()`` on each to release executor memory
+    instead of waiting on LRU eviction."""
     if persist_input:
         df = df.persist()
+        if cache_registry is not None:
+            cache_registry.append(df)
     keys = df.select(*order_cols).distinct()
     if num_partitions:
         keys = keys.repartitionByRange(num_partitions, *order_cols)
@@ -52,6 +61,8 @@ def dense_global_id(
     # persist: the offsets collect below materializes the ranked keys;
     # without it the final join would recompute the distinct + window
     ranked = with_pid.withColumn("_rn", F.row_number().over(w_in)).persist()
+    if cache_registry is not None:
+        cache_registry.append(ranked)
 
     # Offsets: one row per partition — tiny, safe to collect.
     counts = (
@@ -72,5 +83,15 @@ def dense_global_id(
     )
     # plain shuffle join back to the rows: AQE converts it to broadcast
     # at runtime whenever the key->id map is under the threshold, so a
-    # driver-side size heuristic here would be redundant
-    return df.join(key_ids, order_cols)
+    # driver-side size heuristic here would be redundant. Null-safe
+    # equality: order_cols may legitimately contain nulls (e.g. the
+    # xwalk's optional match columns) and a null-unsafe equi-join would
+    # silently drop those rows.
+    aliased = key_ids.select(
+        *[F.col(c).alias(f"_key_{c}") for c in order_cols], out_col
+    )
+    cond = None
+    for c in order_cols:
+        clause = df[c].eqNullSafe(aliased[f"_key_{c}"])
+        cond = clause if cond is None else (cond & clause)
+    return df.join(aliased, cond).drop(*[f"_key_{c}" for c in order_cols])

@@ -61,25 +61,37 @@ def _fake_feature(content: bytes, dim: int = 8) -> list[float]:
 
 
 def extract_features(
-    media: DataFrame, mode: str = "deterministic_fake", dim: int = 8
+    media: DataFrame,
+    mode: str = "deterministic_fake",
+    dim: int = 8,
+    codec=None,
 ) -> DataFrame:
     """Feature-extraction stage over binary media columns.
 
     ``mapInPandas`` keeps the decode vectorized per Arrow batch; at
     scale, partition the media table by size bucket first so batches
     have uniform decode cost (skew in media size = skew in task time).
+
+    ``codec`` is the pluggable decode step: a picklable callable
+    ``(media_type: str, content: bytes) -> list[float]`` shipped to
+    executors inside the kernel closure. A PIL/ffmpeg-backed codec
+    plugs in here unchanged; tests inject a fake to exercise the
+    ``strict`` path. ``strict`` without a codec raises — the honest
+    stub, since this container has no media libraries.
     """
     if mode not in ("deterministic_fake", "strict"):
         raise ValueError(mode)
+    if mode == "strict" and codec is None:
+        raise NotImplementedError(
+            "media codecs (PIL/ffmpeg) are not installed in this "
+            "container; run with mode='deterministic_fake' or inject "
+            "codec=(media_type, content) -> list[float]"
+        )
+    if codec is None:
+        codec = lambda _mt, content: _fake_feature(content, dim)  # noqa: E731
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if mode == "strict":
-                raise NotImplementedError(
-                    "media codecs (PIL/ffmpeg) are not installed in this "
-                    "container; run with mode='deterministic_fake' or "
-                    "provide a codec-backed kernel"
-                )
             out = pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -88,7 +100,10 @@ def extract_features(
                     "content_sha": pdf["content"].map(
                         lambda b: hashlib.sha256(b or b"").hexdigest()
                     ),
-                    "feature": pdf["content"].map(lambda b: _fake_feature(b, dim)),
+                    "feature": [
+                        codec(mt, b)
+                        for mt, b in zip(pdf["media_type"], pdf["content"])
+                    ],
                 }
             )
             yield out
@@ -97,13 +112,19 @@ def extract_features(
 
 
 def frame_sample(
-    media: DataFrame, every_ms: int = 1000, mode: str = "deterministic_fake"
+    media: DataFrame,
+    every_ms: int = 1000,
+    mode: str = "deterministic_fake",
+    frame_codec=None,
 ) -> DataFrame:
     """Video frame-sampling stage: one output row per sampled frame.
 
     Stubbed like ``extract_features``: fake mode emits one row per
     ``every_ms`` of ``meta.duration_ms`` with a per-frame sha — the
     explode shape, schema, and partitioning are the real thing.
+    ``frame_codec`` is the pluggable seek+hash step
+    ``(content: bytes, ts_ms: int) -> str``; ``strict`` without one
+    raises.
     """
     schema = T.StructType(
         [
@@ -113,18 +134,20 @@ def frame_sample(
             T.StructField("frame_sha", T.StringType()),
         ]
     )
+    if mode == "strict" and frame_codec is None:
+        raise NotImplementedError("video codec unavailable; see extract_features")
+    if frame_codec is None:
+        frame_codec = lambda content, ts: hashlib.sha256(  # noqa: E731
+            (content or b"") + int(ts).to_bytes(8, "little")
+        ).hexdigest()
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if mode == "strict":
-                raise NotImplementedError("video codec unavailable; see extract_features")
             rows = []
             for _, r in pdf.iterrows():
                 dur = (r["meta"]["duration_ms"] or 0) if r["meta"] is not None else 0
                 for i, ts in enumerate(range(0, max(int(dur), 1), every_ms)):
-                    sha = hashlib.sha256(
-                        (r["content"] or b"") + ts.to_bytes(8, "little")
-                    ).hexdigest()
+                    sha = frame_codec(r["content"], ts)
                     rows.append((int(r["media_id"]), i, ts, sha))
             yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame_ts_ms", "frame_sha"])
 

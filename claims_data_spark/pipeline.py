@@ -19,13 +19,9 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 
 from claims_data_spark.qa import (
+    fused_table_qa,
     QaResult,
-    check_intervals_valid,
-    check_keys_unique,
-    check_no_overlap_within_person,
     check_referential,
-    check_event_id_single_person,
-    check_event_ids_dense,
     run_qa,
 )
 from claims_data_spark.tables.claim_children import (
@@ -91,19 +87,23 @@ def run_mcaid_pipeline(
                 raise AssertionError(f"QA FAIL {table}: {c[0]} ({c[2]})")
 
     demo = build_elig_demo(raw_elig)
-    gate("elig_demo", check_keys_unique(demo, ["id_mcaid"]))
+    gate("elig_demo", *fused_table_qa(demo, unique_keys=["id_mcaid"]))
 
     timevar = build_elig_timevar(raw_elig, ref_rac, ref_address, ref_geocode)
+    # one Spark action for the whole timevar gate (intervals + overlap)
     gate(
         "elig_timevar",
-        check_intervals_valid(timevar),
-        check_no_overlap_within_person(timevar, ["id_mcaid"]),
+        *fused_table_qa(
+            timevar,
+            interval_cols=("from_date", "to_date"),
+            overlap_ids=["id_mcaid"],
+        ),
     )
 
     elig_month = build_elig_month(timevar)
 
     line = build_claim_line(raw_claim)
-    gate("claim_line", check_keys_unique(line, ["claim_line_id"]))
+    gate("claim_line", *fused_table_qa(line, unique_keys=["claim_line_id"]))
     icdcm = build_claim_icdcm_header(raw_claim)
     procedure = build_claim_procedure(raw_claim)
     pharm = build_claim_pharm(raw_claim)
@@ -111,11 +111,16 @@ def run_mcaid_pipeline(
     header = build_claim_header(
         raw_claim, icdcm, ref_xwalk, ref_hedis, ref_telehealth, ref_icdcm
     )
+    # uniqueness + event-id invariants fused into one action; the
+    # referential check is inherently a join so it stays separate
     gate(
         "claim_header",
-        check_keys_unique(header, ["claim_header_id"]),
-        check_event_id_single_person(header, "ed_pophealth_id", "id_mcaid"),
-        check_event_ids_dense(header, "ed_pophealth_id"),
+        *fused_table_qa(
+            header,
+            unique_keys=["claim_header_id"],
+            event_id="ed_pophealth_id",
+            person_id="id_mcaid",
+        ),
         check_referential(
             header.select("id_mcaid"), timevar.select("id_mcaid"), ["id_mcaid"],
             name="claim-members-in-elig",

@@ -101,6 +101,111 @@ def check_rowcount_growth(
     return (name, ok, f"current={current} previous={previous}")
 
 
+def fused_table_qa(
+    df: DataFrame,
+    unique_keys: list[str] | None = None,
+    interval_cols: tuple[str, str] | None = None,
+    overlap_ids: list[str] | None = None,
+    event_id: str | None = None,
+    person_id: str | None = None,
+    extra_flags: dict[str, F.Column] | None = None,
+) -> list[QaResult]:
+    """Run every per-table invariant in ONE Spark action.
+
+    The per-check helpers above each trigger 1-2 jobs; a 5-check gate
+    on a warehouse-scale table becomes ~8 full scans. This fuses them:
+    row-local violations become flag columns, per-person overlap and
+    per-event single-person become window flags (each window shares or
+    adds one shuffle, not one scan), and everything collapses in a
+    single ``agg`` — count, countDistinct on keys, sums of violation
+    flags (reference QA suites: ``qa_stage.mcaid_elig_timevar.R``,
+    ``load_stage.apcd_claim_header.R:964-1253``).
+
+    ``extra_flags`` maps check name -> boolean VIOLATION predicate
+    evaluated per row in the same pass (the predicate may reference
+    window-derived columns the caller attached beforehand).
+    """
+    from pyspark.sql import Window
+
+    work = df
+    aggs = [F.count(F.lit(1)).alias("_total")]
+    if unique_keys:
+        aggs.append(
+            F.countDistinct(*[F.col(k) for k in unique_keys]).alias("_distinct_keys")
+        )
+    if interval_cols:
+        frm, to = interval_cols
+        work = work.withColumn(
+            "_iv_bad", (F.col(frm) > F.col(to)).cast("int")
+        )
+        aggs.append(F.sum("_iv_bad").alias("_iv_bad"))
+    if overlap_ids:
+        frm, to = interval_cols or ("from_date", "to_date")
+        w = Window.partitionBy(*overlap_ids).orderBy(frm)
+        work = work.withColumn(
+            "_ov_bad",
+            (F.lag(to).over(w) >= F.col(frm)).cast("int"),
+        )
+        aggs.append(F.sum(F.coalesce("_ov_bad", F.lit(0))).alias("_ov_bad"))
+    if event_id and person_id:
+        we = Window.partitionBy(event_id)
+        work = work.withColumn(
+            "_ev_multi",
+            F.when(
+                F.col(event_id).isNotNull()
+                & (F.size(F.collect_set(person_id).over(we)) > 1),
+                1,
+            ).otherwise(0),
+        )
+        aggs.append(F.max("_ev_multi").alias("_ev_multi"))
+    if event_id:
+        nn = F.when(F.col(event_id).isNotNull(), F.col(event_id))
+        aggs += [
+            F.countDistinct(nn).alias("_ev_n"),
+            F.min(nn).alias("_ev_lo"),
+            F.max(nn).alias("_ev_hi"),
+        ]
+    for i, (fname, pred) in enumerate((extra_flags or {}).items()):
+        work = work.withColumn(f"_xf_{i}", pred.cast("int"))
+        aggs.append(F.sum(F.coalesce(f"_xf_{i}", F.lit(0))).alias(f"_xf_{i}"))
+
+    row = work.agg(*aggs).collect()[0]
+    out: list[QaResult] = []
+    if unique_keys:
+        out.append(
+            (
+                f"unique({','.join(unique_keys)})",
+                row["_total"] == row["_distinct_keys"],
+                f"total={row['_total']} distinct={row['_distinct_keys']}",
+            )
+        )
+    if interval_cols:
+        out.append(
+            ("intervals-valid", (row["_iv_bad"] or 0) == 0, f"violations={row['_iv_bad'] or 0}")
+        )
+    if overlap_ids:
+        out.append(
+            ("no-overlap", (row["_ov_bad"] or 0) == 0, f"violations={row['_ov_bad'] or 0}")
+        )
+    if event_id and person_id:
+        out.append(
+            (f"one-person({event_id})", (row["_ev_multi"] or 0) == 0,
+             f"multi-person-events={row['_ev_multi'] or 0}")
+        )
+    if event_id:
+        dense = row["_ev_n"] == 0 or (
+            row["_ev_lo"] == 1 and row["_ev_hi"] == row["_ev_n"]
+        )
+        out.append(
+            (f"dense({event_id})", bool(dense),
+             f"n={row['_ev_n']} lo={row['_ev_lo']} hi={row['_ev_hi']}")
+        )
+    for i, fname in enumerate(extra_flags or {}):
+        bad = row[f"_xf_{i}"] or 0
+        out.append((fname, bad == 0, f"violations={bad}"))
+    return out
+
+
 def run_qa(spark: SparkSession, checks: list[QaResult], table: str) -> DataFrame:
     """Collect results into a QA-log DataFrame (the reference writes
     PASS/FAIL rows into ``metadata.qa_mcaid``)."""

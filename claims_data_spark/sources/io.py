@@ -121,6 +121,7 @@ def update_columns(
     keys: list[str],
     updates: dict[str, str],
     only_when_null: bool = True,
+    assume_unique: bool = False,
 ) -> DataFrame:
     """UPDATE-from-join (the reference's ``elig_demo_extra`` step:
     ``master_mcaid_analytic.R:373-393`` updates demographic columns
@@ -129,14 +130,19 @@ def update_columns(
     ``updates`` maps target column -> evidence column. With
     ``only_when_null`` (the reference's behavior) evidence only fills
     gaps; otherwise evidence wins wherever present. Left join keeps
-    every target row; evidence must be unique per key (enforced — a
-    duplicate-evidence fan-out would silently multiply target rows).
+    every target row; evidence must be unique per key (enforced by an
+    eager scan at plan-build time — a duplicate-evidence fan-out would
+    silently multiply target rows). When uniqueness is already
+    guaranteed upstream (a groupBy/dedup just produced the evidence),
+    pass ``assume_unique=True`` to skip that extra full scan — at
+    warehouse scale the guard costs a blocking job per call.
     """
     ev_cols = list(dict.fromkeys(updates.values()))
     ev = evidence.select(*keys, *ev_cols)
-    dup = ev.groupBy(*keys).count().filter(F.col("count") > 1)
-    if dup.limit(1).count() > 0:
-        raise ValueError(f"evidence is not unique on {keys}")
+    if not assume_unique:
+        dup = ev.groupBy(*keys).count().filter(F.col("count") > 1)
+        if dup.limit(1).count() > 0:
+            raise ValueError(f"evidence is not unique on {keys}")
     renamed = ev.select(
         *keys, *[F.col(c).alias(f"_ev_{c}") for c in ev_cols]
     )

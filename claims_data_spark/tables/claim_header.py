@@ -91,9 +91,7 @@ def _line_flags(raw: DataFrame) -> DataFrame:
     )
 
 
-def _hedis_inpatient(
-    raw: DataFrame, ref_hedis: DataFrame, ref_xwalk: DataFrame | None
-) -> DataFrame:
+def _hedis_inpatient(raw: DataFrame, ref_hedis: DataFrame) -> DataFrame:
     """HEDIS inpatient stays: 'Inpatient Stay' rev-code claims EXCEPT
     nonacute (UBREV ∪ UBTOB) — the anti-join form of the reference's
     EXCEPT (``load_stage.mcaid_claim_header.R:321-354``)."""
@@ -239,7 +237,7 @@ def build_claim_header(
     out = hdr.join(_line_flags(raw), "claim_header_id", "left")
 
     if ref_hedis is not None:
-        out = out.join(_hedis_inpatient(raw, ref_hedis, ref_xwalk), "claim_header_id", "left")
+        out = out.join(_hedis_inpatient(raw, ref_hedis), "claim_header_id", "left")
     if ref_telehealth is not None:
         out = out.join(_telehealth(raw, ref_telehealth), "claim_header_id", "left")
     if ref_icdcm is not None:

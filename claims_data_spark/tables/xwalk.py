@@ -11,9 +11,10 @@ method, not the reference's 7-case row replication.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from claims_data_spark.operators.dense_id import dense_global_id
 from claims_data_spark.operators.intervals import resegment_overlaps
 
 
@@ -32,18 +33,24 @@ def build_xwalk(
     is the caller's choice of ``match_cols``.
     """
     joined = mcaid_persons.join(mcare_persons, list(match_cols), "full")
-    w = Window.orderBy(
+    # two-phase global dense ranking: an un-partitioned dense_rank
+    # funnels the whole person dimension through one task, which at an
+    # all-payer 100x person count is the single-task trap SCALE.md
+    # documents — dense_global_id ships only per-partition counts to
+    # the driver
+    keyed = joined.withColumn(
+        "_k0",
         F.coalesce(
             F.col("id_mcaid").cast("string"), F.col("id_mcare").cast("string")
         ),
-        *[F.col(c).cast("string") for c in match_cols],
     )
-    # dense id via the scalable two-phase pattern would be overkill for
-    # the person dimension (≪ fact scale); a plain dense_rank over the
-    # person table is the right size tradeoff, mirrored from the
-    # reference's KCMASTER_ID assignment
-    return joined.withColumn("id_apde", F.dense_rank().over(w)).select(
-        "id_apde", "id_mcaid", "id_mcare", *match_cols
+    return (
+        dense_global_id(
+            keyed,
+            ["_k0", *[str(c) for c in match_cols]],
+            out_col="id_apde",
+        )
+        .select("id_apde", "id_mcaid", "id_mcare", *match_cols)
     )
 
 

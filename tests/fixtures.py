@@ -203,3 +203,139 @@ def ref_address(spark):
         "geo_hash_geocode string, geo_id20_county string, geo_id20_tract string, geo_id20_hra string",
     )
     return clean, geocode
+
+
+# --- APCD claim-side fixtures (load_stage.apcd_claim_header.R) ---------------
+
+APCD_HEADER_SCHEMA = (
+    "internal_member_id long, medical_claim_header_id long, product_code_id long, "
+    "first_service_dt date, last_service_dt date, first_paid_dt date, "
+    "last_paid_dt date, charge_amt decimal(19,2), header_status string, "
+    "type_of_bill_code string, claim_type_id string, type_of_setting_id string, "
+    "place_of_setting_id string, emergency_room_flag string, "
+    "denied_header_flag string, orphaned_header_flag string, "
+    "inpatient_acute_flag int, telehealth_flag int"
+)
+
+
+def raw_apcd_claim_header(spark):
+    from decimal import Decimal
+
+    c = Decimal("100.00")
+    rows = [
+        # person 101: ED facility visits d0, d0+1 (one episode), d0+3 (new
+        # episode); outpatient kc type 4 via '2.3.1'; h1 also ED-perform
+        (101, 1, 10, d("2019-03-01"), d("2019-03-01"), d("2019-03-10"), d("2019-03-10"), c, "P", "0131", "2", "3", "1", "Y", "N", "N", 0, 0),
+        (101, 2, 10, d("2019-03-02"), d("2019-03-02"), d("2019-03-11"), d("2019-03-11"), c, "P", "0131", "2", "3", "1", "N", "N", "N", 0, 0),
+        (101, 3, 10, d("2019-03-04"), d("2019-03-04"), d("2019-03-12"), d("2019-03-12"), c, "P", "0131", "2", "3", "1", "N", "N", "N", 0, 0),
+        # person 101: inpatient stay '1.1.1' with discharge -> inpatient_id
+        (101, 4, 10, d("2019-05-01"), d("2019-05-05"), d("2019-05-15"), d("2019-05-15"), c, "P", "0111", "1", "1", "1", "N", "N", "N", 1, 0),
+        # person 102: carrier ED ('3.2.5' kc 5): px 99284 + POS 23 line
+        (102, 5, 11, d("2019-04-10"), d("2019-04-10"), d("2019-04-20"), d("2019-04-20"), c, "P", None, "3", "2", "5", "N", "N", "N", 0, 0),
+        # person 102: primary-care visit (99213 + taxonomy match)
+        (102, 6, 11, d("2019-06-15"), d("2019-06-15"), d("2019-06-25"), d("2019-06-25"), c, "P", None, "2", "3", "1", "N", "N", "N", 0, 0),
+        # denied claim (excluded); sentinel place-of-setting
+        (102, 7, 11, d("2019-07-01"), d("2019-07-01"), d("2019-07-05"), d("2019-07-05"), c, "P", None, "2", "3", "-1", "N", "Y", "N", 0, 0),
+        # person 102: injury claim (T-poisoning primary + secondary F329)
+        (102, 8, -1, d("2019-08-20"), d("2019-08-20"), d("2019-08-30"), d("2019-08-30"), c, "S", "-2", "2", "3", "1", "N", "N", "N", 0, 0),
+    ]
+    return spark.createDataFrame(rows, APCD_HEADER_SCHEMA)
+
+
+def raw_apcd_claim_line(spark):
+    rows = [
+        (1, d("2019-03-01"), "23", "0450"),
+        (2, None, None, "0451"),
+        (3, None, None, "0456"),
+        (4, d("2019-05-05"), "21", "0100"),
+        (5, None, "23", None),
+        (6, None, "11", None),
+        (8, None, "11", None),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "claim_header_id long, discharge_date date, "
+        "place_of_service_code string, revenue_code string",
+    )
+
+
+def raw_apcd_claim_icdcm(spark):
+    rows = [
+        (101, 1, "25000", 9, "01"),
+        (101, 4, "25000", 9, "01"),
+        (102, 5, "F329", 10, "01"),
+        (102, 6, "Z000", 10, "01"),
+        # h8: poisoning nature code (injury) + secondary MH dx
+        (102, 8, "T402X1A", 10, "01"),
+        (102, 8, "F329", 10, "02"),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "id_apcd long, claim_header_id long, icdcm_norm string, "
+        "icdcm_version int, icdcm_number string",
+    )
+
+
+def raw_apcd_claim_procedure(spark):
+    rows = [(5, "99284"), (6, "99213"), (8, "99215")]
+    return spark.createDataFrame(rows, "claim_header_id long, procedure_code string")
+
+
+def raw_apcd_claim_provider(spark):
+    rows = [(6, "rendering", 9001), (5, "billing", 9002)]
+    return spark.createDataFrame(
+        rows, "claim_header_id long, provider_type string, provider_id_apcd long"
+    )
+
+
+def ref_apcd_provider_npi(spark):
+    return spark.createDataFrame(
+        [(9001, 555), (9002, 556)], "provider_id_apcd long, npi long"
+    )
+
+
+def ref_kc_provider_master(spark):
+    return spark.createDataFrame(
+        [(555, "208D00000X", None), (556, "101Y00000X", None)],
+        "npi long, primary_taxonomy string, secondary_taxonomy string",
+    )
+
+
+def ref_apcd_claim_status(spark):
+    return spark.createDataFrame(
+        [("P", 1), ("S", 2), ("D", 90)],
+        "claim_status_code string, claim_status_id long",
+    )
+
+
+def ref_kc_claim_type_xwalk_apcd(spark):
+    rows = [
+        ("apcd", "1.1.1", 1),
+        ("apcd", "2.3.1", 4),
+        ("apcd", "3.2.5", 5),
+    ]
+    return spark.createDataFrame(
+        rows, "source_desc string, source_clm_type_id string, kc_clm_type_id int"
+    )
+
+
+def ref_pc_visit_oregon(spark):
+    rows = [
+        ("99213", "cpt"), ("Z000", "icd10cm"), ("208D00000X", "provider_taxonomy"),
+    ]
+    return spark.createDataFrame(rows, "code string, code_system string")
+
+
+def ref_icdcm_codes_apcd(spark):
+    """Extends the shared ICD master with APCD-test rows: the
+    T-poisoning prefix carries intent/mechanism (cause-of-injury ref)
+    and Z000 for the PC-visit zcode path."""
+    base = ref_icdcm_codes(spark)
+    extra = spark.createDataFrame(
+        [
+            ("T402", 10, "Poisoning by methadone", 0, 0, 0, "unintentional", "poisoning", 0, 0, 0),
+            ("Z000", 10, "General adult medical exam", 1, 0, 0, None, None, 0, 0, 0),
+        ],
+        base.schema,
+    )
+    return base.unionByName(extra)

@@ -151,6 +151,42 @@ def test_multimodal_strict_raises(spark):
         extract_features(media, mode="strict").collect()
 
 
+def test_multimodal_strict_with_injected_codec(spark):
+    """strict mode works end-to-end once a codec is plugged in — the
+    stub gates only the missing library, not the plumbing."""
+
+    def _toy_codec(media_type, content):
+        # stand-in for a PIL/ffmpeg-backed decoder: type-tagged
+        # constant + byte length, proving it ran on the executor
+        # (local def: cloudpickle ships it by value, so executors
+        # don't need the test module importable)
+        return [float(len(content or b"")), 1.0 if media_type == "image" else 0.0]
+
+    media = spark.createDataFrame(
+        [
+            (1, "image", bytearray(b"abcd"), ("image/png", 1, 1, None)),
+            (2, "audio", bytearray(b"xy"), ("audio/wav", None, None, 10)),
+        ],
+        "media_id long, media_type string, content binary, "
+        "meta struct<mime:string,width:int,height:int,duration_ms:int>",
+    )
+    out = {r["media_id"]: r for r in
+           extract_features(media, mode="strict", codec=_toy_codec).collect()}
+    assert out[1]["feature"] == [4.0, 1.0]
+    assert out[2]["feature"] == [2.0, 0.0]
+
+    vid = spark.createDataFrame(
+        [(9, "video", bytearray(b"mp4"), ("video/mp4", None, None, 2500))],
+        "media_id long, media_type string, content binary, "
+        "meta struct<mime:string,width:int,height:int,duration_ms:int>",
+    )
+    frames = frame_sample(
+        vid, every_ms=1000, mode="strict",
+        frame_codec=lambda content, ts: f"f{ts}",
+    ).collect()
+    assert [f["frame_sha"] for f in frames] == ["f0", "f1000", "f2000"]
+
+
 def test_incremental_merge_semantics(spark, tmp_path):
     from claims_data_spark.sources.io import incremental_merge, write_table
 
