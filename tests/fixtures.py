@@ -339,3 +339,90 @@ def ref_icdcm_codes_apcd(spark):
         base.schema,
     )
     return base.unionByName(extra)
+
+
+# --- Medicare + combined fixtures (load_stage.mcare_claim_header.R,
+#     load_stage.mcaid_mcare_claim_header.R) --------------------------------
+
+def raw_mcare_claim_header(spark):
+    rows = [
+        # person M1: outpatient ED visits d0 and d0+1 (one episode);
+        # '40' -> kc 4 via xwalk
+        ("M1", "C-1001", "40", "outpatient", d("2017-01-06"), d("2017-01-06"), "01"),
+        ("M1", "C-1002", "40", "outpatient", d("2017-01-07"), d("2017-01-07"), "01"),
+        # person M1: inpatient stay type 60 -> kc 1
+        ("M1", "C-1003", "60", "inpatient", d("2017-02-01"), d("2017-02-05"), "01"),
+        # person M2: carrier ED (type 71 -> kc 5): px+pos path
+        ("M2", "C-2001", "71", "carrier", d("2017-03-10"), d("2017-03-10"), "01"),
+        # person M2: PC visit (99213 + taxonomy)
+        ("M2", "C-2002", "71", "carrier", d("2017-04-02"), d("2017-04-02"), "01"),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "id_mcare string, claim_header_id string, claim_type_mcare_id string, "
+        "filetype_mcare string, first_service_date date, last_service_date date, "
+        "patient_status_code string",
+    )
+
+
+def raw_mcare_claim_line(spark):
+    rows = [
+        ("C-1001", None, None, "0450"),
+        ("C-1002", None, None, "0451"),
+        ("C-1003", d("2017-02-05"), "21", "0100"),
+        ("C-2001", None, "23", None),
+        ("C-2002", None, "11", None),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "claim_header_id string, discharge_date date, "
+        "place_of_service_code string, revenue_code string",
+    )
+
+
+def raw_mcare_claim_icdcm(spark):
+    rows = [
+        ("C-1001", "25000", 9, "01"),
+        ("C-1003", "25000", 9, "01"),
+        ("C-2001", "F329", 10, "01"),
+        ("C-2002", "Z000", 10, "01"),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "claim_header_id string, icdcm_norm string, icdcm_version int, "
+        "icdcm_number string",
+    )
+
+
+def raw_mcare_claim_procedure(spark):
+    rows = [("C-2001", "99284"), ("C-2002", "99213")]
+    return spark.createDataFrame(
+        rows, "claim_header_id string, procedure_code string"
+    )
+
+
+def raw_mcare_claim_provider(spark):
+    return spark.createDataFrame(
+        [("C-2002", "rendering", 555)],
+        "claim_header_id string, provider_type string, provider_npi long",
+    )
+
+
+def ref_kc_claim_type_xwalk_mcare(spark):
+    rows = [("mcare", "40", 4), ("mcare", "60", 1), ("mcare", "71", 5)]
+    return spark.createDataFrame(
+        rows, "source_desc string, source_clm_type_id string, kc_clm_type_id int"
+    )
+
+
+def xwalk_apde_mcaid_mcare(spark):
+    # p1 (Medicaid) and M1 (Medicare) are the SAME person (id_apde 1)
+    rows = [
+        (1, "p1", "M1"),
+        (2, "p2", None),
+        (3, "p3", None),
+        (4, None, "M2"),
+    ]
+    return spark.createDataFrame(
+        rows, "id_apde long, id_mcaid string, id_mcare string"
+    )

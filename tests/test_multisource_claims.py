@@ -1,0 +1,109 @@
+"""Medicare claim_header + the combined mcaid_mcare layer: dual-source
+union through the person crosswalk, cross-source event-id re-minting,
+and the cross-source Yale ED episode merge
+(``load_stage.mcare_claim_header.R``,
+``load_stage.mcaid_mcare_claim_header.R``)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import tests.fixtures as fx
+from claims_data_spark.qa import fused_table_qa
+from claims_data_spark.tables.claim_children import build_claim_icdcm_header
+from claims_data_spark.tables.claim_header import build_claim_header
+from claims_data_spark.tables.mcare import (
+    build_mcaid_mcare_claim_header,
+    build_mcare_claim_header,
+)
+
+
+@pytest.fixture(scope="module")
+def mcare_header(spark):
+    return build_mcare_claim_header(
+        fx.raw_mcare_claim_header(spark),
+        fx.raw_mcare_claim_line(spark),
+        fx.raw_mcare_claim_icdcm(spark),
+        fx.raw_mcare_claim_procedure(spark),
+        ref_xwalk=fx.ref_kc_claim_type_xwalk_mcare(spark),
+        ref_pc_oregon=fx.ref_pc_visit_oregon(spark),
+        provider=fx.raw_mcare_claim_provider(spark),
+        ref_provider_master=fx.ref_kc_provider_master(spark),
+    ).cache()
+
+
+@pytest.fixture(scope="module")
+def mcaid_header(spark):
+    raw = fx.raw_mcaid_claim(spark)
+    icdcm = build_claim_icdcm_header(raw)
+    return build_claim_header(
+        raw, icdcm,
+        ref_xwalk=fx.ref_claim_type_xwalk(spark),
+        ref_hedis=fx.ref_hedis(spark),
+        ref_telehealth=fx.ref_telehealth(spark),
+        ref_icdcm=fx.ref_icdcm_codes(spark),
+    ).cache()
+
+
+@pytest.fixture(scope="module")
+def combined(spark, mcaid_header, mcare_header):
+    return build_mcaid_mcare_claim_header(
+        mcaid_header, mcare_header, fx.xwalk_apde_mcaid_mcare(spark)
+    ).cache()
+
+
+def test_mcare_flags_and_event_ids(mcare_header):
+    rows = {r["claim_header_id"]: r for r in mcare_header.collect()}
+    assert rows["C-1001"]["ed_yale_opt"] == 1
+    assert rows["C-1001"]["ed_perform"] == 1
+    assert rows["C-1003"]["inpatient"] == 1 and rows["C-1003"]["inpatient_id"] == 1
+    assert rows["C-2001"]["ed_yale_carrier"] == 1
+    assert rows["C-2002"]["pc_visit"] == 1 and rows["C-2002"]["pc_visit_id"] == 1
+    # 1-day merge within Medicare alone
+    assert rows["C-1001"]["ed_pophealth_id"] == rows["C-1002"]["ed_pophealth_id"] == 1
+    assert rows["C-2001"]["ed_pophealth_id"] == 2
+
+
+def test_combined_cross_source_episode_merge(combined):
+    rows = {
+        (r["source_desc"], r["claim_header_id"]): r for r in combined.collect()
+    }
+    # id_apde 1 = Medicaid p1 + Medicare M1. ED dates: mcaid 1/5, 1/6,
+    # 1/8; mcare 1/6, 1/7 — the Medicare visits BRIDGE the mcaid gap
+    # (1/6 -> 1/7 -> 1/8), so all five claims form ONE episode.
+    eps = {
+        rows[("mcaid", "1")]["ed_pophealth_id"],
+        rows[("mcaid", "2")]["ed_pophealth_id"],
+        rows[("mcaid", "3")]["ed_pophealth_id"],
+        rows[("mcare", "C-1001")]["ed_pophealth_id"],
+        rows[("mcare", "C-1002")]["ed_pophealth_id"],
+    }
+    assert eps == {1}
+    assert rows[("mcare", "C-2001")]["ed_pophealth_id"] == 2
+    # id_apde carried through the xwalk on both sides
+    assert rows[("mcaid", "1")]["id_apde"] == 1
+    assert rows[("mcare", "C-1001")]["id_apde"] == 1
+    assert rows[("mcare", "C-2001")]["id_apde"] == 4
+
+
+def test_combined_inpatient_remint_across_sources(combined):
+    rows = {
+        (r["source_desc"], r["claim_header_id"]): r for r in combined.collect()
+    }
+    # person 1 has an mcare discharge 2017-02-05 and an mcaid discharge
+    # 2017-02-14 -> two distinct dense inpatient ids, ordered by date
+    assert rows[("mcare", "C-1003")]["inpatient_id"] == 1
+    assert rows[("mcaid", "4")]["inpatient_id"] == 2
+
+
+def test_combined_event_ids_single_person_across_sources(combined):
+    for ev in ("ed_pophealth_id", "inpatient_id", "ed_perform_id", "pc_visit_id"):
+        checks = fused_table_qa(combined, event_id=ev, person_id="id_apde")
+        one_person = [c for c in checks if c[0].startswith("one-person")][0]
+        assert one_person[1], (ev, one_person)
+    # combined keys stay unique per (source, claim)
+    checks = fused_table_qa(
+        combined, unique_keys=["source_desc", "claim_header_id"]
+    )
+    assert checks[0][1], checks
