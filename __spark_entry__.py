@@ -2140,6 +2140,110 @@ FROM ep
 
 
 # ---------------------------------------------------------------------------
+# FUH follow-up measure (sp_perf_fuh_join_step.sql): roll-forward to
+# the last MH readmission, readmit exclusion, day-after FU windows —
+# on index stays carved from orders
+# ---------------------------------------------------------------------------
+
+def q_fuh_followup(spark, sf_dir):
+    from claims_data_spark.tables.perf import fuh_measure
+
+    o = _t(spark, sf_dir, "orders")
+    dd = F.col("o_orderdate").cast("date")
+    epoch_day = F.datediff(dd, F.lit("1970-01-01").cast("date"))
+    idx = o.filter(F.col("o_orderkey") % 5 == 0).select(
+        F.col("o_custkey").alias("id_mcaid"),
+        F.col("o_orderkey").alias("claim_header_id"),
+        F.date_sub(dd, 3).alias("admit_date"),
+        dd.alias("discharge_date"),
+    )
+    # claim id functionally determined by (person, discharge) so the
+    # roll-forward pick is deterministic under date ties
+    mh = o.filter(F.col("o_orderkey") % 9 == 0).select(
+        F.col("o_custkey").alias("id_mcaid"),
+        (F.col("o_custkey") * 100000 + epoch_day).alias("claim_header_id"),
+        F.date_sub(dd, 2).alias("admit_date"),
+        dd.alias("discharge_date"),
+    ).distinct()
+    readmits = o.filter(F.col("o_orderkey") % 11 == 0).select(
+        F.col("o_custkey").alias("id_mcaid"), dd.alias("admit_date")
+    )
+    fu = o.filter(F.col("o_orderkey") % 4 == 0).select(
+        F.col("o_custkey").alias("id_mcaid"),
+        dd.alias("service_date"),
+        F.when(F.col("o_orderkey") % 8 == 0, "Y").otherwise("N").alias(
+            "only_30_day_fu"
+        ),
+    )
+    out = fuh_measure(idx, mh, readmits, fu, "1995-01-01", "1996-12-31")
+    return out.select(
+        "id_mcaid", "claim_header_id",
+        F.col("admit_date").cast("string").alias("admit_date"),
+        F.col("discharge_date").cast("string").alias("discharge_date"),
+        "follow_up_7_day", "follow_up_30_day", "need_1_month_coverage",
+    )
+
+
+SQL_FUH_FOLLOWUP = """
+WITH idx0 AS (
+  SELECT o_custkey AS id, o_orderkey AS claim,
+         CAST(o_orderdate AS DATE) - 3 AS admit, CAST(o_orderdate AS DATE) AS dis
+  FROM orders
+  WHERE o_orderkey % 5 = 0
+    AND CAST(o_orderdate AS DATE) BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
+), mh AS (
+  SELECT DISTINCT o_custkey AS id,
+         o_custkey * 100000 + date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS claim,
+         CAST(o_orderdate AS DATE) - 2 AS admit, CAST(o_orderdate AS DATE) AS dis
+  FROM orders
+  WHERE o_orderkey % 9 = 0
+    AND CAST(o_orderdate AS DATE) BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
+), readmits AS (
+  SELECT o_custkey AS id, CAST(o_orderdate AS DATE) AS admit
+  FROM orders WHERE o_orderkey % 11 = 0
+), fu AS (
+  SELECT o_custkey AS id, CAST(o_orderdate AS DATE) AS d,
+         CASE WHEN o_orderkey % 8 = 0 THEN 'Y' ELSE 'N' END AS only_30
+  FROM orders
+  WHERE o_orderkey % 4 = 0
+    AND CAST(o_orderdate AS DATE) BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
+), rolled0 AS (
+  SELECT a.id, a.claim, a.admit, a.dis,
+    (SELECT MAX(m.dis) FROM mh m
+     WHERE m.id = a.id AND m.dis > a.dis AND m.dis <= a.dis + 30) AS bdis
+  FROM idx0 a
+), rolled AS (
+  SELECT DISTINCT id,
+    CASE WHEN bdis IS NOT NULL
+         THEN id * 100000 + date_diff('day', DATE '1970-01-01', bdis)
+         ELSE claim END AS claim_header_id,
+    CASE WHEN bdis IS NOT NULL THEN bdis - 2 ELSE admit END AS admit_date,
+    COALESCE(bdis, dis) AS discharge_date
+  FROM rolled0
+), kept AS (
+  SELECT * FROM rolled r
+  WHERE NOT EXISTS (
+    SELECT 1 FROM readmits x
+    WHERE x.id = r.id
+      AND x.admit >= r.discharge_date + 1 AND x.admit <= r.discharge_date + 30)
+)
+SELECT k.id AS id_mcaid, k.claim_header_id,
+  CAST(k.admit_date AS VARCHAR) AS admit_date,
+  CAST(k.discharge_date AS VARCHAR) AS discharge_date,
+  CASE WHEN EXISTS (SELECT 1 FROM fu f WHERE f.id = k.id AND f.only_30 = 'N'
+       AND f.d >= k.discharge_date + 1 AND f.d <= k.discharge_date + 7)
+       THEN 1 ELSE 0 END AS follow_up_7_day,
+  CASE WHEN EXISTS (SELECT 1 FROM fu f WHERE f.id = k.id
+       AND f.d >= k.discharge_date + 1 AND f.d <= k.discharge_date + 30)
+       THEN 1 ELSE 0 END AS follow_up_30_day,
+  CASE WHEN day(k.discharge_date) = 1
+        AND month(k.discharge_date) IN (1, 3, 5, 7, 8, 10, 12)
+       THEN 1 ELSE 0 END AS need_1_month_coverage
+FROM kept k
+"""
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -2212,6 +2316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "ccw_two_claim": q_ccw_two_claim,
         "apcd_ed_episode": q_apcd_ed_episode,
+        "fuh_followup": q_fuh_followup,
     }
 
 
@@ -2274,6 +2379,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": SQL_NGRAM_JACCARD,
         "ccw_two_claim": SQL_CCW_TWO_CLAIM,
         "apcd_ed_episode": SQL_APCD_ED_EPISODE,
+        "fuh_followup": SQL_FUH_FOLLOWUP,
         # minhash_near_dup / simhash_near_dup / knn_ivf /
         # sketch_distinct_rollup: rows-only (signature math and
         # approximate estimates are not SQL-expressible)

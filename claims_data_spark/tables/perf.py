@@ -50,6 +50,7 @@ def follow_up_after_ed(
     header: DataFrame,
     follow_up_days: int = 30,
     id_col: str = "id_mcaid",
+    include_same_day: bool = True,
 ) -> DataFrame:
     """FUA/FUM-style measure component (reference:
     ``fn_perf_fua_ed_index_visit.sql`` + ``fn_perf_fum_follow_up_visit.sql``):
@@ -60,6 +61,12 @@ def follow_up_after_ed(
     follow-ups = non-ED primary-care/telehealth visits. The match is a
     forward as-of join per person — one shuffle on the id, no range
     join (``operators/asof.asof_join`` direction='forward').
+
+    Same-day semantics are measure-specific: FUA/FUM count a
+    follow-up ON the index date (``sp_perf_fua_join_step.sql:106`` —
+    BETWEEN last_service_date AND +N), the default here; FUH starts
+    the day after discharge — pass ``include_same_day=False`` for
+    that convention (or use ``fuh_measure`` for the full FUH rules).
     """
     from claims_data_spark.operators.asof import asof_join
 
@@ -68,6 +75,10 @@ def follow_up_after_ed(
         .groupBy(id_col, "ed_pophealth_id")
         .agg(F.max("first_service_date").alias("index_date"))
     )
+    if not include_same_day:
+        index_visits = index_visits.withColumn(
+            "_probe_date", F.date_add("index_date", 1)
+        )
     # telehealth_flag only exists when claim_header was built with the
     # telehealth ref; the measure degrades to pc visits without it
     qualifies = F.col("pc_visit_flag") == 1
@@ -81,11 +92,13 @@ def follow_up_after_ed(
         index_visits,
         follow_ups,
         [id_col],
-        left_ts="index_date",
+        left_ts="index_date" if include_same_day else "_probe_date",
         right_ts="fu_date",
         right_payload=["fu_date"],
         direction="forward",
     )
+    if not include_same_day:
+        matched = matched.drop("_probe_date")
     # forward as-of guarantees fu_date >= index_date when matched, and
     # a null fu_date null-propagates through datediff into otherwise(0)
     return matched.select(
@@ -130,4 +143,233 @@ def build_measure(
         id_col,
         F.coalesce("numerator", F.lit(0)).alias("numerator"),
         F.lit(1).alias("denominator"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# HEDIS follow-up measures: FUA / FUM / FUH
+# (create_stage.sp_perf_fua_join_step.sql, sp_perf_fum_join_step.sql,
+#  sp_perf_fuh_join_step.sql + fn_perf_fua_ed_index_visit_exclusion.sql)
+# ---------------------------------------------------------------------------
+
+def thin_events_greedy(
+    events: DataFrame,
+    id_cols: list[str],
+    date_col: str,
+    min_gap_days: int = 31,
+) -> DataFrame:
+    """Keep only events >= ``min_gap_days`` after the LAST KEPT event
+    per person — HEDIS's "if a member has more than one ED visit in a
+    31-day period, include only the first eligible ED visit".
+
+    The kept-set is defined recursively (each decision depends on the
+    previous KEPT date, not the previous row), which no fixed stack of
+    window functions can express — the reference runs a WHILE loop
+    re-windowing until fixpoint
+    (``fn_perf_fua_ed_index_visit_exclusion.sql:90-180``). Here it is
+    one Arrow-batched ``applyInPandas`` scan per person: a single
+    shuffle on the id, linear work per group, bounded memory (a
+    person's event count), no driver-side iteration.
+    """
+    import pandas as pd
+
+    out_schema = events.schema
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(date_col, kind="mergesort")
+        keep_idx, last_kept = [], None
+        for i, d in zip(pdf.index, pdf[date_col]):
+            if last_kept is None or (d - last_kept).days >= min_gap_days:
+                keep_idx.append(i)
+                last_kept = d
+        return pdf.loc[keep_idx]
+
+    return events.groupBy(*id_cols).applyInPandas(scan, schema=out_schema)
+
+
+def _flag_within(
+    index_df: DataFrame,
+    events: DataFrame,
+    id_col: str,
+    probe_date,
+    event_date: str,
+    max_days: int,
+    flag_col: str,
+    payload_extra: list[str] | None = None,
+) -> DataFrame:
+    """Forward as-of: earliest event with date >= probe; flag when it
+    falls within ``max_days`` days of the probe. One shuffle + one
+    window per call (never a range join)."""
+    from claims_data_spark.operators.asof import asof_join
+
+    probed = index_df.withColumn("_probe", probe_date)
+    matched = asof_join(
+        probed,
+        events.select(id_col, F.col(event_date).alias("_evt_date")),
+        [id_col],
+        left_ts="_probe",
+        right_ts="_evt_date",
+        right_payload=["_evt_date"],
+        direction="forward",
+    )
+    return matched.withColumn(
+        flag_col,
+        F.when(F.datediff("_evt_date", "_probe") <= max_days, 1).otherwise(0),
+    ).withColumn(
+        flag_col, F.coalesce(F.col(flag_col), F.lit(0))
+    ).drop("_probe", "_evt_date")
+
+
+def ed_followup_measure(
+    ed_visits: DataFrame,
+    inpatient_events: DataFrame,
+    follow_ups: DataFrame,
+    measurement_start: str,
+    measurement_end: str,
+    id_col: str = "id_mcaid",
+) -> DataFrame:
+    """FUA / FUM join step (the two sprocs differ only in which dx
+    value set selected ``ed_visits`` and which practitioner set feeds
+    ``follow_ups``; the join shape is identical).
+
+    - index visits: measurement-window ED visits thinned to the first
+      eligible per 31-day period, excluding visits with an inpatient
+      admission ON the visit date or within 30 days after
+    - follow-up windows are SAME-DAY INCLUSIVE: service_date BETWEEN
+      last_service_date AND +7 / +30 days
+      (``sp_perf_fua_join_step.sql:106-109`` — unlike FUH, which
+      starts at discharge + 1)
+
+    Inputs: ed_visits(id, claim_header_id, first_service_date,
+    last_service_date), inpatient_events(id, first_service_date),
+    follow_ups(id, service_date).
+    """
+    idx = ed_visits.filter(
+        F.col("first_service_date").between(measurement_start, measurement_end)
+    )
+    idx = thin_events_greedy(idx, [id_col], "first_service_date", 31)
+    idx = _flag_within(
+        idx,
+        inpatient_events.select(
+            id_col, F.col("first_service_date").alias("_ipt_date")
+        ),
+        id_col,
+        F.col("last_service_date"),
+        "_ipt_date",
+        30,
+        "inpatient_within_30_day",
+    ).filter(F.col("inpatient_within_30_day") == 0)
+
+    fu = follow_ups.filter(
+        F.col("service_date").between(measurement_start, measurement_end)
+    )
+    idx = _flag_within(
+        idx, fu, id_col, F.col("last_service_date"), "service_date", 7,
+        "follow_up_7_day",
+    )
+    idx = _flag_within(
+        idx, fu, id_col, F.col("last_service_date"), "service_date", 30,
+        "follow_up_30_day",
+    )
+    return idx.withColumn(
+        "need_1_month_coverage",
+        (
+            (F.dayofmonth("last_service_date") == 1)
+            & F.month("last_service_date").isin(1, 3, 5, 7, 8, 10, 12)
+        ).cast("int"),
+    )
+
+
+def fuh_measure(
+    index_stays: DataFrame,
+    mh_discharges: DataFrame,
+    readmits: DataFrame,
+    follow_ups: DataFrame,
+    measurement_start: str,
+    measurement_end: str,
+    id_col: str = "id_mcaid",
+) -> DataFrame:
+    """FUH join step (``sp_perf_fuh_join_step.sql:25-215``).
+
+    1. Roll-forward: an index discharge followed by a Mental Health
+       Diagnosis acute readmission within (d+1, d+30) takes the LAST
+       such discharge's claim details (backward as-of probed at d+30),
+       then collapses duplicates.
+    2. Exclusion: any ``readmits`` admission within (d+1, d+30) —
+       nonacute any-dx or acute non-MH-dx — drops the stay.
+    3. Follow-ups start the DAY AFTER discharge (d+1..d+7 / d+1..d+30;
+       FUH never counts same-day). TCM visits (only_30_day_fu='Y')
+       count only toward the 30-day flag.
+
+    Inputs: index_stays(id, claim_header_id, admit_date,
+    discharge_date), mh_discharges(same), readmits(id, admit_date),
+    follow_ups(id, service_date, only_30_day_fu).
+    """
+    from claims_data_spark.operators.asof import asof_join
+
+    idx = index_stays.filter(
+        F.col("discharge_date").between(measurement_start, measurement_end)
+    )
+    mh = mh_discharges.filter(
+        F.col("discharge_date").between(measurement_start, measurement_end)
+    ).select(
+        id_col,
+        F.col("claim_header_id").alias("_b_claim"),
+        F.col("admit_date").alias("_b_admit"),
+        F.col("discharge_date").alias("_b_discharge"),
+    )
+    probed = idx.withColumn("_probe", F.date_add("discharge_date", 30))
+    rolled = asof_join(
+        probed,
+        mh,
+        [id_col],
+        left_ts="_probe",
+        right_ts="_b_discharge",
+        right_payload=["_b_claim", "_b_admit", "_b_discharge"],
+        direction="backward",
+    )
+    take_b = F.col("_b_discharge") > F.col("discharge_date")
+    rolled = rolled.select(
+        F.col(id_col),
+        F.when(take_b, F.col("_b_claim")).otherwise(F.col("claim_header_id")).alias(
+            "claim_header_id"
+        ),
+        F.when(take_b, F.col("_b_admit")).otherwise(F.col("admit_date")).alias(
+            "admit_date"
+        ),
+        F.when(take_b, F.col("_b_discharge")).otherwise(
+            F.col("discharge_date")
+        ).alias("discharge_date"),
+    ).distinct()
+
+    # readmission/transfer exclusion over the rolled-forward discharge
+    rolled = _flag_within(
+        rolled.withColumn("_day1", F.date_add("discharge_date", 1)),
+        readmits.select(id_col, F.col("admit_date").alias("_re_admit")),
+        id_col,
+        F.col("_day1"),
+        "_re_admit",
+        29,  # (d+1) .. (d+30) == probe .. probe+29
+        "inpatient_within_30_day",
+    ).filter(F.col("inpatient_within_30_day") == 0).drop("_day1")
+
+    fu = follow_ups.filter(
+        F.col("service_date").between(measurement_start, measurement_end)
+    )
+    fu7 = fu.filter(F.col("only_30_day_fu") == "N")
+    rolled = rolled.withColumn("_day1", F.date_add("discharge_date", 1))
+    rolled = _flag_within(
+        rolled, fu7, id_col, F.col("_day1"), "service_date", 6,
+        "follow_up_7_day",
+    )
+    rolled = _flag_within(
+        rolled, fu, id_col, F.col("_day1"), "service_date", 29,
+        "follow_up_30_day",
+    )
+    return rolled.drop("_day1").withColumn(
+        "need_1_month_coverage",
+        (
+            (F.dayofmonth("discharge_date") == 1)
+            & F.month("discharge_date").isin(1, 3, 5, 7, 8, 10, 12)
+        ).cast("int"),
     )
