@@ -46,6 +46,10 @@ def claims_elig(
     timevar_values: list[str] | None = None,
     timevar_pct: list[str] | None = None,
     id_col: str = "id_mcaid",
+    ref_bsp_names: DataFrame | None = None,
+    ref_hra_names: DataFrame | None = None,
+    ref_county_names: DataFrame | None = None,
+    **named_filters: Any,
 ) -> DataFrame:
     """Eligibility cohort query (``R/claims_elig.R:159-1452``).
 
@@ -55,6 +59,18 @@ def claims_elig(
     sub-plans) plus, for each requested time-varying column, the
     most-person-time value over the window (the ``timevar_gen_sql``
     pattern, ``:788-881``).
+
+    Every reference named parameter (``:441-583``) is accepted as a
+    keyword — ``race_black=1``, ``race_me=["black", "multiple"]``,
+    ``lang_max=["SPANISH"]``, ``geo_kc_ever=1``, ... — scalars become
+    equality predicates and lists become case-insensitive IN, exactly
+    the reference's ``AND col = x`` / ``AND LOWER(col) IN (...)``
+    fragments; unknown names raise up front like the reference's
+    argument validation. The ``ref_*_names`` frames reproduce the
+    post-join name attachment (``:1408-1438``): bsp_group_cid ->
+    bsp_group_name, geo_hra_code -> geo_hra_name, geo_county_code ->
+    geo_county_name, each a broadcast left join when the code column
+    was requested via ``timevar_values``.
     """
     _validate_window(from_date, to_date)
     cov = coverage_stats(
@@ -73,8 +89,9 @@ def claims_elig(
         if age_max is not None:
             out = out.filter(F.col("age") <= age_max)
 
-    if demo_filters:
-        out = apply_filters(out, demo_filters)
+    all_filters = {**(demo_filters or {}), **named_filters}
+    if all_filters:
+        out = apply_filters(out, all_filters)
 
     # per-variable most-person-time subqueries (A5), overlap-clipped
     win_from, win_to = F.lit(from_date).cast("date"), F.lit(to_date).cast("date")
@@ -122,6 +139,18 @@ def claims_elig(
             ).alias(f"{var}_pct"),
         )
         out = out.join(pct, id_col, "left")
+
+    # name post-joins (R/claims_elig.R:1408-1438) — tiny reference
+    # dimensions, always broadcast
+    for ref, key, name_col in (
+        (ref_bsp_names, "bsp_group_cid", "bsp_group_name"),
+        (ref_hra_names, "geo_hra_code", "geo_hra_name"),
+        (ref_county_names, "geo_county_code", "geo_county_name"),
+    ):
+        if ref is not None and key in out.columns:
+            out = out.join(
+                F.broadcast(ref.select(key, name_col).distinct()), key, "left"
+            )
     return out
 
 

@@ -174,3 +174,42 @@ def test_perf_denominator_and_measure(spark, tables):
     rows = {r["id_mcaid"]: r for r in m}
     assert rows["p1"]["numerator"] == 1 and rows["p1"]["denominator"] == 1
     assert "p3" not in rows  # 1 enrolled month < 5
+
+
+def test_claims_elig_named_params_and_name_joins(spark, tables):
+    """Reference named-parameter surface (R/claims_elig.R:441-583) +
+    the bsp/county name post-joins (:1408-1438)."""
+    # scalar equality + case-insensitive IN, as direct keywords
+    cohort = claims_elig(
+        tables["demo"], tables["tv"],
+        from_date="2017-01-01", to_date="2017-06-30",
+        race_white=1,
+        race_me=["white"],
+        lang_english=1,
+    )
+    assert [r["id_mcaid"] for r in cohort.collect()] == ["p1"]
+
+    # unknown parameter fails fast like the reference's arg validation
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        claims_elig(
+            tables["demo"], tables["tv"],
+            from_date="2017-01-01", to_date="2017-06-30",
+            race_wite=1,
+        ).collect()
+
+    # bsp name post-join on the requested timevar code column
+    bsp_names = spark.createDataFrame(
+        [(10, "Standard"), (11, "Partial"), (12, "CHIP")],
+        "bsp_group_cid int, bsp_group_name string",
+    )
+    named = claims_elig(
+        tables["demo"], tables["tv"],
+        from_date="2017-01-01", to_date="2017-06-30",
+        timevar_values=["bsp_group_cid"],
+        ref_bsp_names=bsp_names,
+    )
+    rows = {r["id_mcaid"]: r for r in named.collect()}
+    assert rows["p1"]["bsp_group_name"] == "Standard"
+    assert rows["p3"]["bsp_group_name"] == "CHIP"

@@ -330,3 +330,48 @@ def test_bh_conditions_and_moud_asof(spark, raw_claim, icdcm):
     assert ("p3", "sud_opioid") not in got
     # p2 first encounter = NDC fill 02-20 (earliest across dx/rx/px)
     assert got[("p2", "sud_opioid")]["first_encounter_date"] == d("2017-02-20")
+
+
+def test_demo_full_race_language_surface(spark, raw_elig):
+    """Column parity with the reference's elig_demo schema
+    (load_stage.mcaid_elig_demo.R:235-437): alone-or-in-combination
+    ever flags, person-time _t percentages, mutually-exclusive race
+    categories, recent-month race, and unknown flags."""
+    demo = build_elig_demo(raw_elig)
+    expected = (
+        [f"race_{k}" for k in ("aian", "black", "asian", "nhpi", "white", "latino")]
+        + [f"race_{k}_t" for k in ("aian", "black", "asian", "nhpi", "white", "latino")]
+        + ["race_me", "race_eth_me", "race_recent", "race_eth_recent",
+           "race_unk", "race_eth_unk"]
+        + [f"lang_{k}" for k in (
+            "english", "spanish", "vietnamese", "chinese", "somali",
+            "russian", "arabic", "korean", "ukrainian", "amharic")]
+        + [f"lang_{k}_t" for k in (
+            "english", "spanish", "vietnamese", "chinese", "somali",
+            "russian", "arabic", "korean", "ukrainian", "amharic")]
+    )
+    missing = [c for c in expected if c not in demo.columns]
+    assert not missing, missing
+
+    rows = {r["id_mcaid"]: r for r in demo.collect()}
+    # p1: WHITE every month, ENGLISH both spoken+written
+    assert rows["p1"]["race_me"] == "White"
+    assert rows["p1"]["race_white"] == 1 and rows["p1"]["race_white_t"] == 100.0
+    assert rows["p1"]["race_unk"] == 0
+    assert rows["p1"]["lang_english"] == 1 and rows["p1"]["lang_english_t"] == 100.0
+    # p2: RACE1 OTHER -> NULL, RACE2 ASIAN; hispanic never reported so
+    # latino is NULL-months only -> race_latino_t is NULL, eth falls to
+    # the race cascade
+    assert rows["p2"]["race_me"] == "Asian"
+    assert rows["p2"]["race_eth_me"] == "Asian"
+    assert rows["p2"]["race_latino"] is None
+    assert rows["p2"]["race_latino_t"] is None
+    # p2 speaks Spanish + English across spoken/written fields
+    assert rows["p2"]["lang_spanish"] == 1 and rows["p2"]["lang_english"] == 1
+    # p3: BLACK + NOT HISPANIC (latino explicitly 0) + SOMALI
+    assert rows["p3"]["race_me"] == "Black"
+    assert rows["p3"]["race_latino"] == 0
+    assert rows["p3"]["race_eth_unk"] == 0
+    assert rows["p3"]["lang_somali"] == 1
+    assert rows["p3"]["lang_somali_t"] == 100.0
+    assert rows["p3"]["race_recent"] == "Black"
