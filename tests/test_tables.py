@@ -375,3 +375,50 @@ def test_demo_full_race_language_surface(spark, raw_elig):
     assert rows["p3"]["lang_somali"] == 1
     assert rows["p3"]["lang_somali_t"] == 100.0
     assert rows["p3"]["race_recent"] == "Black"
+
+
+def test_ccw_catalog_full_31_conditions(spark, icdcm, header):
+    """The shipped catalog carries all 31 reference conditions
+    (R/claims_condition.R:53-69) and drives the engine end-to-end:
+    conditions without a flag column in the ICD master are skipped,
+    single-inpatient-claim rules (type 1) and two-claim rules
+    (type 2) behave per config."""
+    from claims_data_spark.tables.ccw_catalog import (
+        CCW_CATALOG,
+        ccw_lookup_rows,
+    )
+
+    assert len(CCW_CATALOG) == 31
+    assert len({c["ccw_abbrev"] for c in CCW_CATALOG}) == 31
+    assert len({c["ccw_code"] for c in CCW_CATALOG}) == 31
+    # named-subset selection with reference-style validation
+    assert [c["ccw_abbrev"] for c in ccw_lookup_rows(["ccw_mi"])] == ["ccw_mi"]
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        ccw_lookup_rows(["ccw_nope"])
+
+    # synthetic flag matrix for a subset: mi (inpatient-only single
+    # claim) and hypertension (1 IP or 2 others)
+    ref = spark.createDataFrame(
+        [
+            # 25000 flags both conditions; 40190 hypertension only
+            ("25000", 9, 1, 1),
+            ("40190", 9, 0, 1),
+        ],
+        "icdcm string, icdcm_version int, ccw_mi int, ccw_hypertension int",
+    )
+    ccw = build_claim_ccw(
+        icdcm, header, ref, ccw_lookup_rows(["ccw_mi", "ccw_hypertension"])
+    )
+    got = {(r["id_mcaid"], r["ccw_desc"]) for r in ccw.collect()}
+    # p1 TCN 4 is kc claim type 1 (inpatient) with dx 25000 -> single
+    # claim qualifies for MI
+    assert ("p1", "ccw_mi") in got
+    # p3's diabetes-coded claims are kc type 5 (professional): two
+    # claims 2 months apart qualify under the two-claim rule for
+    # hypertension's claim_type_2... but 25000 carries ccw_hypertension
+    # here, and p3 has 2 claims on different days within 12 months
+    assert ("p3", "ccw_hypertension") in got
+    # p3 has no inpatient claim -> no MI despite carrying the dx code
+    assert ("p3", "ccw_mi") not in got
