@@ -22,27 +22,33 @@ def build_xwalk(
     mcaid_persons: DataFrame,
     mcare_persons: DataFrame,
     match_cols: list[str] = ("dob", "name_hash"),
+    pha_persons: DataFrame | None = None,
 ) -> DataFrame:
-    """Link Medicaid and Medicare person tables on the match columns
-    (full outer, so unmatched persons on either side keep their own
-    row) and mint a dense ``id_apde``.
+    """Link Medicaid, Medicare, and (optionally) public-housing person
+    tables on the match columns (full outer, so unmatched persons on
+    any side keep their own row) and mint a dense ``id_apde``
+    (``load_stage.xwalk_apde_mcaid_mcare_pha.R:1-195``).
 
     Inputs: ``mcaid_persons(id_mcaid, <match_cols>)``,
-    ``mcare_persons(id_mcare, <match_cols>)``. DOB decomposition (the
+    ``mcare_persons(id_mcare, <match_cols>)``, optional
+    ``pha_persons(id_pha, <match_cols>)``. DOB decomposition (the
     reference matches on year/month/day separately for fuzzy passes)
     is the caller's choice of ``match_cols``.
     """
     joined = mcaid_persons.join(mcare_persons, list(match_cols), "full")
+    if pha_persons is not None:
+        joined = joined.join(pha_persons, list(match_cols), "full")
     # two-phase global dense ranking: an un-partitioned dense_rank
     # funnels the whole person dimension through one task, which at an
     # all-payer 100x person count is the single-task trap SCALE.md
     # documents — dense_global_id ships only per-partition counts to
     # the driver
+    id_cols = ["id_mcaid", "id_mcare"] + (
+        ["id_pha"] if pha_persons is not None else []
+    )
     keyed = joined.withColumn(
         "_k0",
-        F.coalesce(
-            F.col("id_mcaid").cast("string"), F.col("id_mcare").cast("string")
-        ),
+        F.coalesce(*[F.col(c).cast("string") for c in id_cols]),
     )
     return (
         dense_global_id(
@@ -50,7 +56,7 @@ def build_xwalk(
             ["_k0", *[str(c) for c in match_cols]],
             out_col="id_apde",
         )
-        .select("id_apde", "id_mcaid", "id_mcare", *match_cols)
+        .select("id_apde", *id_cols, *match_cols)
     )
 
 
