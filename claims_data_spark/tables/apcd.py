@@ -636,3 +636,126 @@ def qa_apcd_claim_header(
             )
         )
     return results
+
+
+# ---------------------------------------------------------------------------
+# APCD claim children (load_stage.apcd_claim_line.R,
+# load_stage.apcd_claim_icdcm_header.R, load_stage.apcd_claim_procedure.R,
+# load_stage.apcd_claim_provider.R)
+# ---------------------------------------------------------------------------
+
+def _live_claim_ids(header: DataFrame) -> DataFrame:
+    """Non-denied, non-orphaned claim ids — every child table excludes
+    the same headers the analytic header drops."""
+    return header.filter(
+        (F.col("denied_header_flag") == "N")
+        & (F.col("orphaned_header_flag") == "N")
+    ).select(
+        F.col("medical_claim_header_id").alias("claim_header_id")
+    ).distinct()
+
+
+def build_apcd_claim_line(line_raw: DataFrame, header: DataFrame) -> DataFrame:
+    """Line-grain projection with the nonsensical-discharge-date
+    correction (``load_stage.apcd_claim_line.R:30-35``): a discharge
+    before the admission (or, absent an admission, before the first
+    service) falls back to the last service date."""
+    fixed_discharge = (
+        F.when(
+            F.col("discharge_dt") < F.col("admission_dt"),
+            F.col("last_service_dt"),
+        )
+        .when(
+            F.col("admission_dt").isNull()
+            & (F.col("discharge_dt") < F.col("first_service_dt")),
+            F.col("last_service_dt"),
+        )
+        .otherwise(F.col("discharge_dt"))
+    )
+    return (
+        line_raw.join(_live_claim_ids(header), "claim_header_id", "left_semi")
+        .select(
+            "id_apcd", "claim_header_id", "claim_line_id", "line_counter",
+            F.col("first_service_dt").alias("first_service_date"),
+            F.col("last_service_dt").alias("last_service_date"),
+            "charge_amt", "revenue_code", "place_of_service_code",
+            F.col("admission_dt").alias("admission_date"),
+            fixed_discharge.alias("discharge_date"),
+            "discharge_status_code", "admission_point_of_origin_code",
+            "admission_type",
+        )
+        .distinct()
+    )
+
+
+def build_apcd_claim_icdcm_header(
+    icdcm_raw: DataFrame, header: DataFrame
+) -> DataFrame:
+    """Diagnosis-grain projection (``load_stage.apcd_claim_icdcm_header.R``)."""
+    return icdcm_raw.join(
+        _live_claim_ids(header), "claim_header_id", "left_semi"
+    ).select(
+        "id_apcd", "claim_header_id",
+        F.col("first_service_dt").alias("first_service_date"),
+        F.col("last_service_dt").alias("last_service_date"),
+        "icdcm_raw", "icdcm_norm", "icdcm_version", "icdcm_number",
+    )
+
+
+def build_apcd_claim_procedure(
+    procedure_raw: DataFrame, header: DataFrame
+) -> DataFrame:
+    """Procedure-grain projection (``load_stage.apcd_claim_procedure.R``)."""
+    return procedure_raw.join(
+        _live_claim_ids(header), "claim_header_id", "left_semi"
+    ).select(
+        "id_apcd", "claim_header_id",
+        F.col("first_service_dt").alias("first_service_date"),
+        F.col("last_service_dt").alias("last_service_date"),
+        "procedure_code", "modifier_code",
+    )
+
+
+def build_apcd_claim_provider(provider_raw: DataFrame) -> DataFrame:
+    """Provider-role projection (``load_stage.apcd_claim_provider.R`` —
+    no denied-claim filter in the reference)."""
+    return provider_raw.select(
+        "id_apcd", "claim_header_id",
+        F.col("first_service_dt").alias("first_service_date"),
+        F.col("last_service_dt").alias("last_service_date"),
+        "provider_id_apcd", "provider_id_raw_apcd", "provider_type",
+    )
+
+
+def qa_apcd_child(
+    child: DataFrame,
+    elig_demo: DataFrame | None = None,
+    elig_timevar: DataFrame | None = None,
+    not_null_col: str | None = None,
+) -> list:
+    """The children's shared QA: members referenced in elig tables;
+    key payload column never null (one fused pass for the row-local
+    part)."""
+    from claims_data_spark.qa import check_referential, fused_table_qa
+
+    results = []
+    if not_null_col is not None:
+        results += fused_table_qa(
+            child,
+            extra_flags={f"{not_null_col}-not-null": F.col(not_null_col).isNull()},
+        )
+    if elig_demo is not None:
+        results.append(
+            check_referential(
+                child.select("id_apcd"), elig_demo.select("id_apcd"),
+                ["id_apcd"], name="members-in-elig-demo",
+            )
+        )
+    if elig_timevar is not None:
+        results.append(
+            check_referential(
+                child.select("id_apcd"), elig_timevar.select("id_apcd"),
+                ["id_apcd"], name="members-in-elig-timevar",
+            )
+        )
+    return results

@@ -103,3 +103,73 @@ def test_apcd_qa_catches_violations(spark, apcd_header):
     by_name = {n: ok for n, ok, _ in results}
     assert by_name["unique(claim_header_id)"] is False
     assert by_name["ipt-has-discharge"] is False
+
+
+def test_apcd_claim_children(spark):
+    from claims_data_spark.tables.apcd import (
+        build_apcd_claim_icdcm_header,
+        build_apcd_claim_line,
+        build_apcd_claim_procedure,
+        build_apcd_claim_provider,
+        qa_apcd_child,
+    )
+
+    header = fx.raw_apcd_claim_header(spark)
+    d_ = fx.d
+    line_raw = spark.createDataFrame(
+        [
+            # normal line on a live claim
+            (101, 1, 11, 1, d_("2019-03-01"), d_("2019-03-01"), "0450", "23",
+             d_("2019-03-01"), d_("2019-03-01"), "01", "1", "3"),
+            # discharge BEFORE admission -> corrected to last service
+            (101, 4, 41, 1, d_("2019-05-01"), d_("2019-05-05"), "0100", "21",
+             d_("2019-05-02"), d_("2019-05-01"), "01", "1", "3"),
+            # line on the denied claim 7 -> dropped
+            (102, 7, 71, 1, d_("2019-07-01"), d_("2019-07-01"), None, "11",
+             None, None, None, None, None),
+        ],
+        "id_apcd long, claim_header_id long, claim_line_id long, "
+        "line_counter int, first_service_dt date, last_service_dt date, "
+        "revenue_code string, place_of_service_code string, "
+        "admission_dt date, discharge_dt date, discharge_status_code string, "
+        "admission_point_of_origin_code string, admission_type string",
+    ).withColumn("charge_amt", F.lit(10.0))
+    lines = {r["claim_header_id"]: r
+             for r in build_apcd_claim_line(line_raw, header).collect()}
+    assert 7 not in lines
+    assert lines[4]["discharge_date"] == d_("2019-05-05")  # corrected
+    assert lines[1]["discharge_date"] == d_("2019-03-01")
+
+    icdcm_raw = spark.createDataFrame(
+        [
+            (101, 1, d_("2019-03-01"), d_("2019-03-01"), "250.00", "25000", 9, "01"),
+            (102, 7, d_("2019-07-01"), d_("2019-07-01"), "F32.9", "F329", 10, "01"),
+        ],
+        "id_apcd long, claim_header_id long, first_service_dt date, "
+        "last_service_dt date, icdcm_raw string, icdcm_norm string, "
+        "icdcm_version int, icdcm_number string",
+    )
+    icd = build_apcd_claim_icdcm_header(icdcm_raw, header)
+    assert [r["claim_header_id"] for r in icd.collect()] == [1]
+
+    px_raw = spark.createDataFrame(
+        [(101, 1, d_("2019-03-01"), d_("2019-03-01"), "99284", None)],
+        "id_apcd long, claim_header_id long, first_service_dt date, "
+        "last_service_dt date, procedure_code string, modifier_code string",
+    )
+    px = build_apcd_claim_procedure(px_raw, header)
+    assert px.count() == 1
+
+    prov_raw = spark.createDataFrame(
+        [(101, 1, d_("2019-03-01"), d_("2019-03-01"), 9001, "R9001", "rendering")],
+        "id_apcd long, claim_header_id long, first_service_dt date, "
+        "last_service_dt date, provider_id_apcd long, "
+        "provider_id_raw_apcd string, provider_type string",
+    )
+    prov = build_apcd_claim_provider(prov_raw)
+    assert prov.collect()[0]["provider_type"] == "rendering"
+
+    elig = spark.createDataFrame([(101,), (102,)], "id_apcd long")
+    qa = qa_apcd_child(px, elig_demo=elig, elig_timevar=elig,
+                       not_null_col="procedure_code")
+    assert all(ok for _, ok, _ in qa), qa
