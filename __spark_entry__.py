@@ -2247,6 +2247,311 @@ FROM kept k
 # driver contract
 # ---------------------------------------------------------------------------
 
+
+# ---------------------------------------------------------------------------
+# PCR plan all-cause readmissions (v_perf_pcr_inpatient_direct_transfer.sql
+# episode clustering + sp_perf_pcr_join_step.sql index/readmission logic)
+# on synthetic inpatient stays carved from orders
+# ---------------------------------------------------------------------------
+
+def q_pcr_readmission(spark, sf_dir):
+    """Direct-transfer episode clustering (1-day gap islands), index
+    stay selection (death / same-day / pregnancy / planned-readmission
+    exclusions), then first-readmission-within-30-days via a forward
+    as-of join — one shuffle per person id, no range join."""
+    from claims_data_spark.tables.perf import (
+        acute_inpatient_episodes,
+        pcr_readmission,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    stays = o.select(
+        F.col("o_custkey").alias("id_mcaid"),
+        F.col("o_orderkey").alias("claim_header_id"),
+        d.alias("first_service_date"),
+        F.date_add(d, (F.col("o_orderkey") % 5).cast("int")).alias(
+            "last_service_date"
+        ),
+        F.when(F.col("o_orderkey") % 97 == 0, "20").otherwise("01").alias(
+            "patient_status"
+        ),
+    )
+    preg = o.filter(F.col("o_orderkey") % 31 == 0).select(
+        F.col("o_orderkey").alias("claim_header_id"), F.lit(1).alias("flag")
+    )
+    plan = o.filter(F.col("o_orderkey") % 23 == 0).select(
+        F.col("o_orderkey").alias("claim_header_id"), F.lit(1).alias("flag")
+    )
+    ep = acute_inpatient_episodes(stays)
+    out = pcr_readmission(ep, preg, plan)
+    return out.select(
+        F.col("year_month").cast("int").alias("year_month"),
+        "id_mcaid",
+        F.col("episode_id").cast("long").alias("episode_id"),
+        _ds("episode_first_service_date").alias("episode_first"),
+        _ds("episode_last_service_date").alias("episode_last"),
+        _ds("readmission_first_service_date").alias("readmission_first"),
+        F.col("readmission_flag").cast("int").alias("readmission_flag"),
+        F.col("date_diff").cast("int").alias("date_diff"),
+        F.col("planned_readmission").cast("int").alias("planned_readmission"),
+    )
+
+
+SQL_PCR_READMISSION = """
+WITH stays AS (
+  SELECT o_custkey AS id_mcaid, o_orderkey AS claim_header_id,
+         CAST(o_orderdate AS DATE) AS fsd,
+         CAST(o_orderdate AS DATE) + CAST(o_orderkey % 5 AS INT) AS lsd,
+         CASE WHEN o_orderkey % 97 = 0 THEN '20' ELSE '01' END AS patient_status
+  FROM orders
+),
+inc AS (
+  SELECT *,
+    CASE WHEN LAG(lsd) OVER w IS NULL THEN 0
+         WHEN DATEDIFF('day', LAG(lsd) OVER w, fsd) <= 1 THEN 0
+         ELSE 1 END AS increment
+  FROM stays
+  WINDOW w AS (PARTITION BY id_mcaid ORDER BY fsd, lsd, claim_header_id)
+),
+ep AS (
+  SELECT *,
+    SUM(increment) OVER (PARTITION BY id_mcaid ORDER BY fsd, lsd, claim_header_id
+                         ROWS UNBOUNDED PRECEDING) + 1 AS episode_id
+  FROM inc
+),
+epd AS (
+  SELECT *,
+    FIRST_VALUE(fsd) OVER we AS episode_first,
+    LAST_VALUE(lsd) OVER we AS episode_last,
+    ROW_NUMBER() OVER we AS stay_id,
+    MAX(CASE WHEN patient_status = '20' THEN 1 ELSE 0 END)
+      OVER (PARTITION BY id_mcaid, episode_id) AS death_during_stay
+  FROM ep
+  WINDOW we AS (PARTITION BY id_mcaid, episode_id
+                ORDER BY fsd, lsd, claim_header_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+),
+flagged AS (
+  SELECT e.*,
+    COALESCE(MAX(CASE WHEN e2.claim_header_id % 31 = 0 THEN 1 ELSE 0 END)
+      OVER (PARTITION BY e.id_mcaid, e.episode_id), 0) AS pregnancy_exclusion,
+    CASE WHEN e.stay_id = 1 AND e.claim_header_id % 23 = 0 THEN 1 ELSE 0 END
+      AS planned_exclusion
+  FROM epd e, epd e2
+  WHERE e.id_mcaid = e2.id_mcaid AND e.episode_id = e2.episode_id
+    AND e.claim_header_id = e2.claim_header_id
+),
+idx AS (
+  SELECT id_mcaid, episode_id, episode_first, episode_last, planned_exclusion
+  FROM flagged
+  WHERE stay_id = 1 AND death_during_stay = 0
+    AND episode_first <> episode_last AND pregnancy_exclusion = 0
+),
+joined AS (
+  SELECT a.id_mcaid, a.episode_id, a.episode_first, a.episode_last,
+         b.episode_first AS readmission_first,
+         DATEDIFF('day', a.episode_last, b.episode_first) AS date_diff,
+         b.planned_exclusion AS planned_readmission,
+         ROW_NUMBER() OVER (PARTITION BY a.id_mcaid, a.episode_id
+                            ORDER BY b.episode_first) AS row_num
+  FROM idx a
+  LEFT JOIN idx b
+    ON a.id_mcaid = b.id_mcaid
+   AND b.episode_first BETWEEN a.episode_last + 1 AND a.episode_last + 30
+)
+SELECT
+  CAST(YEAR(episode_first) * 100 + MONTH(episode_first) AS INT) AS year_month,
+  id_mcaid,
+  CAST(episode_id AS BIGINT) AS episode_id,
+  CAST(episode_first AS VARCHAR) AS episode_first,
+  CAST(episode_last AS VARCHAR) AS episode_last,
+  CAST(readmission_first AS VARCHAR) AS readmission_first,
+  CAST(CASE WHEN readmission_first IS NOT NULL THEN 1 ELSE 0 END AS INT)
+    AS readmission_flag,
+  CAST(date_diff AS INT) AS date_diff,
+  CAST(planned_readmission AS INT) AS planned_readmission
+FROM joined
+WHERE row_num = 1
+  AND (planned_readmission IS NULL OR planned_readmission = 0)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Treatment penetration (v_perf_tpm_numerator.sql / v_perf_tpm_denominator.sql
+# + the sp_perf_measures.sql TPM batch): RDA value-set matching engine on
+# synthetic dx/procedure tables carved from orders/lineitem
+# ---------------------------------------------------------------------------
+
+_TX_PEN_RDA = [
+    ("MH", "MH-procedure-value-set", "CPT", "90832"),
+    ("MH", "MH-procedure-with-Dx-value-set", "CPT", "99213"),
+    ("MH", "MH-Dx-value-set", "ICD10CM", "F329"),
+    ("MH", "MH-Dx-value-set", "ICD9CM", "29620"),
+]
+
+
+def q_tx_pen(spark, sf_dir):
+    """One broadcast join per claim domain against the RDA value-set
+    list, set algebra (union / primary-dx intersect) on the matched
+    subset only, then the person-level measurement-year rate."""
+    from claims_data_spark.tables.perf import (
+        rda_value_set_claims,
+        tx_pen_claim_sets,
+        tx_pen_measure,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cust = _t(spark, sf_dir, "customer")
+    d = F.col("o_orderdate").cast("date")
+    dx = o.select(
+        F.col("o_custkey").alias("id_mcaid"),
+        F.col("o_orderkey").alias("claim_header_id"),
+        d.alias("first_service_date"),
+        F.when(F.col("o_orderkey") % 7 == 0, "F329")
+        .when(F.col("o_orderkey") % 7 == 1, "29620")
+        .otherwise("E119")
+        .alias("icdcm_norm"),
+        F.when(F.col("o_orderkey") % 2 == 0, 9).otherwise(10).alias(
+            "icdcm_version"
+        ),
+        F.when(F.col("o_orderkey") % 3 == 0, "01").otherwise("02").alias(
+            "icdcm_number"
+        ),
+    )
+    px = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("id_mcaid"),
+            F.col("l_orderkey").alias("claim_header_id"),
+            d.alias("first_service_date"),
+            F.when(F.col("l_suppkey") % 5 == 0, "90832")
+            .when(F.col("l_suppkey") % 5 == 1, "99213")
+            .otherwise("87070")
+            .alias("procedure_code"),
+        )
+    )
+    rda = spark.createDataFrame(
+        _TX_PEN_RDA,
+        "value_set_group string, value_set_name string, "
+        "code_set string, code string",
+    )
+    matched = rda_value_set_claims(
+        {"icdcm_norm": dx, "procedure_code": px}, rda
+    )
+    num, den = tx_pen_claim_sets(
+        matched,
+        numerator_sets=["MH-procedure-value-set"],
+        denominator_sets=["MH-Dx-value-set"],
+        proc_with_dx_set="MH-procedure-with-Dx-value-set",
+        dx_set="MH-Dx-value-set",
+    )
+    elig = cust.select(
+        F.col("c_custkey").alias("id_mcaid"),
+        F.date_add(
+            F.lit("1950-01-01").cast("date"),
+            (F.col("c_custkey") % 20000).cast("int"),
+        ).alias("dob"),
+    )
+    out = tx_pen_measure(num, den, elig, 1996)
+    return out.select(
+        F.col("measurement_year").cast("int").alias("measurement_year"),
+        "id_mcaid",
+        F.col("age").cast("int").alias("age"),
+        F.col("numerator").cast("int").alias("numerator"),
+        F.col("denominator").cast("int").alias("denominator"),
+    )
+
+
+SQL_TX_PEN = """
+WITH rda(value_set_group, value_set_name, code_set, code) AS (
+  VALUES ('MH', 'MH-procedure-value-set', 'CPT', '90832'),
+         ('MH', 'MH-procedure-with-Dx-value-set', 'CPT', '99213'),
+         ('MH', 'MH-Dx-value-set', 'ICD10CM', 'F329'),
+         ('MH', 'MH-Dx-value-set', 'ICD9CM', '29620')
+),
+dx AS (
+  SELECT o_custkey AS id_mcaid, o_orderkey AS claim_header_id,
+         CAST(o_orderdate AS DATE) AS first_service_date,
+         CASE CAST(o_orderkey % 7 AS INT) WHEN 0 THEN 'F329'
+              WHEN 1 THEN '29620' ELSE 'E119' END AS icdcm_norm,
+         CASE WHEN o_orderkey % 2 = 0 THEN 9 ELSE 10 END AS icdcm_version,
+         CASE WHEN o_orderkey % 3 = 0 THEN '01' ELSE '02' END AS icdcm_number
+  FROM orders
+),
+px AS (
+  SELECT o_custkey AS id_mcaid, l_orderkey AS claim_header_id,
+         CAST(o_orderdate AS DATE) AS first_service_date,
+         CASE CAST(l_suppkey % 5 AS INT) WHEN 0 THEN '90832'
+              WHEN 1 THEN '99213' ELSE '87070' END AS procedure_code
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+dx_match AS (
+  SELECT d.id_mcaid, d.claim_header_id, d.first_service_date,
+         r.value_set_name,
+         CASE WHEN d.icdcm_number = '01' THEN 1 ELSE 0 END AS primary_dx
+  FROM dx d JOIN rda r
+    ON d.icdcm_norm = r.code
+   AND ((d.icdcm_version = 9 AND r.code_set = 'ICD9CM')
+     OR (d.icdcm_version = 10 AND r.code_set = 'ICD10CM'))
+),
+px_match AS (
+  SELECT p.id_mcaid, p.claim_header_id, p.first_service_date,
+         r.value_set_name, CAST(NULL AS INT) AS primary_dx
+  FROM px p JOIN rda r
+    ON p.procedure_code = r.code AND r.code_set IN ('CPT', 'HCPCS')
+),
+matched AS (SELECT * FROM dx_match UNION ALL SELECT * FROM px_match),
+num AS (
+  SELECT DISTINCT id_mcaid, claim_header_id, first_service_date
+  FROM matched WHERE value_set_name = 'MH-procedure-value-set'
+  UNION
+  (SELECT id_mcaid, claim_header_id, first_service_date
+   FROM matched WHERE value_set_name = 'MH-procedure-with-Dx-value-set'
+   INTERSECT
+   SELECT id_mcaid, claim_header_id, first_service_date
+   FROM matched WHERE value_set_name = 'MH-Dx-value-set' AND primary_dx = 1)
+),
+den AS (
+  SELECT * FROM num
+  UNION
+  SELECT DISTINCT id_mcaid, claim_header_id, first_service_date
+  FROM matched WHERE value_set_name = 'MH-Dx-value-set'
+),
+aged AS (
+  SELECT c_custkey AS id_mcaid,
+         DATE '1950-01-01' + CAST(c_custkey % 20000 AS INT) * INTERVAL 1 DAY
+           AS dob
+  FROM customer
+),
+age_calc AS (
+  SELECT id_mcaid,
+         YEAR(DATE '1996-12-31') - YEAR(dob)
+         - CASE WHEN dob + CAST(YEAR(DATE '1996-12-31') - YEAR(dob) AS INT)
+                      * INTERVAL 1 YEAR > DATE '1996-12-31'
+                THEN 1 ELSE 0 END AS age
+  FROM aged
+),
+den_people AS (
+  SELECT DISTINCT id_mcaid FROM den
+  WHERE first_service_date BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
+),
+num_people AS (
+  SELECT DISTINCT id_mcaid, 1 AS numerator FROM num
+  WHERE first_service_date BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
+)
+SELECT CAST(1996 AS INT) AS measurement_year,
+       d.id_mcaid,
+       CAST(a.age AS INT) AS age,
+       CAST(COALESCE(n.numerator, 0) AS INT) AS numerator,
+       CAST(1 AS INT) AS denominator
+FROM den_people d
+JOIN age_calc a ON d.id_mcaid = a.id_mcaid AND a.age >= 6
+LEFT JOIN num_people n ON d.id_mcaid = n.id_mcaid
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the claims_elig-shaped coverage query (islands +
     clipping + coverage stats) on sf0.001."""
@@ -2317,6 +2622,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccw_two_claim": q_ccw_two_claim,
         "apcd_ed_episode": q_apcd_ed_episode,
         "fuh_followup": q_fuh_followup,
+        "pcr_readmission": q_pcr_readmission,
+        "tx_pen_measure": q_tx_pen,
     }
 
 
@@ -2380,6 +2687,8 @@ def oracle_sql() -> dict[str, str]:
         "ccw_two_claim": SQL_CCW_TWO_CLAIM,
         "apcd_ed_episode": SQL_APCD_ED_EPISODE,
         "fuh_followup": SQL_FUH_FOLLOWUP,
+        "pcr_readmission": SQL_PCR_READMISSION,
+        "tx_pen_measure": SQL_TX_PEN,
         # minhash_near_dup / simhash_near_dup / knn_ivf /
         # sketch_distinct_rollup: rows-only (signature math and
         # approximate estimates are not SQL-expressible)

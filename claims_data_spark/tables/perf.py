@@ -10,7 +10,7 @@ the same id-partitioned window pass.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from claims_data_spark.operators.rolling import densify_months, rolling_month_agg
@@ -372,4 +372,392 @@ def fuh_measure(
             (F.dayofmonth("discharge_date") == 1)
             & F.month("discharge_date").isin(1, 3, 5, 7, 8, 10, 12)
         ).cast("int"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PCR: plan all-cause readmissions
+# (create_stage.v_perf_pcr_inpatient_direct_transfer.sql,
+#  create_stage.sp_perf_pcr_join_step.sql)
+# ---------------------------------------------------------------------------
+
+def acute_inpatient_episodes(
+    stays: DataFrame, id_col: str = "id_mcaid"
+) -> DataFrame:
+    """Connect acute inpatient claims within 1 day of each other into
+    direct-transfer episodes
+    (``v_perf_pcr_inpatient_direct_transfer.sql:118-194``).
+
+    Input: one row per acute inpatient claim with columns
+    ``(id, claim_header_id, first_service_date, last_service_date,
+    patient_status)`` — the HEDIS "Inpatient Stay EXCEPT Nonacute
+    Inpatient Stay" selection is the caller's (see
+    ``rda_value_set_claims`` / the HEDIS helpers in claim_header).
+
+    Output adds: ``date_diff`` (days since the prior claim's last
+    service date), ``increment``, ``episode_id`` (running sum of
+    increments), ``episode_first/last_service_date`` (FIRST/LAST value
+    in claim order — NOT min/max: an early long claim may end after
+    the episode's last claim, and the reference takes the last claim's
+    date), ``count_stays``, ``stay_id``, ``death_during_stay``
+    (patient_status '20' anywhere in the episode).
+
+    One shuffle on the person id; every window reuses it.
+    """
+    w = Window.partitionBy(id_col).orderBy(
+        "first_service_date", "last_service_date", "claim_header_id"
+    )
+    lag_last = F.lag("last_service_date").over(w)
+    df = (
+        stays.withColumn(
+            "date_diff", F.datediff("first_service_date", lag_last)
+        )
+        .withColumn(
+            "increment",
+            F.when(lag_last.isNull(), 0)
+            .when(F.col("date_diff") <= 1, 0)
+            .otherwise(1),
+        )
+        .withColumn(
+            "episode_id",
+            F.sum("increment").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            )
+            + 1,
+        )
+    )
+    we = Window.partitionBy(id_col, "episode_id")
+    we_ord = we.orderBy(
+        "first_service_date", "last_service_date", "claim_header_id"
+    )
+    we_full = we_ord.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return df.select(
+        id_col,
+        "claim_header_id",
+        F.col("first_service_date").alias("claim_first_service_date"),
+        F.col("last_service_date").alias("claim_last_service_date"),
+        "patient_status",
+        "date_diff",
+        "increment",
+        "episode_id",
+        F.first("first_service_date").over(we_full).alias(
+            "episode_first_service_date"
+        ),
+        F.last("last_service_date").over(we_full).alias(
+            "episode_last_service_date"
+        ),
+        F.count(F.lit(1)).over(we).alias("count_stays"),
+        F.row_number().over(we_ord).alias("stay_id"),
+        F.max((F.col("patient_status") == "20").cast("int"))
+        .over(we)
+        .alias("death_during_stay"),
+    )
+
+
+def pcr_readmission(
+    episodes: DataFrame,
+    pregnancy_exclusion: DataFrame,
+    planned_exclusion: DataFrame,
+    id_col: str = "id_mcaid",
+    readmission_days: int = 30,
+) -> DataFrame:
+    """PCR join step (``sp_perf_pcr_join_step.sql:20-143``).
+
+    Index stays = first stay of each episode, excluding: death during
+    the stay, same-day admit/discharge, pregnancy/perinatal stays
+    (flag aggregated over the WHOLE episode, including transfer legs),
+    or a planned first-readmission. ``planned_exclusion`` is read from
+    the stay_id=1 claim only (the reference's ``AND a.[stay_id] = 1``
+    join condition).
+
+    Readmission = the FIRST index stay whose episode start falls in
+    (discharge+1 .. discharge+30) — a forward as-of join per person
+    probed at discharge+1 (one shuffle, no range join), with matches
+    beyond the window nulled to mirror the reference's bounded LEFT
+    JOIN. If that first readmission is planned, the index stay is
+    dropped entirely (HEDIS step 5/6).
+
+    Exclusion-flag inputs: ``(claim_header_id, flag)``.
+    """
+    from claims_data_spark.operators.asof import asof_join
+
+    preg = pregnancy_exclusion.select(
+        "claim_header_id", F.col("flag").alias("_preg_flag")
+    )
+    plan = planned_exclusion.select(
+        "claim_header_id", F.col("flag").alias("_plan_flag")
+    )
+    we = Window.partitionBy(id_col, "episode_id")
+    e = (
+        episodes.join(F.broadcast(preg), "claim_header_id", "left")
+        .join(F.broadcast(plan), "claim_header_id", "left")
+        .withColumn(
+            "pregnancy_exclusion",
+            F.coalesce(F.max("_preg_flag").over(we), F.lit(0)),
+        )
+        .withColumn(
+            "planned_exclusion",
+            F.coalesce(
+                F.when(F.col("stay_id") == 1, F.col("_plan_flag")), F.lit(0)
+            ),
+        )
+    )
+    idx = e.filter(
+        (F.col("stay_id") == 1)
+        & (F.col("death_during_stay") == 0)
+        & (
+            F.col("episode_first_service_date")
+            != F.col("episode_last_service_date")
+        )
+        & (F.col("pregnancy_exclusion") == 0)
+    ).select(
+        id_col,
+        "episode_id",
+        "episode_first_service_date",
+        "episode_last_service_date",
+        "planned_exclusion",
+    )
+    candidates = idx.select(
+        id_col,
+        F.col("episode_first_service_date").alias(
+            "readmission_first_service_date"
+        ),
+        F.col("episode_last_service_date").alias(
+            "readmission_last_service_date"
+        ),
+        F.col("planned_exclusion").alias("planned_readmission"),
+    )
+    probed = idx.withColumn(
+        "_probe", F.date_add("episode_last_service_date", 1)
+    )
+    m = asof_join(
+        probed,
+        candidates,
+        [id_col],
+        left_ts="_probe",
+        right_ts="readmission_first_service_date",
+        right_payload=[
+            "readmission_first_service_date",
+            "readmission_last_service_date",
+            "planned_readmission",
+        ],
+        direction="forward",
+    )
+    within = F.datediff(
+        "readmission_first_service_date", "episode_last_service_date"
+    ) <= readmission_days
+    m = m.select(
+        (
+            F.year("episode_first_service_date") * 100
+            + F.month("episode_first_service_date")
+        ).alias("year_month"),
+        id_col,
+        "episode_id",
+        "episode_first_service_date",
+        "episode_last_service_date",
+        F.lit(1).alias("inpatient_index_stay"),
+        F.when(within, F.col("readmission_first_service_date")).alias(
+            "readmission_first_service_date"
+        ),
+        F.when(within, F.col("readmission_last_service_date")).alias(
+            "readmission_last_service_date"
+        ),
+        F.coalesce(within.cast("int"), F.lit(0)).alias("readmission_flag"),
+        F.when(
+            within,
+            F.datediff(
+                "readmission_first_service_date", "episode_last_service_date"
+            ),
+        ).alias("date_diff"),
+        F.when(within, F.col("planned_readmission")).alias(
+            "planned_readmission"
+        ),
+    )
+    return m.filter(
+        F.col("planned_readmission").isNull()
+        | (F.col("planned_readmission") == 0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# RDA treatment-penetration measures: TPM / TPO / TPS
+# (create_stage.v_perf_tpm_numerator.sql, v_perf_tpm_denominator.sql,
+#  v_perf_tpo_*.sql, v_perf_tps_*.sql)
+# ---------------------------------------------------------------------------
+
+def rda_value_set_claims(
+    domains: dict[str, DataFrame],
+    rda: DataFrame,
+    id_col: str = "id_mcaid",
+) -> DataFrame:
+    """Match claim-domain tables against the small ``rda_value_set``
+    reference once per domain, returning long
+    ``(id, claim_header_id, first_service_date, value_set_name,
+    code_set, primary_dx)`` rows.
+
+    ``domains`` maps a code column name — ``icdcm_norm`` (needs
+    ``icdcm_version``/``icdcm_number`` columns), ``procedure_code``,
+    ``ndc``, ``drg_code`` — to its claim table. ``rda`` carries
+    ``(value_set_group, value_set_name, code_set, code)``.
+
+    Scale shape: each BIG domain table is scanned ONCE and
+    broadcast-joined against the (small) code list — never one join
+    per (value set × code set) rule as in the reference's 6-way UNION
+    views (``v_perf_tpm_numerator.sql:48-135``). Downstream rule
+    algebra (union / intersect / primary-dx restriction) runs on the
+    matched subset, which is claims × matching-codes only.
+    """
+    code_set_for = {
+        "icdcm_norm": {9: "ICD9CM", 10: "ICD10CM"},
+        "procedure_code": None,  # CPT / HCPCS / ICD9PCS / ICD10PCS
+        "ndc": "NDC",
+        "drg_code": "DRG",
+    }
+    outs = []
+    for code_col, df in domains.items():
+        if code_col == "icdcm_norm":
+            r = rda.filter(F.col("code_set").isin("ICD9CM", "ICD10CM"))
+            cond = (F.col("icdcm_norm") == F.col("code")) & (
+                (
+                    (F.col("icdcm_version") == 9)
+                    & (F.col("code_set") == "ICD9CM")
+                )
+                | (
+                    (F.col("icdcm_version") == 10)
+                    & (F.col("code_set") == "ICD10CM")
+                )
+            )
+            matched = df.join(F.broadcast(r), cond).select(
+                id_col,
+                "claim_header_id",
+                "first_service_date",
+                "value_set_name",
+                "code_set",
+                (F.col("icdcm_number") == "01").cast("int").alias("primary_dx"),
+            )
+        else:
+            fixed = code_set_for[code_col]
+            if fixed is None:
+                r = rda.filter(
+                    F.col("code_set").isin(
+                        "CPT", "HCPCS", "ICD9PCS", "ICD10PCS"
+                    )
+                )
+            else:
+                r = rda.filter(F.col("code_set") == fixed)
+            matched = df.join(
+                F.broadcast(r), F.col(code_col) == F.col("code")
+            ).select(
+                id_col,
+                "claim_header_id",
+                "first_service_date",
+                "value_set_name",
+                "code_set",
+                F.lit(None).cast("int").alias("primary_dx"),
+            )
+        outs.append(matched)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def tx_pen_claim_sets(
+    matched: DataFrame,
+    numerator_sets: list[str],
+    denominator_sets: list[str],
+    proc_with_dx_set: str | None = None,
+    dx_set: str | None = None,
+    id_col: str = "id_mcaid",
+) -> tuple[DataFrame, DataFrame]:
+    """(numerator_claims, denominator_claims) from the long match
+    table, as distinct ``(id, claim_header_id, first_service_date)``.
+
+    - numerator: any match in ``numerator_sets``; plus, when
+      ``proc_with_dx_set`` is given (TPM's
+      MH-procedure-with-Dx-value-set,
+      ``v_perf_tpm_numerator.sql:75-135``), claims that match it AND
+      carry a PRIMARY diagnosis in ``dx_set``.
+    - denominator: the numerator UNION any match in
+      ``denominator_sets`` (any-position dx).
+    """
+    key = [id_col, "claim_header_id", "first_service_date"]
+    num = matched.filter(
+        F.col("value_set_name").isin(numerator_sets)
+    ).select(*key)
+    if proc_with_dx_set is not None:
+        proc_side = matched.filter(
+            F.col("value_set_name") == proc_with_dx_set
+        ).select(*key)
+        dx_side = matched.filter(
+            (F.col("value_set_name") == dx_set)
+            & (F.col("primary_dx") == 1)
+        ).select(*key)
+        num = num.unionByName(proc_side.intersect(dx_side))
+    num = num.distinct()
+    den = num.unionByName(
+        matched.filter(
+            F.col("value_set_name").isin(denominator_sets)
+        ).select(*key)
+    ).distinct()
+    return num, den
+
+
+def tx_pen_measure(
+    num_claims: DataFrame,
+    den_claims: DataFrame,
+    elig_demo: DataFrame,
+    measurement_year: int,
+    min_age: int = 6,
+    id_col: str = "id_mcaid",
+) -> DataFrame:
+    """Person-level treatment-penetration rate for one measurement
+    year (``sp_perf_measures.sql`` TPM batch semantics): denominator =
+    members aged ``min_age``+ on Dec 31 with a qualifying need claim
+    in the 24-month identification window (measurement year + prior
+    year); numerator = a qualifying treatment claim within the
+    measurement year. ``elig_demo`` supplies ``(id, dob)``."""
+    y0 = f"{measurement_year - 1}-01-01"
+    y_start = f"{measurement_year}-01-01"
+    y_end = f"{measurement_year}-12-31"
+    den_people = (
+        den_claims.filter(F.col("first_service_date").between(y0, y_end))
+        .select(id_col)
+        .distinct()
+    )
+    num_people = (
+        num_claims.filter(
+            F.col("first_service_date").between(y_start, y_end)
+        )
+        .select(id_col)
+        .distinct()
+        .withColumn("numerator", F.lit(1))
+    )
+    asof = F.lit(y_end).cast("date")
+    aged = elig_demo.select(
+        id_col,
+        (
+            F.year(asof)
+            - F.year("dob")
+            - F.when(
+                F.add_months(
+                    "dob", (F.year(asof) - F.year("dob")) * 12
+                )
+                > asof,
+                1,
+            ).otherwise(0)
+        ).alias("age"),
+    ).filter(F.col("age") >= min_age)
+    return (
+        den_people.join(aged, id_col)
+        .join(num_people, id_col, "left")
+        .select(
+            F.lit(measurement_year).alias("measurement_year"),
+            id_col,
+            "age",
+            F.coalesce("numerator", F.lit(0)).alias("numerator"),
+            F.lit(1).alias("denominator"),
+        )
     )
