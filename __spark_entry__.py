@@ -2552,6 +2552,156 @@ LEFT JOIN num_people n ON d.id_mcaid = n.id_mcaid
 """
 
 
+
+# ---------------------------------------------------------------------------
+# AH acute hospital utilization (v_perf_ah_inpatient_direct_transfer.sql +
+# v_perf_ah_observation_stay.sql + v_perf_ah_inpatient_numerator.sql +
+# v_perf_ah_medicine_surgery.sql / v_perf_ah_inpatient_exclusion.sql)
+# on synthetic stays carved from orders
+# ---------------------------------------------------------------------------
+
+def q_ah_utilization(spark, sf_dir):
+    """Acute-inpatient episode clustering, observation stays that did
+    not become inpatient (forward as-of collision probe), discharge
+    union, and DRG medicine/surgery classification with maternity/
+    newborn exclusions — every join broadcast or id-partitioned."""
+    from claims_data_spark.tables.perf import (
+        acute_inpatient_episodes,
+        ah_classify_discharges,
+        ah_discharges,
+        ah_observation_stays,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    base = o.select(
+        F.col("o_custkey").alias("id_mcaid"),
+        F.col("o_orderkey").alias("claim_header_id"),
+        d.alias("first_service_date"),
+        F.date_add(d, (F.col("o_orderkey") % 4).cast("int")).alias(
+            "last_service_date"
+        ),
+        F.when(F.col("o_orderkey") % 89 == 0, "20").otherwise("01").alias(
+            "patient_status"
+        ),
+    )
+    ipt = base.filter(F.col("claim_header_id") % 4 != 0)
+    obs = base.filter(F.col("claim_header_id") % 4 == 0)
+    kept_obs = ah_observation_stays(obs, ipt)
+    ep = acute_inpatient_episodes(ipt)
+    dis = ah_discharges(ep, kept_obs)
+    k = F.col("o_orderkey")
+    matched = (
+        o.filter(k % 10 == 0)
+        .select(k.alias("claim_header_id"),
+                F.lit("Maternity MS-DRG").alias("value_set_name"))
+        .unionAll(
+            o.filter(k % 3 == 0).select(
+                k.alias("claim_header_id"),
+                F.lit("Surgery MS-DRG").alias("value_set_name"))
+        )
+        .unionAll(
+            o.filter(k % 3 == 1).select(
+                k.alias("claim_header_id"),
+                F.lit("Medicine MS-DRG").alias("value_set_name"))
+        )
+    )
+    out = ah_classify_discharges(
+        dis, matched,
+        medicine_sets=["Medicine MS-DRG"],
+        surgery_sets=["Surgery MS-DRG", "Surgery"],
+        exclusion_sets=[
+            "IPU Exclusions MS-DRG", "Maternity MS-DRG",
+            "Newborns/Neonates MS-DRG",
+        ],
+    )
+    return out.select(
+        "id_mcaid",
+        "claim_header_id",
+        _ds("first_service_date").alias("first_service_date"),
+        _ds("last_service_date").alias("last_service_date"),
+        F.col("observation_stay").cast("int").alias("observation_stay"),
+        "medicine_surgery",
+    )
+
+
+SQL_AH_UTILIZATION = """
+WITH base AS (
+  SELECT o_custkey AS id_mcaid, o_orderkey AS claim_header_id,
+         CAST(o_orderdate AS DATE) AS fsd,
+         CAST(o_orderdate AS DATE) + CAST(o_orderkey % 4 AS INT) AS lsd,
+         CASE WHEN o_orderkey % 89 = 0 THEN '20' ELSE '01' END AS patient_status
+  FROM orders
+),
+ipt AS (SELECT * FROM base WHERE claim_header_id % 4 <> 0),
+obs AS (SELECT * FROM base WHERE claim_header_id % 4 = 0),
+kept_obs AS (
+  SELECT a.* FROM obs a
+  WHERE NOT EXISTS (
+    SELECT 1 FROM ipt b
+    WHERE b.id_mcaid = a.id_mcaid
+      AND b.fsd BETWEEN a.lsd AND a.lsd + 1
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM ipt c WHERE c.claim_header_id = a.claim_header_id
+  )
+),
+inc AS (
+  SELECT *,
+    CASE WHEN LAG(lsd) OVER w IS NULL THEN 0
+         WHEN DATEDIFF('day', LAG(lsd) OVER w, fsd) <= 1 THEN 0
+         ELSE 1 END AS increment
+  FROM ipt
+  WINDOW w AS (PARTITION BY id_mcaid ORDER BY fsd, lsd, claim_header_id)
+),
+ep AS (
+  SELECT *,
+    SUM(increment) OVER (PARTITION BY id_mcaid ORDER BY fsd, lsd, claim_header_id
+                         ROWS UNBOUNDED PRECEDING) + 1 AS episode_id
+  FROM inc
+),
+epd AS (
+  SELECT *,
+    FIRST_VALUE(fsd) OVER we AS episode_first,
+    LAST_VALUE(lsd) OVER we AS episode_last,
+    ROW_NUMBER() OVER we AS stay_id,
+    MAX(CASE WHEN patient_status = '20' THEN 1 ELSE 0 END)
+      OVER (PARTITION BY id_mcaid, episode_id) AS death_during_stay
+  FROM ep
+  WINDOW we AS (PARTITION BY id_mcaid, episode_id
+                ORDER BY fsd, lsd, claim_header_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+),
+discharges AS (
+  SELECT DISTINCT id_mcaid, claim_header_id,
+         episode_first AS fsd, episode_last AS lsd, 0 AS observation_stay
+  FROM epd WHERE stay_id = 1 AND death_during_stay = 0
+  UNION
+  SELECT DISTINCT id_mcaid, claim_header_id, fsd, lsd, 1 AS observation_stay
+  FROM kept_obs WHERE patient_status <> '20' OR patient_status IS NULL
+),
+flags AS (
+  SELECT o_orderkey AS claim_header_id,
+         MAX(CASE WHEN o_orderkey % 3 = 1 THEN 1 ELSE 0 END) AS medicine,
+         MAX(CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END) AS surgery,
+         MAX(CASE WHEN o_orderkey % 10 = 0 THEN 1 ELSE 0 END) AS excluded
+  FROM orders
+  WHERE o_orderkey % 10 = 0 OR o_orderkey % 3 IN (0, 1)
+  GROUP BY o_orderkey
+)
+SELECT d.id_mcaid, d.claim_header_id,
+       CAST(d.fsd AS VARCHAR) AS first_service_date,
+       CAST(d.lsd AS VARCHAR) AS last_service_date,
+       CAST(d.observation_stay AS INT) AS observation_stay,
+       CASE WHEN f.surgery = 1 THEN 'surgery'
+            WHEN f.medicine = 1 THEN 'medicine'
+            ELSE 'unclassified' END AS medicine_surgery
+FROM discharges d
+LEFT JOIN flags f ON d.claim_header_id = f.claim_header_id
+WHERE COALESCE(f.excluded, 0) = 0
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the claims_elig-shaped coverage query (islands +
     clipping + coverage stats) on sf0.001."""
@@ -2624,6 +2774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuh_followup": q_fuh_followup,
         "pcr_readmission": q_pcr_readmission,
         "tx_pen_measure": q_tx_pen,
+        "ah_utilization": q_ah_utilization,
     }
 
 
@@ -2689,6 +2840,7 @@ def oracle_sql() -> dict[str, str]:
         "fuh_followup": SQL_FUH_FOLLOWUP,
         "pcr_readmission": SQL_PCR_READMISSION,
         "tx_pen_measure": SQL_TX_PEN,
+        "ah_utilization": SQL_AH_UTILIZATION,
         # minhash_near_dup / simhash_near_dup / knn_ivf /
         # sketch_distinct_rollup: rows-only (signature math and
         # approximate estimates are not SQL-expressible)

@@ -613,7 +613,8 @@ def rda_value_set_claims(
         "icdcm_norm": {9: "ICD9CM", 10: "ICD10CM"},
         "procedure_code": None,  # CPT / HCPCS / ICD9PCS / ICD10PCS
         "ndc": "NDC",
-        "drg_code": "DRG",
+        "drg_code": ("DRG", "MSDRG"),  # RDA uses DRG, HEDIS uses MSDRG
+        "rev_code": "UBREV",
     }
     outs = []
     for code_col, df in domains.items():
@@ -645,6 +646,8 @@ def rda_value_set_claims(
                         "CPT", "HCPCS", "ICD9PCS", "ICD10PCS"
                     )
                 )
+            elif isinstance(fixed, tuple):
+                r = rda.filter(F.col("code_set").isin(*fixed))
             else:
                 r = rda.filter(F.col("code_set") == fixed)
             matched = df.join(
@@ -760,4 +763,115 @@ def tx_pen_measure(
             F.coalesce("numerator", F.lit(0)).alias("numerator"),
             F.lit(1).alias("denominator"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# AH: acute hospital utilization
+# (create_stage.v_perf_ah_inpatient_direct_transfer.sql,
+#  v_perf_ah_observation_stay.sql, v_perf_ah_inpatient_numerator.sql,
+#  v_perf_ah_medicine_surgery.sql, v_perf_ah_inpatient_exclusion.sql)
+# ---------------------------------------------------------------------------
+
+def ah_observation_stays(
+    obs_claims: DataFrame,
+    inpatient_claims: DataFrame,
+    id_col: str = "id_mcaid",
+) -> DataFrame:
+    """Observation stays that did NOT become inpatient stays
+    (``v_perf_ah_observation_stay.sql``): drop an observation claim
+    when (a) the same claim_header_id is also an inpatient claim, or
+    (b) the person has an inpatient admission on the observation's
+    last service date or the day after (HEDIS "observation resulting
+    in an acute inpatient stay").
+
+    (b) is a forward as-of probe per person (earliest inpatient
+    admission >= obs last date, flag datediff <= 1) — one shuffle, no
+    range join. (a) is a broadcast-able anti join on the claim id.
+    """
+    probed = _flag_within(
+        obs_claims,
+        inpatient_claims.select(
+            id_col, F.col("first_service_date").alias("_ipt_admit")
+        ),
+        id_col,
+        F.col("last_service_date"),
+        "_ipt_admit",
+        1,
+        "_became_inpatient",
+    ).filter(F.col("_became_inpatient") == 0).drop("_became_inpatient")
+    return probed.join(
+        inpatient_claims.select("claim_header_id"),
+        "claim_header_id",
+        "left_anti",
+    )
+
+
+def ah_discharges(
+    episodes: DataFrame,
+    observation_stays: DataFrame,
+    id_col: str = "id_mcaid",
+) -> DataFrame:
+    """AH numerator discharge set
+    (``v_perf_ah_inpatient_numerator.sql``): index acute-inpatient
+    episodes (first stay of each episode, no in-hospital death) UNION
+    surviving observation stays, tagged by ``observation_stay``."""
+    idx = episodes.filter(
+        (F.col("stay_id") == 1) & (F.col("death_during_stay") == 0)
+    ).select(
+        id_col,
+        "claim_header_id",
+        F.col("episode_first_service_date").alias("first_service_date"),
+        F.col("episode_last_service_date").alias("last_service_date"),
+        F.lit(0).alias("observation_stay"),
+    )
+    obs = observation_stays.filter(
+        F.coalesce(F.col("patient_status") != "20", F.lit(True))
+    ).select(
+        id_col,
+        "claim_header_id",
+        "first_service_date",
+        "last_service_date",
+        F.lit(1).alias("observation_stay"),
+    )
+    return idx.unionByName(obs).distinct()
+
+
+def ah_classify_discharges(
+    discharges: DataFrame,
+    matched: DataFrame,
+    medicine_sets: list[str],
+    surgery_sets: list[str],
+    exclusion_sets: list[str],
+    id_col: str = "id_mcaid",
+) -> DataFrame:
+    """Attach medicine / surgery / exclusion flags to each discharge
+    from the long value-set match table
+    (``v_perf_ah_medicine_surgery.sql`` +
+    ``v_perf_ah_inpatient_exclusion.sql``): per-claim MAX of each
+    set-membership, one aggregate over the (small) matched subset,
+    broadcast back onto the discharge set. Excluded discharges
+    (maternity / newborn / IPU-exclusion DRGs or dx) are dropped;
+    ``medicine_surgery`` is 'surgery' when any surgery set matches,
+    else 'medicine' when matched, else 'unclassified'."""
+    flags = matched.groupBy("claim_header_id").agg(
+        F.max(
+            F.col("value_set_name").isin(medicine_sets).cast("int")
+        ).alias("_medicine"),
+        F.max(
+            F.col("value_set_name").isin(surgery_sets).cast("int")
+        ).alias("_surgery"),
+        F.max(
+            F.col("value_set_name").isin(exclusion_sets).cast("int")
+        ).alias("_excluded"),
+    )
+    out = discharges.join(flags, "claim_header_id", "left").filter(
+        F.coalesce(F.col("_excluded"), F.lit(0)) == 0
+    )
+    return out.select(
+        *discharges.columns,
+        F.when(F.col("_surgery") == 1, "surgery")
+        .when(F.col("_medicine") == 1, "medicine")
+        .otherwise("unclassified")
+        .alias("medicine_surgery"),
     )

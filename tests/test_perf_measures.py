@@ -261,3 +261,61 @@ def test_tx_pen_value_set_engine(spark):
     assert "p1" not in m               # age 3 on 2019-12-31 < 6
     assert m["p2"]["numerator"] == 0   # need but no treatment
     assert "p3" not in m               # claim outside 24-month window
+
+
+def test_ah_observation_and_discharges(spark):
+    from claims_data_spark.tables.perf import (
+        acute_inpatient_episodes,
+        ah_classify_discharges,
+        ah_discharges,
+        ah_observation_stays,
+    )
+
+    ipt = spark.createDataFrame(
+        [
+            ("a", 1, d("2019-01-10"), d("2019-01-14"), "01"),
+            ("b", 2, d("2019-02-01"), d("2019-02-02"), "01"),
+        ],
+        "id_mcaid string, claim_header_id long, first_service_date date, "
+        "last_service_date date, patient_status string",
+    )
+    obs = spark.createDataFrame(
+        [
+            # became inpatient next day -> excluded
+            ("a", 10, d("2019-01-09"), d("2019-01-09"), "01"),
+            # standalone observation -> kept
+            ("a", 11, d("2019-03-01"), d("2019-03-01"), "01"),
+            # same claim is an inpatient claim -> excluded
+            ("b", 2, d("2019-02-01"), d("2019-02-02"), "01"),
+        ],
+        "id_mcaid string, claim_header_id long, first_service_date date, "
+        "last_service_date date, patient_status string",
+    )
+    kept = ah_observation_stays(obs, ipt)
+    assert {r["claim_header_id"] for r in kept.collect()} == {11}
+
+    ep = acute_inpatient_episodes(ipt)
+    dis = ah_discharges(ep, kept)
+    rows = {r["claim_header_id"]: r for r in dis.collect()}
+    assert rows[11]["observation_stay"] == 1
+    assert rows[1]["observation_stay"] == 0 and rows[2]["observation_stay"] == 0
+
+    matched = spark.createDataFrame(
+        [
+            (1, "Surgery MS-DRG"),
+            (2, "Medicine MS-DRG"),
+            (2, "Maternity MS-DRG"),   # exclusion wins
+        ],
+        "claim_header_id long, value_set_name string",
+    )
+    cls = ah_classify_discharges(
+        dis, matched,
+        medicine_sets=["Medicine MS-DRG"],
+        surgery_sets=["Surgery MS-DRG", "Surgery"],
+        exclusion_sets=["Maternity MS-DRG", "Newborns/Neonates MS-DRG",
+                        "IPU Exclusions MS-DRG"],
+    )
+    out = {r["claim_header_id"]: r for r in cls.collect()}
+    assert 2 not in out
+    assert out[1]["medicine_surgery"] == "surgery"
+    assert out[11]["medicine_surgery"] == "unclassified"
