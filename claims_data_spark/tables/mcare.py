@@ -386,3 +386,50 @@ def build_mcaid_mcare_claim_header(
     ).select("source_desc", "claim_header_id", "ed_pophealth_id")
     out = out.join(pophealth, join_key, "left")
     return out.drop("_was_ed", "_was_ed_perform", "_was_ipt", "_was_pc")
+
+
+def build_mcaid_mcare_union(
+    mcaid_df: DataFrame,
+    mcare_df: DataFrame,
+    xwalk: DataFrame,
+) -> DataFrame:
+    """Generic combined-layer union for the mcaid+mcare child tables —
+    claim_line / icdcm_header / procedure / elig layers
+    (``load_stage.mcaid_mcare_claim_line.R:219-255`` and its
+    icdcm_header/procedure twins share exactly this shape).
+
+    Each source joins the person crosswalk on its own id to mint
+    ``id_apde``, claim ids are cast to string (mcaid's are bigint,
+    mcare's are char), columns present in only one source are
+    null-filled with the other side's type, and rows are tagged
+    ``source_desc``. The xwalk join is broadcast (person-dim sized
+    relative to claims); the union is by name, never by position.
+    """
+    def _prep(df: DataFrame, src: str, id_col: str) -> DataFrame:
+        out = df.join(
+            F.broadcast(
+                xwalk.select(id_col, "id_apde").filter(
+                    F.col(id_col).isNotNull()
+                )
+            ),
+            id_col,
+            "left",
+        ).drop(id_col)
+        for c in ("claim_header_id", "claim_line_id"):
+            if c in out.columns:
+                out = out.withColumn(c, F.col(c).cast("string"))
+        return out.withColumn("source_desc", F.lit(src))
+
+    a = _prep(mcaid_df, "mcaid", "id_mcaid")
+    b = _prep(mcare_df, "mcare", "id_mcare")
+    for c in b.columns:
+        if c not in a.columns:
+            a = a.withColumn(
+                c, F.lit(None).cast(b.schema[c].dataType)
+            )
+    for c in a.columns:
+        if c not in b.columns:
+            b = b.withColumn(
+                c, F.lit(None).cast(a.schema[c].dataType)
+            )
+    return a.unionByName(b).distinct()

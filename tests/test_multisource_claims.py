@@ -107,3 +107,41 @@ def test_combined_event_ids_single_person_across_sources(combined):
         combined, unique_keys=["source_desc", "claim_header_id"]
     )
     assert checks[0][1], checks
+
+
+def test_mcaid_mcare_union_children(spark):
+    from claims_data_spark.tables.mcare import build_mcaid_mcare_union
+
+    xwalk = spark.createDataFrame(
+        [(1, "m1", "c1"), (2, "m2", None), (3, None, "c3")],
+        "id_apde long, id_mcaid string, id_mcare string",
+    )
+    mcaid_line = spark.createDataFrame(
+        [("m1", 100, 1001, "0450", "RAC1"), ("m2", 200, 2001, "0300", None)],
+        "id_mcaid string, claim_header_id long, claim_line_id long, "
+        "revenue_code string, rac_code_line string",
+    )
+    mcare_line = spark.createDataFrame(
+        [("c1", "H100", "L1", "0450", "11", "carrier")],
+        "id_mcare string, claim_header_id string, claim_line_id string, "
+        "revenue_code string, place_of_service_code string, "
+        "filetype_mcare string",
+    )
+    out = build_mcaid_mcare_union(mcaid_line, mcare_line, xwalk)
+    rows = sorted(out.collect(), key=lambda r: (r["source_desc"], r["claim_header_id"]))
+    assert [r["source_desc"] for r in rows] == ["mcaid", "mcaid", "mcare"]
+    by_claim = {r["claim_header_id"]: r for r in rows}
+    # ids minted through the xwalk, claim ids stringified
+    assert by_claim["100"]["id_apde"] == 1
+    assert by_claim["H100"]["id_apde"] == 1
+    # source-specific columns null-filled on the other side
+    assert by_claim["100"]["place_of_service_code"] is None
+    assert by_claim["100"]["filetype_mcare"] is None
+    assert by_claim["H100"]["rac_code_line"] is None
+    assert by_claim["H100"]["place_of_service_code"] == "11"
+    # schemas align: same column set both sides
+    assert set(out.columns) >= {
+        "id_apde", "source_desc", "claim_header_id", "claim_line_id",
+        "revenue_code", "rac_code_line", "place_of_service_code",
+        "filetype_mcare",
+    }
