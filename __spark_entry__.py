@@ -2702,6 +2702,249 @@ WHERE COALESCE(f.excluded, 0) = 0
 """
 
 
+
+# ---------------------------------------------------------------------------
+# MOUD claim table (load_stage.mcaid_claim_moud.R:1-432) on synthetic
+# procedure/pharmacy claims carved from orders/lineitem
+# ---------------------------------------------------------------------------
+
+def q_claim_moud(spark, sf_dir):
+    """Full MOUD pipeline: code-list flagging, primary-OUD-dx gating,
+    HCPCS+NDC union, H0033 person-month disambiguation, same-day
+    hcpcs-vs-ndc dedup, and the next-date methadone days-supply
+    estimator with per-quarter exact medians."""
+    from claims_data_spark.tables.moud import build_claim_moud
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    d = F.col("o_orderdate").cast("date")
+    proc = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("id_mcaid"),
+            F.col("l_orderkey").alias("claim_header_id"),
+            d.alias("first_service_date"),
+            d.alias("last_service_date"),
+            F.element_at(
+                F.array(
+                    F.lit("H0020"), F.lit("J0571"), F.lit("H0033"),
+                    F.lit("J2315"), F.lit("G2074"), F.lit("87070"),
+                ),
+                (F.col("l_suppkey") % 6 + 1).cast("int"),
+            ).alias("procedure_code"),
+        )
+    )
+    hdr = o.select(
+        F.col("o_orderkey").alias("claim_header_id"),
+        F.when(F.col("o_orderkey") % 3 == 0, "F1120")
+        .otherwise("Z000")
+        .alias("primary_diagnosis"),
+        F.lit(10).alias("icdcm_version"),
+    )
+    pharm = o.filter(F.col("o_orderkey") % 5 == 0).select(
+        F.col("o_custkey").alias("id_mcaid"),
+        F.col("o_orderkey").alias("claim_header_id"),
+        d.alias("rx_fill_date"),
+        F.lit("00093572001").alias("ndc"),
+        (F.col("o_orderkey") % 40).cast("double").alias("rx_days_supply"),
+    )
+    oud = spark.createDataFrame(
+        [("F1120", 10)], "code string, icdcm_version int"
+    )
+    rda_pharm = spark.createDataFrame(
+        [("00093572001", "pharm_buprenorphine")],
+        "code string, sub_group_pharmacy string",
+    )
+    ndc_ref = spark.createDataFrame(
+        [("00093572001", "TABLET")], "ndc string, dosage_form string"
+    )
+    out = build_claim_moud(
+        proc, hdr, pharm, oud, rda_pharm, ndc_ref,
+        start_date="1992-01-01",
+    )
+    return out.select(
+        "id_mcaid",
+        _ds("last_service_date").alias("last_service_date"),
+        F.col("service_month").cast("int").alias("service_month"),
+        F.col("meth_proc_flag").cast("int").alias("meth_proc_flag"),
+        F.col("bup_proc_flag").cast("int").alias("bup_proc_flag"),
+        F.col("nal_proc_flag").cast("int").alias("nal_proc_flag"),
+        F.col("unspec_proc_flag").cast("int").alias("unspec_proc_flag"),
+        F.col("bup_rx_flag").cast("int").alias("bup_rx_flag"),
+        F.col("nal_rx_flag").cast("int").alias("nal_rx_flag"),
+        "admin_method",
+        F.col("moud_flag_count").cast("int").alias("moud_flag_count"),
+        F.col("moud_days_supply").cast("double").alias("moud_days_supply"),
+        F.col("next_meth_diff").cast("int").alias("next_meth_diff"),
+        F.col("moud_days_supply_new_year_quarter").cast("double").alias(
+            "supply_estimated"
+        ),
+    )
+
+
+SQL_CLAIM_MOUD = """
+WITH proc1 AS (
+  SELECT DISTINCT
+    o_custkey AS id_mcaid, l_orderkey AS claim_header_id,
+    CAST(o_orderdate AS DATE) AS fsd, CAST(o_orderdate AS DATE) AS lsd,
+    (ARRAY['H0020','J0571','H0033','J2315','G2074','87070'])
+      [CAST(l_suppkey % 6 AS INT) + 1] AS code
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+proc2 AS (
+  SELECT *,
+    CASE WHEN code = 'H0033' THEN 1 ELSE 0 END AS moud_proc_flag_tbd,
+    CASE WHEN code = 'H0020' THEN 1 ELSE 0 END AS meth_proc_flag,
+    CASE WHEN code = 'J0571' THEN 1 ELSE 0 END AS bup_proc_flag,
+    CASE WHEN code = 'J2315' THEN 1 ELSE 0 END AS nal_proc_flag,
+    CASE WHEN code = 'G2074' THEN 1 ELSE 0 END AS unspec_proc_flag,
+    CASE WHEN code IN ('H0033','H0020','J0571') THEN 1
+         WHEN code = 'J2315' THEN 30
+         ELSE 0 END AS moud_days_supply,
+    CASE WHEN code IN ('H0020','H0033','J0571') THEN 'oral'
+         WHEN code IN ('J2315') THEN 'injection/implant'
+         ELSE NULL END AS admin_method
+  FROM proc1
+  WHERE code IN ('H0020','J0571','H0033','J2315','G2074')
+),
+proc3 AS (
+  SELECT p.*,
+    CASE WHEN p.claim_header_id % 3 = 0 THEN 1 ELSE 0 END AS oud_dx1_flag
+  FROM proc2 p
+),
+proc4 AS (
+  SELECT * FROM proc3
+  WHERE code IN ('H0020','J0571','G2074','J2315')
+        AND (code <> 'J2315' OR oud_dx1_flag = 1)
+     OR (code = 'H0033' AND oud_dx1_flag = 1)
+),
+proc5 AS (
+  SELECT * FROM proc4
+  WHERE moud_proc_flag_tbd = 1 OR bup_proc_flag = 1 OR meth_proc_flag = 1
+     OR unspec_proc_flag = 1
+     OR (nal_proc_flag = 1 AND admin_method = 'injection/implant')
+),
+rx AS (
+  SELECT DISTINCT
+    o_custkey AS id_mcaid,
+    CAST(o_orderdate AS DATE) AS lsd,
+    1 AS bup_rx_flag, 0 AS nal_rx_flag,
+    'oral' AS admin_method,
+    CAST(o_orderkey % 40 AS DOUBLE) AS moud_days_supply
+  FROM orders WHERE o_orderkey % 5 = 0
+),
+unioned AS (
+  SELECT DISTINCT id_mcaid, lsd, code,
+         moud_proc_flag_tbd, meth_proc_flag, bup_proc_flag, nal_proc_flag,
+         unspec_proc_flag, admin_method,
+         CAST(NULL AS INT) AS bup_rx_flag, CAST(NULL AS INT) AS nal_rx_flag,
+         CAST(moud_days_supply AS DOUBLE) AS moud_days_supply
+  FROM proc5
+  UNION ALL
+  SELECT DISTINCT id_mcaid, lsd, NULL, NULL, NULL, NULL, NULL, NULL,
+         admin_method, bup_rx_flag, nal_rx_flag, moud_days_supply
+  FROM rx
+),
+h0033 AS (
+  SELECT *,
+    SUM(COALESCE(meth_proc_flag, 0)) OVER wym AS meth_m,
+    SUM(COALESCE(bup_proc_flag, 0)) OVER wym AS bup_m,
+    SUM(COALESCE(bup_rx_flag, 0)) OVER wym AS bup_rx_m
+  FROM unioned
+  WINDOW wym AS (PARTITION BY id_mcaid, YEAR(lsd) * 100 + MONTH(lsd))
+),
+assigned AS (
+  SELECT id_mcaid, lsd, nal_proc_flag, unspec_proc_flag,
+         bup_rx_flag, nal_rx_flag, admin_method, moud_days_supply,
+    CASE WHEN code = 'H0033' AND meth_m = 0 AND bup_m = 0 AND bup_rx_m = 0 THEN 1
+         WHEN code = 'H0033' AND meth_m = 0 AND bup_m = 0 AND bup_rx_m > 0 THEN 0
+         WHEN code = 'H0033' AND meth_m >= bup_m AND meth_m <> 0 THEN 1
+         WHEN code = 'H0033' AND meth_m < bup_m THEN 0
+         ELSE meth_proc_flag END AS meth_proc_flag,
+    CASE WHEN code = 'H0033' AND meth_m = 0 AND bup_m = 0 AND bup_rx_m = 0 THEN 0
+         WHEN code = 'H0033' AND meth_m = 0 AND bup_m = 0 AND bup_rx_m > 0 THEN 1
+         WHEN code = 'H0033' AND meth_m >= bup_m AND meth_m <> 0 THEN 0
+         WHEN code = 'H0033' AND meth_m < bup_m THEN 1
+         ELSE bup_proc_flag END AS bup_proc_flag
+  FROM h0033
+),
+collapsed AS (
+  SELECT id_mcaid, lsd, meth_proc_flag, bup_proc_flag, nal_proc_flag,
+         unspec_proc_flag, bup_rx_flag, nal_rx_flag, admin_method,
+         SUM(moud_days_supply) AS moud_days_supply
+  FROM assigned
+  GROUP BY ALL
+),
+typed AS (
+  SELECT *,
+    CASE WHEN bup_proc_flag = 1 OR bup_rx_flag = 1 THEN 'buprenorphine'
+         WHEN nal_proc_flag = 1 OR nal_rx_flag = 1 THEN 'naltrexone'
+         END AS moudtype,
+    CASE WHEN bup_proc_flag = 1 OR nal_proc_flag = 1 THEN 'hcpcs'
+         WHEN bup_rx_flag = 1 OR nal_rx_flag = 1 THEN 'ndc' END AS codetype
+  FROM collapsed
+),
+deduped AS (
+  SELECT * FROM (
+    SELECT *,
+      COUNT(*) OVER (PARTITION BY id_mcaid, lsd, moudtype, admin_method)
+        AS n_same,
+      MAX(CASE WHEN cnt_dup > 1 THEN 1 ELSE 0 END)
+        OVER (PARTITION BY id_mcaid, lsd, moudtype) AS dup_in_type
+    FROM (
+      SELECT *,
+        COUNT(*) OVER (PARTITION BY id_mcaid, lsd, moudtype, admin_method)
+          AS cnt_dup
+      FROM typed
+    )
+  )
+  WHERE NOT (moudtype IS NOT NULL AND admin_method IS NOT NULL
+             AND dup_in_type = 1 AND codetype = 'hcpcs')
+),
+meth AS (
+  SELECT *,
+    YEAR(lsd) * 10 + QUARTER(lsd) AS yq,
+    CASE WHEN meth_proc_flag = 1
+          AND LEAD(meth_proc_flag) OVER wm = 1
+         THEN DATEDIFF('day', lsd, LEAD(lsd) OVER wm) END AS next_meth_diff,
+    SUM(COALESCE(meth_proc_flag, 0))
+      OVER (PARTITION BY id_mcaid, YEAR(lsd) * 10 + QUARTER(lsd))
+      AS meth_proc_sum_year_quarter
+  FROM deduped
+  WINDOW wm AS (PARTITION BY id_mcaid, meth_proc_flag ORDER BY lsd)
+),
+med AS (
+  SELECT id_mcaid, yq, MEDIAN(next_meth_diff) AS med_diff
+  FROM meth GROUP BY id_mcaid, yq
+)
+SELECT
+  m.id_mcaid,
+  CAST(m.lsd AS VARCHAR) AS last_service_date,
+  CAST(YEAR(m.lsd) * 100 + MONTH(m.lsd) AS INT) AS service_month,
+  CAST(m.meth_proc_flag AS INT) AS meth_proc_flag,
+  CAST(m.bup_proc_flag AS INT) AS bup_proc_flag,
+  CAST(m.nal_proc_flag AS INT) AS nal_proc_flag,
+  CAST(m.unspec_proc_flag AS INT) AS unspec_proc_flag,
+  CAST(m.bup_rx_flag AS INT) AS bup_rx_flag,
+  CAST(m.nal_rx_flag AS INT) AS nal_rx_flag,
+  m.admin_method,
+  CAST(COALESCE(m.meth_proc_flag, 0) + COALESCE(m.bup_proc_flag, 0)
+       + COALESCE(m.nal_proc_flag, 0) + COALESCE(m.bup_rx_flag, 0)
+       + COALESCE(m.nal_rx_flag, 0) AS INT) AS moud_flag_count,
+  CAST(m.moud_days_supply AS DOUBLE) AS moud_days_supply,
+  CAST(m.next_meth_diff AS INT) AS next_meth_diff,
+  CAST(CASE
+    WHEN m.meth_proc_flag = 1 AND m.meth_proc_sum_year_quarter <= 2
+      THEN m.moud_days_supply
+    WHEN m.meth_proc_flag = 1 AND m.next_meth_diff > 1.5 * d.med_diff
+      THEN d.med_diff
+    WHEN m.meth_proc_flag = 1 AND m.next_meth_diff IS NULL THEN d.med_diff
+    WHEN m.meth_proc_flag = 1 THEN m.next_meth_diff
+    ELSE m.moud_days_supply END AS DOUBLE) AS supply_estimated
+FROM meth m LEFT JOIN med d ON m.id_mcaid = d.id_mcaid AND m.yq = d.yq
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the claims_elig-shaped coverage query (islands +
     clipping + coverage stats) on sf0.001."""
@@ -2775,6 +3018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pcr_readmission": q_pcr_readmission,
         "tx_pen_measure": q_tx_pen,
         "ah_utilization": q_ah_utilization,
+        "claim_moud": q_claim_moud,
     }
 
 
@@ -2841,6 +3085,7 @@ def oracle_sql() -> dict[str, str]:
         "pcr_readmission": SQL_PCR_READMISSION,
         "tx_pen_measure": SQL_TX_PEN,
         "ah_utilization": SQL_AH_UTILIZATION,
+        "claim_moud": SQL_CLAIM_MOUD,
         # minhash_near_dup / simhash_near_dup / knn_ivf /
         # sketch_distinct_rollup: rows-only (signature math and
         # approximate estimates are not SQL-expressible)
