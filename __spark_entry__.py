@@ -2945,6 +2945,146 @@ FROM meth m LEFT JOIN med d ON m.id_mcaid = d.id_mcaid AND m.yq = d.yq
 """
 
 
+
+# ---------------------------------------------------------------------------
+# claim_value_set materialization (load_stage.mcaid_claim_value_set.R:
+# nine INSERT passes -> one scan per claim domain, broadcast code joins,
+# dx dual primary/'N' insert via explode) on synthetic claims
+# ---------------------------------------------------------------------------
+
+def q_claim_value_set(spark, sf_dir):
+    from claims_data_spark.tables.value_set import build_claim_value_set
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    d = F.col("o_orderdate").cast("date")
+    rda = spark.createDataFrame(
+        [
+            ("MH", "MH-procedure-value-set", "procedure", None, "HCPCS",
+             "90832", "Y"),
+            ("MH", "MH-Dx-value-set", "diagnosis", None, "ICD10CM",
+             "F329", "Y"),
+            ("MH", "MH-Dx-value-set", "diagnosis", None, "ICD9CM",
+             "29620", "Y"),
+            ("ED", "ED-rev-set", "line", None, "UBREV", "0450", "Y"),
+            ("IP", "IP-drg-set", "claim", None, "DRG", "470", "Y"),
+        ],
+        "value_set_group string, value_set_name string, "
+        "data_source_type string, sub_group string, code_set string, "
+        "code string, active string",
+    )
+    joined = li.join(o, li.l_orderkey == o.o_orderkey)
+    px = joined.select(
+        F.col("o_custkey").alias("id_mcaid"),
+        F.col("l_orderkey").alias("claim_header_id"),
+        d.alias("first_service_date"),
+        F.when(F.col("l_suppkey") % 5 == 0, "90832")
+        .otherwise("87070")
+        .alias("procedure_code"),
+    )
+    ln = joined.select(
+        F.col("o_custkey").alias("id_mcaid"),
+        F.col("l_orderkey").alias("claim_header_id"),
+        d.alias("first_service_date"),
+        F.when(F.col("l_partkey") % 9 == 0, "0450")
+        .otherwise("0300")
+        .alias("rev_code"),
+    )
+    dx = o.select(
+        F.col("o_custkey").alias("id_mcaid"),
+        F.col("o_orderkey").alias("claim_header_id"),
+        d.alias("first_service_date"),
+        F.when(F.col("o_orderkey") % 7 == 0, "F329")
+        .when(F.col("o_orderkey") % 7 == 1, "29620")
+        .otherwise("E119")
+        .alias("icdcm_norm"),
+        F.when(F.col("o_orderkey") % 2 == 0, 9).otherwise(10).alias(
+            "icdcm_version"
+        ),
+        F.when(F.col("o_orderkey") % 3 == 0, "01").otherwise("02").alias(
+            "icdcm_number"
+        ),
+    )
+    hdr = o.select(
+        F.col("o_custkey").alias("id_mcaid"),
+        F.col("o_orderkey").alias("claim_header_id"),
+        d.alias("first_service_date"),
+        F.when(F.col("o_orderkey") % 11 == 0, "470")
+        .otherwise("999")
+        .alias("drvd_drg_code"),
+    )
+    out = build_claim_value_set(
+        rda, procedure=px, header=hdr, icdcm=dx, line=ln
+    )
+    return out.select(
+        "value_set_group",
+        "value_set_name",
+        "code_set",
+        "primary_dx_only",
+        "id_mcaid",
+        "claim_header_id",
+        _ds("service_date").alias("service_date"),
+    )
+
+
+SQL_CLAIM_VALUE_SET = """
+WITH px AS (
+  SELECT o_custkey AS id_mcaid, l_orderkey AS claim_header_id,
+         CAST(o_orderdate AS DATE) AS fsd,
+         CASE WHEN l_suppkey % 5 = 0 THEN '90832' ELSE '87070' END AS code
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+ln AS (
+  SELECT o_custkey AS id_mcaid, l_orderkey AS claim_header_id,
+         CAST(o_orderdate AS DATE) AS fsd,
+         CASE WHEN l_partkey % 9 = 0 THEN '0450' ELSE '0300' END AS rev
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+dx AS (
+  SELECT o_custkey AS id_mcaid, o_orderkey AS claim_header_id,
+         CAST(o_orderdate AS DATE) AS fsd,
+         CASE CAST(o_orderkey % 7 AS INT) WHEN 0 THEN 'F329'
+              WHEN 1 THEN '29620' ELSE 'E119' END AS icdcm_norm,
+         CASE WHEN o_orderkey % 2 = 0 THEN 9 ELSE 10 END AS icdcm_version,
+         CASE WHEN o_orderkey % 3 = 0 THEN '01' ELSE '02' END AS icdcm_number
+  FROM orders
+),
+hdr AS (
+  SELECT o_custkey AS id_mcaid, o_orderkey AS claim_header_id,
+         CAST(o_orderdate AS DATE) AS fsd,
+         CASE WHEN o_orderkey % 11 = 0 THEN '470' ELSE '999' END AS drg
+  FROM orders
+)
+SELECT DISTINCT * FROM (
+  SELECT 'MH' AS value_set_group, 'MH-procedure-value-set' AS value_set_name,
+         'HCPCS' AS code_set, CAST(NULL AS VARCHAR) AS primary_dx_only,
+         id_mcaid, claim_header_id, CAST(fsd AS VARCHAR) AS service_date
+  FROM px WHERE code = '90832'
+  UNION ALL
+  SELECT 'IP', 'IP-drg-set', 'DRG', NULL, id_mcaid, claim_header_id,
+         CAST(fsd AS VARCHAR)
+  FROM hdr WHERE drg = '470'
+  UNION ALL
+  SELECT 'ED', 'ED-rev-set', 'UBREV', NULL, id_mcaid, claim_header_id,
+         CAST(fsd AS VARCHAR)
+  FROM ln WHERE rev = '0450'
+  UNION ALL
+  SELECT 'MH', 'MH-Dx-value-set',
+         CASE WHEN icdcm_version = 9 THEN 'ICD9CM' ELSE 'ICD10CM' END,
+         'N', id_mcaid, claim_header_id, CAST(fsd AS VARCHAR)
+  FROM dx WHERE (icdcm_version = 10 AND icdcm_norm = 'F329')
+           OR (icdcm_version = 9 AND icdcm_norm = '29620')
+  UNION ALL
+  SELECT 'MH', 'MH-Dx-value-set',
+         CASE WHEN icdcm_version = 9 THEN 'ICD9CM' ELSE 'ICD10CM' END,
+         'Y', id_mcaid, claim_header_id, CAST(fsd AS VARCHAR)
+  FROM dx WHERE ((icdcm_version = 10 AND icdcm_norm = 'F329')
+            OR (icdcm_version = 9 AND icdcm_norm = '29620'))
+           AND icdcm_number = '01'
+)
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the claims_elig-shaped coverage query (islands +
     clipping + coverage stats) on sf0.001."""
@@ -3019,6 +3159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_pen_measure": q_tx_pen,
         "ah_utilization": q_ah_utilization,
         "claim_moud": q_claim_moud,
+        "claim_value_set": q_claim_value_set,
     }
 
 
@@ -3086,6 +3227,7 @@ def oracle_sql() -> dict[str, str]:
         "tx_pen_measure": SQL_TX_PEN,
         "ah_utilization": SQL_AH_UTILIZATION,
         "claim_moud": SQL_CLAIM_MOUD,
+        "claim_value_set": SQL_CLAIM_VALUE_SET,
         # minhash_near_dup / simhash_near_dup / knn_ivf /
         # sketch_distinct_rollup: rows-only (signature math and
         # approximate estimates are not SQL-expressible)
