@@ -36,6 +36,15 @@ HEADLINE = [
     "grouping_sets",
     "simhash_near_dup",
     "embedding_near_dup",
+    # claims-pipeline flagships (round 2)
+    "ccw_two_claim",
+    "apcd_ed_episode",
+    "fuh_followup",
+    "pcr_readmission",
+    "tx_pen_measure",
+    "ah_utilization",
+    "claim_moud",
+    "claim_value_set",
 ]
 
 

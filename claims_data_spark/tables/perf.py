@@ -875,3 +875,46 @@ def ah_classify_discharges(
         .otherwise("unclassified")
         .alias("medicine_surgery"),
     )
+
+
+def mh_aod_ed_flags(
+    header: DataFrame,
+    dx_value_sets: DataFrame,
+    id_col: str = "id_mcaid",
+) -> DataFrame:
+    """ED-episode behavioral-health flags
+    (``create_stage.v_mcaid_mh_aod_ed.sql``): for each ED episode
+    (``ed_pophealth_id``), pivot MAX(flag) of primary-diagnosis
+    membership in the 'Mental Illness' and 'AOD Abuse and Dependence'
+    HEDIS sets into ``mental_illness`` / ``aod_abuse_dependence``
+    columns.
+
+    ``dx_value_sets``: (value_set_name, code) for ICD-10 primary-dx
+    codes. The pivot is a conditional aggregation over the
+    (episode × value-set) matches — one broadcast join + one groupBy
+    on the episode id, no PIVOT-operator shuffle beyond the single
+    aggregate exchange.
+    """
+    matches = (
+        header.filter(F.col("ed_pophealth_id").isNotNull())
+        .filter(F.col("icdcm_version") == 10)
+        .join(
+            F.broadcast(
+                dx_value_sets.select(
+                    "value_set_name",
+                    F.col("code").alias("primary_diagnosis"),
+                )
+            ),
+            "primary_diagnosis",
+        )
+    )
+    return matches.groupBy(id_col, "ed_pophealth_id").agg(
+        F.max(
+            (F.col("value_set_name") == "Mental Illness").cast("int")
+        ).alias("mental_illness"),
+        F.max(
+            (F.col("value_set_name") == "AOD Abuse and Dependence").cast(
+                "int"
+            )
+        ).alias("aod_abuse_dependence"),
+    )

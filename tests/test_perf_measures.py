@@ -319,3 +319,31 @@ def test_ah_observation_and_discharges(spark):
     assert 2 not in out
     assert out[1]["medicine_surgery"] == "surgery"
     assert out[11]["medicine_surgery"] == "unclassified"
+
+
+def test_mh_aod_ed_flags(spark):
+    from claims_data_spark.tables.perf import mh_aod_ed_flags
+
+    hdr = spark.createDataFrame(
+        [
+            # episode 1: MH primary dx on one claim, AOD on another
+            ("a", 1, 10, "F329", 10),
+            ("a", 2, 10, "F1020", 10),
+            # episode 2: icd-9 row ignored, unmatched dx ignored
+            ("a", 3, 11, "29620", 9),
+            ("a", 4, 11, "Z000", 10),
+            # not an ED episode
+            ("b", 5, None, "F329", 10),
+        ],
+        "id_mcaid string, claim_header_id long, ed_pophealth_id long, "
+        "primary_diagnosis string, icdcm_version int",
+    )
+    vs = spark.createDataFrame(
+        [("Mental Illness", "F329"), ("AOD Abuse and Dependence", "F1020")],
+        "value_set_name string, code string",
+    )
+    out = {r["ed_pophealth_id"]: r for r in mh_aod_ed_flags(hdr, vs).collect()}
+    assert out[10]["mental_illness"] == 1
+    assert out[10]["aod_abuse_dependence"] == 1
+    assert 11 not in out  # no qualifying primary dx -> no row
+    assert len(out) == 1
