@@ -255,16 +255,19 @@ def build_claim_moud(
 
     # step 6 (R:195-250): H0033 could be methadone or buprenorphine —
     # decide per person-month by comparing monthly counts of each.
+    # Person-month flag sums for the H0033 disambiguation. Partition
+    # on the person id ONLY and use a range frame over the month key —
+    # every per-month sum then reuses the single id exchange instead
+    # of re-shuffling on (id, month).
     ym = F.year("last_service_date") * 100 + F.month("last_service_date")
     union = union.withColumn("_ym", ym)
-    wp = Window.partitionBy(id_col)
-    wym = Window.partitionBy(id_col, "_ym")
+    wym = (
+        Window.partitionBy(id_col)
+        .orderBy("_ym")
+        .rangeBetween(Window.currentRow, Window.currentRow)
+    )
     union = (
         union.withColumn(
-            "_h0033_person",
-            F.max((F.col("procedure_code") == "H0033").cast("int")).over(wp),
-        )
-        .withColumn(
             "_meth_m", F.sum(F.coalesce("meth_proc_flag", F.lit(0))).over(wym)
         )
         .withColumn(
@@ -368,8 +371,13 @@ def build_claim_moud(
     collapsed = collapsed.withColumn("moudtype", moudtype).withColumn(
         "codetype", codetype
     )
-    w_dup = Window.partitionBy(
-        id_col, "last_service_date", "moudtype", "admin_method"
+    # Both dedup windows share ONE exchange on (id, date, moudtype):
+    # the per-admin-method count is a range frame over admin_method
+    # within that partitioning, not a fourth partition column.
+    w_dup = (
+        Window.partitionBy(id_col, "last_service_date", "moudtype")
+        .orderBy("admin_method")
+        .rangeBetween(Window.currentRow, Window.currentRow)
     )
     w_type = Window.partitionBy(id_col, "last_service_date", "moudtype")
     collapsed = (
