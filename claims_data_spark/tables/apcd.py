@@ -138,6 +138,7 @@ def build_apcd_claim_header(
     provider: DataFrame | None = None,
     ref_provider_npi: DataFrame | None = None,
     ref_provider_master: DataFrame | None = None,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """APCD claim_header analytic table
     (``load_stage.apcd_claim_header.R:74-1105``).
@@ -425,16 +426,25 @@ def build_apcd_claim_header(
         for c in ("injury_nature_narrow", "injury_nature_broad"):
             out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0)))
 
-    # STEP 7 + 10: utilization event ids via scalable dense ranking
+    # STEP 7 + 10: utilization event ids via scalable dense ranking.
+    # The assembled frame feeds FOUR dense-id subqueries plus the final
+    # result; persist it once so the join/window upstream is computed
+    # once, not per event-id (callers can pass cache_registry and
+    # unpersist after materializing — see dense_id.py's contract).
     from claims_data_spark.operators.dense_id import dense_global_id
     from claims_data_spark.operators.episodes import within_person_episodes
+
+    out = out.persist()
+    if cache_registry is not None:
+        cache_registry.append(out)
 
     def _event_id(flag_col: str, out_col: str) -> DataFrame:
         sub = out.filter(F.col(flag_col) == 1).select(
             "claim_header_id", "id_apcd", "first_service_date"
         )
         return dense_global_id(
-            sub, ["id_apcd", "first_service_date"], out_col=out_col
+            sub, ["id_apcd", "first_service_date"], out_col=out_col,
+            cache_registry=cache_registry,
         ).select("claim_header_id", out_col)
 
     out = (
@@ -453,7 +463,8 @@ def build_apcd_claim_header(
         ed, ["id_apcd"], "first_service_date", merge_gap_days=1
     )
     pophealth = dense_global_id(
-        eps, ["id_apcd", "within_person_episode_id"], out_col="ed_pophealth_id"
+        eps, ["id_apcd", "within_person_episode_id"],
+        out_col="ed_pophealth_id", cache_registry=cache_registry,
     ).select("claim_header_id", "ed_pophealth_id")
     out = out.join(pophealth, "claim_header_id", "left")
     return out
