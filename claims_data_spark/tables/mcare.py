@@ -433,3 +433,412 @@ def build_mcaid_mcare_union(
                 c, F.lit(None).cast(a.schema[c].dataType)
             )
     return a.unionByName(b).distinct()
+
+
+# ---------------------------------------------------------------------------
+# Medicare claim_line (load_stage.mcare_claim_line.R: a 7-filetype
+# UNION — carrier/dme line tables and hha/hospice/inpatient/outpatient/
+# snf revenue-center tables, each joined to its base-claims file for
+# service dates and filtered by the filetype's denial rule)
+# ---------------------------------------------------------------------------
+
+def _not_denied(base: DataFrame, method: str) -> DataFrame:
+    """Per-filetype denial exclusion (ResDAC 01-2020 consult,
+    ``load_stage.mcare_claim_line.R:35-37,88-90``): carrier/DME keep
+    payment-denial codes 1-9; facility files keep empty/null
+    non-payment reason codes. A pushed-down scan filter either way."""
+    if method == "carrier":
+        return base.filter(
+            F.col("carr_clm_pmt_dnl_cd").isin([str(i) for i in range(1, 10)])
+        )
+    return base.filter(
+        F.col("clm_mdcr_non_pmt_rsn_cd").isNull()
+        | (F.trim(F.col("clm_mdcr_non_pmt_rsn_cd")) == "")
+    )
+
+
+# filetype -> (line-id column, denial method, revenue-center table?)
+MCARE_LINE_SPECS = {
+    "carrier": {"line_id": "line_num", "denial": "carrier", "facility": False},
+    "dme": {"line_id": "line_num", "denial": "carrier", "facility": False},
+    "hha": {"line_id": "clm_line_num", "denial": "facility", "facility": True},
+    "hospice": {"line_id": "clm_line_num", "denial": "facility", "facility": True},
+    "inpatient": {"line_id": "clm_line_num", "denial": "facility", "facility": True},
+    "outpatient": {"line_id": "clm_line_num", "denial": "facility", "facility": True},
+    "snf": {"line_id": "clm_line_num", "denial": "facility", "facility": True},
+}
+
+
+def build_mcare_claim_line(
+    sources: dict[str, tuple[DataFrame, DataFrame]],
+    enrollment: DataFrame,
+) -> DataFrame:
+    """Union the per-filetype Medicare line/revenue-center feeds into
+    the analytic line grain (``load_stage.mcare_claim_line.R:1-250``).
+
+    ``sources`` maps a filetype key from ``MCARE_LINE_SPECS`` to its
+    ``(line_df, base_claims_df)`` pair. Carrier/DME lines carry a
+    2-char place-of-service and type-of-service; facility revenue
+    centers carry a 4-char revenue code. Denial exclusion is
+    per-method: carrier/DME keep payment-denial codes 1-9, facility
+    keeps empty/null non-payment reason codes
+    (``:35-37,88-90``). Rows whose person has no enrollment data are
+    dropped via a semi join (the reference's ``c.bene_id is not
+    null``). Base-claims and enrollment joins are shuffle joins on the
+    claim/person id — at 100 TB the base file is NOT broadcastable;
+    both sides arrive bucketed by ``clm_id`` in the warehouse layout.
+    """
+    parts = []
+    for ftype, (line_df, base_df) in sources.items():
+        spec = MCARE_LINE_SPECS[ftype]
+        base = _not_denied(base_df, spec["denial"]).select(
+            "clm_id",
+            F.col("clm_from_dt").cast("date").alias("first_service_date"),
+            F.col("clm_thru_dt").cast("date").alias("last_service_date"),
+        )
+        j = line_df.join(base, "clm_id").join(
+            enrollment.select("bene_id").distinct(), "bene_id", "left_semi"
+        )
+        if spec["facility"]:
+            rev = F.lpad(F.trim(F.col("rev_cntr")), 4, "0")
+            pos = F.lit(None).cast("string")
+            tos = F.lit(None).cast("string")
+        else:
+            rev = F.lit(None).cast("string")
+            pos = F.lpad(F.trim(F.col("line_place_of_srvc_cd")), 2, "0")
+            tos = F.col("line_cms_type_srvc_cd")
+        parts.append(
+            j.select(
+                F.trim(F.col("bene_id")).alias("id_mcare"),
+                F.trim(F.col("clm_id")).alias("claim_header_id"),
+                F.trim(F.col(spec["line_id"]).cast("string")).alias(
+                    "claim_line_id"
+                ),
+                "first_service_date",
+                "last_service_date",
+                rev.alias("revenue_code"),
+                pos.alias("place_of_service_code"),
+                tos.alias("type_of_service"),
+                F.lit(ftype).alias("filetype_mcare"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Medicare claim_icdcm_header (load_stage.mcare_claim_icdcm_header.R:
+# 22-599): per-filetype dx-column unpivot with date-dependent ICD-9/10
+# versioning. Carrier/DME carry 12 dx slots; facility files carry 25 dx
+# + 12 external-cause slots; inpatient/SNF add the admitting dx.
+# ---------------------------------------------------------------------------
+
+MCARE_DX_SPECS = {
+    "carrier": {"denial": "carrier", "ndx": 12, "necode": 0, "admit": False},
+    "dme": {"denial": "carrier", "ndx": 12, "necode": 0, "admit": False},
+    "hha": {"denial": "facility", "ndx": 25, "necode": 12, "admit": False},
+    "hospice": {"denial": "facility", "ndx": 25, "necode": 12, "admit": False},
+    "inpatient": {"denial": "facility", "ndx": 25, "necode": 12, "admit": True},
+    "outpatient": {"denial": "facility", "ndx": 25, "necode": 12, "admit": False},
+    "snf": {"denial": "facility", "ndx": 25, "necode": 12, "admit": True},
+}
+
+_DX_ID_COLS = [
+    "id_mcare", "claim_header_id", "first_service_date", "last_service_date",
+]
+
+
+def _dx_prepared(base: DataFrame, value_cols: dict[str, str]) -> DataFrame:
+    present = [c for c in value_cols if c in base.columns]
+    return base.select(
+        F.trim(F.col("bene_id")).alias("id_mcare"),
+        F.trim(F.col("clm_id")).alias("claim_header_id"),
+        F.col("clm_from_dt").cast("date").alias("first_service_date"),
+        F.col("clm_thru_dt").cast("date").alias("last_service_date"),
+        *present,
+    ), {c: value_cols[c] for c in present}
+
+
+def build_mcare_claim_icdcm_header(
+    sources: dict[str, DataFrame],
+    enrollment: DataFrame,
+) -> DataFrame:
+    """Long diagnosis table across the 7 Medicare claim files
+    (``load_stage.mcare_claim_icdcm_header.R:22-599``).
+
+    ``sources`` maps filetype -> base-claims frame with CMS dx columns
+    (``icd_dgns_cd1..N``, ``icd_dgns_e_cd1..M``, ``admtg_dgns_cd``).
+    Each branch: denial filter, enrollment semi join, then a ``stack``
+    unpivot (narrow, codegen, no shuffle) labeling slots '01'..'25',
+    'admit', 'ecode_1'..'ecode_12' — the reference's
+    ``substring(icdcm_number, 3, 10)`` labels. Normalization +
+    version use the shared date-cutover rule (``functions.strings``);
+    the final UNION-distinct is one shuffle over the long grain.
+    """
+    from claims_data_spark.functions.strings import (
+        icdcm_version, normalize_icdcm,
+    )
+    from claims_data_spark.operators.unpivot import unpivot
+
+    bene = enrollment.select("bene_id").distinct()
+    parts = []
+    for ftype, base_df in sources.items():
+        spec = MCARE_DX_SPECS[ftype]
+        value_cols = {
+            f"icd_dgns_cd{i}": f"{i:02d}" for i in range(1, spec["ndx"] + 1)
+        }
+        for i in range(1, spec["necode"] + 1):
+            value_cols[f"icd_dgns_e_cd{i}"] = f"ecode_{i}"
+        if spec["admit"]:
+            value_cols["admtg_dgns_cd"] = "admit"
+        base = _not_denied(base_df, spec["denial"]).join(
+            bene, "bene_id", "left_semi"
+        )
+        prepared, present = _dx_prepared(base, value_cols)
+        long_df = unpivot(
+            prepared, _DX_ID_COLS, present,
+            var_name="icdcm_number", value_name="icdcm_raw",
+        )
+        parts.append(
+            long_df.filter(F.trim(F.col("icdcm_raw")) != "")
+            .withColumn("filetype_mcare", F.lit(ftype))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        *_DX_ID_COLS,
+        "icdcm_raw",
+        normalize_icdcm("icdcm_raw", "first_service_date").alias("icdcm_norm"),
+        icdcm_version("icdcm_raw", "first_service_date").alias(
+            "icdcm_version"
+        ),
+        "icdcm_number",
+        "filetype_mcare",
+    ).distinct()
+
+
+# ---------------------------------------------------------------------------
+# Medicare claim_procedure (load_stage.mcare_claim_procedure.R:23-1261):
+# HCPCS × modifier fan-out + BETOS (carrier/DME) + ICD-PCS unpivot
+# (inpatient/outpatient/SNF). Modifier-slot counts vary by filetype and
+# ResDAC vintage — the spec table pins the current vintages; callers
+# with an older vintage pass ``mods=`` overrides.
+# ---------------------------------------------------------------------------
+
+MCARE_PX_SPECS = {
+    "carrier": {"denial": "carrier", "mods": 2, "betos": True, "icdpcs": 0},
+    "dme": {"denial": "carrier", "mods": 4, "betos": True, "icdpcs": 0},
+    "hha": {"denial": "facility", "mods": 3, "betos": False, "icdpcs": 0},
+    "hospice": {"denial": "facility", "mods": 3, "betos": False, "icdpcs": 0},
+    "inpatient": {"denial": "facility", "mods": 3, "betos": False,
+                  "icdpcs": 25},
+    "outpatient": {"denial": "facility", "mods": 4, "betos": False,
+                   "icdpcs": 25},
+    "snf": {"denial": "facility", "mods": 3, "betos": False, "icdpcs": 25},
+}
+
+
+def build_mcare_claim_procedure(
+    sources: dict[str, tuple[DataFrame, DataFrame | None]],
+    enrollment: DataFrame,
+    specs: dict[str, dict] | None = None,
+) -> DataFrame:
+    """Long procedure table (``load_stage.mcare_claim_procedure.R``).
+
+    ``sources`` maps filetype -> ``(base_claims_df, detail_df)`` where
+    ``detail_df`` is the line (carrier/DME) or revenue-center
+    (facility) table carrying ``hcpcs_cd`` + ``hcpcs_*_mdfr_cd`` (+
+    ``betos_cd`` for carrier/DME); ICD-PCS columns
+    (``icd_prcdr_cd1..25``) live on the base file. Per branch:
+
+    - HCPCS rows replicate once per non-null modifier and keep a
+      single NULL-modifier row when none exist (array filter +
+      explode — the reference's UNPIVOT + anti-filter pair,
+      ``:49-90``)
+    - BETOS / ICD-PCS rows carry a NULL modifier
+    - blank-padded modifiers normalize to NULL (``:284-287``)
+
+    The enrollment exclusion is ONE final semi join over the unioned
+    long grain (the reference's Step 11, ``:1243``), not seven — same
+    result, one hash-build of the bene dimension. UNION-distinct is
+    the single shuffle.
+    """
+    specs = {**MCARE_PX_SPECS, **(specs or {})}
+    id_sel = [
+        F.trim(F.col("bene_id")).alias("id_mcare"),
+        F.trim(F.col("clm_id")).alias("claim_header_id"),
+        F.col("clm_from_dt").cast("date").alias("first_service_date"),
+        F.col("clm_thru_dt").cast("date").alias("last_service_date"),
+    ]
+    id_cols = ["id_mcare", "claim_header_id",
+               "first_service_date", "last_service_date"]
+    parts = []
+    for ftype, (base_df, detail_df) in sources.items():
+        spec = specs[ftype]
+        base = _not_denied(base_df, spec["denial"])
+        joined = (
+            base.join(detail_df, "clm_id") if detail_df is not None else base
+        )
+        if spec["mods"] or "hcpcs_cd" in joined.columns:
+            mod_slots = ["hcpcs_1st_mdfr_cd", "hcpcs_2nd_mdfr_cd",
+                         "hcpcs_3rd_mdfr_cd", "hcpcs_4th_mdfr_cd"]
+            mod_cols = [
+                F.col(c) for c in mod_slots[: spec["mods"]]
+                if c in joined.columns
+            ]
+            cleaned = [
+                F.when(F.trim(m) == "", None).otherwise(m) for m in mod_cols
+            ]
+            mods = F.filter(F.array(*cleaned), lambda m: m.isNotNull()) \
+                if cleaned else F.array().cast("array<string>")
+            padded = F.when(
+                F.size(mods) == 0, F.array(F.lit(None).cast("string"))
+            ).otherwise(mods)
+            parts.append(
+                joined.filter(F.col("hcpcs_cd").isNotNull())
+                .select(
+                    *id_sel,
+                    F.col("hcpcs_cd").alias("procedure_code"),
+                    F.explode(padded).alias("modifier_code"),
+                    F.lit(ftype).alias("filetype_mcare"),
+                )
+            )
+        if spec["betos"]:
+            parts.append(
+                joined.filter(F.col("betos_cd").isNotNull()).select(
+                    *id_sel,
+                    F.col("betos_cd").alias("procedure_code"),
+                    F.lit(None).cast("string").alias("modifier_code"),
+                    F.lit(ftype).alias("filetype_mcare"),
+                )
+            )
+        if spec["icdpcs"]:
+            from claims_data_spark.operators.unpivot import unpivot
+
+            pcs_cols = {
+                f"icd_prcdr_cd{i}": f"{i:02d}"
+                for i in range(1, spec["icdpcs"] + 1)
+                if f"icd_prcdr_cd{i}" in base.columns
+            }
+            prepared = base.select(*id_sel, *pcs_cols)
+            parts.append(
+                unpivot(
+                    prepared, id_cols, pcs_cols,
+                    var_name="_slot", value_name="procedure_code",
+                )
+                .filter(F.trim(F.col("procedure_code")) != "")
+                .select(
+                    *id_cols,
+                    "procedure_code",
+                    F.lit(None).cast("string").alias("modifier_code"),
+                    F.lit(ftype).alias("filetype_mcare"),
+                )
+            )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.join(
+        enrollment.select(F.trim(F.col("bene_id")).alias("id_mcare"))
+        .distinct(),
+        "id_mcare",
+        "left_semi",
+    ).distinct()
+
+
+# ---------------------------------------------------------------------------
+# Medicare claim_provider (load_stage.mcare_claim_provider.R:22-654):
+# NPI role columns unpivoted long, invalid NPIs dropped, and the
+# role-dependent zip/specialty columns collapsed to one column each.
+# ---------------------------------------------------------------------------
+
+MCARE_PROVIDER_ROLES = [
+    "billing", "referring", "care_plan_oversight", "site_of_service",
+    "rendering", "organization", "attending", "operating", "other",
+]
+
+_PROVIDER_EXTRAS = [
+    "provider_type_nch", "provider_tin",
+    "provider_zip_rendering", "provider_zip_billing",
+    "provider_specialty_attending", "provider_specialty_operating",
+    "provider_specialty_other", "provider_specialty_referring",
+    "provider_specialty_rendering",
+]
+
+
+def build_mcare_claim_provider(
+    sources: dict[str, DataFrame],
+) -> DataFrame:
+    """Long provider table (``load_stage.mcare_claim_provider.R``).
+
+    ``sources`` maps filetype -> an already denial-filtered frame with
+    the id columns (``bene_id``, ``clm_id``, ``clm_from_dt``,
+    ``clm_thru_dt``) plus any subset of the standardized role columns
+    in ``MCARE_PROVIDER_ROLES`` and the optional zip/specialty extras
+    — the per-vintage CMS-name aliasing (``carr_clm_blg_npi_num`` →
+    billing, ``at_physn_npi`` → attending, rendering NPI coalesced
+    across base/revenue-center, ``:78-92,198-214``) is a caller-side
+    select because it genuinely differs per vintage.
+
+    The unpivot is ``stack`` (narrow); the NPI validity gate is the
+    reference's ``len = 10 and isnumeric`` (``:109``); zip/specialty
+    collapse to CASE on the role. UNION-distinct = one shuffle.
+    """
+    from claims_data_spark.functions.strings import is_numeric
+    from claims_data_spark.operators.unpivot import unpivot
+
+    parts = []
+    for ftype, df in sources.items():
+        roles = {r: r for r in MCARE_PROVIDER_ROLES if r in df.columns}
+        extras = [
+            F.col(c).cast("string").alias(c) if c in df.columns
+            else F.lit(None).cast("string").alias(c)
+            for c in _PROVIDER_EXTRAS
+        ]
+        prepared = df.select(
+            F.trim(F.col("bene_id")).alias("id_mcare"),
+            F.trim(F.col("clm_id")).alias("claim_header_id"),
+            F.col("clm_from_dt").cast("date").alias("first_service_date"),
+            F.col("clm_thru_dt").cast("date").alias("last_service_date"),
+            *extras,
+            *[F.col(r).cast("string").alias(r) for r in roles],
+        )
+        long_df = unpivot(
+            prepared,
+            ["id_mcare", "claim_header_id", "first_service_date",
+             "last_service_date", *_PROVIDER_EXTRAS],
+            roles,
+            var_name="provider_type", value_name="provider_npi_raw",
+        )
+        parts.append(
+            long_df.filter(
+                (F.length(F.trim(F.col("provider_npi_raw"))) == 10)
+                & is_numeric(F.trim(F.col("provider_npi_raw")))
+            ).withColumn("filetype_mcare", F.lit(ftype))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    pt = F.col("provider_type")
+    return out.select(
+        "id_mcare", "claim_header_id",
+        "first_service_date", "last_service_date",
+        F.trim(F.col("provider_npi_raw")).cast("bigint").alias(
+            "provider_npi"
+        ),
+        "provider_type",
+        "provider_type_nch",
+        "provider_tin",
+        F.when(pt == "rendering", F.col("provider_zip_rendering"))
+        .when(pt == "billing", F.col("provider_zip_billing"))
+        .alias("provider_zip"),
+        F.when(pt == "attending", F.col("provider_specialty_attending"))
+        .when(pt == "operating", F.col("provider_specialty_operating"))
+        .when(pt == "other", F.col("provider_specialty_other"))
+        .when(pt == "referring", F.col("provider_specialty_referring"))
+        .when(pt == "rendering", F.col("provider_specialty_rendering"))
+        .alias("provider_specialty"),
+        "filetype_mcare",
+    ).distinct()

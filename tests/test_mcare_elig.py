@@ -1,0 +1,121 @@
+"""Medicare MBSF eligibility tables (load_stage.mcare_elig_demo.R,
+load_stage.mcare_elig_timevar.R)."""
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import *  # noqa: F401,F403
+
+d_ = datetime.date.fromisoformat
+
+
+def _enrollment_row(bene="B1", year=2016, zip_cd="98101", birth="1950-01-01",
+                    death=None, sex="1", race="1", buyin="3", hmo="0",
+                    rx="H1234", dual="02", months=range(1, 13)):
+    row = {
+        "bene_id": bene, "bene_enrollmt_ref_yr": year, "zip_cd": zip_cd,
+        "bene_birth_dt": d_(birth) if birth else None,
+        "bene_death_dt": d_(death) if death else None,
+        "sex_ident_cd": sex, "rti_race_cd": race,
+    }
+    for m in range(1, 13):
+        on = m in months
+        row[f"mdcr_entlmt_buyin_ind_{m:02d}"] = buyin if on else "0"
+        row[f"hmo_ind_{m:02d}"] = hmo if on else "0"
+        row[f"ptd_cntrct_id_{m:02d}"] = rx if on else "N"
+        row[f"dual_stus_cd_{m:02d}"] = dual if on else "00"
+    return row
+
+
+def _enrollment_df(spark, rows):
+    return spark.createDataFrame([_enrollment_row(**r) for r in rows])
+
+
+def test_mcare_elig_demo_recent_and_ever(spark):
+    from claims_data_spark.tables.mcare_elig import build_mcare_elig_demo
+
+    rows = [
+        # B1: race changes 1 -> 5 (Latino) in later year; sex stable
+        {"bene": "B1", "year": 2015, "race": "1", "sex": "2"},
+        {"bene": "B1", "year": 2017, "race": "5", "sex": "2",
+         "death": "2017-06-15"},
+        # B2: multiple genders across years
+        {"bene": "B2", "year": 2015, "sex": "1", "race": "2"},
+        {"bene": "B2", "year": 2016, "sex": "2", "race": "2"},
+    ]
+    ref = spark.createDataFrame(
+        [("98101", 1), ("99999", 0)], "geo_zip string, geo_kc int"
+    )
+    out = build_mcare_elig_demo(_enrollment_df(spark, rows), ref)
+    d = {r["id_mcare"]: r for r in out.collect()}
+    assert len(d) == 2
+    b1 = d["B1"]
+    # ever-flags across years -> Multiple; recent per max year
+    assert b1["race_eth_me"] == "Multiple"
+    assert b1["race_eth_recent"] == "Latino"
+    assert b1["race_recent"] == "White"       # excludes Latino code
+    assert b1["race_latino"] == 1 and b1["race_white"] == 1
+    assert b1["gender_me"] == "Female"
+    assert b1["death_dt"] == d_("2017-06-15")
+    assert b1["geo_kc_ever"] == 1
+    b2 = d["B2"]
+    assert b2["gender_me"] == "Multiple"
+    assert b2["gender_recent"] == "Female"    # 2016 beats 2015
+    assert b2["race_me"] == "Black" and b2["race_eth_me"] == "Black"
+
+
+def test_mcare_elig_timevar_islands_and_death(spark):
+    from claims_data_spark.tables.mcare_elig import (
+        build_mcare_elig_demo, build_mcare_elig_timevar,
+    )
+
+    rows = [
+        # covered Jan-Mar and May-Jun (gap in April), dies June 15
+        {"bene": "B1", "year": 2016, "buyin": "3", "dual": "02",
+         "death": "2016-06-15", "months": [1, 2, 3, 5, 6]},
+    ]
+    enr = _enrollment_df(spark, rows)
+    demo = build_mcare_elig_demo(enr)
+    out = build_mcare_elig_timevar(enr, demo).orderBy("from_date")
+    segs = out.collect()
+    assert len(segs) == 2
+    a, b = segs
+    # island 1: Jan 1 - Mar 31
+    assert a["from_date"] == d_("2016-01-01")
+    assert a["to_date"] == d_("2016-03-31")
+    assert a["part_a"] == 1 and a["part_b"] == 1   # buyin '3' = A+B
+    assert a["part_c"] == 0 and a["part_d"] == 1   # hmo '0'; rx 'H...'
+    assert a["full_dual"] == 1 and a["partial_dual"] == 0
+    assert a["contiguous"] == 0
+    assert a["cov_time_day"] == 91
+    # island 2 truncated at death date
+    assert b["from_date"] == d_("2016-05-01")
+    assert b["to_date"] == d_("2016-06-15")
+    assert b["contiguous"] == 0   # 1-month gap
+
+
+def test_mcare_elig_timevar_contiguous_flag_and_no_cov(spark):
+    from claims_data_spark.tables.mcare_elig import build_mcare_elig_timevar
+
+    # B1 split across two MBSF rows: part A only Jan-Jun, A+B Jul-Dec
+    # (off months carry no-coverage codes and drop out). B2 has zero
+    # coverage in every month.
+    rows = [
+        {"bene": "B1", "year": 2016, "buyin": "1",
+         "months": [1, 2, 3, 4, 5, 6]},
+        {"bene": "B1", "year": 2016, "buyin": "3",
+         "months": [7, 8, 9, 10, 11, 12]},
+        {"bene": "B2", "year": 2016, "buyin": "0", "hmo": "0", "rx": "N",
+         "dual": "00", "months": [], "death": "2030-01-01"},
+    ]
+    out = build_mcare_elig_timevar(_enrollment_df(spark, rows))
+    segs = sorted(out.collect(), key=lambda r: (r["id_mcare"], r["from_date"]))
+    # B2 has zero coverage months -> dropped entirely
+    assert all(s["id_mcare"] == "B1" for s in segs)
+    # B1: two attribute islands; the second abuts the first -> contiguous=1
+    assert len(segs) == 2
+    assert segs[0]["part_a"] == 1 and segs[0]["part_b"] == 0
+    assert segs[1]["part_a"] == 1 and segs[1]["part_b"] == 1
+    assert segs[1]["from_date"] == d_("2016-07-01")
+    assert segs[1]["contiguous"] == 1

@@ -145,3 +145,149 @@ def test_mcaid_mcare_union_children(spark):
         "revenue_code", "rac_code_line", "place_of_service_code",
         "filetype_mcare",
     }
+
+
+def test_mcare_claim_line_filetypes(spark):
+    import datetime
+
+    from claims_data_spark.tables.mcare import build_mcare_claim_line
+
+    d_ = datetime.date.fromisoformat
+    carrier_line = spark.createDataFrame(
+        [("B1", "C1", 1, "1", "P"), ("B1", "C2", 1, "11", "P"),
+         ("B9", "C3", 1, "11", "P")],
+        "bene_id string, clm_id string, line_num int, "
+        "line_place_of_srvc_cd string, line_cms_type_srvc_cd string",
+    )
+    carrier_base = spark.createDataFrame(
+        [("C1", "2019-01-01", "2019-01-01", "1"),
+         ("C2", "2019-02-01", "2019-02-01", "D"),   # denied
+         ("C3", "2019-03-01", "2019-03-01", "1")],
+        "clm_id string, clm_from_dt string, clm_thru_dt string, "
+        "carr_clm_pmt_dnl_cd string",
+    )
+    snf_line = spark.createDataFrame(
+        [("B1", "S1", 1, "450")],
+        "bene_id string, clm_id string, clm_line_num int, rev_cntr string",
+    )
+    snf_base = spark.createDataFrame(
+        [("S1", "2019-04-01", "2019-04-05", None)],
+        "clm_id string, clm_from_dt string, clm_thru_dt string, "
+        "clm_mdcr_non_pmt_rsn_cd string",
+    )
+    enroll = spark.createDataFrame([("B1",)], "bene_id string")
+    out = build_mcare_claim_line(
+        {"carrier": (carrier_line, carrier_base),
+         "snf": (snf_line, snf_base)},
+        enroll,
+    )
+    rows = {r["claim_header_id"]: r for r in out.collect()}
+    assert set(rows) == {"C1", "S1"}   # C2 denied, C3 not enrolled
+    assert rows["C1"]["place_of_service_code"] == "01"   # zero-padded
+    assert rows["C1"]["revenue_code"] is None
+    assert rows["C1"]["filetype_mcare"] == "carrier"
+    assert rows["S1"]["revenue_code"] == "0450"          # 4-char pad
+    assert rows["S1"]["first_service_date"] == d_("2019-04-01")
+    assert rows["S1"]["type_of_service"] is None
+
+
+def test_mcare_claim_icdcm_header_unpivot(spark):
+    import datetime
+
+    from claims_data_spark.tables.mcare import build_mcare_claim_icdcm_header
+
+    carrier = spark.createDataFrame(
+        [("B1", "C1", "2015-01-01", "2015-01-01", "1", "250", "V700", None),
+         ("B1", "C2", "2019-01-01", "2019-01-01", "1", "E1165", " ", None)],
+        "bene_id string, clm_id string, clm_from_dt string, "
+        "clm_thru_dt string, carr_clm_pmt_dnl_cd string, "
+        "icd_dgns_cd1 string, icd_dgns_cd2 string, icd_dgns_cd3 string",
+    )
+    snf = spark.createDataFrame(
+        [("B1", "S1", "2019-02-01", "2019-02-03", None, "I10", "A01")],
+        "bene_id string, clm_id string, clm_from_dt string, "
+        "clm_thru_dt string, clm_mdcr_non_pmt_rsn_cd string, "
+        "icd_dgns_cd1 string, admtg_dgns_cd string",
+    )
+    enroll = spark.createDataFrame([("B1",)], "bene_id string")
+    out = build_mcare_claim_icdcm_header(
+        {"carrier": carrier, "snf": snf}, enroll
+    )
+    rows = {(r["claim_header_id"], r["icdcm_number"]): r
+            for r in out.collect()}
+    # pre-cutover numeric + V codes pad to 5 and version 9
+    assert rows[("C1", "01")]["icdcm_norm"] == "25000"
+    assert rows[("C1", "01")]["icdcm_version"] == 9
+    assert rows[("C1", "02")]["icdcm_norm"] == "V7000"
+    assert rows[("C1", "02")]["icdcm_version"] == 9
+    # post-cutover E-led code is ICD-10, untouched; blank dx2 dropped
+    assert rows[("C2", "01")]["icdcm_norm"] == "E1165"
+    assert rows[("C2", "01")]["icdcm_version"] == 10
+    assert ("C2", "02") not in rows
+    # admitting dx gets the 'admit' label on SNF
+    assert rows[("S1", "admit")]["icdcm_raw"] == "A01"
+    assert rows[("S1", "01")]["icdcm_norm"] == "I10"
+    assert rows[("S1", "01")]["first_service_date"] == \
+        datetime.date(2019, 2, 1)
+
+
+def test_mcare_claim_procedure_fanout(spark):
+    from claims_data_spark.tables.mcare import build_mcare_claim_procedure
+
+    carrier_base = spark.createDataFrame(
+        [("B1", "C1", "2019-01-01", "2019-01-01", "1")],
+        "bene_id string, clm_id string, clm_from_dt string, "
+        "clm_thru_dt string, carr_clm_pmt_dnl_cd string",
+    )
+    carrier_line = spark.createDataFrame(
+        [("C1", "99213", "25", "59", "M1A")],
+        "clm_id string, hcpcs_cd string, hcpcs_1st_mdfr_cd string, "
+        "hcpcs_2nd_mdfr_cd string, betos_cd string",
+    )
+    snf_base = spark.createDataFrame(
+        [("B1", "S1", "2019-02-01", "2019-02-05", None, "0016070", None)],
+        "bene_id string, clm_id string, clm_from_dt string, "
+        "clm_thru_dt string, clm_mdcr_non_pmt_rsn_cd string, "
+        "icd_prcdr_cd1 string, icd_prcdr_cd2 string",
+    )
+    snf_rev = spark.createDataFrame(
+        [("S1", "97110", " ", None, None)],
+        "clm_id string, hcpcs_cd string, hcpcs_1st_mdfr_cd string, "
+        "hcpcs_2nd_mdfr_cd string, hcpcs_3rd_mdfr_cd string",
+    )
+    enroll = spark.createDataFrame([("B1",)], "bene_id string")
+    out = build_mcare_claim_procedure(
+        {"carrier": (carrier_base, carrier_line),
+         "snf": (snf_base, snf_rev)},
+        enroll,
+    )
+    got = {(r["procedure_code"], r["modifier_code"]) for r in out.collect()}
+    assert got == {
+        ("99213", "25"), ("99213", "59"),   # hcpcs fan-out per modifier
+        ("M1A", None),                      # betos, no modifier
+        ("97110", None),                    # blank modifiers -> single null row
+        ("0016070", None),                  # icd-pcs from base file
+    }
+
+
+def test_mcare_claim_provider_roles(spark):
+    from claims_data_spark.tables.mcare import build_mcare_claim_provider
+
+    hha = spark.createDataFrame(
+        [("B1", "H1", "2019-01-01", "2019-01-02",
+          "1234567890", "9999999999", "bad", "98101", "08")],
+        "bene_id string, clm_id string, clm_from_dt string, "
+        "clm_thru_dt string, billing string, rendering string, "
+        "attending string, provider_zip_rendering string, "
+        "provider_specialty_rendering string",
+    )
+    out = build_mcare_claim_provider({"hha": hha})
+    rows = {r["provider_type"]: r for r in out.collect()}
+    # invalid NPI ('bad') dropped; valid ones cast to bigint
+    assert set(rows) == {"billing", "rendering"}
+    assert rows["billing"]["provider_npi"] == 1234567890
+    # zip/specialty collapse is role-dependent
+    assert rows["rendering"]["provider_zip"] == "98101"
+    assert rows["rendering"]["provider_specialty"] == "08"
+    assert rows["billing"]["provider_zip"] is None
+    assert rows["billing"]["provider_specialty"] is None
