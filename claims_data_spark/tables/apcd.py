@@ -770,3 +770,552 @@ def qa_apcd_child(
             )
         )
     return results
+
+
+# ---------------------------------------------------------------------------
+# APCD elig_demo (load_stage.apcd_elig_demo.R:21-260): DOB estimated
+# from age transitions in member_month, gender ever/recent from the
+# month grain, race from the eligibility file + ethnicity-race map.
+# ---------------------------------------------------------------------------
+
+
+def _recent(pair_value, valid, order):
+    """Reference idiom ``last_value(... order by case-when-null)``:
+    the value at the max ``order`` among ``valid`` rows (T-SQL sorts
+    NULL keys first, so last_value lands on the max valid key; ties
+    break on the value itself which the reference includes as a
+    secondary sort)."""
+    return F.max(F.when(valid, F.struct(order.alias("o"),
+                                        pair_value.alias("v"))))["v"]
+
+
+def build_apcd_elig_demo(
+    member_month: DataFrame,
+    eligibility: DataFrame,
+    ref_ethnicity_race_map: DataFrame | None = None,
+) -> DataFrame:
+    """One row per member: estimated DOB, gender, race/ethnicity
+    (``load_stage.apcd_elig_demo.R:21-260``).
+
+    DOB (``:26-45``): when age increments between contiguous months
+    (month diff 1, or 89 for the Dec->Jan yyyymm arithmetic), the
+    transition month minus (age+1) years IS the birth month; otherwise
+    fall back to last-recorded-age estimate (over-estimates age, so
+    one month is added). Both become per-person MAX + COALESCE.
+
+    Race (``:86-235``): race_id1/2 direct, race_id3/4 via the
+    ethnicity->race broadcast map, Latino from latino_id or ethnicity
+    codes, per-eligibility-row mutually-exclusive labels (z_Multiple
+    sorts last so the reference's last_value tiebreak is stable), then
+    ONE person-level groupBy replaces temp5-temp7 + the final join
+    chain. Two shuffles total (one per source grain) instead of the
+    reference's eight temp tables.
+    """
+    from pyspark.sql import Window
+
+    ym = F.col("year_month").cast("int")
+    w = Window.partitionBy("internal_member_id").orderBy(ym)
+    age = F.col("age").cast("int")
+    mm = member_month.select(
+        "internal_member_id", ym.alias("ym"), age.alias("age"),
+        "gender_code",
+        F.when(
+            (age - F.lag(age).over(w) == 1)
+            & ((ym - F.lag(ym).over(w)).isin(1, 89)),
+            yyyymm_to_date(ym - F.lag((age + 1) * 100).over(w)),
+        ).alias("dob_1"),
+        F.when(
+            F.lead(age).over(w).isNull(),
+            F.add_months(yyyymm_to_date(ym - (age + 1) * 100), 1),
+        ).alias("dob_2"),
+    )
+    g = F.col("gender_code")
+    mm_final = mm.groupBy(
+        F.col("internal_member_id").alias("id_apcd")
+    ).agg(
+        F.coalesce(F.max("dob_1"), F.max("dob_2")).alias("dob"),
+        (F.min("age") == 90).cast("int").alias("ninety_only"),
+        F.max(F.when(g == "F", 1).when(g == "U", None).otherwise(0))
+        .alias("gender_female"),
+        F.max(F.when(g == "M", 1).when(g == "U", None).otherwise(0))
+        .alias("gender_male"),
+        F.min(F.when(g == "U", 1).otherwise(0)).alias("_gender_unk"),
+        _recent(g, g.isNotNull() & (g != "U"), F.col("ym"))
+        .alias("_g_recent"),
+    ).select(
+        "id_apcd", "dob", "ninety_only",
+        F.when(
+            (F.col("gender_female") == 1) & (F.col("gender_male") == 1),
+            "Multiple",
+        )
+        .when(F.col("gender_female") == 1, "Female")
+        .when(F.col("gender_male") == 1, "Male")
+        .when(F.col("_gender_unk") == 1, "Unknown")
+        .alias("gender_me"),
+        F.when(F.col("_g_recent") == "F", "Female")
+        .when(F.col("_g_recent") == "M", "Male")
+        .when(F.col("_g_recent") == "U", "Unknown")
+        .alias("gender_recent"),
+        "gender_female", "gender_male",
+    )
+
+    # race per eligibility row
+    def clean_race(c):
+        r = F.col(c).cast("int")
+        return F.when(r.isin(1, 2, 3, 4, 5), r).otherwise(0)
+
+    el = eligibility.select(
+        F.col("internal_member_id").alias("id_apcd"),
+        F.col("eligibility_end_dt").cast("date").alias("end_dt"),
+        clean_race("race_id1").alias("r1"),
+        clean_race("race_id2").alias("r2"),
+        F.col("latino_id").cast("int").alias("latino_id"),
+        F.col("ethnicity_id1").alias("ethnicity_id1"),
+        F.col("ethnicity_id2").alias("ethnicity_id2"),
+    )
+    if ref_ethnicity_race_map is not None:
+        emap = ref_ethnicity_race_map.select(
+            "ethnicity_id", F.col("race_id").cast("int").alias("eth_race_id")
+        )
+        for n in (1, 2):
+            el = el.join(
+                F.broadcast(
+                    emap.withColumnRenamed("ethnicity_id", f"ethnicity_id{n}")
+                    .withColumnRenamed("eth_race_id", f"r{n + 2}")
+                ),
+                f"ethnicity_id{n}",
+                "left",
+            )
+        el = el.withColumn("r3", F.coalesce("r3", F.lit(0))).withColumn(
+            "r4", F.coalesce("r4", F.lit(0))
+        )
+    else:
+        el = el.withColumn("r3", F.lit(0)).withColumn("r4", F.lit(0))
+
+    def any_id(v):
+        return (
+            (F.col("r1") == v) | (F.col("r2") == v)
+            | (F.col("r3") == v) | (F.col("r4") == v)
+        ).cast("int")
+
+    row = el.select(
+        "id_apcd", "end_dt",
+        any_id(1).alias("race_aian"),
+        any_id(2).alias("race_asian"),
+        any_id(3).alias("race_black"),
+        (
+            (F.col("latino_id") == 1) | (F.col("r3") == 8)
+            | (F.col("r4") == 8)
+        ).cast("int").alias("race_latino"),
+        any_id(4).alias("race_nhpi"),
+        any_id(5).alias("race_white"),
+        (
+            (F.col("r1") == 0) & (F.col("r2") == 0)
+            & F.col("latino_id").isin(0, 2) & (F.col("r3") == 0)
+            & (F.col("r4") == 0)
+        ).cast("int").alias("race_unknown"),
+    )
+
+    def me_label(flags):
+        total = sum(F.col(c) for c in flags)
+        out = F.when(total > 1, "z_Multiple")
+        labels = {
+            "race_aian": "AI/AN", "race_asian": "Asian",
+            "race_black": "Black", "race_latino": "Latino",
+            "race_nhpi": "NH/PI", "race_white": "White",
+        }
+        for c in flags:
+            others = [o for o in flags if o != c]
+            cond = (F.col(c) == 1)
+            for o in others:
+                cond = cond & (F.col(o) == 0)
+            out = out.when(cond, labels[c])
+        return out.when(F.col("race_unknown") == 1, "Unknown")
+
+    eth_flags = ["race_aian", "race_asian", "race_black", "race_latino",
+                 "race_nhpi", "race_white"]
+    race_flags = [c for c in eth_flags if c != "race_latino"]
+    labeled = row.select(
+        "*",
+        me_label(eth_flags).alias("race_eth_me"),
+        F.coalesce(me_label(race_flags), F.lit("Unknown")).alias("race_me"),
+    )
+
+    valid = F.col("race_unknown") == 0
+    unz = lambda c: F.when(  # noqa: E731
+        c == "z_Multiple", "Multiple"
+    ).otherwise(c)
+    elig_final = labeled.groupBy("id_apcd").agg(
+        F.max("race_aian").alias("race_aian"),
+        F.max("race_asian").alias("race_asian"),
+        F.max("race_black").alias("race_black"),
+        F.max("race_latino").alias("race_latino"),
+        F.max("race_nhpi").alias("race_nhpi"),
+        F.max("race_white").alias("race_white"),
+        F.min("race_unknown").alias("race_unknown"),
+        F.max(F.when(F.col("race_eth_me") != "Unknown",
+                     F.col("race_eth_me"))).alias("_eth_best"),
+        F.max(F.when(F.col("race_me") != "Unknown", F.col("race_me")))
+        .alias("_race_best"),
+        F.coalesce(
+            _recent(
+                F.col("race_eth_me"), valid,
+                F.struct(F.col("end_dt"), F.col("race_eth_me")),
+            ),
+            F.max("race_eth_me"),
+        ).alias("_eth_recent"),
+        F.coalesce(
+            _recent(
+                F.col("race_me"), valid,
+                F.struct(F.col("end_dt"), F.col("race_me")),
+            ),
+            F.max("race_me"),
+        ).alias("_race_recent"),
+    ).select(
+        "id_apcd",
+        F.when(
+            F.col("race_aian") + F.col("race_asian") + F.col("race_black")
+            + F.col("race_latino") + F.col("race_nhpi")
+            + F.col("race_white") > 1,
+            "Multiple",
+        ).otherwise(unz(F.col("_eth_best"))).alias("race_eth_me"),
+        F.when(
+            F.col("race_aian") + F.col("race_asian") + F.col("race_black")
+            + F.col("race_nhpi") + F.col("race_white") > 1,
+            "Multiple",
+        ).otherwise(unz(F.col("_race_best"))).alias("race_me"),
+        unz(F.col("_eth_recent")).alias("race_eth_recent"),
+        unz(F.col("_race_recent")).alias("race_recent"),
+        "race_aian", "race_asian", "race_black", "race_latino",
+        "race_nhpi", "race_white", "race_unknown",
+    )
+
+    return mm_final.join(elig_final, "id_apcd", "left")
+
+
+# ---------------------------------------------------------------------------
+# APCD elig_timevar, full reference shape (load_stage.apcd_elig_timevar.R:
+# 25-140): per-domain covgrps (medical / pharmacy / dental), payer
+# binary flags, county/ACH geography, contiguous flag.
+# ---------------------------------------------------------------------------
+
+
+def _domain_covgrp(prefix: str, any_col: str) -> F.Column:
+    """The reference's 9-way payer-combination cascade (``:34-70``),
+    one domain (med/rx/dental): 1-7 from which payer eligibility ids
+    are present, 8 = covered but unknown market, 0 = none."""
+    mcaid = _nn(f"{prefix}_medicaid_eligibility_id")
+    mcare = _nn(f"{prefix}_medicare_eligibility_id")
+    comm = _nn(f"{prefix}_commercial_eligibility_id")
+    return (
+        F.when(mcaid & ~comm & ~mcare, 1)
+        .when(~mcaid & ~comm & mcare, 2)
+        .when(~mcaid & comm & ~mcare, 3)
+        .when(mcaid & ~comm & mcare, 4)
+        .when(mcaid & comm & ~mcare, 5)
+        .when(~mcaid & comm & mcare, 6)
+        .when(mcaid & comm & mcare, 7)
+        .when(_nn(any_col), 8)
+        .otherwise(0)
+    )
+
+
+def build_apcd_elig_timevar_full(
+    member_month: DataFrame,
+    ref_zip_group: DataFrame | None = None,
+    ref_county_code: DataFrame | None = None,
+) -> DataFrame:
+    """Full reference timevar: contiguous periods per (member,
+    med/pharm/dental covgrp, dual, ZIP) with payer flags and
+    geography (``load_stage.apcd_elig_timevar.R:25-140``).
+
+    Same island collapse as the simplified builder; the payer binary
+    flags derive from the covgrp AFTER collapse (cheaper: 3 small
+    CASEs on collapsed rows, not 12 on every member-month), exactly
+    the reference's Step 4. Geography refs broadcast.
+    """
+    months = member_month.select(
+        F.col("internal_member_id").alias("id_apcd"),
+        yyyymm_to_date("year_month").alias("from_date"),
+        F.last_day(yyyymm_to_date("year_month")).alias("to_date"),
+        F.col("zip_code").alias("geo_zip"),
+        _domain_covgrp("med", "medical_eligibility_id").alias("med_covgrp"),
+        _domain_covgrp("rx", "pharmacy_eligibility_id").alias(
+            "pharm_covgrp"
+        ),
+        _domain_covgrp("dental", "dental_eligibility_id").alias(
+            "dental_covgrp"
+        ),
+        (
+            _any_payer(member_month, "medicaid")
+            & _any_payer(member_month, "medicare")
+        ).cast("int").alias("dual"),
+    )
+    grp = ["med_covgrp", "pharm_covgrp", "dental_covgrp", "dual", "geo_zip"]
+    islands = collapse_islands(
+        months, ["id_apcd"], "from_date", "to_date",
+        group_cols=grp, max_gap_days=1,
+    ).withColumnRenamed("island_days", "cov_time_day")
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id_apcd").orderBy("from_date")
+    flag = lambda c, vals: F.col(c).isin(*vals).cast("int")  # noqa: E731
+    out = islands.select(
+        "id_apcd", "from_date", "to_date",
+        F.when(
+            F.datediff(F.col("from_date"), F.lag("to_date").over(w)) == 1, 1
+        ).otherwise(0).alias("contiguous"),
+        "med_covgrp", "pharm_covgrp", "dental_covgrp",
+        flag("med_covgrp", (1, 4, 5, 7)).alias("med_medicaid"),
+        flag("med_covgrp", (2, 4, 6, 7)).alias("med_medicare"),
+        flag("med_covgrp", (3, 5, 6, 7)).alias("med_commercial"),
+        (F.col("med_covgrp") == 8).cast("int").alias("med_unknown"),
+        flag("pharm_covgrp", (1, 4, 5, 7)).alias("pharm_medicaid"),
+        flag("pharm_covgrp", (2, 4, 6, 7)).alias("pharm_medicare"),
+        flag("pharm_covgrp", (3, 5, 6, 7)).alias("pharm_commercial"),
+        (F.col("pharm_covgrp") == 8).cast("int").alias("pharm_unknown"),
+        flag("dental_covgrp", (1, 4, 5, 7)).alias("dental_medicaid"),
+        flag("dental_covgrp", (2, 4, 6, 7)).alias("dental_medicare"),
+        flag("dental_covgrp", (3, 5, 6, 7)).alias("dental_commercial"),
+        (F.col("dental_covgrp") == 8).cast("int").alias("dental_unknown"),
+        "dual", "geo_zip", "cov_time_day",
+    )
+    if ref_zip_group is not None:
+        county = ref_zip_group.filter(
+            F.col("zip_group_type_desc") == "County"
+        ).select(
+            F.col("zip_code").alias("geo_zip"),
+            F.col("zip_group_desc").alias("geo_county"),
+        ).distinct()
+        ach = ref_zip_group.filter(
+            F.col("zip_group_type_desc").startswith("Acc")
+        ).select(
+            F.col("zip_code").alias("geo_zip"),
+            F.col("zip_group_code").alias("geo_ach_code"),
+            F.col("zip_group_desc").alias("geo_ach"),
+        ).distinct()
+        out = (
+            out.join(F.broadcast(county), "geo_zip", "left")
+            .join(F.broadcast(ach), "geo_zip", "left")
+        )
+        if ref_county_code is not None:
+            out = out.join(
+                F.broadcast(
+                    ref_county_code.select(
+                        F.col("geo_county_name").alias("geo_county"),
+                        F.col("geo_county_code_fips").alias(
+                            "geo_county_code"
+                        ),
+                    ).distinct()
+                ),
+                "geo_county",
+                "left",
+            )
+        else:
+            out = out.withColumn(
+                "geo_county_code", F.lit(None).cast("string")
+            )
+        out = out.withColumn(
+            "geo_wa", F.col("geo_county").isNotNull().cast("int")
+        ).withColumn(
+            "geo_kc", (F.col("geo_county") == "King").cast("int")
+        )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# APCD person-level rollup, one row per member for a date range
+# (load_stage.apcd_elig_plr.R:39-363)
+# ---------------------------------------------------------------------------
+
+PLR_COV_FLAGS = {
+    "med_total": F.col("med_covgrp") != 0,
+    "med_medicaid": F.col("med_medicaid") == 1,
+    "med_medicare": F.col("med_medicare") == 1,
+    "med_commercial": F.col("med_commercial") == 1,
+    "pharm_total": F.col("pharm_covgrp") != 0,
+    "pharm_medicaid": F.col("pharm_medicaid") == 1,
+    "pharm_medicare": F.col("pharm_medicare") == 1,
+    "pharm_commercial": F.col("pharm_commercial") == 1,
+    "dual": (
+        (F.col("med_medicaid") == 1) | (F.col("pharm_medicaid") == 1)
+    ) & ((F.col("med_medicare") == 1) | (F.col("pharm_medicare") == 1)),
+}
+
+
+def build_apcd_elig_plr(
+    timevar: DataFrame,
+    elig_demo: DataFrame,
+    from_date: str,
+    to_date: str,
+    ref_zip_group: DataFrame | None = None,
+) -> DataFrame:
+    """Person-level coverage/demographic rollup for [from_date,
+    to_date] (``load_stage.apcd_elig_plr.R:39-363``).
+
+    The reference's four repeated CASE blocks per coverage bucket are
+    one clipped-overlap expression
+    ``datediff(least(to,end), greatest(from,start)) + 1`` times each
+    bucket's flag — summed in ONE groupBy(id). ZIP assignment takes
+    the max person-time ZIP (ties break to the lower ZIP, matching
+    the reference's row_number sort ``:225``; note the reference's
+    ``sum(covd) + 1`` duration quirk is reproduced); ACH person-days
+    aggregate in the same pass keyed by (id, ach) and join back on
+    the winner. Age caps at 90 (ninety_only members pin there).
+
+    All coverage-cohort flags (overall_mcaid, medical_coverage_6/7/
+    11mo) are computed for WA residents only, per ``:358-365``.
+    """
+    start = F.lit(from_date).cast("date")
+    end = F.lit(to_date).cast("date")
+    range_days = F.datediff(end, start) + 1
+
+    tv = timevar.filter(
+        (F.col("from_date") <= end) & (F.col("to_date") >= start)
+    )
+    ov = (
+        F.datediff(F.least(F.col("to_date"), end),
+                   F.greatest(F.col("from_date"), start)) + 1
+    )
+
+    def pct(c):
+        return F.round(c * 100.0 / range_days, 1)
+
+    cov_aggs = []
+    for name, cond in PLR_COV_FLAGS.items():
+        cov_aggs.append(
+            F.sum(F.when(cond, ov).otherwise(0)).alias(f"{name}_covd")
+        )
+    cov = tv.groupBy("id_apcd").agg(*cov_aggs)
+    pct_cols = [
+        "med_total", "dual", "med_medicaid", "med_medicare",
+        "med_commercial", "pharm_total", "pharm_medicaid",
+        "pharm_medicare", "pharm_commercial",
+    ]
+    cov = cov.select(
+        "id_apcd",
+        *[F.col(f"{n}_covd") for n in PLR_COV_FLAGS],
+        *[pct(F.col(f"{n}_covd")).alias(f"{n}_covper") for n in pct_cols],
+        (F.col("dual_covd") > 0).cast("int").alias("dual_flag"),
+    )
+
+    # ZIP with max person-time; reference adds +1 to the summed days
+    zip_dur = tv.groupBy("id_apcd", "geo_zip").agg(
+        (F.sum(ov) + 1).alias("zip_dur")
+    )
+    from pyspark.sql import Window
+
+    zw = Window.partitionBy("id_apcd").orderBy(
+        F.col("zip_dur").desc(), F.col("geo_zip")
+    )
+    zip_pick = (
+        zip_dur.withColumn("zipr", F.row_number().over(zw))
+        .filter(F.col("zipr") == 1)
+        .select("id_apcd", "geo_zip")
+    )
+    if ref_zip_group is not None:
+        county = ref_zip_group.filter(
+            F.col("zip_group_type_desc") == "County"
+        ).select(
+            F.col("zip_code").alias("geo_zip"),
+            F.col("zip_group_desc").alias("geo_county"),
+        ).distinct()
+        ach_map = ref_zip_group.filter(
+            F.col("zip_group_type_desc").startswith("Acc")
+        ).select(
+            F.col("zip_code").alias("geo_zip"),
+            F.col("zip_group_desc").alias("geo_ach"),
+        ).distinct()
+        zip_pick = (
+            zip_pick.join(F.broadcast(county), "geo_zip", "left")
+            .join(F.broadcast(ach_map), "geo_zip", "left")
+        )
+        # person-days inside the chosen ACH (reference Step 4): the
+        # timevar rows' own ACH via zip, summed where it matches
+        tv_ach = tv.join(F.broadcast(ach_map), "geo_zip", "left")
+        ach_days = (
+            tv_ach.groupBy("id_apcd", "geo_ach").agg(
+                F.sum(ov).alias("geo_ach_covd")
+            )
+        )
+        zip_pick = zip_pick.join(
+            ach_days, ["id_apcd", "geo_ach"], "left"
+        )
+    else:
+        zip_pick = (
+            zip_pick.withColumn("geo_county", F.lit(None).cast("string"))
+            .withColumn("geo_ach", F.lit(None).cast("string"))
+            .withColumn("geo_ach_covd", F.lit(None).cast("long"))
+        )
+
+    age_raw = F.floor((F.datediff(end, F.col("dob")) + 1) / 365.25)
+    age = (
+        F.when((age_raw >= 90) | (F.col("ninety_only") == 1), 90)
+        .when(age_raw >= 0, age_raw)
+        .when(age_raw == -1, 0)
+    )
+    demo = elig_demo.select(
+        "id_apcd", age.alias("age"),
+        F.col("ninety_only"),
+        "gender_me", "gender_recent", "gender_female", "gender_male",
+        "race_eth_me", "race_me", "race_eth_recent", "race_recent",
+        "race_aian", "race_asian", "race_black", "race_latino",
+        "race_nhpi", "race_white", "race_unknown",
+    )
+
+    merged = (
+        cov.join(zip_pick, "id_apcd", "left")
+        .join(demo, "id_apcd", "left")
+    )
+    a = F.col("age")
+    wa = F.col("geo_county").isNotNull()
+    return merged.select(
+        "id_apcd",
+        wa.cast("int").alias("geo_wa"),
+        (
+            wa & (
+                (F.col("med_medicaid_covd") >= 1)
+                | (F.col("pharm_medicaid_covd") >= 1)
+            )
+        ).cast("int").alias("overall_mcaid"),
+        (wa & (F.col("med_medicaid_covd") >= 1)).cast("int").alias(
+            "overall_mcaid_med"
+        ),
+        (wa & (F.col("pharm_medicaid_covd") >= 1)).cast("int").alias(
+            "overall_mcaid_pharm"
+        ),
+        (wa & (F.col("med_total_covper") >= 50.0)).cast("int").alias(
+            "medical_coverage_6mo"
+        ),
+        (wa & (F.col("med_total_covper") >= 58.3)).cast("int").alias(
+            "medical_coverage_7mo"
+        ),
+        (wa & (F.col("med_total_covper") >= 91.7)).cast("int").alias(
+            "medical_coverage_11mo"
+        ),
+        "geo_zip", "geo_county", "geo_ach", "geo_ach_covd",
+        pct(F.col("geo_ach_covd")).alias("geo_ach_covper"),
+        "age",
+        F.when((a >= 0) & (a < 5), "0-4")
+        .when((a >= 5) & (a < 12), "5-11")
+        .when((a >= 12) & (a < 18), "12-17")
+        .when((a >= 18) & (a < 25), "18-24")
+        .when((a >= 25) & (a < 45), "25-44")
+        .when((a >= 45) & (a < 65), "45-64")
+        .when((a >= 65) | (F.col("ninety_only") == 1), "65 and over")
+        .alias("age_grp7"),
+        "gender_me", "gender_recent", "gender_female", "gender_male",
+        "race_eth_me", "race_me", "race_eth_recent", "race_recent",
+        "race_aian", "race_asian", "race_black", "race_latino",
+        "race_nhpi", "race_white", "race_unknown",
+        "med_total_covd", "med_total_covper",
+        "dual_covd", "dual_covper", "dual_flag",
+        "med_medicaid_covd", "med_medicare_covd", "med_commercial_covd",
+        "med_medicaid_covper", "med_medicare_covper",
+        "med_commercial_covper",
+        "pharm_total_covd", "pharm_total_covper",
+        "pharm_medicaid_covd", "pharm_medicare_covd",
+        "pharm_commercial_covd", "pharm_medicaid_covper",
+        "pharm_medicare_covper", "pharm_commercial_covper",
+    )
