@@ -842,3 +842,214 @@ def build_mcare_claim_provider(
         .alias("provider_specialty"),
         "filetype_mcare",
     ).distinct()
+
+
+# ---------------------------------------------------------------------------
+# Combined mcaid+mcare elig_demo (load_stage.mcaid_mcare_elig_demo.R:
+# 24-120): both demos routed to id_apde, one row per person per
+# source, duals merged column-wise with per-column source preference.
+# ---------------------------------------------------------------------------
+
+
+def build_mcaid_mcare_elig_demo(
+    xwalk: DataFrame,
+    mcaid_demo: DataFrame,
+    mcare_demo: DataFrame,
+) -> DataFrame:
+    """Cross-source person demographics keyed by ``id_apde``.
+
+    Merge policy (``:81-90``): DOB prefers Medicare when present;
+    every other shared column prefers Medicaid and back-fills from
+    Medicare. Source-specific columns (death_dt / geo_kc_ever /
+    race_asian_pi from Medicare, lang_* from Medicaid) pass through.
+    ``apde_dual`` marks persons present in both sources.
+
+    The reference's seeded-random one-row-per-id pick (``:52-61``)
+    becomes a deterministic md5-ordered row_number — retry-stable on
+    a cluster where set.seed semantics don't exist (engine convention,
+    SURVEY.md §2 P8). ``race_unk`` is recomputed with null-strict
+    comparisons, reproducing the reference's data.table behavior where
+    any NA flag leaves race_unk at 0 (``:107-108``).
+    """
+    from pyspark.sql import Window
+
+    def routed(demo, id_col):
+        side = (
+            xwalk.filter(F.col(id_col).isNotNull())
+            .select("id_apde", id_col)
+            .join(demo, id_col)
+            .drop(id_col)
+        )
+        w = Window.partitionBy("id_apde").orderBy(
+            F.md5(F.concat_ws("|", *[
+                F.col(c).cast("string") for c in side.columns
+            ]))
+        )
+        return (
+            side.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    a = routed(mcaid_demo, "id_mcaid")
+    b = routed(mcare_demo, "id_mcare")
+    shared = sorted(
+        (set(a.columns) & set(b.columns)) - {"id_apde"}
+    )
+    a_only = [c for c in a.columns if c not in shared and c != "id_apde"]
+    b_only = [c for c in b.columns if c not in shared and c != "id_apde"]
+    a = a.select(
+        "id_apde", F.lit(1).alias("_in_mcaid"),
+        *[F.col(c).alias(f"_a_{c}") for c in shared], *a_only,
+    )
+    b = b.select(
+        "id_apde", F.lit(1).alias("_in_mcare"),
+        *[F.col(c).alias(f"_b_{c}") for c in shared], *b_only,
+    )
+    m = a.join(b, "id_apde", "full")
+
+    def merged(c):
+        if c == "dob":
+            return F.coalesce(F.col("_b_dob"), F.col("_a_dob")).alias("dob")
+        return F.coalesce(F.col(f"_a_{c}"), F.col(f"_b_{c}")).alias(c)
+
+    out = m.select(
+        "id_apde",
+        *[merged(c) for c in shared],
+        *a_only, *b_only,
+        (
+            F.coalesce(F.col("_in_mcaid"), F.lit(0))
+            * F.coalesce(F.col("_in_mcare"), F.lit(0))
+        ).alias("apde_dual"),
+    )
+    race_cols = [
+        c for c in (
+            "race_aian", "race_asian", "race_asian_pi", "race_black",
+            "race_latino", "race_nhpi", "race_white",
+        )
+        if c in out.columns
+    ]
+    unk = F.lit(True)
+    for c in race_cols:
+        unk = unk & (F.col(c) == 0)  # null-strict: NA flag -> not unk
+    return out.withColumn(
+        "race_unk", F.when(unk, 1).otherwise(0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Medicare claim_pharm (load_stage.mcare_claim_pharm.R:22-354): facility
+# revenue-center NDC rows + Part D PDE fills, one long table.
+# ---------------------------------------------------------------------------
+
+_PDE_AMT_COLS = [
+    "ptnt_pay_amt", "othr_troop_amt", "lics_amt", "plro_amt",
+    "cvrd_d_plan_pd_amt", "ncvrd_plan_pd_amt", "tot_rx_cst_amt",
+]
+_PDE_CHAR_COLS = {
+    "gcdf": "dosage_form_code", "gcdf_desc": "dosage_form_code_desc",
+    "str": "strength", "ncpdp_id": "pharmacy_id",
+    "brnd_gnrc_cd": "brand_generic_flag",
+    "phrmcy_srvc_type_cd": "pharmacy_type",
+}
+
+
+def build_mcare_claim_pharm(
+    facility_sources: dict[str, tuple[DataFrame, DataFrame]],
+    pde: DataFrame | None,
+    enrollment: DataFrame,
+) -> DataFrame:
+    """Pharmacy events across facility revenue centers and Part D
+    (``load_stage.mcare_claim_pharm.R``).
+
+    ``facility_sources`` maps filetype (hha/hospice/inpatient/
+    outpatient/snf) to ``(revenue_center_df, base_claims_df)``; rows
+    keep only numeric-leading NDC values (``:59``), zero-padded to 11.
+    ``pde`` is the Part D event file: prescriber NPI only when the
+    qualifier is 1/01, dispense quantities/amounts and pharmacy
+    characteristics carried through. Both branches gate on enrollment
+    via one semi join over the union.
+    """
+    null_s = F.lit(None).cast("string")
+    null_n = F.lit(None).cast("decimal(19,3)")
+    parts = []
+    for ftype, (rev, base) in facility_sources.items():
+        b = _not_denied(base, "facility").select(
+            "clm_id", F.col("clm_thru_dt").cast("date").alias(
+                "last_service_date"
+            ),
+        )
+        ndc = F.col("rev_cntr_ide_ndc_upc_num")
+        parts.append(
+            rev.filter(ndc.isNotNull() & ~ndc.rlike("^[A-Za-z]"))
+            .join(b, "clm_id")
+            .select(
+                F.trim(F.col("bene_id")).alias("id_mcare"),
+                F.trim(F.col("clm_id")).alias("claim_header_id"),
+                F.trim(F.col("clm_line_num").cast("string")).alias(
+                    "claim_line_id"
+                ),
+                "last_service_date",
+                null_s.alias("prscrbr_npi"),
+                F.lpad(ndc, 11, "0").alias("ndc"),
+                F.col("rev_cntr_ndc_qty").cast("decimal(19,3)").alias(
+                    "facility_drug_quantity"
+                ),
+                F.col("rev_cntr_ndc_qty_qlfr_cd").alias(
+                    "facility_drug_quantity_unit"
+                ),
+                null_s.alias("cmpnd_cd"),
+                null_n.alias("qty_dspnsd_num"),
+                F.lit(None).cast("smallint").alias("days_suply_num"),
+                F.lit(None).cast("smallint").alias("fill_num"),
+                *[
+                    F.lit(None).cast("decimal(38,3)").alias(c)
+                    for c in _PDE_AMT_COLS
+                ],
+                *[null_s.alias(v) for v in _PDE_CHAR_COLS.values()],
+                F.lit(ftype).alias("filetype_mcare"),
+            )
+        )
+    if pde is not None:
+        parts.append(
+            pde.select(
+                F.trim(F.col("bene_id")).alias("id_mcare"),
+                F.trim(F.col("pde_id")).alias("claim_header_id"),
+                null_s.alias("claim_line_id"),
+                F.col("srvc_dt").cast("date").alias("last_service_date"),
+                F.when(
+                    F.col("prscrbr_id_qlfyr_cd").isin("1", "01"),
+                    F.col("prscrbr_id"),
+                ).alias("prscrbr_npi"),
+                F.lpad(F.col("prod_srvc_id"), 11, "0").alias("ndc"),
+                null_n.alias("facility_drug_quantity"),
+                null_s.alias("facility_drug_quantity_unit"),
+                F.col("cmpnd_cd").cast("string").alias("cmpnd_cd"),
+                F.col("qty_dspnsd_num").cast("decimal(19,3)").alias(
+                    "qty_dspnsd_num"
+                ),
+                F.col("days_suply_num").cast("smallint").alias(
+                    "days_suply_num"
+                ),
+                F.col("fill_num").cast("smallint").alias("fill_num"),
+                *[
+                    F.col(c).cast("decimal(38,3)").alias(c)
+                    for c in _PDE_AMT_COLS
+                ],
+                *[
+                    F.col(k).cast("string").alias(v)
+                    for k, v in _PDE_CHAR_COLS.items()
+                ],
+                F.lit("pharmacy").alias("filetype_mcare"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.join(
+        enrollment.select(
+            F.trim(F.col("bene_id")).alias("id_mcare")
+        ).distinct(),
+        "id_mcare",
+        "left_semi",
+    )

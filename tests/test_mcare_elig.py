@@ -119,3 +119,51 @@ def test_mcare_elig_timevar_contiguous_flag_and_no_cov(spark):
     assert segs[1]["part_a"] == 1 and segs[1]["part_b"] == 1
     assert segs[1]["from_date"] == d_("2016-07-01")
     assert segs[1]["contiguous"] == 1
+
+
+def test_mcaid_mcare_elig_demo_merge(spark):
+    from claims_data_spark.tables.mcare import build_mcaid_mcare_elig_demo
+
+    xwalk = spark.createDataFrame(
+        [(1, "M1", "C1"),     # dual
+         (2, "M2", None),     # mcaid solo
+         (3, None, "C3")],    # mcare solo
+        "id_apde int, id_mcaid string, id_mcare string",
+    )
+    mcaid = spark.createDataFrame(
+        [("M1", d_("1980-01-01"), "Female", 1, 0, 0, None, 1, "SPANISH"),
+         ("M2", d_("1990-05-05"), "Male", 0, 1, 0, None, 0, "ENGLISH")],
+        "id_mcaid string, dob date, gender_me string, race_white int, "
+        "race_black int, race_aian int, race_latino int, race_nhpi int, "
+        "lang_max string",
+    )
+    mcare = spark.createDataFrame(
+        [("C1", d_("1980-02-02"), None, 1, 0, 0, 0, 0, 0,
+          d_("2020-01-01"), 1),
+         ("C3", d_("1955-03-03"), "Male", 0, 0, 0, 0, 0, 0, None, 0)],
+        "id_mcare string, dob date, gender_me string, race_white int, "
+        "race_black int, race_aian int, race_latino int, race_nhpi int, "
+        "race_asian_pi int, death_dt date, geo_kc_ever int",
+    )
+    out = build_mcaid_mcare_elig_demo(xwalk, mcaid, mcare)
+    rows = {r["id_apde"]: r for r in out.collect()}
+    assert len(rows) == 3
+    dual = rows[1]
+    # dob prefers Medicare; gender prefers Medicaid (mcare null anyway)
+    assert dual["dob"] == d_("1980-02-02")
+    assert dual["gender_me"] == "Female"
+    # mcaid race_white=1 wins over mcare's for shared col
+    assert dual["race_white"] == 1
+    # mcare-only columns flow through; mcaid-only lang too
+    assert dual["death_dt"] == d_("2020-01-01")
+    assert dual["lang_max"] == "SPANISH"
+    assert dual["apde_dual"] == 1
+    solo_mcaid = rows[2]
+    assert solo_mcaid["apde_dual"] == 0
+    assert solo_mcaid["death_dt"] is None
+    # race_latino NULL -> null-strict race_unk stays 0 despite others 0
+    assert rows[2]["race_unk"] == 0
+    solo_mcare = rows[3]
+    # all mcare race flags 0 and non-null -> race_unk 1
+    assert solo_mcare["race_unk"] == 1
+    assert solo_mcare["lang_max"] is None

@@ -291,3 +291,55 @@ def test_mcare_claim_provider_roles(spark):
     assert rows["rendering"]["provider_specialty"] == "08"
     assert rows["billing"]["provider_zip"] is None
     assert rows["billing"]["provider_specialty"] is None
+
+
+def test_mcare_claim_pharm_union(spark):
+    import datetime
+
+    from claims_data_spark.tables.mcare import build_mcare_claim_pharm
+
+    d_ = datetime.date.fromisoformat
+    snf_rev = spark.createDataFrame(
+        [("B1", "S1", 1, "12345678901", 2.5, "UN"),
+         ("B1", "S1", 2, "A9999", 1.0, "UN"),      # alpha-led: excluded
+         ("B1", "S1", 3, None, 1.0, "UN")],        # null ndc: excluded
+        "bene_id string, clm_id string, clm_line_num int, "
+        "rev_cntr_ide_ndc_upc_num string, rev_cntr_ndc_qty double, "
+        "rev_cntr_ndc_qty_qlfr_cd string",
+    )
+    snf_base = spark.createDataFrame(
+        [("S1", "2019-04-05", None)],
+        "clm_id string, clm_thru_dt string, clm_mdcr_non_pmt_rsn_cd string",
+    )
+    pde = spark.createDataFrame(
+        [("B1", "P1", "2019-05-01", "01", "5555555555", "777", "0",
+          30.0, 30, 1, 10.0, 0.0, 0.0, 0.0, 90.0, 0.0, 100.0,
+          "TAB", "Tablet", "10mg", "PH1", "G", "01"),
+         ("B9", "P2", "2019-05-01", "01", "5555555555", "777", "0",
+          30.0, 30, 1, 10.0, 0.0, 0.0, 0.0, 90.0, 0.0, 100.0,
+          "TAB", "Tablet", "10mg", "PH1", "G", "01")],
+        "bene_id string, pde_id string, srvc_dt string, "
+        "prscrbr_id_qlfyr_cd string, prscrbr_id string, prod_srvc_id "
+        "string, cmpnd_cd string, qty_dspnsd_num double, days_suply_num "
+        "int, fill_num int, ptnt_pay_amt double, othr_troop_amt double, "
+        "lics_amt double, plro_amt double, cvrd_d_plan_pd_amt double, "
+        "ncvrd_plan_pd_amt double, tot_rx_cst_amt double, gcdf string, "
+        "gcdf_desc string, str string, ncpdp_id string, brnd_gnrc_cd "
+        "string, phrmcy_srvc_type_cd string",
+    )
+    enroll = spark.createDataFrame([("B1",)], "bene_id string")
+    out = build_mcare_claim_pharm({"snf": (snf_rev, snf_base)}, pde, enroll)
+    rows = {r["claim_header_id"]: r for r in out.collect()}
+    # alpha/null NDCs dropped; unenrolled B9 dropped
+    assert set(rows) == {"S1", "P1"}
+    s = rows["S1"]
+    assert s["ndc"] == "12345678901"
+    assert s["filetype_mcare"] == "snf"
+    assert s["last_service_date"] == d_("2019-04-05")
+    assert s["days_suply_num"] is None
+    p = rows["P1"]
+    assert p["ndc"] == "00000000777"        # 11-char zero pad
+    assert p["prscrbr_npi"] == "5555555555"
+    assert float(p["tot_rx_cst_amt"]) == 100.0
+    assert p["pharmacy_id"] == "PH1"
+    assert p["filetype_mcare"] == "pharmacy"
