@@ -3085,6 +3085,449 @@ SELECT DISTINCT * FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# Medicare MBSF elig_timevar (load_stage.mcare_elig_timevar.R:13-383) on
+# synthetic enrollment carved from customer: the 48 monthly indicator
+# columns are pure functions of (custkey, month), so the DuckDB oracle
+# recomputes them at the month grain directly (no reshape needed).
+# ---------------------------------------------------------------------------
+
+_TV_BUYIN = ["0", "1", "3", "A", "C", "2", "B"]
+_TV_HMO = ["0", "1", "4", "A", "C"]
+_TV_RX = ["N", "H1234", "*", "E99", "X77", "0"]
+_TV_DUAL = ["00", "01", "02", "03", "04", "08", "10", "99", "NA", "**"]
+
+
+def q_mcare_timevar(spark, sf_dir):
+    """Full mcare_elig_timevar pipeline: struct-explode unpivot of the
+    four monthly indicator sets, ResDAC part A/B/C/D + dual recodes,
+    death-date censoring/truncation, island collapse, contiguous flag."""
+    from claims_data_spark.tables.mcare_elig import build_mcare_elig_timevar
+
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+
+    def pick(vals, expr):
+        return F.element_at(
+            F.array(*[F.lit(v) for v in vals]), (expr % len(vals) + 1).cast("int")
+        )
+
+    cols = [
+        k.alias("bene_id"),
+        F.lit(1995).alias("bene_enrollmt_ref_yr"),
+        F.when(k % 4 == 0, "98101").when(k % 4 == 1, "9810")
+        .when(k % 4 == 2, "98055").otherwise("99999").alias("zip_cd"),
+    ]
+    for m in range(1, 13):
+        cols.append(pick(_TV_BUYIN, k * 5 + m * 3).alias(
+            f"mdcr_entlmt_buyin_ind_{m:02d}"))
+        cols.append(pick(_TV_HMO, k + m).alias(f"hmo_ind_{m:02d}"))
+        cols.append(pick(_TV_RX, k * 2 + m).alias(f"ptd_cntrct_id_{m:02d}"))
+        cols.append(pick(_TV_DUAL, k + m * 7).alias(f"dual_stus_cd_{m:02d}"))
+    enr = c.select(*cols)
+    demo = c.select(
+        k.alias("id_mcare"),
+        F.when(k % 9 == 0, F.lit("1995-06-15").cast("date")).alias(
+            "death_dt"
+        ),
+    )
+    out = build_mcare_elig_timevar(enr, demo)
+    return out.select(
+        F.col("id_mcare").cast("long").alias("id_mcare"),
+        _ds("from_date").alias("from_date"),
+        _ds("to_date").alias("to_date"),
+        F.col("contiguous").cast("int").alias("contiguous"),
+        F.col("part_a").cast("int").alias("part_a"),
+        F.col("part_b").cast("int").alias("part_b"),
+        F.col("part_c").cast("int").alias("part_c"),
+        F.col("part_d").cast("int").alias("part_d"),
+        F.col("full_dual").cast("int").alias("full_dual"),
+        F.col("partial_dual").cast("int").alias("partial_dual"),
+        F.col("state_buyin").cast("int").alias("state_buyin"),
+        "geo_zip",
+        F.col("cov_time_day").cast("int").alias("cov_time_day"),
+    )
+
+
+def _sql_list(vals):
+    return ", ".join("'" + v + "'" for v in vals)
+
+
+SQL_MCARE_TIMEVAR = f"""
+WITH months AS (
+  SELECT c_custkey AS id, m,
+    make_date(1995, m, 1) AS from_date,
+    last_day(make_date(1995, m, 1)) AS to_date,
+    CASE WHEN c_custkey % 4 = 0 THEN '98101'
+         WHEN c_custkey % 4 = 2 THEN '98055'
+         WHEN c_custkey % 4 = 3 THEN '99999' END AS geo_zip,
+    (ARRAY[{_sql_list(_TV_BUYIN)}])[CAST((c_custkey*5 + m*3) % 7 AS INT) + 1] AS buyin,
+    (ARRAY[{_sql_list(_TV_HMO)}])[CAST((c_custkey + m) % 5 AS INT) + 1] AS hmo,
+    (ARRAY[{_sql_list(_TV_RX)}])[CAST((c_custkey*2 + m) % 6 AS INT) + 1] AS rx,
+    (ARRAY[{_sql_list(_TV_DUAL)}])[CAST((c_custkey + m*7) % 10 AS INT) + 1] AS dual,
+    CASE WHEN c_custkey % 9 = 0 THEN DATE '1995-06-15' END AS death_dt
+  FROM customer CROSS JOIN (SELECT UNNEST(generate_series(1, 12)) AS m)
+),
+coded AS (
+  SELECT id, from_date, to_date, geo_zip, death_dt,
+    CASE WHEN buyin IN ('1','3','A','C') THEN 1 WHEN buyin IN ('0','2','B') THEN 0 END AS part_a,
+    CASE WHEN buyin IN ('2','3','B','C') THEN 1 WHEN buyin IN ('0','1','A') THEN 0 END AS part_b,
+    CASE WHEN hmo IN ('1','2','A','B','C') THEN 1 WHEN hmo IN ('0','4') THEN 0 END AS part_c,
+    CASE WHEN rx IN ('N','NULL','*','0','NA') OR rx IS NULL THEN 0
+         WHEN substr(rx,1,1) IN ('E','H','R','S','X') THEN 1 END AS part_d,
+    CASE WHEN buyin IN ('0','1','2','3') THEN 0 WHEN buyin IN ('A','B','C') THEN 1 END AS state_buyin,
+    CASE WHEN dual IN ('NULL','**','0','00','2','02','4','04','8','08','9','09','99','10','NA') OR dual IS NULL THEN 0
+         WHEN dual IN ('1','01','3','03','5','05','6','06') THEN 1 END AS partial_dual,
+    CASE WHEN dual IN ('NULL','**','0','00','9','09','99','NA','1','01','3','03','5','05','6','06') OR dual IS NULL THEN 0
+         WHEN dual IN ('2','02','4','04','8','08','10') THEN 1 END AS full_dual
+  FROM months
+),
+covered AS (
+  SELECT id, from_date,
+    CASE WHEN death_dt IS NOT NULL AND from_date <= death_dt AND to_date > death_dt
+         THEN death_dt ELSE to_date END AS to_date,
+    geo_zip, part_a, part_b, part_c, part_d, state_buyin, partial_dual, full_dual
+  FROM coded
+  WHERE COALESCE(part_a,0)+COALESCE(part_b,0)+COALESCE(part_c,0)+COALESCE(part_d,0)
+        +COALESCE(state_buyin,0)+COALESCE(partial_dual,0)+COALESCE(full_dual,0) > 0
+    AND (death_dt IS NULL OR from_date <= death_dt)
+),
+grp AS (
+  SELECT *, datediff('month', DATE '1900-01-01', from_date)
+    - ROW_NUMBER() OVER (PARTITION BY id, geo_zip, part_a, part_b, part_c,
+        part_d, state_buyin, partial_dual, full_dual ORDER BY from_date) AS g
+  FROM covered
+),
+island AS (
+  SELECT id, geo_zip, part_a, part_b, part_c, part_d, state_buyin,
+    partial_dual, full_dual, MIN(from_date) AS from_date, MAX(to_date) AS to_date
+  FROM grp
+  GROUP BY id, geo_zip, part_a, part_b, part_c, part_d, state_buyin,
+    partial_dual, full_dual, g
+)
+SELECT CAST(id AS BIGINT) AS id_mcare,
+  CAST(from_date AS VARCHAR) AS from_date,
+  CAST(to_date AS VARCHAR) AS to_date,
+  CASE WHEN datediff('day', LAG(to_date) OVER (PARTITION BY id ORDER BY from_date),
+       from_date) = 1 THEN 1 ELSE 0 END AS contiguous,
+  part_a, part_b, part_c, part_d, full_dual, partial_dual, state_buyin,
+  geo_zip, CAST(datediff('day', from_date, to_date) + 1 AS INT) AS cov_time_day
+FROM island
+"""
+
+
+# ---------------------------------------------------------------------------
+# APCD person-level rollup (load_stage.apcd_elig_plr.R:39-363) on
+# synthetic timevar segments carved from orders
+# ---------------------------------------------------------------------------
+
+def q_apcd_plr(spark, sf_dir):
+    """Date-range clipped coverage-day sums per person, max-person-time
+    ZIP pick with county/ACH mapping, ACH day share, age-at-end with
+    the 90 cap, and WA-gated coverage cohort flags."""
+    from claims_data_spark.tables.apcd import build_apcd_elig_plr
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    ok = F.col("o_orderkey")
+    mg = (ok % 9).cast("int")
+    pg = ((ok * 31 + 3) % 9).cast("int")
+    tv = o.select(
+        F.col("o_custkey").alias("id_apcd"),
+        F.col("o_orderdate").cast("date").alias("from_date"),
+        F.date_add(F.col("o_orderdate").cast("date"),
+                   (ok % 120).cast("int")).alias("to_date"),
+        mg.alias("med_covgrp"), pg.alias("pharm_covgrp"),
+        mg.isin(1, 4, 5, 7).cast("int").alias("med_medicaid"),
+        mg.isin(2, 4, 6, 7).cast("int").alias("med_medicare"),
+        mg.isin(3, 5, 6, 7).cast("int").alias("med_commercial"),
+        pg.isin(1, 4, 5, 7).cast("int").alias("pharm_medicaid"),
+        pg.isin(2, 4, 6, 7).cast("int").alias("pharm_medicare"),
+        pg.isin(3, 5, 6, 7).cast("int").alias("pharm_commercial"),
+        F.concat(F.lit("Z"), (F.col("o_custkey") % 5).cast("string"))
+        .alias("geo_zip"),
+    )
+    ck = F.col("c_custkey")
+    demo = c.select(
+        ck.alias("id_apcd"),
+        F.make_date(
+            F.lit(1920) + (ck % 80).cast("int"),
+            (ck % 12).cast("int") + 1, F.lit(15)
+        ).alias("dob"),
+        (ck % 13 == 0).cast("int").alias("ninety_only"),
+        F.when(ck % 2 == 0, "Female").otherwise("Male").alias("gender_me"),
+        F.when(ck % 2 == 0, "Female").otherwise("Male").alias(
+            "gender_recent"
+        ),
+        (ck % 2 == 0).cast("int").alias("gender_female"),
+        (ck % 2 == 1).cast("int").alias("gender_male"),
+        F.lit("White").alias("race_eth_me"), F.lit("White").alias("race_me"),
+        F.lit("White").alias("race_eth_recent"),
+        F.lit("White").alias("race_recent"),
+        F.lit(0).alias("race_aian"), F.lit(0).alias("race_asian"),
+        F.lit(0).alias("race_black"), F.lit(0).alias("race_latino"),
+        F.lit(0).alias("race_nhpi"), F.lit(1).alias("race_white"),
+        F.lit(0).alias("race_unknown"),
+    )
+    ref_zip = spark.createDataFrame(
+        [("Z0", "County", "King", "K"), ("Z1", "County", "King", "K"),
+         ("Z2", "County", "Pierce", "P"), ("Z3", "County", "Pierce", "P"),
+         ("Z0", "Accountable Community", "HealthierHere", "H"),
+         ("Z1", "Accountable Community", "HealthierHere", "H"),
+         ("Z2", "Accountable Community", "OtherACH", "O")],
+        "zip_code string, zip_group_type_desc string, zip_group_desc "
+        "string, zip_group_code string",
+    )
+    out = build_apcd_elig_plr(tv, demo, "1995-01-01", "1995-12-31", ref_zip)
+    return out.select(
+        F.col("id_apcd").cast("long").alias("id_apcd"),
+        F.col("geo_wa").cast("int").alias("geo_wa"),
+        F.col("overall_mcaid").cast("int").alias("overall_mcaid"),
+        F.col("overall_mcaid_med").cast("int").alias("overall_mcaid_med"),
+        F.col("overall_mcaid_pharm").cast("int").alias(
+            "overall_mcaid_pharm"
+        ),
+        F.col("medical_coverage_6mo").cast("int").alias(
+            "medical_coverage_6mo"
+        ),
+        F.col("medical_coverage_11mo").cast("int").alias(
+            "medical_coverage_11mo"
+        ),
+        "geo_zip", "geo_county", "geo_ach",
+        F.col("geo_ach_covd").cast("long").alias("geo_ach_covd"),
+        F.col("age").cast("int").alias("age"), "age_grp7",
+        F.col("med_total_covd").cast("long").alias("med_total_covd"),
+        _dec(F.col("med_total_covper"), 1, 5).alias("med_total_covper"),
+        F.col("med_medicaid_covd").cast("long").alias("med_medicaid_covd"),
+        F.col("med_medicare_covd").cast("long").alias("med_medicare_covd"),
+        F.col("pharm_total_covd").cast("long").alias("pharm_total_covd"),
+        F.col("dual_covd").cast("long").alias("dual_covd"),
+        F.col("dual_flag").cast("int").alias("dual_flag"),
+    )
+
+
+SQL_APCD_PLR = """
+WITH tv AS (
+  SELECT o_custkey AS id, CAST(o_orderdate AS DATE) AS from_date,
+    CAST(o_orderdate AS DATE) + CAST(o_orderkey % 120 AS INT) AS to_date,
+    CAST(o_orderkey % 9 AS INT) AS mg,
+    CAST((o_orderkey * 31 + 3) % 9 AS INT) AS pg,
+    'Z' || CAST(o_custkey % 5 AS INT) AS geo_zip
+  FROM orders
+),
+rng AS (
+  SELECT *,
+    mg IN (1,4,5,7) AS med_mcaid, mg IN (2,4,6,7) AS med_mcare,
+    mg IN (3,5,6,7) AS med_comm,
+    pg IN (1,4,5,7) AS ph_mcaid, pg IN (2,4,6,7) AS ph_mcare,
+    pg IN (3,5,6,7) AS ph_comm
+  FROM tv
+  WHERE from_date <= DATE '1995-12-31' AND to_date >= DATE '1995-01-01'
+),
+ov AS (
+  SELECT *, datediff('day', GREATEST(from_date, DATE '1995-01-01'),
+    LEAST(to_date, DATE '1995-12-31')) + 1 AS d
+  FROM rng
+),
+cov AS (
+  SELECT id,
+    SUM(CASE WHEN mg != 0 THEN d ELSE 0 END) AS med_total_covd,
+    SUM(CASE WHEN med_mcaid THEN d ELSE 0 END) AS med_medicaid_covd,
+    SUM(CASE WHEN med_mcare THEN d ELSE 0 END) AS med_medicare_covd,
+    SUM(CASE WHEN pg != 0 THEN d ELSE 0 END) AS pharm_total_covd,
+    SUM(CASE WHEN ph_mcaid THEN d ELSE 0 END) AS pharm_medicaid_covd,
+    SUM(CASE WHEN (med_mcaid OR ph_mcaid) AND (med_mcare OR ph_mcare)
+        THEN d ELSE 0 END) AS dual_covd
+  FROM ov GROUP BY id
+),
+zipdur AS (
+  SELECT id, geo_zip, SUM(d) + 1 AS zip_dur FROM ov GROUP BY id, geo_zip
+),
+zippick AS (
+  SELECT id, geo_zip FROM (
+    SELECT id, geo_zip, ROW_NUMBER() OVER (PARTITION BY id
+      ORDER BY zip_dur DESC, geo_zip) AS zr FROM zipdur
+  ) WHERE zr = 1
+),
+refc AS (
+  SELECT * FROM (VALUES ('Z0','King'), ('Z1','King'), ('Z2','Pierce'),
+    ('Z3','Pierce')) AS t(zip, county)
+),
+refa AS (
+  SELECT * FROM (VALUES ('Z0','HealthierHere'), ('Z1','HealthierHere'),
+    ('Z2','OtherACH')) AS t(zip, ach)
+),
+geo AS (
+  SELECT z.id, z.geo_zip, c.county AS geo_county, a.ach AS geo_ach
+  FROM zippick z LEFT JOIN refc c ON z.geo_zip = c.zip
+  LEFT JOIN refa a ON z.geo_zip = a.zip
+),
+achdays AS (
+  SELECT o.id, a.ach, SUM(o.d) AS geo_ach_covd
+  FROM ov o JOIN refa a ON o.geo_zip = a.zip
+  GROUP BY o.id, a.ach
+),
+aged AS (
+  SELECT c_custkey AS id,
+    CASE WHEN c_custkey % 13 = 0 THEN 1 ELSE 0 END AS ninety_only,
+    FLOOR((datediff('day',
+      make_date(1920 + CAST(c_custkey % 80 AS INT),
+                CAST(c_custkey % 12 AS INT) + 1, 15),
+      DATE '1995-12-31') + 1) / 365.25) AS rawage
+  FROM customer
+),
+merged AS (
+  SELECT cov.*, g.geo_zip, g.geo_county, g.geo_ach, ad.geo_ach_covd,
+    CASE WHEN a.rawage >= 90 OR a.ninety_only = 1 THEN 90
+         WHEN a.rawage >= 0 THEN a.rawage
+         WHEN a.rawage = -1 THEN 0 END AS age,
+    a.ninety_only,
+    ROUND(cov.med_total_covd * 100.0 / 365, 1) AS med_total_covper
+  FROM cov
+  LEFT JOIN geo g ON cov.id = g.id
+  LEFT JOIN achdays ad ON cov.id = ad.id AND g.geo_ach = ad.ach
+  LEFT JOIN aged a ON cov.id = a.id
+)
+SELECT CAST(id AS BIGINT) AS id_apcd,
+  CASE WHEN geo_county IS NOT NULL THEN 1 ELSE 0 END AS geo_wa,
+  CASE WHEN geo_county IS NOT NULL AND
+       (med_medicaid_covd >= 1 OR pharm_medicaid_covd >= 1)
+       THEN 1 ELSE 0 END AS overall_mcaid,
+  CASE WHEN geo_county IS NOT NULL AND med_medicaid_covd >= 1
+       THEN 1 ELSE 0 END AS overall_mcaid_med,
+  CASE WHEN geo_county IS NOT NULL AND pharm_medicaid_covd >= 1
+       THEN 1 ELSE 0 END AS overall_mcaid_pharm,
+  CASE WHEN geo_county IS NOT NULL AND med_total_covper >= 50.0
+       THEN 1 ELSE 0 END AS medical_coverage_6mo,
+  CASE WHEN geo_county IS NOT NULL AND med_total_covper >= 91.7
+       THEN 1 ELSE 0 END AS medical_coverage_11mo,
+  geo_zip, geo_county, geo_ach,
+  CAST(geo_ach_covd AS BIGINT) AS geo_ach_covd,
+  CAST(age AS INT) AS age,
+  CASE WHEN age >= 0 AND age < 5 THEN '0-4'
+       WHEN age >= 5 AND age < 12 THEN '5-11'
+       WHEN age >= 12 AND age < 18 THEN '12-17'
+       WHEN age >= 18 AND age < 25 THEN '18-24'
+       WHEN age >= 25 AND age < 45 THEN '25-44'
+       WHEN age >= 45 AND age < 65 THEN '45-64'
+       WHEN age >= 65 OR ninety_only = 1 THEN '65 and over' END AS age_grp7,
+  CAST(med_total_covd AS BIGINT) AS med_total_covd,
+  CAST(med_total_covper AS DECIMAL(5,1)) AS med_total_covper,
+  CAST(med_medicaid_covd AS BIGINT) AS med_medicaid_covd,
+  CAST(med_medicare_covd AS BIGINT) AS med_medicare_covd,
+  CAST(pharm_total_covd AS BIGINT) AS pharm_total_covd,
+  CAST(dual_covd AS BIGINT) AS dual_covd,
+  CASE WHEN dual_covd > 0 THEN 1 ELSE 0 END AS dual_flag
+FROM merged
+"""
+
+
+# ---------------------------------------------------------------------------
+# Medicaid housing status (load_stage.mcaid_housing_status.R:43-123) on
+# synthetic month/dx frames from customer + orders
+# ---------------------------------------------------------------------------
+
+def q_housing_status(spark, sf_dir):
+    """Address + Z59 z-code housing signals per eligibility month with
+    the multi-signal override fused into one aggregation."""
+    from claims_data_spark.tables.housing import build_housing_status
+
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    ck = F.col("c_custkey")
+    month1 = c.select(
+        ck.alias("id_mcaid"),
+        F.lit("1995-03-01").cast("date").alias("from_date"),
+        F.lit("1995-03-31").cast("date").alias("to_date"),
+        F.when(ck % 5 == 0, F.lit("HOMELESS SHELTER"))
+        .otherwise(F.col("c_name")).alias("geo_add1"),
+        F.when(ck % 11 == 0, F.lit("homeless camp")).alias("geo_add2"),
+    )
+    month2 = c.select(
+        ck.alias("id_mcaid"),
+        F.lit("1995-04-01").cast("date").alias("from_date"),
+        F.lit("1995-04-30").cast("date").alias("to_date"),
+        F.col("c_name").alias("geo_add1"),
+        F.lit(None).cast("string").alias("geo_add2"),
+    )
+    dx = o.select(
+        F.col("o_custkey").alias("id_mcaid"),
+        F.col("o_orderdate").cast("date").alias("first_service_date"),
+        F.element_at(
+            F.array(
+                F.lit("Z5900"), F.lit("Z5910"), F.lit("Z5901"),
+                F.lit("Z59811"), F.lit("I10"),
+            ),
+            (F.col("o_orderkey") % 5 + 1).cast("int"),
+        ).alias("icdcm_norm"),
+    )
+    out = build_housing_status(month1.unionByName(month2), dx)
+    return out.select(
+        F.col("id_mcaid").cast("long").alias("id_mcaid"),
+        _ds("from_date").alias("from_date"),
+        _ds("to_date").alias("to_date"),
+        "housing_status", "housing_status_source",
+    )
+
+
+SQL_HOUSING_STATUS = """
+WITH months AS (
+  SELECT c_custkey AS id, DATE '1995-03-01' AS from_date,
+    DATE '1995-03-31' AS to_date,
+    CASE WHEN c_custkey % 5 = 0 THEN 'HOMELESS SHELTER'
+         ELSE c_name END AS geo_add1,
+    CASE WHEN c_custkey % 11 = 0 THEN 'homeless camp' END AS geo_add2
+  FROM customer
+  UNION ALL
+  SELECT c_custkey, DATE '1995-04-01', DATE '1995-04-30', c_name, NULL
+  FROM customer
+),
+dx AS (
+  SELECT o_custkey AS id, CAST(o_orderdate AS DATE) AS fsd,
+    (ARRAY['Z5900','Z5910','Z5901','Z59811','I10'])
+      [CAST(o_orderkey % 5 AS INT) + 1] AS icdcm_norm
+  FROM orders
+),
+zcodes AS (
+  SELECT id, fsd,
+    CASE WHEN icdcm_norm IN ('Z590','Z5900','Z5901','Z5902')
+         THEN 'homeless' ELSE 'unstably housed' END AS zcode_status
+  FROM dx
+  WHERE icdcm_norm IN ('Z590','Z5900','Z5901','Z5902','Z591','Z5910','Z5919')
+     OR icdcm_norm LIKE 'Z5981%'
+),
+joined AS (
+  SELECT m.id, m.from_date, m.to_date,
+    CASE WHEN UPPER(COALESCE(m.geo_add1, '')) LIKE '%HOMELESS%'
+          OR UPPER(COALESCE(m.geo_add2, '')) LIKE '%HOMELESS%'
+         THEN 1 ELSE 0 END AS is_homeless_addr,
+    z.zcode_status
+  FROM months m LEFT JOIN zcodes z
+    ON m.id = z.id AND z.fsd BETWEEN m.from_date AND m.to_date
+),
+flagged AS (
+  SELECT id, from_date, to_date,
+    COALESCE(zcode_status,
+      CASE WHEN is_homeless_addr = 1 THEN 'homeless' END) AS housing_status,
+    CASE WHEN is_homeless_addr = 1 AND zcode_status IS NOT NULL
+         THEN 'multiple'
+         WHEN is_homeless_addr = 1 THEN 'homeless_address'
+         ELSE 'z_codes' END AS housing_status_source
+  FROM joined
+  WHERE is_homeless_addr = 1 OR zcode_status IS NOT NULL
+)
+SELECT CAST(id AS BIGINT) AS id_mcaid,
+  CAST(from_date AS VARCHAR) AS from_date,
+  CAST(to_date AS VARCHAR) AS to_date,
+  CASE WHEN COUNT(DISTINCT housing_status) > 1 THEN 'homeless'
+       ELSE MAX(housing_status) END AS housing_status,
+  CASE WHEN COUNT(DISTINCT housing_status_source) > 1 THEN 'multiple'
+       ELSE MAX(housing_status_source) END AS housing_status_source
+FROM flagged
+GROUP BY id, from_date, to_date
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the claims_elig-shaped coverage query (islands +
     clipping + coverage stats) on sf0.001."""
@@ -3160,6 +3603,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ah_utilization": q_ah_utilization,
         "claim_moud": q_claim_moud,
         "claim_value_set": q_claim_value_set,
+        "mcare_timevar": q_mcare_timevar,
+        "apcd_plr": q_apcd_plr,
+        "housing_status": q_housing_status,
     }
 
 
@@ -3231,4 +3677,7 @@ def oracle_sql() -> dict[str, str]:
         # minhash_near_dup / simhash_near_dup / knn_ivf /
         # sketch_distinct_rollup: rows-only (signature math and
         # approximate estimates are not SQL-expressible)
+        "mcare_timevar": SQL_MCARE_TIMEVAR,
+        "apcd_plr": SQL_APCD_PLR,
+        "housing_status": SQL_HOUSING_STATUS,
     }

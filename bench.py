@@ -45,6 +45,9 @@ HEADLINE = [
     "ah_utilization",
     "claim_moud",
     "claim_value_set",
+    "mcare_timevar",
+    "apcd_plr",
+    "housing_status",
 ]
 
 
