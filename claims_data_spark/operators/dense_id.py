@@ -64,17 +64,19 @@ def dense_global_id(
     if cache_registry is not None:
         cache_registry.append(ranked)
 
-    # Offsets: one row per partition — tiny, safe to collect.
-    counts = (
-        ranked.groupBy("_pid").agg(F.max("_rn").alias("_cnt")).orderBy("_pid").collect()
+    # Offsets: prefix-sum of per-partition counts. The counts frame has
+    # ONE row per shuffle partition, so the un-partitioned running-sum
+    # window is a bounded single task — and keeping it as a lazy plan
+    # (rather than a driver collect) means a builder that mints several
+    # independent id families (the APCD header mints four) stays ONE
+    # action instead of a serial chain of blocking collect jobs.
+    counts = ranked.groupBy("_pid").agg(F.max("_rn").alias("_cnt"))
+    w_off = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, -1
     )
-    offsets, running = {}, 0
-    for row in counts:
-        offsets[row["_pid"]] = running
-        running += row["_cnt"]
-    spark = df.sparkSession
-    offset_df = spark.createDataFrame(
-        [(pid, off) for pid, off in offsets.items()], "_pid int, _off long"
+    offset_df = counts.select(
+        "_pid",
+        F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_off"),
     )
     key_ids = (
         ranked.join(F.broadcast(offset_df), "_pid")
@@ -95,3 +97,65 @@ def dense_global_id(
         clause = df[c].eqNullSafe(aliased[f"_key_{c}"])
         cond = clause if cond is None else (cond & clause)
     return df.join(aliased, cond).drop(*[f"_key_{c}" for c in order_cols])
+
+
+def dense_global_ids_by_tag(
+    df: DataFrame,
+    tag_col: str,
+    order_cols: list[str],
+    out_col: str = "global_id",
+    num_partitions: int | None = None,
+    cache_registry: list | None = None,
+) -> DataFrame:
+    """Mint several INDEPENDENT dense 1-based id families in ONE
+    ranking pass.
+
+    Equivalent to calling ``dense_global_id`` once per distinct value
+    of ``tag_col`` on that tag's subset — but with one distinct, one
+    range shuffle, one window and one offsets pass instead of one per
+    family. A builder minting several utilization-event id families
+    over the same key grain (the APCD header mints pc_visit /
+    inpatient / ed_perform ids over (person, service_date)) collapses
+    3x the shuffle-and-sample machinery into one; at warehouse scale
+    that is two fewer full distinct scans, and on small data it cuts
+    the per-job scheduling floor.
+
+    Returns the (tag, *order_cols, out_col) mapping — dense and
+    1-based WITHIN each tag (global rank minus the count of keys in
+    preceding tags, both from the same ranked-keys frame).
+    """
+    keys = df.select(tag_col, *order_cols).distinct()
+    cols = [tag_col, *order_cols]
+    if num_partitions:
+        keys = keys.repartitionByRange(num_partitions, *cols)
+    else:
+        keys = keys.repartitionByRange(*cols)
+    with_pid = keys.withColumn("_pid", F.spark_partition_id())
+    w_in = Window.partitionBy("_pid").orderBy(*cols)
+    ranked = with_pid.withColumn("_rn", F.row_number().over(w_in)).persist()
+    if cache_registry is not None:
+        cache_registry.append(ranked)
+
+    counts = ranked.groupBy("_pid").agg(F.max("_rn").alias("_cnt"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offset_df = counts.select(
+        "_pid", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_off")
+    )
+    # per-tag key totals -> base to subtract so each family restarts at 1
+    tag_counts = ranked.groupBy(tag_col).agg(F.count("*").alias("_tcnt"))
+    w_tag = Window.orderBy(tag_col).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    tag_base = tag_counts.select(
+        tag_col,
+        F.coalesce(F.sum("_tcnt").over(w_tag), F.lit(0)).alias("_base"),
+    )
+    return (
+        ranked.join(F.broadcast(offset_df), "_pid")
+        .join(F.broadcast(tag_base), tag_col)
+        .withColumn(
+            out_col,
+            (F.col("_rn") + F.col("_off") - F.col("_base")).cast("long"),
+        )
+        .select(tag_col, *order_cols, out_col)
+    )

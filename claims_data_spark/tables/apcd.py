@@ -431,27 +431,46 @@ def build_apcd_claim_header(
     # result; persist it once so the join/window upstream is computed
     # once, not per event-id (callers can pass cache_registry and
     # unpersist after materializing — see dense_id.py's contract).
-    from claims_data_spark.operators.dense_id import dense_global_id
+    from claims_data_spark.operators.dense_id import (
+        dense_global_id, dense_global_ids_by_tag,
+    )
     from claims_data_spark.operators.episodes import within_person_episodes
 
     out = out.persist()
     if cache_registry is not None:
         cache_registry.append(out)
 
-    def _event_id(flag_col: str, out_col: str) -> DataFrame:
-        sub = out.filter(F.col(flag_col) == 1).select(
-            "claim_header_id", "id_apcd", "first_service_date"
+    # pc_visit / inpatient / ed_perform ids all rank over the same
+    # (person, service_date) grain on different claim subsets — ONE
+    # tagged ranking pass + ONE conditional-agg join instead of three
+    # of each (3x fewer distinct scans and range shuffles)
+    event_specs = [
+        ("pc_visit", "pc_visit_id"),
+        ("inpatient", "inpatient_id"),
+        ("ed_perform", "ed_perform_id"),
+    ]
+    tagged = None
+    for flag_col, _ in event_specs:
+        part = out.filter(F.col(flag_col) == 1).select(
+            F.lit(flag_col).alias("_tag"),
+            "claim_header_id", "id_apcd", "first_service_date",
         )
-        return dense_global_id(
-            sub, ["id_apcd", "first_service_date"], out_col=out_col,
-            cache_registry=cache_registry,
-        ).select("claim_header_id", out_col)
-
-    out = (
-        out.join(_event_id("pc_visit", "pc_visit_id"), "claim_header_id", "left")
-        .join(_event_id("inpatient", "inpatient_id"), "claim_header_id", "left")
-        .join(_event_id("ed_perform", "ed_perform_id"), "claim_header_id", "left")
+        tagged = part if tagged is None else tagged.unionByName(part)
+    mapping = dense_global_ids_by_tag(
+        tagged, "_tag", ["id_apcd", "first_service_date"],
+        out_col="_event_id", cache_registry=cache_registry,
     )
+    per_claim = (
+        tagged.join(mapping, ["_tag", "id_apcd", "first_service_date"])
+        .groupBy("claim_header_id")
+        .agg(*[
+            F.max(
+                F.when(F.col("_tag") == flag_col, F.col("_event_id"))
+            ).alias(out_col)
+            for flag_col, out_col in event_specs
+        ])
+    )
+    out = out.join(per_claim, "claim_header_id", "left")
 
     # ED population health (Yale) 1-day episode clustering (``:984-1018``)
     ed = out.filter(
