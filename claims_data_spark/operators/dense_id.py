@@ -41,11 +41,11 @@ def dense_global_id(
     re-scan is a bad trade, and only the tiny ranked-key frame (always
     persisted) must be stable for correctness.
 
-    Long-lived sessions: every persisted frame (the ranked-key frame,
-    plus ``df`` under ``persist_input``) is appended to
+    Long-lived sessions: ``df`` under ``persist_input`` is appended to
     ``cache_registry`` when one is passed — after materializing the
-    result, call ``.unpersist()`` on each to release executor memory
-    instead of waiting on LRU eviction."""
+    result, call ``.unpersist()`` on each to release executor memory.
+    (The ranked-key frame itself is a lazy ``localCheckpoint``, whose
+    storage is reclaimed with the RDD, not via unpersist.)"""
     if persist_input:
         df = df.persist()
         if cache_registry is not None:
@@ -58,11 +58,19 @@ def dense_global_id(
 
     with_pid = keys.withColumn("_pid", F.spark_partition_id())
     w_in = Window.partitionBy("_pid").orderBy(*order_cols)
-    # persist: the offsets collect below materializes the ranked keys;
-    # without it the final join would recompute the distinct + window
-    ranked = with_pid.withColumn("_rn", F.row_number().over(w_in)).persist()
-    if cache_registry is not None:
-        cache_registry.append(ranked)
+    # Lazy localCheckpoint, not persist: the ranked keys feed BOTH the
+    # offsets subplan and the final join, and under the all-lazy design
+    # each broadcast subtree would otherwise re-embed the entire
+    # upstream lineage — chained builders (header -> combined layer,
+    # each minting several id families) make the physical plan grow
+    # multiplicatively until planning itself OOMs. Checkpointing the
+    # (small) ranked-key frame truncates lineage at a stable point;
+    # losing an executor costs a job retry, which is the right trade
+    # for a keys-sized frame.
+    ranked = (
+        with_pid.withColumn("_rn", F.row_number().over(w_in))
+        .localCheckpoint(eager=False)
+    )
 
     # Offsets: prefix-sum of per-partition counts. The counts frame has
     # ONE row per shuffle partition, so the un-partitioned running-sum
@@ -132,9 +140,12 @@ def dense_global_ids_by_tag(
         keys = keys.repartitionByRange(*cols)
     with_pid = keys.withColumn("_pid", F.spark_partition_id())
     w_in = Window.partitionBy("_pid").orderBy(*cols)
-    ranked = with_pid.withColumn("_rn", F.row_number().over(w_in)).persist()
-    if cache_registry is not None:
-        cache_registry.append(ranked)
+    # lazy localCheckpoint: see dense_global_id — truncates lineage so
+    # chained builders don't grow multiplicative plan trees
+    ranked = (
+        with_pid.withColumn("_rn", F.row_number().over(w_in))
+        .localCheckpoint(eager=False)
+    )
 
     counts = ranked.groupBy("_pid").agg(F.max("_rn").alias("_cnt"))
     w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)

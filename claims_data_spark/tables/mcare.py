@@ -22,7 +22,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from claims_data_spark.operators.dense_id import dense_global_id
+from claims_data_spark.operators.dense_id import (
+    dense_global_id,
+    dense_global_ids_by_tag,
+)
 from claims_data_spark.operators.episodes import within_person_episodes
 
 # ED definitions (load_stage.mcare_claim_header.R:379-399): the RDA
@@ -229,28 +232,35 @@ def build_mcare_claim_header(
         )
     )
 
-    def _event_id(flag_col: str, out_col: str, date_col: str) -> DataFrame:
-        sub = out.filter(F.col(flag_col) == 1).select(
-            "claim_header_id", "id_mcare", date_col
+    # three same-typed (person, date) id families -> one tagged ranking
+    # pass + one conditional-agg join (see dense_global_ids_by_tag)
+    out = out.persist()
+    event_specs = [
+        ("pc_visit", "pc_visit_id", "first_service_date"),
+        ("inpatient", "inpatient_id", "discharge_date"),
+        ("ed_perform", "ed_perform_id", "first_service_date"),
+    ]
+    tagged = None
+    for flag_col, _, date_col in event_specs:
+        part = out.filter(F.col(flag_col) == 1).select(
+            F.lit(flag_col).alias("_tag"), "claim_header_id", "id_mcare",
+            F.col(date_col).alias("_d"),
         )
-        return dense_global_id(
-            sub, ["id_mcare", date_col], out_col=out_col
-        ).select("claim_header_id", out_col)
-
-    out = (
-        out.join(
-            _event_id("pc_visit", "pc_visit_id", "first_service_date"),
-            "claim_header_id", "left",
-        )
-        .join(
-            _event_id("inpatient", "inpatient_id", "discharge_date"),
-            "claim_header_id", "left",
-        )
-        .join(
-            _event_id("ed_perform", "ed_perform_id", "first_service_date"),
-            "claim_header_id", "left",
-        )
+        tagged = part if tagged is None else tagged.unionByName(part)
+    mapping = dense_global_ids_by_tag(
+        tagged, "_tag", ["id_mcare", "_d"], out_col="_event_id"
     )
+    per_claim = (
+        tagged.join(mapping, ["_tag", "id_mcare", "_d"])
+        .groupBy("claim_header_id")
+        .agg(*[
+            F.max(
+                F.when(F.col("_tag") == flag_col, F.col("_event_id"))
+            ).alias(out_col)
+            for flag_col, out_col, _ in event_specs
+        ])
+    )
+    out = out.join(per_claim, "claim_header_id", "left")
     ed = out.filter(
         (F.col("ed_yale_carrier") == 1)
         | (F.col("ed_yale_opt") == 1)

@@ -918,3 +918,304 @@ def mh_aod_ed_flags(
             )
         ).alias("aod_abuse_dependence"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ED visit numerator view (create_stage.v_perf_ed_visit_num.sql):
+# claim-type-gated ED visits via POS 23, ED revenue codes, or ED CPT.
+# ---------------------------------------------------------------------------
+
+ED_VISIT_CLAIM_TYPES = ("3", "26", "34")
+ED_VISIT_REV_CODES = ("0450", "0451", "0452", "0456", "0459")
+ED_VISIT_PX_CODES = ("99281", "99282", "99283", "99284", "99285", "99288")
+
+
+def ed_visit_num(
+    header: DataFrame,
+    line: DataFrame | None = None,
+    procedure: DataFrame | None = None,
+    id_col: str = "id_mcaid",
+) -> DataFrame:
+    """All-ED-visit numerator rows, one per qualifying claim
+    (``v_perf_ed_visit_num.sql``): professional/outpatient claim types
+    with POS 23 on the header, an ED revenue code on any line, or an
+    ED E&M procedure code. The three branches UNION-distinct on the
+    claim grain; line/procedure gates are semi joins so the header is
+    scanned once per branch with no fan-out.
+    """
+    base = header.filter(
+        F.col("clm_type_mcaid_id").cast("string").isin(*ED_VISIT_CLAIM_TYPES)
+    )
+    sel = [
+        (F.year("first_service_date") * 100
+         + F.month("first_service_date")).cast("int").alias("year_month"),
+        id_col, "claim_header_id", "first_service_date",
+        "last_service_date",
+        F.lit(1).alias("ed_visit_num"),
+    ]
+    parts = []
+    if "place_of_service_code" in header.columns:
+        parts.append(
+            base.filter(F.col("place_of_service_code") == "23").select(*sel)
+        )
+    if line is not None:
+        parts.append(
+            base.join(
+                line.filter(
+                    F.col("rev_code").isin(*ED_VISIT_REV_CODES)
+                ).select("claim_header_id"),
+                "claim_header_id",
+                "left_semi",
+            ).select(*sel)
+        )
+    if procedure is not None:
+        parts.append(
+            base.join(
+                procedure.filter(
+                    F.col("procedure_code").isin(*ED_VISIT_PX_CODES)
+                ).select("claim_header_id"),
+                "claim_header_id",
+                "left_semi",
+            ).select(*sel)
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.distinct()
+
+
+# ---------------------------------------------------------------------------
+# HEDIS value-set claim gates (create_stage.v_perf_cap_ambulatory_visit
+# .sql, v_mcaid_perf_hospice_member_month.sql): claims matched against
+# a named HEDIS value set across code systems.
+# ---------------------------------------------------------------------------
+
+
+def hedis_value_set_claims(
+    value_set_name: str,
+    hedis: DataFrame,
+    procedure: DataFrame | None = None,
+    icdcm: DataFrame | None = None,
+    line: DataFrame | None = None,
+    header: DataFrame | None = None,
+    id_col: str = "id_mcaid",
+) -> DataFrame:
+    """Distinct claims hitting ``value_set_name`` in any supplied code
+    domain (``v_perf_cap_ambulatory_visit.sql:21-75`` — CPT/HCPCS
+    procedures, ICD-10-CM diagnoses; ``v_mcaid_perf_hospice_member_
+    month.sql:40-80`` adds UBTOB bill types and UBREV revenue codes).
+    One broadcast join per domain against the small code list — never
+    a join per (value set x code system) rule.
+    """
+    hed = hedis.filter(F.col("value_set_name") == value_set_name)
+    sel = lambda df: df.select(  # noqa: E731
+        id_col, "claim_header_id", "first_service_date",
+        "last_service_date",
+    )
+    parts = []
+    if procedure is not None:
+        codes = hed.filter(
+            F.col("code_system").isin("CPT", "HCPCS")
+        ).select(F.col("code").alias("procedure_code")).distinct()
+        parts.append(sel(procedure.join(F.broadcast(codes),
+                                        "procedure_code")))
+    if icdcm is not None:
+        codes = hed.filter(F.col("code_system") == "ICD10CM").select(
+            F.col("code").alias("icdcm_norm")
+        ).distinct()
+        parts.append(
+            sel(
+                icdcm.filter(F.col("icdcm_version") == 10).join(
+                    F.broadcast(codes), "icdcm_norm"
+                )
+            )
+        )
+    if line is not None:
+        codes = hed.filter(F.col("code_system") == "UBREV").select(
+            F.col("code").alias("rev_code")
+        ).distinct()
+        parts.append(sel(line.join(F.broadcast(codes), "rev_code")))
+    if header is not None:
+        codes = hed.filter(F.col("code_system") == "UBTOB").select(
+            F.col("code").alias("type_of_bill_code")
+        ).distinct()
+        parts.append(sel(header.join(F.broadcast(codes),
+                                     "type_of_bill_code")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.distinct()
+
+
+def hospice_member_months(
+    header: DataFrame,
+    line: DataFrame,
+    hedis: DataFrame,
+    id_col: str = "id_mcaid",
+) -> DataFrame:
+    """Member-months with any hospice claim — the HEDIS measure
+    exclusion grain (``v_mcaid_perf_hospice_member_month.sql``)."""
+    claims = hedis_value_set_claims(
+        "Hospice", hedis, line=line, header=header, id_col=id_col
+    )
+    return claims.select(
+        (F.year("first_service_date") * 100
+         + F.month("first_service_date")).cast("int").alias("year_month"),
+        id_col,
+    ).distinct()
+
+
+# ---------------------------------------------------------------------------
+# Prevention Quality Indicators over ED events
+# (create_stage.v_mcaid_pqi_ed.sql): per-indicator flags from
+# primary-diagnosis value sets minus dx/px exclusion sets, pivoted to
+# the ED-event grain with a composite.
+# ---------------------------------------------------------------------------
+
+# Representative instantiation of the view's indicator branches.
+# include = primary diagnosis in any listed AHRQ value set;
+# exclusions drop the CLAIM when it also hits the listed dx
+# (ICD-10-CM) or px (ICD-10-PCS / CPT) value sets; drg excludes on the
+# header's derived DRG code (the MDC 14 pregnancy exclusion).
+PQI_ED_CONFIGS = [
+    {"group": "PQI 01", "include": ["ACDIASD"]},
+    {"group": "PQI 03", "include": ["ACDIALD"]},
+    {"group": "PQI 05", "include": ["ACCOPDD", "ACSASTD"],
+     "exclude_dx": ["RESPAN"]},
+    {"group": "PQI 08", "include": ["MRTCHFD"], "exclude_px": ["ACSCARP"]},
+    {"group": "PQI 11", "include": ["ACSBACD"],
+     "exclude_dx": ["ACSBA2D", "IMMUNID"], "exclude_px": ["IMMUNIP"]},
+    {"group": "PQI 12", "include": ["ACSUTID"],
+     "exclude_dx": ["KIDNEY", "IMMUNID"], "exclude_px": ["IMMUNIP"]},
+    {"group": "PQI 14", "include": ["ACDIAUD"]},
+]
+
+
+def pqi_ed_events(
+    header: DataFrame,
+    icdcm: DataFrame,
+    procedure: DataFrame,
+    value_sets: DataFrame,
+    configs: list[dict] | None = None,
+    id_col: str = "id_mcaid",
+) -> DataFrame:
+    """Long (value_set_group, claim_header_id, ed_pophealth_id, flag)
+    rows for ED-based PQIs (``v_mcaid_pqi_ed.sql``).
+
+    Exclusion claim-sets are built ONCE per referenced value set from
+    the long dx/px tables (broadcast code join + distinct claim ids)
+    and applied as anti joins — the reference's repeated
+    ``claim_header_id NOT IN (SELECT ...)`` subqueries share them.
+    """
+    configs = PQI_ED_CONFIGS if configs is None else configs
+    vs = value_sets
+
+    def codes(names):
+        return vs.filter(F.col("value_set_name").isin(*names)).select(
+            "code"
+        ).distinct()
+
+    # shared exclusion claim-id frames, one per distinct set tuple
+    dx_excl_cache: dict[tuple, DataFrame] = {}
+    px_excl_cache: dict[tuple, DataFrame] = {}
+
+    def dx_claims(names):
+        key = tuple(sorted(names))
+        if key not in dx_excl_cache:
+            dx_excl_cache[key] = (
+                icdcm.filter(F.col("icdcm_version") == 10)
+                .join(
+                    F.broadcast(
+                        codes(names).withColumnRenamed("code", "icdcm_norm")
+                    ),
+                    "icdcm_norm",
+                )
+                .select("claim_header_id")
+                .distinct()
+            )
+        return dx_excl_cache[key]
+
+    def px_claims(names):
+        key = tuple(sorted(names))
+        if key not in px_excl_cache:
+            px_excl_cache[key] = (
+                procedure.join(
+                    F.broadcast(
+                        codes(names).withColumnRenamed(
+                            "code", "procedure_code"
+                        )
+                    ),
+                    "procedure_code",
+                )
+                .select("claim_header_id")
+                .distinct()
+            )
+        return px_excl_cache[key]
+
+    ed = header.filter(F.col("ed_pophealth_id").isNotNull())
+    parts = []
+    for cfg in configs:
+        inc = ed.join(
+            F.broadcast(
+                codes(cfg["include"]).withColumnRenamed(
+                    "code", "primary_diagnosis"
+                )
+            ),
+            "primary_diagnosis",
+        )
+        if cfg.get("exclude_dx"):
+            inc = inc.join(
+                dx_claims(cfg["exclude_dx"]), "claim_header_id",
+                "left_anti",
+            )
+        if cfg.get("exclude_px"):
+            inc = inc.join(
+                px_claims(cfg["exclude_px"]), "claim_header_id",
+                "left_anti",
+            )
+        if cfg.get("exclude_drg") and "drvd_drg_code" in header.columns:
+            drg = codes(cfg["exclude_drg"]).withColumnRenamed(
+                "code", "drvd_drg_code"
+            )
+            excl = ed.join(F.broadcast(drg), "drvd_drg_code").select(
+                "claim_header_id"
+            ).distinct()
+            inc = inc.join(excl, "claim_header_id", "left_anti")
+        parts.append(
+            inc.select(
+                F.lit(cfg["group"]).alias("value_set_group"),
+                "claim_header_id",
+                "ed_pophealth_id",
+                F.lit(1).alias("flag"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.distinct()
+
+
+def pqi_composite(
+    events: DataFrame,
+    groups: list[str] | None = None,
+) -> DataFrame:
+    """Pivot PQI flags to one row per ED event with a composite
+    any-PQI flag (``v_mcaid_pqi_ed.sql`` tail: PIVOT MAX(flag) +
+    ISNULL + CASE-sum composite). Conditional aggregates instead of
+    PIVOT: one pass, no column explosion."""
+    groups = groups or [c["group"] for c in PQI_ED_CONFIGS]
+    aggs = [
+        F.coalesce(
+            F.max(F.when(F.col("value_set_group") == g, F.col("flag"))),
+            F.lit(0),
+        ).alias("pqi_" + g.split()[-1])
+        for g in groups
+    ]
+    flat = events.groupBy("ed_pophealth_id").agg(*aggs)
+    any_pqi = None
+    for g in groups:
+        c = F.col("pqi_" + g.split()[-1])
+        any_pqi = c if any_pqi is None else (any_pqi + c)
+    return flat.withColumn(
+        "pqi_composite", (any_pqi >= 1).cast("int")
+    )

@@ -1,0 +1,127 @@
+"""Perf component views: ED visit numerator, HEDIS value-set gates,
+hospice member-months, PQI ED indicators (v_perf_ed_visit_num.sql,
+v_perf_cap_ambulatory_visit.sql, v_mcaid_perf_hospice_member_month.sql,
+v_mcaid_pqi_ed.sql)."""
+import datetime
+
+from pyspark.sql import functions as F
+
+from tests.conftest import *  # noqa: F401,F403
+
+d_ = datetime.date.fromisoformat
+
+
+def _hdr(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "id_mcaid string, claim_header_id long, clm_type_mcaid_id string, "
+        "place_of_service_code string, first_service_date date, "
+        "last_service_date date",
+    )
+
+
+def test_ed_visit_num_three_branches(spark):
+    from claims_data_spark.tables.perf import ed_visit_num
+
+    hdr = _hdr(spark, [
+        ("P1", 1, "3", "23", d_("2019-01-05"), d_("2019-01-05")),   # POS
+        ("P1", 2, "26", "11", d_("2019-02-01"), d_("2019-02-01")),  # rev
+        ("P2", 3, "34", "11", d_("2019-03-01"), d_("2019-03-01")),  # px
+        ("P2", 4, "1", "23", d_("2019-03-02"), d_("2019-03-02")),   # bad type
+        ("P3", 5, "3", "11", d_("2019-04-01"), d_("2019-04-01")),   # no gate
+    ])
+    line = spark.createDataFrame(
+        [(2, "0450"), (5, "0300")], "claim_header_id long, rev_code string"
+    )
+    px = spark.createDataFrame(
+        [(3, "99285"), (5, "87070")],
+        "claim_header_id long, procedure_code string",
+    )
+    out = ed_visit_num(hdr, line, px)
+    rows = {r["claim_header_id"]: r for r in out.collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1]["year_month"] == 201901
+    assert rows[2]["ed_visit_num"] == 1
+
+
+def test_hedis_value_set_and_hospice_months(spark):
+    from claims_data_spark.tables.perf import (
+        hedis_value_set_claims, hospice_member_months,
+    )
+
+    hedis = spark.createDataFrame(
+        [("Ambulatory Visits", "CPT", "99213"),
+         ("Ambulatory Visits", "ICD10CM", "Z000"),
+         ("Hospice", "UBREV", "0115"),
+         ("Hospice", "UBTOB", "0812")],
+        "value_set_name string, code_system string, code string",
+    )
+    px = spark.createDataFrame(
+        [("P1", 1, d_("2019-01-10"), d_("2019-01-10"), "99213"),
+         ("P1", 2, d_("2019-02-10"), d_("2019-02-10"), "87070")],
+        "id_mcaid string, claim_header_id long, first_service_date date, "
+        "last_service_date date, procedure_code string",
+    )
+    dx = spark.createDataFrame(
+        [("P2", 3, d_("2019-03-10"), d_("2019-03-10"), "Z000", 10),
+         ("P2", 4, d_("2019-03-11"), d_("2019-03-11"), "Z000", 9)],
+        "id_mcaid string, claim_header_id long, first_service_date date, "
+        "last_service_date date, icdcm_norm string, icdcm_version int",
+    )
+    amb = hedis_value_set_claims(
+        "Ambulatory Visits", hedis, procedure=px, icdcm=dx
+    )
+    got = {r["claim_header_id"] for r in amb.collect()}
+    assert got == {1, 3}   # ICD-9 row and non-matching px excluded
+
+    hdr = spark.createDataFrame(
+        [("P3", 5, d_("2019-05-02"), d_("2019-05-02"), "0812"),
+         ("P3", 6, d_("2019-06-02"), d_("2019-06-02"), "0111")],
+        "id_mcaid string, claim_header_id long, first_service_date date, "
+        "last_service_date date, type_of_bill_code string",
+    )
+    line = spark.createDataFrame(
+        [("P4", 7, d_("2019-05-20"), d_("2019-05-20"), "0115")],
+        "id_mcaid string, claim_header_id long, first_service_date date, "
+        "last_service_date date, rev_code string",
+    )
+    months = hospice_member_months(hdr, line, hedis)
+    got = {(r["id_mcaid"], r["year_month"]) for r in months.collect()}
+    assert got == {("P3", 201905), ("P4", 201905)}
+
+
+def test_pqi_ed_events_and_composite(spark):
+    from claims_data_spark.tables.perf import pqi_composite, pqi_ed_events
+
+    vs = spark.createDataFrame(
+        [("ACDIASD", "E1010"), ("MRTCHFD", "I5021"),
+         ("ACSCARP", "0210093"), ("ACSBACD", "J13"),
+         ("IMMUNID", "B20")],
+        "value_set_name string, code string",
+    )
+    hdr = spark.createDataFrame(
+        [("P1", 1, "E1010", 101),     # PQI 01 hit
+         ("P1", 2, "I5021", 102),     # PQI 08 but excluded by px
+         ("P2", 3, "I5021", 103),     # PQI 08 clean
+         ("P2", 4, "J13", 104),       # PQI 11 but excluded by dx B20
+         ("P3", 5, "E1010", None)],   # not an ED event
+        "id_mcaid string, claim_header_id long, primary_diagnosis "
+        "string, ed_pophealth_id long",
+    )
+    dx = spark.createDataFrame(
+        [(4, "B20", 10)],
+        "claim_header_id long, icdcm_norm string, icdcm_version int",
+    )
+    px = spark.createDataFrame(
+        [(2, "0210093")], "claim_header_id long, procedure_code string"
+    )
+    events = pqi_ed_events(hdr, dx, px, vs)
+    got = {(r["value_set_group"], r["claim_header_id"])
+           for r in events.collect()}
+    assert got == {("PQI 01", 1), ("PQI 08", 3)}
+
+    comp = pqi_composite(events)
+    rows = {r["ed_pophealth_id"]: r for r in comp.collect()}
+    assert rows[101]["pqi_01"] == 1 and rows[101]["pqi_08"] == 0
+    assert rows[103]["pqi_08"] == 1
+    assert all(r["pqi_composite"] == 1 for r in rows.values())
