@@ -214,3 +214,63 @@ def run_qa(spark: SparkSession, checks: list[QaResult], table: str) -> DataFrame
         rows, "table string, qa_item string, qa_result string, note string"
     ).withColumn("qa_date", F.current_timestamp())
     return log
+
+
+def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Column profile in ONE aggregation pass — the engine's version
+    of the reference's metadata sprocs (``metadata/sprocs/
+    create_metadata.sp_profile_table.sql`` / ``sp_min_max_value.sql``:
+    per-column min / max / null counts driven by dynamic SQL, one
+    query per column there, one fused ``agg`` here).
+
+    Returns one row per profiled column: (column, non_null_count,
+    null_count, approx_distinct, min_value, max_value) — min/max as
+    strings so heterogeneous column types stack in one long frame.
+    """
+    cols = columns or df.columns
+    aggs = []
+    for c in cols:
+        col = F.col(c)
+        aggs += [
+            F.count(col).alias(f"_cnt_{c}"),
+            F.sum(col.isNull().cast("long")).alias(f"_null_{c}"),
+            F.approx_count_distinct(col).alias(f"_dist_{c}"),
+            F.min(col).cast("string").alias(f"_min_{c}"),
+            F.max(col).cast("string").alias(f"_max_{c}"),
+        ]
+    row = df.agg(*aggs)
+    stacked = row.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("column"),
+                    F.col(f"_cnt_{c}").alias("non_null_count"),
+                    F.col(f"_null_{c}").alias("null_count"),
+                    F.col(f"_dist_{c}").alias("approx_distinct"),
+                    F.col(f"_min_{c}").alias("min_value"),
+                    F.col(f"_max_{c}").alias("max_value"),
+                )
+                for c in cols
+            ])
+        ).alias("p")
+    )
+    return stacked.select("p.*")
+
+
+def distinct_values_list(
+    df: DataFrame, column: str, sep: str = ", ", limit: int = 1000
+) -> DataFrame:
+    """Sorted comma-separated distinct values of one column
+    (``sp_comma_separated_list.sql`` — its FOR XML PATH idiom is
+    ``array_join(sort_array(collect_set(...)))`` here, one partial-
+    aggregated pass). ``limit`` caps the collected set so a
+    high-cardinality column cannot blow the driver row."""
+    return df.select(
+        F.array_join(
+            F.slice(
+                F.sort_array(F.collect_set(F.col(column).cast("string"))),
+                1, limit,
+            ),
+            sep,
+        ).alias("values")
+    )

@@ -207,3 +207,41 @@ def promote(
         )
     _swap_dir(tmp, final_path)
     return n
+
+
+def read_with_header_file(
+    spark,
+    data_path: str,
+    header_path: str,
+    delimiter: str = "|",
+    header_delimiter: str | None = None,
+) -> DataFrame:
+    """Load a headerless delimited extract whose column names live in a
+    sibling header-only file — the CDR raw-file pattern
+    (``db_loader/cdr/00_raw_file_processing.R:35-60``: each
+    ``*HeaderOnly.txt`` carries the column list for its same-named
+    data file).
+
+    The header file is read ONCE on the driver (it is one line); the
+    data files stream through the normal distributed CSV reader with
+    the derived names applied. All columns land as strings — the CDR
+    loader types them downstream, as do we (typed projection,
+    SURVEY.md §2 P1).
+    """
+    header_df = spark.read.text(header_path)
+    first = header_df.limit(1).collect()
+    if not first:
+        raise ValueError(f"empty header file: {header_path}")
+    hd = header_delimiter or delimiter
+    names = [c.strip() for c in first[0]["value"].split(hd) if c.strip()]
+    df = (
+        spark.read.option("header", "false")
+        .option("delimiter", delimiter)
+        .csv(data_path)
+    )
+    if len(df.columns) != len(names):
+        raise ValueError(
+            f"header declares {len(names)} columns, data has "
+            f"{len(df.columns)}"
+        )
+    return df.toDF(*names)

@@ -1148,19 +1148,22 @@ def build_apcd_elig_timevar_full(
 # (load_stage.apcd_elig_plr.R:39-363)
 # ---------------------------------------------------------------------------
 
-PLR_COV_FLAGS = {
-    "med_total": F.col("med_covgrp") != 0,
-    "med_medicaid": F.col("med_medicaid") == 1,
-    "med_medicare": F.col("med_medicare") == 1,
-    "med_commercial": F.col("med_commercial") == 1,
-    "pharm_total": F.col("pharm_covgrp") != 0,
-    "pharm_medicaid": F.col("pharm_medicaid") == 1,
-    "pharm_medicare": F.col("pharm_medicare") == 1,
-    "pharm_commercial": F.col("pharm_commercial") == 1,
-    "dual": (
-        (F.col("med_medicaid") == 1) | (F.col("pharm_medicaid") == 1)
-    ) & ((F.col("med_medicare") == 1) | (F.col("pharm_medicare") == 1)),
-}
+def _plr_cov_flags() -> dict:
+    """Coverage-bucket predicates (built lazily: Column construction
+    needs an active session in classic mode)."""
+    return {
+        "med_total": F.col("med_covgrp") != 0,
+        "med_medicaid": F.col("med_medicaid") == 1,
+        "med_medicare": F.col("med_medicare") == 1,
+        "med_commercial": F.col("med_commercial") == 1,
+        "pharm_total": F.col("pharm_covgrp") != 0,
+        "pharm_medicaid": F.col("pharm_medicaid") == 1,
+        "pharm_medicare": F.col("pharm_medicare") == 1,
+        "pharm_commercial": F.col("pharm_commercial") == 1,
+        "dual": (
+            (F.col("med_medicaid") == 1) | (F.col("pharm_medicaid") == 1)
+        ) & ((F.col("med_medicare") == 1) | (F.col("pharm_medicare") == 1)),
+    }
 
 
 def build_apcd_elig_plr(
@@ -1201,8 +1204,9 @@ def build_apcd_elig_plr(
     def pct(c):
         return F.round(c * 100.0 / range_days, 1)
 
+    cov_flags = _plr_cov_flags()
     cov_aggs = []
-    for name, cond in PLR_COV_FLAGS.items():
+    for name, cond in cov_flags.items():
         cov_aggs.append(
             F.sum(F.when(cond, ov).otherwise(0)).alias(f"{name}_covd")
         )
@@ -1214,7 +1218,7 @@ def build_apcd_elig_plr(
     ]
     cov = cov.select(
         "id_apcd",
-        *[F.col(f"{n}_covd") for n in PLR_COV_FLAGS],
+        *[F.col(f"{n}_covd") for n in cov_flags],
         *[pct(F.col(f"{n}_covd")).alias(f"{n}_covper") for n in pct_cols],
         (F.col("dual_covd") > 0).cast("int").alias("dual_flag"),
     )

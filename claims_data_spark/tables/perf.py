@@ -1219,3 +1219,59 @@ def pqi_composite(
     return flat.withColumn(
         "pqi_composite", (any_pqi >= 1).cast("int")
     )
+
+
+def build_enroll_provider(
+    elig_member_month: DataFrame,
+    ym_min: int,
+    ym_max: int,
+    id_col: str = "id_mcaid",
+) -> DataFrame:
+    """Quarterly MCO-vs-FFS enrollment attribution
+    (``sp_mcaid_perf_enroll_provider.sql``): per (member, coverage
+    arm) the trailing-12-month covered-month count at each quarter
+    end, keeping the dominant arm per member-quarter.
+
+    ``elig_member_month`` carries (id, year_month, mco_or_ffs) rows —
+    the reference's FFS/MC recode of COVERAGE_TYPE_IND. The dense
+    grid + rolling frame reuse the enroll-denom machinery (one grid
+    broadcast, one (id, arm)-partitioned window); the reference's
+    row_number tie-break (coverage desc, current-month flag desc)
+    adds the arm itself as the final deterministic key.
+    """
+    monthly = elig_member_month.groupBy(
+        id_col, "mco_or_ffs", "year_month"
+    ).agg(F.lit(1).alias("flag"))
+    # start the grid 11 months early so the first in-window quarter end
+    # sees a full trailing frame (the reference's @look_back_date:
+    # yyyymm arithmetic, December wraps within the year)
+    back = ym_min - 11 if ym_min % 100 == 12 else ym_min - 99
+    dense = densify_months(
+        monthly, [id_col, "mco_or_ffs"], "year_month",
+        back, ym_max, fill={"flag": 0},
+    )
+    rolled = rolling_month_agg(
+        dense, [id_col, "mco_or_ffs"], "year_month",
+        {"coverage_months_t_12_m": ("flag", -11, 0)},
+    )
+    qtr = rolled.filter(
+        (F.col("year_month") % 100).isin(3, 6, 9, 12)
+        & (F.col("year_month") >= ym_min)
+        & (F.col("coverage_months_t_12_m") >= 1)
+    )
+    w = Window.partitionBy(id_col, "year_month").orderBy(
+        F.col("coverage_months_t_12_m").desc(),
+        F.col("flag").desc(),
+        "mco_or_ffs",
+    )
+    return (
+        qtr.withColumn("_tb", F.row_number().over(w))
+        .filter(F.col("_tb") == 1)
+        .select(
+            "year_month",
+            ((F.col("year_month") % 100) / 3).cast("int").alias(
+                "end_quarter"
+            ),
+            id_col, "mco_or_ffs", "coverage_months_t_12_m",
+        )
+    )

@@ -146,3 +146,24 @@ def test_promote_rowcount_gate(spark, tmp_path):
     assert read_file(spark, final).count() == 5
     with pytest.raises(AssertionError):
         promote(spark, stage, final, expected_rows=99)
+
+
+def test_read_with_header_file(spark, tmp_path):
+    from claims_data_spark.sources.io import read_with_header_file
+
+    data = tmp_path / "tbl.txt"
+    data.write_text("1|alpha|2019-01-01\n2|beta|2019-02-01\n")
+    header = tmp_path / "tbl.HeaderOnly.txt"
+    header.write_text("member_id|name|start_date\n")
+    df = read_with_header_file(
+        spark, str(data), str(header)
+    )
+    assert df.columns == ["member_id", "name", "start_date"]
+    rows = {r["member_id"]: r for r in df.collect()}
+    assert rows["2"]["name"] == "beta"
+
+    bad_header = tmp_path / "bad.HeaderOnly.txt"
+    bad_header.write_text("only_one_column\n")
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        read_with_header_file(spark, str(data), str(bad_header))

@@ -125,3 +125,45 @@ def test_pqi_ed_events_and_composite(spark):
     assert rows[101]["pqi_01"] == 1 and rows[101]["pqi_08"] == 0
     assert rows[103]["pqi_08"] == 1
     assert all(r["pqi_composite"] == 1 for r in rows.values())
+
+
+def test_enroll_provider_quarterly_attribution(spark):
+    from claims_data_spark.tables.perf import build_enroll_provider
+
+    # P1: FFS Jan-Aug 2019, MC Sep-Dec 2019 -> at 201912 FFS has 8
+    # trailing months vs MC's 4 -> FFS wins; at 201906 only FFS exists
+    rows = [("P1", 201900 + m, "FFS") for m in range(1, 9)]
+    rows += [("P1", 201900 + m, "MC") for m in range(9, 13)]
+    # P2: no months in 2019 -> absent
+    rows += [("P2", 201801, "FFS")]
+    mm = spark.createDataFrame(
+        rows, "id_mcaid string, year_month int, mco_or_ffs string"
+    )
+    out = build_enroll_provider(mm, 201903, 201912)
+    got = {(r["id_mcaid"], r["year_month"]): r for r in out.collect()}
+    assert ("P2", 201903) not in got      # outside trailing window? no:
+    # P2's 201801 is >14 months before 201903 -> zero coverage, dropped
+    assert all(k[0] == "P1" for k in got)
+    assert got[("P1", 201912)]["mco_or_ffs"] == "FFS"
+    assert got[("P1", 201912)]["coverage_months_t_12_m"] == 8
+    assert got[("P1", 201906)]["mco_or_ffs"] == "FFS"
+    assert got[("P1", 201906)]["coverage_months_t_12_m"] == 6
+    assert got[("P1", 201912)]["end_quarter"] == 4
+
+
+def test_profile_table_and_distinct_list(spark):
+    from claims_data_spark.qa import distinct_values_list, profile_table
+
+    df = spark.createDataFrame(
+        [(1, "b", None), (2, "a", 5.0), (None, "b", 7.5)],
+        "k int, s string, v double",
+    )
+    prof = {r["column"]: r for r in profile_table(df).collect()}
+    assert prof["k"]["non_null_count"] == 2
+    assert prof["k"]["null_count"] == 1
+    assert prof["k"]["min_value"] == "1" and prof["k"]["max_value"] == "2"
+    assert prof["s"]["approx_distinct"] == 2
+    assert prof["v"]["max_value"] == "7.5"
+
+    vals = distinct_values_list(df, "s").collect()[0]["values"]
+    assert vals == "a, b"
