@@ -134,14 +134,25 @@ def _place_timeline(pdf):
     )
 
 
-def build_preg_episodes(endpoint_claims: DataFrame) -> DataFrame:
+def build_preg_episodes(
+    endpoint_claims: DataFrame, id_col: str = "id_mcaid"
+) -> DataFrame:
     """Endpoint-flagged claims -> one row per pregnancy episode with
     ``preg_episode_id`` (globally dense), ``preg_start_date`` /
     ``preg_end_date`` (steps 4-7).
 
-    Input: (id_mcaid, last_service_date, lb, ect, ab, sa, sb, tro,
+    Input: (id, last_service_date, lb, ect, ab, sa, sb, tro,
     deliv) — the union of dx- and px-matched claims (steps 1-3).
+    ``id_col`` parameterizes the source: the APCD variant
+    (``load_stage.apcd_claim_preg_episode.R``) runs the SAME Moll
+    et al. algorithm keyed by ``id_apcd`` — pass it here and the
+    output keeps that id name.
     """
+    if id_col != "id_mcaid":
+        out = build_preg_episodes(
+            endpoint_claims.withColumnRenamed(id_col, "id_mcaid")
+        )
+        return out.withColumnRenamed("id_mcaid", id_col)
     days = classify_endpoint_days(endpoint_claims)
     placed = days.groupBy("id_mcaid").applyInPandas(
         _place_timeline, schema=days.schema

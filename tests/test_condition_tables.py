@@ -148,3 +148,22 @@ def test_xwalk_with_pha(spark):
     assert (None, None, "H8") in rows
     # ids dense over the person dimension
     assert sorted(set(rows.values())) == [1, 2, 3]
+
+
+def test_preg_episodes_apcd_id_variant(spark):
+    import datetime
+
+    from claims_data_spark.tables.pregnancy import build_preg_episodes
+
+    d_ = datetime.date.fromisoformat
+    claims = spark.createDataFrame(
+        [("A1", d_("2019-06-01"), 1, 0, 0, 0, 0, 0, 0)],
+        "id_apcd string, last_service_date date, lb int, ect int, "
+        "ab int, sa int, sb int, tro int, deliv int",
+    )
+    out = build_preg_episodes(claims, id_col="id_apcd")
+    rows = out.collect()
+    assert len(rows) == 1
+    assert rows[0]["id_apcd"] == "A1"
+    assert rows[0]["preg_endpoint"] == "lb"
+    assert rows[0]["preg_episode_id"] == 1
