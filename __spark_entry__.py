@@ -3528,6 +3528,192 @@ GROUP BY id, from_date, to_date
 """
 
 
+def q_address_clean(spark, sf_dir):
+    """ref.address_clean load: blank normalization, external-cleaner
+    merge with manual-correction precedence, SHA-256 hash keys
+    (tables/address.build_address_clean)."""
+    from claims_data_spark.tables.address import build_address_clean
+
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    ck = F.col("c_custkey")
+    raw = c.join(n, c["c_nationkey"] == n["n_nationkey"]).select(
+        ck.alias("ck"),
+        F.upper(F.concat(F.col("c_name"), F.lit(" ST"))).alias("geo_add1_raw"),
+        F.when(ck % 7 == 0, F.concat(F.lit("APT "), (ck % 50).cast("string")))
+        .when(ck % 13 == 0, F.lit("NA"))
+        .alias("geo_add2_raw"),
+        F.col("n_name").alias("geo_city_raw"),
+        F.when(ck % 17 == 0, F.lit("")).otherwise(F.lit("WA")).alias(
+            "geo_state_raw"
+        ),
+        F.lpad((ck % 89999 + 10000).cast("string"), 5, "0").alias(
+            "geo_zip_raw"
+        ),
+    )
+    norm2 = F.when(
+        ~F.coalesce(F.col("geo_add2_raw"), F.lit("")).isin("", "NA"),
+        F.col("geo_add2_raw"),
+    )
+    norm_st = F.when(F.col("geo_state_raw") != "", F.col("geo_state_raw"))
+    cleaned = raw.filter(F.col("ck") % 3 == 0).select(
+        F.col("geo_add1_raw").alias("old_add1"),
+        norm2.alias("old_add2"),
+        F.col("geo_city_raw").alias("old_city"),
+        norm_st.alias("old_state"),
+        F.col("geo_zip_raw").alias("old_zip"),
+        F.concat(F.lit("C/"), F.col("geo_add1_raw")).alias("add1"),
+        norm2.alias("add2"),
+        F.col("geo_city_raw").alias("city"),
+        F.lit("WA").alias("state"),
+        F.col("geo_zip_raw").alias("zip"),
+        (F.length("geo_add1_raw") % 2).cast("int").alias("po_box"),
+    )
+    manual = raw.filter(F.col("ck") % 5 == 0).select(
+        "geo_add1_raw",
+        norm2.alias("geo_add2_raw"),
+        "geo_city_raw",
+        norm_st.alias("geo_state_raw"),
+        "geo_zip_raw",
+        F.concat(F.lit("M/"), F.col("geo_add1_raw")).alias("geo_add1_clean"),
+        F.lit(None).cast("string").alias("geo_add2_clean"),
+        F.col("geo_city_raw").alias("geo_city_clean"),
+        F.lit("WA").alias("geo_state_clean"),
+        F.col("geo_zip_raw").alias("geo_zip_clean"),
+    )
+    out = build_address_clean(raw.drop("ck"), cleaned, manual)
+    return out.select(
+        "geo_add1_raw", "geo_add2_raw", "geo_city_raw", "geo_state_raw",
+        "geo_zip_raw", "geo_add1_clean", "geo_add2_clean", "geo_city_clean",
+        "geo_state_clean", "geo_zip_clean",
+        F.col("geo_po_box").cast("int").alias("geo_po_box"),
+        F.col("overridden").cast("int").alias("overridden"),
+        "geo_hash_raw", "geo_hash_clean", "geo_hash_geocode",
+    )
+
+
+SQL_ADDRESS_CLEAN = """
+WITH raw0 AS (
+  SELECT c_custkey AS ck,
+    UPPER(c_name || ' ST') AS a1,
+    CASE WHEN c_custkey % 7 = 0 THEN 'APT ' || CAST(c_custkey % 50 AS VARCHAR)
+         WHEN c_custkey % 13 = 0 THEN 'NA' END AS a2,
+    n_name AS city,
+    CASE WHEN c_custkey % 17 = 0 THEN '' ELSE 'WA' END AS st,
+    LPAD(CAST(c_custkey % 89999 + 10000 AS VARCHAR), 5, '0') AS zip
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+),
+raw_norm AS (
+  SELECT DISTINCT a1, NULLIF(NULLIF(a2, ''), 'NA') AS a2, city,
+    NULLIF(st, '') AS st, zip
+  FROM raw0
+),
+cleaned AS (
+  SELECT DISTINCT a1 AS old_add1, NULLIF(NULLIF(a2, ''), 'NA') AS old_add2,
+    city AS old_city, NULLIF(st, '') AS old_state, zip AS old_zip,
+    'C/' || a1 AS add1, NULLIF(NULLIF(a2, ''), 'NA') AS add2,
+    city AS c_city, 'WA' AS c_state, zip AS c_zip,
+    CAST(LENGTH(a1) % 2 AS INT) AS po_box
+  FROM raw0 WHERE ck % 3 = 0
+),
+manual AS (
+  SELECT DISTINCT a1, NULLIF(NULLIF(a2, ''), 'NA') AS a2, city,
+    NULLIF(st, '') AS st, zip,
+    'M/' || a1 AS m_add1, CAST(NULL AS VARCHAR) AS m_add2,
+    city AS m_city, 'WA' AS m_state, zip AS m_zip
+  FROM raw0 WHERE ck % 5 = 0
+),
+merged AS (
+  SELECT r.a1 AS geo_add1_raw, r.a2 AS geo_add2_raw, r.city AS geo_city_raw,
+    r.st AS geo_state_raw, r.zip AS geo_zip_raw,
+    CASE WHEN m.m_add1 IS NOT NULL OR m.m_city IS NOT NULL
+         THEN m.m_add1 ELSE c.add1 END AS geo_add1_clean,
+    CASE WHEN m.m_add1 IS NOT NULL OR m.m_city IS NOT NULL
+         THEN m.m_add2 ELSE c.add2 END AS geo_add2_clean,
+    CASE WHEN m.m_add1 IS NOT NULL OR m.m_city IS NOT NULL
+         THEN m.m_city ELSE c.c_city END AS geo_city_clean,
+    CASE WHEN m.m_add1 IS NOT NULL OR m.m_city IS NOT NULL
+         THEN m.m_state ELSE c.c_state END AS geo_state_clean,
+    CASE WHEN m.m_add1 IS NOT NULL OR m.m_city IS NOT NULL
+         THEN m.m_zip ELSE c.c_zip END AS geo_zip_clean,
+    c.po_box AS geo_po_box,
+    CASE WHEN m.m_add1 IS NOT NULL OR m.m_city IS NOT NULL
+         THEN 1 ELSE 0 END AS overridden
+  FROM raw_norm r
+  LEFT JOIN cleaned c
+    ON r.a1 IS NOT DISTINCT FROM c.old_add1
+   AND r.a2 IS NOT DISTINCT FROM c.old_add2
+   AND r.city IS NOT DISTINCT FROM c.old_city
+   AND r.st IS NOT DISTINCT FROM c.old_state
+   AND r.zip IS NOT DISTINCT FROM c.old_zip
+  LEFT JOIN manual m
+    ON r.a1 IS NOT DISTINCT FROM m.a1
+   AND r.a2 IS NOT DISTINCT FROM m.a2
+   AND r.city IS NOT DISTINCT FROM m.city
+   AND r.st IS NOT DISTINCT FROM m.st
+   AND r.zip IS NOT DISTINCT FROM m.zip
+)
+SELECT DISTINCT geo_add1_raw, geo_add2_raw, geo_city_raw, geo_state_raw,
+  geo_zip_raw, geo_add1_clean, geo_add2_clean, geo_city_clean,
+  geo_state_clean, geo_zip_clean, geo_po_box, overridden,
+  UPPER(sha256(CONCAT_WS('|', COALESCE(geo_add1_raw, ''),
+    COALESCE(geo_add2_raw, ''), '', COALESCE(geo_city_raw, ''),
+    COALESCE(geo_state_raw, ''), COALESCE(geo_zip_raw, ''))))
+    AS geo_hash_raw,
+  UPPER(sha256(CONCAT_WS('|', COALESCE(geo_add1_clean, ''),
+    COALESCE(geo_add2_clean, ''), COALESCE(geo_city_clean, ''),
+    COALESCE(geo_state_clean, ''), COALESCE(geo_zip_clean, ''))))
+    AS geo_hash_clean,
+  UPPER(sha256(CONCAT_WS('|', COALESCE(geo_add1_clean, ''),
+    COALESCE(geo_city_clean, ''), COALESCE(geo_state_clean, ''),
+    COALESCE(geo_zip_clean, '')))) AS geo_hash_geocode
+FROM merged
+"""
+
+
+def q_spatial_pip(spark, sf_dir):
+    """Point-in-polygon join (grid-cell blocked ray casting) of
+    customer points against per-nation diamond polygons; the L1-ball
+    identity |x-cx|+|y-cy| < r makes the ray-cast result
+    SQL-checkable (operators/spatial.point_in_polygon_join)."""
+    from claims_data_spark.operators.spatial import point_in_polygon_join
+
+    R = 3.47
+    n = _t(spark, sf_dir, "nation")
+    cx = (F.col("n_nationkey") * 7.0).cast("double")
+    cy = (F.col("n_nationkey") * 3.0).cast("double")
+    polys = n.select(
+        F.col("n_nationkey").cast("int").alias("region_id"),
+        F.array(
+            F.struct(cx.alias("x"), (cy + R).alias("y")),
+            F.struct((cx + R).alias("x"), cy.alias("y")),
+            F.struct(cx.alias("x"), (cy - R).alias("y")),
+            F.struct((cx - R).alias("x"), cy.alias("y")),
+        ).alias("vertices"),
+    )
+    pts = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ck"),
+        (F.col("c_custkey") % 180).cast("double").alias("geo_x"),
+        (F.col("c_custkey") % 77).cast("double").alias("geo_y"),
+    )
+    hits = point_in_polygon_join(pts, polys, cell_size=8.0)
+    return hits.groupBy("region_id").agg(
+        F.count("*").cast("long").alias("n_pts"),
+        F.sum("ck").cast("long").alias("sum_key"),
+    )
+
+
+SQL_SPATIAL_PIP = """
+SELECT CAST(n_nationkey AS INT) AS region_id,
+  CAST(COUNT(*) AS BIGINT) AS n_pts,
+  CAST(SUM(c_custkey) AS BIGINT) AS sum_key
+FROM customer, nation
+WHERE ABS(CAST(c_custkey % 180 AS DOUBLE) - n_nationkey * 7.0)
+    + ABS(CAST(c_custkey % 77 AS DOUBLE) - n_nationkey * 3.0) < 3.47
+GROUP BY n_nationkey
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the claims_elig-shaped coverage query (islands +
     clipping + coverage stats) on sf0.001."""
@@ -3606,6 +3792,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mcare_timevar": q_mcare_timevar,
         "apcd_plr": q_apcd_plr,
         "housing_status": q_housing_status,
+        "address_clean": q_address_clean,
+        "spatial_pip": q_spatial_pip,
     }
 
 
@@ -3680,4 +3868,6 @@ def oracle_sql() -> dict[str, str]:
         "mcare_timevar": SQL_MCARE_TIMEVAR,
         "apcd_plr": SQL_APCD_PLR,
         "housing_status": SQL_HOUSING_STATUS,
+        "address_clean": SQL_ADDRESS_CLEAN,
+        "spatial_pip": SQL_SPATIAL_PIP,
     }
