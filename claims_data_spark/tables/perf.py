@@ -1091,23 +1091,49 @@ PQI_ED_CONFIGS = [
 ]
 
 
-def pqi_ed_events(
-    header: DataFrame,
+# Inpatient PQIs (``v_mcaid_pqi_inpatient.sql``) add three shapes the
+# ED view lacks: a conjunction exclusion (drop the claim only when it
+# hits BOTH a dx set and a px set — PQI 07's kidney-disease+dialysis
+# rule, `:126-140`), a px∩dx inclusion (PQI 16 requires an
+# amputation procedure AND a diabetes diagnosis on the same claim,
+# `:383-415`), and the MDC-14 DRG pregnancy exclusion.
+PQI_INPATIENT_CONFIGS = [
+    {"group": "PQI 01", "include": ["ACDIASD"]},
+    {"group": "PQI 03", "include": ["ACDIALD"]},
+    {"group": "PQI 05", "include": ["ACCOPDD", "ACSASTD"],
+     "exclude_dx": ["RESPAN"]},
+    {"group": "PQI 07", "include": ["ACSHYPD"], "exclude_px": ["ACSCARP"],
+     "exclude_dx_and_px": (["ACSHY2D"], ["DIALY2P"])},
+    {"group": "PQI 08", "include": ["MRTCHFD"], "exclude_px": ["ACSCARP"]},
+    {"group": "PQI 11", "include": ["ACSBACD"],
+     "exclude_dx": ["ACSBA2D", "IMMUNID"], "exclude_px": ["IMMUNIP"]},
+    {"group": "PQI 12", "include": ["ACSUTID"],
+     "exclude_dx": ["KIDNEY", "IMMUNID"], "exclude_px": ["IMMUNIP"]},
+    {"group": "PQI 14", "include": ["ACDIAUD"]},
+    {"group": "PQI 15", "include": ["ACSASTD"]},
+    {"group": "PQI 16", "include_px_and_dx": (["ACSLEAP"], ["ACSLEAD"]),
+     "exclude_dx": ["ACLEA2D"], "exclude_drg": ["MDC 14"]},
+]
+
+# Admission-source codes marking a transfer from another facility —
+# those discharges are not counted (``v_mcaid_pqi_inpatient.sql:33``).
+PQI_TRANSFER_SOURCES = ("4", "5", "6", "A", "B", "C", "D", "E", "F")
+
+
+def _pqi_events(
+    base: DataFrame,
+    event_col: str,
     icdcm: DataFrame,
     procedure: DataFrame,
     value_sets: DataFrame,
-    configs: list[dict] | None = None,
-    id_col: str = "id_mcaid",
+    configs: list[dict],
 ) -> DataFrame:
-    """Long (value_set_group, claim_header_id, ed_pophealth_id, flag)
-    rows for ED-based PQIs (``v_mcaid_pqi_ed.sql``).
-
-    Exclusion claim-sets are built ONCE per referenced value set from
-    the long dx/px tables (broadcast code join + distinct claim ids)
-    and applied as anti joins — the reference's repeated
-    ``claim_header_id NOT IN (SELECT ...)`` subqueries share them.
-    """
-    configs = PQI_ED_CONFIGS if configs is None else configs
+    """Shared PQI engine: per-indicator claim flags at the given
+    event grain.  Exclusion claim-sets are built ONCE per referenced
+    value-set tuple from the long dx/px tables (broadcast code join +
+    distinct claim ids) and applied as anti joins — the reference's
+    repeated ``claim_header_id NOT IN (SELECT ...)`` subqueries
+    share them."""
     vs = value_sets
 
     def codes(names):
@@ -1152,17 +1178,21 @@ def pqi_ed_events(
             )
         return px_excl_cache[key]
 
-    ed = header.filter(F.col("ed_pophealth_id").isNotNull())
     parts = []
     for cfg in configs:
-        inc = ed.join(
-            F.broadcast(
-                codes(cfg["include"]).withColumnRenamed(
-                    "code", "primary_diagnosis"
-                )
-            ),
-            "primary_diagnosis",
-        )
+        if cfg.get("include_px_and_dx"):
+            px_names, dx_names = cfg["include_px_and_dx"]
+            inc_ids = px_claims(px_names).intersect(dx_claims(dx_names))
+            inc = base.join(inc_ids, "claim_header_id")
+        else:
+            inc = base.join(
+                F.broadcast(
+                    codes(cfg["include"]).withColumnRenamed(
+                        "code", "primary_diagnosis"
+                    )
+                ),
+                "primary_diagnosis",
+            )
         if cfg.get("exclude_dx"):
             inc = inc.join(
                 dx_claims(cfg["exclude_dx"]), "claim_header_id",
@@ -1173,11 +1203,15 @@ def pqi_ed_events(
                 px_claims(cfg["exclude_px"]), "claim_header_id",
                 "left_anti",
             )
-        if cfg.get("exclude_drg") and "drvd_drg_code" in header.columns:
+        if cfg.get("exclude_dx_and_px"):
+            dx_names, px_names = cfg["exclude_dx_and_px"]
+            both = dx_claims(dx_names).intersect(px_claims(px_names))
+            inc = inc.join(both, "claim_header_id", "left_anti")
+        if cfg.get("exclude_drg") and "drvd_drg_code" in base.columns:
             drg = codes(cfg["exclude_drg"]).withColumnRenamed(
                 "code", "drvd_drg_code"
             )
-            excl = ed.join(F.broadcast(drg), "drvd_drg_code").select(
+            excl = base.join(F.broadcast(drg), "drvd_drg_code").select(
                 "claim_header_id"
             ).distinct()
             inc = inc.join(excl, "claim_header_id", "left_anti")
@@ -1185,7 +1219,7 @@ def pqi_ed_events(
             inc.select(
                 F.lit(cfg["group"]).alias("value_set_group"),
                 "claim_header_id",
-                "ed_pophealth_id",
+                event_col,
                 F.lit(1).alias("flag"),
             )
         )
@@ -1195,14 +1229,59 @@ def pqi_ed_events(
     return out.distinct()
 
 
+def pqi_ed_events(
+    header: DataFrame,
+    icdcm: DataFrame,
+    procedure: DataFrame,
+    value_sets: DataFrame,
+    configs: list[dict] | None = None,
+    id_col: str = "id_mcaid",
+) -> DataFrame:
+    """Long (value_set_group, claim_header_id, ed_pophealth_id, flag)
+    rows for ED-based PQIs (``v_mcaid_pqi_ed.sql``)."""
+    configs = PQI_ED_CONFIGS if configs is None else configs
+    ed = header.filter(F.col("ed_pophealth_id").isNotNull())
+    return _pqi_events(
+        ed, "ed_pophealth_id", icdcm, procedure, value_sets, configs
+    )
+
+
+def pqi_inpatient_events(
+    header: DataFrame,
+    icdcm: DataFrame,
+    procedure: DataFrame,
+    value_sets: DataFrame,
+    configs: list[dict] | None = None,
+    id_col: str = "id_mcaid",
+) -> DataFrame:
+    """Long (value_set_group, claim_header_id, inpatient_id, flag)
+    rows for inpatient-discharge PQIs
+    (``v_mcaid_pqi_inpatient.sql``): valid non-transfer inpatient
+    claims (``admsn_source`` not in the facility-transfer codes)
+    flagged per indicator, collapsed to the stay grain by
+    :func:`pqi_composite`."""
+    configs = PQI_INPATIENT_CONFIGS if configs is None else configs
+    base = header.filter(F.col("inpatient_id").isNotNull())
+    if "admsn_source" in header.columns:
+        base = base.filter(
+            F.col("admsn_source").isNull()
+            | ~F.col("admsn_source").isin(*PQI_TRANSFER_SOURCES)
+        )
+    return _pqi_events(
+        base, "inpatient_id", icdcm, procedure, value_sets, configs
+    )
+
+
 def pqi_composite(
     events: DataFrame,
     groups: list[str] | None = None,
+    event_col: str = "ed_pophealth_id",
 ) -> DataFrame:
-    """Pivot PQI flags to one row per ED event with a composite
-    any-PQI flag (``v_mcaid_pqi_ed.sql`` tail: PIVOT MAX(flag) +
-    ISNULL + CASE-sum composite). Conditional aggregates instead of
-    PIVOT: one pass, no column explosion."""
+    """Pivot PQI flags to one row per event (ED visit or inpatient
+    stay) with a composite any-PQI flag (``v_mcaid_pqi_ed.sql`` /
+    ``v_mcaid_pqi_inpatient.sql`` tail: PIVOT MAX(flag) + ISNULL +
+    CASE-sum composite). Conditional aggregates instead of PIVOT:
+    one pass, no column explosion."""
     groups = groups or [c["group"] for c in PQI_ED_CONFIGS]
     aggs = [
         F.coalesce(
@@ -1211,7 +1290,7 @@ def pqi_composite(
         ).alias("pqi_" + g.split()[-1])
         for g in groups
     ]
-    flat = events.groupBy("ed_pophealth_id").agg(*aggs)
+    flat = events.groupBy(event_col).agg(*aggs)
     any_pqi = None
     for g in groups:
         c = F.col("pqi_" + g.split()[-1])

@@ -127,6 +127,56 @@ def test_pqi_ed_events_and_composite(spark):
     assert all(r["pqi_composite"] == 1 for r in rows.values())
 
 
+def test_pqi_inpatient_events(spark):
+    """Inpatient PQI shapes beyond the ED view: transfer-source
+    filter, px∩dx inclusion (PQI 16), dx∩px conjunction exclusion
+    (PQI 07) — v_mcaid_pqi_inpatient.sql."""
+    from claims_data_spark.tables.perf import (
+        pqi_composite, pqi_inpatient_events,
+    )
+
+    vs = spark.createDataFrame(
+        [("ACDIASD", "E1010"),
+         ("ACSHYPD", "I10"), ("ACSHY2D", "N185"), ("DIALY2P", "5A1D00Z"),
+         ("ACSCARP", "0210093"),
+         ("ACSLEAP", "0Y6200Z"), ("ACSLEAD", "E1151"),
+         ("ACLEA2D", "S78011A")],
+        "value_set_name string, code string",
+    )
+    hdr = spark.createDataFrame(
+        [("P1", 1, "E1010", 201, "1"),   # PQI 01 hit
+         ("P1", 2, "E1010", 202, "4"),   # transfer source -> dropped
+         ("P2", 3, "I10", 203, None),    # PQI 07 hit (no conj excl)
+         ("P2", 4, "I10", 204, None),    # PQI 07 excluded: kidney dx + dialysis px
+         ("P3", 5, "Z000", 205, None),   # PQI 16: amputation px + diabetes dx
+         ("P3", 6, "Z000", 206, None),   # px only, no diabetes dx -> no PQI 16
+         ("P3", 7, "E1010", None, None)],  # not inpatient
+        "id_mcaid string, claim_header_id long, primary_diagnosis "
+        "string, inpatient_id long, admsn_source string",
+    )
+    dx = spark.createDataFrame(
+        [(4, "N185", 10), (5, "E1151", 10)],
+        "claim_header_id long, icdcm_norm string, icdcm_version int",
+    )
+    px = spark.createDataFrame(
+        [(4, "5A1D00Z"), (5, "0Y6200Z"), (6, "0Y6200Z")],
+        "claim_header_id long, procedure_code string",
+    )
+    events = pqi_inpatient_events(hdr, dx, px, vs)
+    got = {(r["value_set_group"], r["claim_header_id"])
+           for r in events.collect()}
+    assert got == {("PQI 01", 1), ("PQI 07", 3), ("PQI 16", 5)}
+
+    comp = pqi_composite(
+        events, groups=["PQI 01", "PQI 07", "PQI 16"],
+        event_col="inpatient_id",
+    )
+    rows = {r["inpatient_id"]: r for r in comp.collect()}
+    assert rows[201]["pqi_01"] == 1 and rows[201]["pqi_07"] == 0
+    assert rows[203]["pqi_07"] == 1
+    assert rows[205]["pqi_16"] == 1
+
+
 def test_enroll_provider_quarterly_attribution(spark):
     from claims_data_spark.tables.perf import build_enroll_provider
 
