@@ -67,14 +67,20 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet carries TIMESTAMP(NANOS), which Spark's parquet
-    reader rejects; read nanos as long (runtime-settable legacy conf)
-    and rebuild a microsecond timestamp with integer division (`div`,
-    not `/` — long/long in Spark is a double and loses precision at
-    1e18 nanos)."""
+    """Some testdata generations write ``ts`` as TIMESTAMP(NANOS),
+    which Spark's parquet reader rejects; read nanos as long
+    (runtime-settable legacy conf) and rebuild a microsecond timestamp
+    with integer division (`div`, not `/` — long/long in Spark is a
+    double and loses precision at 1e18 nanos). Newer generations write
+    timestamp[us], which Spark reads natively — detect by dtype."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = _t(spark, sf_dir, "events")
-    return ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = dict(ev.dtypes)["ts"]
+    if ts_type == "bigint":
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    return ev
 
 
 def _ds(c) -> F.Column:
