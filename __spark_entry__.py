@@ -3720,6 +3720,182 @@ GROUP BY n_nationkey
 """
 
 
+def _perf_member_month(spark, sf_dir):
+    """Deterministic member-month panel for the measure-registry
+    oracles: customer × months 199401-199512 with formula flags (the
+    same arithmetic appears verbatim in the DuckDB SQL)."""
+    from claims_data_spark.operators.rolling import month_grid
+
+    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("id_mcaid"))
+    months = month_grid(spark, 199401, 199512)
+    k, ym = F.col("id_mcaid"), F.col("year_month")
+    return c.crossJoin(F.broadcast(months)).select(
+        "id_mcaid",
+        "year_month",
+        ((k + ym) % 17 != 0).cast("int").alias("enrolled_any"),
+        (k % 7 != 0).cast("int").alias("full_benefit"),
+        (k % 11 == 0).cast("int").alias("dual"),
+        F.lit(0).alias("tpl"),
+        ((k + ym) % 53 == 0).cast("int").alias("hospice"),
+        F.date_add(
+            F.lit("1930-01-01").cast("date"), ((k * 97) % 22000).cast("int")
+        ).alias("dob"),
+    )
+
+
+def q_perf_measure_ed(spark, sf_dir):
+    """All-Cause ED Visits slice through the full registry stack:
+    member-month → enroll_denom frames → monthly staging → final
+    measure (sp_perf_measures.sql:53-144)."""
+    from claims_data_spark.tables.perf_registry import (
+        build_enroll_denom_full,
+        perf_measure_month,
+        perf_staging_month,
+        ref_age_grp,
+        ref_perf_measure,
+    )
+
+    mm = _perf_member_month(spark, sf_dir)
+    den = build_enroll_denom_full(mm, 199401, 199512)
+    o = _t(spark, sf_dir, "orders")
+    ed = o.select(
+        F.col("o_custkey").alias("id_mcaid"),
+        date_to_yyyymm(F.col("o_orderdate").cast("date")).alias("year_month"),
+    )
+    staging = perf_staging_month(ed, measure_id=1)
+    out = perf_measure_month(
+        staging, den, ref_perf_measure(spark), ref_age_grp(spark), 199512, "ED"
+    )
+    return out.select(
+        "beg_year_month", "end_year_month", "id_mcaid", "end_month_age",
+        "age_grp", "measure_id", "denominator", "numerator",
+    )
+
+
+SQL_PERF_MEASURE_ED = """
+WITH months AS (
+  SELECT CAST(strftime(m, '%Y%m') AS INT) AS ym
+  FROM (SELECT unnest(generate_series(DATE '1995-01-01', DATE '1995-12-01', INTERVAL 1 MONTH)) AS m)
+), crit AS (
+  SELECT c_custkey AS id_mcaid,
+    SUM(CASE WHEN (c_custkey + ym) % 17 <> 0 AND c_custkey % 7 <> 0
+              AND c_custkey % 11 <> 0 THEN 1 ELSE 0 END) AS fc12,
+    SUM(CASE WHEN (c_custkey + ym) % 53 = 0 THEN 1 ELSE 0 END) AS h12
+  FROM customer CROSS JOIN months
+  GROUP BY 1
+), dobs AS (
+  SELECT c_custkey AS id_mcaid,
+    DATE '1930-01-01' + CAST((c_custkey * 97) % 22000 AS INT) AS dob
+  FROM customer
+), num AS (
+  SELECT o_custkey AS id_mcaid, COUNT(*) AS n
+  FROM orders
+  WHERE CAST(strftime(CAST(o_orderdate AS DATE), '%Y%m') AS INT) BETWEEN 199501 AND 199512
+  GROUP BY 1
+), aged AS (
+  SELECT c.id_mcaid, c.fc12, c.h12, COALESCE(num.n, 0) AS n,
+    -- birthday-carry age formula; asof Dec 31 never carries
+    CAST(1995 - year(d.dob) AS INT) AS end_month_age
+  FROM crit c JOIN dobs d USING (id_mcaid) LEFT JOIN num USING (id_mcaid)
+)
+SELECT 199501 AS beg_year_month, 199512 AS end_year_month, id_mcaid,
+  end_month_age,
+  CASE WHEN end_month_age BETWEEN 0 AND 17 THEN 'Age 0-17'
+       WHEN end_month_age BETWEEN 18 AND 64 THEN 'Age 18-64'
+       WHEN end_month_age >= 65 THEN 'Age 65+' END AS age_grp,
+  1 AS measure_id,
+  CAST(fc12 AS BIGINT) AS denominator,
+  CAST(n AS BIGINT) AS numerator
+FROM aged
+WHERE end_month_age >= 0 AND fc12 >= 7 AND h12 = 0
+"""
+
+
+def q_perf_measure_fua(spark, sf_dir):
+    """FUA-30 event-date slice: coverage at the event month, the
+    first-of-31-day-month waiver, the 30-day year-end cutoff, and the
+    11/12-month residency proxy (sp_perf_measures.sql:242-404)."""
+    from claims_data_spark.tables.perf_registry import (
+        build_enroll_denom_full,
+        perf_measure_event,
+        perf_staging_event_date,
+        ref_age_grp,
+        ref_perf_measure,
+    )
+
+    mm = _perf_member_month(spark, sf_dir)
+    den = build_enroll_denom_full(mm, 199401, 199512)
+    o = _t(spark, sf_dir, "orders")
+    ev = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_custkey").alias("id_mcaid"),
+        F.col("o_orderdate").cast("date").alias("event_date"),
+        (F.col("o_orderkey") % 6 == 0).cast("int").alias("followed_up"),
+    )
+    staging = perf_staging_event_date(ev, measure_id=4, numerator_col="followed_up")
+    out = perf_measure_event(
+        staging, den, ref_perf_measure(spark), ref_age_grp(spark), 199512, "FUA_30"
+    )
+    return out.select(
+        "beg_year_month", "end_year_month", "id_mcaid", "end_month_age",
+        "age_grp", "measure_id", "denominator", "numerator",
+    )
+
+
+SQL_PERF_MEASURE_FUA = """
+WITH months AS (
+  SELECT CAST(strftime(m, '%Y%m') AS INT) AS ym
+  FROM (SELECT unnest(generate_series(DATE '1995-01-01', DATE '1995-12-01', INTERVAL 1 MONTH)) AS m)
+), resident AS (
+  SELECT c_custkey AS id_mcaid
+  FROM customer CROSS JOIN months
+  GROUP BY 1
+  HAVING SUM(CASE WHEN (c_custkey + ym) % 17 <> 0 THEN 1 ELSE 0 END) >= 11
+), dobs AS (
+  SELECT c_custkey AS id_mcaid,
+    DATE '1930-01-01' + CAST((c_custkey * 97) % 22000 AS INT) AS dob
+  FROM customer
+), ev AS (
+  SELECT o_custkey AS id_mcaid, CAST(o_orderdate AS DATE) AS event_date,
+    CASE WHEN o_orderkey % 6 = 0 THEN 1 ELSE 0 END AS followed_up,
+    CAST(strftime(CAST(o_orderdate AS DATE), '%Y%m') AS INT) AS ym,
+    CAST(strftime(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH, '%Y%m') AS INT) AS ym_next
+  FROM orders
+  WHERE o_orderkey % 3 = 0
+    AND CAST(o_orderdate AS DATE) >= DATE '1995-01-01'
+    AND CAST(o_orderdate AS DATE) <= DATE '1995-12-31' - 30
+), qual AS (
+  SELECT e.id_mcaid, e.event_date, e.followed_up,
+    -- birthday-carry age formula (matches perf_registry.age_birthday;
+    -- duckdb age() clamps Feb-29 dobs differently)
+    CAST(year(e.event_date) - year(d.dob)
+      - CASE WHEN (month(e.event_date), day(e.event_date))
+              < (month(d.dob), day(d.dob)) THEN 1 ELSE 0 END AS INT) AS event_age
+  FROM ev e
+  JOIN dobs d USING (id_mcaid)
+  JOIN resident r USING (id_mcaid)
+  WHERE
+    -- full_criteria + no hospice at the event month
+    (e.id_mcaid + e.ym) % 17 <> 0 AND e.id_mcaid % 7 <> 0 AND e.id_mcaid % 11 <> 0
+    AND (e.id_mcaid + e.ym) % 53 <> 0
+    AND (
+      (day(e.event_date) = 1 AND month(e.event_date) IN (1, 3, 5, 7, 8, 10, 12))
+      OR (
+        (e.id_mcaid + e.ym_next) % 17 <> 0 AND (e.id_mcaid + e.ym_next) % 53 <> 0
+      )
+    )
+)
+SELECT 199501 AS beg_year_month, 199512 AS end_year_month, id_mcaid,
+  MAX(event_age) AS end_month_age,
+  CASE WHEN MAX(event_age) >= 13 THEN 'Age 13+' END AS age_grp,
+  4 AS measure_id,
+  CAST(COUNT(*) AS BIGINT) AS denominator,
+  CAST(SUM(followed_up) AS BIGINT) AS numerator
+FROM qual
+WHERE event_age >= 13
+GROUP BY id_mcaid
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the claims_elig-shaped coverage query (islands +
     clipping + coverage stats) on sf0.001."""
@@ -3800,6 +3976,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "housing_status": q_housing_status,
         "address_clean": q_address_clean,
         "spatial_pip": q_spatial_pip,
+        "perf_measure_ed": q_perf_measure_ed,
+        "perf_measure_fua": q_perf_measure_fua,
     }
 
 
@@ -3876,4 +4054,6 @@ def oracle_sql() -> dict[str, str]:
         "housing_status": SQL_HOUSING_STATUS,
         "address_clean": SQL_ADDRESS_CLEAN,
         "spatial_pip": SQL_SPATIAL_PIP,
+        "perf_measure_ed": SQL_PERF_MEASURE_ED,
+        "perf_measure_fua": SQL_PERF_MEASURE_FUA,
     }
