@@ -24,6 +24,29 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _lazy_checkpoint(df: DataFrame) -> DataFrame:
+    """``localCheckpoint(eager=False)`` that is ACTUALLY lazy.
+
+    Under adaptive execution, converting a plan to an RDD (which
+    checkpointing does at call time) materializes every shuffle query
+    stage immediately — a builder that mints id families mid-plan then
+    runs a serial cascade of blocking stage jobs at DataFrame-BUILD
+    time, before any action. Planning the checkpointed subtree with
+    AQE off keeps the conversion a pure plan-to-RDD mapping, so the
+    whole subtree executes inside the caller's first real action (and
+    the checkpointed RDD still truncates lineage for everything
+    downstream). The subtree loses AQE's runtime coalescing — it is a
+    keys-sized frame with an explicit range partitioning, which is
+    exactly the case where the static plan is already right."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return df.localCheckpoint(eager=False)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
 def dense_global_id(
     df: DataFrame,
     order_cols: list[str],
@@ -50,7 +73,15 @@ def dense_global_id(
         df = df.persist()
         if cache_registry is not None:
             cache_registry.append(df)
-    keys = df.select(*order_cols).distinct()
+    # Persist the distinct keys: instantiating the range partitioner
+    # below runs an EAGER boundary-sampling pass over them at
+    # plan-build time, and without the cache the first real action
+    # would recompute the whole upstream (often a full table assembly)
+    # a second time just to rank the keys. Keys are the reduced
+    # (order_cols-distinct) frame — MEMORY_AND_DISK at warehouse scale.
+    keys = df.select(*order_cols).distinct().persist()
+    if cache_registry is not None:
+        cache_registry.append(keys)
     if num_partitions:
         keys = keys.repartitionByRange(num_partitions, *order_cols)
     else:
@@ -67,9 +98,8 @@ def dense_global_id(
     # (small) ranked-key frame truncates lineage at a stable point;
     # losing an executor costs a job retry, which is the right trade
     # for a keys-sized frame.
-    ranked = (
+    ranked = _lazy_checkpoint(
         with_pid.withColumn("_rn", F.row_number().over(w_in))
-        .localCheckpoint(eager=False)
     )
 
     # Offsets: prefix-sum of per-partition counts. The counts frame has
@@ -132,7 +162,11 @@ def dense_global_ids_by_tag(
     1-based WITHIN each tag (global rank minus the count of keys in
     preceding tags, both from the same ranked-keys frame).
     """
-    keys = df.select(tag_col, *order_cols).distinct()
+    # persist before the eager range-boundary sampling — see
+    # dense_global_id for the rationale
+    keys = df.select(tag_col, *order_cols).distinct().persist()
+    if cache_registry is not None:
+        cache_registry.append(keys)
     cols = [tag_col, *order_cols]
     if num_partitions:
         keys = keys.repartitionByRange(num_partitions, *cols)
@@ -142,9 +176,8 @@ def dense_global_ids_by_tag(
     w_in = Window.partitionBy("_pid").orderBy(*cols)
     # lazy localCheckpoint: see dense_global_id — truncates lineage so
     # chained builders don't grow multiplicative plan trees
-    ranked = (
+    ranked = _lazy_checkpoint(
         with_pid.withColumn("_rn", F.row_number().over(w_in))
-        .localCheckpoint(eager=False)
     )
 
     counts = ranked.groupBy("_pid").agg(F.max("_rn").alias("_cnt"))

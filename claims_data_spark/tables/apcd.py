@@ -10,7 +10,7 @@ marks months with both Medicaid and Medicare medical coverage.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from claims_data_spark.functions.datetime import yyyymm_to_date
@@ -431,9 +431,7 @@ def build_apcd_claim_header(
     # result; persist it once so the join/window upstream is computed
     # once, not per event-id (callers can pass cache_registry and
     # unpersist after materializing — see dense_id.py's contract).
-    from claims_data_spark.operators.dense_id import (
-        dense_global_id, dense_global_ids_by_tag,
-    )
+    from claims_data_spark.operators.dense_id import dense_global_ids_by_tag
     from claims_data_spark.operators.episodes import within_person_episodes
 
     out = out.persist()
@@ -449,30 +447,14 @@ def build_apcd_claim_header(
         ("inpatient", "inpatient_id"),
         ("ed_perform", "ed_perform_id"),
     ]
-    tagged = None
-    for flag_col, _ in event_specs:
-        part = out.filter(F.col(flag_col) == 1).select(
-            F.lit(flag_col).alias("_tag"),
-            "claim_header_id", "id_apcd", "first_service_date",
-        )
-        tagged = part if tagged is None else tagged.unionByName(part)
-    mapping = dense_global_ids_by_tag(
-        tagged, "_tag", ["id_apcd", "first_service_date"],
-        out_col="_event_id", cache_registry=cache_registry,
-    )
-    per_claim = (
-        tagged.join(mapping, ["_tag", "id_apcd", "first_service_date"])
-        .groupBy("claim_header_id")
-        .agg(*[
-            F.max(
-                F.when(F.col("_tag") == flag_col, F.col("_event_id"))
-            ).alias(out_col)
-            for flag_col, out_col in event_specs
-        ])
-    )
-    out = out.join(per_claim, "claim_header_id", "left")
-
-    # ED population health (Yale) 1-day episode clustering (``:984-1018``)
+    # ED population health (Yale) 1-day episode clustering (``:984-1018``).
+    # The globally dense ed_pophealth_id is minted in the SAME tagged
+    # ranking pass as the three event-id families below: ranking
+    # episodes by (person, episode_start_date) yields exactly the same
+    # dense order as (person, within_person_episode_id) — the per-person
+    # episode id is itself dense over ascending start dates — so the
+    # episode family only costs a fourth tag, not a second full
+    # distinct/range-shuffle/offsets machinery.
     ed = out.filter(
         (F.col("ed_yale_carrier") == 1)
         | (F.col("ed_yale_opt") == 1)
@@ -481,11 +463,51 @@ def build_apcd_claim_header(
     eps = within_person_episodes(
         ed, ["id_apcd"], "first_service_date", merge_gap_days=1
     )
-    pophealth = dense_global_id(
-        eps, ["id_apcd", "within_person_episode_id"],
-        out_col="ed_pophealth_id", cache_registry=cache_registry,
-    ).select("claim_header_id", "ed_pophealth_id")
-    out = out.join(pophealth, "claim_header_id", "left")
+    ep_w = Window.partitionBy("id_apcd", "within_person_episode_id")
+    ep_claims = eps.withColumn(
+        "_ep_start", F.min("first_service_date").over(ep_w)
+    ).select(
+        F.lit("ed_pophealth").alias("_tag"),
+        "claim_header_id",
+        "id_apcd",
+        F.col("_ep_start").alias("first_service_date"),
+    )
+
+    # one scan of the assembled frame fans out the per-flag tag rows
+    # (explode of a compacted tag array) — a 3-branch filter union
+    # would read the frame three times, and when the persist above has
+    # not materialized yet each branch recomputes the whole assembly
+    tagged = (
+        out.select(
+            "claim_header_id", "id_apcd", "first_service_date",
+            F.explode(
+                F.array_compact(
+                    F.array(*[
+                        F.when(F.col(flag) == 1, F.lit(flag))
+                        for flag, _ in event_specs
+                    ])
+                )
+            ).alias("_tag"),
+        )
+        .select("_tag", "claim_header_id", "id_apcd", "first_service_date")
+        .unionByName(ep_claims)
+    )
+    mapping = dense_global_ids_by_tag(
+        tagged, "_tag", ["id_apcd", "first_service_date"],
+        out_col="_event_id", cache_registry=cache_registry,
+    )
+    all_specs = event_specs + [("ed_pophealth", "ed_pophealth_id")]
+    per_claim = (
+        tagged.join(mapping, ["_tag", "id_apcd", "first_service_date"])
+        .groupBy("claim_header_id")
+        .agg(*[
+            F.max(
+                F.when(F.col("_tag") == flag_col, F.col("_event_id"))
+            ).alias(out_col)
+            for flag_col, out_col in all_specs
+        ])
+    )
+    out = out.join(per_claim, "claim_header_id", "left")
     return out
 
 

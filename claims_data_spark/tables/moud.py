@@ -87,7 +87,10 @@ def _proc_step(
         F.when(p.isin(_ADMIN_ORAL), "oral")
         .when(p.isin(_ADMIN_INJ), "injection/implant")
         .alias("admin_method"),
-    ).distinct()
+    )
+    # no claim-grain DISTINCT here: the step-5 union is DISTINCTed
+    # after claim_header_id is dropped (R:145-185), which collapses
+    # strictly more — one wide shuffle instead of two
 
     # step 2: oud_dx1_flag = primary diagnosis in the sud_opioid set,
     # aggregated per claim (R:74-80). Join the big header only against
@@ -175,7 +178,7 @@ def _pharm_step(
         F.col("rx_days_supply").cast("decimal(8,1)").alias(
             "moud_days_supply"
         ),
-    ).distinct()
+    )  # dedup deferred to the step-5 union DISTINCT (see _proc_step)
 
 
 def build_claim_moud(
@@ -412,18 +415,21 @@ def build_claim_moud(
             F.lead("last_service_date").over(w_meth), F.col("last_service_date")
         ),
     )
-    collapsed = collapsed.withColumn("next_meth_diff", next_diff).withColumn(
-        "meth_proc_sum_year_quarter",
-        F.sum(F.coalesce("meth_proc_flag", F.lit(0))).over(
-            Window.partitionBy(id_col, "_yq")
-        ),
-    )
-    med = collapsed.groupBy(id_col, "_yq").agg(
-        F.expr("percentile(next_meth_diff, 0.5)").alias(
-            "next_meth_diff_median_year_quarter"
+    # the per-quarter sum AND the exact median share ONE unordered
+    # (id, quarter) window partition — a groupBy+join-back for the
+    # median would cost two extra shuffles for the same numbers
+    w_yq = Window.partitionBy(id_col, "_yq")
+    collapsed = (
+        collapsed.withColumn("next_meth_diff", next_diff)
+        .withColumn(
+            "meth_proc_sum_year_quarter",
+            F.sum(F.coalesce("meth_proc_flag", F.lit(0))).over(w_yq),
+        )
+        .withColumn(
+            "next_meth_diff_median_year_quarter",
+            F.expr("percentile(next_meth_diff, 0.5)").over(w_yq),
         )
     )
-    collapsed = collapsed.join(med, [id_col, "_yq"], "left")
 
     is_meth = F.col("meth_proc_flag") == 1
     supply_new = (

@@ -687,24 +687,31 @@ def tx_pen_claim_sets(
       ``denominator_sets`` (any-position dx).
     """
     key = [id_col, "claim_header_id", "first_service_date"]
-    num = matched.filter(
-        F.col("value_set_name").isin(numerator_sets)
-    ).select(*key)
-    if proc_with_dx_set is not None:
-        proc_side = matched.filter(
-            F.col("value_set_name") == proc_with_dx_set
-        ).select(*key)
-        dx_side = matched.filter(
-            (F.col("value_set_name") == dx_set)
-            & (F.col("primary_dx") == 1)
-        ).select(*key)
-        num = num.unionByName(proc_side.intersect(dx_side))
-    num = num.distinct()
-    den = num.unionByName(
-        matched.filter(
-            F.col("value_set_name").isin(denominator_sets)
-        ).select(*key)
-    ).distinct()
+    # One aggregation computes every set-membership flag per claim;
+    # num/den are filters over the SAME agg subtree, so in any action
+    # that consumes both, Spark's ReuseExchange computes the upstream
+    # match union once (the earlier union/intersect/distinct chain
+    # re-scanned ``matched`` once per set — 4 scans of the biggest
+    # join in the measure).
+    flag_proc = (
+        F.lit(False)
+        if proc_with_dx_set is None
+        else (F.col("value_set_name") == proc_with_dx_set)
+    )
+    flag_prim = (
+        F.lit(False)
+        if dx_set is None
+        else ((F.col("value_set_name") == dx_set) & (F.col("primary_dx") == 1))
+    )
+    flags = matched.groupBy(*key).agg(
+        F.max(F.col("value_set_name").isin(numerator_sets)).alias("_num_any"),
+        F.max(flag_proc).alias("_proc"),
+        F.max(flag_prim).alias("_prim_dx"),
+        F.max(F.col("value_set_name").isin(denominator_sets)).alias("_den_any"),
+    )
+    is_num = F.col("_num_any") | (F.col("_proc") & F.col("_prim_dx"))
+    num = flags.filter(is_num).select(*key)
+    den = flags.filter(is_num | F.col("_den_any")).select(*key)
     return num, den
 
 
