@@ -333,6 +333,19 @@ MONTH_MEASURE_RULES = {
                 denominator="staged", num_agg="exists", age_min=18),
 }
 
+# The by-diagnosis TPM sub-measures (sp_perf_measures.sql:1378-1519)
+# share one batch: TPM windows, but the enrollment gate is ANY
+# enrollment in the measurement year (enrolled_any_t_12_m >= 1, not
+# the 11-month full-criteria rule) and no age floor in the final WHERE.
+_BY_DX_RULE = dict(
+    min_full_criteria=1, criteria_col="enrolled_any_t_12_m",
+    hospice_excl=False, denominator="staged", num_agg="exists", age_min=None,
+)
+for _short in ("TPM_ADHD", "TPM_Adjustment", "TPM_Anxiety",
+               "TPM_Depression", "TPM_Impulse", "TPM_Bipolar",
+               "TPM_Psychotic"):
+    MONTH_MEASURE_RULES[_short] = _BY_DX_RULE
+
 
 def _measure_row(ref_measure: DataFrame, short_name: str):
     row = ref_measure.filter(
@@ -365,11 +378,13 @@ def perf_measure_month(
     measure_id, age_group_col = _measure_row(ref_measure, short_name)
     beg_month = yyyymm_add_py(end_month, -11)
 
+    crit_col = rules.get("criteria_col", "full_criteria_t_12_m")
     base = denom.filter(
         (F.col("year_month") == end_month)
-        & (F.col("end_month_age") >= rules["age_min"])
-        & (F.col("full_criteria_t_12_m") >= rules["min_full_criteria"])
+        & (F.col(crit_col) >= rules["min_full_criteria"])
     )
+    if rules["age_min"] is not None:
+        base = base.filter(F.col("end_month_age") >= rules["age_min"])
     if rules["hospice_excl"]:
         base = base.filter(F.col("hospice_t_12_m") == 0)
     base = base.select(id_col, "end_month_age", "full_criteria_t_12_m")

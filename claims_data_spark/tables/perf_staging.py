@@ -167,6 +167,20 @@ def stage_pcr(
     )
 
 
+def stage_tx_pen_by_dx(
+    claim_sets: dict[int, tuple[DataFrame, DataFrame]],
+    id_col: str = "id_mcaid",
+) -> DataFrame:
+    """By-diagnosis TPM staging (measure ids 30-36,
+    ``v_perf_tpm_by_dx_numerator/denominator.sql``): one (num, den)
+    claim-set pair per sub-measure id, stacked into one long frame."""
+    out = None
+    for measure_id, (num, den) in sorted(claim_sets.items()):
+        rows = stage_tx_pen(num, den, measure_id, id_col=id_col)
+        out = rows if out is None else out.unionByName(rows)
+    return out
+
+
 #: measure_name -> (stage builder, grain) — mirrors the stored
 #: procedure's IF-dispatch (sp_perf_staging.sql:7-16)
 STAGING_BATCHES = {
@@ -186,6 +200,7 @@ STAGING_BATCHES = {
         lambda num, den, **kw: stage_tx_pen(num, den, 11, **kw), "month"),
     "Plan All-Cause Readmissions (30 days)": (stage_pcr, "event"),
     "Child and Adolescent Access to Primary Care": (stage_cap, "month"),
+    "MH Treatment Penetration by Diagnosis": (stage_tx_pen_by_dx, "month"),
 }
 
 

@@ -274,3 +274,30 @@ def test_perf_measure_cap_windows(spark):
     assert rows["tod"].age_grp == "Age 12-24 Months"
     assert rows["nine"].numerator == 1
     assert rows["nine"].age_grp == "Age 7-11"
+
+
+def test_perf_measure_tpm_by_dx_any_enrollment(spark):
+    """By-dx TPM sub-measures gate on ANY enrollment, not the 11-month
+    full-criteria rule, and have no age floor
+    (sp_perf_measures.sql:1501-1504)."""
+    ref, age = _refs(spark)
+    # one month of partial-benefit enrollment: full_criteria = 0 all year
+    mm = _member_month(
+        spark,
+        [("a", 201706, 1, 0, 0, 0, 0, DOB_ADULT)]
+        + _full_year("kid", MONTHS_2017, dob=dt.date(2014, 6, 1)),
+    )
+    den = build_enroll_denom_full(mm, 201601, 201712)
+    staging = spark.createDataFrame(
+        [("a", 201603, 33, "D", 1), ("a", 201705, 33, "N", 1),
+         ("kid", 201703, 33, "D", 1), ("kid", 201705, 33, "N", 1)],
+        "id_mcaid string, year_month int, measure_id int, num_denom string,"
+        " measure_value int",
+    )
+    out = perf_measure_month(staging, den, ref, age, 201712, "TPM_Depression")
+    rows = {r.id_mcaid: r for r in out.collect()}
+    # a: would fail TPM's full-criteria gate but passes by-dx ANY rule;
+    # kid (age 3) included because the by-dx batch has no age floor
+    assert set(rows) == {"a", "kid"}
+    assert rows["a"].measure_id == 33
+    assert rows["kid"].age_grp is None  # age 3 outside age_grp_5 bands
