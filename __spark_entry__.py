@@ -3720,6 +3720,55 @@ GROUP BY n_nationkey
 """
 
 
+def q_lcs_match(spark, sf_dir):
+    """Longest-common-substring fuzzy match (the reference's
+    dbo.LongestCommonSubstring broad-use function) between phone and
+    address prefixes — Arrow-batched DP, tiebreak length DESC then
+    position-in-first then position-in-second."""
+    from claims_data_spark.functions.strings import longest_common_substring
+
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.substring("c_name", 10, 9).alias("a"),
+        (F.col("c_custkey") * 37).cast("string").alias("b"),
+    )
+    out = c.select(
+        "id", longest_common_substring("a", "b").alias("lcs")
+    ).filter(F.col("lcs").isNotNull() & F.col("lcs.match_length").isNotNull())
+    return out.select(
+        "id",
+        F.col("lcs.match_length").alias("match_length"),
+        F.col("lcs.first_char_in_match").alias("first_char_in_match"),
+        F.col("lcs.first_char_in_string").alias("first_char_in_string"),
+        F.col("lcs.common_string").alias("common_string"),
+    )
+
+
+SQL_LCS_MATCH = """
+WITH s AS (
+  SELECT c_custkey AS id, substr(c_name, 10, 9) AS a,
+         CAST(c_custkey * 37 AS VARCHAR) AS b
+  FROM customer
+), windows AS (
+  SELECT s.id, L.L, i.i, j.j, substr(s.a, i.i, L.L) AS cs
+  FROM s
+  CROSS JOIN (SELECT unnest(generate_series(1, 9)) AS L) L
+  CROSS JOIN (SELECT unnest(generate_series(1, 9)) AS i) i
+  CROSS JOIN (SELECT unnest(generate_series(1, 10)) AS j) j
+  WHERE i.i + L.L - 1 <= len(s.a) AND j.j + L.L - 1 <= len(s.b)
+    AND substr(s.a, i.i, L.L) = substr(s.b, j.j, L.L)
+), best AS (
+  SELECT id, L AS match_length, i AS first_char_in_match,
+         j AS first_char_in_string, cs AS common_string,
+         row_number() OVER (PARTITION BY id ORDER BY L DESC, i, j) AS rn
+  FROM windows
+)
+SELECT id, match_length, first_char_in_match, first_char_in_string,
+       common_string
+FROM best WHERE rn = 1
+"""
+
+
 def _perf_member_month(spark, sf_dir):
     """Deterministic member-month panel for the measure-registry
     oracles: customer × months 199401-199512 with formula flags (the
@@ -3978,6 +4027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_pip": q_spatial_pip,
         "perf_measure_ed": q_perf_measure_ed,
         "perf_measure_fua": q_perf_measure_fua,
+        "lcs_match": q_lcs_match,
     }
 
 
@@ -4056,4 +4106,5 @@ def oracle_sql() -> dict[str, str]:
         "spatial_pip": SQL_SPATIAL_PIP,
         "perf_measure_ed": SQL_PERF_MEASURE_ED,
         "perf_measure_fua": SQL_PERF_MEASURE_FUA,
+        "lcs_match": SQL_LCS_MATCH,
     }

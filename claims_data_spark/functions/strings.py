@@ -116,3 +116,82 @@ def icdcm_version(code: Column | str, service_date: Column | str) -> Column:
     cutover = F.lit("2015-10-01").cast("date")
     is9 = c.rlike("^[0-9]") | (c.rlike("^[VE]") & (sd < cutover))
     return F.when(is9, F.lit(9)).otherwise(F.lit(10)).cast("tinyint")
+
+
+def split_to_items(s: Column | str, delimiter: str) -> Column:
+    """The reference's ``dbo.Split`` table-valued function
+    (``analysis/Broad use functions/split function.sql``) as an array
+    expression: split on a single-character delimiter, dropping empty
+    slices (the T-SQL loop only inserts ``len(slice) > 0``). Explode
+    the result to reproduce the one-row-per-item table shape — pure
+    JVM, no UDF."""
+    return F.filter(
+        F.split(_col(s), re.escape(delimiter)), lambda x: F.length(x) > 0
+    )
+
+
+def longest_common_substring(first: Column | str, second: Column | str) -> Column:
+    """The reference's ``dbo.LongestCommonSubstring``
+    (``analysis/Broad use functions/longest_common_substring.sql``):
+    returns a struct(match_length, first_char_in_match,
+    first_char_in_string, common_string) — the longest common
+    substring with 1-based positions in each input, tiebreaking on
+    length DESC, position-in-first ASC, position-in-second ASC
+    exactly like the T-SQL ``TOP 1 ... ORDER BY``.
+
+    Dynamic-programming string alignment is not expressible in
+    built-in expressions, so this is the sanctioned slow path: an
+    Arrow-batched pandas UDF (never row-at-a-time) running the classic
+    O(n*m) suffix-run DP per pair. Null inputs or no common character
+    yield a NULL struct (the T-SQL function returns an empty table)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    ret = (
+        "match_length int, first_char_in_match int,"
+        " first_char_in_string int, common_string string"
+    )
+
+    # no type hints: the module-level ``from __future__ import
+    # annotations`` stringifies them, which the pandas-udf type-hint
+    # inference can't resolve; an unannotated function defaults to the
+    # scalar Arrow eval type, which is what we want
+    def _lcs_impl(a_ser, b_ser):
+        out = {"match_length": [], "first_char_in_match": [],
+               "first_char_in_string": [], "common_string": []}
+
+        def push(ml, fi, fj, cs):
+            out["match_length"].append(ml)
+            out["first_char_in_match"].append(fi)
+            out["first_char_in_string"].append(fj)
+            out["common_string"].append(cs)
+
+        for a, b in zip(a_ser, b_ser):
+            if a is None or b is None or not a or not b:
+                push(None, None, None, None)
+                continue
+            n, m = len(a), len(b)
+            best = 0
+            bi = bj = -1
+            prev = [0] * (m + 1)
+            for i in range(1, n + 1):
+                cur = [0] * (m + 1)
+                ai = a[i - 1]
+                for j in range(1, m + 1):
+                    if ai == b[j - 1]:
+                        L = prev[j - 1] + 1
+                        cur[j] = L
+                        # strict > keeps the FIRST maximal run in scan
+                        # order == smallest start-in-first, then
+                        # smallest start-in-second (the T-SQL ORDER BY)
+                        if L > best:
+                            best, bi, bj = L, i - L + 1, j - L + 1
+                prev = cur
+            if best == 0:
+                push(None, None, None, None)
+            else:
+                push(best, bi, bj, a[bi - 1: bi - 1 + best])
+        return pd.DataFrame(out)
+
+    _lcs = pandas_udf(_lcs_impl, ret)
+    return _lcs(_col(first), _col(second))

@@ -319,3 +319,34 @@ def test_sql_type_mapping():
     assert sql_type_to_spark("TIME(0)").simpleString() == "string"
     assert sql_type_to_spark("numeric(19,3)").simpleString() == "decimal(19,3)"
     assert sql_type_to_spark("tinyint").simpleString() == "tinyint"
+
+
+def test_longest_common_substring_reference_examples(spark):
+    """The T-SQL function's own documented examples
+    (longest_common_substring.sql:44-50)."""
+    from claims_data_spark.functions.strings import longest_common_substring
+
+    df = spark.createDataFrame(
+        [("465932859472109683472", "697834859472135348"),
+         ("thisisatest", "testing123testing"),
+         ("1234", "1224533324"),
+         (None, "xab")],
+        "a string, b string",
+    )
+    rows = df.select(
+        longest_common_substring("a", "b").alias("lcs")
+    ).collect()
+    assert rows[0].lcs.common_string == "8594721"
+    assert rows[1].lcs.common_string == "test"
+    assert rows[1].lcs.first_char_in_match == 8
+    assert rows[1].lcs.first_char_in_string == 1
+    assert rows[2].lcs.common_string == "12"
+    assert rows[3].lcs is None or rows[3].lcs.match_length is None
+
+
+def test_split_to_items_drops_empty(spark):
+    from claims_data_spark.functions.strings import split_to_items
+
+    df = spark.createDataFrame([("a,b,,c,",), ("",)], "s string")
+    out = df.select(F.explode(split_to_items("s", ",")).alias("x")).collect()
+    assert [r.x for r in out] == ["a", "b", "c"]
