@@ -3805,7 +3805,7 @@ def q_perf_measure_ed(spark, sf_dir):
     )
 
     mm = _perf_member_month(spark, sf_dir)
-    den = build_enroll_denom_full(mm, 199401, 199512)
+    den = build_enroll_denom_full(mm, 199401, 199512, already_dense=True)
     o = _t(spark, sf_dir, "orders")
     ed = o.select(
         F.col("o_custkey").alias("id_mcaid"),
@@ -3873,7 +3873,7 @@ def q_perf_measure_fua(spark, sf_dir):
     )
 
     mm = _perf_member_month(spark, sf_dir)
-    den = build_enroll_denom_full(mm, 199401, 199512)
+    den = build_enroll_denom_full(mm, 199401, 199512, already_dense=True)
     o = _t(spark, sf_dir, "orders")
     ev = o.filter(F.col("o_orderkey") % 3 == 0).select(
         F.col("o_custkey").alias("id_mcaid"),

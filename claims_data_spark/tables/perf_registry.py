@@ -184,6 +184,7 @@ def build_enroll_denom_full(
     ym_min: int,
     ym_max: int,
     id_col: str = "id_mcaid",
+    already_dense: bool = False,
 ) -> DataFrame:
     """Dense member-month enrollment denominator with every rolling
     frame the measure batches consume.
@@ -199,22 +200,29 @@ def build_enroll_denom_full(
     sort feeds every frame (Catalyst shares the Window exchange).
     """
     flags = ["enrolled_any", "full_benefit", "dual", "tpl", "hospice"]
-    monthly = member_month.groupBy(id_col, "year_month").agg(
-        *[F.max(c).alias(c) for c in flags],
-        F.max("dob").alias("dob"),
-    )
-    dense = densify_months(
-        monthly, [id_col], "year_month", ym_min, ym_max,
-        fill={c: 0 for c in flags},
-    )
-    # dob is constant per member but null on densified gap months;
-    # backfill with the per-id max (one extra column in the same
-    # window pass Catalyst already runs for the frames below)
-    from pyspark.sql import Window
+    if already_dense:
+        # caller guarantees one row per member per month of
+        # [ym_min, ym_max] — skip the groupBy + grid join (three
+        # shuffles) that a sparse coverage extract needs
+        dense = member_month
+    else:
+        monthly = member_month.groupBy(id_col, "year_month").agg(
+            *[F.max(c).alias(c) for c in flags],
+            F.max("dob").alias("dob"),
+        )
+        dense = densify_months(
+            monthly, [id_col], "year_month", ym_min, ym_max,
+            fill={c: 0 for c in flags},
+        )
+    if not already_dense:
+        # dob is constant per member but null on densified gap months;
+        # backfill with the per-id max (one extra column in the same
+        # window pass Catalyst already runs for the frames below)
+        from pyspark.sql import Window
 
-    dense = dense.withColumn(
-        "dob", F.max("dob").over(Window.partitionBy(id_col))
-    )
+        dense = dense.withColumn(
+            "dob", F.max("dob").over(Window.partitionBy(id_col))
+        )
     # full_criteria = enrolled & full-benefit & non-dual & non-tpl
     # (fn_mcaid_perf_enroll_member_month.sql:40)
     dense = dense.withColumn(
