@@ -214,3 +214,85 @@ def build_perf_staging(measure_name: str, *component_frames, **kw):
         )
     builder, grain = STAGING_BATCHES[measure_name]
     return builder(*component_frames, **kw), grain
+
+
+# measure_name -> the short names its final-calc slice(s) run under
+# (follow-up batches produce a 7-day and a 30-day measure each)
+_FINAL_SLICES = {
+    "All-Cause ED Visits": ["ED"],
+    "Acute Hospital Utilization": ["AH"],
+    "Follow-up ED visit for Alcohol/Drug Abuse": ["FUA_7", "FUA_30"],
+    "Follow-up ED visit for Mental Illness": ["FUM_7", "FUM_30"],
+    "Follow-up Hospitalization for Mental Illness": ["FUH_7", "FUH_30"],
+    "Mental Health Treatment Penetration": ["TPM"],
+    "SUD Treatment Penetration": ["TPS"],
+    "SUD Treatment Penetration (Opioid)": ["TPO"],
+    "Plan All-Cause Readmissions (30 days)": ["PCR"],
+    "Child and Adolescent Access to Primary Care": ["CAP"],
+    "MH Treatment Penetration by Diagnosis": [
+        "TPM_ADHD", "TPM_Adjustment", "TPM_Anxiety", "TPM_Depression",
+        "TPM_Impulse", "TPM_Bipolar", "TPM_Psychotic",
+    ],
+}
+
+
+def run_perf_measures(
+    member_month: DataFrame,
+    components: dict,
+    end_month: int,
+    ym_min: int | None = None,
+    id_col: str = "id_mcaid",
+    already_dense: bool = False,
+) -> DataFrame:
+    """End-to-end measure run (the reference's EXEC loop over
+    ``sp_perf_staging`` + ``sp_perf_measures`` for one measurement
+    year): build the enrollment denominator once, stage each requested
+    measure from its component frames, run every final-calc slice, and
+    union the ``mcaid_perf_measure``-shaped results.
+
+    ``components`` maps a reference measure name to the tuple of
+    component frames its staging batch consumes (see
+    ``STAGING_BATCHES``). The denominator spans 24 months ending at
+    ``end_month`` unless ``ym_min`` widens it."""
+    from claims_data_spark.tables.perf_registry import (
+        build_enroll_denom_full,
+        perf_measure_cap,
+        perf_measure_event,
+        perf_measure_month,
+        ref_age_grp,
+        ref_perf_measure,
+        yyyymm_add_py,
+    )
+
+    spark = member_month.sparkSession
+    denom = build_enroll_denom_full(
+        member_month,
+        ym_min if ym_min is not None else yyyymm_add_py(end_month, -23),
+        end_month,
+        id_col=id_col,
+        already_dense=already_dense,
+    )
+    ref, age = ref_perf_measure(spark), ref_age_grp(spark)
+
+    out = None
+    for measure_name, frames in components.items():
+        if not isinstance(frames, (list, tuple)):
+            frames = (frames,)
+        staging, grain = build_perf_staging(
+            measure_name, *frames, id_col=id_col
+        )
+        for short in _FINAL_SLICES[measure_name]:
+            if short == "CAP":
+                rows = perf_measure_cap(
+                    staging, denom, ref, age, end_month, id_col=id_col
+                )
+            elif grain == "event":
+                rows = perf_measure_event(
+                    staging, denom, ref, age, end_month, short, id_col=id_col
+                )
+            else:
+                rows = perf_measure_month(
+                    staging, denom, ref, age, end_month, short, id_col=id_col
+                )
+            out = rows if out is None else out.unionByName(rows)
+    return out

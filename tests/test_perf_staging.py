@@ -104,3 +104,37 @@ def test_staging_feeds_registry_end_to_end(spark):
         201712, "ED",
     ).collect()
     assert len(out) == 1 and out[0].numerator == 2 and out[0].denominator == 12
+
+
+def test_run_perf_measures_multi(spark):
+    """Full EXEC-loop analog: two measures staged and calculated from
+    one member-month panel, one unioned result frame."""
+    from claims_data_spark.tables.perf_staging import run_perf_measures
+
+    months = [201600 + m for m in range(1, 13)] + [201700 + m for m in range(1, 13)]
+    mm = spark.createDataFrame(
+        [("a", ym, 1, 1, 0, 0, 0, dt.date(1980, 6, 15)) for ym in months],
+        "id_mcaid string, year_month int, enrolled_any int, full_benefit int,"
+        " dual int, tpl int, hospice int, dob date",
+    )
+    ed = spark.createDataFrame(
+        [("a", dt.date(2017, 3, 2), 1)],
+        "id_mcaid string, first_service_date date, ed_visit_num int",
+    )
+    fua = spark.createDataFrame(
+        [("a", dt.date(2017, 7, 5), 1, 1)],
+        "id_mcaid string, first_service_date date,"
+        " follow_up_7_day int, follow_up_30_day int",
+    )
+    out = run_perf_measures(
+        mm,
+        {"All-Cause ED Visits": ed,
+         "Follow-up ED visit for Alcohol/Drug Abuse": fua},
+        201712,
+        ym_min=201601,
+        already_dense=True,
+    ).collect()
+    by_measure = {r.measure_id: r for r in out}
+    assert set(by_measure) == {1, 3, 4}  # ED + FUA 7-day + FUA 30-day
+    assert by_measure[1].denominator == 12
+    assert by_measure[3].numerator == 1 and by_measure[4].numerator == 1
