@@ -64,9 +64,10 @@ def main() -> None:
 
     for name in HEADLINE:
         best, n = None, 0
-        # min of 2 runs: the harness VM carries background load, and a
-        # single sample conflates that noise with plan cost
-        for _ in range(2):
+        # min of 3 runs: the harness VM carries background load (±15%
+        # observed between whole-suite runs), and a single sample
+        # conflates that noise with plan cost
+        for _ in range(3):
             t0 = time.perf_counter()
             df = qs[name](spark, sf_dir)
             n = df.count()
