@@ -374,15 +374,22 @@ def build_claim_moud(
     collapsed = collapsed.withColumn("moudtype", moudtype).withColumn(
         "codetype", codetype
     )
-    # Both dedup windows share ONE exchange on (id, date, moudtype):
-    # the per-admin-method count is a range frame over admin_method
-    # within that partitioning, not a fourth partition column.
+    # Every window from here to the end of the builder partitions on
+    # the PERSON ID ONLY, with the finer grains expressed as
+    # CURRENT-ROW range frames over the sort keys (peers of the sort
+    # order ARE the finer group). One id exchange feeds the same-day
+    # dedup, the methadone lead, and the quarter stats — partitioning
+    # each on its composite key would be three more full shuffles.
     w_dup = (
-        Window.partitionBy(id_col, "last_service_date", "moudtype")
-        .orderBy("admin_method")
+        Window.partitionBy(id_col)
+        .orderBy("last_service_date", "moudtype", "admin_method")
         .rangeBetween(Window.currentRow, Window.currentRow)
     )
-    w_type = Window.partitionBy(id_col, "last_service_date", "moudtype")
+    w_type = (
+        Window.partitionBy(id_col)
+        .orderBy("last_service_date", "moudtype")
+        .rangeBetween(Window.currentRow, Window.currentRow)
+    )
     collapsed = (
         collapsed.withColumn("_n_same", F.count(F.lit(1)).over(w_dup))
         .withColumn(
@@ -405,9 +412,14 @@ def build_claim_moud(
     # median fallback for skipped doses / last dates
     q = F.year("last_service_date") * 10 + F.quarter("last_service_date")
     collapsed = collapsed.withColumn("_yq", q)
-    w_meth = Window.partitionBy(
-        id_col, "meth_proc_flag"
-    ).orderBy("last_service_date")
+    # id-partitioned with meth_proc_flag leading the sort: meth rows
+    # group together ordered by date, so lead() within the id
+    # partition sees exactly what a (id, flag) partition would — and
+    # the guard on the NEXT row's flag discards the one cross-group
+    # edge. Reuses the step-7 exchange instead of reshuffling.
+    w_meth = Window.partitionBy(id_col).orderBy(
+        "meth_proc_flag", "last_service_date"
+    )
     next_diff = F.when(
         (F.col("meth_proc_flag") == 1)
         & (F.lead("meth_proc_flag").over(w_meth) == 1),
@@ -415,10 +427,14 @@ def build_claim_moud(
             F.lead("last_service_date").over(w_meth), F.col("last_service_date")
         ),
     )
-    # the per-quarter sum AND the exact median share ONE unordered
-    # (id, quarter) window partition — a groupBy+join-back for the
-    # median would cost two extra shuffles for the same numbers
-    w_yq = Window.partitionBy(id_col, "_yq")
+    # per-quarter sum AND exact median as CURRENT-ROW range peers over
+    # the quarter key — same id exchange, no (id, quarter) reshuffle,
+    # no groupBy+join-back
+    w_yq = (
+        Window.partitionBy(id_col)
+        .orderBy("_yq")
+        .rangeBetween(Window.currentRow, Window.currentRow)
+    )
     collapsed = (
         collapsed.withColumn("next_meth_diff", next_diff)
         .withColumn(
