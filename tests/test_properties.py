@@ -158,3 +158,56 @@ def test_coverage_days_matches_dayset_oracle(spark, ivs):
         day += dt.timedelta(days=1)
     runs.append(cur)
     assert r["covgap_max"] == max(runs)
+
+
+# --- enrollment-denominator rolling frames vs a brute-force model ---
+
+member_months = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=23),   # month offset from 201601
+        st.booleans(),                            # full_benefit
+        st.booleans(),                            # hospice
+    ),
+    min_size=1, max_size=24, unique_by=lambda t: t[0],
+)
+
+
+@given(mm=member_months)
+@_settings
+def test_enroll_denom_frames_match_bruteforce(spark, mm):
+    from claims_data_spark.tables.perf_registry import (
+        build_enroll_denom_full,
+        yyyymm_add_py,
+    )
+
+    months = [yyyymm_add_py(201601, off) for off, _, _ in mm]
+    rows = [
+        ("p", ym, 1, int(fb), 0, 0, int(h), dt.date(1990, 3, 2))
+        for ym, (_, fb, h) in zip(months, mm)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "id_mcaid string, year_month int, enrolled_any int,"
+        " full_benefit int, dual int, tpl int, hospice int, dob date",
+    )
+    den = build_enroll_denom_full(df, 201601, 201712)
+    got = {r.year_month: r for r in den.collect()}
+    assert len(got) == 24  # densified
+
+    fc = {ym: (1 if (ym in months and dict(
+        (yyyymm_add_py(201601, o), f) for o, f, _ in mm)[ym]) else 0)
+        for ym in (yyyymm_add_py(201601, k) for k in range(24))}
+    hosp = {ym: (1 if (ym in months and dict(
+        (yyyymm_add_py(201601, o), h) for o, _, h in mm)[ym]) else 0)
+        for ym in (yyyymm_add_py(201601, k) for k in range(24))}
+    all_months = sorted(fc)
+    for i, ym in enumerate(all_months):
+        window = all_months[max(0, i - 11): i + 1]
+        prior = all_months[max(0, i - 23): max(0, i - 11)]
+        ahead = all_months[i: i + 2]
+        assert got[ym].full_criteria_t_12_m == sum(fc[m] for m in window), ym
+        # SUM over an empty frame is NULL in both T-SQL and Spark —
+        # the prior-year frame is empty for the first 12 months
+        expected_prior = sum(fc[m] for m in prior) if prior else None
+        assert got[ym].full_criteria_prior_t_12_m == expected_prior
+        assert got[ym].hospice_p_2_m == sum(hosp[m] for m in ahead)
