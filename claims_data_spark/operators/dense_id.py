@@ -47,6 +47,32 @@ def _lazy_checkpoint(df: DataFrame) -> DataFrame:
         spark.conf.set("spark.sql.adaptive.enabled", prev)
 
 
+def _stable_ranked(
+    ranked: DataFrame, truncate_lineage: bool, cache_registry: list | None
+) -> DataFrame:
+    """Stabilize the ranked-keys frame for its two consumers (offsets
+    subplan + final join).
+
+    ``truncate_lineage=True`` (default): lazy localCheckpoint — cuts
+    the logical plan so CHAINED builders (header -> combined layer,
+    each minting several id families) don't grow multiplicative plan
+    trees until planning OOMs. Even with AQE disabled for the subtree
+    (see ``_lazy_checkpoint``), instantiating the checkpoint RDD makes
+    the range partitioner sample its boundaries eagerly, so the keys
+    upstream executes at build time.
+
+    ``truncate_lineage=False``: plain persist — the whole dense-id
+    plan stays lazy (zero jobs until the caller's first action) and
+    both consumers read the cache. Right for a STANDALONE builder
+    whose plan is bounded; wrong for deep builder chains."""
+    if truncate_lineage:
+        return _lazy_checkpoint(ranked)
+    out = ranked.persist()
+    if cache_registry is not None:
+        cache_registry.append(out)
+    return out
+
+
 def dense_global_id(
     df: DataFrame,
     order_cols: list[str],
@@ -54,6 +80,7 @@ def dense_global_id(
     num_partitions: int | None = None,
     persist_input: bool = False,
     cache_registry: list | None = None,
+    truncate_lineage: bool = True,
 ) -> DataFrame:
     """Attach a globally dense 1-based id ordered by ``order_cols``.
 
@@ -98,8 +125,9 @@ def dense_global_id(
     # (small) ranked-key frame truncates lineage at a stable point;
     # losing an executor costs a job retry, which is the right trade
     # for a keys-sized frame.
-    ranked = _lazy_checkpoint(
-        with_pid.withColumn("_rn", F.row_number().over(w_in))
+    ranked = _stable_ranked(
+        with_pid.withColumn("_rn", F.row_number().over(w_in)),
+        truncate_lineage, cache_registry,
     )
 
     # Offsets: prefix-sum of per-partition counts. The counts frame has
@@ -144,6 +172,7 @@ def dense_global_ids_by_tag(
     out_col: str = "global_id",
     num_partitions: int | None = None,
     cache_registry: list | None = None,
+    truncate_lineage: bool = True,
 ) -> DataFrame:
     """Mint several INDEPENDENT dense 1-based id families in ONE
     ranking pass.
@@ -174,10 +203,9 @@ def dense_global_ids_by_tag(
         keys = keys.repartitionByRange(*cols)
     with_pid = keys.withColumn("_pid", F.spark_partition_id())
     w_in = Window.partitionBy("_pid").orderBy(*cols)
-    # lazy localCheckpoint: see dense_global_id — truncates lineage so
-    # chained builders don't grow multiplicative plan trees
-    ranked = _lazy_checkpoint(
-        with_pid.withColumn("_rn", F.row_number().over(w_in))
+    ranked = _stable_ranked(
+        with_pid.withColumn("_rn", F.row_number().over(w_in)),
+        truncate_lineage, cache_registry,
     )
 
     counts = ranked.groupBy("_pid").agg(F.max("_rn").alias("_cnt"))

@@ -492,9 +492,14 @@ def build_apcd_claim_header(
         .select("_tag", "claim_header_id", "id_apcd", "first_service_date")
         .unionByName(ep_claims)
     )
+    # truncate_lineage=False: this builder's plan is bounded (no
+    # further dense-id chaining on top), so the fully-lazy persist form
+    # avoids the build-time sampling cascade entirely — zero jobs
+    # until the caller's first action
     mapping = dense_global_ids_by_tag(
         tagged, "_tag", ["id_apcd", "first_service_date"],
         out_col="_event_id", cache_registry=cache_registry,
+        truncate_lineage=False,
     )
     all_specs = event_specs + [("ed_pophealth", "ed_pophealth_id")]
     per_claim = (
