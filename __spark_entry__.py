@@ -3776,7 +3776,7 @@ def _perf_member_month(spark, sf_dir):
     from claims_data_spark.operators.rolling import month_grid
 
     c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("id_mcaid"))
-    months = month_grid(spark, 199401, 199512)
+    months = month_grid(spark, 199401, 199612)
     k, ym = F.col("id_mcaid"), F.col("year_month")
     return c.crossJoin(F.broadcast(months)).select(
         "id_mcaid",
@@ -3805,7 +3805,7 @@ def q_perf_measure_ed(spark, sf_dir):
     )
 
     mm = _perf_member_month(spark, sf_dir)
-    den = build_enroll_denom_full(mm, 199401, 199512, already_dense=True)
+    den = build_enroll_denom_full(mm, 199401, 199612, already_dense=True)
     o = _t(spark, sf_dir, "orders")
     ed = o.select(
         F.col("o_custkey").alias("id_mcaid"),
@@ -3873,7 +3873,7 @@ def q_perf_measure_fua(spark, sf_dir):
     )
 
     mm = _perf_member_month(spark, sf_dir)
-    den = build_enroll_denom_full(mm, 199401, 199512, already_dense=True)
+    den = build_enroll_denom_full(mm, 199401, 199612, already_dense=True)
     o = _t(spark, sf_dir, "orders")
     ev = o.filter(F.col("o_orderkey") % 3 == 0).select(
         F.col("o_custkey").alias("id_mcaid"),
@@ -3942,6 +3942,219 @@ SELECT 199501 AS beg_year_month, 199512 AS end_year_month, id_mcaid,
 FROM qual
 WHERE event_age >= 13
 GROUP BY id_mcaid
+"""
+
+
+_AMR_VALUE_SETS = [
+    ("Asthma", "J4521", "ICD10CM"),
+    ("Outpatient", "99213", "CPT"),
+    ("COPD", "J449", "ICD10CM"),
+]
+_AMR_MED_LIST = [
+    ("Asthma Controller Medications", "11111", "NDC", "fluticasone",
+     "inhalation", "Inhaled steroid", 1.0),
+    ("Asthma Controller Medications", "22222", "NDC", "montelukast",
+     "oral", "Leukotriene modifiers", 1.0),
+    ("Asthma Reliever Medications", "33333", "NDC", "albuterol",
+     "inhalation", "SABA", 1.0),
+    ("Asthma Controller Medications", "44444", "NDC", "omalizumab",
+     "subcutaneous", "Antibody inhibitor", 2.0),
+]
+
+
+def q_amr_measure(spark, sf_dir):
+    """Full AMR slice (load_stage.mcaid_perf_measure_amr.R): four
+    inclusion pathways, prior-year persistence, COPD exclusion, and
+    the controller/total unit ratio, measurement year 1995."""
+    from claims_data_spark.tables.amr import amr_measure
+    from claims_data_spark.tables.perf_registry import build_enroll_denom_full
+
+    mm = _perf_member_month(spark, sf_dir)
+    den = build_enroll_denom_full(mm, 199401, 199612, already_dense=True)
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    d = F.col("o_orderdate").cast("date")
+    header = o.select(
+        F.col("o_custkey").alias("id_mcaid"),
+        F.col("o_orderkey").alias("claim_header_id"),
+        d.alias("first_service_date"),
+        (F.col("o_orderkey") % 4 == 0).cast("int").alias("ed_perform"),
+        (F.col("o_orderkey") % 4 == 1).cast("int").alias("inpatient"),
+    )
+    icdcm = o.select(
+        F.col("o_custkey").alias("id_mcaid"),
+        F.col("o_orderkey").alias("claim_header_id"),
+        F.when(F.col("o_orderkey") % 97 == 0, "J449")
+        .when(F.col("o_orderkey") % 3 == 0, "J4521")
+        .otherwise("Z000").alias("icdcm_norm"),
+        F.lit(10).alias("icdcm_version"),
+        F.when(F.col("o_orderkey") % 2 == 0, "01").otherwise("02")
+        .alias("icdcm_number"),
+    )
+    px = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_custkey").alias("id_mcaid"),
+        F.col("l_orderkey").alias("claim_header_id"),
+        F.when(F.col("l_suppkey") % 3 == 0, "99213").otherwise("87070")
+        .alias("procedure_code"),
+    )
+    pharm = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_custkey").alias("id_mcaid"),
+        F.element_at(
+            F.array(F.lit("11111"), F.lit("22222"), F.lit("33333"),
+                    F.lit("44444"), F.lit("99999")),
+            (F.col("l_partkey") % 5 + 1).cast("int"),
+        ).alias("ndc"),
+        F.col("l_shipdate").cast("date").alias("rx_fill_date"),
+        (F.col("l_quantity") % 45 + 1).cast("double").alias("rx_days_supply"),
+        (F.col("l_linenumber")).cast("double").alias("rx_quantity"),
+    )
+    vs = spark.createDataFrame(
+        _AMR_VALUE_SETS, "value_set_name string, code string, code_system string"
+    )
+    ml = spark.createDataFrame(
+        _AMR_MED_LIST,
+        "medication_list_name string, code string, code_system string,"
+        " generic_product_name string, route string, drug_class string,"
+        " package_size double",
+    )
+    out = amr_measure(
+        den, header, icdcm, px, pharm, vs, ml, "1996-12-31"
+    )
+    return out.select(
+        "beg_year_month", "end_year_month", "id_mcaid", "end_month_age",
+        "measure_id", "denominator", "numerator",
+    )
+
+
+SQL_AMR_MEASURE = """
+WITH hdr AS (
+  SELECT o_custkey AS id, o_orderkey AS clm, CAST(o_orderdate AS DATE) AS fsd,
+    CASE WHEN o_orderkey % 4 = 0 THEN 1 ELSE 0 END AS ed,
+    CASE WHEN o_orderkey % 4 = 1 THEN 1 ELSE 0 END AS ipt,
+    CASE WHEN o_orderkey % 97 = 0 THEN 'J449'
+         WHEN o_orderkey % 3 = 0 THEN 'J4521' ELSE 'Z000' END AS dx,
+    CASE WHEN o_orderkey % 2 = 0 THEN '01' ELSE '02' END AS dxnum
+  FROM orders
+), pharm AS (
+  SELECT o.o_custkey AS id,
+    ['11111','22222','33333','44444','99999'][CAST(l.l_partkey % 5 AS INT) + 1] AS ndc,
+    CAST(l.l_shipdate AS DATE) AS fill_date,
+    CAST(l.l_quantity % 45 + 1 AS DOUBLE) AS days_supply,
+    CAST(l.l_linenumber AS DOUBLE) AS qty
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), med AS (
+  SELECT * FROM (VALUES
+    ('Asthma Controller Medications', '11111', 'fluticasone', 'inhalation', 'Inhaled steroid', 1.0),
+    ('Asthma Controller Medications', '22222', 'montelukast', 'oral', 'Leukotriene modifiers', 1.0),
+    ('Asthma Reliever Medications', '33333', 'albuterol', 'inhalation', 'SABA', 1.0),
+    ('Asthma Controller Medications', '44444', 'omalizumab', 'subcutaneous', 'Antibody inhibitor', 2.0)
+  ) AS t(list_name, ndc, generic, route, drug_class, package_size)
+), years AS (
+  SELECT DATE '1996-12-31' AS y_end, DATE '1996-01-01' AS y_start UNION ALL
+  SELECT DATE '1995-12-31', DATE '1995-01-01'
+), ed_inpat AS (
+  SELECT y.y_end, h.id, SUM(h.ed) AS ed_cnt, SUM(h.ipt) AS inpat_cnt
+  FROM hdr h CROSS JOIN years y
+  WHERE (h.ed = 1 OR h.ipt = 1) AND h.dx = 'J4521' AND h.dxnum = '01'
+    AND h.fsd BETWEEN y.y_start AND y.y_end
+  GROUP BY 1, 2
+), outpat AS (
+  SELECT y.y_end, h.id, COUNT(DISTINCT h.fsd) AS outpat_cnt
+  FROM hdr h CROSS JOIN years y
+  JOIN lineitem l ON l.l_orderkey = h.clm AND l.l_suppkey % 3 = 0
+  WHERE h.dx = 'J4521' AND h.fsd BETWEEN y.y_start AND y.y_end
+  GROUP BY 1, 2
+), rx_long AS (
+  SELECT y.y_end, p.id, p.fill_date,
+    CASE WHEN SUM(p.days_supply) <= 30 THEN 1
+         ELSE CAST(FLOOR(SUM(p.days_supply) / 30) AS BIGINT) END AS events,
+    (m.drug_class = 'Leukotriene modifiers') AS needs_dx
+  FROM pharm p JOIN med m USING (ndc) CROSS JOIN years y
+  WHERE m.route = 'oral' AND p.fill_date BETWEEN y.y_start AND y.y_end
+  GROUP BY y.y_end, p.id, p.fill_date, m.generic, m.drug_class
+  UNION ALL
+  SELECT y.y_end, p.id, p.fill_date,
+    COUNT(DISTINCT m.generic), FALSE
+  FROM pharm p JOIN med m USING (ndc) CROSS JOIN years y
+  WHERE m.route = 'inhalation' AND p.fill_date BETWEEN y.y_start AND y.y_end
+  GROUP BY y.y_end, p.id, p.fill_date
+  UNION ALL
+  SELECT y.y_end, p.id, p.fill_date,
+    COUNT(DISTINCT p.ndc), (m.drug_class = 'Antibody inhibitor')
+  FROM pharm p JOIN med m USING (ndc) CROSS JOIN years y
+  WHERE m.route IN ('intravenous', 'subcutaneous')
+    AND p.fill_date BETWEEN y.y_start AND y.y_end
+  GROUP BY y.y_end, p.id, p.fill_date, (m.drug_class = 'Antibody inhibitor')
+), rx AS (
+  SELECT y_end, id, SUM(events) AS events_rx,
+    CASE WHEN SUM(events) = SUM(CASE WHEN needs_dx THEN events ELSE 0 END)
+         THEN 1 ELSE 0 END AS dx_needed
+  FROM rx_long GROUP BY 1, 2
+), dx_made AS (
+  SELECT DISTINCT y.y_end, h.id, 1 AS dx_made
+  FROM hdr h CROSS JOIN years y
+  WHERE h.dx = 'J4521' AND h.fsd BETWEEN y.y_start AND y.y_end
+), crit AS (
+  SELECT COALESCE(e.y_end, o.y_end, r.y_end) AS y_end,
+    COALESCE(e.id, o.id, r.id) AS id,
+    CASE WHEN COALESCE(e.ed_cnt, 0) > 0 THEN 1 ELSE 0 END AS ed_flag,
+    CASE WHEN COALESCE(e.inpat_cnt, 0) > 0 THEN 1 ELSE 0 END AS inpat_flag,
+    CASE WHEN COALESCE(o.outpat_cnt, 0) > 0 AND COALESCE(r.events_rx, 0) > 2
+         THEN 1 ELSE 0 END AS outpat_flag,
+    CASE WHEN COALESCE(r.events_rx, 0) >= 4
+          AND (COALESCE(r.dx_needed, 0) = 0 OR COALESCE(d.dx_made, 0) = 1)
+         THEN 1 ELSE 0 END AS rx_flag,
+    CASE WHEN COALESCE(r.events_rx, 0) > 0 THEN 1 ELSE 0 END AS rx_any
+  FROM ed_inpat e
+  FULL JOIN outpat o ON e.id = o.id AND e.y_end = o.y_end
+  FULL JOIN rx r ON COALESCE(e.id, o.id) = r.id AND COALESCE(e.y_end, o.y_end) = r.y_end
+  LEFT JOIN dx_made d ON COALESCE(e.id, o.id, r.id) = d.id
+    AND COALESCE(e.y_end, o.y_end, r.y_end) = d.y_end
+), any_asthma AS (
+  SELECT * FROM crit
+  WHERE ed_flag = 1 OR inpat_flag = 1 OR outpat_flag = 1 OR rx_flag = 1
+), months AS (
+  SELECT CAST(strftime(m, '%Y%m') AS INT) AS ym
+  FROM (SELECT unnest(generate_series(DATE '1996-01-01', DATE '1996-12-01', INTERVAL 1 MONTH)) AS m)
+), pop AS (
+  SELECT c_custkey AS id,
+    CAST(1996 - year(DATE '1930-01-01' + CAST((c_custkey * 97) % 22000 AS INT)) AS INT) AS age
+  FROM customer CROSS JOIN months
+  GROUP BY 1, 2
+  HAVING SUM(CASE WHEN c_custkey % 7 <> 0 THEN 1 ELSE 0 END) >= 11
+     AND SUM(CASE WHEN c_custkey % 11 = 0 THEN 1 ELSE 0 END) = 0
+), excl AS (
+  SELECT DISTINCT id FROM hdr
+  WHERE dx = 'J449' AND fsd <= DATE '1996-12-31'
+), units AS (
+  SELECT id,
+    SUM(CASE WHEN list_name = 'Asthma Controller Medications' THEN u END) AS meds_control,
+    SUM(CASE WHEN list_name = 'Asthma Reliever Medications' THEN u END) AS meds_relief
+  FROM (
+    SELECT p.id, m.list_name,
+      CASE WHEN m.route = 'oral' AND SUM(p.days_supply) <= 30 THEN 1
+           WHEN m.route = 'oral' THEN CAST(CEIL(SUM(p.days_supply) / 30) AS BIGINT)
+           WHEN m.route IN ('intravenous', 'subcutaneous')
+             THEN CAST(CEIL(p.qty / m.package_size) AS BIGINT)
+           WHEN m.route = 'inhalation' THEN 1 END AS u
+    FROM pharm p JOIN med m USING (ndc)
+    WHERE p.fill_date BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
+    GROUP BY p.id, m.list_name, p.fill_date, m.route, m.generic, p.qty, m.package_size
+  ) g GROUP BY id
+)
+SELECT 199601 AS beg_year_month, 199612 AS end_year_month,
+  p.id AS id_mcaid, p.age AS end_month_age,
+  19 AS measure_id, CAST(1 AS BIGINT) AS denominator,
+  CAST(CASE WHEN COALESCE(
+      u.meds_control / (u.meds_control + COALESCE(u.meds_relief, 0)), 0
+    ) >= 0.5 THEN 1 ELSE 0 END AS BIGINT) AS numerator
+FROM pop p
+JOIN any_asthma cur ON p.id = cur.id AND cur.y_end = DATE '1996-12-31'
+JOIN (SELECT DISTINCT id FROM any_asthma WHERE y_end = DATE '1995-12-31') prior
+  ON p.id = prior.id
+LEFT JOIN units u ON p.id = u.id
+WHERE p.age BETWEEN 5 AND 64 AND cur.rx_any = 1
+  AND p.id NOT IN (SELECT id FROM excl)
 """
 
 
@@ -4028,6 +4241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perf_measure_ed": q_perf_measure_ed,
         "perf_measure_fua": q_perf_measure_fua,
         "lcs_match": q_lcs_match,
+        "amr_measure": q_amr_measure,
     }
 
 
@@ -4107,4 +4321,5 @@ def oracle_sql() -> dict[str, str]:
         "perf_measure_ed": SQL_PERF_MEASURE_ED,
         "perf_measure_fua": SQL_PERF_MEASURE_FUA,
         "lcs_match": SQL_LCS_MATCH,
+        "amr_measure": SQL_AMR_MEASURE,
     }
