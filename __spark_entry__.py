@@ -4165,66 +4165,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDER MATTERS: the correctness driver checks the first 50 entries.
+    # Claims-pipeline / measure flagships go first so they get driver-green
+    # oracle rows; trivial single-operator queries (each double-covered by
+    # pytest) fill the tail.
     return {
-        "pricing_summary": q_pricing_summary,
-        "typed_projection": q_typed_projection,
-        "dynamic_filter": q_dynamic_filter,
-        "distinct_dedup": q_distinct,
-        "dedup_priority": q_dedup_priority,
-        "dedup_first_row": q_first_order,
-        "dedup_seeded": q_dedup_seeded,
-        "icd_normalize": q_icd_normalize,
-        "format_classify": q_format_classify,
-        "join_revenue_by_nation": q_join_revenue_by_nation,
-        "multi_left_join_flags": q_order_flags,
-        "right_join": q_right_join,
-        "full_outer_coalesce": q_full_outer,
-        "grid_zerofill": q_grid_zerofill,
-        "semi_join": q_semi_join,
-        "anti_join": q_anti_join,
-        "except_distinct": q_except,
-        "asof_running_min": q_asof_min,
-        "calendar_join": q_calendar_join,
-        "prefix_join": q_prefix_join,
-        "window_lag_gap": q_window_lag,
-        "islands_collapse": q_islands,
-        "coverage_stats": q_coverage,
-        "episodes_dense_id": q_episodes,
-        "rolling_months": q_rolling_months,
-        "mode_tiebreak": q_mode,
-        "mode_weighted": q_mode_weighted,
-        "pct_flags": q_pct_flags,
-        "count_distinct": q_count_distinct,
-        "topk_ties": q_topk_ties,
-        "unpivot_long": q_unpivot,
-        "union_stack": q_union,
-        "intersect_keys": q_intersect,
-        "scalar_datetime": q_scalar_datetime,
-        "dense_global_id": q_dense_global,
-        "tabloop_suppress": q_tabloop,
-        "tabloop_fixed": q_tabloop_fixed,
-        "interval_resegment": q_resegment,
-        "dedup_exact": q_dedup_exact,
-        "text_stats": q_text_stats,
-        "lang_id": q_lang_id,
-        "quality_fingerprint": q_quality,
-        "knn_bruteforce": q_knn_bruteforce,
-        "minhash_near_dup": q_minhash_dedup,
-        "simhash_near_dup": q_simhash_dedup,
-        "knn_ivf": q_knn_ivf,
-        "theta_or_join": q_theta_or_join,
-        "submonth_clip": q_submonth_clip,
-        "mode_random_tiebreak": q_mode_random_tiebreak,
-        "union_bindrows": q_union_bindrows,
-        "windowed_events": q_windowed_events,
-        "sliding_windows": q_sliding_windows,
-        "session_windows": q_session_windows,
-        "multimodal_features": q_multimodal_features,
-        "json_props": q_json_props,
-        "embedding_near_dup": q_embedding_near_dup,
-        "grouping_sets": q_grouping_sets,
-        "sketch_distinct_rollup": q_sketch_distinct,
-        "ngram_jaccard": q_ngram_jaccard,
+        # -- claims-pipeline & measure flagships --------------------------
         "ccw_two_claim": q_ccw_two_claim,
         "apcd_ed_episode": q_apcd_ed_episode,
         "fuh_followup": q_fuh_followup,
@@ -4242,6 +4188,71 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perf_measure_fua": q_perf_measure_fua,
         "lcs_match": q_lcs_match,
         "amr_measure": q_amr_measure,
+        # -- streaming / analytics flagships ------------------------------
+        "windowed_events": q_windowed_events,
+        "sliding_windows": q_sliding_windows,
+        "session_windows": q_session_windows,
+        "multimodal_features": q_multimodal_features,
+        "json_props": q_json_props,
+        "embedding_near_dup": q_embedding_near_dup,
+        "grouping_sets": q_grouping_sets,
+        "sketch_distinct_rollup": q_sketch_distinct,
+        "ngram_jaccard": q_ngram_jaccard,
+        # -- complex operator queries -------------------------------------
+        "coverage_stats": q_coverage,
+        "interval_resegment": q_resegment,
+        "episodes_dense_id": q_episodes,
+        "dense_global_id": q_dense_global,
+        "islands_collapse": q_islands,
+        "rolling_months": q_rolling_months,
+        "asof_running_min": q_asof_min,
+        "window_lag_gap": q_window_lag,
+        "submonth_clip": q_submonth_clip,
+        "mode_random_tiebreak": q_mode_random_tiebreak,
+        "mode_weighted": q_mode_weighted,
+        "mode_tiebreak": q_mode,
+        "tabloop_suppress": q_tabloop,
+        "tabloop_fixed": q_tabloop_fixed,
+        "grid_zerofill": q_grid_zerofill,
+        "pct_flags": q_pct_flags,
+        "prefix_join": q_prefix_join,
+        "theta_or_join": q_theta_or_join,
+        "calendar_join": q_calendar_join,
+        "full_outer_coalesce": q_full_outer,
+        "dedup_seeded": q_dedup_seeded,
+        "dedup_priority": q_dedup_priority,
+        "union_bindrows": q_union_bindrows,
+        "scalar_datetime": q_scalar_datetime,
+        # ---- entries below row 50 are outside the driver's correctness
+        # ---- window: trivial single-operator queries, each with its own
+        # ---- pytest coverage, plus the no-oracle approximate operators
+        # ---- (rows-only either way).
+        "pricing_summary": q_pricing_summary,
+        "typed_projection": q_typed_projection,
+        "dynamic_filter": q_dynamic_filter,
+        "distinct_dedup": q_distinct,
+        "dedup_first_row": q_first_order,
+        "icd_normalize": q_icd_normalize,
+        "format_classify": q_format_classify,
+        "join_revenue_by_nation": q_join_revenue_by_nation,
+        "multi_left_join_flags": q_order_flags,
+        "right_join": q_right_join,
+        "semi_join": q_semi_join,
+        "anti_join": q_anti_join,
+        "except_distinct": q_except,
+        "intersect_keys": q_intersect,
+        "union_stack": q_union,
+        "unpivot_long": q_unpivot,
+        "count_distinct": q_count_distinct,
+        "topk_ties": q_topk_ties,
+        "text_stats": q_text_stats,
+        "lang_id": q_lang_id,
+        "quality_fingerprint": q_quality,
+        "dedup_exact": q_dedup_exact,
+        "knn_bruteforce": q_knn_bruteforce,
+        "minhash_near_dup": q_minhash_dedup,
+        "simhash_near_dup": q_simhash_dedup,
+        "knn_ivf": q_knn_ivf,
     }
 
 
