@@ -2019,6 +2019,94 @@ FROM kept GROUP BY id_mcaid
 """
 
 
+def q_ccw_combined(spark, sf_dir):
+    """CCW on the combined mcaid+mcare layer
+    (load_stage.mcaid_mcare_claim_ccw.yaml): the SAME engine keyed by
+    the crosswalk id ``id_apde`` — exercises the per-source
+    parameterization end-to-end (dx scan, exclusion, two-claim
+    window, collapse) with a non-mcaid id column."""
+    from claims_data_spark.tables.conditions import build_mcaid_mcare_claim_ccw
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    # the xwalk mints id_apde as a fixed-width string key
+    icdcm = li.join(
+        o.select("o_orderkey", "o_custkey", "o_orderdate"),
+        li["l_orderkey"] == o["o_orderkey"],
+    ).select(
+        F.format_string("A%09d", F.col("o_custkey")).alias("id_apde"),
+        F.col("o_orderkey").alias("claim_header_id"),
+        F.col("o_orderdate").cast("date").alias("first_service_date"),
+        F.format_string("C%03d", F.col("l_partkey") % 50).alias("icdcm_norm"),
+        F.lit(10).alias("icdcm_version"),
+        F.lpad(F.col("l_linenumber").cast("string"), 2, "0").alias("icdcm_number"),
+    )
+    header = o.select(
+        F.col("o_orderkey").alias("claim_header_id"),
+        (F.col("o_orderkey") % 6).cast("int").alias("claim_type_id"),
+    )
+    ref = spark.range(50).select(
+        F.format_string("C%03d", F.col("id")).alias("icdcm"),
+        F.lit(10).alias("icdcm_version"),
+        F.when(F.col("id") < 5, 1).otherwise(0).alias("ccw_synth"),
+        F.when(F.col("id") >= 45, 1).otherwise(0).alias("ccw_synth_exclude1"),
+    )
+    cfg = [
+        {
+            "ccw_abbrev": "ccw_synth", "dx_fields": "1-2",
+            "claim_type_1": "1", "claim_type_2": "2;3",
+            "condition_type": 2, "lookback_months": 12,
+        },
+        {"ccw_abbrev": "ccw_synth_exclude1", "dx_fields": "any"},
+    ]
+    return build_mcaid_mcare_claim_ccw(icdcm, header, ref, cfg).select(
+        "id_apde", "ccw_desc",
+        F.col("first_encounter_date").cast("string").alias("first_encounter_date"),
+        F.col("last_encounter_date").cast("string").alias("last_encounter_date"),
+    )
+
+
+SQL_CCW_COMBINED = """
+WITH icdcm AS (
+  SELECT printf('A%09d', o.o_custkey) AS id_apde,
+         o.o_orderkey AS claim_header_id,
+         CAST(o.o_orderdate AS DATE) AS first_service_date,
+         l.l_partkey % 50 AS code_num,
+         lpad(CAST(l.l_linenumber AS VARCHAR), 2, '0') AS icdcm_number
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), claim_flags AS (
+  SELECT claim_header_id, MAX(id_apde) AS id_apde,
+         MAX(first_service_date) AS first_service_date,
+         MAX(CASE WHEN code_num < 5 AND icdcm_number IN ('01','02')
+                  THEN 1 ELSE 0 END) AS has_cond,
+         MAX(CASE WHEN code_num >= 45 THEN 1 ELSE 0 END) AS has_excl
+  FROM icdcm GROUP BY claim_header_id
+), typed AS (
+  SELECT DISTINCT f.id_apde, f.first_service_date,
+     CASE WHEN (f.claim_header_id % 6) IN (1) THEN f.first_service_date END AS c1,
+     CASE WHEN (f.claim_header_id % 6) IN (2,3) THEN f.first_service_date END AS c2
+  FROM claim_flags f
+  WHERE f.has_cond = 1 AND f.has_excl = 0 AND (f.claim_header_id % 6) IN (1,2,3)
+), calc AS (
+  SELECT *,
+    date_diff('day',   c2, lead(c2) OVER w) AS dfwd,
+    date_diff('month', c2, lead(c2) OVER w) AS mfwd,
+    date_diff('day',   lag(c2) OVER w, c2) AS dback,
+    date_diff('month', lag(c2) OVER w, c2) AS mback
+  FROM typed WINDOW w AS (PARTITION BY id_apde ORDER BY c2)
+), kept AS (
+  SELECT * FROM calc
+  WHERE c1 IS NOT NULL
+     OR (c2 IS NOT NULL AND ((mfwd <= 12 AND dfwd >= 1)
+                          OR (mback <= 12 AND dback >= 1)))
+)
+SELECT id_apde, 'ccw_synth' AS ccw_desc,
+  CAST(LEAST(MIN(c1), MIN(c2)) AS VARCHAR) AS first_encounter_date,
+  CAST(GREATEST(MAX(c1), MAX(c2)) AS VARCHAR) AS last_encounter_date
+FROM kept GROUP BY id_apde
+"""
+
+
 # ---------------------------------------------------------------------------
 # APCD claim_header ED-episode path (load_stage.apcd_claim_header.R:
 # 74-148 flags, 984-1018 Yale 1-day episode clustering) on synthetic
@@ -4172,6 +4260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- claims-pipeline & measure flagships --------------------------
         "ccw_two_claim": q_ccw_two_claim,
+        "ccw_combined": q_ccw_combined,
         "apcd_ed_episode": q_apcd_ed_episode,
         "fuh_followup": q_fuh_followup,
         "pcr_readmission": q_pcr_readmission,
@@ -4314,6 +4403,7 @@ def oracle_sql() -> dict[str, str]:
         "json_props": SQL_JSON_PROPS,
         "ngram_jaccard": SQL_NGRAM_JACCARD,
         "ccw_two_claim": SQL_CCW_TWO_CLAIM,
+        "ccw_combined": SQL_CCW_COMBINED,
         "apcd_ed_episode": SQL_APCD_ED_EPISODE,
         "fuh_followup": SQL_FUH_FOLLOWUP,
         "pcr_readmission": SQL_PCR_READMISSION,

@@ -39,9 +39,19 @@ def build_claim_ccw(
     header: DataFrame,
     ref_icdcm: DataFrame,
     ccw_lookup_rows: list[dict],
+    id_col: str = "id_mcaid",
 ) -> DataFrame:
     """(id, condition, first_encounter_date, last_encounter_date) for
     every qualifying person × CCW condition.
+
+    ``id_col`` parameterizes the source layer, mirroring the
+    reference's per-source yaml configs which run the SAME engine over
+    different id columns and input tables
+    (``load_stage.mcaid_claim_ccw.yaml`` → id_mcaid,
+    ``load_stage.apcd_claim_ccw.yaml`` → id_apcd,
+    ``load_stage.mcare_claim_ccw.yaml`` → id_mcare,
+    ``load_stage.mcaid_mcare_claim_ccw.yaml`` → id_apde). The output
+    keeps the source id name.
 
     Config rows mirror ``ref_ccw_lookup`` (FIXTURES.md §10):
     ccw_abbrev, dx_fields, claim_type_1/2 (';'-separated), exclusion
@@ -65,6 +75,14 @@ def build_claim_ccw(
     (claim_header_id, condition); the two-claim rule is one window
     pass per (condition, person) — no per-person self-join.
     """
+    if id_col != "id_mcaid":
+        out = build_claim_ccw(
+            icdcm.withColumnRenamed(id_col, "id_mcaid"),
+            header,
+            ref_icdcm,
+            ccw_lookup_rows,
+        )
+        return out.withColumnRenamed("id_mcaid", id_col)
     conditions = [
         r for r in ccw_lookup_rows
         if not r["ccw_abbrev"].endswith("_exclude1")
@@ -222,12 +240,25 @@ def build_claim_bh(
     pharm: DataFrame,
     procedure: DataFrame,
     ref_rda: DataFrame,
+    id_col: str = "id_mcaid",
 ) -> DataFrame:
     """Behavioral-health person-condition table (``claim_bh.R``):
     dx-based ∪ NDC-based ∪ procedure-based matches per condition, with
     the MOUD as-of rule — procedure codes flagged ``oud_dx1_flag``
     qualify only when the person's earliest OUD diagnosis is on or
-    before the service date (``claim_bh.R:324-347``, J14)."""
+    before the service date (``claim_bh.R:324-347``, J14).
+
+    ``id_col`` parameterizes the source layer exactly like
+    :func:`build_claim_ccw` (reference per-source configs
+    ``load_stage.{apcd,mcaid,mcare,mcaid_mcare}_claim_bh.yaml``)."""
+    if id_col != "id_mcaid":
+        out = build_claim_bh(
+            icdcm.withColumnRenamed(id_col, "id_mcaid"),
+            pharm.withColumnRenamed(id_col, "id_mcaid"),
+            procedure.withColumnRenamed(id_col, "id_mcaid"),
+            ref_rda,
+        )
+        return out.withColumnRenamed("id_mcaid", id_col)
     dx_ref = ref_rda.filter(F.col("code_set").isin("ICD9CM", "ICD10CM")).select(
         F.col("code").alias("icdcm_norm"),
         F.col("icdcm_version"),
@@ -280,3 +311,57 @@ def build_claim_bh(
         F.min("svc_date").alias("first_encounter_date"),
         F.max("svc_date").alias("last_encounter_date"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source instantiations. The reference ships one yaml per
+# (source, table) pair under claims_db/phclaims/stage/tables/ — the
+# engine is identical, only the id column and input tables change:
+#   load_stage.apcd_claim_ccw.yaml        id_apcd  (bigint)
+#   load_stage.mcare_claim_ccw.yaml       id_mcare (string)
+#   load_stage.mcaid_mcare_claim_ccw.yaml id_apde  (combined xwalk id)
+# and the same trio for *_claim_bh.yaml. These wrappers pin the id so
+# callers can't mix a source layer with the wrong key.
+# ---------------------------------------------------------------------------
+
+
+def build_apcd_claim_ccw(icdcm, header, ref_icdcm, ccw_lookup_rows):
+    """``load_stage.apcd_claim_ccw.yaml``: CCW over the APCD layer,
+    keyed by ``id_apcd``."""
+    return build_claim_ccw(
+        icdcm, header, ref_icdcm, ccw_lookup_rows, id_col="id_apcd"
+    )
+
+
+def build_mcare_claim_ccw(icdcm, header, ref_icdcm, ccw_lookup_rows):
+    """``load_stage.mcare_claim_ccw.yaml``: CCW over the Medicare
+    layer, keyed by ``id_mcare``."""
+    return build_claim_ccw(
+        icdcm, header, ref_icdcm, ccw_lookup_rows, id_col="id_mcare"
+    )
+
+
+def build_mcaid_mcare_claim_ccw(icdcm, header, ref_icdcm, ccw_lookup_rows):
+    """``load_stage.mcaid_mcare_claim_ccw.yaml``: CCW over the
+    combined layer, keyed by the crosswalk id ``id_apde``."""
+    return build_claim_ccw(
+        icdcm, header, ref_icdcm, ccw_lookup_rows, id_col="id_apde"
+    )
+
+
+def build_apcd_claim_bh(icdcm, pharm, procedure, ref_rda):
+    """``load_stage.apcd_claim_bh.yaml``: BH over the APCD layer,
+    keyed by ``id_apcd``."""
+    return build_claim_bh(icdcm, pharm, procedure, ref_rda, id_col="id_apcd")
+
+
+def build_mcare_claim_bh(icdcm, pharm, procedure, ref_rda):
+    """``load_stage.mcare_claim_bh.yaml``: BH over the Medicare layer,
+    keyed by ``id_mcare``."""
+    return build_claim_bh(icdcm, pharm, procedure, ref_rda, id_col="id_mcare")
+
+
+def build_mcaid_mcare_claim_bh(icdcm, pharm, procedure, ref_rda):
+    """``load_stage.mcaid_mcare_claim_bh.yaml``: BH over the combined
+    layer, keyed by ``id_apde``."""
+    return build_claim_bh(icdcm, pharm, procedure, ref_rda, id_col="id_apde")

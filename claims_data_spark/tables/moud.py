@@ -497,3 +497,20 @@ def build_claim_moud(
         "meth_proc_sum_year_quarter",
         supply_new.alias("moud_days_supply_new_year_quarter"),
     )
+
+
+def build_mcare_claim_moud(
+    procedure: DataFrame,
+    header: DataFrame,
+    pharm: DataFrame | None,
+    oud_dx_codes: DataFrame,
+    rda_pharm: DataFrame | None = None,
+    ndc_ref: DataFrame | None = None,
+    start_date: str = "2016-01-01",
+) -> DataFrame:
+    """``load_stage.mcare_claim_moud.R``: the SAME MOUD event
+    derivation over the Medicare layer, keyed by ``id_mcare``."""
+    return build_claim_moud(
+        procedure, header, pharm, oud_dx_codes, rda_pharm, ndc_ref,
+        id_col="id_mcare", start_date=start_date,
+    )

@@ -23,9 +23,14 @@ def build_claim_naloxone(
     ref_naloxone_ndc: DataFrame,
     ref_ndc_codes: DataFrame | None = None,
     min_year: int = 2016,
+    id_col: str = "id_mcaid",
 ) -> DataFrame:
     """(id, claim, code, date, quantity, form, location) naloxone
     events.
+
+    ``id_col`` parameterizes the source layer — the Medicare variant
+    (``load_stage.mcare_claim_naloxone.R``) runs the SAME match over
+    ``id_mcare``; the output keeps the source id name.
 
     The reference LIKE-joins the full NDC dimension against
     '%code%' patterns (``:28-44``); here the DISTINCT observed NDCs
@@ -40,6 +45,15 @@ def build_claim_naloxone(
     ref_naloxone_ndc(ndc), optional ref_ndc_codes(ndc,
     proprietaryname, dosageformname).
     """
+    if id_col != "id_mcaid":
+        out = build_claim_naloxone(
+            pharm.withColumnRenamed(id_col, "id_mcaid"),
+            procedure.withColumnRenamed(id_col, "id_mcaid"),
+            ref_naloxone_ndc,
+            ref_ndc_codes,
+            min_year,
+        )
+        return out.withColumnRenamed("id_mcaid", id_col)
     observed = pharm.select("ndc").distinct()
     nal_ndc = (
         observed.join(
@@ -127,3 +141,18 @@ def build_claim_naloxone(
         F.lit("PROCEDURE").alias("location"),
     )
     return rx_events.unionByName(px_events).distinct()
+
+
+def build_mcare_claim_naloxone(
+    pharm: DataFrame,
+    procedure: DataFrame,
+    ref_naloxone_ndc: DataFrame,
+    ref_ndc_codes: DataFrame | None = None,
+    min_year: int = 2016,
+) -> DataFrame:
+    """``load_stage.mcare_claim_naloxone.R``: the SAME naloxone event
+    match over the Medicare layer, keyed by ``id_mcare``."""
+    return build_claim_naloxone(
+        pharm, procedure, ref_naloxone_ndc, ref_ndc_codes, min_year,
+        id_col="id_mcare",
+    )

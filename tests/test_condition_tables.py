@@ -126,6 +126,31 @@ def test_naloxone_union_and_forms(spark):
     assert out[8]["form"] == "UNKNOWN"
 
 
+def test_naloxone_mcare_variant(spark):
+    """load_stage.mcare_claim_naloxone.R: id_mcare-keyed run equals
+    the mcaid run row-for-row, output keeps the source id name."""
+    from claims_data_spark.tables.naloxone import build_mcare_claim_naloxone
+
+    pharm = spark.createDataFrame(
+        [
+            ("p1", 1, "69547035302", d("2019-01-10"), 2.0),
+            ("p1", 2, "00093216519", d("2019-02-10"), 1.0),
+        ],
+        "id_mcare string, claim_header_id long, ndc string, "
+        "rx_fill_date date, rx_quantity double",
+    )
+    procedure = spark.createDataFrame(
+        [("p2", 6, "G1028", None, d("2019-05-01"))],
+        "id_mcare string, claim_header_id long, procedure_code string, "
+        "modifier_code string, last_service_date date",
+    )
+    ref = spark.createDataFrame([("6954703",), ("00093216519",)], "ndc string")
+    out = build_mcare_claim_naloxone(pharm, procedure, ref)
+    assert "id_mcare" in out.columns and "id_mcaid" not in out.columns
+    got = {r["claim_header_id"] for r in out.collect()}
+    assert got == {1, 2, 6}
+
+
 def test_xwalk_with_pha(spark):
     mcaid = spark.createDataFrame(
         [("p1", d("1990-01-01"), "h1"), ("p2", d("1985-02-02"), "h2")],

@@ -316,6 +316,69 @@ def test_ccw_dates(spark, icdcm, header):
     assert p1_dm["last_encounter_date"] == d("2017-02-10")
 
 
+@pytest.mark.parametrize(
+    "variant_name, id_col",
+    [
+        ("build_apcd_claim_ccw", "id_apcd"),
+        ("build_mcare_claim_ccw", "id_mcare"),
+        ("build_mcaid_mcare_claim_ccw", "id_apde"),
+    ],
+)
+def test_ccw_source_variants(spark, icdcm, header, variant_name, id_col):
+    """Per-source CCW instantiations (load_stage.apcd_claim_ccw.yaml /
+    mcare_claim_ccw.yaml / mcaid_mcare_claim_ccw.yaml): the SAME
+    engine keyed by the source id, output keeps the source id name
+    and values match the mcaid run 1:1."""
+    from claims_data_spark.tables import conditions as cond
+
+    build = getattr(cond, variant_name)
+    cfg = [r.asDict() for r in fx.ref_ccw_lookup(spark).collect()]
+    ref = fx.ref_icdcm_codes(spark)
+    got = build(
+        icdcm.withColumnRenamed("id_mcaid", id_col), header, ref, cfg
+    )
+    assert id_col in got.columns and "id_mcaid" not in got.columns
+    base = {
+        (r["id_mcaid"], r["ccw_desc"], r["first_encounter_date"])
+        for r in build_claim_ccw(icdcm, header, ref, cfg).collect()
+    }
+    var = {
+        (r[id_col], r["ccw_desc"], r["first_encounter_date"])
+        for r in got.collect()
+    }
+    assert var == base
+
+
+@pytest.mark.parametrize(
+    "variant_name, id_col",
+    [
+        ("build_apcd_claim_bh", "id_apcd"),
+        ("build_mcare_claim_bh", "id_mcare"),
+        ("build_mcaid_mcare_claim_bh", "id_apde"),
+    ],
+)
+def test_bh_source_variants(spark, raw_claim, icdcm, variant_name, id_col):
+    """Per-source BH instantiations incl. the MOUD as-of rule carried
+    through the id rename."""
+    from claims_data_spark.tables import conditions as cond
+
+    build = getattr(cond, variant_name)
+    pharm = build_claim_pharm(raw_claim)
+    proc = build_claim_procedure(raw_claim)
+    rda = fx.ref_rda_value_sets(spark)
+    got = build(
+        icdcm.withColumnRenamed("id_mcaid", id_col),
+        pharm.withColumnRenamed("id_mcaid", id_col),
+        proc.withColumnRenamed("id_mcaid", id_col),
+        rda,
+    )
+    assert id_col in got.columns and "id_mcaid" not in got.columns
+    keys = {(r[id_col], r["bh_cond"]) for r in got.collect()}
+    assert ("p2", "mh_depression") in keys
+    assert ("p2", "sud_opioid") in keys
+    assert ("p3", "sud_opioid") not in keys  # as-of rule survives rename
+
+
 def test_bh_conditions_and_moud_asof(spark, raw_claim, icdcm):
     bh = build_claim_bh(
         icdcm,
