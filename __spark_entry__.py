@@ -3315,6 +3315,124 @@ FROM island
 # synthetic timevar segments carved from orders
 # ---------------------------------------------------------------------------
 
+def q_apcd_elig_month(spark, sf_dir):
+    """APCD member-month table (load_stage.apcd_elig_month.R:37-136):
+    month-grain rows off member_month_detail with the 9-way payer
+    covgrp cascade per domain, payer flags, empirical dual, time
+    period vars, ZIP geography, cov_time_day. Map-only plan: zero
+    shuffles, geo refs broadcast."""
+    from claims_data_spark.tables.apcd import build_apcd_elig_month
+
+    o = _t(spark, sf_dir, "orders")
+    ok = F.col("o_orderkey")
+    d = F.col("o_orderdate").cast("date")
+    mm = o.select(
+        F.col("o_custkey").alias("internal_member_id"),
+        (F.year(d) * 100 + F.month(d)).cast("int").alias("year_month"),
+        F.when(ok % 3 == 0, "m").alias("med_medicaid_eligibility_id"),
+        F.when(ok % 5 == 0, "M").alias("med_medicare_eligibility_id"),
+        F.when(ok % 7 == 0, "C").alias("med_commercial_eligibility_id"),
+        F.when(ok % 4 == 0, "rm").alias("rx_medicaid_eligibility_id"),
+        F.lit(None).cast("string").alias("rx_medicare_eligibility_id"),
+        F.when(ok % 6 == 0, "rc").alias("rx_commercial_eligibility_id"),
+        F.when(ok % 8 == 0, "dm").alias("dental_medicaid_eligibility_id"),
+        F.lit(None).cast("string").alias("dental_medicare_eligibility_id"),
+        F.lit(None).cast("string").alias("dental_commercial_eligibility_id"),
+        F.when(ok % 2 == 0, "any").alias("medical_eligibility_id"),
+        F.when(ok % 9 == 0, "p").alias("pharmacy_eligibility_id"),
+        F.when(ok % 8 == 0, "dm").alias("dental_eligibility_id"),
+        F.concat(F.lit("Z"), (F.col("o_custkey") % 5).cast("string")).alias(
+            "zip_code"
+        ),
+    )
+    ref_zip = spark.createDataFrame(
+        [("Z0", "County", "King", "K"), ("Z1", "County", "King", "K"),
+         ("Z2", "County", "Pierce", "P"), ("Z3", "County", "Pierce", "P"),
+         ("Z0", "Accountable Community", "HealthierHere", "H"),
+         ("Z1", "Accountable Community", "HealthierHere", "H"),
+         ("Z2", "Accountable Community", "OtherACH", "O")],
+        "zip_code string, zip_group_type_desc string, zip_group_desc "
+        "string, zip_group_code string",
+    )
+    out = build_apcd_elig_month(mm, ref_zip)
+    return out.select(
+        F.col("id_apcd").cast("long").alias("id_apcd"),
+        F.col("from_date").cast("string").alias("from_date"),
+        F.col("to_date").cast("string").alias("to_date"),
+        "year_month", "year_quarter", "year",
+        "med_covgrp", "pharm_covgrp", "dental_covgrp",
+        "med_medicaid", "med_medicare", "med_commercial", "med_unknown",
+        "pharm_medicaid", "pharm_commercial", "pharm_unknown",
+        "dental_medicaid", "dual", "geo_zip", "geo_county", "geo_ach",
+        "geo_wa", "geo_kc",
+        F.col("cov_time_day").cast("int").alias("cov_time_day"),
+    )
+
+
+SQL_APCD_ELIG_MONTH = """
+WITH mm AS (
+  SELECT o_custkey AS id_apcd,
+    date_trunc('month', CAST(o_orderdate AS DATE)) AS from_date,
+    last_day(CAST(o_orderdate AS DATE)) AS to_date,
+    (o_orderkey % 3 = 0) AS m_mcaid,
+    (o_orderkey % 5 = 0) AS m_mcare,
+    (o_orderkey % 7 = 0) AS m_comm,
+    (o_orderkey % 2 = 0) AS med_any,
+    (o_orderkey % 4 = 0) AS r_mcaid,
+    (o_orderkey % 6 = 0) AS r_comm,
+    (o_orderkey % 9 = 0) AS rx_any,
+    (o_orderkey % 8 = 0) AS d_mcaid,
+    'Z' || CAST(o_custkey % 5 AS INT) AS geo_zip
+  FROM orders
+), g AS (
+  SELECT *,
+    CASE WHEN m_mcaid AND NOT m_comm AND NOT m_mcare THEN 1
+         WHEN NOT m_mcaid AND NOT m_comm AND m_mcare THEN 2
+         WHEN NOT m_mcaid AND m_comm AND NOT m_mcare THEN 3
+         WHEN m_mcaid AND NOT m_comm AND m_mcare THEN 4
+         WHEN m_mcaid AND m_comm AND NOT m_mcare THEN 5
+         WHEN NOT m_mcaid AND m_comm AND m_mcare THEN 6
+         WHEN m_mcaid AND m_comm AND m_mcare THEN 7
+         WHEN med_any THEN 8 ELSE 0 END AS med_covgrp,
+    CASE WHEN r_mcaid AND NOT r_comm THEN 1
+         WHEN NOT r_mcaid AND r_comm THEN 3
+         WHEN r_mcaid AND r_comm THEN 5
+         WHEN rx_any THEN 8 ELSE 0 END AS pharm_covgrp,
+    CASE WHEN d_mcaid THEN 1 ELSE 0 END AS dental_covgrp,
+    CASE WHEN (m_mcaid OR r_mcaid OR d_mcaid) AND m_mcare
+         THEN 1 ELSE 0 END AS dual
+  FROM mm
+)
+SELECT g.id_apcd,
+  CAST(g.from_date AS VARCHAR) AS from_date,
+  CAST(g.to_date AS VARCHAR) AS to_date,
+  CAST(strftime(g.from_date, '%Y%m') AS INT) AS year_month,
+  CAST(year(g.from_date) * 10
+       + FLOOR((month(g.from_date) - 1) / 3) + 1 AS INT) AS year_quarter,
+  CAST(year(g.from_date) AS INT) AS year,
+  g.med_covgrp, g.pharm_covgrp, g.dental_covgrp,
+  CAST(g.med_covgrp IN (1,4,5,7) AS INT) AS med_medicaid,
+  CAST(g.med_covgrp IN (2,4,6,7) AS INT) AS med_medicare,
+  CAST(g.med_covgrp IN (3,5,6,7) AS INT) AS med_commercial,
+  CAST(g.med_covgrp = 8 AS INT) AS med_unknown,
+  CAST(g.pharm_covgrp IN (1,4,5,7) AS INT) AS pharm_medicaid,
+  CAST(g.pharm_covgrp IN (3,5,6,7) AS INT) AS pharm_commercial,
+  CAST(g.pharm_covgrp = 8 AS INT) AS pharm_unknown,
+  CAST(g.dental_covgrp IN (1,4,5,7) AS INT) AS dental_medicaid,
+  g.dual, g.geo_zip, cty.geo_county, ach.geo_ach,
+  CAST(cty.geo_county IS NOT NULL AS INT) AS geo_wa,
+  CAST(cty.geo_county = 'King' AS INT) AS geo_kc,
+  CAST(date_diff('day', g.from_date, g.to_date) + 1 AS INT) AS cov_time_day
+FROM g
+LEFT JOIN (VALUES ('Z0','King'), ('Z1','King'), ('Z2','Pierce'),
+                  ('Z3','Pierce')) AS cty(geo_zip, geo_county)
+  ON g.geo_zip = cty.geo_zip
+LEFT JOIN (VALUES ('Z0','HealthierHere'), ('Z1','HealthierHere'),
+                  ('Z2','OtherACH')) AS ach(geo_zip, geo_ach)
+  ON g.geo_zip = ach.geo_zip
+"""
+
+
 def q_apcd_plr(spark, sf_dir):
     """Date-range clipped coverage-day sums per person, max-person-time
     ZIP pick with county/ACH mapping, ACH day share, age-at-end with
@@ -4270,6 +4388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "claim_value_set": q_claim_value_set,
         "mcare_timevar": q_mcare_timevar,
         "apcd_plr": q_apcd_plr,
+        "apcd_elig_month": q_apcd_elig_month,
         "housing_status": q_housing_status,
         "address_clean": q_address_clean,
         "spatial_pip": q_spatial_pip,
@@ -4416,6 +4535,7 @@ def oracle_sql() -> dict[str, str]:
         # approximate estimates are not SQL-expressible)
         "mcare_timevar": SQL_MCARE_TIMEVAR,
         "apcd_plr": SQL_APCD_PLR,
+        "apcd_elig_month": SQL_APCD_ELIG_MONTH,
         "housing_status": SQL_HOUSING_STATUS,
         "address_clean": SQL_ADDRESS_CLEAN,
         "spatial_pip": SQL_SPATIAL_PIP,

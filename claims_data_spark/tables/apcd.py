@@ -1128,45 +1128,120 @@ def build_apcd_elig_timevar_full(
         "dual", "geo_zip", "cov_time_day",
     )
     if ref_zip_group is not None:
-        county = ref_zip_group.filter(
-            F.col("zip_group_type_desc") == "County"
-        ).select(
-            F.col("zip_code").alias("geo_zip"),
-            F.col("zip_group_desc").alias("geo_county"),
-        ).distinct()
-        ach = ref_zip_group.filter(
-            F.col("zip_group_type_desc").startswith("Acc")
-        ).select(
-            F.col("zip_code").alias("geo_zip"),
-            F.col("zip_group_code").alias("geo_ach_code"),
-            F.col("zip_group_desc").alias("geo_ach"),
-        ).distinct()
-        out = (
-            out.join(F.broadcast(county), "geo_zip", "left")
-            .join(F.broadcast(ach), "geo_zip", "left")
+        out = _attach_apcd_geo(out, ref_zip_group, ref_county_code)
+    return out
+
+
+def _attach_apcd_geo(
+    out: DataFrame,
+    ref_zip_group: DataFrame,
+    ref_county_code: DataFrame | None,
+) -> DataFrame:
+    """ZIP -> county / ACH / WA / KC geography columns shared by the
+    APCD timevar and elig_month builders
+    (``load_stage.apcd_elig_month.R:120-135``). Refs broadcast."""
+    county = ref_zip_group.filter(
+        F.col("zip_group_type_desc") == "County"
+    ).select(
+        F.col("zip_code").alias("geo_zip"),
+        F.col("zip_group_desc").alias("geo_county"),
+    ).distinct()
+    ach = ref_zip_group.filter(
+        F.col("zip_group_type_desc").startswith("Acc")
+    ).select(
+        F.col("zip_code").alias("geo_zip"),
+        F.col("zip_group_code").alias("geo_ach_code"),
+        F.col("zip_group_desc").alias("geo_ach"),
+    ).distinct()
+    out = (
+        out.join(F.broadcast(county), "geo_zip", "left")
+        .join(F.broadcast(ach), "geo_zip", "left")
+    )
+    if ref_county_code is not None:
+        out = out.join(
+            F.broadcast(
+                ref_county_code.select(
+                    F.col("geo_county_name").alias("geo_county"),
+                    F.col("geo_county_code_fips").alias(
+                        "geo_county_code"
+                    ),
+                ).distinct()
+            ),
+            "geo_county",
+            "left",
         )
-        if ref_county_code is not None:
-            out = out.join(
-                F.broadcast(
-                    ref_county_code.select(
-                        F.col("geo_county_name").alias("geo_county"),
-                        F.col("geo_county_code_fips").alias(
-                            "geo_county_code"
-                        ),
-                    ).distinct()
-                ),
-                "geo_county",
-                "left",
-            )
-        else:
-            out = out.withColumn(
-                "geo_county_code", F.lit(None).cast("string")
-            )
+    else:
         out = out.withColumn(
-            "geo_wa", F.col("geo_county").isNotNull().cast("int")
-        ).withColumn(
-            "geo_kc", (F.col("geo_county") == "King").cast("int")
+            "geo_county_code", F.lit(None).cast("string")
         )
+    return out.withColumn(
+        "geo_wa", F.col("geo_county").isNotNull().cast("int")
+    ).withColumn(
+        "geo_kc", (F.col("geo_county") == "King").cast("int")
+    )
+
+
+def build_apcd_elig_month(
+    member_month: DataFrame,
+    ref_zip_group: DataFrame | None = None,
+    ref_county_code: DataFrame | None = None,
+) -> DataFrame:
+    """APCD member-month eligibility table
+    (``load_stage.apcd_elig_month.R:37-136``): one row per
+    member-month straight off ``member_month_detail`` — NO island
+    collapse — with from/to = month bounds, med/pharm/dental covgrps
+    (9-way payer cascade), the 12 payer binary flags, the empirical
+    dual flag, ZIP geography, and ``cov_time_day``.
+
+    Narrow projection + per-row CASEs only: at 100 TB this is a
+    map-only stage (zero shuffles; geo refs broadcast), so it scales
+    with input bytes. The mcaid variant (``build_elig_month``)
+    densifies from intervals instead — the APCD source is already
+    month-grain, so exploding would be wasted work.
+    """
+    from_date = yyyymm_to_date("year_month")
+    out = member_month.select(
+        F.col("internal_member_id").alias("id_apcd"),
+        from_date.alias("from_date"),
+        F.last_day(from_date).alias("to_date"),
+        F.col("year_month").cast("int").alias("year_month"),
+        (
+            F.year(from_date) * 10
+            + F.floor((F.month(from_date) - 1) / 3) + 1
+        ).cast("int").alias("year_quarter"),
+        F.year(from_date).cast("int").alias("year"),
+        _domain_covgrp("med", "medical_eligibility_id").alias("med_covgrp"),
+        _domain_covgrp("rx", "pharmacy_eligibility_id").alias("pharm_covgrp"),
+        _domain_covgrp("dental", "dental_eligibility_id").alias(
+            "dental_covgrp"
+        ),
+        (
+            _any_payer(member_month, "medicaid")
+            & _any_payer(member_month, "medicare")
+        ).cast("int").alias("dual"),
+        F.col("zip_code").alias("geo_zip"),
+    )
+    flag = lambda c, vals: F.col(c).isin(*vals).cast("int")  # noqa: E731
+    out = out.select(
+        "id_apcd", "from_date", "to_date", "year_month", "year_quarter",
+        "year", "med_covgrp", "pharm_covgrp", "dental_covgrp",
+        flag("med_covgrp", (1, 4, 5, 7)).alias("med_medicaid"),
+        flag("med_covgrp", (2, 4, 6, 7)).alias("med_medicare"),
+        flag("med_covgrp", (3, 5, 6, 7)).alias("med_commercial"),
+        (F.col("med_covgrp") == 8).cast("int").alias("med_unknown"),
+        flag("pharm_covgrp", (1, 4, 5, 7)).alias("pharm_medicaid"),
+        flag("pharm_covgrp", (2, 4, 6, 7)).alias("pharm_medicare"),
+        flag("pharm_covgrp", (3, 5, 6, 7)).alias("pharm_commercial"),
+        (F.col("pharm_covgrp") == 8).cast("int").alias("pharm_unknown"),
+        flag("dental_covgrp", (1, 4, 5, 7)).alias("dental_medicaid"),
+        flag("dental_covgrp", (2, 4, 6, 7)).alias("dental_medicare"),
+        flag("dental_covgrp", (3, 5, 6, 7)).alias("dental_commercial"),
+        (F.col("dental_covgrp") == 8).cast("int").alias("dental_unknown"),
+        "dual", "geo_zip",
+        (F.datediff("to_date", "from_date") + 1).alias("cov_time_day"),
+    )
+    if ref_zip_group is not None:
+        out = _attach_apcd_geo(out, ref_zip_group, ref_county_code)
     return out
 
 

@@ -126,6 +126,49 @@ def test_apcd_timevar_full_flags_and_geo(spark):
     assert c["med_unknown"] == 1 and c["med_medicaid"] == 0
 
 
+def test_apcd_elig_month(spark):
+    """load_stage.apcd_elig_month.R:37-136: month-grain rows (no
+    collapse), covgrps, payer flags, dual, time-period vars, geo, and
+    the no-coverage QA invariant."""
+    from claims_data_spark.tables.apcd import build_apcd_elig_month
+
+    mm = _mm_df(spark, [
+        {"member": 1, "ym": 201601, "med_mcaid": "e1"},
+        {"member": 1, "ym": 201602, "med_mcaid": "e1", "med_mcare": "e2"},
+        {"member": 1, "ym": 201604, "med_comm": "e3", "rx_mcaid": "r1"},
+        {"member": 2, "ym": 201612, "med_any": "e9", "zip_code": "99999"},
+    ])
+    ref_zip = spark.createDataFrame(
+        [("98101", "County", "King", "K"),
+         ("98101", "Accountable Community of Health", "HealthierHere", "H")],
+        "zip_code string, zip_group_type_desc string, zip_group_desc "
+        "string, zip_group_code string",
+    )
+    out = build_apcd_elig_month(mm, ref_zip)
+    rows = sorted(out.collect(), key=lambda r: (r["id_apcd"], r["year_month"]))
+    assert len(rows) == 4  # one row per member-month, NO island collapse
+    a, b, c, e = rows
+    assert a["from_date"] == d_("2016-01-01") and a["to_date"] == d_("2016-01-31")
+    assert a["cov_time_day"] == 31 and a["year_quarter"] == 20161
+    assert a["med_covgrp"] == 1 and a["med_medicaid"] == 1 and a["dual"] == 0
+    assert b["med_covgrp"] == 4 and b["med_medicare"] == 1 and b["dual"] == 1
+    assert b["cov_time_day"] == 29  # leap February
+    # month 201604: commercial med + medicaid rx -> med_covgrp 3,
+    # pharm_covgrp 1, empirical dual needs mcaid AND mcare -> 0
+    assert c["med_covgrp"] == 3 and c["pharm_covgrp"] == 1 and c["dual"] == 0
+    assert c["year_quarter"] == 20162
+    assert a["geo_county"] == "King" and a["geo_kc"] == 1 and a["geo_wa"] == 1
+    # member 2: unknown-market medical (covgrp 8), non-WA zip
+    assert e["med_covgrp"] == 8 and e["med_unknown"] == 1
+    assert e["geo_county"] is None and e["geo_wa"] == 0
+    # reference QA res7: no member-month with zero coverage everywhere
+    none_cov = out.filter(
+        (F.col("med_covgrp") == 0) & (F.col("pharm_covgrp") == 0)
+        & (F.col("dental_covgrp") == 0)
+    ).count()
+    assert none_cov == 0
+
+
 def test_apcd_elig_plr_rollup(spark):
     from claims_data_spark.tables.apcd import build_apcd_elig_plr
 
