@@ -1700,6 +1700,84 @@ FROM documents
 """
 
 
+def q_multimodal_decode(spark, sf_dir):
+    """REAL media decode through the strict path: executors encode a
+    solid-color BMP (R = doc_id % 256) or a constant-amplitude PCM WAV
+    per document, then ``extract_features(mode='strict',
+    codec=pure_python_codec)`` byte-parses them back. The recovered
+    channel level / peak amplitude is integer-exact, so DuckDB can
+    verify the whole decode analytically — no fake features anywhere
+    in this plan. Both stages are Arrow ``mapInPandas``; map-only,
+    zero shuffles."""
+    import numpy as np
+
+    from claims_data_spark.operators.codecs import (
+        encode_bmp,
+        encode_wav,
+        pure_python_codec,
+    )
+    from claims_data_spark.operators.multimodal import extract_features
+
+    d = spread(_t(spark, sf_dir, "documents"))
+
+    def make_media(batches):
+        import pandas as pd  # executor-side import (closure ships by value)
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                if did % 2 == 0:
+                    content = encode_bmp(
+                        np.full((4, 4, 3), [did % 256, 0, 0], np.uint8)
+                    )
+                    rows.append((did, "image", content))
+                else:
+                    amp = (did % 100) / 200.0
+                    content = encode_wav(np.full(800, amp), rate=8000)
+                    rows.append((did, "audio", content))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "media_type", "content"]
+            )
+
+    media = d.select("doc_id").mapInPandas(
+        make_media, "media_id long, media_type string, content binary"
+    ).withColumn(
+        "meta",
+        F.struct(
+            F.lit("x").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+        ),
+    )
+    feats = extract_features(media, mode="strict", codec=pure_python_codec)
+    # feature[3] is the mean-R channel (image) / peak amplitude
+    # (audio); rescale to the exact integer the encoder started from
+    level = F.when(
+        F.col("media_type") == "image",
+        F.round(F.element_at("feature", 3) * 255),
+    ).otherwise(F.round(F.element_at("feature", 3) * 32768))
+    return feats.select(
+        "media_id", "media_type", "n_bytes", level.cast("int").alias("decoded_level")
+    )
+
+
+SQL_MULTIMODAL_DECODE = """
+SELECT doc_id AS media_id,
+  CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS media_type,
+  CASE WHEN doc_id % 2 = 0
+       -- 4x4 24-bit BMP: 54-byte header + 4 rows x 12 data bytes (no pad)
+       THEN 54 + 4 * 12
+       -- 44-byte WAV header + 800 16-bit mono samples
+       ELSE 44 + 800 * 2 END AS n_bytes,
+  CASE WHEN doc_id % 2 = 0 THEN CAST(doc_id % 256 AS INT)
+       ELSE CAST(TRUNC(((doc_id % 100) / 200.0) * 32767) AS INT)
+       END AS decoded_level
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # Streaming surface: SLIDING windows (each event in w/s buckets)
 # ---------------------------------------------------------------------------
@@ -4401,6 +4479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_windows": q_sliding_windows,
         "session_windows": q_session_windows,
         "multimodal_features": q_multimodal_features,
+        "multimodal_decode": q_multimodal_decode,
         "json_props": q_json_props,
         "embedding_near_dup": q_embedding_near_dup,
         "grouping_sets": q_grouping_sets,
@@ -4517,6 +4596,7 @@ def oracle_sql() -> dict[str, str]:
         "sliding_windows": SQL_SLIDING_WINDOWS,
         "session_windows": SQL_SESSION_WINDOWS,
         "multimodal_features": SQL_MULTIMODAL,
+        "multimodal_decode": SQL_MULTIMODAL_DECODE,
         "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
         "grouping_sets": SQL_GROUPING_SETS,
         "json_props": SQL_JSON_PROPS,

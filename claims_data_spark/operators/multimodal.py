@@ -5,12 +5,15 @@ Engine extension for training-data pipelines: media travel as opaque
 feature-extract / frame-sample run as Arrow-batched ``mapInPandas``
 stages so each Python crossing handles thousands of rows.
 
-The actual codecs (PIL/ffmpeg/librosa) are NOT available in this
-container, so the decode kernels are stubbed: ``deterministic_fake``
-mode derives stable pseudo-features from the bytes themselves (so the
-distributed plumbing — schema, batching, partition behavior — is fully
-testable), and ``strict`` mode raises NotImplementedError where a real
-codec would be called.
+External codecs (PIL/ffmpeg/librosa) are NOT available in this
+container. ``deterministic_fake`` mode derives stable pseudo-features
+from the bytes themselves (so the distributed plumbing — schema,
+batching, partition behavior — is fully testable); ``strict`` mode
+requires an injected codec and raises otherwise. A REAL pure-python
+decode path ships in :mod:`claims_data_spark.operators.codecs`
+(byte-level BMP and RIFF/PCM WAV parsers) and plugs in via
+``extract_features(mode='strict', codec=pure_python_codec)``; video
+frame decode remains stubbed (no self-contained pure-python format).
 """
 
 from __future__ import annotations
@@ -83,9 +86,11 @@ def extract_features(
         raise ValueError(mode)
     if mode == "strict" and codec is None:
         raise NotImplementedError(
-            "media codecs (PIL/ffmpeg) are not installed in this "
-            "container; run with mode='deterministic_fake' or inject "
-            "codec=(media_type, content) -> list[float]"
+            "no codec injected: pass codec=(media_type, content) -> "
+            "list[float] — e.g. operators.codecs.pure_python_codec "
+            "(real BMP/WAV byte-level decode, no external libs), or a "
+            "PIL/ffmpeg-backed callable where those are installed; or "
+            "run with mode='deterministic_fake'"
         )
     if codec is None:
         codec = lambda _mt, content: _fake_feature(content, dim)  # noqa: E731

