@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from claims_data_spark.functions.strings import tsql_like
 from claims_data_spark.operators.episodes import within_person_episodes
-from claims_data_spark.operators.dense_id import dense_global_id
+from claims_data_spark.operators.dense_id import dense_global_ids_by_tag
 from claims_data_spark.plans.prefix_join import prefix_join
 
 ED_REV_PATTERN = "045[01269]"      # load_stage.mcaid_claim_header.R:242
@@ -269,26 +269,38 @@ def build_claim_header(
         ed, ["id_mcaid"], "first_service_date", merge_gap_days=1,
         out_col="_wep",
     )
-    ed_ids = dense_global_id(
-        ed_eps, ["id_mcaid", "_wep"], out_col="ed_pophealth_id"
-    )
-    ed_perform = dense_global_id(
-        ed.select("claim_header_id", "id_mcaid", "first_service_date"),
-        ["id_mcaid", "first_service_date"],
-        out_col="ed_perform_id",
-    )
-    out = (
-        out.join(
-            ed_ids.select("claim_header_id", "ed_pophealth_id"),
-            "claim_header_id",
-            "left",
-        )
-        .join(
-            ed_perform.select("claim_header_id", "ed_perform_id"),
-            "claim_header_id",
-            "left",
+    # Both id families in ONE tagged ranking pass (one distinct, one
+    # range-boundary sampling, one window) instead of two
+    # dense_global_id cascades. The heterogeneous order columns fold
+    # into a common long `_d` via order-isomorphic, distinctness-
+    # preserving casts: epoch days for service dates, the per-person
+    # episode counter for episodes — dense ranks are identical to
+    # ranking the original columns.
+    tagged = ed_eps.select(
+        F.lit("ed_pophealth").alias("_tag"), "claim_header_id", "id_mcaid",
+        F.col("_wep").cast("long").alias("_d"),
+    ).unionByName(
+        ed.select(
+            F.lit("ed_perform").alias("_tag"), "claim_header_id", "id_mcaid",
+            F.unix_date("first_service_date").cast("long").alias("_d"),
         )
     )
+    mapping = dense_global_ids_by_tag(
+        tagged, "_tag", ["id_mcaid", "_d"], out_col="_eid"
+    )
+    per_claim = (
+        tagged.join(mapping, ["_tag", "id_mcaid", "_d"])
+        .groupBy("claim_header_id")
+        .agg(
+            F.max(
+                F.when(F.col("_tag") == "ed_pophealth", F.col("_eid"))
+            ).alias("ed_pophealth_id"),
+            F.max(
+                F.when(F.col("_tag") == "ed_perform", F.col("_eid"))
+            ).alias("ed_perform_id"),
+        )
+    )
+    out = out.join(per_claim, "claim_header_id", "left")
 
     # primary-care visit flag (``:419-424`` shape): professional claims
     # outside excluded types, not ED, not telehealth-POS

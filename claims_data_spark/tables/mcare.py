@@ -22,10 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from claims_data_spark.operators.dense_id import (
-    dense_global_id,
-    dense_global_ids_by_tag,
-)
+from claims_data_spark.operators.dense_id import dense_global_ids_by_tag
 from claims_data_spark.operators.episodes import within_person_episodes
 
 # ED definitions (load_stage.mcare_claim_header.R:379-399): the RDA
@@ -232,21 +229,66 @@ def build_mcare_claim_header(
         )
     )
 
-    # three same-typed (person, date) id families -> one tagged ranking
-    # pass + one conditional-agg join (see dense_global_ids_by_tag)
+    # ALL FOUR id families -> one tagged ranking pass + one
+    # conditional-agg join (see dense_global_ids_by_tag). The order
+    # columns differ per family (service date, discharge date, episode
+    # counter) but fold into a common long `_d` via order-isomorphic,
+    # distinctness-preserving casts (epoch days / episode counter), so
+    # the per-tag dense ranks equal ranking the original columns —
+    # one distinct + one range-boundary sampling + one window instead
+    # of the former 3-family pass plus a separate ed_pophealth
+    # dense_global_id cascade.
     out = out.persist()
     event_specs = [
         ("pc_visit", "pc_visit_id", "first_service_date"),
         ("inpatient", "inpatient_id", "discharge_date"),
         ("ed_perform", "ed_perform_id", "first_service_date"),
     ]
-    tagged = None
-    for flag_col, _, date_col in event_specs:
-        part = out.filter(F.col(flag_col) == 1).select(
-            F.lit(flag_col).alias("_tag"), "claim_header_id", "id_mcare",
-            F.col(date_col).alias("_d"),
+    # one scan fans out the per-flag tag rows (explode of a compacted
+    # struct array) — a 3-branch filter union would read the assembled
+    # frame three times before the persist materializes
+    tagged = (
+        out.select(
+            "claim_header_id", "id_mcare",
+            F.explode(
+                F.array_compact(
+                    F.array(*[
+                        F.when(
+                            F.col(flag) == 1,
+                            F.struct(
+                                F.lit(flag).alias("_tag"),
+                                F.unix_date(F.col(date_col)).cast("long")
+                                .alias("_d"),
+                            ),
+                        )
+                        for flag, _, date_col in event_specs
+                    ])
+                )
+            ).alias("_td"),
         )
-        tagged = part if tagged is None else tagged.unionByName(part)
+        .select(
+            F.col("_td._tag").alias("_tag"), "claim_header_id", "id_mcare",
+            F.col("_td._d").alias("_d"),
+        )
+    )
+    ed = out.filter(
+        (F.col("ed_yale_carrier") == 1)
+        | (F.col("ed_yale_opt") == 1)
+        | (F.col("ed_yale_ipt") == 1)
+    ).select("claim_header_id", "id_mcare", "first_service_date")
+    eps = within_person_episodes(
+        ed, ["id_mcare"], "first_service_date", merge_gap_days=1
+    )
+    tagged = tagged.unionByName(
+        eps.select(
+            F.lit("ed_pophealth").alias("_tag"), "claim_header_id",
+            "id_mcare",
+            F.col("within_person_episode_id").cast("long").alias("_d"),
+        )
+    )
+    out_cols = [(f, c) for f, c, _ in event_specs] + [
+        ("ed_pophealth", "ed_pophealth_id")
+    ]
     mapping = dense_global_ids_by_tag(
         tagged, "_tag", ["id_mcare", "_d"], out_col="_event_id"
     )
@@ -257,22 +299,10 @@ def build_mcare_claim_header(
             F.max(
                 F.when(F.col("_tag") == flag_col, F.col("_event_id"))
             ).alias(out_col)
-            for flag_col, out_col, _ in event_specs
+            for flag_col, out_col in out_cols
         ])
     )
-    out = out.join(per_claim, "claim_header_id", "left")
-    ed = out.filter(
-        (F.col("ed_yale_carrier") == 1)
-        | (F.col("ed_yale_opt") == 1)
-        | (F.col("ed_yale_ipt") == 1)
-    ).select("claim_header_id", "id_mcare", "first_service_date")
-    eps = within_person_episodes(
-        ed, ["id_mcare"], "first_service_date", merge_gap_days=1
-    )
-    pophealth = dense_global_id(
-        eps, ["id_mcare", "within_person_episode_id"], out_col="ed_pophealth_id"
-    ).select("claim_header_id", "ed_pophealth_id")
-    return out.join(pophealth, "claim_header_id", "left")
+    return out.join(per_claim, "claim_header_id", "left")
 
 
 # ---------------------------------------------------------------------------
@@ -342,28 +372,80 @@ def build_mcaid_mcare_claim_header(
 
     both = _norm(mcaid_header, "mcaid", "id_mcaid").unionByName(
         _norm(mcare_header, "mcare", "id_mcare")
-    )
+    ).persist()
 
     # re-mint event ids over (id_apde, date) — the reference's
     # dense_rank with nulls sorted to the bottom is equivalent to
-    # ranking only the participating rows (``:150-175``)
-    def _remint(flag: str, out_col: str, date_col: str) -> DataFrame:
-        sub = both.filter(F.col(flag)).select(
-            "source_desc", "claim_header_id", "id_apde", date_col
-        )
-        return dense_global_id(
-            sub, ["id_apde", date_col], out_col=out_col
-        ).select("source_desc", "claim_header_id", out_col)
-
+    # ranking only the participating rows (``:150-175``). All three
+    # re-minted families ride ONE tagged ranking pass (single scan of
+    # the combined frame via struct-array explode, single
+    # distinct/range-sample/window) instead of three dense_global_id
+    # cascades; dates fold to epoch-day longs (order-isomorphic).
+    remint_specs = [
+        ("_was_ed_perform", "ed_perform_id", "first_service_date"),
+        ("_was_ipt", "inpatient_id", "discharge_date"),
+        ("_was_pc", "pc_visit_id", "first_service_date"),
+    ]
     join_key = ["source_desc", "claim_header_id"]
-    out = (
-        both.join(_remint("_was_ed_perform", "ed_perform_id", "first_service_date"),
-                  join_key, "left")
-        .join(_remint("_was_ipt", "inpatient_id", "discharge_date"),
-              join_key, "left")
-        .join(_remint("_was_pc", "pc_visit_id", "first_service_date"),
-              join_key, "left")
+    tagged = (
+        both.select(
+            "source_desc", "claim_header_id", "id_apde",
+            F.explode(
+                F.array_compact(
+                    F.array(*[
+                        F.when(
+                            F.col(flag),
+                            F.struct(
+                                F.lit(flag).alias("_tag"),
+                                F.unix_date(F.col(date_col)).cast("long")
+                                .alias("_d"),
+                            ),
+                        )
+                        for flag, _, date_col in remint_specs
+                    ])
+                )
+            ).alias("_td"),
+        )
+        .select(
+            F.col("_td._tag").alias("_tag"), "source_desc",
+            "claim_header_id", "id_apde", F.col("_td._d").alias("_d"),
+        )
     )
+    # cross-source Yale episode clustering (``:205-330``): a Medicaid
+    # and a Medicare ED visit ≤1 day apart merge into one episode.
+    # Yale membership (= _was_ed & kc type 1/4/5) depends only on the
+    # normalized union, so the pophealth family rides the SAME ranking
+    # pass as a fourth tag (episode counter cast to long).
+    ed = both.filter(
+        F.col("_was_ed") & F.col("claim_type_id").isin(1, 4, 5)
+    ).select("source_desc", "claim_header_id", "id_apde", "first_service_date")
+    eps = within_person_episodes(
+        ed, ["id_apde"], "first_service_date", merge_gap_days=1
+    )
+    tagged = tagged.unionByName(
+        eps.select(
+            F.lit("ed_pophealth").alias("_tag"), "source_desc",
+            "claim_header_id", "id_apde",
+            F.col("within_person_episode_id").cast("long").alias("_d"),
+        )
+    )
+    out_cols = [(f, c) for f, c, _ in remint_specs] + [
+        ("ed_pophealth", "ed_pophealth_id")
+    ]
+    mapping = dense_global_ids_by_tag(
+        tagged, "_tag", ["id_apde", "_d"], out_col="_event_id"
+    )
+    per_claim = (
+        tagged.join(mapping, ["_tag", "id_apde", "_d"])
+        .groupBy("source_desc", "claim_header_id")
+        .agg(*[
+            F.max(
+                F.when(F.col("_tag") == flag, F.col("_event_id"))
+            ).alias(out_col)
+            for flag, out_col in out_cols
+        ])
+    )
+    out = both.join(per_claim, join_key, "left")
 
     # Yale trio from the prior-stage ED membership + kc type (``:155-157``)
     out = (
@@ -380,21 +462,6 @@ def build_mcaid_mcare_claim_header(
             (F.col("_was_ed") & (F.col("claim_type_id") == 1)).cast("int"),
         )
     )
-
-    # cross-source Yale episode clustering (``:205-330``): a Medicaid
-    # and a Medicare ED visit ≤1 day apart merge into one episode
-    ed = out.filter(
-        (F.col("ed_yale_carrier") == 1)
-        | (F.col("ed_yale_opt") == 1)
-        | (F.col("ed_yale_ipt") == 1)
-    ).select("source_desc", "claim_header_id", "id_apde", "first_service_date")
-    eps = within_person_episodes(
-        ed, ["id_apde"], "first_service_date", merge_gap_days=1
-    )
-    pophealth = dense_global_id(
-        eps, ["id_apde", "within_person_episode_id"], out_col="ed_pophealth_id"
-    ).select("source_desc", "claim_header_id", "ed_pophealth_id")
-    out = out.join(pophealth, join_key, "left")
     return out.drop("_was_ed", "_was_ed_perform", "_was_ipt", "_was_pc")
 
 
