@@ -59,6 +59,9 @@ def main() -> None:
 
     qs = entrymod.queries()
     timings: dict[str, float] = {}
+    job_counts: dict[str, int] = {}
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
     # one warm-up action so JVM/codegen startup isn't billed to the first query
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
 
@@ -67,14 +70,26 @@ def main() -> None:
         # min of 3 runs: the harness VM carries background load (±15%
         # observed between whole-suite runs), and a single sample
         # conflates that noise with plan cost
-        for _ in range(3):
+        for run in range(3):
+            # job-group the run so the scheduler cascade is measurable:
+            # `jobs` in the output = Spark jobs launched by the final
+            # run of each query (serial job chains = the fixed floor
+            # the sf-scaling argument amortizes)
+            group = f"{name}#r{run}"
+            sc.setJobGroup(group, name)
             t0 = time.perf_counter()
             df = qs[name](spark, sf_dir)
             n = df.count()
             el = time.perf_counter() - t0
+            sc.setJobGroup(None, None)
             best = el if best is None else min(best, el)
+            job_counts[name] = len(tracker.getJobIdsForGroup(group))
         timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        print(
+            f"# {name}: {timings[name]:.3f}s ({n} rows, "
+            f"{job_counts[name]} jobs)",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 3)
     print(
@@ -84,6 +99,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "jobs": job_counts,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -23,6 +23,7 @@ from claims_data_spark.qa import (
     QaResult,
     check_referential,
     run_qa,
+    timevar_golden_qa,
 )
 from claims_data_spark.tables.claim_children import (
     build_claim_icdcm_header,
@@ -90,15 +91,11 @@ def run_mcaid_pipeline(
     gate("elig_demo", *fused_table_qa(demo, unique_keys=["id_mcaid"]))
 
     timevar = build_elig_timevar(raw_elig, ref_rac, ref_address, ref_geocode)
-    # one Spark action for the whole timevar gate (intervals + overlap)
-    gate(
-        "elig_timevar",
-        *fused_table_qa(
-            timevar,
-            interval_cols=("from_date", "to_date"),
-            overlap_ids=["id_mcaid"],
-        ),
-    )
+    # the reference's full table-level gate
+    # (qa_stage.mcaid_elig_timevar.R): segment uniqueness + interval
+    # validity + overlap in ONE action, plus the member-count and
+    # date-range golden-record spot checks against the raw extract
+    gate("elig_timevar", *timevar_golden_qa(timevar, raw_elig))
 
     elig_month = build_elig_month(timevar)
 
@@ -144,3 +141,35 @@ def run_mcaid_pipeline(
         tables["claim_bh"] = build_claim_bh(icdcm, pharm, procedure, ref_rda)
 
     return PipelineResult(tables=tables, qa=qa)
+
+
+def mcare_header_qa(header: DataFrame) -> list[QaResult]:
+    """Medicare claim_header invariants, one fused action: header-id
+    uniqueness plus one-person + dense checks for EVERY event-id
+    family the builder mints (pc_visit / inpatient / ed_perform /
+    ed_pophealth — the reference spot-checks these per family in
+    ``qa_tmp.mcare_claim_ccw.sql`` and the mcaid header QA at
+    ``load_stage.mcaid_claim_header.R:1226-1253``)."""
+    return fused_table_qa(
+        header,
+        unique_keys=["claim_header_id"],
+        person_id="id_mcare",
+        event_ids=[
+            "pc_visit_id", "inpatient_id", "ed_perform_id", "ed_pophealth_id"
+        ],
+    )
+
+
+def combined_header_qa(header: DataFrame) -> list[QaResult]:
+    """Combined mcaid+mcare claim_header invariants
+    (``qa_stage.mcaid_mcare_claim_ccw.sql`` shape): (source, claim) key
+    uniqueness plus one-person + dense checks for the four re-minted
+    event-id families — all in one fused action."""
+    return fused_table_qa(
+        header,
+        unique_keys=["source_desc", "claim_header_id"],
+        person_id="id_apde",
+        event_ids=[
+            "pc_visit_id", "inpatient_id", "ed_perform_id", "ed_pophealth_id"
+        ],
+    )

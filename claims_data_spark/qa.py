@@ -9,6 +9,8 @@ them into a QA-log DataFrame like the reference's
 
 from __future__ import annotations
 
+import datetime
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -101,6 +103,78 @@ def check_rowcount_growth(
     return (name, ok, f"current={current} previous={previous}")
 
 
+def check_member_count_match(
+    built: DataFrame,
+    raw: DataFrame,
+    built_id: str,
+    raw_id: str,
+    name: str = "member-count-match",
+) -> QaResult:
+    """Distinct member count of the built table equals the raw
+    extract's (``qa_stage.mcaid_elig_timevar.R:109-151``). Two partial
+    countDistinct aggregates — no join, no full-width scan."""
+    b = built.select(F.countDistinct(built_id).alias("n")).collect()[0]["n"]
+    r = raw.select(F.countDistinct(raw_id).alias("n")).collect()[0]["n"]
+    return (name, b == r, f"built={b} raw={r}")
+
+
+def check_date_range_within(
+    built: DataFrame,
+    raw: DataFrame,
+    from_col: str = "from_date",
+    to_col: str = "to_date",
+    raw_month_col: str = "CLNDR_YEAR_MNTH",
+    name: str = "date-range",
+) -> QaResult:
+    """Built from/to dates fall inside the raw extract's yyyymm month
+    range (``qa_stage.mcaid_elig_timevar.R:190-243``): min(from) >=
+    first day of min month, max(to) <= last day of max month."""
+    b = built.agg(
+        F.min(from_col).alias("lo"), F.max(to_col).alias("hi")
+    ).collect()[0]
+    r = raw.agg(
+        F.min(raw_month_col).alias("lo"), F.max(raw_month_col).alias("hi")
+    ).collect()[0]
+    raw_lo = datetime.date(int(str(r["lo"])[:4]), int(str(r["lo"])[4:6]), 1)
+    hi_y, hi_m = int(str(r["hi"])[:4]), int(str(r["hi"])[4:6])
+    if hi_m == 12:
+        raw_hi = datetime.date(hi_y + 1, 1, 1) - datetime.timedelta(days=1)
+    else:
+        raw_hi = datetime.date(hi_y, hi_m + 1, 1) - datetime.timedelta(days=1)
+    ok = b["lo"] >= raw_lo and b["hi"] <= raw_hi
+    return (
+        name, bool(ok),
+        f"built=[{b['lo']},{b['hi']}] raw=[{raw_lo},{raw_hi}]",
+    )
+
+
+def timevar_golden_qa(
+    timevar: DataFrame,
+    raw_elig: DataFrame,
+    id_col: str = "id_mcaid",
+    raw_id_col: str = "MBR_H_SID",
+    raw_month_col: str = "CLNDR_YEAR_MNTH",
+) -> list[QaResult]:
+    """The reference's elig_timevar table-level gate
+    (``qa_stage.mcaid_elig_timevar.R``): distinct-segment uniqueness,
+    member-count parity with the raw extract, and the date-range
+    containment spot check — the automatable part of its
+    golden-record section."""
+    out = fused_table_qa(
+        timevar,
+        unique_keys=[id_col, "from_date", "to_date"],
+        interval_cols=("from_date", "to_date"),
+        overlap_ids=[id_col],
+    )
+    out.append(
+        check_member_count_match(timevar, raw_elig, id_col, raw_id_col)
+    )
+    out.append(
+        check_date_range_within(timevar, raw_elig, raw_month_col=raw_month_col)
+    )
+    return out
+
+
 def fused_table_qa(
     df: DataFrame,
     unique_keys: list[str] | None = None,
@@ -109,6 +183,7 @@ def fused_table_qa(
     event_id: str | None = None,
     person_id: str | None = None,
     extra_flags: dict[str, F.Column] | None = None,
+    event_ids: list[str] | None = None,
 ) -> list[QaResult]:
     """Run every per-table invariant in ONE Spark action.
 
@@ -124,6 +199,11 @@ def fused_table_qa(
     ``extra_flags`` maps check name -> boolean VIOLATION predicate
     evaluated per row in the same pass (the predicate may reference
     window-derived columns the caller attached beforehand).
+
+    ``event_ids`` generalizes ``event_id`` to several id families in
+    the SAME action (one window per family, one shared agg) — the
+    mcare / combined headers carry four (pc_visit / inpatient /
+    ed_perform / ed_pophealth).
     """
     from pyspark.sql import Window
 
@@ -147,23 +227,24 @@ def fused_table_qa(
             (F.lag(to).over(w) >= F.col(frm)).cast("int"),
         )
         aggs.append(F.sum(F.coalesce("_ov_bad", F.lit(0))).alias("_ov_bad"))
-    if event_id and person_id:
-        we = Window.partitionBy(event_id)
-        work = work.withColumn(
-            "_ev_multi",
-            F.when(
-                F.col(event_id).isNotNull()
-                & (F.size(F.collect_set(person_id).over(we)) > 1),
-                1,
-            ).otherwise(0),
-        )
-        aggs.append(F.max("_ev_multi").alias("_ev_multi"))
-    if event_id:
-        nn = F.when(F.col(event_id).isNotNull(), F.col(event_id))
+    ev_list = list(event_ids or ([event_id] if event_id else []))
+    for j, ev in enumerate(ev_list):
+        if person_id:
+            we = Window.partitionBy(ev)
+            work = work.withColumn(
+                f"_ev_multi_{j}",
+                F.when(
+                    F.col(ev).isNotNull()
+                    & (F.size(F.collect_set(person_id).over(we)) > 1),
+                    1,
+                ).otherwise(0),
+            )
+            aggs.append(F.max(f"_ev_multi_{j}").alias(f"_ev_multi_{j}"))
+        nn = F.when(F.col(ev).isNotNull(), F.col(ev))
         aggs += [
-            F.countDistinct(nn).alias("_ev_n"),
-            F.min(nn).alias("_ev_lo"),
-            F.max(nn).alias("_ev_hi"),
+            F.countDistinct(nn).alias(f"_ev_n_{j}"),
+            F.min(nn).alias(f"_ev_lo_{j}"),
+            F.max(nn).alias(f"_ev_hi_{j}"),
         ]
     for i, (fname, pred) in enumerate((extra_flags or {}).items()):
         work = work.withColumn(f"_xf_{i}", pred.cast("int"))
@@ -187,18 +268,19 @@ def fused_table_qa(
         out.append(
             ("no-overlap", (row["_ov_bad"] or 0) == 0, f"violations={row['_ov_bad'] or 0}")
         )
-    if event_id and person_id:
-        out.append(
-            (f"one-person({event_id})", (row["_ev_multi"] or 0) == 0,
-             f"multi-person-events={row['_ev_multi'] or 0}")
+    for j, ev in enumerate(ev_list):
+        if person_id:
+            out.append(
+                (f"one-person({ev})", (row[f"_ev_multi_{j}"] or 0) == 0,
+                 f"multi-person-events={row[f'_ev_multi_{j}'] or 0}")
+            )
+        dense = row[f"_ev_n_{j}"] == 0 or (
+            row[f"_ev_lo_{j}"] == 1 and row[f"_ev_hi_{j}"] == row[f"_ev_n_{j}"]
         )
-    if event_id:
-        dense = row["_ev_n"] == 0 or (
-            row["_ev_lo"] == 1 and row["_ev_hi"] == row["_ev_n"]
-        )
         out.append(
-            (f"dense({event_id})", bool(dense),
-             f"n={row['_ev_n']} lo={row['_ev_lo']} hi={row['_ev_hi']}")
+            (f"dense({ev})", bool(dense),
+             f"n={row[f'_ev_n_{j}']} lo={row[f'_ev_lo_{j}']} "
+             f"hi={row[f'_ev_hi_{j}']}")
         )
     for i, fname in enumerate(extra_flags or {}):
         bad = row[f"_xf_{i}"] or 0

@@ -109,6 +109,33 @@ def test_combined_event_ids_single_person_across_sources(combined):
     assert checks[0][1], checks
 
 
+def test_combined_header_qa_gate(combined):
+    """pipeline.combined_header_qa: key uniqueness + one-person +
+    dense for all four re-minted families in ONE fused action."""
+    from claims_data_spark.pipeline import combined_header_qa
+
+    checks = combined_header_qa(combined)
+    names = [c[0] for c in checks]
+    assert "unique(source_desc,claim_header_id)" in names
+    for ev in ("pc_visit_id", "inpatient_id", "ed_perform_id",
+               "ed_pophealth_id"):
+        assert f"one-person({ev})" in names
+        assert f"dense({ev})" in names
+    failing = [c for c in checks if not c[1]]
+    assert not failing, failing
+
+
+def test_mcare_header_qa_gate(mcare_header):
+    """pipeline.mcare_header_qa: every event-id family the Medicare
+    builder mints has uniqueness/density invariants, one action."""
+    from claims_data_spark.pipeline import mcare_header_qa
+
+    checks = mcare_header_qa(mcare_header)
+    failing = [c for c in checks if not c[1]]
+    assert not failing, failing
+    assert sum(1 for c in checks if c[0].startswith("dense(")) == 4
+
+
 def test_mcaid_mcare_union_children(spark):
     from claims_data_spark.tables.mcare import build_mcaid_mcare_union
 

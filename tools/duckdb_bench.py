@@ -57,7 +57,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "skipped_rows_only": skipped,
-        "sf": float(sf),
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
 
 
