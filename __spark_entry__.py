@@ -3388,6 +3388,111 @@ FROM island
 """
 
 
+def q_mcare_elig_month(spark, sf_dir):
+    """Medicare member-month table (load_stage.mcare_elig_month.R:
+    30-290): the SAME coded-month stage as mcare_timevar kept at month
+    grain — no island collapse — with time-period vars, cov_time_day.
+    Map-only after the struct-array explode."""
+    from claims_data_spark.tables.mcare_elig import build_mcare_elig_month
+
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+
+    def pick(vals, expr):
+        return F.element_at(
+            F.array(*[F.lit(v) for v in vals]), (expr % len(vals) + 1).cast("int")
+        )
+
+    cols = [
+        k.alias("bene_id"),
+        F.lit(1995).alias("bene_enrollmt_ref_yr"),
+        F.when(k % 4 == 0, "98101").when(k % 4 == 1, "9810")
+        .when(k % 4 == 2, "98055").otherwise("99999").alias("zip_cd"),
+    ]
+    for m in range(1, 13):
+        cols.append(pick(_TV_BUYIN, k * 5 + m * 3).alias(
+            f"mdcr_entlmt_buyin_ind_{m:02d}"))
+        cols.append(pick(_TV_HMO, k + m).alias(f"hmo_ind_{m:02d}"))
+        cols.append(pick(_TV_RX, k * 2 + m).alias(f"ptd_cntrct_id_{m:02d}"))
+        cols.append(pick(_TV_DUAL, k + m * 7).alias(f"dual_stus_cd_{m:02d}"))
+    enr = c.select(*cols)
+    demo = c.select(
+        k.alias("id_mcare"),
+        F.when(k % 9 == 0, F.lit("1995-06-15").cast("date")).alias(
+            "death_dt"
+        ),
+    )
+    out = build_mcare_elig_month(enr, demo)
+    return out.select(
+        F.col("id_mcare").cast("long").alias("id_mcare"),
+        _ds("from_date").alias("from_date"),
+        _ds("to_date").alias("to_date"),
+        "year_month", "year_quarter", "year",
+        F.col("part_a").cast("int").alias("part_a"),
+        F.col("part_b").cast("int").alias("part_b"),
+        F.col("part_c").cast("int").alias("part_c"),
+        F.col("part_d").cast("int").alias("part_d"),
+        F.col("full_dual").cast("int").alias("full_dual"),
+        F.col("partial_dual").cast("int").alias("partial_dual"),
+        F.col("state_buyin").cast("int").alias("state_buyin"),
+        "geo_zip",
+        F.col("cov_time_day").cast("int").alias("cov_time_day"),
+    )
+
+
+SQL_MCARE_ELIG_MONTH = f"""
+WITH months AS (
+  SELECT c_custkey AS id, m,
+    make_date(1995, m, 1) AS from_date,
+    last_day(make_date(1995, m, 1)) AS to_date,
+    CASE WHEN c_custkey % 4 = 0 THEN '98101'
+         WHEN c_custkey % 4 = 2 THEN '98055'
+         WHEN c_custkey % 4 = 3 THEN '99999' END AS geo_zip,
+    (ARRAY[{{buyin_list}}])[CAST((c_custkey*5 + m*3) % 7 AS INT) + 1] AS buyin,
+    (ARRAY[{{hmo_list}}])[CAST((c_custkey + m) % 5 AS INT) + 1] AS hmo,
+    (ARRAY[{{rx_list}}])[CAST((c_custkey*2 + m) % 6 AS INT) + 1] AS rx,
+    (ARRAY[{{dual_list}}])[CAST((c_custkey + m*7) % 10 AS INT) + 1] AS dual,
+    CASE WHEN c_custkey % 9 = 0 THEN DATE '1995-06-15' END AS death_dt
+  FROM customer CROSS JOIN (SELECT UNNEST(generate_series(1, 12)) AS m)
+),
+coded AS (
+  SELECT id, from_date, to_date, geo_zip, death_dt,
+    CASE WHEN buyin IN ('1','3','A','C') THEN 1 WHEN buyin IN ('0','2','B') THEN 0 END AS part_a,
+    CASE WHEN buyin IN ('2','3','B','C') THEN 1 WHEN buyin IN ('0','1','A') THEN 0 END AS part_b,
+    CASE WHEN hmo IN ('1','2','A','B','C') THEN 1 WHEN hmo IN ('0','4') THEN 0 END AS part_c,
+    CASE WHEN rx IN ('N','NULL','*','0','NA') OR rx IS NULL THEN 0
+         WHEN substr(rx,1,1) IN ('E','H','R','S','X') THEN 1 END AS part_d,
+    CASE WHEN buyin IN ('0','1','2','3') THEN 0 WHEN buyin IN ('A','B','C') THEN 1 END AS state_buyin,
+    CASE WHEN dual IN ('NULL','**','0','00','2','02','4','04','8','08','9','09','99','10','NA') OR dual IS NULL THEN 0
+         WHEN dual IN ('1','01','3','03','5','05','6','06') THEN 1 END AS partial_dual,
+    CASE WHEN dual IN ('NULL','**','0','00','9','09','99','NA','1','01','3','03','5','05','6','06') OR dual IS NULL THEN 0
+         WHEN dual IN ('2','02','4','04','8','08','10') THEN 1 END AS full_dual
+  FROM months
+)
+SELECT CAST(id AS BIGINT) AS id_mcare,
+  CAST(from_date AS VARCHAR) AS from_date,
+  CAST(CASE WHEN death_dt IS NOT NULL AND from_date <= death_dt AND to_date > death_dt
+       THEN death_dt ELSE to_date END AS VARCHAR) AS to_date,
+  CAST(strftime(from_date, '%Y%m') AS INT) AS year_month,
+  CAST(year(from_date) * 10 + FLOOR((month(from_date) - 1) / 3) + 1 AS INT) AS year_quarter,
+  CAST(year(from_date) AS INT) AS year,
+  part_a, part_b, part_c, part_d, full_dual, partial_dual, state_buyin,
+  geo_zip,
+  CAST(date_diff('day', from_date,
+    CASE WHEN death_dt IS NOT NULL AND from_date <= death_dt AND to_date > death_dt
+         THEN death_dt ELSE to_date END) + 1 AS INT) AS cov_time_day
+FROM coded
+WHERE COALESCE(part_a,0)+COALESCE(part_b,0)+COALESCE(part_c,0)+COALESCE(part_d,0)
+      +COALESCE(state_buyin,0)+COALESCE(partial_dual,0)+COALESCE(full_dual,0) > 0
+  AND (death_dt IS NULL OR from_date <= death_dt)
+""".format(
+    buyin_list=_sql_list(_TV_BUYIN),
+    hmo_list=_sql_list(_TV_HMO),
+    rx_list=_sql_list(_TV_RX),
+    dual_list=_sql_list(_TV_DUAL),
+)
+
+
 # ---------------------------------------------------------------------------
 # APCD person-level rollup (load_stage.apcd_elig_plr.R:39-363) on
 # synthetic timevar segments carved from orders
@@ -4465,6 +4570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "claim_moud": q_claim_moud,
         "claim_value_set": q_claim_value_set,
         "mcare_timevar": q_mcare_timevar,
+        "mcare_elig_month": q_mcare_elig_month,
         "apcd_plr": q_apcd_plr,
         "apcd_elig_month": q_apcd_elig_month,
         "housing_status": q_housing_status,
@@ -4614,6 +4720,7 @@ def oracle_sql() -> dict[str, str]:
         # sketch_distinct_rollup: rows-only (signature math and
         # approximate estimates are not SQL-expressible)
         "mcare_timevar": SQL_MCARE_TIMEVAR,
+        "mcare_elig_month": SQL_MCARE_ELIG_MONTH,
         "apcd_plr": SQL_APCD_PLR,
         "apcd_elig_month": SQL_APCD_ELIG_MONTH,
         "housing_status": SQL_HOUSING_STATUS,

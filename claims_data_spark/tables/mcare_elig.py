@@ -181,20 +181,16 @@ def build_mcare_elig_demo(
     )
 
 
-def build_mcare_elig_timevar(
+def _coded_covered_months(
     bene_enrollment: DataFrame,
     elig_demo: DataFrame | None = None,
-    ref_geo_kc_zip: DataFrame | None = None,
 ) -> DataFrame:
-    """Contiguous Medicare coverage periods with Part A/B/C/D,
-    state-buy-in and dual flags (``load_stage.mcare_elig_timevar.R``).
-
-    Single struct-array explode replaces the reference's 4 unpivots +
-    3 (bene, year, month) self-joins; month boundary dates come from
-    ``make_date``/``last_day`` instead of the ref_date join; months
-    after death are dropped and the death month truncated
-    (``:185-215``); then one island collapse per attribute tuple.
-    """
+    """MBSF wide year-rows -> coded month-grain coverage rows shared
+    by the timevar and elig_month builders: single struct-array
+    explode (replaces the reference's 4 unpivots + 3 self-joins),
+    Part A/B/C/D + buy-in + dual recodes, zero-coverage months
+    dropped, months after death dropped and the death month truncated
+    (``load_stage.mcare_elig_month.R:37-231``)."""
     months = F.array(*[
         F.struct(
             F.lit(m).alias("mon"),
@@ -275,6 +271,20 @@ def build_mcare_elig_timevar(
             )
             .drop("death_dt")
         )
+    return covered
+
+
+def build_mcare_elig_timevar(
+    bene_enrollment: DataFrame,
+    elig_demo: DataFrame | None = None,
+    ref_geo_kc_zip: DataFrame | None = None,
+) -> DataFrame:
+    """Contiguous Medicare coverage periods with Part A/B/C/D,
+    state-buy-in and dual flags (``load_stage.mcare_elig_timevar.R``):
+    the shared coded-month stage, then one island collapse per
+    attribute tuple.
+    """
+    covered = _coded_covered_months(bene_enrollment, elig_demo)
 
     islands = collapse_islands(
         covered,
@@ -318,3 +328,43 @@ def build_mcare_elig_timevar(
         "full_dual", "partial_dual", "state_buyin",
         "geo_zip", "geo_kc", "cov_time_day",
     )
+
+
+def build_mcare_elig_month(
+    bene_enrollment: DataFrame,
+    elig_demo: DataFrame | None = None,
+    ref_geo_kc_zip: DataFrame | None = None,
+) -> DataFrame:
+    """Medicare member-month eligibility table
+    (``load_stage.mcare_elig_month.R:30-290``): the shared coded-month
+    stage kept at MONTH grain (no island collapse) with time-period
+    columns, cov_time_day, and the geo_kc flag.
+
+    Map-only after the explode (zero shuffles; geo ref broadcast) —
+    the same 100 TB shape as ``build_apcd_elig_month``.
+    """
+    covered = _coded_covered_months(bene_enrollment, elig_demo)
+    out = covered.select(
+        "id_mcare", "from_date", "to_date",
+        (F.year("from_date") * 100 + F.month("from_date")).cast("int")
+        .alias("year_month"),
+        (
+            F.year("from_date") * 10
+            + F.floor((F.month("from_date") - 1) / 3) + 1
+        ).cast("int").alias("year_quarter"),
+        F.year("from_date").cast("int").alias("year"),
+        "part_a", "part_b", "part_c", "part_d",
+        "full_dual", "partial_dual", "state_buyin", "geo_zip",
+        (F.datediff("to_date", "from_date") + 1).alias("cov_time_day"),
+    )
+    if ref_geo_kc_zip is not None:
+        out = out.join(
+            F.broadcast(
+                ref_geo_kc_zip.select("geo_zip", "geo_kc").distinct()
+            ),
+            "geo_zip",
+            "left",
+        )
+    else:
+        out = out.withColumn("geo_kc", F.lit(None).cast("int"))
+    return out

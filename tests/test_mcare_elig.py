@@ -167,3 +167,38 @@ def test_mcaid_mcare_elig_demo_merge(spark):
     # all mcare race flags 0 and non-null -> race_unk 1
     assert solo_mcare["race_unk"] == 1
     assert solo_mcare["lang_max"] is None
+
+
+def test_mcare_elig_month_grain(spark):
+    """load_stage.mcare_elig_month.R: month-grain rows (no collapse),
+    death truncation, zero-coverage months dropped, period vars."""
+    from claims_data_spark.tables.mcare_elig import (
+        build_mcare_elig_demo, build_mcare_elig_month,
+    )
+
+    rows = [
+        {"bene": "B1", "year": 2016, "buyin": "3", "dual": "02",
+         "death": "2016-06-15", "months": [1, 2, 3, 5, 6]},
+    ]
+    enr = _enrollment_df(spark, rows)
+    demo = build_mcare_elig_demo(enr)
+    ref = spark.createDataFrame(
+        [("98101", 1)], "geo_zip string, geo_kc int"
+    )
+    out = build_mcare_elig_month(enr, demo, ref).orderBy("from_date")
+    ms = out.collect()
+    # one row per COVERED month: 1,2,3,5,6 (April zero-cov dropped;
+    # July+ after death dropped)
+    assert [r["year_month"] for r in ms] == [
+        201601, 201602, 201603, 201605, 201606
+    ]
+    jan = ms[0]
+    assert jan["from_date"] == d_("2016-01-01")
+    assert jan["to_date"] == d_("2016-01-31")
+    assert jan["cov_time_day"] == 31 and jan["year_quarter"] == 20161
+    assert jan["part_a"] == 1 and jan["part_b"] == 1
+    assert jan["full_dual"] == 1 and jan["geo_kc"] == 1
+    jun = ms[-1]
+    # death month truncated to death date
+    assert jun["to_date"] == d_("2016-06-15")
+    assert jun["cov_time_day"] == 15 and jun["year_quarter"] == 20162
