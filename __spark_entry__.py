@@ -4547,6 +4547,139 @@ WHERE p.age BETWEEN 5 AND 64 AND cur.rx_any = 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Raw -> stage Medicaid eligibility load (load_stage.mcaid_elig.R:131-380):
+# reason-score dedup, RAC spelling fix, geo_hash_raw, id upper-casing —
+# on synthetic RAC coverage rows fanned out from orders
+# ---------------------------------------------------------------------------
+
+def q_stage_mcaid_elig(spark, sf_dir):
+    from claims_data_spark.tables.stage_load import build_stage_mcaid_elig
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    k = F.col("o_orderkey")
+
+    def proj(end_reason, rac_name):
+        return o.select(
+            (F.lit(201901) + (k % 3).cast("int")).cast("int").alias("CLNDR_YEAR_MNTH"),
+            F.col("o_custkey").cast("string").alias("MBR_H_SID"),
+            F.concat(F.lit("id"), F.col("o_custkey").cast("string")).alias(
+                "MEDICAID_RECIPIENT_ID"
+            ),
+            F.lit("2019-01-01").cast("date").alias("RAC_FROM_DATE"),
+            F.lit("2019-03-31").cast("date").alias("RAC_TO_DATE"),
+            (k % 7).cast("string").alias("RAC_CODE"),
+            rac_name.alias("RAC_NAME"),
+            end_reason.alias("END_REASON_NAME"),
+            F.lit("H").alias("HOH_ID"),
+            F.lit("N").alias("DUALELIGIBLE_INDICATOR"),
+            F.concat(F.lit("No. "), F.col("o_custkey").cast("string")).alias(
+                "RSDNTL_ADRS_LINE_1"
+            ),
+            F.when(k % 3 == 0, F.lit(None).cast("string"))
+            .otherwise("Apt 1")
+            .alias("RSDNTL_ADRS_LINE_2"),
+            F.when(k % 2 == 0, "Seattle").otherwise("Renton").alias(
+                "RSDNTL_CITY_NAME"
+            ),
+            F.lit("WA").alias("RSDNTL_STATE_CODE"),
+            F.concat(F.lit("9810"), (k % 4).cast("string")).alias(
+                "RSDNTL_POSTAL_CODE"
+            ),
+        )
+
+    base_name = F.concat(F.lit("RAC "), (k % 7).cast("string"))
+    raw = (
+        proj(F.lit(None).cast("string"), base_name)  # score 1 rows
+        .unionByName(
+            # higher-score duplicates for every 5th key: must win dedup
+            proj(F.lit("Moved out of state"), base_name).filter(k % 5 == 0)
+        )
+        .unionByName(
+            # misspelled-RAC duplicates for every 11th key: must collapse
+            proj(
+                F.lit(None).cast("string"),
+                F.lit("Involuntary Inpatient Psychiactric Treatment (ITA)"),
+            ).filter(k % 11 == 0)
+        )
+    )
+    out = build_stage_mcaid_elig(raw)
+    return out.select(
+        F.col("MEDICAID_RECIPIENT_ID").alias("id"),
+        F.col("CLNDR_YEAR_MNTH").alias("year_month"),
+        F.col("MBR_H_SID").alias("mbr_h_sid"),
+        F.col("RAC_CODE").alias("rac_code"),
+        F.col("RAC_NAME").alias("rac_name"),
+        F.col("END_REASON_NAME").alias("end_reason"),
+        F.col("geo_hash_raw").alias("geo_hash"),
+    )
+
+
+SQL_STAGE_MCAID_ELIG = """
+WITH raw AS (
+  SELECT 201901 + CAST(o_orderkey % 3 AS INT) AS year_month,
+    CAST(o_custkey AS VARCHAR) AS mbr_h_sid,
+    'id' || CAST(o_custkey AS VARCHAR) AS id_raw,
+    CAST(o_orderkey % 7 AS VARCHAR) AS rac_code,
+    'RAC ' || CAST(o_orderkey % 7 AS VARCHAR) AS rac_name,
+    CAST(NULL AS VARCHAR) AS end_reason,
+    'No. ' || CAST(o_custkey AS VARCHAR) AS line1,
+    CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE 'Apt 1' END AS line2,
+    CASE WHEN o_orderkey % 2 = 0 THEN 'Seattle' ELSE 'Renton' END AS city,
+    '9810' || CAST(o_orderkey % 4 AS VARCHAR) AS zip
+  FROM orders
+  UNION ALL
+  SELECT 201901 + CAST(o_orderkey % 3 AS INT), CAST(o_custkey AS VARCHAR),
+    'id' || CAST(o_custkey AS VARCHAR), CAST(o_orderkey % 7 AS VARCHAR),
+    'RAC ' || CAST(o_orderkey % 7 AS VARCHAR), 'Moved out of state',
+    'No. ' || CAST(o_custkey AS VARCHAR),
+    CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE 'Apt 1' END,
+    CASE WHEN o_orderkey % 2 = 0 THEN 'Seattle' ELSE 'Renton' END,
+    '9810' || CAST(o_orderkey % 4 AS VARCHAR)
+  FROM orders WHERE o_orderkey % 5 = 0
+  UNION ALL
+  SELECT 201901 + CAST(o_orderkey % 3 AS INT), CAST(o_custkey AS VARCHAR),
+    'id' || CAST(o_custkey AS VARCHAR), CAST(o_orderkey % 7 AS VARCHAR),
+    'Involuntary Inpatient Psychiactric Treatment (ITA)',
+    CAST(NULL AS VARCHAR),
+    'No. ' || CAST(o_custkey AS VARCHAR),
+    CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE 'Apt 1' END,
+    CASE WHEN o_orderkey % 2 = 0 THEN 'Seattle' ELSE 'Renton' END,
+    '9810' || CAST(o_orderkey % 4 AS VARCHAR)
+  FROM orders WHERE o_orderkey % 11 = 0
+),
+fixed AS (
+  SELECT year_month, mbr_h_sid, id_raw, rac_code,
+    CASE WHEN rac_name = 'Involuntary Inpatient Psychiactric Treatment (ITA)'
+         THEN 'Involuntary Inpatient Psychiatric Treatment (ITA)'
+         ELSE rac_name END AS rac_name,
+    end_reason, line1, line2, city, zip,
+    CASE WHEN end_reason IS NULL THEN 1
+         WHEN end_reason = 'Other' THEN 2
+         WHEN end_reason = 'Other - For User Generation Only' THEN 3
+         WHEN end_reason = 'Review Not Complete' THEN 4
+         WHEN end_reason = 'No Eligible Household Members' THEN 5
+         WHEN end_reason = 'Already Eligible for Program in Different AU' THEN 6
+         ELSE 7 END AS score
+  FROM raw
+),
+dedup AS (
+  SELECT DISTINCT year_month, mbr_h_sid, id_raw, rac_code, rac_name,
+    end_reason, line1, line2, city, zip
+  FROM (
+    SELECT *, MAX(score) OVER (
+      PARTITION BY year_month, mbr_h_sid, id_raw, rac_code) AS mx
+    FROM fixed
+  ) s WHERE score = mx
+)
+SELECT UPPER(id_raw) AS id, year_month, mbr_h_sid, rac_code, rac_name,
+  end_reason,
+  sha256(UPPER(CONCAT(line1, '|', COALESCE(line2, ''), '|', '|', city,
+                      '|', 'WA', '|', zip))) AS geo_hash
+FROM dedup
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the claims_elig-shaped coverage query (islands +
     clipping + coverage stats) on sf0.001."""
@@ -4573,6 +4706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mcare_elig_month": q_mcare_elig_month,
         "apcd_plr": q_apcd_plr,
         "apcd_elig_month": q_apcd_elig_month,
+        "stage_mcaid_elig": q_stage_mcaid_elig,
         "housing_status": q_housing_status,
         "address_clean": q_address_clean,
         "spatial_pip": q_spatial_pip,
@@ -4723,6 +4857,7 @@ def oracle_sql() -> dict[str, str]:
         "mcare_elig_month": SQL_MCARE_ELIG_MONTH,
         "apcd_plr": SQL_APCD_PLR,
         "apcd_elig_month": SQL_APCD_ELIG_MONTH,
+        "stage_mcaid_elig": SQL_STAGE_MCAID_ELIG,
         "housing_status": SQL_HOUSING_STATUS,
         "address_clean": SQL_ADDRESS_CLEAN,
         "spatial_pip": SQL_SPATIAL_PIP,
