@@ -4680,6 +4680,136 @@ FROM dedup
 """
 
 
+# ---------------------------------------------------------------------------
+# ref.mcaid_demo_summary (load_ref.mcaid_demo_summary.R): yearly modal
+# geocode -> person-year clients -> race-folding unpivot -> suppressed
+# counts with distinct-person totals — on synthetic member-months
+# ---------------------------------------------------------------------------
+
+def q_demo_summary(spark, sf_dir):
+    from claims_data_spark.tables.demo_summary import build_mcaid_demo_summary
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    k = F.col("c_custkey")
+    month = (
+        c.filter(k % 7 != 0)
+        .select(
+            k.alias("id_mcaid"),
+            F.lit(1995).alias("year"),
+            F.explode(F.sequence(F.lit(1), F.lit(12))).alias("m"),
+        )
+        .select(
+            "id_mcaid",
+            "year",
+            F.concat(F.lit("g"), ((F.col("id_mcaid") + F.col("m")) % 3).cast("string")).alias(
+                "geo_hash_geocode"
+            ),
+            F.lit(1).alias("full_benefit"),
+            F.lit(1).alias("geo_kc"),
+        )
+    )
+    demo = c.select(
+        k.alias("id_mcaid"),
+        F.date_add(F.lit("1950-01-01").cast("date"), (k % 15000).cast("int")).alias("dob"),
+        F.when(k % 3 == 0, "Female")
+        .when(k % 3 == 1, "Male")
+        .otherwise("Unknown")
+        .alias("gender_recent"),
+        F.lit("NB").alias("gender_me"),
+        F.lit(0).alias("race_aian"),
+        F.lit(0).alias("race_asian"),
+        F.when(k % 2 == 0, 1).otherwise(0).alias("race_black"),
+        F.lit(0).alias("race_latino"),
+        F.lit(0).alias("race_nhpi"),
+        F.when(k % 3 == 0, 1).otherwise(0).alias("race_white"),
+        F.lit(0).alias("race_unk"),
+    )
+    geo_ref = spark.createDataFrame(
+        [("g0", "d1", "98055"), ("g1", "d2", "98101")],
+        "geo_hash_geocode string, geo_id20_kccdist string, geo_zip_clean string",
+    )
+    out = build_mcaid_demo_summary(month, demo, geo_ref, current_year=1996)
+    return out.select(
+        "year",
+        "measure",
+        "value",
+        F.col("pop").cast("long").alias("pop"),
+        F.col("total_pop").cast("long").alias("total_pop"),
+    )
+
+
+SQL_DEMO_SUMMARY = """
+WITH month AS (
+  SELECT c_custkey AS id, 1995 AS year,
+    'g' || CAST((c_custkey + m) % 3 AS VARCHAR) AS geo
+  FROM customer CROSS JOIN (SELECT UNNEST(generate_series(1, 12)) AS m)
+  WHERE c_custkey % 7 <> 0
+),
+modal AS (
+  SELECT id, year, geo FROM (
+    SELECT id, year, geo,
+      ROW_NUMBER() OVER (PARTITION BY id, year ORDER BY cnt DESC, geo) AS rn
+    FROM (SELECT id, year, geo, COUNT(*) AS cnt FROM month GROUP BY 1, 2, 3) f
+  ) r WHERE rn = 1
+),
+demo AS (
+  SELECT c_custkey AS id,
+    DATE '1950-01-01' + CAST(CAST(c_custkey % 15000 AS INT) AS BIGINT) * INTERVAL 1 DAY AS dob,
+    CASE WHEN c_custkey % 3 = 0 THEN 'Female'
+         WHEN c_custkey % 3 = 1 THEN 'Male' ELSE 'Unknown' END AS gender_recent,
+    'NB' AS gender_me,
+    CASE WHEN c_custkey % 2 = 0 THEN 1 ELSE 0 END AS race_black,
+    CASE WHEN c_custkey % 3 = 0 THEN 1 ELSE 0 END AS race_white
+  FROM customer
+),
+geo_ref(geo, kccdist, zip) AS (VALUES ('g0', 'd1', '98055'), ('g1', 'd2', '98101')),
+clients AS (
+  SELECT DISTINCT m.id, m.year,
+    CASE WHEN d.gender_recent = 'Unknown' THEN d.gender_me
+         ELSE d.gender_recent END AS gender,
+    CASE WHEN FLOOR(((1995 - year(d.dob)) * 12 + (7 - month(d.dob))) / 12) < 18 THEN '0-17'
+         WHEN FLOOR(((1995 - year(d.dob)) * 12 + (7 - month(d.dob))) / 12) BETWEEN 18 AND 24 THEN '18-24'
+         WHEN FLOOR(((1995 - year(d.dob)) * 12 + (7 - month(d.dob))) / 12) BETWEEN 25 AND 34 THEN '25-34'
+         WHEN FLOOR(((1995 - year(d.dob)) * 12 + (7 - month(d.dob))) / 12) BETWEEN 35 AND 44 THEN '35-44'
+         WHEN FLOOR(((1995 - year(d.dob)) * 12 + (7 - month(d.dob))) / 12) BETWEEN 45 AND 54 THEN '45-54'
+         WHEN FLOOR(((1995 - year(d.dob)) * 12 + (7 - month(d.dob))) / 12) BETWEEN 55 AND 64 THEN '55-64'
+         ELSE '65+' END AS age_group,
+    d.race_black, d.race_white, r.kccdist, r.zip
+  FROM (SELECT DISTINCT id, year FROM month) m
+  JOIN modal g USING (id, year)
+  JOIN demo d ON m.id = d.id
+  LEFT JOIN geo_ref r ON g.geo = r.geo
+  WHERE d.dob <= DATE '1995-12-31'
+),
+long AS (
+  SELECT DISTINCT id, year, measure, value FROM (
+    SELECT id, year, 'gender' AS measure, gender AS value FROM clients
+    UNION ALL
+    SELECT id, year, 'age_group', age_group FROM clients
+    UNION ALL
+    SELECT id, year, 'race_aic', 'black' FROM clients WHERE race_black = 1
+    UNION ALL
+    SELECT id, year, 'race_aic', 'white' FROM clients WHERE race_white = 1
+    UNION ALL
+    SELECT id, year, 'kccdist', kccdist FROM clients
+    UNION ALL
+    SELECT id, year, 'zip', zip FROM clients
+  ) u WHERE value IS NOT NULL AND value <> '0'
+)
+SELECT c.year, c.measure, c.value,
+  CAST(CASE WHEN c.raw_pop BETWEEN 1 AND 10 THEN 0 ELSE c.raw_pop END AS BIGINT) AS pop,
+  CAST(t.total_pop AS BIGINT) AS total_pop
+FROM (
+  SELECT year, measure, LOWER(value) AS value,
+    COUNT(DISTINCT id) AS raw_pop
+  FROM long GROUP BY 1, 2, 3
+) c JOIN (
+  SELECT year, measure, COUNT(DISTINCT id) AS total_pop
+  FROM long GROUP BY 1, 2
+) t ON c.year = t.year AND c.measure = t.measure
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the claims_elig-shaped coverage query (islands +
     clipping + coverage stats) on sf0.001."""
@@ -4707,6 +4837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "apcd_plr": q_apcd_plr,
         "apcd_elig_month": q_apcd_elig_month,
         "stage_mcaid_elig": q_stage_mcaid_elig,
+        "demo_summary": q_demo_summary,
         "housing_status": q_housing_status,
         "address_clean": q_address_clean,
         "spatial_pip": q_spatial_pip,
@@ -4858,6 +4989,7 @@ def oracle_sql() -> dict[str, str]:
         "apcd_plr": SQL_APCD_PLR,
         "apcd_elig_month": SQL_APCD_ELIG_MONTH,
         "stage_mcaid_elig": SQL_STAGE_MCAID_ELIG,
+        "demo_summary": SQL_DEMO_SUMMARY,
         "housing_status": SQL_HOUSING_STATUS,
         "address_clean": SQL_ADDRESS_CLEAN,
         "spatial_pip": SQL_SPATIAL_PIP,
