@@ -4810,6 +4810,45 @@ FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# Connected-components dedup clustering (engine extension): alternating
+# large-star/small-star over a chain-structured near-dup graph — chains
+# are the adversarial case for label propagation, so converging them
+# proves the multi-round algorithm, and the result is SQL-checkable via
+# DuckDB's recursive reachability closure
+# ---------------------------------------------------------------------------
+
+def q_dedup_clusters(spark, sf_dir):
+    from claims_data_spark.operators.graph import near_dup_clusters
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    pairs = docs.filter(F.col("doc_id") % 10 != 0).select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") - 1).alias("id_b"),
+    )
+    clustered = near_dup_clusters(docs, pairs)
+    return clustered.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )
+
+
+SQL_DEDUP_CLUSTERS = """
+WITH RECURSIVE edges AS (
+  SELECT doc_id AS a, doc_id - 1 AS b FROM documents WHERE doc_id % 10 <> 0
+  UNION ALL
+  SELECT doc_id - 1 AS a, doc_id AS b FROM documents WHERE doc_id % 10 <> 0
+),
+reach AS (
+  SELECT doc_id AS node, doc_id AS comp FROM documents
+  UNION
+  SELECT e.b AS node, r.comp FROM reach r JOIN edges e ON e.a = r.node
+)
+SELECT CAST(node AS BIGINT) AS doc_id, CAST(MIN(comp) AS BIGINT) AS cluster_id
+FROM reach GROUP BY node
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the claims_elig-shaped coverage query (islands +
     clipping + coverage stats) on sf0.001."""
@@ -4856,6 +4895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets": q_grouping_sets,
         "sketch_distinct_rollup": q_sketch_distinct,
         "ngram_jaccard": q_ngram_jaccard,
+        "dedup_clusters": q_dedup_clusters,
         # -- complex operator queries -------------------------------------
         "coverage_stats": q_coverage,
         "interval_resegment": q_resegment,
@@ -4972,6 +5012,7 @@ def oracle_sql() -> dict[str, str]:
         "grouping_sets": SQL_GROUPING_SETS,
         "json_props": SQL_JSON_PROPS,
         "ngram_jaccard": SQL_NGRAM_JACCARD,
+        "dedup_clusters": SQL_DEDUP_CLUSTERS,
         "ccw_two_claim": SQL_CCW_TWO_CLAIM,
         "ccw_combined": SQL_CCW_COMBINED,
         "apcd_ed_episode": SQL_APCD_ED_EPISODE,
