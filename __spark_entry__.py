@@ -4849,6 +4849,184 @@ FROM reach GROUP BY node
 """
 
 
+def q_comorb_scores(spark, sf_dir):
+    """Comorbidity engine end-to-end (load_ref.comorb_ref_tables.sql):
+    real Quan-2005 catalog expansion (543 prefix/range rules broadcast
+    against the dx set), one person-id shuffle with 43 conditional flag
+    aggs, weighted Charlson/Elixhauser/Gagne scores with supersession
+    (complicated-diabetes over uncomplicated, metastatic over solid
+    tumor). dx codes are synthesized from l_partkey onto ten real
+    ICD-10 codes so the published rule data drives the matching."""
+    from claims_data_spark.tables.comorb import (
+        build_comorb_scores,
+        build_comorb_value_set,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    codes = ["I500", "C341", "C780", "E1140", "E119",
+             "J449", "F329", "I10", "X000", "N184"]
+    code_col = F.element_at(
+        F.array(*[F.lit(c) for c in codes]),
+        (F.col("l_partkey") % 10 + 1).cast("int"),
+    )
+    ev = li.join(
+        o.select("o_orderkey", "o_custkey"),
+        li["l_orderkey"] == o["o_orderkey"],
+    ).select(
+        F.col("o_custkey").alias("id_mcaid"),
+        code_col.alias("dx"),
+        F.lit(10).alias("dx_ver"),
+    )
+    vs = build_comorb_value_set(spark, ev.select("dx", "dx_ver").distinct())
+    return build_comorb_scores(ev, vs).select(
+        "id_mcaid",
+        F.col("CHF").alias("chf"),
+        F.col("Metastatic").alias("metastatic"),
+        "elixhauser_score", "charlson_score", "gagne_score",
+    )
+
+
+# Oracle re-derivation: per-code condition/weight memberships looked up
+# from the published Quan tables (codes -> conditions verified against
+# claims_data_spark/tables/comorb_catalog.py):
+#   c=0 I500  CHF            elix 1 / charlson 1 / gagne 2
+#   c=1 C341  Tumor_El(e1) + Tumor_Ch(c2,g1)   superseded by Metastatic
+#   c=2 C780  Metastatic     e1 / c6 / g5
+#   c=3 E1140 DiabC_El(e1,g1) + DiabC_Ch(c2)
+#   c=4 E119  DiabU_El(e1,g0) + DiabU_Ch(c1)   superseded by DiabC
+#   c=5 J449  COPD           e1 / c1 / g1
+#   c=6 F329  Depression     e1 / g0
+#   c=7 I10   HypertU(e1) + HypertAny(g-1)
+#   c=8 X000  (no condition)
+#   c=9 N184  RenalFail_El(e1,g2) + RenalFail_Ch(c2)
+SQL_COMORB_SCORES = """
+WITH ev AS (
+  SELECT o.o_custkey AS id, l.l_partkey % 10 AS c
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), fl AS (
+  SELECT id,
+    MAX(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS f0,
+    MAX(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS f1,
+    MAX(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS f2,
+    MAX(CASE WHEN c = 3 THEN 1 ELSE 0 END) AS f3,
+    MAX(CASE WHEN c = 4 THEN 1 ELSE 0 END) AS f4,
+    MAX(CASE WHEN c = 5 THEN 1 ELSE 0 END) AS f5,
+    MAX(CASE WHEN c = 6 THEN 1 ELSE 0 END) AS f6,
+    MAX(CASE WHEN c = 7 THEN 1 ELSE 0 END) AS f7,
+    MAX(CASE WHEN c = 9 THEN 1 ELSE 0 END) AS f9
+  FROM ev GROUP BY id
+)
+SELECT id AS id_mcaid, f0 AS chf, f2 AS metastatic,
+  CAST(f0 + (CASE WHEN f1 = 1 AND f2 = 0 THEN 1 ELSE 0 END) + f2 + f3
+     + (CASE WHEN f4 = 1 AND f3 = 0 THEN 1 ELSE 0 END)
+     + f5 + f6 + f7 + f9 AS INT) AS elixhauser_score,
+  CAST(f0 + 2 * (CASE WHEN f1 = 1 AND f2 = 0 THEN 1 ELSE 0 END) + 6 * f2
+     + 2 * f3 + (CASE WHEN f4 = 1 AND f3 = 0 THEN 1 ELSE 0 END)
+     + f5 + 2 * f9 AS INT) AS charlson_score,
+  CAST(2 * f0 + (CASE WHEN f1 = 1 AND f2 = 0 THEN 1 ELSE 0 END) + 5 * f2
+     + f3 + f5 - f7 + 2 * f9 AS INT) AS gagne_score
+FROM fl
+WHERE f0 + f1 + f2 + f3 + f4 + f5 + f6 + f7 + f9 > 0
+"""
+
+
+def q_provider_master_rank(spark, sf_dir):
+    """Provider master assembly (load_ref.kc_provider_master.R): master
+    extract validated/deduped (flag 1) unioned with modal-ranked
+    per-claim provider attributes for new NPIs (flag 0). The engine
+    melts the three attribute families into one long pass — one scan +
+    three keyed exchanges instead of the reference's four rank scans
+    and five joins."""
+    from claims_data_spark.tables.provider import build_ref_kc_provider_master
+
+    s = _t(spark, sf_dir, "supplier")
+    ps = _t(spark, sf_dir, "lineitem")
+    pm = s.where(F.col("s_suppkey") % 4 == 0).select(
+        (F.lit(1000000000) + F.col("s_suppkey")).cast("long").alias("npi"),
+        (F.col("s_suppkey") % 2 + 1).cast("string").alias("entity_type"),
+        F.when(
+            F.col("s_suppkey") % 3 == 0,
+            F.lpad((F.col("s_suppkey") % 90000).cast("string"), 5, "0"),
+        ).otherwise(F.lit("981")).alias("zip_physical"),
+        F.when(F.col("s_suppkey") % 8 == 0, F.lit("-1"))
+        .otherwise(F.format_string("2%08dX", F.col("s_suppkey") % 100))
+        .alias("primary_taxonomy"),
+        F.format_string("1%08dX", F.col("s_suppkey") % 50).alias("secondary_taxonomy"),
+    )
+    prov = ps.select(
+        F.when(F.col("l_partkey") % 11 == 0, F.lit(999))
+        .otherwise(F.lit(1000000000) + F.col("l_suppkey"))
+        .cast("long")
+        .alias("orig_npi"),
+        (F.col("l_partkey") % 3).cast("string").alias("entity_type"),
+        F.when(F.col("l_partkey") % 5 == 0, F.lit("9810"))
+        .otherwise(F.lpad((F.col("l_partkey") % 100000).cast("string"), 5, "0"))
+        .alias("zip"),
+        F.when(F.col("l_partkey") % 7 == 0, F.lit("shrt"))
+        .otherwise(F.format_string("2%08dX", F.col("l_partkey") % 9))
+        .alias("primary_specialty_code"),
+    )
+    out = build_ref_kc_provider_master(pm, prov)
+    return out.select(
+        "npi", "entity_type", "geo_zip_practice",
+        "primary_taxonomy", "secondary_taxonomy",
+        F.col("apcd_provider_master_flag").alias("master_flag"),
+    )
+
+
+SQL_PROVIDER_MASTER_RANK = """
+WITH pm AS (
+  SELECT DISTINCT CAST(1000000000 + s_suppkey AS BIGINT) AS npi,
+    CAST(s_suppkey % 2 + 1 AS VARCHAR) AS entity_type,
+    CASE WHEN s_suppkey % 3 = 0
+         THEN lpad(CAST(s_suppkey % 90000 AS VARCHAR), 5, '0') END AS geo_zip_practice,
+    CASE WHEN s_suppkey % 8 = 0 THEN NULL
+         ELSE printf('2%08dX', s_suppkey % 100) END AS primary_taxonomy,
+    printf('1%08dX', s_suppkey % 50) AS secondary_taxonomy
+  FROM supplier WHERE s_suppkey % 4 = 0
+), prov AS (
+  SELECT CAST(1000000000 + l_suppkey AS BIGINT) AS npi,
+    CAST(l_partkey % 3 AS VARCHAR) AS entity_type,
+    CASE WHEN l_partkey % 5 = 0 THEN NULL
+         ELSE lpad(CAST(l_partkey % 100000 AS VARCHAR), 5, '0') END AS zip,
+    CASE WHEN l_partkey % 7 = 0 THEN NULL
+         ELSE printf('2%08dX', l_partkey % 9) END AS tax
+  FROM lineitem WHERE l_partkey % 11 <> 0
+), long AS (
+  SELECT npi, 'e' AS attr, entity_type AS v FROM prov
+  UNION ALL SELECT npi, 'z', zip FROM prov
+  UNION ALL SELECT npi, 't', tax FROM prov
+), cnt AS (
+  SELECT npi, attr, v, COUNT(*) AS n FROM long
+  WHERE v IS NOT NULL GROUP BY npi, attr, v
+), rnk AS (
+  SELECT npi, attr, v,
+    CASE WHEN attr = 'e'
+      THEN row_number() OVER (PARTITION BY npi, attr ORDER BY n DESC, v DESC)
+      ELSE row_number() OVER (PARTITION BY npi, attr ORDER BY n DESC, v ASC)
+    END AS rn
+  FROM cnt
+), picks AS (
+  SELECT s.npi,
+    MAX(CASE WHEN attr = 'e' AND rn = 1 THEN v END) AS entity_type,
+    MAX(CASE WHEN attr = 'z' AND rn = 1 THEN v END) AS geo_zip_practice,
+    MAX(CASE WHEN attr = 't' AND rn = 1 THEN v END) AS primary_taxonomy,
+    MAX(CASE WHEN attr = 't' AND rn = 2 THEN v END) AS secondary_taxonomy
+  FROM (SELECT DISTINCT npi FROM prov) s
+  LEFT JOIN rnk ON s.npi = rnk.npi
+  GROUP BY s.npi
+)
+SELECT npi, entity_type, geo_zip_practice, primary_taxonomy,
+       secondary_taxonomy, 1 AS master_flag
+FROM pm
+UNION ALL
+SELECT p.npi, p.entity_type, p.geo_zip_practice, p.primary_taxonomy,
+       p.secondary_taxonomy, 0 AS master_flag
+FROM picks p WHERE p.npi NOT IN (SELECT npi FROM pm)
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the claims_elig-shaped coverage query (islands +
     clipping + coverage stats) on sf0.001."""
@@ -4877,6 +5055,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "apcd_elig_month": q_apcd_elig_month,
         "stage_mcaid_elig": q_stage_mcaid_elig,
         "demo_summary": q_demo_summary,
+        "comorb_scores": q_comorb_scores,
+        "provider_master_rank": q_provider_master_rank,
         "housing_status": q_housing_status,
         "address_clean": q_address_clean,
         "spatial_pip": q_spatial_pip,
@@ -5031,6 +5211,8 @@ def oracle_sql() -> dict[str, str]:
         "apcd_elig_month": SQL_APCD_ELIG_MONTH,
         "stage_mcaid_elig": SQL_STAGE_MCAID_ELIG,
         "demo_summary": SQL_DEMO_SUMMARY,
+        "comorb_scores": SQL_COMORB_SCORES,
+        "provider_master_rank": SQL_PROVIDER_MASTER_RANK,
         "housing_status": SQL_HOUSING_STATUS,
         "address_clean": SQL_ADDRESS_CLEAN,
         "spatial_pip": SQL_SPATIAL_PIP,

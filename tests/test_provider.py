@@ -1,0 +1,130 @@
+"""Provider master ranking (ref: load_ref.kc_provider_master.R)."""
+from __future__ import annotations
+
+from claims_data_spark.tables.provider import (
+    build_apcd_claim_provider,
+    build_ref_kc_provider_master,
+    qa_provider_master,
+)
+
+
+def _frames(spark):
+    pm = spark.createDataFrame(
+        [
+            # valid master row
+            (1000000001, "1", "98101", "207Q00000X", "208D00000X"),
+            # invalid zip (4 chars), sentinel taxonomy
+            (1000000002, "2", "9810", "-1", "208D00000X"),
+            # duplicate raw rows collapse via distinct
+            (1000000001, "1", "98101", "207Q00000X", "208D00000X"),
+        ],
+        "npi long, entity_type string, zip_physical string, "
+        "primary_taxonomy string, secondary_taxonomy string",
+    )
+    prov = spark.createDataFrame(
+        [
+            # npi already in master -> excluded from ranked set
+            (1000000001, "1", "98101", "207Q00000X"),
+            # new npi: entity 2 appears twice, 1 once -> modal 2
+            (1000000003, "2", "98105", "208D00000X"),
+            (1000000003, "2", "98105", "208D00000X"),
+            (1000000003, "1", "98109", "207Q00000X"),
+            # taxonomy tie at count 1 between 207Q/208D after the two
+            # 208D rows -> primary 208D (count 2), secondary 207Q
+            # invalid npi (9 digits) dropped
+            (999999999, "1", "98101", "207Q00000X"),
+            # invalid zip/taxonomy lengths -> null, ignored by ranking
+            (1000000004, "1", "981", "short"),
+        ],
+        "orig_npi long, entity_type string, zip string, primary_specialty_code string",
+    )
+    return pm, prov
+
+
+def test_provider_master_assembly(spark):
+    pm, prov = _frames(spark)
+    out = build_ref_kc_provider_master(pm, prov)
+    rows = {r.npi: r for r in out.collect()}
+    # master rows deduped, flag 1, validation applied
+    assert rows[1000000001].apcd_provider_master_flag == 1
+    assert rows[1000000002].geo_zip_practice is None
+    assert rows[1000000002].primary_taxonomy is None
+    # ranked new npi: modal entity 2, modal zip 98105, taxonomy 1/2
+    r3 = rows[1000000003]
+    assert r3.apcd_provider_master_flag == 0
+    assert r3.entity_type == "2"
+    assert r3.geo_zip_practice == "98105"
+    assert r3.primary_taxonomy == "208D00000X"
+    assert r3.secondary_taxonomy == "207Q00000X"
+    # npi with only invalid attrs still present, all-null attrs
+    r4 = rows[1000000004]
+    assert r4.entity_type == "1" and r4.geo_zip_practice is None
+    # invalid npi dropped entirely
+    assert 999999999 not in rows
+    # every npi exactly once
+    assert out.count() == len(rows) == 4
+
+
+def test_provider_master_entity_tiebreak_desc(spark):
+    pm = spark.createDataFrame(
+        [], "npi long, entity_type string, zip_physical string, "
+        "primary_taxonomy string, secondary_taxonomy string"
+    )
+    prov = spark.createDataFrame(
+        [
+            (1000000007, "1", None, None),
+            (1000000007, "2", None, None),
+        ],
+        "orig_npi long, entity_type string, zip string, primary_specialty_code string",
+    )
+    out = build_ref_kc_provider_master(pm, prov).first()
+    # tie on count -> entity_type DESC picks '2' (ref :47)
+    assert out.entity_type == "2"
+
+
+def test_all_null_attr_npi_survives(spark):
+    pm = spark.createDataFrame(
+        [], "npi long, entity_type string, zip_physical string, "
+        "primary_taxonomy string, secondary_taxonomy string"
+    )
+    prov = spark.createDataFrame(
+        [
+            # valid npi, every attribute invalid -> row survives with nulls
+            (1000000009, None, "98", "x"),
+            # null value must not beat a real one on count
+            (1000000010, None, "98105", None),
+            (1000000010, None, None, None),
+            (1000000010, "1", None, None),
+        ],
+        "orig_npi long, entity_type string, zip string, primary_specialty_code string",
+    )
+    out = build_ref_kc_provider_master(pm, prov)
+    rows = {r.npi: r for r in out.collect()}
+    r9 = rows[1000000009]
+    assert r9.entity_type is None and r9.geo_zip_practice is None
+    assert r9.primary_taxonomy is None and r9.secondary_taxonomy is None
+    r10 = rows[1000000010]
+    # single real entity '1' wins over two null rows; real zip wins
+    assert r10.entity_type == "1" and r10.geo_zip_practice == "98105"
+    assert r10.primary_taxonomy is None
+
+
+def test_qa_gates(spark):
+    pm, prov = _frames(spark)
+    out = build_ref_kc_provider_master(pm, prov)
+    qa = qa_provider_master(out)
+    assert qa["dup_npi"] == 0 and qa["bad_npi"] == 0
+    assert qa["bad_tax"] == 0 and qa["bad_zip"] == 0
+
+
+def test_claim_provider_projection(spark):
+    raw = spark.createDataFrame(
+        [(11, 501, "2020-01-02", "2020-01-05", 9001, "X9001", "attending")],
+        "internal_member_id long, medical_claim_header_id long, "
+        "first_service_dt string, last_service_dt string, "
+        "provider_id_apcd long, provider_id_raw_apcd string, provider_type string",
+    )
+    out = build_apcd_claim_provider(raw).first()
+    assert out.id_apcd == 11 and out.claim_header_id == 501
+    assert str(out.first_service_date) == "2020-01-02"
+    assert out.provider_type == "attending"
