@@ -283,11 +283,10 @@ def build_apcd_claim_header(
     if pc is not None:
         out = out.join(pc, "claim_header_id", "left")
     else:
-        out = (
-            out.withColumn("pc_procedure_temp", F.lit(None).cast("int"))
-            .withColumn("pc_zcode_temp", F.lit(None).cast("int"))
-            .withColumn("pc_taxonomy_temp", F.lit(None).cast("int"))
-        )
+        out = out.withColumns({
+            c: F.lit(None).cast("int")
+            for c in ("pc_procedure_temp", "pc_zcode_temp", "pc_taxonomy_temp")
+        })
 
     if ref_xwalk is not None:
         xw = ref_xwalk
@@ -330,69 +329,55 @@ def build_apcd_claim_header(
 
     z = lambda c: F.coalesce(F.col(c), F.lit(0))  # noqa: E731
     kc = F.col("claim_type_id")
-    out = (
-        out.withColumn(
-            "ed_perform",
-            ((F.col("ed_perform_temp") == 1) & (kc == 4)).cast("int"),
-        )
+    # ONE withColumns call, not six chained withColumn: every DataFrame
+    # transformation runs eager analysis over the (already deep)
+    # assembled plan, so a chain here costs O(chain * plan-size) driver
+    # time before the first task launches — measurable seconds at this
+    # plan depth.
+    out = out.withColumns({
+        "ed_perform": ((F.col("ed_perform_temp") == 1) & (kc == 4)).cast("int"),
         # Yale ED definition (``:432-444``)
-        .withColumn(
-            "ed_yale_carrier",
-            (
-                (kc == 5)
-                & (
-                    ((z("ed_procedure_code_temp") == 1) & (z("ed_pos_temp") == 1))
-                    | (z("ed_revenue_code_temp") == 1)
-                )
-            ).cast("int"),
-        )
-        .withColumn(
-            "ed_yale_opt",
-            (
-                (kc == 4)
-                & (
-                    (z("ed_revenue_code_temp") == 1)
-                    | (z("ed_pos_temp") == 1)
-                    | (z("ed_procedure_code_temp") == 1)
-                )
-            ).cast("int"),
-        )
-        .withColumn(
-            "ed_yale_ipt",
-            (
-                (kc == 1)
-                & (
-                    (z("ed_revenue_code_temp") == 1)
-                    | (z("ed_pos_temp") == 1)
-                    | (z("ed_procedure_code_temp") == 1)
-                )
-            ).cast("int"),
-        )
+        "ed_yale_carrier": (
+            (kc == 5)
+            & (
+                ((z("ed_procedure_code_temp") == 1) & (z("ed_pos_temp") == 1))
+                | (z("ed_revenue_code_temp") == 1)
+            )
+        ).cast("int"),
+        "ed_yale_opt": (
+            (kc == 4)
+            & (
+                (z("ed_revenue_code_temp") == 1)
+                | (z("ed_pos_temp") == 1)
+                | (z("ed_procedure_code_temp") == 1)
+            )
+        ).cast("int"),
+        "ed_yale_ipt": (
+            (kc == 1)
+            & (
+                (z("ed_revenue_code_temp") == 1)
+                | (z("ed_pos_temp") == 1)
+                | (z("ed_procedure_code_temp") == 1)
+            )
+        ).cast("int"),
         # inpatient stay (``:125-129``)
-        .withColumn(
-            "inpatient",
-            (
-                (F.col("_ct") == "1") & (F.col("_ts") == "1")
-                & (F.col("_ps") == "1")
-                & F.col("claim_status_id").isin(*PRIMARY_SECONDARY_STATUS)
-                & F.col("discharge_date").isNotNull()
-            ).cast("int"),
-        )
+        "inpatient": (
+            (F.col("_ct") == "1") & (F.col("_ts") == "1")
+            & (F.col("_ps") == "1")
+            & F.col("claim_status_id").isin(*PRIMARY_SECONDARY_STATUS)
+            & F.col("discharge_date").isNotNull()
+        ).cast("int"),
         # Oregon primary-care visit (``:448-455``)
-        .withColumn(
-            "pc_visit",
-            (
-                ((z("pc_procedure_temp") == 1) | (z("pc_zcode_temp") == 1))
-                & (z("pc_taxonomy_temp") == 1)
-                & ~F.coalesce(
-                    F.col("claim_type_apcd_id").isin(*PC_EXCLUDED_SETTINGS),
-                    F.lit(False),
-                )
-                & F.col("claim_status_id").isin(*PRIMARY_SECONDARY_STATUS)
-            ).cast("int"),
-        )
-        .drop("_ct", "_ts", "_ps")
-    )
+        "pc_visit": (
+            ((z("pc_procedure_temp") == 1) | (z("pc_zcode_temp") == 1))
+            & (z("pc_taxonomy_temp") == 1)
+            & ~F.coalesce(
+                F.col("claim_type_apcd_id").isin(*PC_EXCLUDED_SETTINGS),
+                F.lit(False),
+            )
+            & F.col("claim_status_id").isin(*PRIMARY_SECONDARY_STATUS)
+        ).cast("int"),
+    }).drop("_ct", "_ts", "_ps")
 
     # STEP 8: BH flags (``:586-600``)
     if ref_icdcm is not None and "mh_any" in ref_icdcm.columns:
@@ -414,17 +399,19 @@ def build_apcd_claim_header(
                 F.max(F.col("sud_any")).alias("sud_any"),
             )
         )
-        out = out.join(bh, "claim_header_id", "left")
-        for c in ("mh_primary", "mh_any", "sud_primary", "sud_any"):
-            out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0)))
+        out = out.join(bh, "claim_header_id", "left").withColumns({
+            c: F.coalesce(F.col(c), F.lit(0))
+            for c in ("mh_primary", "mh_any", "sud_primary", "sud_any")
+        })
 
     # STEP 9: injury nature/cause surveillance columns
     if ref_icdcm is not None and "intent" in ref_icdcm.columns:
         out = out.join(
             apcd_injury_flags(icdcm, ref_icdcm), "claim_header_id", "left"
-        )
-        for c in ("injury_nature_narrow", "injury_nature_broad"):
-            out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0)))
+        ).withColumns({
+            c: F.coalesce(F.col(c), F.lit(0))
+            for c in ("injury_nature_narrow", "injury_nature_broad")
+        })
 
     # STEP 7 + 10: utilization event ids via scalable dense ranking.
     # The assembled frame feeds FOUR dense-id subqueries plus the final

@@ -357,15 +357,15 @@ def build_mcaid_mcare_claim_header(
                 cond = cond | p
             return cond
 
-        d = (
-            d.withColumn("_was_ed", has("ed_pophealth_id", "ed_flag"))
-            .withColumn("_was_ed_perform", has("ed_perform_id", "_none"))
-            .withColumn("_was_ipt", has("inpatient_id", "inpatient_flag"))
-            .withColumn("_was_pc", has("pc_visit_id", "pc_visit_flag"))
-        )
-        for c in _COMBINED_COLS:
-            if c not in d.columns:
-                d = d.withColumn(c, F.lit(None))
+        # one withColumns pass (eager per-transformation analysis makes
+        # chained withColumn O(chain * plan-size) driver time)
+        d = d.withColumns({
+            "_was_ed": has("ed_pophealth_id", "ed_flag"),
+            "_was_ed_perform": has("ed_perform_id", "_none"),
+            "_was_ipt": has("inpatient_id", "inpatient_flag"),
+            "_was_pc": has("pc_visit_id", "pc_visit_flag"),
+            **{c: F.lit(None) for c in _COMBINED_COLS if c not in d.columns},
+        })
         return d.select(
             *_COMBINED_COLS, "_was_ed", "_was_ed_perform", "_was_ipt", "_was_pc"
         )
