@@ -418,7 +418,7 @@ def build_apcd_claim_header(
     # result; persist it once so the join/window upstream is computed
     # once, not per event-id (callers can pass cache_registry and
     # unpersist after materializing — see dense_id.py's contract).
-    from claims_data_spark.operators.dense_id import dense_global_ids_by_tag
+    from claims_data_spark.operators.dense_id import dense_ids_inline_by_tag
     from claims_data_spark.operators.episodes import within_person_episodes
 
     out = out.persist()
@@ -479,19 +479,20 @@ def build_apcd_claim_header(
         .select("_tag", "claim_header_id", "id_apcd", "first_service_date")
         .unionByName(ep_claims)
     )
-    # truncate_lineage=False: this builder's plan is bounded (no
-    # further dense-id chaining on top), so the fully-lazy persist form
-    # avoids the build-time sampling cascade entirely — zero jobs
-    # until the caller's first action
-    mapping = dense_global_ids_by_tag(
+    # inline ranking: ids are attached straight to the tagged claim
+    # rows (one range exchange + one tiny count agg) instead of the
+    # distinct-keys mapping + join-back form — two fewer big shuffles
+    # and no second pass over the tagged frame (see
+    # dense_ids_inline_by_tag); the claim-event key grain is within a
+    # small factor of the claim count, which is exactly when inline
+    # wins
+    with_ids = dense_ids_inline_by_tag(
         tagged, "_tag", ["id_apcd", "first_service_date"],
         out_col="_event_id", cache_registry=cache_registry,
-        truncate_lineage=False,
     )
     all_specs = event_specs + [("ed_pophealth", "ed_pophealth_id")]
     per_claim = (
-        tagged.join(mapping, ["_tag", "id_apcd", "first_service_date"])
-        .groupBy("claim_header_id")
+        with_ids.groupBy("claim_header_id")
         .agg(*[
             F.max(
                 F.when(F.col("_tag") == flag_col, F.col("_event_id"))

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from claims_data_spark.functions.strings import tsql_like
 from claims_data_spark.operators.episodes import within_person_episodes
-from claims_data_spark.operators.dense_id import dense_global_ids_by_tag
+from claims_data_spark.operators.dense_id import dense_ids_inline_by_tag
 from claims_data_spark.plans.prefix_join import prefix_join
 
 ED_REV_PATTERN = "045[01269]"      # load_stage.mcaid_claim_header.R:242
@@ -285,12 +285,11 @@ def build_claim_header(
             F.unix_date("first_service_date").cast("long").alias("_d"),
         )
     )
-    mapping = dense_global_ids_by_tag(
+    with_ids = dense_ids_inline_by_tag(
         tagged, "_tag", ["id_mcaid", "_d"], out_col="_eid"
     )
     per_claim = (
-        tagged.join(mapping, ["_tag", "id_mcaid", "_d"])
-        .groupBy("claim_header_id")
+        with_ids.groupBy("claim_header_id")
         .agg(
             F.max(
                 F.when(F.col("_tag") == "ed_pophealth", F.col("_eid"))

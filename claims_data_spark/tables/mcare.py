@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from claims_data_spark.operators.dense_id import dense_global_ids_by_tag
+from claims_data_spark.operators.dense_id import dense_ids_inline_by_tag
 from claims_data_spark.operators.episodes import within_person_episodes
 
 # ED definitions (load_stage.mcare_claim_header.R:379-399): the RDA
@@ -289,12 +289,14 @@ def build_mcare_claim_header(
     out_cols = [(f, c) for f, c, _ in event_specs] + [
         ("ed_pophealth", "ed_pophealth_id")
     ]
-    mapping = dense_global_ids_by_tag(
+    # inline ranking: ids attach directly to the tagged rows (one range
+    # exchange + tiny count agg) — no distinct-keys mapping, no
+    # join-back (dense_ids_inline_by_tag)
+    with_ids = dense_ids_inline_by_tag(
         tagged, "_tag", ["id_mcare", "_d"], out_col="_event_id"
     )
     per_claim = (
-        tagged.join(mapping, ["_tag", "id_mcare", "_d"])
-        .groupBy("claim_header_id")
+        with_ids.groupBy("claim_header_id")
         .agg(*[
             F.max(
                 F.when(F.col("_tag") == flag_col, F.col("_event_id"))
@@ -432,12 +434,11 @@ def build_mcaid_mcare_claim_header(
     out_cols = [(f, c) for f, c, _ in remint_specs] + [
         ("ed_pophealth", "ed_pophealth_id")
     ]
-    mapping = dense_global_ids_by_tag(
+    with_ids = dense_ids_inline_by_tag(
         tagged, "_tag", ["id_apde", "_d"], out_col="_event_id"
     )
     per_claim = (
-        tagged.join(mapping, ["_tag", "id_apde", "_d"])
-        .groupBy("source_desc", "claim_header_id")
+        with_ids.groupBy("source_desc", "claim_header_id")
         .agg(*[
             F.max(
                 F.when(F.col("_tag") == flag, F.col("_event_id"))
