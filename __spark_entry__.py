@@ -5027,6 +5027,45 @@ FROM picks p WHERE p.npi NOT IN (SELECT npi FROM pm)
 """
 
 
+def q_ndc_normalize(spark, sf_dir):
+    """FDA NDC 10->11 digit billing normalization
+    (load_ref.ndc_codes.R:79-87): dashed 4-4-2 / 5-3-2 / 5-4-1 package
+    codes pad the labeler / product / package segment respectively;
+    unknown layouts null out. Pure string expressions in whole-stage
+    codegen — usable directly on claim pharmacy facts."""
+    from claims_data_spark.tables.pharmacy import normalize_ndc_11
+
+    p = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    code = (
+        F.when(k % 4 == 0, F.format_string("%04d-%04d-%02d", (k % 10000).cast("int"), (k % 9973).cast("int"), (k % 100).cast("int")))
+        .when(k % 4 == 1, F.format_string("%05d-%03d-%02d", (k % 100000).cast("int"), (k % 997).cast("int"), (k % 100).cast("int")))
+        .when(k % 4 == 2, F.format_string("%05d-%04d-%01d", (k % 100000).cast("int"), (k % 9973).cast("int"), (k % 10).cast("int")))
+        .otherwise(F.lit("bad-code"))
+    )
+    return p.select(
+        F.col("p_partkey").alias("part_id"),
+        code.alias("ndc_package_code"),
+        normalize_ndc_11(code).alias("ndc"),
+    )
+
+
+SQL_NDC_NORMALIZE = """
+SELECT p_partkey AS part_id,
+  CASE CAST(p_partkey % 4 AS INT)
+    WHEN 0 THEN printf('%04d-%04d-%02d', CAST(p_partkey % 10000 AS INT), CAST(p_partkey % 9973 AS INT), CAST(p_partkey % 100 AS INT))
+    WHEN 1 THEN printf('%05d-%03d-%02d', CAST(p_partkey % 100000 AS INT), CAST(p_partkey % 997 AS INT), CAST(p_partkey % 100 AS INT))
+    WHEN 2 THEN printf('%05d-%04d-%01d', CAST(p_partkey % 100000 AS INT), CAST(p_partkey % 9973 AS INT), CAST(p_partkey % 10 AS INT))
+    ELSE 'bad-code' END AS ndc_package_code,
+  CASE CAST(p_partkey % 4 AS INT)
+    WHEN 0 THEN printf('0%04d%04d%02d', CAST(p_partkey % 10000 AS INT), CAST(p_partkey % 9973 AS INT), CAST(p_partkey % 100 AS INT))
+    WHEN 1 THEN printf('%05d0%03d%02d', CAST(p_partkey % 100000 AS INT), CAST(p_partkey % 997 AS INT), CAST(p_partkey % 100 AS INT))
+    WHEN 2 THEN printf('%05d%04d0%01d', CAST(p_partkey % 100000 AS INT), CAST(p_partkey % 9973 AS INT), CAST(p_partkey % 10 AS INT))
+    ELSE NULL END AS ndc
+FROM part
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the claims_elig-shaped coverage query (islands +
     clipping + coverage stats) on sf0.001."""
@@ -5057,6 +5096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "demo_summary": q_demo_summary,
         "comorb_scores": q_comorb_scores,
         "provider_master_rank": q_provider_master_rank,
+        "ndc_normalize": q_ndc_normalize,
         "housing_status": q_housing_status,
         "address_clean": q_address_clean,
         "spatial_pip": q_spatial_pip,
@@ -5213,6 +5253,7 @@ def oracle_sql() -> dict[str, str]:
         "demo_summary": SQL_DEMO_SUMMARY,
         "comorb_scores": SQL_COMORB_SCORES,
         "provider_master_rank": SQL_PROVIDER_MASTER_RANK,
+        "ndc_normalize": SQL_NDC_NORMALIZE,
         "housing_status": SQL_HOUSING_STATUS,
         "address_clean": SQL_ADDRESS_CLEAN,
         "spatial_pip": SQL_SPATIAL_PIP,
