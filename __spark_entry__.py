@@ -5066,6 +5066,116 @@ FROM part
 """
 
 
+def q_combined_claim_children(spark, sf_dir):
+    """Combined-layer claim children
+    (load_stage.mcaid_mcare_claim_icdcm_header.R:23-63): each source's
+    final icdcm_header routes through the person crosswalk to id_apde
+    (left join — unmatched ids survive with NULL), one-sided columns
+    null-fill (mcaid has no filetype_mcare), claim ids cast to string,
+    and the union dedups once. Orders split by parity into the two
+    sources; every 10th customer is absent from the xwalk."""
+    from claims_data_spark.tables.mcare import (
+        build_mcaid_mcare_claim_icdcm_header,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    c = _t(spark, sf_dir, "customer")
+    xwalk = c.filter(F.col("c_custkey") % 10 != 0).select(
+        F.format_string("A%09d", F.col("c_custkey")).alias("id_apde"),
+        F.col("c_custkey").alias("id_mcaid"),
+        F.format_string("BENE%07d", F.col("c_custkey")).alias("id_mcare"),
+    )
+    fact = li.join(
+        o.select("o_orderkey", "o_custkey", "o_orderdate"),
+        li["l_orderkey"] == o["o_orderkey"],
+    ).select(
+        "o_orderkey", "o_custkey",
+        F.col("o_orderdate").cast("date").alias("first_service_date"),
+        F.col("o_orderdate").cast("date").alias("last_service_date"),
+        F.format_string("C%03d", F.col("l_partkey") % 60).alias("icdcm_raw"),
+        F.format_string("C%03d", F.col("l_partkey") % 60).alias("icdcm_norm"),
+        (F.when(F.col("l_partkey") % 2 == 0, 10).otherwise(9))
+        .cast("int").alias("icdcm_version"),
+        F.lpad(F.col("l_linenumber").cast("string"), 2, "0")
+        .alias("icdcm_number"),
+        (F.col("l_suppkey") % 3).alias("_ft"),
+    )
+    mcaid_icdcm = fact.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_custkey").alias("id_mcaid"),
+        F.col("o_orderkey").alias("claim_header_id"),
+        "first_service_date", "last_service_date", "icdcm_raw",
+        "icdcm_norm", "icdcm_version", "icdcm_number",
+    )
+    mcare_icdcm = fact.filter(F.col("o_orderkey") % 2 == 1).select(
+        F.format_string("BENE%07d", F.col("o_custkey")).alias("id_mcare"),
+        F.format_string("X%d", F.col("o_orderkey")).alias("claim_header_id"),
+        "first_service_date", "last_service_date", "icdcm_raw",
+        "icdcm_norm", "icdcm_version", "icdcm_number",
+        F.element_at(
+            F.array(F.lit("carrier"), F.lit("inpatient"),
+                    F.lit("outpatient")),
+            (F.col("_ft") + 1).cast("int"),
+        ).alias("filetype_mcare"),
+    )
+    combined = build_mcaid_mcare_claim_icdcm_header(
+        mcaid_icdcm, mcare_icdcm, xwalk
+    )
+    return (
+        combined.groupBy("source_desc", "filetype_mcare", "icdcm_version")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("id_apde").alias("n_persons"),
+            F.sum(F.when(F.col("id_apde").isNull(), 1).otherwise(0))
+            .alias("n_unlinked"),
+            F.countDistinct("claim_header_id").alias("n_claims"),
+            F.min("icdcm_norm").alias("min_code"),
+            F.max("icdcm_norm").alias("max_code"),
+        )
+    )
+
+
+SQL_COMBINED_CLAIM_CHILDREN = """
+WITH xwalk AS (
+  SELECT printf('A%09d', c_custkey) AS id_apde, c_custkey
+  FROM customer WHERE c_custkey % 10 <> 0
+), fact AS (
+  SELECT o.o_orderkey, o.o_custkey,
+         CAST(o.o_orderdate AS DATE) AS first_service_date,
+         printf('C%03d', l.l_partkey % 60) AS icdcm_norm,
+         CASE WHEN l.l_partkey % 2 = 0 THEN 10 ELSE 9 END AS icdcm_version,
+         lpad(CAST(l.l_linenumber AS VARCHAR), 2, '0') AS icdcm_number,
+         l.l_suppkey % 3 AS ft
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), unioned AS (
+  SELECT DISTINCT x.id_apde, 'mcaid' AS source_desc,
+         CAST(f.o_orderkey AS VARCHAR) AS claim_header_id,
+         f.first_service_date, f.icdcm_norm, f.icdcm_version,
+         f.icdcm_number, CAST(NULL AS VARCHAR) AS filetype_mcare
+  FROM fact f LEFT JOIN xwalk x ON f.o_custkey = x.c_custkey
+  WHERE f.o_orderkey % 2 = 0
+  UNION
+  SELECT DISTINCT x.id_apde, 'mcare' AS source_desc,
+         printf('X%d', f.o_orderkey) AS claim_header_id,
+         f.first_service_date, f.icdcm_norm, f.icdcm_version,
+         f.icdcm_number,
+         CASE f.ft WHEN 0 THEN 'carrier' WHEN 1 THEN 'inpatient'
+                   ELSE 'outpatient' END AS filetype_mcare
+  FROM fact f LEFT JOIN xwalk x ON f.o_custkey = x.c_custkey
+  WHERE f.o_orderkey % 2 = 1
+)
+SELECT source_desc, filetype_mcare, icdcm_version,
+       COUNT(*) AS n_rows,
+       COUNT(DISTINCT id_apde) AS n_persons,
+       SUM(CASE WHEN id_apde IS NULL THEN 1 ELSE 0 END) AS n_unlinked,
+       COUNT(DISTINCT claim_header_id) AS n_claims,
+       MIN(icdcm_norm) AS min_code,
+       MAX(icdcm_norm) AS max_code
+FROM unioned
+GROUP BY source_desc, filetype_mcare, icdcm_version
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the claims_elig-shaped coverage query (islands +
     clipping + coverage stats) on sf0.001."""
@@ -5081,6 +5191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- claims-pipeline & measure flagships --------------------------
         "ccw_two_claim": q_ccw_two_claim,
         "ccw_combined": q_ccw_combined,
+        "combined_claim_children": q_combined_claim_children,
         "apcd_ed_episode": q_apcd_ed_episode,
         "fuh_followup": q_fuh_followup,
         "pcr_readmission": q_pcr_readmission,
@@ -5235,6 +5346,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": SQL_DEDUP_CLUSTERS,
         "ccw_two_claim": SQL_CCW_TWO_CLAIM,
         "ccw_combined": SQL_CCW_COMBINED,
+        "combined_claim_children": SQL_COMBINED_CLAIM_CHILDREN,
         "apcd_ed_episode": SQL_APCD_ED_EPISODE,
         "fuh_followup": SQL_FUH_FOLLOWUP,
         "pcr_readmission": SQL_PCR_READMISSION,

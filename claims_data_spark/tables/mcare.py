@@ -513,6 +513,90 @@ def build_mcaid_mcare_union(
     return a.unionByName(b).distinct()
 
 
+# Pinned combined-layer child surfaces. The reference inserts into a
+# fixed table shell, so column ORDER and presence are part of the
+# contract even when one source null-fills a column.
+_COMBINED_ICDCM_COLS = [
+    "id_apde", "source_desc", "claim_header_id",
+    "first_service_date", "last_service_date",
+    "icdcm_raw", "icdcm_norm", "icdcm_version", "icdcm_number",
+    "filetype_mcare",
+]
+
+_COMBINED_PROC_COLS = [
+    "id_apde", "source_desc", "claim_header_id",
+    "first_service_date", "last_service_date",
+    "procedure_code", "procedure_code_number", "modifier_code",
+    "filetype_mcare",
+]
+
+
+def build_mcaid_mcare_claim_icdcm_header(
+    mcaid_icdcm: DataFrame,
+    mcare_icdcm: DataFrame,
+    xwalk: DataFrame,
+) -> DataFrame:
+    """Combined-layer diagnosis table
+    (``load_stage.mcaid_mcare_claim_icdcm_header.R:23-63``): union of
+    the two final icdcm_header tables keyed to ``id_apde`` via the
+    person crosswalk. mcaid claim ids cast to string (mcare's are
+    alphanumeric, ``:30``), ``icdcm_number`` cast to string on both
+    sides (the reference resolves a collation conflict the same way,
+    ``:55``), ``filetype_mcare`` null for the Medicaid side (``:38``).
+    One broadcast xwalk join per side + one union-distinct shuffle.
+    """
+    def _num_str(df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "icdcm_number", F.col("icdcm_number").cast("string")
+        )
+
+    out = build_mcaid_mcare_union(
+        _num_str(mcaid_icdcm), _num_str(mcare_icdcm), xwalk
+    )
+    if "filetype_mcare" not in out.columns:
+        out = out.withColumn("filetype_mcare", F.lit(None).cast("string"))
+    return out.select(*_COMBINED_ICDCM_COLS)
+
+
+def build_mcaid_mcare_claim_procedure(
+    mcaid_procedure: DataFrame,
+    mcare_procedure: DataFrame,
+    xwalk: DataFrame,
+) -> DataFrame:
+    """Combined-layer procedure table
+    (``load_stage.mcaid_mcare_claim_procedure.R:23-70``): union of the
+    two final claim_procedure tables onto ``id_apde``. The per-source
+    tables both use the long one-row-per-modifier form
+    (``modifier_code``), so the reference's four modifier slots
+    collapse to one column; mcare's missing slot number and mcaid's
+    missing ``filetype_mcare`` null-fill with the other side's type.
+    """
+    out = build_mcaid_mcare_union(mcaid_procedure, mcare_procedure, xwalk)
+    for c, t in (("procedure_code_number", "string"),
+                 ("filetype_mcare", "string")):
+        if c not in out.columns:
+            out = out.withColumn(c, F.lit(None).cast(t))
+    return out.select(*_COMBINED_PROC_COLS)
+
+
+def combined_child_union_qa(
+    combined: DataFrame, mcaid_side: DataFrame, mcare_side: DataFrame
+) -> tuple[bool, dict[str, int]]:
+    """Reference table-level QA for every combined child
+    (``load_stage.mcaid_mcare_claim_icdcm_header.R:66-94`` and the
+    procedure twin): combined row count must equal mcaid + mcare —
+    the union may not invent or drop rows (per-source tables are
+    already distinct at their grain, and ``source_desc`` prevents
+    cross-source collisions). Three count jobs, no data movement.
+    """
+    counts = {
+        "combined": combined.count(),
+        "mcaid": mcaid_side.count(),
+        "mcare": mcare_side.count(),
+    }
+    return counts["combined"] == counts["mcaid"] + counts["mcare"], counts
+
+
 # ---------------------------------------------------------------------------
 # Medicare claim_line (load_stage.mcare_claim_line.R: a 7-filetype
 # UNION — carrier/dme line tables and hha/hospice/inpatient/outpatient/

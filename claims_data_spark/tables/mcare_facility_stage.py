@@ -198,3 +198,220 @@ def build_mcare_base_claims(
     return harmonized_stage_union(
         [(df, base_claims_vintage_map(v)) for df, v in raws], targets
     )
+
+
+# ---------------------------------------------------------------------------
+# carrier (bcarrier) + DME claims — the non-facility stage unions
+# (load_stage.mcare_bcarrier_claims.R:10-196, mcare_bcarrier_line.R,
+# mcare_dme_claims.R, mcare_dme_line.R). Same three-vintage rename
+# pattern as the facility files, but with the carrier dx surface
+# (13 dx slots each paired with a version column) and per-line
+# rendering-provider vocabulary.
+# ---------------------------------------------------------------------------
+
+_CARRIER_DX_FAN: dict[str, str] = {"dx01": "prncpal_dgns_cd",
+                                   "dx01_ver": "prncpal_dgns_vrsn_cd"}
+for _i in range(1, 13):
+    _CARRIER_DX_FAN[f"dx{_i + 1:02d}"] = f"icd_dgns_cd{_i}"
+    _CARRIER_DX_FAN[f"dx{_i + 1:02d}_ver"] = f"icd_dgns_vrsn_cd{_i}"
+
+# 2014 bcarrier extract: CCW "encrypted"/spelled-out vocabulary with
+# truncated 32-char names (bcarrier_claims.R:24-64)
+_CARRIER_DX_FAN_2014: dict[str, str] = {
+    "dx01": "primaryclaimdiagnosiscode",
+    "dx01_ver": "primaryclaimdiagnosiscodediagnos",
+}
+_ROMAN = ["i", "ii", "iii", "iv", "v", "vi", "vii", "viii", "ix", "x",
+          "xi", "xii"]
+for _i, _r in enumerate(_ROMAN, start=2):
+    _CARRIER_DX_FAN_2014[f"dx{_i:02d}"] = f"claimdiagnosiscode{_r}"
+    _CARRIER_DX_FAN_2014[f"dx{_i:02d}_ver"] = (
+        f"claimdiagnosiscode{_r}diagnosisvers"[:32]
+    )
+
+BCARRIER_CLAIMS_TARGETS = [
+    "id_mcare", "claim_header_id", "first_service_date",
+    "last_service_date", "claim_type", "denial_code",
+    "provider_billing_npi", "provider_referring_npi",
+    "provider_cpo_npi", "provider_sos_npi",
+    *_CARRIER_DX_FAN,
+]
+
+
+def bcarrier_claims_vintage_map(vintage: str) -> dict[str, str | None]:
+    """Carrier header target<-source map (bcarrier_claims.R: the 2014
+    block :24-64 has no billing/CPO/SOS NPI; 2015 'j' :68-108 uses
+    abbreviated from_dt/pmtdnlcd names; 2016+ 'k' :112-196 the ResDAC
+    vocabulary shared with DME)."""
+    if vintage == "2014":
+        return {
+            "id_mcare": "encrypted723beneficiaryid",
+            "claim_header_id": "encryptedclaimid",
+            "first_service_date": "claimfromdate",
+            "last_service_date": "claimthroughdatedeterminesyearof",
+            "claim_type": "nchclaimtypecode",
+            "denial_code": "carrierclaimpaymentdenialcode",
+            "provider_billing_npi": None,
+            "provider_referring_npi": "carrierclaimreferingphysiciannpi",
+            "provider_cpo_npi": None,
+            "provider_sos_npi": None,
+            **_CARRIER_DX_FAN_2014,
+        }
+    common = {
+        "id_mcare": "bene_id",
+        "claim_header_id": "clm_id",
+        "provider_billing_npi": "carr_clm_blg_npi_num",
+        "provider_cpo_npi": "cpo_org_npi_num",
+        "provider_sos_npi": "carr_clm_sos_npi_num",
+        **_CARRIER_DX_FAN,
+    }
+    if vintage == "2015":
+        return {
+            **common,
+            "first_service_date": "from_dt",
+            "last_service_date": "thru_dt",
+            "claim_type": "clm_type",
+            "denial_code": "pmtdnlcd",
+            "provider_referring_npi": "rfr_npi",
+        }
+    return {
+        **common,
+        "first_service_date": "clm_from_dt",
+        "last_service_date": "clm_thru_dt",
+        "claim_type": "nch_clm_type_cd",
+        "denial_code": "carr_clm_pmt_dnl_cd",
+        "provider_referring_npi": "rfr_physn_npi",
+    }
+
+
+BCARRIER_LINE_TARGETS = [
+    "id_mcare", "claim_header_id", "claim_line_id",
+    "provider_rendering_npi", "provider_org_npi",
+    "provider_rendering_type", "provider_rendering_tin",
+    "provider_rendering_zip", "provider_rendering_specialty",
+    "type_of_service", "place_of_service_code",
+    "procedure_code_hcpcs", "procedure_code_hcps_modifier_1",
+    "procedure_code_hcps_modifier_2", "procedure_code_betos",
+    "provider_billing_zip",
+]
+
+
+def bcarrier_line_vintage_map(vintage: str) -> dict[str, str | None]:
+    """Carrier line target<-source map (bcarrier_line.R: 2014 'j' and
+    2015 'k' share the spelled-out vocabulary — 2014 lacks the billing
+    zip; 2016+ uses the ResDAC short names)."""
+    if vintage in ("2014", "2015"):
+        return {
+            "id_mcare": "encrypted723beneficiaryid",
+            "claim_header_id": "encryptedclaimid",
+            "claim_line_id": "claimlinenumber",
+            "provider_rendering_npi": "carrierlineperformingnpinumber",
+            "provider_org_npi": "carrierlineperforminggroupnpinum",
+            "provider_rendering_type": "carrierlineprovidertypecode",
+            "provider_rendering_tin": "lineprovidertaxnumber",
+            "provider_rendering_zip": "carrierlineperformingproviderzip",
+            "provider_rendering_specialty": "linehcfaproviderspecialtycode",
+            "type_of_service": "linehcfatypeservicecode",
+            "place_of_service_code": "lineplaceofservicecode",
+            "procedure_code_hcpcs": "linehealthcarecommonprocedurecod",
+            "procedure_code_hcps_modifier_1": "linehcpcsinitialmodifiercode",
+            "procedure_code_hcps_modifier_2": "linehcpcssecondmodifiercode",
+            "procedure_code_betos": "linenchbetoscode",
+            "provider_billing_zip": (
+                None if vintage == "2014"
+                else "lineplaceofserviceposphysicianzi"
+            ),
+        }
+    return {
+        "id_mcare": "bene_id",
+        "claim_header_id": "clm_id",
+        "claim_line_id": "line_num",
+        "provider_rendering_npi": "prf_physn_npi",
+        "provider_org_npi": "org_npi_num",
+        "provider_rendering_type": "carr_line_prvdr_type_cd",
+        "provider_rendering_tin": "tax_num",
+        "provider_rendering_zip": "prvdr_zip",
+        "provider_rendering_specialty": "prvdr_spclty",
+        "type_of_service": "line_cms_type_srvc_cd",
+        "place_of_service_code": "line_place_of_srvc_cd",
+        "procedure_code_hcpcs": "hcpcs_cd",
+        "procedure_code_hcps_modifier_1": "hcpcs_1st_mdfr_cd",
+        "procedure_code_hcps_modifier_2": "hcpcs_2nd_mdfr_cd",
+        "procedure_code_betos": "betos_cd",
+        "provider_billing_zip": "physn_zip_cd",
+    }
+
+
+# DME extracts exist only in the 'k' vocabulary (dme_claims.R /
+# dme_line.R: every year block is identical renames) — the claims map
+# is the carrier 'k' map minus the billing/CPO/SOS NPIs.
+DME_CLAIMS_TARGETS = [
+    "id_mcare", "claim_header_id", "first_service_date",
+    "last_service_date", "claim_type", "denial_code",
+    "provider_referring_npi", *_CARRIER_DX_FAN,
+]
+
+DME_CLAIMS_MAP: dict[str, str | None] = {
+    "id_mcare": "bene_id",
+    "claim_header_id": "clm_id",
+    "first_service_date": "clm_from_dt",
+    "last_service_date": "clm_thru_dt",
+    "claim_type": "nch_clm_type_cd",
+    "denial_code": "carr_clm_pmt_dnl_cd",
+    "provider_referring_npi": "rfr_physn_npi",
+    **_CARRIER_DX_FAN,
+}
+
+DME_LINE_TARGETS = [
+    "id_mcare", "claim_header_id", "claim_line_id", "type_of_service",
+    "place_of_service_code", "procedure_code_hcpcs",
+    "procedure_code_hcps_modifier_1", "procedure_code_hcps_modifier_2",
+    "procedure_code_hcps_modifier_3", "procedure_code_hcps_modifier_4",
+    "procedure_code_betos", "provider_supplier_npi",
+]
+
+DME_LINE_MAP: dict[str, str | None] = {
+    "id_mcare": "bene_id",
+    "claim_header_id": "clm_id",
+    "claim_line_id": "line_num",
+    "type_of_service": "line_cms_type_srvc_cd",
+    "place_of_service_code": "line_place_of_srvc_cd",
+    "procedure_code_hcpcs": "hcpcs_cd",
+    "procedure_code_hcps_modifier_1": "hcpcs_1st_mdfr_cd",
+    "procedure_code_hcps_modifier_2": "hcpcs_2nd_mdfr_cd",
+    "procedure_code_hcps_modifier_3": "hcpcs_3rd_mdfr_cd",
+    "procedure_code_hcps_modifier_4": "hcpcs_4th_mdfr_cd",
+    "procedure_code_betos": "betos_cd",
+    "provider_supplier_npi": "prvdr_npi",
+}
+
+
+def build_mcare_bcarrier_claims(
+    raws: list[tuple[DataFrame, str]]
+) -> DataFrame:
+    """``raws`` is [(df, vintage)] with vintage '2014'/'2015'/'2016+'."""
+    return harmonized_stage_union(
+        [(df, bcarrier_claims_vintage_map(v)) for df, v in raws],
+        BCARRIER_CLAIMS_TARGETS,
+    )
+
+
+def build_mcare_bcarrier_line(
+    raws: list[tuple[DataFrame, str]]
+) -> DataFrame:
+    return harmonized_stage_union(
+        [(df, bcarrier_line_vintage_map(v)) for df, v in raws],
+        BCARRIER_LINE_TARGETS,
+    )
+
+
+def build_mcare_dme_claims(raws: list[DataFrame]) -> DataFrame:
+    return harmonized_stage_union(
+        [(df, DME_CLAIMS_MAP) for df in raws], DME_CLAIMS_TARGETS
+    )
+
+
+def build_mcare_dme_line(raws: list[DataFrame]) -> DataFrame:
+    return harmonized_stage_union(
+        [(df, DME_LINE_MAP) for df in raws], DME_LINE_TARGETS
+    )

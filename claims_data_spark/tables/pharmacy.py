@@ -136,3 +136,63 @@ def build_chronic_meds_crosswalk(
         F.expr("ndc_desc rlike _pattern"),
         "left",
     ).drop("_pattern")
+
+
+# ---------------------------------------------------------------------------
+# Medicare Part D pharmacy characteristics
+# (stage/tables/load_stage.mcare_claim_pharm_char.R:12-44)
+# ---------------------------------------------------------------------------
+
+# raw NCPDP column -> stage column (identity where the reference keeps
+# the raw name). Order matches the reference's insert-select.
+PHARM_CHAR_RENAMES = [
+    ("ncpdp_id", "pharmacy_id"),
+    ("physical_location_state_code", None),
+    ("physical_location_open_date", None),
+    ("physical_location_close_date", None),
+    ("dispenser_class", None),
+    ("primary_dispenser_type", None),
+    ("primary_taxonomy_code", None),
+    ("secondary_dispenser_type", None),
+    ("secondary_taxonomy_code", None),
+    ("tertiary_dispenser_type", None),
+    ("tertiary_taxonomy_code", None),
+    ("relationship_id", None),
+    ("relationship_from_dt", None),
+    ("relationship_thru_dt", None),
+    ("relationship_type", None),
+    ("prnt_org_id", None),
+    ("eprscrb_srvc_ind", None),
+    ("eprscrb_srvc_cd", None),
+    ("dme_srvc_ind", None),
+    ("dme_srvc_cd", None),
+    ("walkin_clinic_ind", None),
+    ("walkin_clinic_cd", None),
+    ("immunizations_ind", None),
+    ("immunizations_cd", None),
+    ("status_340b_ind", None),
+    ("status_340b_cd", None),
+]
+
+
+def build_mcare_claim_pharm_char(raw: DataFrame) -> DataFrame:
+    """Stage the NCPDP pharmacy-characteristics extract
+    (``load_stage.mcare_claim_pharm_char.R:12-44``): rename
+    ``ncpdp_id`` to the ``pharmacy_id`` join key used by
+    ``mcare_claim_pharm`` and pass the dispenser/relationship/service
+    surface through typed. Dates cast to date so downstream
+    open/close-window predicates stay codegen comparisons; missing
+    trailing columns null-fill (vintage drift tolerance, same policy
+    as the facility-stage harmonizer). Pure projection — no shuffle.
+    """
+    sels = []
+    for src, dst in PHARM_CHAR_RENAMES:
+        dst = dst or src
+        col = (
+            F.col(src) if src in raw.columns
+            else F.lit(None).cast("string")
+        )
+        if src.endswith(("_date", "_dt")):
+            col = col.cast("date")
+        sels.append(col.alias(dst))
+    return raw.select(*sels)

@@ -101,3 +101,105 @@ def test_harmonizer_same_name_default_and_extras(spark):
     assert r["id_mcare"] == "B1"
     assert r["custom_col"] == "Z1"   # same-name convention
     assert r["absent_col"] is None
+
+
+def test_bcarrier_claims_three_vintage_union(spark):
+    from claims_data_spark.tables.mcare_facility_stage import (
+        BCARRIER_CLAIMS_TARGETS,
+        build_mcare_bcarrier_claims,
+    )
+
+    raw14 = spark.createDataFrame(
+        [{
+            "encrypted723beneficiaryid": "B1",
+            "encryptedclaimid": "C1",
+            "claimfromdate": "2014-02-01",
+            "claimthroughdatedeterminesyearof": "2014-02-01",
+            "nchclaimtypecode": "71",
+            "carrierclaimpaymentdenialcode": "1",
+            "carrierclaimreferingphysiciannpi": "NPI-R",
+            "primaryclaimdiagnosiscode": "4019",
+            "primaryclaimdiagnosiscodediagnos": "9",
+            "claimdiagnosiscodei": "25000",
+            "claimdiagnosiscodeidiagnosisvers": "9",
+        }]
+    )
+    raw15 = spark.createDataFrame(
+        [{
+            "bene_id": "B2", "clm_id": "C2", "from_dt": "2015-03-01",
+            "thru_dt": "2015-03-01", "clm_type": "71", "pmtdnlcd": "1",
+            "carr_clm_blg_npi_num": "NPI-B", "rfr_npi": "NPI-R2",
+            "cpo_org_npi_num": "NPI-C", "carr_clm_sos_npi_num": "NPI-S",
+            "prncpal_dgns_cd": "I10", "prncpal_dgns_vrsn_cd": "0",
+        }]
+    )
+    raw16 = spark.createDataFrame(
+        [{
+            "bene_id": "B3", "clm_id": "C3", "clm_from_dt": "2016-04-01",
+            "clm_thru_dt": "2016-04-01", "nch_clm_type_cd": "71",
+            "carr_clm_pmt_dnl_cd": "1", "carr_clm_blg_npi_num": "NPI-B3",
+            "rfr_physn_npi": "NPI-R3",
+            "prncpal_dgns_cd": "E119", "prncpal_dgns_vrsn_cd": "0",
+            "icd_dgns_cd1": "I10", "icd_dgns_vrsn_cd1": "0",
+        }]
+    )
+    out = build_mcare_bcarrier_claims(
+        [(raw14, "2014"), (raw15, "2015"), (raw16, "2016+")]
+    )
+    assert out.columns == BCARRIER_CLAIMS_TARGETS + ["last_run"]
+    rows = {r["id_mcare"]: r for r in out.collect()}
+    assert len(rows) == 3
+    # 2014: no billing NPI vintage-wide; dx02 maps the roman-numeral col
+    assert rows["B1"]["provider_billing_npi"] is None
+    assert rows["B1"]["dx02"] == "25000" and rows["B1"]["dx02_ver"] == "9"
+    # 2015 abbreviated names land on the same targets
+    assert rows["B2"]["denial_code"] == "1"
+    assert rows["B2"]["provider_sos_npi"] == "NPI-S"
+    # 2016+ ResDAC names; dx02 from icd_dgns_cd1
+    assert rows["B3"]["dx01"] == "E119" and rows["B3"]["dx02"] == "I10"
+
+
+def test_bcarrier_line_and_dme_maps(spark):
+    from claims_data_spark.tables.mcare_facility_stage import (
+        BCARRIER_LINE_TARGETS,
+        DME_LINE_TARGETS,
+        build_mcare_bcarrier_line,
+        build_mcare_dme_line,
+    )
+
+    line14 = spark.createDataFrame(
+        [{
+            "encrypted723beneficiaryid": "B1", "encryptedclaimid": "C1",
+            "claimlinenumber": "1",
+            "carrierlineperformingnpinumber": "NPI-P",
+            "linehealthcarecommonprocedurecod": "99213",
+            "linehcpcsinitialmodifiercode": "25",
+        }]
+    )
+    line16 = spark.createDataFrame(
+        [{
+            "bene_id": "B2", "clm_id": "C2", "line_num": "1",
+            "prf_physn_npi": "NPI-P2", "hcpcs_cd": "99214",
+            "physn_zip_cd": "98101",
+        }]
+    )
+    out = build_mcare_bcarrier_line([(line14, "2014"), (line16, "2016+")])
+    assert out.columns == BCARRIER_LINE_TARGETS + ["last_run"]
+    rows = {r["id_mcare"]: r for r in out.collect()}
+    # 2014 has no billing zip; both HCPCS land in one target column
+    assert rows["B1"]["provider_billing_zip"] is None
+    assert rows["B1"]["procedure_code_hcpcs"] == "99213"
+    assert rows["B2"]["provider_billing_zip"] == "98101"
+
+    dme = spark.createDataFrame(
+        [{
+            "bene_id": "B9", "clm_id": "C9", "line_num": "2",
+            "hcpcs_cd": "E0601", "hcpcs_3rd_mdfr_cd": "NU",
+            "prvdr_npi": "NPI-D",
+        }]
+    )
+    dout = build_mcare_dme_line([dme])
+    assert dout.columns == DME_LINE_TARGETS + ["last_run"]
+    r = dout.collect()[0]
+    assert r["procedure_code_hcps_modifier_3"] == "NU"
+    assert r["provider_supplier_npi"] == "NPI-D"

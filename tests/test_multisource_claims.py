@@ -370,3 +370,72 @@ def test_mcare_claim_pharm_union(spark):
     assert float(p["tot_rx_cst_amt"]) == 100.0
     assert p["pharmacy_id"] == "PH1"
     assert p["filetype_mcare"] == "pharmacy"
+
+
+def test_combined_claim_children_union(spark):
+    """Combined-layer icdcm_header + procedure
+    (load_stage.mcaid_mcare_claim_icdcm_header.R / ..._procedure.R):
+    id_apde minted from each side's id, null-fill of the one-sided
+    columns, pinned column order, and the reference's row-count QA."""
+    from claims_data_spark.tables.mcare import (
+        _COMBINED_ICDCM_COLS,
+        _COMBINED_PROC_COLS,
+        build_mcaid_mcare_claim_icdcm_header,
+        build_mcaid_mcare_claim_procedure,
+        combined_child_union_qa,
+    )
+
+    xwalk = spark.createDataFrame(
+        [("A1", 101, "BENE1"), ("A2", 102, None), ("A3", None, "BENE3")],
+        "id_apde string, id_mcaid long, id_mcare string",
+    )
+    mcaid_icdcm = spark.createDataFrame(
+        [(101, 5001, "2024-01-03", "2024-01-03", "E11.9", "E119", 10, "01"),
+         (102, 5002, "2024-02-01", "2024-02-01", "I10", "I10", 10, "02")],
+        "id_mcaid long, claim_header_id long, first_service_date string,"
+        " last_service_date string, icdcm_raw string, icdcm_norm string,"
+        " icdcm_version int, icdcm_number string",
+    )
+    mcare_icdcm = spark.createDataFrame(
+        [("BENE3", "CLMX", "2024-03-05", "2024-03-05", "F329", "F329", 10,
+          "01", "inpatient")],
+        "id_mcare string, claim_header_id string,"
+        " first_service_date string, last_service_date string,"
+        " icdcm_raw string, icdcm_norm string, icdcm_version int,"
+        " icdcm_number string, filetype_mcare string",
+    )
+    out = build_mcaid_mcare_claim_icdcm_header(
+        mcaid_icdcm, mcare_icdcm, xwalk
+    )
+    assert out.columns == _COMBINED_ICDCM_COLS
+    rows = {(r["source_desc"], r["claim_header_id"]): r
+            for r in out.collect()}
+    assert rows[("mcaid", "5001")]["id_apde"] == "A1"
+    assert rows[("mcaid", "5001")]["filetype_mcare"] is None
+    assert rows[("mcare", "CLMX")]["id_apde"] == "A3"
+    assert rows[("mcare", "CLMX")]["filetype_mcare"] == "inpatient"
+    ok, counts = combined_child_union_qa(out, mcaid_icdcm, mcare_icdcm)
+    assert ok and counts == {"combined": 3, "mcaid": 2, "mcare": 1}
+
+    mcaid_px = spark.createDataFrame(
+        [(101, 5001, "2024-01-03", "99213", "01", "25")],
+        "id_mcaid long, claim_header_id long, first_service_date string,"
+        " procedure_code string, procedure_code_number string,"
+        " modifier_code string",
+    )
+    mcare_px = spark.createDataFrame(
+        [("BENE3", "CLMX", "2024-03-05", "2024-03-06", "0450", None,
+          "inpatient")],
+        "id_mcare string, claim_header_id string,"
+        " first_service_date string, last_service_date string,"
+        " procedure_code string, modifier_code string,"
+        " filetype_mcare string",
+    )
+    pout = build_mcaid_mcare_claim_procedure(mcaid_px, mcare_px, xwalk)
+    assert pout.columns == _COMBINED_PROC_COLS
+    prow = {r["source_desc"]: r for r in pout.collect()}
+    # each side's one-sided columns null-fill on the other side
+    assert prow["mcaid"]["filetype_mcare"] is None
+    assert prow["mcaid"]["last_service_date"] is None
+    assert prow["mcare"]["procedure_code_number"] is None
+    assert prow["mcare"]["id_apde"] == "A3"

@@ -74,3 +74,34 @@ def test_chronic_meds_pattern_join(spark):
     # left join keeps unmatched rows
     assert ("aspirin 81mg", None) in got
     assert out.count() == 4
+
+
+def test_mcare_claim_pharm_char_projection(spark):
+    """load_stage.mcare_claim_pharm_char.R: ncpdp_id -> pharmacy_id,
+    dates typed, vintage-missing trailing columns null-fill."""
+    from claims_data_spark.tables.pharmacy import (
+        PHARM_CHAR_RENAMES,
+        build_mcare_claim_pharm_char,
+    )
+
+    raw = spark.createDataFrame(
+        [{
+            "ncpdp_id": "1234567",
+            "physical_location_state_code": "WA",
+            "physical_location_open_date": "2019-05-01",
+            "dispenser_class": "Independent",
+            "primary_dispenser_type": "Community/Retail",
+            "relationship_from_dt": "2020-01-01",
+            "status_340b_ind": "Y",
+        }]
+    )
+    out = build_mcare_claim_pharm_char(raw)
+    assert out.columns == [d or s for s, d in PHARM_CHAR_RENAMES]
+    r = out.collect()[0]
+    assert r["pharmacy_id"] == "1234567"
+    assert str(r["physical_location_open_date"]) == "2019-05-01"
+    assert str(r["relationship_from_dt"]) == "2020-01-01"
+    # columns absent from this extract vintage surface as NULLs
+    assert r["physical_location_close_date"] is None
+    assert r["dme_srvc_ind"] is None
+    assert r["status_340b_ind"] == "Y"
