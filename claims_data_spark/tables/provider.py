@@ -163,3 +163,80 @@ def build_apcd_claim_provider(raw: DataFrame) -> DataFrame:
         "provider_id_raw_apcd",
         "provider_type",
     )
+
+
+# ---------------------------------------------------------------------------
+# ref.apcd_provider_npi (ref/tables/load_ref.apcd_provider_npi.R:20-112):
+# one row per APCD internal provider id, carrying its best NPI.
+# ---------------------------------------------------------------------------
+
+def build_ref_apcd_provider_npi(
+    provider_master: DataFrame, provider: DataFrame
+) -> DataFrame:
+    """Provider-id -> NPI crosswalk: master-extract pairs win (flag 1);
+    providers absent from the master fall back to their MODAL valid
+    NPI across claim-provider rows (flag 0), ties broken by lowest NPI
+    (the reference's ``rank() over (order by row_count desc, npi)``,
+    ``:40-55``). NPI validity is the 10-digit no-leading-zero pattern
+    (``:33``). One count agg + one window over the small provider
+    dimension; the master side joins anti to keep ids single-rowed —
+    the QA contract is one row per provider_id_apcd.
+    """
+    master = provider_master.select(
+        F.col("internal_provider_id").alias("provider_id_apcd"),
+        F.col("npi").cast("bigint").alias("npi"),
+        F.lit(1).alias("provider_master_flag"),
+    ).distinct()
+
+    valid = provider.select(
+        F.col("internal_provider_id").alias("provider_id_apcd"),
+        F.when(
+            F.col("orig_npi").cast("string").rlike(r"^[1-9][0-9]{9}$"),
+            F.col("orig_npi"),
+        ).alias("npi"),
+    ).filter(F.col("npi").isNotNull())
+
+    counts = valid.groupBy("provider_id_apcd", "npi").agg(
+        F.count(F.lit(1)).alias("row_count")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("provider_id_apcd").orderBy(
+        F.col("row_count").desc(), F.col("npi")
+    )
+    modal = (
+        counts.withColumn("_rk", F.rank().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(
+            "provider_id_apcd",
+            F.col("npi").cast("bigint").alias("npi"),
+            F.lit(0).alias("provider_master_flag"),
+        )
+    )
+    fallback = modal.join(
+        master.select("provider_id_apcd"), "provider_id_apcd", "left_anti"
+    )
+    return master.unionByName(fallback)
+
+
+def qa_ref_apcd_provider_npi(df: DataFrame) -> dict:
+    """Reference QA (load_ref.apcd_provider_npi.R:88-108) fused into
+    one pass: provider ids with >1 row and NPIs whose length != 10 —
+    both expected 0."""
+    row = (
+        df.groupBy("provider_id_apcd")
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.max(
+                F.when(
+                    F.length(F.col("npi").cast("string")) != 10, 1
+                ).otherwise(0)
+            ).alias("bad_npi"),
+        )
+        .agg(
+            F.sum(F.when(F.col("rows") > 1, 1).otherwise(0)).alias("dup_id"),
+            F.sum("bad_npi").alias("bad_npi"),
+        )
+        .first()
+    )
+    return {k: int(row[k] or 0) for k in ("dup_id", "bad_npi")}

@@ -128,3 +128,46 @@ def test_claim_provider_projection(spark):
     assert out.id_apcd == 11 and out.claim_header_id == 501
     assert str(out.first_service_date) == "2020-01-02"
     assert out.provider_type == "attending"
+
+
+def test_ref_apcd_provider_npi_modal_fallback(spark):
+    """load_ref.apcd_provider_npi.R: master pairs win; non-master
+    providers take their modal valid NPI (ties -> lowest NPI); invalid
+    NPIs (leading zero / wrong length) never qualify; QA gates hold.
+    Includes the reference's two named QA fixtures: a provider with an
+    NPI typo must still get ONE row, and one NPI shared by two
+    provider ids must keep both rows."""
+    from claims_data_spark.tables.provider import (
+        build_ref_apcd_provider_npi,
+        qa_ref_apcd_provider_npi,
+    )
+
+    master = spark.createDataFrame(
+        [(100, "1234567893")], "internal_provider_id long, npi string"
+    )
+    provider = spark.createDataFrame(
+        [
+            # master provider also in claims with a different NPI: master wins
+            (100, "1999999999"),
+            # modal pick: 2x same NPI beats 1x other
+            (200, "1111111116"), (200, "1111111116"), (200, "1222222224"),
+            # NPI-typo provider: two candidate NPIs with equal counts ->
+            # lowest NPI wins, exactly one row survives
+            (300, "1333333332"), (300, "1333333331"),
+            # invalid NPIs: leading zero and 9 digits -> dropped entirely
+            (400, "0123456789"), (400, "123456789"),
+            # same NPI for two provider ids: both rows survive
+            (500, "1444444440"), (600, "1444444440"),
+        ],
+        "internal_provider_id long, orig_npi string",
+    )
+    out = build_ref_apcd_provider_npi(master, provider)
+    rows = {r["provider_id_apcd"]: r for r in out.collect()}
+    assert rows[100]["npi"] == 1234567893
+    assert rows[100]["provider_master_flag"] == 1
+    assert rows[200]["npi"] == 1111111116
+    assert rows[300]["npi"] == 1333333331  # tie -> lowest
+    assert 400 not in rows  # no valid NPI at all
+    assert rows[500]["npi"] == 1444444440 and rows[600]["npi"] == 1444444440
+    qa = qa_ref_apcd_provider_npi(out)
+    assert qa == {"dup_id": 0, "bad_npi": 0}
