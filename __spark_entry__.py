@@ -1883,13 +1883,17 @@ def q_embedding_near_dup(spark, sf_dir):
     label column (the realistic scale pattern: LSH/IVF assigns the
     block; comparisons never cross blocks, so the join is an equi-join
     on the block key, not a cartesian)."""
-    from claims_data_spark.operators.similarity import cosine
+    from claims_data_spark.operators.similarity import dot, l2_norm
 
+    # norms are computed ONCE per row before the pair fan-out (the
+    # naive cosine() recomputes both norms per pair — at sf1 that is
+    # ~3x the array arithmetic). Same float-op order inside dot/norm,
+    # so results stay bit-identical to the oracle.
     emb = spread(_t(spark, sf_dir, "embeddings")).select(
         "vec_id",
         "label",
         F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
-    )
+    ).withColumn("nrm", l2_norm("vec"))
     a, b = emb.alias("a"), emb.alias("b")
     pairs = a.join(
         b,
@@ -1898,7 +1902,8 @@ def q_embedding_near_dup(spark, sf_dir):
     ).select(
         F.col("a.vec_id").alias("id_a"),
         F.col("b.vec_id").alias("id_b"),
-        cosine(F.col("a.vec"), F.col("b.vec")).alias("cs"),
+        (dot(F.col("a.vec"), F.col("b.vec"))
+         / (F.col("a.nrm") * F.col("b.nrm"))).alias("cs"),
     )
     return pairs.filter(F.col("cs") >= 0.3).select(
         "id_a", "id_b", F.round("cs", 6).alias("cos_sim")

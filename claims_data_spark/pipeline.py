@@ -173,3 +173,102 @@ def combined_header_qa(header: DataFrame) -> list[QaResult]:
             "pc_visit_id", "inpatient_id", "ed_perform_id", "ed_pophealth_id"
         ],
     )
+
+
+def run_mcaid_mcare_pipeline(
+    mcaid_tables: dict[str, DataFrame],
+    mcare_tables: dict[str, DataFrame],
+    match_cols: list[str] = ("dob", "name_hash"),
+    pha_persons: DataFrame | None = None,
+    ref_icdcm: DataFrame | None = None,
+    ccw_lookup_rows: list[dict] | None = None,
+    ref_rda: DataFrame | None = None,
+) -> PipelineResult:
+    """Combined-layer master orchestration
+    (``db_loader/mcaid_mcare/master_mcaid_mcare_analytic.R``): identity
+    linkage first, then elig tables, then the six claims tables in the
+    reference's order — line, icdcm_header, procedure, provider,
+    header, ccw (+bh when the RDA ref is supplied) — each child gated
+    by the union row-count QA and the header by the fused
+    event-family invariants.
+
+    ``mcaid_tables`` / ``mcare_tables`` carry that source's FINAL
+    tables keyed by short name: ``persons`` (id + match cols; feeds
+    the crosswalk), ``demo``, ``claim_line``, ``claim_icdcm_header``,
+    ``claim_procedure``, ``claim_provider``, ``claim_header`` — any
+    absent key skips that stage, mirroring the master script's
+    section-by-section reruns.
+
+    Every stage stays lazy; QA gates are the only actions, exactly
+    like the per-source pipeline above.
+    """
+    from claims_data_spark.tables.conditions import (
+        build_mcaid_mcare_claim_bh,
+        build_mcaid_mcare_claim_ccw,
+    )
+    from claims_data_spark.tables.mcare import (
+        build_mcaid_mcare_claim_header,
+        build_mcaid_mcare_claim_icdcm_header,
+        build_mcaid_mcare_claim_procedure,
+        build_mcaid_mcare_elig_demo,
+        build_mcaid_mcare_union,
+        combined_child_union_qa,
+    )
+    from claims_data_spark.tables.xwalk import build_xwalk
+
+    tables: dict[str, DataFrame] = {}
+    qa: list[tuple[str, QaResult]] = []
+
+    # identity linkage (the reference runs this before everything)
+    xwalk = build_xwalk(
+        mcaid_tables["persons"], mcare_tables["persons"],
+        match_cols=list(match_cols), pha_persons=pha_persons,
+    )
+    tables["xwalk_apde_mcaid_mcare_pha"] = xwalk
+
+    if "demo" in mcaid_tables and "demo" in mcare_tables:
+        tables["mcaid_mcare_elig_demo"] = build_mcaid_mcare_elig_demo(
+            xwalk, mcaid_tables["demo"], mcare_tables["demo"]
+        )
+
+    def child(name: str, builder) -> None:
+        if name in mcaid_tables and name in mcare_tables:
+            out = builder(mcaid_tables[name], mcare_tables[name], xwalk)
+            ok, counts = combined_child_union_qa(
+                out, mcaid_tables[name], mcare_tables[name]
+            )
+            qa.append((
+                f"mcaid_mcare_{name}",
+                (f"row count == mcaid + mcare {counts}", ok),
+            ))
+            tables[f"mcaid_mcare_{name}"] = out
+
+    child("claim_line", build_mcaid_mcare_union)
+    child("claim_icdcm_header", build_mcaid_mcare_claim_icdcm_header)
+    child("claim_procedure", build_mcaid_mcare_claim_procedure)
+    child("claim_provider", build_mcaid_mcare_union)
+    child("claim_pharm", build_mcaid_mcare_union)
+
+    if "claim_header" in mcaid_tables and "claim_header" in mcare_tables:
+        header = build_mcaid_mcare_claim_header(
+            mcaid_tables["claim_header"], mcare_tables["claim_header"], xwalk
+        )
+        tables["mcaid_mcare_claim_header"] = header
+        qa.extend(
+            ("mcaid_mcare_claim_header", r)
+            for r in combined_header_qa(header)
+        )
+        icdcm = tables.get("mcaid_mcare_claim_icdcm_header")
+        if icdcm is not None and ref_icdcm is not None and ccw_lookup_rows:
+            tables["mcaid_mcare_claim_ccw"] = build_mcaid_mcare_claim_ccw(
+                icdcm, header, ref_icdcm, ccw_lookup_rows
+            )
+        pharm = tables.get("mcaid_mcare_claim_pharm")
+        proc = tables.get("mcaid_mcare_claim_procedure")
+        if (icdcm is not None and ref_rda is not None
+                and pharm is not None and proc is not None):
+            tables["mcaid_mcare_claim_bh"] = build_mcaid_mcare_claim_bh(
+                icdcm, pharm, proc, ref_rda
+            )
+
+    return PipelineResult(tables=tables, qa=qa)

@@ -57,3 +57,90 @@ def test_pipeline_strict_qa_raises(spark):
         strict_qa=False,
     )
     assert any(t == "claim_line" for t, _ in result.failures())
+
+
+def test_run_mcaid_mcare_pipeline_end_to_end(spark):
+    """master_mcaid_mcare_analytic.R order: xwalk -> children with
+    union row-count gates -> combined header with event-family gates
+    -> combined CCW. p1/M1 share match cols so the minted id_apde
+    links them."""
+    from claims_data_spark.pipeline import run_mcaid_mcare_pipeline
+    from claims_data_spark.tables.claim_children import (
+        build_claim_icdcm_header,
+        build_claim_procedure,
+    )
+    from claims_data_spark.tables.claim_header import build_claim_header
+    from claims_data_spark.tables.mcare import build_mcare_claim_header
+
+    mcaid_raw = fx.raw_mcaid_claim(spark)
+    mcaid_icdcm = build_claim_icdcm_header(mcaid_raw)
+    mcaid_tables = {
+        "persons": spark.createDataFrame(
+            [("p1", "1980-01-01", "H1"), ("p2", "1990-02-02", "H2"),
+             ("p3", "1970-03-03", "H3")],
+            "id_mcaid string, dob string, name_hash string",
+        ),
+        "claim_icdcm_header": mcaid_icdcm,
+        "claim_procedure": build_claim_procedure(mcaid_raw),
+        "claim_header": build_claim_header(
+            mcaid_raw, mcaid_icdcm,
+            ref_xwalk=fx.ref_claim_type_xwalk(spark),
+            ref_hedis=fx.ref_hedis(spark),
+            ref_telehealth=fx.ref_telehealth(spark),
+            ref_icdcm=fx.ref_icdcm_codes(spark),
+        ),
+    }
+    mcare_tables = {
+        "persons": spark.createDataFrame(
+            [("M1", "1980-01-01", "H1"), ("M2", "1960-04-04", "H9")],
+            "id_mcare string, dob string, name_hash string",
+        ),
+        # per-source FINAL child shapes (the harmonized long tables the
+        # mcare child builders emit; built synthetically here so the
+        # test isolates the combined layer)
+        "claim_icdcm_header": spark.createDataFrame(
+            [("M1", "C-1001", "2024-01-10", "2024-01-10", "F329", "F329",
+              10, "01", "inpatient")],
+            "id_mcare string, claim_header_id string,"
+            " first_service_date string, last_service_date string,"
+            " icdcm_raw string, icdcm_norm string, icdcm_version int,"
+            " icdcm_number string, filetype_mcare string",
+        ),
+        "claim_procedure": spark.createDataFrame(
+            [("M1", "C-1001", "2024-01-10", "2024-01-10", "99285", "25",
+              "inpatient")],
+            "id_mcare string, claim_header_id string,"
+            " first_service_date string, last_service_date string,"
+            " procedure_code string, modifier_code string,"
+            " filetype_mcare string",
+        ),
+        "claim_header": build_mcare_claim_header(
+            fx.raw_mcare_claim_header(spark),
+            fx.raw_mcare_claim_line(spark),
+            fx.raw_mcare_claim_icdcm(spark),
+            fx.raw_mcare_claim_procedure(spark),
+            ref_xwalk=fx.ref_kc_claim_type_xwalk_mcare(spark),
+            ref_pc_oregon=fx.ref_pc_visit_oregon(spark),
+        ),
+    }
+    result = run_mcaid_mcare_pipeline(
+        mcaid_tables, mcare_tables,
+        ref_icdcm=fx.ref_icdcm_codes(spark),
+        ccw_lookup_rows=[r.asDict() for r in
+                         fx.ref_ccw_lookup(spark).collect()],
+    )
+    assert "xwalk_apde_mcaid_mcare_pha" in result.tables
+    xw = result.tables["xwalk_apde_mcaid_mcare_pha"]
+    linked = {(r["id_mcaid"], r["id_mcare"]) for r in xw.collect()}
+    assert ("p1", "M1") in linked  # shared dob+name_hash -> one id_apde
+    for t in ("mcaid_mcare_claim_icdcm_header",
+              "mcaid_mcare_claim_procedure",
+              "mcaid_mcare_claim_header",
+              "mcaid_mcare_claim_ccw"):
+        assert t in result.tables, t
+    assert result.failures() == []
+    combined_icdcm = result.tables["mcaid_mcare_claim_icdcm_header"]
+    assert combined_icdcm.filter(F.col("id_apde").isNull()).count() == 0
+    srcs = {r["source_desc"] for r in
+            combined_icdcm.select("source_desc").distinct().collect()}
+    assert srcs == {"mcaid", "mcare"}
