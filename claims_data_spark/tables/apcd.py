@@ -414,16 +414,26 @@ def build_apcd_claim_header(
         })
 
     # STEP 7 + 10: utilization event ids via scalable dense ranking.
-    # The assembled frame feeds FOUR dense-id subqueries plus the final
-    # result; persist it once so the join/window upstream is computed
-    # once, not per event-id (callers can pass cache_registry and
-    # unpersist after materializing — see dense_id.py's contract).
+    # Only the NARROW event-minting projection (claim id, person,
+    # service date, the five participation flags) is persisted — it
+    # feeds the episode clustering and the tagged ranking below.
+    # Persisting the full assembly here (the previous form) pins all
+    # ~40 header columns into the cache and DEFEATS Catalyst column
+    # pruning for every caller that selects a subset: an ED-episode
+    # consumer reading 7 columns would still compute and cache the
+    # charge rollups, BH flags and injury joins. With the narrow
+    # persist the full assembly stays lazy, so the final join-back
+    # computes exactly the columns the caller's select needs, once.
     from claims_data_spark.operators.dense_id import dense_ids_inline_by_tag
     from claims_data_spark.operators.episodes import within_person_episodes
 
-    out = out.persist()
+    narrow = out.select(
+        "claim_header_id", "id_apcd", "first_service_date",
+        "ed_yale_carrier", "ed_yale_opt", "ed_yale_ipt",
+        "pc_visit", "inpatient", "ed_perform",
+    ).persist()
     if cache_registry is not None:
-        cache_registry.append(out)
+        cache_registry.append(narrow)
 
     # pc_visit / inpatient / ed_perform ids all rank over the same
     # (person, service_date) grain on different claim subsets — ONE
@@ -442,7 +452,7 @@ def build_apcd_claim_header(
     # episode id is itself dense over ascending start dates — so the
     # episode family only costs a fourth tag, not a second full
     # distinct/range-shuffle/offsets machinery.
-    ed = out.filter(
+    ed = narrow.filter(
         (F.col("ed_yale_carrier") == 1)
         | (F.col("ed_yale_opt") == 1)
         | (F.col("ed_yale_ipt") == 1)
@@ -465,7 +475,7 @@ def build_apcd_claim_header(
     # would read the frame three times, and when the persist above has
     # not materialized yet each branch recomputes the whole assembly
     tagged = (
-        out.select(
+        narrow.select(
             "claim_header_id", "id_apcd", "first_service_date",
             F.explode(
                 F.array_compact(
