@@ -238,7 +238,15 @@ def build_mcare_claim_header(
     # one distinct + one range-boundary sampling + one window instead
     # of the former 3-family pass plus a separate ed_pophealth
     # dense_global_id cascade.
-    out = out.persist()
+    # persist the NARROW minting projection only — caching the full
+    # assembly pins every header column and defeats Catalyst pruning
+    # for subset consumers (same fix as the APCD builder); the full
+    # frame stays lazy for the final join-back
+    narrow = out.select(
+        "claim_header_id", "id_mcare", "first_service_date",
+        "discharge_date", "ed_yale_carrier", "ed_yale_opt", "ed_yale_ipt",
+        "pc_visit", "inpatient", "ed_perform",
+    ).persist()
     event_specs = [
         ("pc_visit", "pc_visit_id", "first_service_date"),
         ("inpatient", "inpatient_id", "discharge_date"),
@@ -248,7 +256,7 @@ def build_mcare_claim_header(
     # struct array) — a 3-branch filter union would read the assembled
     # frame three times before the persist materializes
     tagged = (
-        out.select(
+        narrow.select(
             "claim_header_id", "id_mcare",
             F.explode(
                 F.array_compact(
@@ -271,7 +279,7 @@ def build_mcare_claim_header(
             F.col("_td._d").alias("_d"),
         )
     )
-    ed = out.filter(
+    ed = narrow.filter(
         (F.col("ed_yale_carrier") == 1)
         | (F.col("ed_yale_opt") == 1)
         | (F.col("ed_yale_ipt") == 1)
