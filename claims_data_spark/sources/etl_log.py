@@ -152,3 +152,27 @@ def qa_file_row_count(
         note=f"expected={expected_rows} actual={actual}",
     )
     return ok
+
+
+def qa_column_order(
+    spark: SparkSession,
+    log_dir: str,
+    etl_batch_id: int,
+    loaded: DataFrame,
+    expected_columns: list[str],
+    table_name: str,
+) -> bool:
+    """The ``qa_load_file.R`` column-order gate
+    (``load_load_raw.mcaid_elig_full.R:120-150``): the delivered
+    extract's column names AND order must match the load config —
+    vendor schema drift is caught before any downstream stage runs.
+    Schema-only check; no job is launched."""
+    actual = list(loaded.columns)
+    ok = actual == list(expected_columns)
+    qa_log(
+        spark, log_dir, etl_batch_id, table_name, "column_order", ok,
+        note=None if ok else (
+            f"expected={list(expected_columns)} actual={actual}"
+        ),
+    )
+    return ok

@@ -135,3 +135,47 @@ def build_ref_icdcm_codes(
     if ccs_map is not None:
         out = out.join(F.broadcast(ccs_map), "icdcode", "left")
     return out
+
+
+# ---------------------------------------------------------------------------
+# CMS order-file ingestion (ref/tables/combine_icdcm_codes.R:11-56):
+# annual icd10cm_order_YYYY.txt releases are FIXED-WIDTH — code in
+# chars 7-12, short description in 17-77 — bound across vintages and
+# deduped against the historical ICD-9/10 complete table.
+# ---------------------------------------------------------------------------
+
+def parse_cms_icd10_order(lines: DataFrame, value_col: str = "value") -> DataFrame:
+    """Parse one CMS icd10cm_order release read as raw text lines
+    (``spark.read.text``): substring the fixed-width layout, trim, tag
+    version 10 (``combine_icdcm_codes.R:14-18``). Pure codegen —
+    substring + trim on the line scan."""
+    return lines.select(
+        F.trim(F.substring(F.col(value_col), 7, 6)).alias("icdcode"),
+        F.trim(F.substring(F.col(value_col), 17, 61)).alias("dx_description"),
+        F.lit(10).cast("int").alias("ver"),
+    ).filter(F.col("icdcode") != "")
+
+
+def combine_icdcm_vintages(
+    existing: DataFrame, new_releases: list[DataFrame]
+) -> DataFrame:
+    """Bind the historical complete table with the new per-year
+    releases and keep ONE row per (icdcode, ver) — the reference's
+    ``distinct(..., .keep_all=TRUE)`` keeps the first occurrence, i.e.
+    the OLDEST vintage wins, so descriptions are stable across reloads
+    (``:47-56``). Deterministic via a priority rank instead of
+    row-order luck: existing=0, then releases in list order."""
+    from pyspark.sql import Window
+
+    parts = [existing.withColumn("_prio", F.lit(0))]
+    for i, r in enumerate(new_releases, start=1):
+        parts.append(r.withColumn("_prio", F.lit(i)))
+    allv = parts[0]
+    for p in parts[1:]:
+        allv = allv.unionByName(p, allowMissingColumns=True)
+    w = Window.partitionBy("icdcode", "ver").orderBy("_prio")
+    return (
+        allv.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_prio")
+    )

@@ -69,3 +69,16 @@ def test_qa_row_count_gate(spark, log_dir):
     results = sorted(r.qa_result for r in qa)
     assert results == ["FAIL", "PASS"]
     assert all(r.etl_batch_id == b for r in qa)
+
+
+def test_qa_column_order_gate(spark, tmp_path):
+    from claims_data_spark.sources.etl_log import qa_column_order
+
+    log_dir = str(tmp_path / "meta")
+    df = spark.createDataFrame([(1, "a")], "id int, name string")
+    assert qa_column_order(spark, log_dir, 1, df, ["id", "name"], "t")
+    assert not qa_column_order(spark, log_dir, 1, df, ["name", "id"], "t")
+    rows = spark.read.parquet(f"{log_dir}/qa_log").collect()
+    results = {r["qa_result"] for r in rows}
+    assert results == {"PASS", "FAIL"}
+    assert all(r["qa_item"] == "column_order" for r in rows)

@@ -97,3 +97,34 @@ def test_build_composes_versions_and_ccw(spark):
     assert out["E8100"]["intent"] == "Unintentional"  # icd9 exact join
     assert out["V436XXA"]["ccw_injurycond"] == 1
     assert out["E8100"]["ccw_injurycond"] is None
+
+
+def test_parse_cms_order_file_and_vintage_combine(spark):
+    """combine_icdcm_codes.R: fixed-width parse (code chars 7-12,
+    desc 17-77) and oldest-vintage-wins dedup on (icdcode, ver)."""
+    from claims_data_spark.tables.ref_icdcm import (
+        combine_icdcm_vintages,
+        parse_cms_icd10_order,
+    )
+
+    # layout: cols 1-5 order number, 7-12 code, 14 header flag, 17+ desc
+    lines = spark.createDataFrame(
+        [("00001 A000   0  Cholera due to Vibrio cholerae 01, biovar cholerae",),
+         ("00002 A0101  1  Typhoid meningitis",)],
+        "value string",
+    )
+    parsed = parse_cms_icd10_order(lines)
+    rows = {r["icdcode"]: r for r in parsed.collect()}
+    assert rows["A000"]["dx_description"].startswith("Cholera due to")
+    assert rows["A0101"]["ver"] == 10
+
+    existing = spark.createDataFrame(
+        [("A000", 10, "OLD CHOLERA DESC"), ("0010", 9, "CHOLERA ICD9")],
+        "icdcode string, ver int, dx_description string",
+    )
+    combined = combine_icdcm_vintages(existing, [parsed])
+    out = {(r["icdcode"], r["ver"]): r["dx_description"]
+           for r in combined.collect()}
+    assert out[("A000", 10)] == "OLD CHOLERA DESC"  # oldest vintage wins
+    assert ("A0101", 10) in out and ("0010", 9) in out
+    assert len(out) == 3
