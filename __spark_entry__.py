@@ -5181,6 +5181,182 @@ GROUP BY source_desc, filetype_mcare, icdcm_version
 """
 
 
+def q_rda_value_set(spark, sf_dir):
+    """RDA BH value-set assembly (load_ref.rda_value_sets_apde.R):
+    ICDCM version split (digit/E+injury/V -> 9, alpha -> 10), ICD-9
+    trailing-zero + NDC leading-zero padding, distinct collapse, the
+    CCS-driven sub_group_condition rule catalog (plain sets, code
+    carve-outs, fallback pass), the pharmacy desc crosswalk (curated
+    list + manual map + regex fallback), and the NO-HARMS ICD-10
+    append — aggregated per (code_set, value_set, condition, pharm)."""
+    from claims_data_spark.tables.rda_value_set import (
+        build_ref_rda_value_set,
+    )
+
+    p = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    b = (k % 5).cast("int")
+    code = (
+        F.when(b == 0, F.format_string("%d", (F.lit(2960) + k % 20).cast("int")))
+        .when(b == 1, F.lit("E950"))
+        .when(b == 2, F.lit("V62"))
+        .when(b == 3, F.element_at(
+            F.array(F.lit("F1021"), F.lit("F1211"), F.lit("F90"),
+                    F.lit("F948")), (k % 4 + 1).cast("int")))
+        .otherwise(F.format_string("%07d", (k % 9000000).cast("int")))
+    )
+    desc = (
+        F.when(b == 0, F.lit("  Mood   Episode "))
+        .when(b == 1, F.lit("SELF INFLICTED POISONING"))
+        .when(b == 2, F.lit("OTHER PSYCHOSOCIAL CIRCUMSTANCE"))
+        .when(b == 3, F.lit("BH DIAGNOSIS"))
+        .otherwise(F.element_at(
+            F.array(F.lit("Sertraline HCl"), F.lit("AUVELITY"),
+                    F.lit("NALTREXONE MICROSPHERES"), F.lit("Haldol")),
+            (k % 4 + 1).cast("int")))
+    )
+    new_raw = p.select(
+        F.when(b == 4, "sud").otherwise("mh").alias("value_set_group"),
+        F.concat(F.lit("rda-"), b.cast("string")).alias("value_set_name"),
+        F.when(b == 4, "pharmacy").otherwise("diagnosis")
+        .alias("data_source_type"),
+        F.when(b == 4, "NDC").otherwise("ICDCM").alias("code_set"),
+        code.alias("code"),
+        desc.alias("desc"),
+    )
+    ref_icd9 = spark.range(20).select(
+        F.format_string("%d0", (F.lit(2960) + F.col("id")).cast("int"))
+        .alias("icdcm"),
+        F.lit(9).cast("int").alias("icdcm_version"),
+        F.when(F.col("id") < 10, "5.8").otherwise("5.10")
+        .alias("ccs_detail_code"),
+        F.lit(None).cast("string").alias("icdcm_description"),
+    )
+    ref_fixed = spark.createDataFrame(
+        [("E9500", 9, "10.3", None), ("V6200", 9, "MBD010", None),
+         ("F1021", 10, "MBD026", None), ("F1211", 10, "MBD026", None),
+         ("F90", 10, "MBD014", None), ("F948", 10, "MBD014", None)],
+        "icdcm string, icdcm_version int, ccs_detail_code string,"
+        " icdcm_description string",
+    )
+    curated = spark.createDataFrame(
+        [("Sertraline HCl", "Antidepressants Rx"),
+         ("Haldol", "Antipsychotic Rx")],
+        "desc_1 string, sub_group_pharmacy string",
+    )
+    out = build_ref_rda_value_set(
+        spark, new_raw, ref_icd9.unionByName(ref_fixed), curated
+    )
+    return out.groupBy(
+        "code_set", "value_set_name", "sub_group_condition",
+        "sub_group_pharmacy",
+    ).agg(
+        F.count(F.lit(1)).alias("n_codes"),
+        F.min("code").alias("min_code"),
+        F.max("code").alias("max_code"),
+    )
+
+
+_NO_HARMS_SQL_LIST = (
+    "'T43652','T43652A','T43652D','T43652S','T45AX2A','T45AX2D',"
+    "'T45AX2S','T4792X','X738XX','X739XX','X7401X','X7402X','X7409X',"
+    "'X748XX','X749XX','X75XXX','X76XXX','X770XX','X771XX','T4592X',"
+    "'X710XX','X711XX','X712XX','X713XX','X718XX','X719XX','X72XXX',"
+    "'X730XX','T3692X','T3792X','T3992X','X781XX','X782XX','X788XX',"
+    "'X789XX','X79XXX','X80XXX','X810XX','X811XX','X818XX','X820XX',"
+    "'X821XX','X822XX','X828XX','X830XX','X731XX','X732XX','X838XX',"
+    "'X772XX','X773XX','X778XX','X779XX','X780XX','T1491X','T56822A',"
+    "'T56822D','T56822S','X831XX','X832XX','T40412','T40422','T40492',"
+    "'T4272X','T4392X','T4142X','T4992X'"
+)
+
+SQL_RDA_VALUE_SET = f"""
+WITH raw AS (
+  SELECT CASE WHEN p_partkey % 5 = 4 THEN 'sud' ELSE 'mh' END AS value_set_group,
+    'rda-' || CAST(CAST(p_partkey % 5 AS INT) AS VARCHAR) AS value_set_name,
+    CASE WHEN p_partkey % 5 = 4 THEN 'pharmacy' ELSE 'diagnosis' END AS data_source_type,
+    CASE WHEN p_partkey % 5 = 4 THEN 'NDC' ELSE 'ICDCM' END AS code_set,
+    CASE CAST(p_partkey % 5 AS INT)
+      WHEN 0 THEN CAST(2960 + p_partkey % 20 AS VARCHAR)
+      WHEN 1 THEN 'E950'
+      WHEN 2 THEN 'V62'
+      WHEN 3 THEN ['F1021','F1211','F90','F948'][CAST(p_partkey % 4 AS INT) + 1]
+      ELSE printf('%07d', CAST(p_partkey % 9000000 AS INT)) END AS code,
+    CASE CAST(p_partkey % 5 AS INT)
+      WHEN 0 THEN '  Mood   Episode '
+      WHEN 1 THEN 'SELF INFLICTED POISONING'
+      WHEN 2 THEN 'OTHER PSYCHOSOCIAL CIRCUMSTANCE'
+      WHEN 3 THEN 'BH DIAGNOSIS'
+      ELSE ['Sertraline HCl','AUVELITY','NALTREXONE MICROSPHERES','Haldol'][CAST(p_partkey % 4 AS INT) + 1]
+      END AS "desc"
+  FROM part
+), norm AS (
+  SELECT DISTINCT value_set_group, value_set_name, data_source_type,
+    regexp_replace(upper(trim("desc")), '\\s+', ' ', 'g') AS "desc",
+    CASE WHEN code_set = 'ICDCM' AND regexp_matches(code, '^[0-9]') THEN 'ICD9CM'
+         WHEN code_set = 'ICDCM' AND regexp_matches(code, '^E') THEN 'ICD9CM'
+         WHEN code_set = 'ICDCM' AND regexp_matches(code, '^V') THEN 'ICD9CM'
+         WHEN code_set = 'ICDCM' THEN 'ICD10CM'
+         ELSE code_set END AS code_set,
+    CASE WHEN code_set = 'ICDCM' AND regexp_matches(code, '^[0-9EV]') AND length(code) = 3 THEN code || '00'
+         WHEN code_set = 'ICDCM' AND regexp_matches(code, '^[0-9EV]') AND length(code) = 4 THEN code || '0'
+         WHEN code_set = 'NDC' THEN lpad(code, 11, '0')
+         ELSE code END AS code
+  FROM raw
+), ccs AS (
+  SELECT CAST(2960 + i AS VARCHAR) || '0' AS icdcm, 9 AS ver,
+         CASE WHEN i < 10 THEN '5.8' ELSE '5.10' END AS ccs
+  FROM generate_series(0, 19) AS t(i)
+  UNION ALL SELECT * FROM (VALUES ('E9500', 9, '10.3'), ('V6200', 9, 'MBD010'),
+    ('F1021', 10, 'MBD026'), ('F1211', 10, 'MBD026'),
+    ('F90', 10, 'MBD014'), ('F948', 10, 'MBD014')) v(icdcm, ver, ccs)
+), assigned AS (
+  SELECT n.code_set, n.value_set_name, n.code, n."desc",
+    CASE WHEN n.code_set IN ('ICD9CM','ICD10CM') THEN
+      CASE WHEN c.ccs = '5.8' THEN 'mh_mania_bipolar'
+           WHEN c.ccs = '5.10' THEN 'mh_psychotic'
+           WHEN c.ccs = '10.3' THEN 'mh_depression'
+           WHEN c.ccs = 'MBD026' AND n.code = 'F1021' THEN 'sud_alcohol'
+           WHEN c.ccs = 'MBD026' AND n.code = 'F1211' THEN 'sud_cannabis'
+           WHEN c.ccs = 'MBD014' AND n.code = 'F90' THEN 'mh_adhd'
+           WHEN c.ccs = 'MBD014' AND n.code = 'F948' THEN 'mh_anxiety'
+           WHEN c.ccs = 'MBD010' THEN 'mh_other'
+      END
+    WHEN n.data_source_type = 'pharmacy' THEN
+      CASE WHEN n."desc" = 'SERTRALINE HCL' THEN 'mh_depression'
+           WHEN n."desc" = 'AUVELITY' THEN 'mh_depression'
+           WHEN n."desc" LIKE '%NALTREXONE%' THEN 'sud_opioid'
+           WHEN n."desc" = 'HALDOL' THEN 'mh_psychotic' END
+    END AS sub_group_condition,
+    CASE WHEN n.data_source_type = 'pharmacy' THEN
+      CASE WHEN n."desc" = 'SERTRALINE HCL' THEN 'pharm_antidepressant'
+           WHEN n."desc" = 'AUVELITY' THEN 'pharm_antidepressant'
+           WHEN n."desc" LIKE '%NALTREXONE%' THEN 'pharm_naltrexone_rx'
+           WHEN n."desc" = 'HALDOL' THEN 'pharm_antipsychotic' END
+    END AS sub_group_pharmacy
+  FROM norm n
+  LEFT JOIN ccs c ON n.code = c.icdcm
+    AND c.ver = CASE n.code_set WHEN 'ICD9CM' THEN 9 WHEN 'ICD10CM' THEN 10 END
+), extras AS (
+  SELECT 'ICD10CM' AS code_set, 'apde-added-diagnosis' AS value_set_name,
+         UNNEST([{_NO_HARMS_SQL_LIST}]) AS code,
+         CAST(NULL AS VARCHAR) AS "desc",
+         'mh_other' AS sub_group_condition,
+         CAST(NULL AS VARCHAR) AS sub_group_pharmacy
+), unioned AS (
+  SELECT code_set, value_set_name, code, sub_group_condition,
+         sub_group_pharmacy FROM assigned
+  UNION ALL
+  SELECT code_set, value_set_name, code, sub_group_condition,
+         sub_group_pharmacy FROM extras
+)
+SELECT code_set, value_set_name, sub_group_condition, sub_group_pharmacy,
+       COUNT(*) AS n_codes, MIN(code) AS min_code, MAX(code) AS max_code
+FROM unioned
+GROUP BY code_set, value_set_name, sub_group_condition, sub_group_pharmacy
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the claims_elig-shaped coverage query (islands +
     clipping + coverage stats) on sf0.001."""
@@ -5213,6 +5389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "comorb_scores": q_comorb_scores,
         "provider_master_rank": q_provider_master_rank,
         "ndc_normalize": q_ndc_normalize,
+        "rda_value_set": q_rda_value_set,
         "housing_status": q_housing_status,
         "address_clean": q_address_clean,
         "spatial_pip": q_spatial_pip,
@@ -5352,6 +5529,7 @@ def oracle_sql() -> dict[str, str]:
         "ccw_two_claim": SQL_CCW_TWO_CLAIM,
         "ccw_combined": SQL_CCW_COMBINED,
         "combined_claim_children": SQL_COMBINED_CLAIM_CHILDREN,
+        "rda_value_set": SQL_RDA_VALUE_SET,
         "apcd_ed_episode": SQL_APCD_ED_EPISODE,
         "fuh_followup": SQL_FUH_FOLLOWUP,
         "pcr_readmission": SQL_PCR_READMISSION,
