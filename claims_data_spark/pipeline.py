@@ -17,6 +17,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from claims_data_spark.qa import (
     fused_table_qa,
@@ -271,4 +272,135 @@ def run_mcaid_mcare_pipeline(
                 icdcm, pharm, proc, ref_rda
             )
 
+    return PipelineResult(tables=tables, qa=qa)
+
+
+def run_apcd_pipeline(
+    member_month: DataFrame,
+    eligibility: DataFrame | None = None,
+    claim_header_raw: DataFrame | None = None,
+    claim_line_raw: DataFrame | None = None,
+    claim_icdcm_raw: DataFrame | None = None,
+    claim_procedure_raw: DataFrame | None = None,
+    claim_provider_raw: DataFrame | None = None,
+    provider_master_raw: DataFrame | None = None,
+    plr_years: list[int] | None = None,
+    ref_claim_status: DataFrame | None = None,
+    ref_xwalk: DataFrame | None = None,
+    ref_icdcm: DataFrame | None = None,
+    ref_ethnicity_race_map: DataFrame | None = None,
+    ref_zip_group: DataFrame | None = None,
+    ref_county_code: DataFrame | None = None,
+    ccw_lookup_rows: list[dict] | None = None,
+    strict: bool = True,
+) -> PipelineResult:
+    """APCD master orchestration
+    (``db_loader/apcd/07_apcd_create_analytic_tables.R`` — twelve
+    tables in dependency order): elig_demo -> elig_timevar ->
+    elig_month -> per-year PLR -> the four claim children ->
+    ref.apcd_provider_npi -> claim_header (gated by the reference's
+    eleven-invariant QA suite) -> claim_ccw.  Claim stages are
+    skipped when their raw extract is not supplied, mirroring the
+    master script's section reruns; PLR builds once per year in
+    ``plr_years`` (the reference's 2014-2024 unrolled calls).
+    """
+    from claims_data_spark.tables.apcd import (
+        build_apcd_claim_header,
+        build_apcd_claim_icdcm_header,
+        build_apcd_claim_line,
+        build_apcd_claim_procedure,
+        build_apcd_claim_provider,
+        build_apcd_elig_demo,
+        build_apcd_elig_month,
+        build_apcd_elig_plr,
+        build_apcd_elig_timevar_full,
+        qa_apcd_child,
+        qa_apcd_claim_header,
+    )
+    from claims_data_spark.tables.conditions import build_apcd_claim_ccw
+    from claims_data_spark.tables.provider import build_ref_apcd_provider_npi
+
+    tables: dict[str, DataFrame] = {}
+    qa: list[tuple[str, QaResult]] = []
+
+    def gate(table: str, checks: list) -> None:
+        for res in checks:
+            qa.append((table, res))
+            if strict:
+                assert res[1], f"QA FAIL {table}: {res[0]}"
+
+    demo = None
+    if eligibility is not None:
+        demo = build_apcd_elig_demo(
+            member_month, eligibility,
+            ref_ethnicity_race_map=ref_ethnicity_race_map,
+        )
+        tables["apcd_elig_demo"] = demo
+    timevar = build_apcd_elig_timevar_full(
+        member_month, ref_zip_group=ref_zip_group,
+        ref_county_code=ref_county_code,
+    )
+    tables["apcd_elig_timevar"] = timevar
+    tables["apcd_elig_month"] = build_apcd_elig_month(
+        member_month, ref_zip_group=ref_zip_group,
+        ref_county_code=ref_county_code,
+    )
+    for y in (plr_years or []) if demo is not None else []:
+        tables[f"apcd_elig_plr_{y}"] = build_apcd_elig_plr(
+            timevar, demo, f"{y}-01-01", f"{y}-12-31",
+            ref_zip_group=ref_zip_group,
+        )
+
+    if claim_header_raw is None:
+        return PipelineResult(tables=tables, qa=qa)
+
+    # children BEFORE the header, exactly the reference's table order
+    # (Tables 4-7 then Table 10): the header builder consumes the
+    # staged child shapes (discharge_date, long dx/px grains), not the
+    # raw extracts
+    line_child = icdcm_child = procedure_child = None
+    if claim_line_raw is not None:
+        line_child = build_apcd_claim_line(claim_line_raw, claim_header_raw)
+        tables["apcd_claim_line"] = line_child
+    if claim_icdcm_raw is not None:
+        icdcm_child = build_apcd_claim_icdcm_header(
+            claim_icdcm_raw, claim_header_raw
+        )
+        tables["apcd_claim_icdcm_header"] = icdcm_child
+        gate("apcd_claim_icdcm_header",
+             qa_apcd_child(icdcm_child, elig_demo=demo,
+                           not_null_col="icdcm_norm"))
+    if claim_procedure_raw is not None:
+        procedure_child = build_apcd_claim_procedure(
+            claim_procedure_raw, claim_header_raw
+        )
+        tables["apcd_claim_procedure"] = procedure_child
+    if claim_provider_raw is not None:
+        tables["apcd_claim_provider"] = build_apcd_claim_provider(
+            claim_provider_raw
+        )
+        if provider_master_raw is not None:
+            tables["ref_apcd_provider_npi"] = build_ref_apcd_provider_npi(
+                provider_master_raw, claim_provider_raw
+            )
+
+    header = build_apcd_claim_header(
+        claim_header_raw,
+        line_child,
+        icdcm_child,
+        procedure_child,
+        ref_claim_status=ref_claim_status,
+        ref_xwalk=ref_xwalk,
+        ref_icdcm=ref_icdcm,
+    )
+    tables["apcd_claim_header"] = header
+    gate("apcd_claim_header",
+         qa_apcd_claim_header(header, claim_header_raw, elig_demo=demo))
+
+    if ccw_lookup_rows and ref_icdcm is not None \
+            and claim_icdcm_raw is not None:
+        tables["apcd_claim_ccw"] = build_apcd_claim_ccw(
+            tables["apcd_claim_icdcm_header"], header, ref_icdcm,
+            ccw_lookup_rows,
+        )
     return PipelineResult(tables=tables, qa=qa)

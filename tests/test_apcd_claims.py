@@ -173,3 +173,96 @@ def test_apcd_claim_children(spark):
     qa = qa_apcd_child(px, elig_demo=elig, elig_timevar=elig,
                        not_null_col="procedure_code")
     assert all(ok for _, ok, _ in qa), qa
+
+
+def test_run_apcd_pipeline_end_to_end(spark):
+    """07_apcd_create_analytic_tables.R order: elig demo/timevar/month
+    -> per-year PLR -> claim children -> provider NPI ref -> header
+    gated by the eleven-invariant QA suite."""
+    from claims_data_spark.pipeline import run_apcd_pipeline
+
+    mm_rows = []
+    for member in (101, 102):
+        for i, ym in enumerate((201903, 201904, 201905, 201906)):
+            mm_rows.append((member, ym, 40 + (1 if i >= 2 else 0), "F",
+                            "98101", "E1", None, None, None, None, None,
+                            None, None, None, "E1", None, None))
+    mm = spark.createDataFrame(
+        mm_rows,
+        "internal_member_id long, year_month int, age int,"
+        " gender_code string, zip_code string,"
+        " med_medicaid_eligibility_id string,"
+        " med_medicare_eligibility_id string,"
+        " med_commercial_eligibility_id string,"
+        " rx_medicaid_eligibility_id string,"
+        " rx_medicare_eligibility_id string,"
+        " rx_commercial_eligibility_id string,"
+        " dental_medicaid_eligibility_id string,"
+        " dental_medicare_eligibility_id string,"
+        " dental_commercial_eligibility_id string,"
+        " medical_eligibility_id string, pharmacy_eligibility_id string,"
+        " dental_eligibility_id string",
+    )
+    elig = spark.createDataFrame(
+        [(101, "2019-12-31", 5, 0, 0, None, None),
+         (102, "2019-12-31", 3, 0, 0, None, None)],
+        "internal_member_id long, eligibility_end_dt string, race_id1 int,"
+        " race_id2 int, latino_id int, ethnicity_id1 string,"
+        " ethnicity_id2 string",
+    )
+    hdr = fx.raw_apcd_claim_header(spark)
+    icdcm_hdr = fx.raw_apcd_claim_icdcm(spark)
+    # child-grain raws carry the service dates the stage projections keep
+    icdcm_raw = icdcm_hdr.withColumns({
+        "icdcm_raw": F.col("icdcm_norm"),
+        "first_service_dt": F.lit("2019-03-01").cast("date"),
+        "last_service_dt": F.lit("2019-03-01").cast("date"),
+    })
+    line_raw = spark.createDataFrame(
+        [(101, 1, 11, 1, "2019-03-01", "2019-03-01", 100.0, "0450", "23",
+          None, "2019-02-28", None, None, None)],
+        "id_apcd long, claim_header_id long, claim_line_id long,"
+        " line_counter int, first_service_dt string, last_service_dt"
+        " string, charge_amt double, revenue_code string,"
+        " place_of_service_code string, admission_dt date,"
+        " discharge_dt string, discharge_status_code string,"
+        " admission_point_of_origin_code string, admission_type string",
+    ).withColumns({
+        "first_service_dt": F.col("first_service_dt").cast("date"),
+        "last_service_dt": F.col("last_service_dt").cast("date"),
+        "discharge_dt": F.col("discharge_dt").cast("date"),
+    })
+    result = run_apcd_pipeline(
+        mm,
+        eligibility=elig,
+        claim_header_raw=hdr,
+        claim_line_raw=line_raw.drop("discharge_date")
+        .withColumnRenamed("x", "x"),
+        claim_icdcm_raw=icdcm_raw,
+        claim_procedure_raw=fx.raw_apcd_claim_procedure(spark)
+        .withColumns({
+            "id_apcd": F.lit(102).cast("long"),
+            "first_service_dt": F.lit("2019-04-10").cast("date"),
+            "last_service_dt": F.lit("2019-04-10").cast("date"),
+            "modifier_code": F.lit(None).cast("string"),
+        }),
+        ref_claim_status=fx.ref_apcd_claim_status(spark),
+        ref_xwalk=fx.ref_kc_claim_type_xwalk_apcd(spark),
+        plr_years=[2019],
+        strict=False,
+    )
+    expect = {"apcd_elig_demo", "apcd_elig_timevar", "apcd_elig_month",
+              "apcd_elig_plr_2019", "apcd_claim_header",
+              "apcd_claim_line", "apcd_claim_icdcm_header",
+              "apcd_claim_procedure"}
+    assert expect <= set(result.tables)
+    # the line builder: discharge before first service falls back
+    lrow = result.tables["apcd_claim_line"].collect()[0]
+    assert str(lrow["discharge_date"]) == "2019-03-01"
+    # header event ids minted; denied claim 7 excluded
+    hdr_out = result.tables["apcd_claim_header"]
+    ids = {r["claim_header_id"] for r in hdr_out.collect()}
+    assert 7 not in ids and 1 in ids
+    # QA log materializes with no hard failures on the fused suite
+    fails = [f"{t}:{r[0]}" for t, r in result.failures()]
+    assert fails == [], fails
