@@ -404,3 +404,167 @@ def run_apcd_pipeline(
             ccw_lookup_rows,
         )
     return PipelineResult(tables=tables, qa=qa)
+
+
+def run_mcare_pipeline(
+    bene_enrollment: DataFrame,
+    claim_sources: dict[str, DataFrame] | None = None,
+    line_sources: dict[str, tuple[DataFrame, DataFrame | None]] | None = None,
+    harmonized_header: DataFrame | None = None,
+    harmonized_line: DataFrame | None = None,
+    pde: DataFrame | None = None,
+    pharm_char_raw: DataFrame | None = None,
+    ref_geo_kc_zip: DataFrame | None = None,
+    ref_xwalk: DataFrame | None = None,
+    ref_pc_oregon: DataFrame | None = None,
+    ref_icdcm: DataFrame | None = None,
+    ccw_lookup_rows: list[dict] | None = None,
+    ref_rda: DataFrame | None = None,
+    ref_naloxone_ndc: DataFrame | None = None,
+    oud_dx_codes: DataFrame | None = None,
+    strict: bool = True,
+) -> PipelineResult:
+    """Medicare master orchestration
+    (``db_loader/mcare/02_master_mcare_claims_analytic.R`` — fourteen
+    tables): elig demo/timevar/month off the MBSF enrollment stage,
+    then line / icdcm_header / procedure / provider / pharm /
+    pharm_char off the per-filetype claim extracts, the header gated
+    by the fused event-family invariants, then ccw / bh / moud /
+    naloxone off the children.
+
+    ``claim_sources`` maps filetype -> base-claims frame (the dx
+    columns live there); ``line_sources`` maps filetype ->
+    (base_claims, detail) pairs for the line/procedure/pharm grains —
+    both exactly the per-builder contracts, so a section is skipped
+    when its extract is absent (the master script's rerun pattern).
+    """
+    from claims_data_spark.tables.conditions import (
+        build_mcare_claim_bh,
+        build_mcare_claim_ccw,
+    )
+    from claims_data_spark.tables.mcare import (
+        build_mcare_claim_header,
+        build_mcare_claim_icdcm_header,
+        build_mcare_claim_line,
+        build_mcare_claim_pharm,
+        build_mcare_claim_procedure,
+        build_mcare_claim_provider,
+    )
+    from claims_data_spark.tables.mcare_elig import (
+        build_mcare_elig_demo,
+        build_mcare_elig_month,
+        build_mcare_elig_timevar,
+    )
+    from claims_data_spark.tables.moud import build_mcare_claim_moud
+    from claims_data_spark.tables.naloxone import build_mcare_claim_naloxone
+    from claims_data_spark.tables.pharmacy import (
+        build_mcare_claim_pharm_char,
+    )
+
+    tables: dict[str, DataFrame] = {}
+    qa: list[tuple[str, QaResult]] = []
+
+    def gate(table: str, checks: list) -> None:
+        for res in checks:
+            qa.append((table, res))
+            if strict:
+                assert res[1], f"QA FAIL {table}: {res[0]}"
+
+    demo = build_mcare_elig_demo(
+        bene_enrollment, ref_geo_kc_zip=ref_geo_kc_zip
+    )
+    tables["mcare_elig_demo"] = demo
+    gate("mcare_elig_demo",
+         fused_table_qa(demo, unique_keys=["id_mcare"]))
+    tables["mcare_elig_timevar"] = build_mcare_elig_timevar(
+        bene_enrollment, elig_demo=demo, ref_geo_kc_zip=ref_geo_kc_zip
+    )
+    tables["mcare_elig_month"] = build_mcare_elig_month(
+        bene_enrollment, elig_demo=demo, ref_geo_kc_zip=ref_geo_kc_zip
+    )
+
+    if not claim_sources:
+        return PipelineResult(tables=tables, qa=qa)
+    enrollment = bene_enrollment.select(
+        F.col("bene_id") if "bene_id" in bene_enrollment.columns
+        else F.col("id_mcare").alias("bene_id")
+    ).distinct()
+
+    icdcm = build_mcare_claim_icdcm_header(claim_sources, enrollment)
+    tables["mcare_claim_icdcm_header"] = icdcm
+    procedure = pharm = None
+    if line_sources:
+        # claim_line's per-filetype contract is (line_df, base_df) —
+        # the reverse of procedure's (base, detail) pairs
+        tables["mcare_claim_line"] = build_mcare_claim_line(
+            {k: (detail, base) for k, (base, detail) in
+             line_sources.items() if detail is not None},
+            enrollment,
+        )
+        procedure = build_mcare_claim_procedure(line_sources, enrollment)
+        tables["mcare_claim_procedure"] = procedure
+        facility_only = {
+            k: (detail, base) for k, (base, detail) in line_sources.items()
+            if detail is not None and k not in ("carrier", "dme")
+        }
+        pharm = build_mcare_claim_pharm(facility_only, pde, enrollment)
+        tables["mcare_claim_pharm"] = pharm
+    # standardize the CMS NPI role names per filetype before the
+    # provider unpivot (the builder's contract is caller-side aliasing
+    # because the vocabulary differs per vintage)
+    _ROLE_ALIASES = {
+        "at_physn_npi": "attending", "op_physn_npi": "operating",
+        "ot_physn_npi": "other", "org_npi_num": "organization",
+        "rndrng_physn_npi": "rendering",
+        "carr_clm_blg_npi_num": "billing", "rfr_physn_npi": "referring",
+    }
+    prov_sources = {}
+    for ft, df in claim_sources.items():
+        renamed = df
+        for src, role in _ROLE_ALIASES.items():
+            if src in df.columns:
+                renamed = renamed.withColumnRenamed(src, role)
+        if any(r in renamed.columns for r in _ROLE_ALIASES.values()):
+            prov_sources[ft] = renamed
+    if prov_sources:
+        tables["mcare_claim_provider"] = build_mcare_claim_provider(
+            prov_sources
+        )
+    if pharm_char_raw is not None:
+        tables["mcare_claim_pharm_char"] = build_mcare_claim_pharm_char(
+            pharm_char_raw
+        )
+
+    # the header consumes the HARMONIZED cross-filetype union (the
+    # raw->stage layer produced by mcare_facility_stage /
+    # bcarrier/dme vintage maps), not the raw CMS extracts the child
+    # builders take — mirror of the reference where Table 9 reads the
+    # stage tables Tables 3-8 already built
+    header = None
+    if harmonized_header is not None:
+        header = build_mcare_claim_header(
+            harmonized_header, harmonized_line, icdcm, procedure,
+            ref_xwalk=ref_xwalk, ref_pc_oregon=ref_pc_oregon,
+        )
+        tables["mcare_claim_header"] = header
+        gate("mcare_claim_header", mcare_header_qa(header))
+
+    if header is not None and ref_icdcm is not None and ccw_lookup_rows:
+        tables["mcare_claim_ccw"] = build_mcare_claim_ccw(
+            icdcm, header, ref_icdcm, ccw_lookup_rows
+        )
+    if ref_rda is not None and pharm is not None and procedure is not None:
+        tables["mcare_claim_bh"] = build_mcare_claim_bh(
+            icdcm, pharm, procedure, ref_rda
+        )
+    if header is not None and oud_dx_codes is not None \
+            and procedure is not None:
+        tables["mcare_claim_moud"] = build_mcare_claim_moud(
+            procedure, header, pharm, oud_dx_codes
+        )
+    if ref_naloxone_ndc is not None and pharm is not None \
+            and procedure is not None:
+        tables["mcare_claim_naloxone"] = build_mcare_claim_naloxone(
+            pharm, procedure, ref_naloxone_ndc
+        )
+    return PipelineResult(tables=tables, qa=qa)

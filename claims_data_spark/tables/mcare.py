@@ -849,9 +849,16 @@ def build_mcare_claim_procedure(
     for ftype, (base_df, detail_df) in sources.items():
         spec = specs[ftype]
         base = _not_denied(base_df, spec["denial"])
-        joined = (
-            base.join(detail_df, "clm_id") if detail_df is not None else base
-        )
+        if detail_df is not None:
+            # the detail (line / revenue-center) file repeats the
+            # person id and service dates of its base claim — drop
+            # them so the join keeps ONE unambiguous copy (CMS RIFs
+            # really do carry bene_id on both grains)
+            dup = [c for c in ("bene_id", "clm_from_dt", "clm_thru_dt")
+                   if c in detail_df.columns]
+            joined = base.join(detail_df.drop(*dup), "clm_id")
+        else:
+            joined = base
         if spec["mods"] or "hcpcs_cd" in joined.columns:
             mod_slots = ["hcpcs_1st_mdfr_cd", "hcpcs_2nd_mdfr_cd",
                          "hcpcs_3rd_mdfr_cd", "hcpcs_4th_mdfr_cd"]
@@ -962,6 +969,10 @@ def build_mcare_claim_provider(
     parts = []
     for ftype, df in sources.items():
         roles = {r: r for r in MCARE_PROVIDER_ROLES if r in df.columns}
+        if not roles:
+            # extract vintages with no provider columns contribute no
+            # rows (an empty stack() is a parse error, not a no-op)
+            continue
         extras = [
             F.col(c).cast("string").alias(c) if c in df.columns
             else F.lit(None).cast("string").alias(c)
@@ -987,6 +998,11 @@ def build_mcare_claim_provider(
                 (F.length(F.trim(F.col("provider_npi_raw"))) == 10)
                 & is_numeric(F.trim(F.col("provider_npi_raw")))
             ).withColumn("filetype_mcare", F.lit(ftype))
+        )
+    if not parts:
+        raise ValueError(
+            "no source carries a standardized provider role column; "
+            f"expected any of {MCARE_PROVIDER_ROLES}"
         )
     out = parts[0]
     for p in parts[1:]:
@@ -1150,6 +1166,13 @@ def build_mcare_claim_pharm(
             ),
         )
         ndc = F.col("rev_cntr_ide_ndc_upc_num")
+        # the 2014 vintage carries no NDC quantity columns — null-fill
+        # (same vintage-drift policy as the stage harmonizer)
+        qty = (F.col("rev_cntr_ndc_qty") if "rev_cntr_ndc_qty"
+               in rev.columns else F.lit(None))
+        qty_uom = (F.col("rev_cntr_ndc_qty_qlfr_cd")
+                   if "rev_cntr_ndc_qty_qlfr_cd" in rev.columns
+                   else null_s)
         parts.append(
             rev.filter(ndc.isNotNull() & ~ndc.rlike("^[A-Za-z]"))
             .join(b, "clm_id")
@@ -1162,12 +1185,8 @@ def build_mcare_claim_pharm(
                 "last_service_date",
                 null_s.alias("prscrbr_npi"),
                 F.lpad(ndc, 11, "0").alias("ndc"),
-                F.col("rev_cntr_ndc_qty").cast("decimal(19,3)").alias(
-                    "facility_drug_quantity"
-                ),
-                F.col("rev_cntr_ndc_qty_qlfr_cd").alias(
-                    "facility_drug_quantity_unit"
-                ),
+                qty.cast("decimal(19,3)").alias("facility_drug_quantity"),
+                qty_uom.alias("facility_drug_quantity_unit"),
                 null_s.alias("cmpnd_cd"),
                 null_n.alias("qty_dspnsd_num"),
                 F.lit(None).cast("smallint").alias("days_suply_num"),

@@ -202,3 +202,59 @@ def test_mcare_elig_month_grain(spark):
     # death month truncated to death date
     assert jun["to_date"] == d_("2016-06-15")
     assert jun["cov_time_day"] == 15 and jun["year_quarter"] == 20162
+
+
+def test_run_mcare_pipeline_end_to_end(spark):
+    """02_master_mcare_claims_analytic.R order: elig demo/timevar/month
+    off the MBSF stage, children off the per-filetype extracts, the
+    harmonized header gated by the event-family invariants, CCW off
+    the children."""
+    import tests.fixtures as fx
+    from claims_data_spark.pipeline import run_mcare_pipeline
+
+    enr = _enrollment_df(spark, [
+        {"bene": "B-1", "year": 2024},
+        {"bene": "B-2", "year": 2024, "death": "2024-11-30"},
+    ])
+    # raw CMS inpatient extract feeding the icdcm/procedure children
+    base = spark.createDataFrame(
+        [("B-1", "CLM1", "2024-01-10", "2024-01-12", None, "E119", "0",
+          "E119", "0", "I10", "0", "0TY10Z0", "1234567893")],
+        "bene_id string, clm_id string, clm_from_dt string,"
+        " clm_thru_dt string, clm_mdcr_non_pmt_rsn_cd string,"
+        " prncpal_dgns_cd string, prncpal_dgns_vrsn_cd string,"
+        " icd_dgns_cd1 string, icd_dgns_vrsn_cd1 string,"
+        " icd_dgns_cd2 string, icd_dgns_vrsn_cd2 string,"
+        " icd_prcdr_cd1 string, at_physn_npi string",
+    ).withColumns({"clm_from_dt": F.col("clm_from_dt").cast("date"),
+                   "clm_thru_dt": F.col("clm_thru_dt").cast("date")})
+    detail = spark.createDataFrame(
+        [("B-1", "CLM1", "1", "0450", "99284", None, None)],
+        "bene_id string, clm_id string, clm_line_num string,"
+        " rev_cntr string, hcpcs_cd string, hcpcs_1st_mdfr_cd string,"
+        " rev_cntr_ide_ndc_upc_num string",
+    )
+    result = run_mcare_pipeline(
+        enr,
+        claim_sources={"inpatient": base},
+        line_sources={"inpatient": (base, detail)},
+        harmonized_header=fx.raw_mcare_claim_header(spark),
+        harmonized_line=fx.raw_mcare_claim_line(spark),
+        ref_xwalk=fx.ref_kc_claim_type_xwalk_mcare(spark),
+        ref_pc_oregon=fx.ref_pc_visit_oregon(spark),
+        strict=False,
+    )
+    expect = {"mcare_elig_demo", "mcare_elig_timevar", "mcare_elig_month",
+              "mcare_claim_icdcm_header", "mcare_claim_line",
+              "mcare_claim_procedure", "mcare_claim_provider",
+              "mcare_claim_pharm", "mcare_claim_header"}
+    assert expect <= set(result.tables)
+    # children carved from the raw extract: 25-dx unpivot + ICD-PCS
+    dx = {r["icdcm_raw"] for r in
+          result.tables["mcare_claim_icdcm_header"].collect()}
+    assert {"E119", "I10"} <= dx
+    px = {r["procedure_code"] for r in
+          result.tables["mcare_claim_procedure"].collect()}
+    assert {"99284", "0TY10Z0"} <= px
+    # header invariants hold on the harmonized union
+    assert result.failures() == []
