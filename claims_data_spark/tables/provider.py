@@ -240,3 +240,46 @@ def qa_ref_apcd_provider_npi(df: DataFrame) -> dict:
         .first()
     )
     return {k: int(row[k] or 0) for k in ("dup_id", "bad_npi")}
+
+
+def build_ref_apcd_mcare_carrier_billing_npi(
+    apcd_medical_claim: DataFrame, mcare_bcarrier_claims: DataFrame
+) -> DataFrame:
+    """APCD claim-header -> Medicare carrier billing NPI crosswalk
+    (``ref/tables/load_ref.apcd_mcare_carrier_billing_npi.sql:20-30``):
+    APCD Medicare-FFS carrier claims (submitted claim types 24/25)
+    joined to the ResDAC carrier file on the submitter claim control
+    number. The reference forces a CASE-SENSITIVE collation for the
+    join (claim control numbers are base-62-ish) — Spark string
+    equality is already case-sensitive, so the semantic carries with a
+    plain equi-join; trim guards padded fixed-width extracts.
+    """
+    a = apcd_medical_claim.filter(
+        F.col("submitted_claim_type_id").isin(24, 25)
+    ).select(
+        F.trim(F.col("submitter_clm_control_num")).alias("_ctl"),
+        F.col("medical_claim_header_id").alias("claim_header_id"),
+    )
+    b = mcare_bcarrier_claims.select(
+        F.trim(F.col("clm_id")).alias("_ctl"),
+        F.col("carr_clm_blg_npi_num").cast("bigint")
+        .alias("carr_clm_blg_npi_num"),
+    )
+    return a.join(b, "_ctl", "left").drop("_ctl")
+
+
+def qa_carrier_billing_npi(
+    xwalk: DataFrame, apcd_medical_claim: DataFrame
+) -> int:
+    """Reference QA (``:33-41``): count of crosswalk claims whose APCD
+    submitted claim type is NOT carrier — expect 0 (known OnPoint
+    header-clustering caveat documented in the reference)."""
+    typed = apcd_medical_claim.select(
+        F.col("medical_claim_header_id").alias("claim_header_id"),
+        "submitted_claim_type_id",
+    )
+    return (
+        xwalk.join(typed, "claim_header_id", "left")
+        .filter(~F.col("submitted_claim_type_id").isin(24, 25))
+        .count()
+    )

@@ -171,3 +171,27 @@ def test_ref_apcd_provider_npi_modal_fallback(spark):
     assert rows[500]["npi"] == 1444444440 and rows[600]["npi"] == 1444444440
     qa = qa_ref_apcd_provider_npi(out)
     assert qa == {"dup_id": 0, "bad_npi": 0}
+
+
+def test_carrier_billing_npi_xwalk(spark):
+    from claims_data_spark.tables.provider import (
+        build_ref_apcd_mcare_carrier_billing_npi,
+        qa_carrier_billing_npi,
+    )
+
+    apcd = spark.createDataFrame(
+        [("aBc123", 1, 24), ("ABC123", 2, 25), ("zzz999", 3, 16)],
+        "submitter_clm_control_num string, medical_claim_header_id long,"
+        " submitted_claim_type_id int",
+    )
+    carrier = spark.createDataFrame(
+        [("aBc123", "1234567893"), ("ABC123", "1999999999")],
+        "clm_id string, carr_clm_blg_npi_num string",
+    )
+    out = build_ref_apcd_mcare_carrier_billing_npi(apcd, carrier)
+    rows = {r["claim_header_id"]: r for r in out.collect()}
+    # case-sensitive: aBc123 and ABC123 map to DIFFERENT NPIs
+    assert rows[1]["carr_clm_blg_npi_num"] == 1234567893
+    assert rows[2]["carr_clm_blg_npi_num"] == 1999999999
+    assert 3 not in rows  # non-carrier claim types never enter
+    assert qa_carrier_billing_npi(out, apcd) == 0
