@@ -312,7 +312,7 @@ def run_apcd_pipeline(
         build_apcd_claim_provider,
         build_apcd_elig_demo,
         build_apcd_elig_month,
-        build_apcd_elig_plr,
+        build_apcd_elig_plr_multi,
         build_apcd_elig_timevar_full,
         qa_apcd_child,
         qa_apcd_claim_header,
@@ -345,11 +345,18 @@ def run_apcd_pipeline(
         member_month, ref_zip_group=ref_zip_group,
         ref_county_code=ref_county_code,
     )
-    for y in (plr_years or []) if demo is not None else []:
-        tables[f"apcd_elig_plr_{y}"] = build_apcd_elig_plr(
-            timevar, demo, f"{y}-01-01", f"{y}-12-31",
-            ref_zip_group=ref_zip_group,
+    if plr_years and demo is not None:
+        # one-pass multi-year PLR (a broadcast year dim range-joins the
+        # intervals) instead of the reference master's unrolled
+        # per-year calls — 11 timevar scans become one
+        multi = build_apcd_elig_plr_multi(
+            timevar, demo, list(plr_years), ref_zip_group=ref_zip_group
         )
+        tables["apcd_elig_plr"] = multi
+        for y in plr_years:
+            tables[f"apcd_elig_plr_{y}"] = multi.filter(
+                F.col("plr_year") == int(y)
+            ).drop("plr_year")
 
     if claim_header_raw is None:
         return PipelineResult(tables=tables, qa=qa)

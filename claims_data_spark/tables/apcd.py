@@ -1266,39 +1266,27 @@ def _plr_cov_flags() -> dict:
     }
 
 
-def build_apcd_elig_plr(
-    timevar: DataFrame,
+def _plr_assemble(
+    tv: DataFrame,
     elig_demo: DataFrame,
-    from_date: str,
-    to_date: str,
-    ref_zip_group: DataFrame | None = None,
+    keys: list,
+    ref_zip_group: DataFrame | None,
 ) -> DataFrame:
-    """Person-level coverage/demographic rollup for [from_date,
-    to_date] (``load_stage.apcd_elig_plr.R:39-363``).
-
-    The reference's four repeated CASE blocks per coverage bucket are
-    one clipped-overlap expression
-    ``datediff(least(to,end), greatest(from,start)) + 1`` times each
-    bucket's flag — summed in ONE groupBy(id). ZIP assignment takes
-    the max person-time ZIP (ties break to the lower ZIP, matching
-    the reference's row_number sort ``:225``; note the reference's
-    ``sum(covd) + 1`` duration quirk is reproduced); ACH person-days
-    aggregate in the same pass keyed by (id, ach) and join back on
-    the winner. Age caps at 90 (ninety_only members pin there).
-
-    All coverage-cohort flags (overall_mcaid, medical_coverage_6/7/
-    11mo) are computed for WA residents only, per ``:358-365``.
+    """Shared PLR assembly over a timevar frame that carries per-row
+    window bounds ``_start``/``_end`` (constant per reporting period).
+    ``keys`` is the output grain — ``["id_apcd"]`` for the classic
+    single-period build, ``["plr_year", "id_apcd"]`` for the one-pass
+    multi-year build. The bounds ride the group keys (functionally
+    determined by the period), so every aggregate below is computed
+    per (period, person) in the SAME shuffles a single period uses.
     """
-    start = F.lit(from_date).cast("date")
-    end = F.lit(to_date).cast("date")
-    range_days = F.datediff(end, start) + 1
+    from pyspark.sql import Window
 
-    tv = timevar.filter(
-        (F.col("from_date") <= end) & (F.col("to_date") >= start)
-    )
+    gk = [*keys, "_start", "_end"]
+    range_days = F.datediff(F.col("_end"), F.col("_start")) + 1
     ov = (
-        F.datediff(F.least(F.col("to_date"), end),
-                   F.greatest(F.col("from_date"), start)) + 1
+        F.datediff(F.least(F.col("to_date"), F.col("_end")),
+                   F.greatest(F.col("from_date"), F.col("_start"))) + 1
     )
 
     def pct(c):
@@ -1310,32 +1298,30 @@ def build_apcd_elig_plr(
         cov_aggs.append(
             F.sum(F.when(cond, ov).otherwise(0)).alias(f"{name}_covd")
         )
-    cov = tv.groupBy("id_apcd").agg(*cov_aggs)
+    cov = tv.groupBy(*gk).agg(*cov_aggs)
     pct_cols = [
         "med_total", "dual", "med_medicaid", "med_medicare",
         "med_commercial", "pharm_total", "pharm_medicaid",
         "pharm_medicare", "pharm_commercial",
     ]
     cov = cov.select(
-        "id_apcd",
+        *gk,
         *[F.col(f"{n}_covd") for n in cov_flags],
         *[pct(F.col(f"{n}_covd")).alias(f"{n}_covper") for n in pct_cols],
         (F.col("dual_covd") > 0).cast("int").alias("dual_flag"),
     )
 
     # ZIP with max person-time; reference adds +1 to the summed days
-    zip_dur = tv.groupBy("id_apcd", "geo_zip").agg(
+    zip_dur = tv.groupBy(*gk, "geo_zip").agg(
         (F.sum(ov) + 1).alias("zip_dur")
     )
-    from pyspark.sql import Window
-
-    zw = Window.partitionBy("id_apcd").orderBy(
+    zw = Window.partitionBy(*gk).orderBy(
         F.col("zip_dur").desc(), F.col("geo_zip")
     )
     zip_pick = (
         zip_dur.withColumn("zipr", F.row_number().over(zw))
         .filter(F.col("zipr") == 1)
-        .select("id_apcd", "geo_zip")
+        .select(*gk, "geo_zip")
     )
     if ref_zip_group is not None:
         county = ref_zip_group.filter(
@@ -1358,12 +1344,12 @@ def build_apcd_elig_plr(
         # timevar rows' own ACH via zip, summed where it matches
         tv_ach = tv.join(F.broadcast(ach_map), "geo_zip", "left")
         ach_days = (
-            tv_ach.groupBy("id_apcd", "geo_ach").agg(
+            tv_ach.groupBy(*gk, "geo_ach").agg(
                 F.sum(ov).alias("geo_ach_covd")
             )
         )
         zip_pick = zip_pick.join(
-            ach_days, ["id_apcd", "geo_ach"], "left"
+            ach_days, [*gk, "geo_ach"], "left"
         )
     else:
         zip_pick = (
@@ -1372,14 +1358,8 @@ def build_apcd_elig_plr(
             .withColumn("geo_ach_covd", F.lit(None).cast("long"))
         )
 
-    age_raw = F.floor((F.datediff(end, F.col("dob")) + 1) / 365.25)
-    age = (
-        F.when((age_raw >= 90) | (F.col("ninety_only") == 1), 90)
-        .when(age_raw >= 0, age_raw)
-        .when(age_raw == -1, 0)
-    )
     demo = elig_demo.select(
-        "id_apcd", age.alias("age"),
+        "id_apcd", "dob",
         F.col("ninety_only"),
         "gender_me", "gender_recent", "gender_female", "gender_male",
         "race_eth_me", "race_me", "race_eth_recent", "race_recent",
@@ -1388,13 +1368,22 @@ def build_apcd_elig_plr(
     )
 
     merged = (
-        cov.join(zip_pick, "id_apcd", "left")
+        cov.join(zip_pick, gk, "left")
         .join(demo, "id_apcd", "left")
     )
+    # age is as-of the period END, so it is computed after the demo
+    # join where _end is in scope (caps at 90; ninety_only pins there)
+    age_raw = F.floor((F.datediff(F.col("_end"), F.col("dob")) + 1) / 365.25)
+    age = (
+        F.when((age_raw >= 90) | (F.col("ninety_only") == 1), 90)
+        .when(age_raw >= 0, age_raw)
+        .when(age_raw == -1, 0)
+    )
+    merged = merged.withColumn("age", age)
     a = F.col("age")
     wa = F.col("geo_county").isNotNull()
     return merged.select(
-        "id_apcd",
+        *keys,
         wa.cast("int").alias("geo_wa"),
         (
             wa & (
@@ -1441,4 +1430,70 @@ def build_apcd_elig_plr(
         "pharm_medicaid_covd", "pharm_medicare_covd",
         "pharm_commercial_covd", "pharm_medicaid_covper",
         "pharm_medicare_covper", "pharm_commercial_covper",
+    )
+
+
+def build_apcd_elig_plr(
+    timevar: DataFrame,
+    elig_demo: DataFrame,
+    from_date: str,
+    to_date: str,
+    ref_zip_group: DataFrame | None = None,
+) -> DataFrame:
+    """Person-level coverage/demographic rollup for [from_date,
+    to_date] (``load_stage.apcd_elig_plr.R:39-363``).
+
+    The reference's four repeated CASE blocks per coverage bucket are
+    one clipped-overlap expression
+    ``datediff(least(to,end), greatest(from,start)) + 1`` times each
+    bucket's flag — summed in ONE groupBy(id). ZIP assignment takes
+    the max person-time ZIP (ties break to the lower ZIP, matching
+    the reference's row_number sort ``:225``; note the reference's
+    ``sum(covd) + 1`` duration quirk is reproduced); ACH person-days
+    aggregate in the same pass keyed by (id, ach) and join back on
+    the winner. Age caps at 90 (ninety_only members pin there).
+
+    All coverage-cohort flags (overall_mcaid, medical_coverage_6/7/
+    11mo) are computed for WA residents only, per ``:358-365``.
+    """
+    start = F.lit(from_date).cast("date")
+    end = F.lit(to_date).cast("date")
+    tv = timevar.filter(
+        (F.col("from_date") <= end) & (F.col("to_date") >= start)
+    ).withColumns({"_start": start, "_end": end})
+    return _plr_assemble(tv, elig_demo, ["id_apcd"], ref_zip_group)
+
+
+def build_apcd_elig_plr_multi(
+    timevar: DataFrame,
+    elig_demo: DataFrame,
+    years: list,
+    ref_zip_group: DataFrame | None = None,
+) -> DataFrame:
+    """ALL reporting years in ONE pass — the Spark-first replacement
+    for the reference master's eleven unrolled per-year
+    ``load_stage.apcd_elig_plr_f`` calls
+    (``07_apcd_create_analytic_tables.R`` Table 3): a broadcast year
+    dimension range-joins the timevar intervals (each interval lands
+    in every year it overlaps — bounded fan-out, max interval length
+    / 1 year copies), and the whole PLR assembly then groups by
+    (plr_year, id_apcd) in the SAME number of shuffles a single year
+    costs. At warehouse scale this turns 11 full timevar scans into
+    one.
+    """
+    spark = timevar.sparkSession
+    dim = spark.createDataFrame(
+        [(int(y), f"{y}-01-01", f"{y}-12-31") for y in years],
+        "plr_year int, _start string, _end string",
+    ).withColumns({
+        "_start": F.col("_start").cast("date"),
+        "_end": F.col("_end").cast("date"),
+    })
+    tv = timevar.join(
+        F.broadcast(dim),
+        (F.col("from_date") <= F.col("_end"))
+        & (F.col("to_date") >= F.col("_start")),
+    )
+    return _plr_assemble(
+        tv, elig_demo, ["plr_year", "id_apcd"], ref_zip_group
     )

@@ -263,3 +263,48 @@ def test_housing_status(spark):
     assert p2["housing_status_source"] == "z_codes"
     # P3: z-code outside coverage months -> absent
     assert not any(k[0] == "P3" for k in rows)
+
+
+def test_plr_multi_year_equals_per_year_loop(spark):
+    """build_apcd_elig_plr_multi: one pass over (year x person) must
+    equal the reference's per-year loop exactly, year by year."""
+    from claims_data_spark.tables.apcd import (
+        build_apcd_elig_plr,
+        build_apcd_elig_plr_multi,
+        build_apcd_elig_timevar_full,
+        build_apcd_elig_demo,
+    )
+
+    mm = _mm_df(spark, [
+        # member 1 spans the 2016/2017 boundary (one interval lands in
+        # both years of the multi build)
+        {"member": 1, "ym": 201610, "age": 40, "med_mcaid": "E1"},
+        {"member": 1, "ym": 201611, "age": 40, "med_mcaid": "E1"},
+        {"member": 1, "ym": 201612, "age": 40, "med_mcaid": "E1"},
+        {"member": 1, "ym": 201701, "age": 41, "med_mcaid": "E1"},
+        {"member": 1, "ym": 201702, "age": 41, "med_mcaid": "E1"},
+        # member 2 only in 2017, dual coverage
+        {"member": 2, "ym": 201706, "age": 70, "med_mcaid": "E2",
+         "med_mcare": "M2"},
+    ])
+    elig = spark.createDataFrame(
+        [(1, "2017-12-31", 5, 0, 0, None, None),
+         (2, "2017-12-31", 3, 0, 0, None, None)],
+        "internal_member_id int, eligibility_end_dt string, race_id1 int,"
+        " race_id2 int, latino_id int, ethnicity_id1 string,"
+        " ethnicity_id2 string",
+    )
+    tv = build_apcd_elig_timevar_full(mm)
+    demo = build_apcd_elig_demo(mm, elig)
+    multi = build_apcd_elig_plr_multi(tv, demo, [2016, 2017])
+    for year in (2016, 2017):
+        single = build_apcd_elig_plr(
+            tv, demo, f"{year}-01-01", f"{year}-12-31"
+        )
+        got = {
+            r["id_apcd"]: r.asDict()
+            for r in multi.filter(F.col("plr_year") == year)
+            .drop("plr_year").collect()
+        }
+        want = {r["id_apcd"]: r.asDict() for r in single.collect()}
+        assert got == want, f"year {year} diverged"
