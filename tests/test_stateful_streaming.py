@@ -68,3 +68,49 @@ def test_state_survives_microbatches(spark, tmp_path):
     assert latest[1] == (3, 16.0)
     assert latest[3] == (1, 2.0)
     assert 2 not in latest  # update mode: unchanged keys not re-emitted
+
+
+def test_streaming_refresh_replace_dups_append_rest(spark, tmp_path):
+    """streaming_refresh: the reference's partial-refresh contract
+    driven by a file stream — first drop loads, second drop replaces
+    the overlapping key and appends the new one; a restart with no new
+    files is a no-op (checkpointed offsets)."""
+    import pyspark.sql.types as T
+    from claims_data_spark.streaming.ingest import streaming_refresh
+
+    src = tmp_path / "drops"
+    src.mkdir()
+    target = str(tmp_path / "claims_target")
+    ckpt = str(tmp_path / "ckpt")
+    schema = T.StructType([
+        T.StructField("claim_id", T.LongType()),
+        T.StructField("amount", T.DoubleType()),
+    ])
+
+    def drop(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / name))
+
+    drop("m1", [(1, 10.0), (2, 20.0)])
+    q = streaming_refresh(spark, str(src) + "/*", schema, target,
+                          ["claim_id"], ckpt)
+    q.awaitTermination(120)
+    got = {r["claim_id"]: r["amount"]
+           for r in spark.read.parquet(target).collect()}
+    assert got == {1: 10.0, 2: 20.0}
+
+    # second monthly drop: claim 2 corrected, claim 3 new
+    drop("m2", [(2, 25.0), (3, 30.0)])
+    q = streaming_refresh(spark, str(src) + "/*", schema, target,
+                          ["claim_id"], ckpt)
+    q.awaitTermination(120)
+    got = {r["claim_id"]: r["amount"]
+           for r in spark.read.parquet(target).collect()}
+    assert got == {1: 10.0, 2: 25.0, 3: 30.0}
+
+    # restart with nothing new: checkpoint makes it a no-op
+    q = streaming_refresh(spark, str(src) + "/*", schema, target,
+                          ["claim_id"], ckpt)
+    q.awaitTermination(120)
+    assert spark.read.parquet(target).count() == 3
