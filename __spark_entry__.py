@@ -5357,6 +5357,67 @@ GROUP BY code_set, value_set_name, sub_group_condition, sub_group_pharmacy
 """
 
 
+def q_claims_summary(spark, sf_dir):
+    """Per-person utilization counts for a cohort window
+    (sp_mcaid_claims_simple_r.sql): an event counts once per distinct
+    service DATE (the reference's per-(person,date) MAX then SUM,
+    collapsed here to COUNT(DISTINCT CASE...) in ONE shuffle), window
+    membership is event-began-in-window, cohort left-joins back with
+    zero-fill + no_claims."""
+    from claims_data_spark.api import claims_summary
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    cohort = c.filter(F.col("c_custkey") % 3 != 0).select(
+        F.col("c_custkey").alias("id_mcaid"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    claims = o.select(
+        F.col("o_custkey").alias("id_mcaid"),
+        F.col("o_orderdate").cast("date").alias("first_service_date"),
+        (F.col("o_orderkey") % 11 == 0).cast("int").alias("ed"),
+        (F.col("o_orderkey") % 7 == 0).cast("int").alias("inpatient"),
+        (F.col("o_orderkey") % 5 == 0).cast("int").alias("dental"),
+    )
+    out = claims_summary(
+        cohort, claims, "1995-01-01", "1995-12-31",
+        flag_cols=["ed", "inpatient", "dental"],
+    )
+    return out.select(
+        "id_mcaid", "segment", "ed_cnt", "inpatient_cnt", "dental_cnt",
+        "no_claims",
+    )
+
+
+SQL_CLAIMS_SUMMARY = """
+WITH cohort AS (
+  SELECT c_custkey AS id_mcaid, c_mktsegment AS segment
+  FROM customer WHERE c_custkey % 3 <> 0
+), claims AS (
+  SELECT o_custkey AS id_mcaid, CAST(o_orderdate AS DATE) AS fsd,
+         CASE WHEN o_orderkey % 11 = 0 THEN 1 ELSE 0 END AS ed,
+         CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END AS inpatient,
+         CASE WHEN o_orderkey % 5 = 0 THEN 1 ELSE 0 END AS dental
+  FROM orders
+  WHERE o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'
+), counts AS (
+  SELECT id_mcaid,
+    COUNT(DISTINCT CASE WHEN ed = 1 THEN fsd END) AS ed_cnt,
+    COUNT(DISTINCT CASE WHEN inpatient = 1 THEN fsd END) AS inpatient_cnt,
+    COUNT(DISTINCT CASE WHEN dental = 1 THEN fsd END) AS dental_cnt
+  FROM claims
+  WHERE id_mcaid IN (SELECT id_mcaid FROM cohort)
+  GROUP BY id_mcaid
+)
+SELECT c.id_mcaid, c.segment,
+  COALESCE(n.ed_cnt, 0) AS ed_cnt,
+  COALESCE(n.inpatient_cnt, 0) AS inpatient_cnt,
+  COALESCE(n.dental_cnt, 0) AS dental_cnt,
+  CASE WHEN n.id_mcaid IS NULL THEN 1 ELSE 0 END AS no_claims
+FROM cohort c LEFT JOIN counts n ON c.id_mcaid = n.id_mcaid
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the claims_elig-shaped coverage query (islands +
     clipping + coverage stats) on sf0.001."""
@@ -5390,6 +5451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "provider_master_rank": q_provider_master_rank,
         "ndc_normalize": q_ndc_normalize,
         "rda_value_set": q_rda_value_set,
+        "claims_summary": q_claims_summary,
         "housing_status": q_housing_status,
         "address_clean": q_address_clean,
         "spatial_pip": q_spatial_pip,
@@ -5530,6 +5592,7 @@ def oracle_sql() -> dict[str, str]:
         "ccw_combined": SQL_CCW_COMBINED,
         "combined_claim_children": SQL_COMBINED_CLAIM_CHILDREN,
         "rda_value_set": SQL_RDA_VALUE_SET,
+        "claims_summary": SQL_CLAIMS_SUMMARY,
         "apcd_ed_episode": SQL_APCD_ED_EPISODE,
         "fuh_followup": SQL_FUH_FOLLOWUP,
         "pcr_readmission": SQL_PCR_READMISSION,

@@ -245,3 +245,60 @@ def elig_timevar_collapse(
         group_cols=group_cols,
         max_gap_days=1,
     )
+
+
+DEFAULT_SUMMARY_FLAGS = [
+    "inpatient", "ipt_medsurg", "ipt_bh", "ed", "ed_avoid_ca",
+    "ed_emergent_nyu", "ed_nonemergent_nyu", "ed_intermediate_nyu",
+    "dental",
+]
+
+
+def claims_summary(
+    cohort: DataFrame,
+    claim_summary: DataFrame,
+    from_date: str,
+    to_date: str,
+    flag_cols: list[str] | None = None,
+    id_col: str = "id_mcaid",
+    date_col: str = "first_service_date",
+) -> DataFrame:
+    """Per-person utilization counts over a window, joined to an
+    eligibility cohort (``analysis/.../sp_mcaid_claims_simple_r.sql:
+    27-91`` — the companion of the cohort sproc).
+
+    The reference sums a per-(person, service-date) MAX of each event
+    flag — i.e. an event counts once per distinct service DATE, not
+    once per claim row. That two-level aggregate collapses to ONE
+    groupBy(person) of ``COUNT(DISTINCT CASE WHEN flag=1 THEN date
+    END)`` per flag: identical arithmetic, one shuffle instead of two
+    (Spark's multi-distinct Expand multiplies the filtered claim rows
+    by the flag count, but the exchange count — the scale cost —
+    halves). Window membership is event-BEGAN-in-window (``:82``);
+    persons with no claims keep their cohort row with zero counts and
+    ``no_claims = 1`` (``:45``).
+    """
+    _validate_window(from_date, to_date)
+    flags = flag_cols or [
+        c for c in DEFAULT_SUMMARY_FLAGS if c in claim_summary.columns
+    ]
+    window_claims = claim_summary.filter(
+        (F.col(date_col) >= F.lit(from_date).cast("date"))
+        & (F.col(date_col) <= F.lit(to_date).cast("date"))
+    ).join(cohort.select(id_col).distinct(), id_col, "left_semi")
+    counts = window_claims.groupBy(id_col).agg(*[
+        F.countDistinct(
+            F.when(F.col(c) == 1, F.col(date_col))
+        ).alias(f"{c}_cnt")
+        for c in flags
+    ])
+    out = cohort.join(counts, id_col, "left")
+    # the joined count columns are null IFF the person had no window
+    # claims at all (a grouped person always gets 0s, never nulls)
+    return out.withColumns({
+        **{f"{c}_cnt": F.coalesce(F.col(f"{c}_cnt"), F.lit(0))
+           for c in flags},
+        "no_claims": F.when(
+            F.coalesce(*[F.col(f"{c}_cnt") for c in flags]).isNull(), 1
+        ).otherwise(0),
+    })

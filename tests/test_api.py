@@ -213,3 +213,39 @@ def test_claims_elig_named_params_and_name_joins(spark, tables):
     rows = {r["id_mcaid"]: r for r in named.collect()}
     assert rows["p1"]["bsp_group_name"] == "Standard"
     assert rows["p3"]["bsp_group_name"] == "CHIP"
+
+
+def test_claims_summary_distinct_date_counting(spark):
+    """sp_mcaid_claims_simple_r.sql: an event counts once per distinct
+    service DATE (two same-day ED claims = 1), window membership is
+    event-began-in-window, and no-claims persons keep their cohort row
+    with zeros + no_claims=1."""
+    from claims_data_spark.api import claims_summary
+
+    cohort = spark.createDataFrame(
+        [(1, "F"), (2, "M"), (3, "F")], "id_mcaid long, gender string"
+    )
+    claims = spark.createDataFrame(
+        [
+            # person 1: two same-day ED claims -> ed_cnt 1; next-day -> 2
+            (1, "2024-03-01", 1, 0), (1, "2024-03-01", 1, 0),
+            (1, "2024-03-02", 1, 1),
+            # person 2: claim BEFORE the window -> excluded
+            (2, "2024-02-28", 1, 0),
+            # person 9: not in cohort -> excluded entirely
+            (9, "2024-03-05", 1, 0),
+        ],
+        "id_mcaid long, first_service_date string, ed int, inpatient int",
+    ).withColumn(
+        "first_service_date", F.col("first_service_date").cast("date")
+    )
+    out = claims_summary(
+        cohort, claims, "2024-03-01", "2024-03-31",
+        flag_cols=["ed", "inpatient"],
+    )
+    rows = {r["id_mcaid"]: r for r in out.collect()}
+    assert rows[1]["ed_cnt"] == 2 and rows[1]["inpatient_cnt"] == 1
+    assert rows[1]["no_claims"] == 0
+    assert rows[2]["ed_cnt"] == 0 and rows[2]["no_claims"] == 1
+    assert rows[3]["no_claims"] == 1
+    assert 9 not in rows
