@@ -265,7 +265,9 @@ def claims_summary(
 ) -> DataFrame:
     """Per-person utilization counts over a window, joined to an
     eligibility cohort (``analysis/.../sp_mcaid_claims_simple_r.sql:
-    27-91`` — the companion of the cohort sproc).
+    27-91`` — the companion of the cohort sproc; the "detailed" form
+    ``sp_mcaid_claims_detail_r.sql`` is the SAME aggregate over a
+    wider flag list, reachable here via ``flag_cols``).
 
     The reference sums a per-(person, service-date) MAX of each event
     flag — i.e. an event counts once per distinct service DATE, not

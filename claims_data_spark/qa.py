@@ -356,3 +356,57 @@ def distinct_values_list(
             sep,
         ).alias("values")
     )
+
+
+def ccw_table_qa(
+    ccw: DataFrame,
+    expected_conditions: list[str],
+    population: int | None = None,
+    id_col: str = "id_mcaid",
+    cond_col: str = "ccw_desc",
+) -> list[QaResult]:
+    """Condition-table QA (``qa_stage.mcaid_claim_ccw.R`` — the same
+    script QAs the APCD/mcare/combined variants through their yaml
+    configs): the distinct-condition surface must match the configured
+    catalog, encounter date ranges must be ordered, and per-condition
+    prevalence is computed for the analyst review step (the
+    reference's compare-to-APCD-estimates item) — all from ONE
+    aggregation pass plus one tiny distinct.
+    """
+    got = {
+        r[0] for r in ccw.select(cond_col).distinct().collect()
+    }
+    missing = sorted(set(expected_conditions) - got)
+    extra = sorted(got - set(expected_conditions))
+    results: list[QaResult] = [(
+        "distinct-conditions-match",
+        not missing and not extra,
+        f"missing={missing} extra={extra}",
+    )]
+    stats = (
+        ccw.groupBy(cond_col)
+        .agg(
+            F.countDistinct(id_col).alias("persons"),
+            F.sum(
+                (
+                    F.col("first_encounter_date")
+                    > F.col("last_encounter_date")
+                ).cast("int")
+            ).alias("bad_order"),
+        )
+        .collect()
+    )
+    bad_order = sum(int(r["bad_order"] or 0) for r in stats)
+    results.append((
+        "encounter-dates-ordered", bad_order == 0,
+        f"{bad_order} rows with first>last",
+    ))
+    if population:
+        prev = {
+            r[cond_col]: round(100.0 * r["persons"] / population, 2)
+            for r in stats
+        }
+        results.append((
+            "prevalence-for-review", True, f"pct-of-population {prev}"
+        ))
+    return results

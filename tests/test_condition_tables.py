@@ -192,3 +192,36 @@ def test_preg_episodes_apcd_id_variant(spark):
     assert rows[0]["id_apcd"] == "A1"
     assert rows[0]["preg_endpoint"] == "lb"
     assert rows[0]["preg_episode_id"] == 1
+
+
+def test_ccw_table_qa_gates(spark):
+    """qa_stage.mcaid_claim_ccw.R: distinct-condition surface match,
+    encounter-date ordering, prevalence review stats."""
+    from claims_data_spark.qa import ccw_table_qa
+
+    ccw = spark.createDataFrame(
+        [(1, "ccw_diabetes", "2024-01-01", "2024-06-01"),
+         (2, "ccw_diabetes", "2024-02-01", "2024-02-01"),
+         (2, "ccw_hypertension", "2024-03-01", "2024-04-01")],
+        "id_mcaid long, ccw_desc string, first_encounter_date string,"
+        " last_encounter_date string",
+    )
+    ok = ccw_table_qa(
+        ccw, ["ccw_diabetes", "ccw_hypertension"], population=10
+    )
+    assert all(r[1] for r in ok)
+    prev = [r for r in ok if r[0] == "prevalence-for-review"][0][2]
+    assert "'ccw_diabetes': 20.0" in prev
+
+    # a condition absent from the catalog fails the surface gate
+    bad = ccw_table_qa(ccw, ["ccw_diabetes"])
+    assert not bad[0][1] and "extra=['ccw_hypertension']" in bad[0][2]
+
+    # reversed dates fail the ordering gate
+    rev = spark.createDataFrame(
+        [(1, "ccw_diabetes", "2024-06-01", "2024-01-01")],
+        "id_mcaid long, ccw_desc string, first_encounter_date string,"
+        " last_encounter_date string",
+    )
+    res = ccw_table_qa(rev, ["ccw_diabetes"])
+    assert not [r for r in res if r[0] == "encounter-dates-ordered"][0][1]
