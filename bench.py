@@ -48,6 +48,13 @@ HEADLINE = [
     "mcare_timevar",
     "apcd_plr",
     "housing_status",
+    # round-3 flagships
+    "combined_claim_children",
+    "rda_value_set",
+    "claims_summary",
+    "comorb_scores",
+    "dedup_clusters",
+    "demo_summary",
 ]
 
 
