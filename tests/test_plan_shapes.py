@@ -128,3 +128,54 @@ def test_ccw_single_dx_scan(spark, sf_dir):
     plan = _plan(ccw)
     # one scan of lineitem (the dx fact) regardless of condition count
     assert plan.count("lineitem.parquet") == 1, plan
+
+
+def test_plr_multi_year_scan_count_constant(spark, sf_dir):
+    """build_apcd_elig_plr_multi must not scan the timevar source once
+    per year: the year dimension broadcast-joins the intervals, so the
+    physical scan count (and exchange count) is IDENTICAL for 1 year
+    and 5 years — the plan property that turns the reference's
+    unrolled per-year loop into one pass."""
+    import re
+
+    from pyspark.sql import functions as F
+    from claims_data_spark.tables.apcd import build_apcd_elig_plr_multi
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    tv = o.select(
+        F.col("o_custkey").alias("id_apcd"),
+        F.col("o_orderdate").cast("date").alias("from_date"),
+        F.date_add(F.col("o_orderdate").cast("date"), 400).alias("to_date"),
+        F.lit("98101").alias("geo_zip"),
+        F.lit(1).alias("med_covgrp"), F.lit(0).alias("pharm_covgrp"),
+        F.lit(0).alias("dental_covgrp"), F.lit(0).alias("dual_flag"),
+        F.lit(1).alias("med_medicaid"), F.lit(0).alias("med_medicare"),
+        F.lit(0).alias("med_commercial"),
+        F.lit(0).alias("pharm_medicaid"), F.lit(0).alias("pharm_medicare"),
+        F.lit(0).alias("pharm_commercial"),
+    )
+    demo = o.select(F.col("o_custkey").alias("id_apcd")).distinct().select(
+        "id_apcd",
+        F.lit("1980-01-01").cast("date").alias("dob"),
+        F.lit(0).alias("ninety_only"),
+        *[F.lit(None).cast("string").alias(c) for c in (
+            "gender_me", "gender_recent", "race_eth_me", "race_me",
+            "race_eth_recent", "race_recent")],
+        *[F.lit(0).alias(c) for c in (
+            "gender_female", "gender_male", "race_aian", "race_asian",
+            "race_black", "race_latino", "race_nhpi", "race_white",
+            "race_unknown")],
+    )
+
+    def counts(years):
+        plan = build_apcd_elig_plr_multi(tv, demo, years)._jdf \
+            .queryExecution().executedPlan().toString()
+        scans = len(re.findall(r"Scan parquet", plan))
+        exchanges = len(
+            re.findall(r"Exchange (?:hash|range)partitioning", plan)
+        )
+        return scans, exchanges
+
+    one = counts([1995])
+    five = counts([1994, 1995, 1996, 1997, 1998])
+    assert one == five, (one, five)
