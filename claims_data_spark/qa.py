@@ -410,3 +410,35 @@ def ccw_table_qa(
             "prevalence-for-review", True, f"pct-of-population {prev}"
         ))
     return results
+
+
+def xwalk_qa(
+    xwalk: DataFrame,
+    prior: dict[str, int] | None = None,
+    id_cols: tuple = ("id_apde", "id_mcaid", "id_mcare"),
+) -> tuple[list[QaResult], dict[str, int]]:
+    """Identity-crosswalk QA (``qa_stage.xwalk_apde_mcaid_mcare_pha.R``):
+    row and distinct-id counts must never SHRINK between refreshes
+    (identities are only ever added), and the minted id must be unique
+    per row — the reference compares against the metadata log's prior
+    run; here the caller passes the prior snapshot and receives the
+    new one to store. ONE aggregation pass for all counts.
+    """
+    row = xwalk.agg(
+        F.count(F.lit(1)).alias("row_count"),
+        *[F.countDistinct(c).alias(f"distinct_{c}") for c in id_cols
+          if c in xwalk.columns],
+    ).first()
+    counts = {k: int(row[k] or 0) for k in row.asDict()}
+    results: list[QaResult] = [(
+        "id_apde-unique-per-row",
+        counts.get("distinct_id_apde", 0) == counts["row_count"],
+        f"{counts}",
+    )]
+    for k, v in (prior or {}).items():
+        if k in counts:
+            results.append((
+                f"{k}-not-shrinking", counts[k] >= v,
+                f"prior={v} now={counts[k]}",
+            ))
+    return results, counts

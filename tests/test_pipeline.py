@@ -144,3 +144,20 @@ def test_run_mcaid_mcare_pipeline_end_to_end(spark):
     srcs = {r["source_desc"] for r in
             combined_icdcm.select("source_desc").distinct().collect()}
     assert srcs == {"mcaid", "mcare"}
+
+
+def test_xwalk_qa_growth_and_uniqueness(spark):
+    from claims_data_spark.qa import xwalk_qa
+
+    xw = spark.createDataFrame(
+        [(1, "p1", "M1"), (2, "p2", None), (3, None, "M2")],
+        "id_apde long, id_mcaid string, id_mcare string",
+    )
+    res, counts = xwalk_qa(xw)
+    assert all(r[1] for r in res)
+    assert counts["row_count"] == 3 and counts["distinct_id_mcaid"] == 2
+    # a shrunken refresh fails the growth gates
+    res2, _ = xwalk_qa(xw, prior={"row_count": 5, "distinct_id_mcare": 1})
+    by = {r[0]: r[1] for r in res2}
+    assert not by["row_count-not-shrinking"]
+    assert by["distinct_id_mcare-not-shrinking"]
