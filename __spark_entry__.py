@@ -5418,6 +5418,54 @@ FROM cohort c LEFT JOIN counts n ON c.id_mcaid = n.id_mcaid
 """
 
 
+def q_corpus_clean(spark, sf_dir):
+    """Composed training-corpus cleaning pipeline (operators/corpus):
+    quality gate -> language gate -> exact-dedup keep-min survivor,
+    each rejected document attributed to the FIRST gate it failed.
+    Cheap row-local gates run before the one fingerprint shuffle, and
+    rejected rows get singleton window partitions (a shared NULL key
+    would funnel half the corpus through one task)."""
+    from claims_data_spark.operators.corpus import clean_corpus_status
+
+    d = spread(_t(spark, sf_dir, "documents"))
+    return clean_corpus_status(
+        d, min_quality=0.5, lang="en", min_lang_hits=1
+    )
+
+
+SQL_CORPUS_CLEAN = """
+WITH base AS (
+  SELECT doc_id,
+    ROUND((
+      LEAST((CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+             ELSE len(string_split_regex(TRIM(text), '\\s+')) END) / 50.0, 1.0)
+      + GREATEST(0.0, 1.0 - (CASE WHEN LENGTH(regexp_replace(text, '\\s', '', 'g')) = 0 THEN 0.0
+          ELSE LENGTH(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0
+               / LENGTH(regexp_replace(text, '\\s', '', 'g')) END) * 4)
+      + LEAST((len(list_filter(string_split_regex(LOWER(TRIM(text)), '\\s+'),
+          x -> x IN ('the','a','an','and','or','of','to','in','is','it'))) * 1.0
+          / len(string_split_regex(LOWER(TRIM(text)), '\\s+'))) * 5.0, 1.0)
+    ) / 3.0, 4) AS quality,
+    len(list_filter(string_split_regex(LOWER(TRIM(text)), '\\s+'),
+        x -> x IN ('the','and','of','to','a'))) AS en_hits,
+    MD5(regexp_replace(LOWER(TRIM(text)), '\\s+', ' ', 'g')) AS fp
+  FROM documents
+), elig AS (
+  SELECT doc_id, fp FROM base
+  WHERE quality >= 0.5 AND en_hits >= 1
+), ranked AS (
+  SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+  FROM elig
+)
+SELECT b.doc_id, b.quality,
+  CASE WHEN b.quality < 0.5 THEN 'low_quality'
+       WHEN b.en_hits < 1 THEN 'wrong_lang'
+       WHEN r.rn > 1 THEN 'duplicate'
+       ELSE 'kept' END AS status
+FROM base b LEFT JOIN ranked r ON b.doc_id = r.doc_id
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the claims_elig-shaped coverage query (islands +
     clipping + coverage stats) on sf0.001."""
@@ -5471,6 +5519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_distinct_rollup": q_sketch_distinct,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
+        "corpus_clean": q_corpus_clean,
         # -- complex operator queries -------------------------------------
         "coverage_stats": q_coverage,
         "interval_resegment": q_resegment,
@@ -5593,6 +5642,7 @@ def oracle_sql() -> dict[str, str]:
         "combined_claim_children": SQL_COMBINED_CLAIM_CHILDREN,
         "rda_value_set": SQL_RDA_VALUE_SET,
         "claims_summary": SQL_CLAIMS_SUMMARY,
+        "corpus_clean": SQL_CORPUS_CLEAN,
         "apcd_ed_episode": SQL_APCD_ED_EPISODE,
         "fuh_followup": SQL_FUH_FOLLOWUP,
         "pcr_readmission": SQL_PCR_READMISSION,

@@ -55,6 +55,7 @@ HEADLINE = [
     "comorb_scores",
     "dedup_clusters",
     "demo_summary",
+    "corpus_clean",
 ]
 
 

@@ -326,3 +326,43 @@ def test_streaming_windowed_counts_batch_equiv(spark):
         for r in out.collect()
     }
     assert got == {(0, "click"): (2, 3.0), (1, "view"): (1, 4.0)}
+
+
+def test_clean_corpus_gate_attribution(spark):
+    """operators/corpus: gate order (quality -> language -> dedup),
+    keep-min survivor, singleton partitions for rejected rows, and the
+    per-status report."""
+    from claims_data_spark.operators.corpus import (
+        clean_corpus,
+        clean_corpus_status,
+    )
+
+    good = ("the quick brown fox and the lazy dog went to a market of "
+            "wonders and it is a long enough document to score well "
+            "because the tokens keep flowing through it to the end and "
+            "a few more of the words arrive here to pad it out nicely "
+            "with the usual glue words of a natural sentence")
+    docs = spark.createDataFrame(
+        [
+            (1, good),
+            (2, good),                      # exact duplicate -> doc 1 wins
+            (3, "x! y? z!!"),               # low quality (short + punct)
+            (4, ("el la de que los " * 30).strip()),  # spanish markers only
+            (5, good + " unique tail"),     # kept (distinct content)
+        ],
+        "doc_id long, text string",
+    )
+    status = {r["doc_id"]: r["status"]
+              for r in clean_corpus_status(docs, min_quality=0.5).collect()}
+    assert status[1] == "kept"
+    assert status[2] == "duplicate"
+    assert status[3] == "low_quality"
+    assert status[4] == "wrong_lang"
+    assert status[5] == "kept"
+
+    kept, report = clean_corpus(docs)
+    assert {r["doc_id"] for r in kept.collect()} == {1, 5}
+    rep = {r["status"]: (r["docs"], float(r["pct"]))
+           for r in report.collect()}
+    assert rep["kept"] == (2, 40.0)
+    assert rep["duplicate"] == (1, 20.0)
