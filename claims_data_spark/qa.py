@@ -442,3 +442,63 @@ def xwalk_qa(
                 f"prior={v} now={counts[k]}",
             ))
     return results, counts
+
+
+def refresh_acceptance_qa(
+    tables: dict[str, DataFrame],
+    archive_tables: dict[str, DataFrame] | None = None,
+    cutoff_dates: dict[str, tuple[str, str]] | None = None,
+    extract_col: str = "extract_id",
+) -> DataFrame:
+    """Quarterly-refresh acceptance suite
+    (``qa_stage.apcd_all_tables_quarterly_refresh.sql``) as ONE result
+    frame: per-table row/column counts; for tables whose trailing
+    months are overwritten, the pre-cutoff row count in stage vs
+    archive (rows before the cutoff must be untouched by the refresh);
+    and per-extract min/max service dates when the extract column is
+    present. ``cutoff_dates`` maps table -> (date_col, cutoff).
+    One count/agg job per table — no cross-table shuffles.
+    """
+    rows = []
+    for name, df in tables.items():
+        aggs = [F.count(F.lit(1)).alias("_n")]
+        date_col, cutoff = (cutoff_dates or {}).get(name, (None, None))
+        if date_col is not None:
+            aggs.append(
+                F.sum(
+                    (F.col(date_col) <= F.lit(cutoff).cast("date"))
+                    .cast("long")
+                ).alias("_pre")
+            )
+        r = df.agg(*aggs).first()
+        pre = int(r["_pre"] or 0) if date_col is not None else None
+        arch_pre = None
+        if (archive_tables and name in archive_tables
+                and date_col is not None):
+            arch_pre = int(
+                archive_tables[name]
+                .filter(F.col(date_col) <= F.lit(cutoff).cast("date"))
+                .count()
+            )
+        ranges = None
+        if extract_col in df.columns and date_col is not None:
+            ranges = "; ".join(
+                f"{x[extract_col]}:[{x['_mn']}..{x['_mx']}]"
+                for x in df.groupBy(extract_col).agg(
+                    F.min(date_col).alias("_mn"),
+                    F.max(date_col).alias("_mx"),
+                ).collect()
+            )
+        rows.append((
+            name, int(r["_n"]), len(df.columns), pre, arch_pre,
+            None if (pre is None or arch_pre is None)
+            else ("PASS" if pre == arch_pre else "FAIL"),
+            ranges,
+        ))
+    spark = next(iter(tables.values())).sparkSession
+    return spark.createDataFrame(
+        rows,
+        "table_name string, row_count long, col_count int,"
+        " pre_cutoff_rows long, archive_pre_cutoff_rows long,"
+        " pre_cutoff_match string, extract_date_ranges string",
+    )

@@ -161,3 +161,37 @@ def test_xwalk_qa_growth_and_uniqueness(spark):
     by = {r[0]: r[1] for r in res2}
     assert not by["row_count-not-shrinking"]
     assert by["distinct_id_mcare-not-shrinking"]
+
+
+def test_refresh_acceptance_qa(spark):
+    """qa_stage.apcd_all_tables_quarterly_refresh.sql: row/col
+    inventory, pre-cutoff invariance vs archive, per-extract date
+    ranges — one result frame."""
+    from claims_data_spark.qa import refresh_acceptance_qa
+
+    stage = spark.createDataFrame(
+        [(1, "2017-06-01", 100), (2, "2018-03-01", 100),
+         (3, "2018-06-01", 101)],
+        "claim_id long, first_service_dt string, extract_id int",
+    ).withColumn("first_service_dt", F.col("first_service_dt").cast("date"))
+    archive = stage.filter(F.col("claim_id") == 1)  # only the pre-cutoff row
+    out = refresh_acceptance_qa(
+        {"apcd_medical_claim": stage},
+        archive_tables={"apcd_medical_claim": archive},
+        cutoff_dates={"apcd_medical_claim":
+                      ("first_service_dt", "2017-12-31")},
+    ).collect()[0]
+    assert out["row_count"] == 3 and out["col_count"] == 3
+    assert out["pre_cutoff_rows"] == 1
+    assert out["pre_cutoff_match"] == "PASS"
+    assert "100:[2017-06-01..2018-03-01]" in out["extract_date_ranges"]
+
+    # a refresh that rewrote pre-cutoff history FAILS the gate
+    bad_archive = stage.limit(0)
+    bad = refresh_acceptance_qa(
+        {"apcd_medical_claim": stage},
+        archive_tables={"apcd_medical_claim": bad_archive},
+        cutoff_dates={"apcd_medical_claim":
+                      ("first_service_dt", "2017-12-31")},
+    ).collect()[0]
+    assert bad["pre_cutoff_match"] == "FAIL"
