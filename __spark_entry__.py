@@ -50,7 +50,7 @@ from claims_data_spark.operators.intervals import (
     resegment_overlaps,
 )
 from claims_data_spark.operators.mode import mode_value
-from claims_data_spark.operators.rolling import densify_months, rolling_month_agg
+from claims_data_spark.operators.rolling import sparse_rolling_month_sum
 from claims_data_spark.operators.similarity import brute_force_topk, ivf_build, ivf_topk
 from claims_data_spark.operators.tabulate import suppress, tabloop
 from claims_data_spark.operators.unpivot import unpivot
@@ -864,19 +864,19 @@ FROM collapsed
 # ---------------------------------------------------------------------------
 
 def q_rolling_months(spark, sf_dir):
+    # Scatter-gather trailing-12m plan (operators/rolling.py:
+    # sparse_rolling_month_sum): one shuffle on the id, no dense grid,
+    # no window sort. Output is identical to the densify+window idiom
+    # restricted to rolling>0 rows (the dense rows the reference's
+    # enroll-denom keeps are exactly those reachable from a fact
+    # month, sp_mcaid_perf_enroll_denom.sql:44-80).
     o = _t(spark, sf_dir, "orders").withColumn(
         "year_month", date_to_yyyymm(F.col("o_orderdate").cast("date"))
     )
-    monthly = o.groupBy("o_custkey", "year_month").agg(
-        F.count(F.lit(1)).alias("n_orders")
-    )
-    dense = densify_months(
-        monthly, ["o_custkey"], "year_month", 199501, 200108,
-        fill={"n_orders": 0},
-    )
-    rolled = rolling_month_agg(
-        dense, ["o_custkey"], "year_month",
-        {"n_orders_12m": ("n_orders", -11, 0)},
+    rolled = sparse_rolling_month_sum(
+        o, ["o_custkey"], "year_month",
+        window_months=12, ym_min=199501, ym_max=200108,
+        out_col="n_orders_12m", current_col="n_orders",
     )
     return rolled.filter(F.col("n_orders_12m") > 0).select(
         "o_custkey", "year_month", "n_orders", "n_orders_12m"

@@ -71,3 +71,80 @@ def rolling_month_agg(
             out_col, F.sum(value_col).over(w.rowsBetween(prec, foll))
         )
     return out
+
+
+def sparse_rolling_month_sum(
+    df: DataFrame,
+    id_cols: list[str],
+    ym_col: str,
+    window_months: int,
+    ym_min: int,
+    ym_max: int,
+    value=None,
+    out_col: str = "rolling_sum",
+    current_col: str | None = None,
+) -> DataFrame:
+    """Trailing ``window_months`` rolling sum over a SPARSE month series
+    as scatter-gather — the scale path for the densify-then-window
+    pattern above.
+
+    Equivalent to ``densify_months`` + ``rolling_month_agg`` with frame
+    ``(-(window_months-1), 0)`` restricted to the rows whose rolling sum
+    is non-zero, but with a fundamentally cheaper physical plan: each
+    fact month scatters its value to the ``window_months`` target months
+    it contributes to (``explode(sequence(...))``, map-side), and one
+    hash aggregate gathers per ``(id, target_month)``.  No dense
+    id × month grid, no window sort.  We ``repartition`` on the id once
+    up front; both the monthly pre-aggregate and the gather aggregate
+    group on supersets of the id, so Catalyst satisfies their
+    clustering requirements from that single exchange — the whole
+    operator is ONE shuffle of narrow fact rows, which is the plan that
+    survives 100 TB (the reference's dense grid at
+    ``sp_mcaid_perf_enroll_denom.sql:44-80`` materializes
+    members × months regardless of activity).
+
+    ``value`` defaults to ``lit(1)`` (count). ``current_col``, if set,
+    also emits the value sum of the target month itself (0 where the
+    month had no facts) — the ``n_orders`` companion column.
+
+    The one exchange moves the NARROW raw rows, before the explode:
+    ``repartition(N, id)`` with an explicit partition count (AQE
+    coalescing would see only the deceptively small pre-explode bytes
+    and squeeze the heavy explode+aggregate onto too few tasks — with
+    an explicit N it is respected).  ``HashPartitioning(id)`` satisfies
+    the clustering requirement of ``groupBy(id, target)``, so the
+    fan-out and both aggregate passes run on that partitioning with no
+    further shuffle and no sort.
+    """
+    spark_val = F.lit(1) if value is None else value
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    src = (
+        df.filter(F.col(ym_col).between(F.lit(ym_min), F.lit(ym_max)))
+        .select(*id_cols, F.col(ym_col).alias("_ym"), spark_val.alias("_v"))
+        .repartition(n_part, *[F.col(c) for c in id_cols])
+    )
+    scattered = src.select(
+        *id_cols,
+        "_ym",
+        "_v",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(window_months - 1))
+        ).alias("_off"),
+    ).withColumn(
+        "_target",
+        (
+            F.year(F.add_months(yyyymm_to_date(F.col("_ym")), F.col("_off"))) * 100
+            + F.month(F.add_months(yyyymm_to_date(F.col("_ym")), F.col("_off")))
+        ).cast("int"),
+    ).filter(F.col("_target") <= F.lit(ym_max))
+    aggs = [F.sum("_v").alias(out_col)]
+    if current_col is not None:
+        aggs.append(
+            F.coalesce(
+                F.sum(F.when(F.col("_off") == 0, F.col("_v"))), F.lit(0)
+            ).alias(current_col)
+        )
+    return (
+        scattered.groupBy(*id_cols, F.col("_target").alias(ym_col))
+        .agg(*aggs)
+    )

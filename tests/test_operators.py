@@ -19,7 +19,11 @@ from claims_data_spark.operators.asof import asof_join
 from claims_data_spark.operators.dense_id import dense_global_id
 from claims_data_spark.operators.episodes import episode_table
 from claims_data_spark.operators.mode import mode_value
-from claims_data_spark.operators.rolling import densify_months, rolling_month_agg
+from claims_data_spark.operators.rolling import (
+    densify_months,
+    rolling_month_agg,
+    sparse_rolling_month_sum,
+)
 from claims_data_spark.operators.tabulate import suppress, tabloop, zero_fill
 from claims_data_spark.operators.unpivot import unpivot, unpivot_with_fanout
 from claims_data_spark.plans.predicates import apply_filters
@@ -97,6 +101,49 @@ def test_rolling_12m_enrollment(spark):
     end = rolled.filter(F.col("ym") == 202012).collect()[0]
     assert end["enr_12m"] == 7
     assert rolled.count() == 12
+
+
+def test_sparse_rolling_equals_densified_window(spark):
+    """The scatter-gather rolling sum must agree exactly with the
+    densify+window idiom on the rows whose rolling sum is non-zero —
+    including year boundaries and gap months that receive only
+    carried-over contributions."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for pid in ("a", "b", "c"):
+        for _ in range(20):
+            ym = 201800 + rng.randint(1, 12) + 100 * rng.randint(0, 3)
+            rows.append((pid, ym, rng.randint(1, 5)))
+    df = spark.createDataFrame(rows, "id string, ym int, v int")
+    monthly = df.groupBy("id", "ym").agg(F.sum("v").alias("v"))
+    dense = densify_months(monthly, ["id"], "ym", 201801, 202112, fill={"v": 0})
+    want = {
+        (r["id"], r["ym"]): (r["r12"], r["v"])
+        for r in rolling_month_agg(
+            dense, ["id"], "ym", {"r12": ("v", -11, 0)}
+        ).filter(F.col("r12") > 0).collect()
+    }
+    got = {
+        (r["id"], r["ym"]): (r["r12"], r["cur"])
+        for r in sparse_rolling_month_sum(
+            df, ["id"], "ym", window_months=12, ym_min=201801, ym_max=202112,
+            value=F.col("v"), out_col="r12", current_col="cur",
+        ).collect()
+    }
+    assert got == want
+
+
+def test_sparse_rolling_single_exchange_plan(spark):
+    """Plan shape: the whole operator carries exactly one Exchange (the
+    up-front id repartition) — both aggregates reuse it."""
+    df = spark.createDataFrame([("a", 202001, 1)], "id string, ym int, v int")
+    out = sparse_rolling_month_sum(
+        df, ["id"], "ym", window_months=3, ym_min=202001, ym_max=202012,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
 
 
 def test_yyyymm_add_year_boundary(spark):
