@@ -64,6 +64,27 @@ def test_random_graphs_match_union_find(spark):
     assert got == {x: expect[x] for x in paired}
 
 
+def test_distributed_path_matches_local_path(spark):
+    """`local_threshold=0` forces the star-contraction loop; its labels
+    must be bit-identical to the adaptive driver union-find path on the
+    same graph (chains, self-contained cliques, isolated pairs)."""
+    rng = random.Random(11)
+    n = 80
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(60)]
+    edges = [(a, b) for a, b in edges if a != b]
+    edges += [(200 + i, 201 + i) for i in range(9)]  # a chain
+    df = spark.createDataFrame(edges, "src long, dst long")
+    local = {
+        (r["node"], r["component"])
+        for r in connected_components(df).collect()
+    }
+    dist = {
+        (r["node"], r["component"])
+        for r in connected_components(df, local_threshold=0).collect()
+    }
+    assert local == dist
+
+
 def test_near_dup_clusters_and_representatives(spark):
     docs = spark.createDataFrame(
         [(i, f"text{i}", 100 - i) for i in range(6)],
