@@ -201,7 +201,13 @@ def _coded_covered_months(
         )
         for m in range(1, 13)
     ])
-    long = bene_enrollment.select(
+    # the 12x explode plus ~60 CASE recodes per output row is the
+    # CPU-heavy part of this builder; a single-row-group MBSF extract
+    # would otherwise run it in one task (session.spread is a no-op on
+    # inputs that already scan as many splits)
+    from claims_data_spark.session import spread
+
+    long = spread(bene_enrollment).select(
         F.col("bene_id").alias("id_mcare"),
         F.col("bene_enrollmt_ref_yr").cast("int").alias("cal_year"),
         _zip5("zip_cd").alias("geo_zip"),
