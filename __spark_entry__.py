@@ -1882,31 +1882,22 @@ def q_embedding_near_dup(spark, sf_dir):
     """Near-dup vector pairs above a cosine threshold, blocked by the
     label column (the realistic scale pattern: LSH/IVF assigns the
     block; comparisons never cross blocks, so the join is an equi-join
-    on the block key, not a cartesian)."""
-    from claims_data_spark.operators.similarity import dot, l2_norm
+    on the block key, not a cartesian). Scoring crosses to Python ONCE
+    per block (Arrow applyInPandas) and runs a chunked BLAS matmul —
+    the per-pair JVM zip_with/aggregate form interprets B²·d lambda
+    calls per block (blocked_pairwise_cosine docstring)."""
+    from claims_data_spark.operators.similarity import blocked_pairwise_cosine
 
-    # norms are computed ONCE per row before the pair fan-out (the
-    # naive cosine() recomputes both norms per pair — at sf1 that is
-    # ~3x the array arithmetic). Same float-op order inside dot/norm,
-    # so results stay bit-identical to the oracle.
-    emb = spread(_t(spark, sf_dir, "embeddings")).select(
+    emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id",
         "label",
         F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
-    ).withColumn("nrm", l2_norm("vec"))
-    a, b = emb.alias("a"), emb.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.label") == F.col("b.label"))
-        & (F.col("a.vec_id") < F.col("b.vec_id")),
-    ).select(
-        F.col("a.vec_id").alias("id_a"),
-        F.col("b.vec_id").alias("id_b"),
-        (dot(F.col("a.vec"), F.col("b.vec"))
-         / (F.col("a.nrm") * F.col("b.nrm"))).alias("cs"),
     )
-    return pairs.filter(F.col("cs") >= 0.3).select(
-        "id_a", "id_b", F.round("cs", 6).alias("cos_sim")
+    pairs = blocked_pairwise_cosine(
+        emb, block_col="label", id_col="vec_id", vec_col="vec", threshold=0.3
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim")
     )
 
 

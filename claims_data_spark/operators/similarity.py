@@ -160,3 +160,77 @@ def ivf_topk(
         .filter(F.col("_rn") <= k)
         .select(query_id, corpus_id, F.round("cos_sim", 6).alias("cos_sim"), F.col("_rn").cast("long").alias("rank"))
     )
+
+
+def blocked_pairwise_cosine(
+    df: DataFrame,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.3,
+    chunk: int = 512,
+) -> DataFrame:
+    """All within-block vector pairs (``id_a < id_b``) with cosine at
+    or above ``threshold``.
+
+    This is the Arrow-batched scale path for the blocked pair join +
+    per-pair JVM ``zip_with``/``aggregate`` cosine: those higher-order
+    functions are interpreted per element, so scoring B²/2 pairs of
+    dim-d vectors costs B²·d interpreted lambda calls per block.  Here
+    each block crosses to Python ONCE (grouped ``applyInPandas``) and
+    the pairwise scores come from a chunked BLAS matmul of the
+    row-normalized matrix — the per-pair arithmetic the JVM expression
+    tree cannot vectorize.  Only pairs at/above the threshold return
+    through Arrow, so the transfer is the result size, not B².
+
+    ``chunk`` bounds memory to ``chunk × B`` doubles per similarity
+    slab regardless of block size (a hot block degrades to more slabs,
+    not a bigger allocation).  Blocks parallelize across the cluster —
+    at 100 TB the block key is an LSH band or IVF centroid with
+    thousands of groups, which is exactly the partitioning the shuffle
+    uses.  Zero-norm vectors produce non-finite scores and are
+    excluded, matching the JVM form's NaN-comparison behavior.
+    """
+    out_schema = T.StructType([
+        T.StructField("id_a", T.LongType()),
+        T.StructField("id_b", T.LongType()),
+        T.StructField("cos_sim", T.DoubleType()),
+    ])
+
+    def score_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="mergesort")
+        ids = pdf[id_col].to_numpy()
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
+        mat = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+        )
+        with np.errstate(divide="ignore", invalid="ignore"):
+            normed = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        ia, ib, cs = [], [], []
+        for lo in range(0, n, chunk):
+            hi = min(lo + chunk, n)
+            slab = normed[lo:hi] @ normed.T
+            rows, cols = np.nonzero(
+                (slab >= threshold)
+                & (np.arange(n)[None, :] > (lo + np.arange(hi - lo))[:, None])
+            )
+            ia.append(ids[rows + lo])
+            ib.append(ids[cols])
+            cs.append(slab[rows, cols])
+        return pd.DataFrame({
+            "id_a": np.concatenate(ia),
+            "id_b": np.concatenate(ib),
+            "cos_sim": np.concatenate(cs),
+        })
+
+    return (
+        df.select(
+            F.col(block_col).alias("_blk"),
+            F.col(id_col).cast("long").alias(id_col),
+            F.col(vec_col).alias(vec_col),
+        )
+        .groupBy("_blk")
+        .applyInPandas(score_block, out_schema)
+    )

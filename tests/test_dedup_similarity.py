@@ -366,3 +366,62 @@ def test_clean_corpus_gate_attribution(spark):
            for r in report.collect()}
     assert rep["kept"] == (2, 40.0)
     assert rep["duplicate"] == (1, 20.0)
+
+
+def test_blocked_pairwise_cosine_matches_jvm_form(spark):
+    """The Arrow/BLAS block scorer must agree with the per-pair JVM
+    zip_with cosine to float tolerance, produce the same pair SET
+    (id_a < id_b, within-block only), and drop zero-norm vectors."""
+    import random
+
+    from claims_data_spark.operators.similarity import (
+        blocked_pairwise_cosine,
+        dot,
+        l2_norm,
+    )
+
+    rng = random.Random(3)
+    rows = []
+    for i in range(60):
+        rows.append((i, i % 3, [rng.uniform(-1, 1) for _ in range(8)]))
+    rows.append((99, 0, [0.0] * 8))  # zero-norm: excluded
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, vec array<double>"
+    )
+
+    # ANSI mode makes the JVM reference form throw on the zero-norm
+    # divisor, so that row only feeds the BLAS side (which must drop it)
+    nz = df.filter(F.col("vec_id") != 99)
+    a, b = nz.alias("a"), nz.alias("b")
+    jvm = {
+        (r["id_a"], r["id_b"]): r["cs"]
+        for r in a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            (
+                dot(F.col("a.vec"), F.col("b.vec"))
+                / (l2_norm(F.col("a.vec")) * l2_norm(F.col("b.vec")))
+            ).alias("cs"),
+        )
+        .filter(F.col("cs") >= 0.2)
+        .collect()
+    }
+    blas = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in blocked_pairwise_cosine(
+            df, block_col="label", id_col="vec_id", vec_col="vec",
+            threshold=0.2, chunk=7,  # chunk < block size: exercises slabs
+        ).collect()
+    }
+    # threshold-boundary pairs may flip under float reordering; compare
+    # on the comfortably-above-threshold core both ways
+    core_jvm = {k for k, v in jvm.items() if v >= 0.2 + 1e-9}
+    core_blas = {k for k, v in blas.items() if v >= 0.2 + 1e-9}
+    assert core_jvm == core_blas
+    for k in core_jvm:
+        assert abs(jvm[k] - blas[k]) < 1e-9
