@@ -5457,6 +5457,121 @@ FROM base b LEFT JOIN ranked r ON b.doc_id = r.doc_id
 """
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (operators/corpus.decontaminate):
+    every 50th document plays the eval suite; training docs sharing
+    any word 4-gram with it are flagged with their distinct-hit
+    count. Benchmark n-grams broadcast (eval suites are MB-sized
+    next to a 100 TB corpus); the only exchange is the per-doc hit
+    aggregate over the matching rows."""
+    from claims_data_spark.operators.corpus import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    _clean, contaminated = decontaminate(train, bench, n=4)
+    return contaminated.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_hits").cast("long").alias("n_hits"),
+    )
+
+
+SQL_DECONTAMINATE = """
+WITH words AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+  FROM documents WHERE text IS NOT NULL
+), doc_grams AS (
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id,
+      unnest(list_transform(generate_series(1, len(w) - 3),
+             i -> array_to_string(w[i:i+3], ' '))) AS gram
+    FROM words WHERE len(w) >= 4
+  ) WHERE LENGTH(gram) > 0
+), bench AS (
+  SELECT DISTINCT gram FROM doc_grams WHERE doc_id % 50 = 0
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id, COUNT(*) AS n_hits
+FROM doc_grams d JOIN bench USING (gram)
+WHERE d.doc_id % 50 <> 0
+GROUP BY d.doc_id
+"""
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-stratum sampling for dataset mixing
+    (operators/corpus.stratified_sample): survival decided by the
+    row's own md5 bucket against its stratum rate — no RNG state, so
+    the sample is identical across retries and engines, and the
+    operator is map-only (zero shuffles)."""
+    from claims_data_spark.operators.corpus import stratified_sample
+
+    o = _t(spark, sf_dir, "orders")
+    out = stratified_sample(
+        o, "o_orderstatus", {"F": 0.2, "O": 0.05, "P": 0.5}, "o_orderkey"
+    )
+    return out.select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        "o_orderstatus",
+    )
+
+
+SQL_STRATIFIED_SAMPLE = """
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus
+FROM orders
+WHERE CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT)
+      / 4294967295.0
+  < CASE o_orderstatus WHEN 'F' THEN 0.2 WHEN 'O' THEN 0.05
+                       WHEN 'P' THEN 0.5 ELSE 0.0 END
+"""
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Token-budget sequence packing (operators/corpus.pack_sequences):
+    greedy next-fit in doc_id order within an explicit modulo shard.
+    The reset-on-overflow running sum is stateful (no fixed window
+    frame expresses it), so it is one Arrow crossing per shard; the
+    oracle replicates it with a per-shard recursive CTE."""
+    from claims_data_spark.operators.corpus import pack_sequences
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.coalesce(token_count_ws("text").cast("long"), F.lit(0)).alias(
+            "n_tokens"
+        ),
+        (F.col("doc_id") % 8).cast("long").alias("shard"),
+    )
+    out = pack_sequences(d, budget=400, shard_col="shard")
+    return out.select(
+        F.col("shard").cast("long").alias("shard"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("pack_id").cast("long").alias("pack_id"),
+        F.col("pack_offset").cast("long").alias("pack_offset"),
+    )
+
+
+SQL_PACK_SEQUENCES = """
+WITH RECURSIVE toks AS (
+  SELECT CAST(doc_id % 8 AS BIGINT) AS shard, CAST(doc_id AS BIGINT) AS doc_id,
+    CAST(COALESCE(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+         ELSE len(string_split_regex(TRIM(text), '\\s+')) END, 0) AS BIGINT) AS t,
+    ROW_NUMBER() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+  FROM documents
+), packed AS (
+  SELECT shard, doc_id, t, rn,
+    CAST(0 AS BIGINT) AS pack_id, CAST(0 AS BIGINT) AS pack_offset, t AS total
+  FROM toks WHERE rn = 1
+  UNION ALL
+  SELECT x.shard, x.doc_id, x.t, x.rn,
+    CASE WHEN p.total + x.t > 400 THEN p.pack_id + 1 ELSE p.pack_id END,
+    CASE WHEN p.total + x.t > 400 THEN CAST(0 AS BIGINT) ELSE p.total END,
+    CASE WHEN p.total + x.t > 400 THEN x.t ELSE p.total + x.t END
+  FROM toks x JOIN packed p ON x.shard = p.shard AND x.rn = p.rn + 1
+)
+SELECT shard, doc_id, t AS n_tokens, pack_id, pack_offset FROM packed
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the claims_elig-shaped coverage query (islands +
     clipping + coverage stats) on sf0.001."""
@@ -5511,6 +5626,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
         "corpus_clean": q_corpus_clean,
+        "decontaminate": q_decontaminate,
+        "stratified_sample": q_stratified_sample,
+        "pack_sequences": q_pack_sequences,
         # -- complex operator queries -------------------------------------
         "coverage_stats": q_coverage,
         "interval_resegment": q_resegment,
@@ -5634,6 +5752,9 @@ def oracle_sql() -> dict[str, str]:
         "rda_value_set": SQL_RDA_VALUE_SET,
         "claims_summary": SQL_CLAIMS_SUMMARY,
         "corpus_clean": SQL_CORPUS_CLEAN,
+        "decontaminate": SQL_DECONTAMINATE,
+        "stratified_sample": SQL_STRATIFIED_SAMPLE,
+        "pack_sequences": SQL_PACK_SEQUENCES,
         "apcd_ed_episode": SQL_APCD_ED_EPISODE,
         "fuh_followup": SQL_FUH_FOLLOWUP,
         "pcr_readmission": SQL_PCR_READMISSION,

@@ -110,3 +110,171 @@ def clean_corpus(
         )
     )
     return kept, report
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+
+def _word_ngrams(text_col: str, n: int) -> F.Column:
+    """Distinct lowercase word n-grams of a text column (codegen:
+    split + transform over a sliding index range, no Python).
+    NULL or shorter-than-n texts yield an empty array (``sequence``
+    with stop < start would COUNT DOWN, so the window count is
+    guarded, not clamped)."""
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    k = F.size(words) - F.lit(n - 1)
+    return F.when(
+        F.col(text_col).isNotNull() & (k >= 1),
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+                lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    n: int = 13,
+) -> tuple[DataFrame, DataFrame]:
+    """Drop training documents that share any word ``n``-gram with a
+    benchmark/eval set (the standard train-test decontamination gate).
+
+    Returns ``(clean_docs, contaminated)`` where ``contaminated`` is
+    ``(id, n_hits)`` — the count of distinct benchmark n-grams the
+    document contains, for audit.
+
+    Scale shape: benchmark suites are MB-sized next to a 100 TB
+    corpus, so the distinct benchmark n-gram set is BROADCAST; the
+    corpus side is one scan that explodes its distinct n-grams,
+    broadcast-joins, and aggregates per doc — the only exchange is the
+    per-doc hit count over the (rare) matching rows.  The final keep
+    filter is a broadcast anti-join on the contaminated-id set.
+    """
+    bench_grams = (
+        benchmark.select(
+            F.explode(_word_ngrams(bench_text_col, n)).alias("gram")
+        )
+        .filter(F.length("gram") > 0)
+        .distinct()
+    )
+    doc_grams = docs.select(
+        F.col(id_col),
+        F.explode(_word_ngrams(text_col, n)).alias("gram"),
+    )
+    contaminated = (
+        doc_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    clean = docs.join(
+        F.broadcast(contaminated.select(id_col)), id_col, "left_anti"
+    )
+    return clean, contaminated
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling
+# ---------------------------------------------------------------------------
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict,
+    id_col: str,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum sampling for dataset mixing, deterministic in the
+    row's OWN id — no RNG state, so the sample is identical across
+    retries, stages, and engines (``sample()`` reshuffles per task
+    attempt; this is the same pinned-hash idiom as the seeded dedup,
+    P8).
+
+    A row survives when ``md5(id)``'s first 8 hex digits, read as a
+    32-bit fraction, fall below its stratum's rate.  Map-only: no
+    shuffle, no driver state; the fractions dict compiles to one CASE
+    chain (small — it is a mixing recipe, not data).
+    """
+    bucket = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10) \
+        .cast("double") / F.lit(float(0xFFFFFFFF))
+    rate = F.lit(default_fraction)
+    expr = None
+    for k, frac in fractions.items():
+        cond = F.col(strata_col) == F.lit(k)
+        expr = F.when(cond, F.lit(float(frac))) if expr is None \
+            else expr.when(cond, F.lit(float(frac)))
+    rate = expr.otherwise(rate) if expr is not None else rate
+    return df.filter(bucket < rate)
+
+
+# ---------------------------------------------------------------------------
+# Token-budget sequence packing
+# ---------------------------------------------------------------------------
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    shard_col: str | None = None,
+    num_shards: int = 32,
+) -> DataFrame:
+    """Assign documents to fixed-token-budget training sequences
+    (greedy next-fit in id order within a shard): a document starts a
+    new pack when adding it would push the running pack total over
+    ``budget``.  Documents longer than the budget get a pack of their
+    own.  Returns ``(shard, doc_id, n_tokens, pack_id, pack_offset)``
+    with ``pack_id`` dense from 0 within each shard and
+    ``pack_offset`` the token position inside the pack.
+
+    The reset-on-overflow running sum is genuinely stateful — no fixed
+    window frame expresses "running total that resets when it would
+    exceed B" (each reset changes every later comparison) — so this is
+    one Arrow crossing per shard (``applyInPandas``), linear scan,
+    state = two integers.  Sharding (hash of the id by default) bounds
+    per-group size and parallelizes; at 100 TB shards are the unit of
+    packing the way they are the unit of tokenizer output files.
+    Deterministic: id order within shard, hash shard assignment.
+    """
+    import pandas as pd
+
+    shard = (
+        F.col(shard_col)
+        if shard_col is not None
+        else F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(num_shards))
+    )
+    src = docs.select(
+        shard.cast("long").alias("shard"),
+        F.col(id_col).alias("doc_id"),
+        F.col(tokens_col).cast("long").alias("n_tokens"),
+    )
+
+    out_schema = (
+        "shard long, doc_id long, n_tokens long, pack_id long, "
+        "pack_offset long"
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+        pack_ids, offsets = [], []
+        cur_pack, cur_tot = 0, 0
+        started = False
+        for t in pdf["n_tokens"]:
+            if started and cur_tot + t > budget:
+                cur_pack += 1
+                cur_tot = 0
+            pack_ids.append(cur_pack)
+            offsets.append(cur_tot)
+            cur_tot += t
+            started = True
+        pdf["pack_id"] = pack_ids
+        pdf["pack_offset"] = offsets
+        return pdf
+
+    return src.groupBy("shard").applyInPandas(pack, out_schema)

@@ -425,3 +425,81 @@ def test_blocked_pairwise_cosine_matches_jvm_form(spark):
     assert core_jvm == core_blas
     for k in core_jvm:
         assert abs(jvm[k] - blas[k]) < 1e-9
+
+
+def test_decontaminate_ngram_overlap(spark):
+    from claims_data_spark.operators.corpus import decontaminate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "completely unrelated text with no overlap at all"),
+            (3, "QUICK Brown FOX jumps somewhere else entirely"),  # case-folded hit
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [("quick brown fox jumps over",), ("another eval question",)],
+        "text string",
+    )
+    clean, contaminated = decontaminate(docs, bench, n=3)
+    assert {r["doc_id"] for r in clean.collect()} == {2, 4}
+    hits = {r["doc_id"]: r["n_hits"] for r in contaminated.collect()}
+    # doc 1 contains all 3 distinct 3-grams of the first bench doc;
+    # doc 3 only "quick brown fox" + "brown fox jumps"
+    assert hits[1] == 3 and hits[3] == 2
+
+
+def test_stratified_sample_deterministic_and_rate(spark):
+    from claims_data_spark.operators.corpus import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(2000)],
+        "id long, grp string",
+    )
+    got1 = {r["id"] for r in
+            stratified_sample(df, "grp", {"a": 0.5, "b": 0.1}, "id").collect()}
+    got2 = {r["id"] for r in
+            stratified_sample(df, "grp", {"a": 0.5, "b": 0.1}, "id").collect()}
+    assert got1 == got2  # pinned hash: identical across runs
+    n_a = sum(1 for i in got1 if i % 2 == 0)
+    n_b = sum(1 for i in got1 if i % 2 == 1)
+    assert abs(n_a / 1000 - 0.5) < 0.06
+    assert abs(n_b / 1000 - 0.1) < 0.04
+    # unlisted strata default to dropped
+    df2 = df.withColumn("grp", F.lit("zz"))
+    assert stratified_sample(df2, "grp", {"a": 0.5}, "id").count() == 0
+
+
+def test_pack_sequences_budget_and_determinism(spark):
+    from claims_data_spark.operators.corpus import pack_sequences
+
+    rows = [(i, (i * 37) % 90 + 10) for i in range(300)]  # 10..99 tokens
+    docs = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = pack_sequences(docs, budget=128, num_shards=8).collect()
+    assert len(out) == 300
+    # per (shard, pack): total <= budget unless a single doc overflows
+    from collections import defaultdict
+    packs = defaultdict(list)
+    for r in out:
+        packs[(r["shard"], r["pack_id"])].append(r)
+    for (s, p), members in packs.items():
+        tot = sum(m["n_tokens"] for m in members)
+        assert tot <= 128 or len(members) == 1
+        # offsets are the running prefix in doc_id order
+        members.sort(key=lambda m: m["doc_id"])
+        run = 0
+        for m in members:
+            assert m["pack_offset"] == run
+            run += m["n_tokens"]
+    # greedy next-fit: a doc opens a new pack only because it would
+    # not fit — so within a shard, consecutive packs are non-mergeable
+    by_shard = defaultdict(list)
+    for (s, p), members in packs.items():
+        by_shard[s].append((p, sum(m["n_tokens"] for m in members),
+                            min(m["doc_id"] for m in members)))
+    for s, plist in by_shard.items():
+        plist.sort()
+        ids = [p for p, _, _ in plist]
+        assert ids == list(range(len(ids)))  # dense from 0
