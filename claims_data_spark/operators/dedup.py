@@ -274,22 +274,27 @@ def simhash_table(
         F.explode(word_shingles(text_col, token_k)).alias("_tok"),
     )
     hashed = tokens.select(id_col, F.xxhash64("_tok").alias("_h"))
+    # the ±1 vote sum is 2·(count of set bits) − n_tokens, so each of
+    # the 64 aggregates is a branchless shift-and-mask SUM and the
+    # sign test moves to the tiny per-doc result (2b > n ⇔ vote > 0,
+    # exact integer equivalence — fingerprints are bit-identical to
+    # the ±1 form)
     bit_aggs = [
         F.sum(
-            F.when(
-                F.shiftrightunsigned("_h", j).bitwiseAND(F.lit(1)) != 0, 1
-            ).otherwise(-1)
+            F.shiftrightunsigned("_h", j).bitwiseAND(F.lit(1))
         ).alias(f"_b{j}")
         for j in range(64)
     ]
-    sums = hashed.groupBy(id_col).agg(*bit_aggs)
+    sums = hashed.groupBy(id_col).agg(
+        *bit_aggs, F.count(F.lit(1)).alias("_n")
+    )
     sh = F.lit(0).cast("long")
     for j in range(64):
         mask = (1 << j) if j < 63 else -(1 << 63)
         sh = sh.bitwiseOR(
-            F.when(F.col(f"_b{j}") > 0, F.lit(mask).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
+            F.when(
+                F.col(f"_b{j}") * 2 > F.col("_n"), F.lit(mask).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
         )
     return sums.select(F.col(id_col), sh.alias("_sh64"))
 
