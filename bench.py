@@ -56,6 +56,10 @@ HEADLINE = [
     "dedup_clusters",
     "demo_summary",
     "corpus_clean",
+    # round-3 session-3 training-pipeline additions
+    "decontaminate",
+    "stratified_sample",
+    "pack_sequences",
 ]
 
 
