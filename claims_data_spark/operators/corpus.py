@@ -157,6 +157,8 @@ def decontaminate(
     per-doc hit count over the (rare) matching rows.  The final keep
     filter is a broadcast anti-join on the contaminated-id set.
     """
+    from claims_data_spark.session import spread
+
     bench_grams = (
         benchmark.select(
             F.explode(_word_ngrams(bench_text_col, n)).alias("gram")
@@ -164,7 +166,9 @@ def decontaminate(
         .filter(F.length("gram") > 0)
         .distinct()
     )
-    doc_grams = docs.select(
+    # the n-gram explode is the CPU-heavy side; spread keeps it off a
+    # single small-file scan task (no-op on already-parallel inputs)
+    doc_grams = spread(docs.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col),
         F.explode(_word_ngrams(text_col, n)).alias("gram"),
     )
