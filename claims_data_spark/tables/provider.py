@@ -283,3 +283,144 @@ def qa_carrier_billing_npi(
         .filter(~F.col("submitted_claim_type_id").isin(24, 25))
         .count()
     )
+
+
+def build_ref_provider_nppes_apde(nppes_load: DataFrame) -> DataFrame:
+    """NPPES provider lookup table
+    (``ref/tables/load_ref.provider_nppes_apde_load.R:31-166``).
+
+    The reference runs two 15-way UNPIVOTs (taxonomy codes and their
+    primary switches), joins them back on (npi, taxonomy_number),
+    collapses to distinct (npi, taxonomy) with MAX(primary), ranks by
+    (primary DESC, taxonomy), and self-joins three rank slices into
+    taxonomy_1/2/3 columns.  Spark-first this is ONE struct-array
+    explode (code and switch travel together, so the join-back
+    disappears), one groupBy collapse, one rank window, and one
+    conditional aggregation for ranks 2-3.
+
+    Faithfully kept reference quirk: the anchor row set is
+    ``primary_flag = 1 OR taxonomy_number = 1`` (``:115``), so an NPI
+    whose source rows mark TWO taxonomies primary emits two rows, each
+    carrying the same taxonomy_2/3.
+
+    Output adds ``geo_wa``, the SHA-256 ``geo_hash_raw`` over the
+    upper-cased pipe-joined practice address with 5-digit ZIP
+    (``:144-146``, same recipe as ``tables/address.py``),
+    ``deactivation_flag`` (deactivated = no entity type + a
+    deactivation date), and the ``last_run`` audit column.
+    """
+    tax_structs = F.array(*[
+        F.struct(
+            F.lit(f"{i:02d}").alias("taxonomy_number"),
+            F.col(f"healthcare_provider_taxonomy_code_{i}").alias("taxonomy"),
+            F.col(f"healthcare_provider_primary_taxonomy_switch_{i}").alias(
+                "switch"
+            ),
+        )
+        for i in range(1, 16)
+    ])
+    long = (
+        nppes_load.select(
+            F.col("npi").cast("bigint").alias("npi"),
+            F.explode(tax_structs).alias("t"),
+        )
+        .filter(F.col("t.taxonomy").isNotNull())
+        .select(
+            "npi",
+            F.col("t.taxonomy").alias("taxonomy"),
+            F.col("t.switch").alias("switch"),
+        )
+    )
+    collapsed = long.groupBy("npi", "taxonomy").agg(
+        F.max((F.col("switch") == "Y").cast("int")).alias("primary_flag")
+    )
+    w = Window.partitionBy("npi").orderBy(
+        F.col("primary_flag").desc(), F.col("taxonomy")
+    )
+    ranked = collapsed.withColumn("taxonomy_number", F.rank().over(w))
+    anchors = ranked.filter(
+        (F.col("primary_flag") == 1) | (F.col("taxonomy_number") == 1)
+    ).select(
+        "npi",
+        F.col("taxonomy").alias("taxonomy_1"),
+        F.col("primary_flag").alias("taxonomy_primary_flag"),
+    )
+    t23 = (
+        ranked.filter(F.col("taxonomy_number").isin(2, 3))
+        .groupBy("npi")
+        .agg(
+            F.max(
+                F.when(F.col("taxonomy_number") == 2, F.col("taxonomy"))
+            ).alias("taxonomy_2"),
+            F.max(
+                F.when(F.col("taxonomy_number") == 3, F.col("taxonomy"))
+            ).alias("taxonomy_3"),
+        )
+    )
+    tax_final = anchors.join(t23, "npi", "left")
+
+    zip5 = F.substring("address_practice_zip_code", 1, 5)
+    keep = [
+        "entity_type_code", "name_org", "name_last", "name_first",
+        "name_middle", "credential", "name_org_other",
+        "name_org_other_type_code", "address_practice_first",
+        "address_practice_second", "address_practice_city",
+        "address_practice_state", "address_practice_zip_code",
+        "gender_code", "is_sole_proprietor", "is_organization_subpart",
+        "parent_organization_lbn",
+    ]
+    base = nppes_load.select(
+        F.col("npi").cast("bigint").alias("npi"),
+        *[F.col(c) for c in keep if c in nppes_load.columns],
+        F.when(
+            F.col("address_practice_state").isin("WA", "WASHINGTON"), 1
+        ).otherwise(0).alias("geo_wa"),
+        F.upper(
+            F.sha2(
+                F.upper(
+                    F.concat_ws(
+                        "|",
+                        F.coalesce(F.col("address_practice_first"), F.lit("")),
+                        F.coalesce(F.col("address_practice_second"), F.lit("")),
+                        F.coalesce(F.col("address_practice_city"), F.lit("")),
+                        F.coalesce(F.col("address_practice_state"), F.lit("")),
+                        F.coalesce(zip5, F.lit("")),
+                    )
+                ),
+                256,
+            )
+        ).alias("geo_hash_raw"),
+        F.col("enumeration_date").cast("date").alias("enumeration_date"),
+        F.col("last_update").cast("date").alias("last_update"),
+        F.when(
+            F.col("entity_type_code").isNull()
+            & F.col("deactivation_date").isNotNull(),
+            1,
+        ).otherwise(0).alias("deactivation_flag"),
+        F.col("deactivation_date").cast("date").alias("deactivation_date"),
+    )
+    return base.join(tax_final, "npi", "left").withColumn(
+        "last_run", F.current_timestamp()
+    )
+
+
+def nppes_address_extract(nppes_apde: DataFrame) -> DataFrame:
+    """Distinct WA practice addresses for the external cleaning service
+    (``load_ref.provider_nppes_apde_load.R:171-180``): the raw
+    geo_add/city/state/zip projection tagged ``geo_source='nppes'``
+    that feeds the same address_clean pipeline as member addresses."""
+    return (
+        nppes_apde.filter(F.col("geo_wa") == 1)
+        .select(
+            F.col("address_practice_first").alias("geo_add1_raw"),
+            F.col("address_practice_second").alias("geo_add2_raw"),
+            F.col("address_practice_city").alias("geo_city_raw"),
+            F.col("address_practice_state").alias("geo_state_raw"),
+            F.substring("address_practice_zip_code", 1, 5).alias(
+                "geo_zip_raw"
+            ),
+            F.lit("nppes").alias("geo_source"),
+        )
+        .distinct()
+        .withColumn("timestamp", F.current_timestamp())
+    )

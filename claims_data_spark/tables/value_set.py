@@ -189,3 +189,46 @@ def build_claim_value_set(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.select(*_OUT_COLS).distinct()
+
+
+def build_ref_ahrq_value_set(raw: DataFrame) -> DataFrame:
+    """AHRQ value-set reference table
+    (``ref/tables/load_ref.ahrq_value_set.sql:21-40``): the spreadsheet
+    rows land with a fixed 12-character prefix on ``code`` that the
+    loader strips (``SUBSTRING(code, 13, ...)``); the table's primary
+    key is (value_set_name, data_source_type, code_set, code), so the
+    projection collapses to DISTINCT on those columns with the group
+    label and description riding along (first-by-key, matching the
+    clustered-PK insert)."""
+    stripped = raw.select(
+        "value_set_group",
+        "value_set_name",
+        "data_source_type",
+        "code_set",
+        F.expr("substring(code, 13)").alias("code"),
+        "desc_1",
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(
+        "value_set_name", "data_source_type", "code_set", "code"
+    ).orderBy("value_set_group", "desc_1")
+    return (
+        stripped.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def qa_ahrq_value_set(df: DataFrame) -> dict:
+    """PK uniqueness gate for the AHRQ reference table (the SQL
+    enforces it via the clustered primary key; here it is an explicit
+    one-aggregate check)."""
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(
+            "value_set_name", "data_source_type", "code_set", "code"
+        ).alias("n_keys"),
+    ).collect()[0]
+    return {"rows": int(row["n"]), "distinct_keys": int(row["n_keys"]),
+            "pk_unique": bool(row["n"] == row["n_keys"])}

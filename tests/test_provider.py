@@ -1,6 +1,8 @@
 """Provider master ranking (ref: load_ref.kc_provider_master.R)."""
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from claims_data_spark.tables.provider import (
     build_apcd_claim_provider,
     build_ref_kc_provider_master,
@@ -195,3 +197,112 @@ def test_carrier_billing_npi_xwalk(spark):
     assert rows[2]["carr_clm_blg_npi_num"] == 1999999999
     assert 3 not in rows  # non-carrier claim types never enter
     assert qa_carrier_billing_npi(out, apcd) == 0
+
+
+def test_ref_provider_nppes_apde_taxonomy_ranking(spark):
+    """15-way paired unpivot -> collapse -> rank -> 3-column pivot,
+    including the reference's anchor quirk (two primary taxonomies
+    emit two rows) and the no-primary fallback to rank 1."""
+    from claims_data_spark.tables.provider import (
+        build_ref_provider_nppes_apde,
+        nppes_address_extract,
+    )
+
+    cols = {}
+    for i in range(1, 16):
+        cols[f"healthcare_provider_taxonomy_code_{i}"] = "string"
+        cols[f"healthcare_provider_primary_taxonomy_switch_{i}"] = "string"
+    schema = (
+        "npi long, entity_type_code string, name_org string, "
+        "name_last string, name_first string, name_middle string, "
+        "credential string, name_org_other string, "
+        "name_org_other_type_code string, address_practice_first string, "
+        "address_practice_second string, address_practice_city string, "
+        "address_practice_state string, address_practice_zip_code string, "
+        "gender_code string, is_sole_proprietor string, "
+        "is_organization_subpart string, parent_organization_lbn string, "
+        "enumeration_date string, last_update string, "
+        "deactivation_date string, "
+        + ", ".join(f"{k} {v}" for k, v in cols.items())
+    )
+
+    def mk(npi, taxes, state="WA", entity="1", deact=None):
+        # taxes: list of (code, switch); schema interleaves code_i/switch_i
+        t = []
+        for j in range(15):
+            if j < len(taxes):
+                t.extend(taxes[j])
+            else:
+                t.extend((None, None))
+        return (
+            npi, entity, None, "LAST", "FIRST", None, None, None, None,
+            "100 MAIN ST", None, "SEATTLE", state, "981011234",
+            "F", "N", "N", None, "2010-01-01", "2020-01-01", deact,
+            *t,
+        )
+
+    raw = spark.createDataFrame(
+        [
+            # primary is 2nd slot; alphabetical fills ranks 2-3
+            mk(1, [("B", "N"), ("C", "Y"), ("A", "N")]),
+            # no primary -> rank 1 alphabetical
+            mk(2, [("Z", "N"), ("M", "N")], state="OR"),
+            # TWO primaries -> two anchor rows (reference quirk)
+            mk(3, [("P1", "Y"), ("P2", "Y"), ("Q", "N")]),
+            # deactivated org: no entity type + deactivation date
+            mk(4, [("T", "Y")], entity=None, deact="2021-05-05"),
+            # duplicate taxonomy slots collapse, MAX keeps the Y
+            mk(5, [("D", "N"), ("D", "Y")]),
+        ],
+        schema,
+    )
+    out = build_ref_provider_nppes_apde(raw)
+    rows = {r["npi"]: r for r in out.filter(F.col("npi") != 3).collect()}
+
+    assert rows[1]["taxonomy_1"] == "C" and rows[1]["taxonomy_primary_flag"] == 1
+    assert rows[1]["taxonomy_2"] == "A" and rows[1]["taxonomy_3"] == "B"
+    assert rows[2]["taxonomy_1"] == "M" and rows[2]["taxonomy_primary_flag"] == 0
+    assert rows[2]["taxonomy_2"] == "Z" and rows[2]["taxonomy_3"] is None
+    assert rows[2]["geo_wa"] == 0 and rows[1]["geo_wa"] == 1
+    assert rows[4]["deactivation_flag"] == 1 and rows[1]["deactivation_flag"] == 0
+    assert len(rows[1]["geo_hash_raw"]) == 64
+    assert rows[5]["taxonomy_1"] == "D" and rows[5]["taxonomy_primary_flag"] == 1
+    assert rows[5]["taxonomy_2"] is None
+
+    three = out.filter(F.col("npi") == 3).collect()
+    assert len(three) == 2
+    assert {r["taxonomy_1"] for r in three} == {"P1", "P2"}
+    # both anchor rows carry the SAME rank-2/rank-3 slices — and with
+    # two primaries, rank 2 is the OTHER primary (the reference ranks
+    # primaries first, then alphabetical; :108-122)
+    assert all(r["taxonomy_2"] == "P2" and r["taxonomy_3"] == "Q"
+               for r in three)
+
+    addrs = nppes_address_extract(out).collect()
+    # npi 2 is OR (excluded); 1/3/4/5 share the same WA address -> 1 row
+    assert len(addrs) == 1
+    assert addrs[0]["geo_zip_raw"] == "98101"
+    assert addrs[0]["geo_source"] == "nppes"
+
+
+def test_ref_ahrq_value_set_prefix_strip_and_pk(spark):
+    from claims_data_spark.tables.value_set import (
+        build_ref_ahrq_value_set,
+        qa_ahrq_value_set,
+    )
+
+    raw = spark.createDataFrame(
+        [
+            ("PQI", "PQI 01", "ICD", "DX", "123456789012E1110", "diab"),
+            ("PQI", "PQI 01", "ICD", "DX", "123456789012E1110", "diab dup"),
+            ("PQI", "PQI 01", "ICD", "PX", "1234567890124A023", "proc"),
+        ],
+        "value_set_group string, value_set_name string, "
+        "data_source_type string, code_set string, code string, desc_1 string",
+    )
+    out = build_ref_ahrq_value_set(raw)
+    rows = {(r["code_set"], r["code"]): r for r in out.collect()}
+    assert set(rows) == {("DX", "E1110"), ("PX", "4A023")}
+    assert rows[("DX", "E1110")]["desc_1"] == "diab"  # first-by-key
+    qa = qa_ahrq_value_set(out)
+    assert qa["pk_unique"] and qa["rows"] == 2
