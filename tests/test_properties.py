@@ -7,6 +7,7 @@ like the set-of-days model."""
 import datetime as dt
 
 from hypothesis import HealthCheck, given, settings
+from pyspark.sql import functions as F
 from hypothesis import strategies as st
 
 from claims_data_spark.operators.intervals import collapse_islands, coverage_stats
@@ -211,3 +212,43 @@ def test_enroll_denom_frames_match_bruteforce(spark, mm):
         expected_prior = sum(fc[m] for m in prior) if prior else None
         assert got[ym].full_criteria_prior_t_12_m == expected_prior
         assert got[ym].hospice_p_2_m == sum(hosp[m] for m in ahead)
+
+
+# --- sequence packing (operators/corpus.pack_sequences) ----------------------
+
+def _pack_reference(tokens_by_doc, budget):
+    """Sequential greedy next-fit in doc-id order — independent check
+    of the Arrow-batched reset-on-overflow scan."""
+    out = {}
+    cur_pack, cur_tot, started = 0, 0, False
+    for doc_id, t in sorted(tokens_by_doc):
+        if started and cur_tot + t > budget:
+            cur_pack += 1
+            cur_tot = 0
+        out[doc_id] = (cur_pack, cur_tot)
+        cur_tot += t
+        started = True
+    return out
+
+
+@given(
+    toks=st.lists(
+        st.integers(min_value=0, max_value=40), min_size=1, max_size=60
+    ),
+    budget=st.integers(min_value=1, max_value=80),
+)
+@_settings
+def test_pack_sequences_matches_sequential_reference(spark, toks, budget):
+    from claims_data_spark.operators.corpus import pack_sequences
+
+    rows = [(i, t) for i, t in enumerate(toks)]
+    docs = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    # single shard: the whole stream is one greedy scan, which is the
+    # hardest case for the reference comparison (every reset shifts
+    # all later assignments)
+    out = pack_sequences(
+        docs.withColumn("shard", F.lit(0)), budget=budget, shard_col="shard"
+    ).collect()
+    want = _pack_reference(rows, budget)
+    got = {r["doc_id"]: (r["pack_id"], r["pack_offset"]) for r in out}
+    assert got == want
