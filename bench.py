@@ -96,6 +96,11 @@ def main() -> None:
             sc.setJobGroup(None, None)
             best = el if best is None else min(best, el)
             job_counts[name] = len(tracker.getJobIdsForGroup(group))
+        # builder queries persist narrow intermediates; each run mints
+        # NEW DataFrames so those entries are garbage after the run —
+        # drop them or storage grows across the whole suite and later
+        # queries pay eviction/GC noise
+        spark.catalog.clearCache()
         timings[name] = round(best, 3)
         print(
             f"# {name}: {timings[name]:.3f}s ({n} rows, "
