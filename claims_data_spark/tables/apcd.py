@@ -510,8 +510,21 @@ def build_apcd_claim_header(
             for flag_col, out_col in all_specs
         ])
     )
-    out = out.join(per_claim, "claim_header_id", "left")
-    return out
+    # Serve the event-participation columns from the CACHED narrow
+    # frame and join the remaining assembly columns to it: a consumer
+    # selecting only person/date/flag/event-id columns then references
+    # nothing from the lazy assembly side, so Catalyst's left-join
+    # elimination (the per-claim rollups are aggregate-unique on the
+    # join key) prunes the entire reassembly down to the header scan —
+    # instead of recomputing the lineitem flag rollups a second time.
+    # Wide consumers pay exactly what they select, as before. Column
+    # order of the returned frame is unchanged.
+    cols_order = out.columns
+    out_extras = out.drop(
+        *[c for c in narrow.columns if c != "claim_header_id"]
+    )
+    merged = narrow.join(out_extras, "claim_header_id").select(*cols_order)
+    return merged.join(per_claim, "claim_header_id", "left")
 
 
 def _injury_nature_match(code: F.Column, version: F.Column) -> F.Column:

@@ -312,7 +312,17 @@ def build_mcare_claim_header(
             for flag_col, out_col in out_cols
         ])
     )
-    return out.join(per_claim, "claim_header_id", "left")
+    # same join-back shape as the APCD builder: event/person/date/flag
+    # columns come from the CACHED narrow frame, so a consumer that
+    # selects only those references nothing from the lazy assembly and
+    # Catalyst's left-join elimination prunes the reassembly to the
+    # header scan; wide consumers pay exactly the columns they select
+    cols_order = out.columns
+    out_extras = out.drop(
+        *[c for c in narrow.columns if c != "claim_header_id"]
+    )
+    merged = narrow.join(out_extras, "claim_header_id").select(*cols_order)
+    return merged.join(per_claim, "claim_header_id", "left")
 
 
 # ---------------------------------------------------------------------------
