@@ -92,14 +92,11 @@ def sparse_rolling_month_sum(
     ``(-(window_months-1), 0)`` restricted to the rows whose rolling sum
     is non-zero, but with a fundamentally cheaper physical plan: each
     fact month scatters its value to the ``window_months`` target months
-    it contributes to (``explode(sequence(...))``, map-side), and one
-    hash aggregate gathers per ``(id, target_month)``.  No dense
-    id × month grid, no window sort.  We ``repartition`` on the id once
-    up front; both the monthly pre-aggregate and the gather aggregate
-    group on supersets of the id, so Catalyst satisfies their
-    clustering requirements from that single exchange — the whole
-    operator is ONE shuffle of narrow fact rows, which is the plan that
-    survives 100 TB (the reference's dense grid at
+    it contributes to (``explode(sequence(...))``), and one hash
+    aggregate gathers per ``(id, target_month)``.  No dense
+    id × month grid, no window sort — the whole operator is ONE
+    shuffle of narrow fact rows, which is the plan that survives
+    100 TB (the reference's dense grid at
     ``sp_mcaid_perf_enroll_denom.sql:44-80`` materializes
     members × months regardless of activity).
 
