@@ -5163,7 +5163,7 @@ WITH xwalk AS (
 SELECT source_desc, filetype_mcare, icdcm_version,
        COUNT(*) AS n_rows,
        COUNT(DISTINCT id_apde) AS n_persons,
-       SUM(CASE WHEN id_apde IS NULL THEN 1 ELSE 0 END) AS n_unlinked,
+       CAST(SUM(CASE WHEN id_apde IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unlinked,
        COUNT(DISTINCT claim_header_id) AS n_claims,
        MIN(icdcm_norm) AS min_code,
        MAX(icdcm_norm) AS max_code

@@ -47,6 +47,28 @@ def _lazy_checkpoint(df: DataFrame) -> DataFrame:
         spark.conf.set("spark.sql.adaptive.enabled", prev)
 
 
+def _eager_checkpoint(df: DataFrame) -> DataFrame:
+    """``localCheckpoint(eager=True)`` executed with AQE disabled.
+
+    Three effects, all wanted for the small/bounded frames the minting
+    pipeline stabilizes: (1) the subtree runs as ONE statically-planned
+    job instead of an AQE stage-per-shuffle cascade; (2) downstream
+    consumers read materialized blocks, so concurrent AQE leaf stages
+    can't race to recompute the same partitions (per-partition cache
+    locks make racing stages redo the whole upstream — measured as N
+    identical full-cost jobs); (3) lineage truncates, keeping chained
+    builder plans and planning time bounded. The trade (a lost
+    executor costs a job retry) is the documented one for keys-sized
+    frames."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return df.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
 def _stable_ranked(
     ranked: DataFrame, truncate_lineage: bool, cache_registry: list | None
 ) -> DataFrame:
@@ -240,6 +262,244 @@ def dense_ids_inline_by_tag(
             (F.col("_dr") + F.col("_off") - F.col("_base")).cast("long"),
         )
         .drop("_pid", "_dr", "_off", "_base")
+    )
+
+
+def dense_event_ids_inline(
+    facts: DataFrame,
+    person_col: str,
+    date_col: str,
+    families: list[tuple[str, str]],
+    episode_families: list[tuple[list[str], str, int]] | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Attach every per-(person, date) dense event-id family DIRECTLY
+    to the fact rows in ONE exchange + ONE vectorized pass.
+
+    The reference mints utilization-event ids with un-partitioned
+    ``DENSE_RANK() OVER (ORDER BY person, service_date)`` per family
+    plus a separate episode ranking
+    (``load_stage.apcd_claim_header.R:905-1018``) — a single-task
+    funnel on Spark. The round-3 form here (tagged explode + range
+    sort + per-claim fold-back) and the keys-map form both pay several
+    fact- or keys-grain shuffles and materializations. This form pays
+    exactly one:
+
+      1. one range exchange of ``facts`` by PERSON (equal persons
+         never straddle partitions), sorted (person, date) in place;
+      2. one Arrow-batched pass per partition computing, per family,
+         the running count of DISTINCT FLAGGED (person, date) keys —
+         dense_rank == count of participating keys at-or-before — and
+         per episode family the Yale gap-chain start events, all as
+         numpy cumsums with O(1) carried state between record batches;
+      3. per-partition totals -> prefix-sum offsets (#partitions
+         rows), broadcast back; id = local + offset, masked by the
+         ROW's own flag so a non-participating claim on a shared
+         service date stays NULL.
+
+    Justification for the Python crossing: Spark SQL cannot express a
+    per-physical-partition running aggregate — Window.partitionBy(
+    spark_partition_id()) does not recognize the existing range
+    partitioning and stacks a second full exchange + sort on top
+    (measured in the executed plan). The crossing carries only the
+    narrow minting projection (ints + a date), every kernel is
+    vectorized, and it replaces two fact-grain shuffles, a window sort
+    and a join-back — the bounded-crossing standard set by the BLAS
+    block-cosine path.
+
+    ``families``: (flag_col, out_col) — id = dense rank of the row's
+    (person, date) key among flagged keys, ordered (person, date).
+    ``episode_families``: (member_flag_cols, out_col, merge_gap_days)
+    — member keys chain into episodes while consecutive member dates
+    are <= gap apart; id is dense over (person, episode_start).
+    ``date_col`` must be non-null (claim service dates are, in every
+    caller); equal (person, date) rows may arrive in any order within
+    the key — ids are key-level so the tiebreak cannot matter.
+
+    Returns ``facts`` (same rows, eagerly checkpointed — see
+    ``_eager_checkpoint``) plus one nullable long column per family.
+    """
+    episode_families = episode_families or []
+    flag_names = [flag for flag, _ in families]
+    ep_specs = list(episode_families)
+    n_fam = len(flag_names)
+    n_tot = n_fam + len(ep_specs)
+    loc_names = (
+        [f"_loc_{out}" for _, out in families]
+        + [f"_loc_{out}" for _, out, _ in ep_specs]
+    )
+    member_exprs = {}
+    for i, (members, _, _) in enumerate(ep_specs):
+        cond = None
+        for m in members:
+            c = F.col(m) == 1
+            cond = c if cond is None else (cond | c)
+        member_exprs[f"_epmem_{i}"] = F.when(cond, 1).otherwise(0)
+    prepped = facts.withColumns(member_exprs) if member_exprs else facts
+    ep_mem_names = list(member_exprs)
+
+    if num_partitions:
+        ranged = prepped.repartitionByRange(num_partitions, person_col)
+    else:
+        ranged = prepped.repartitionByRange(person_col)
+    ranged = ranged.sortWithinPartitions(person_col, date_col)
+
+    fields = ", ".join(
+        f"`{name}` {dtype}" for name, dtype in prepped.dtypes
+    )
+    out_schema = (
+        fields + ", `_pid` int, "
+        + ", ".join(f"`{c}` long" for c in loc_names)
+    )
+
+    def _group_first_flags(flags, key_change, carry_seen):
+        """Vectorized: 1 where this row is the FIRST flagged row of its
+        (person, date) key, given ``carry_seen`` = whether the key
+        continuing from the previous batch was already flagged."""
+        import numpy as np
+
+        n = len(flags)
+        excl = np.cumsum(flags) - flags  # flagged rows strictly before
+        # per-row baseline: flagged rows before this row's KEY started
+        starts = np.nonzero(key_change)[0]
+        base = np.zeros(n, dtype="int64")
+        if len(starts):
+            base[starts] = excl[starts]
+            np.maximum.accumulate(base, out=base)
+        in_key_before = excl - base
+        if len(starts) == 0 or starts[0] != 0:
+            # leading rows continue the carried key
+            lead = slice(0, starts[0] if len(starts) else n)
+            in_key_before[lead] += 1 if carry_seen else 0
+        first = (flags == 1) & (in_key_before == 0)
+        # new carry: is the LAST key of the batch flagged so far?
+        if len(starts):
+            last_flagged = (excl[-1] + flags[-1] - base[-1]) > 0
+        else:
+            last_flagged = carry_seen or (excl[-1] + flags[-1]) > 0
+        return first.astype("int64"), bool(last_flagged)
+
+    def _running(iterator):
+        # mapInArrow, not mapInPandas: the pass-through columns never
+        # leave Arrow (zero conversion), person/flag columns view as
+        # numpy ints zero-copy, and date32 casts to raw epoch-day
+        # int32s so the gap math is integer subtraction
+        from pyspark import TaskContext
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        pid = TaskContext.get().partitionId()
+        run = np.zeros(n_tot, dtype="int64")
+        carry_person = None
+        carry_date = None
+        carry_seen = [False] * n_tot
+        # per episode family: (person, day) of the last MEMBER row —
+        # the gap chain resets on person change
+        last_mem = [(None, None)] * len(ep_specs)
+        for batch in iterator:
+            m = batch.num_rows
+            if m == 0:
+                continue
+            names = batch.schema.names
+            persons = batch.column(
+                names.index(person_col)
+            ).to_numpy(zero_copy_only=False)
+            date_arr = batch.column(names.index(date_col))
+            days = pc.cast(date_arr, pa.int32()).to_numpy(
+                zero_copy_only=False
+            ).astype("int64")
+            key_change = np.ones(m, dtype=bool)
+            key_change[1:] = (persons[1:] != persons[:-1]) | (
+                days[1:] != days[:-1]
+            )
+            if (
+                carry_person is not None
+                and persons[0] == carry_person
+                and days[0] == carry_date
+            ):
+                key_change[0] = False
+            locs = np.empty((m, n_tot), dtype="int64")
+            for j, flag in enumerate(flag_names):
+                fl = pc.fill_null(
+                    batch.column(names.index(flag)), 0
+                ).to_numpy(zero_copy_only=False).astype("int64")
+                first, carry_seen[j] = _group_first_flags(
+                    fl, key_change, carry_seen[j]
+                )
+                locs[:, j] = run[j] + np.cumsum(first)
+            for gi, (_, _, gap) in enumerate(ep_specs):
+                k = n_fam + gi
+                mem = batch.column(
+                    names.index(ep_mem_names[gi])
+                ).to_numpy(zero_copy_only=False).astype("int64")
+                first, carry_seen[k] = _group_first_flags(
+                    mem, key_change, carry_seen[k]
+                )
+                midx = np.nonzero(first)[0]
+                events = np.zeros(m, dtype="int64")
+                if len(midx):
+                    dm = days[midx]
+                    pm = persons[midx]
+                    s = np.empty(len(midx), dtype=bool)
+                    s[1:] = (pm[1:] != pm[:-1]) | (
+                        (dm[1:] - dm[:-1]) > gap
+                    )
+                    lp, ld = last_mem[gi]
+                    if lp is None or pm[0] != lp:
+                        s[0] = True
+                    else:
+                        s[0] = (dm[0] - ld) > gap
+                    events[midx] = s.astype("int64")
+                    last_mem[gi] = (pm[-1], dm[-1])
+                locs[:, k] = run[k] + np.cumsum(events)
+            run = locs[-1, :].copy()
+            carry_person = persons[-1]
+            carry_date = days[-1]
+            arrays = list(batch.columns)
+            arrays.append(pa.array(np.full(m, pid, dtype="int32")))
+            for j in range(n_tot):
+                arrays.append(pa.array(locs[:, j]))
+            yield pa.RecordBatch.from_arrays(
+                arrays, names=names + ["_pid"] + loc_names
+            )
+
+    ranked = _eager_checkpoint(ranged.mapInArrow(_running, out_schema))
+
+    # per-partition totals: the running count's last value (monotone,
+    # so max == total) -> prefix-sum offsets; #partitions rows only
+    totals = ranked.groupBy("_pid").agg(*[
+        F.max(F.col(c)).alias(f"_tot{c}") for c in loc_names
+    ])
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_pid",
+        *[
+            F.coalesce(F.sum(F.col(f"_tot{c}")).over(w_off), F.lit(0))
+            .alias(f"_off{c}")
+            for c in loc_names
+        ],
+    )
+    id_cols = []
+    for i, (flag, out) in enumerate(families):
+        c = loc_names[i]
+        id_cols.append(
+            F.when(
+                F.col(flag) == 1,
+                (F.col(c) + F.col(f"_off{c}")).cast("long"),
+            ).alias(out)
+        )
+    for i, (_, out, _) in enumerate(ep_specs):
+        c = loc_names[n_fam + i]
+        id_cols.append(
+            F.when(
+                F.col(ep_mem_names[i]) == 1,
+                (F.col(c) + F.col(f"_off{c}")).cast("long"),
+            ).alias(out)
+        )
+    return (
+        ranked.join(F.broadcast(offsets), "_pid")
+        .select(*facts.columns, *id_cols)
     )
 
 

@@ -120,15 +120,20 @@ def connected_components(
     a per-block or per-day slice doesn't pay 60 jobs for a 50k-edge
     graph.  Pass ``local_threshold=0`` to force the distributed loop.
     """
-    if local_threshold and edges.count() <= local_threshold:
-        return _local_components(edges, src, dst)
+    pruned = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if local_threshold:
+        # truncate the edge lineage BEFORE the adaptive count so the
+        # (possibly expensive) edge plan — e.g. near-dup pair
+        # generation — is evaluated exactly once; the count and
+        # whichever branch runs both read the checkpointed data
+        pruned = pruned.localCheckpoint(eager=True)
+        if pruned.count() <= local_threshold:
+            return _local_components(pruned, "src", "dst")
     # each round's result is eagerly localCheckpoint-ed: iterative
     # self-referencing plans grow multiplicatively per round, so the
     # lineage MUST be truncated, not merely cached (persist still
     # re-analyzes the full tree)
-    cur = _symmetrize(
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    ).localCheckpoint(eager=True)
+    cur = _symmetrize(pruned).localCheckpoint(eager=True)
     prev_sig = _edge_checksum(cur)
 
     for _ in range(max_iter):

@@ -201,13 +201,16 @@ def build_apcd_claim_header(
     hdr = hdr.drop("header_status")
 
     # line rollup: discharge date + ED place/revenue flags (``:134-140``)
+    # exact-set membership, not anchored rlike: the regex engine costs
+    # several× a literal IN-set compare and this predicate runs on
+    # every line row (profiled as the dominant share of the line-agg
+    # stage); the code sets are tiny and closed
     line_agg = line.groupBy("claim_header_id").agg(
         F.max("discharge_date").alias("discharge_date"),
         F.max((F.col("place_of_service_code") == "23").cast("int")).alias("ed_pos_temp"),
         F.max(
-            (
-                F.col("revenue_code").rlike("^045[01269]$")
-                | (F.col("revenue_code") == "0981")
+            F.col("revenue_code").isin(
+                "0450", "0451", "0452", "0456", "0459", "0981"
             ).cast("int")
         ).alias("ed_revenue_code_temp"),
     )
@@ -215,9 +218,8 @@ def build_apcd_claim_header(
     # STEP 2: ED procedure-code flag (``:169-183``)
     ed_px = procedure.groupBy("claim_header_id").agg(
         F.max(
-            (
-                F.col("procedure_code").rlike("^9928[1-5]$")
-                | (F.col("procedure_code") == "99291")
+            F.col("procedure_code").isin(
+                "99281", "99282", "99283", "99284", "99285", "99291"
             ).cast("int")
         ).alias("ed_procedure_code_temp")
     )
@@ -274,14 +276,20 @@ def build_apcd_claim_header(
         else:
             pc = pc.withColumn("pc_taxonomy_temp", F.lit(None).cast("int"))
 
-    # STEP 5/6: assemble + kc claim-type crosswalk + CCS columns
+    # STEP 5/6: assemble + kc claim-type crosswalk + CCS columns.
+    # shuffle_hash hints on the rollup joins: each right side is a
+    # claim-grain AGGREGATE (bounded per hash partition), so a hash
+    # build beats sort-merge's three per-side sorts — same exchange
+    # count, no sort phase. At warehouse scale the agg sides stay
+    # proportional to the header side, which is exactly when SHJ is
+    # safe; the tiny reference dims below still broadcast.
     out = (
-        hdr.join(line_agg, "claim_header_id", "left")
-        .join(ed_px, "claim_header_id", "left")
-        .join(icd1, "claim_header_id", "left")
+        hdr.join(line_agg.hint("shuffle_hash"), "claim_header_id", "left")
+        .join(ed_px.hint("shuffle_hash"), "claim_header_id", "left")
+        .join(icd1.hint("shuffle_hash"), "claim_header_id", "left")
     )
     if pc is not None:
-        out = out.join(pc, "claim_header_id", "left")
+        out = out.join(pc.hint("shuffle_hash"), "claim_header_id", "left")
     else:
         out = out.withColumns({
             c: F.lit(None).cast("int")
@@ -399,7 +407,9 @@ def build_apcd_claim_header(
                 F.max(F.col("sud_any")).alias("sud_any"),
             )
         )
-        out = out.join(bh, "claim_header_id", "left").withColumns({
+        out = out.join(
+            bh.hint("shuffle_hash"), "claim_header_id", "left"
+        ).withColumns({
             c: F.coalesce(F.col(c), F.lit(0))
             for c in ("mh_primary", "mh_any", "sud_primary", "sud_any")
         })
@@ -407,7 +417,8 @@ def build_apcd_claim_header(
     # STEP 9: injury nature/cause surveillance columns
     if ref_icdcm is not None and "intent" in ref_icdcm.columns:
         out = out.join(
-            apcd_injury_flags(icdcm, ref_icdcm), "claim_header_id", "left"
+            apcd_injury_flags(icdcm, ref_icdcm).hint("shuffle_hash"),
+            "claim_header_id", "left",
         ).withColumns({
             c: F.coalesce(F.col(c), F.lit(0))
             for c in ("injury_nature_narrow", "injury_nature_broad")
@@ -415,116 +426,66 @@ def build_apcd_claim_header(
 
     # STEP 7 + 10: utilization event ids via scalable dense ranking.
     # Only the NARROW event-minting projection (claim id, person,
-    # service date, the five participation flags) is persisted — it
-    # feeds the episode clustering and the tagged ranking below.
-    # Persisting the full assembly here (the previous form) pins all
-    # ~40 header columns into the cache and DEFEATS Catalyst column
-    # pruning for every caller that selects a subset: an ED-episode
-    # consumer reading 7 columns would still compute and cache the
-    # charge rollups, BH flags and injury joins. With the narrow
-    # persist the full assembly stays lazy, so the final join-back
-    # computes exactly the columns the caller's select needs, once.
-    from claims_data_spark.operators.dense_id import dense_ids_inline_by_tag
-    from claims_data_spark.operators.episodes import within_person_episodes
+    # service date, the five participation flags) is stabilized — it
+    # feeds the keys-grain minting, the id mask join AND the
+    # reassembly, and materializing anything wider pays for columns
+    # most consumers never read. Eager checkpoint, not lazy persist:
+    # AQE otherwise launches the minting exchange and the join
+    # exchanges as CONCURRENT leaf stages that race to compute the same
+    # un-materialized cache partitions (measured as three identical
+    # full-cost jobs at sf1), and the truncated lineage keeps the
+    # downstream plans — and driver planning time — bounded. The
+    # projection's pruned plan also skips the primary-dx aggregate
+    # entirely (left-join elimination against the icd1 rollup).
+    from claims_data_spark.operators.dense_id import (
+        _eager_checkpoint,
+        dense_event_ids_inline,
+    )
 
-    narrow = out.select(
+    narrow = _eager_checkpoint(out.select(
         "claim_header_id", "id_apcd", "first_service_date",
         "ed_yale_carrier", "ed_yale_opt", "ed_yale_ipt",
         "pc_visit", "inpatient", "ed_perform",
-    ).persist()
-    if cache_registry is not None:
-        cache_registry.append(narrow)
+    ))
 
-    # pc_visit / inpatient / ed_perform ids all rank over the same
-    # (person, service_date) grain on different claim subsets — ONE
-    # tagged ranking pass + ONE conditional-agg join instead of three
-    # of each (3x fewer distinct scans and range shuffles)
-    event_specs = [
-        ("pc_visit", "pc_visit_id"),
-        ("inpatient", "inpatient_id"),
-        ("ed_perform", "ed_perform_id"),
+    # All four id families — pc_visit / inpatient / ed_perform ranked
+    # by (person, service_date), plus the Yale 1-day ED episode id
+    # (``:984-1018``) — mint in ONE range exchange + ONE vectorized
+    # pass that attaches the ids straight to the claim rows (see
+    # dense_event_ids_inline): no tagged explode, no keys mapping, no
+    # per-claim fold-back join.
+    with_ids = dense_event_ids_inline(
+        narrow, "id_apcd", "first_service_date",
+        families=[
+            ("pc_visit", "pc_visit_id"),
+            ("inpatient", "inpatient_id"),
+            ("ed_perform", "ed_perform_id"),
+        ],
+        episode_families=[(
+            ["ed_yale_carrier", "ed_yale_opt", "ed_yale_ipt"],
+            "ed_pophealth_id", 1,
+        )],
+    )
+    # Reassembly: serve the event/person/date/flag/id columns from the
+    # checkpointed side and LEFT-join the remaining assembly columns
+    # back. The dropDuplicates on the join key is a semantic no-op
+    # (claim_header_id is the header table's primary key) but it makes
+    # the extras side PROVABLY unique to Catalyst, so a consumer that
+    # references no extras column gets the whole branch — header
+    # re-scan included — eliminated from its plan instead of merely
+    # column-pruned. Wide consumers ride the dedup aggregate on the
+    # exchange the join needs anyway. Column order is unchanged.
+    id_cols = [
+        "pc_visit_id", "inpatient_id", "ed_perform_id", "ed_pophealth_id",
     ]
-    # ED population health (Yale) 1-day episode clustering (``:984-1018``).
-    # The globally dense ed_pophealth_id is minted in the SAME tagged
-    # ranking pass as the three event-id families below: ranking
-    # episodes by (person, episode_start_date) yields exactly the same
-    # dense order as (person, within_person_episode_id) — the per-person
-    # episode id is itself dense over ascending start dates — so the
-    # episode family only costs a fourth tag, not a second full
-    # distinct/range-shuffle/offsets machinery.
-    ed = narrow.filter(
-        (F.col("ed_yale_carrier") == 1)
-        | (F.col("ed_yale_opt") == 1)
-        | (F.col("ed_yale_ipt") == 1)
-    ).select("claim_header_id", "id_apcd", "first_service_date")
-    eps = within_person_episodes(
-        ed, ["id_apcd"], "first_service_date", merge_gap_days=1
-    )
-    ep_w = Window.partitionBy("id_apcd", "within_person_episode_id")
-    ep_claims = eps.withColumn(
-        "_ep_start", F.min("first_service_date").over(ep_w)
-    ).select(
-        F.lit("ed_pophealth").alias("_tag"),
-        "claim_header_id",
-        "id_apcd",
-        F.col("_ep_start").alias("first_service_date"),
-    )
-
-    # one scan of the assembled frame fans out the per-flag tag rows
-    # (explode of a compacted tag array) — a 3-branch filter union
-    # would read the frame three times, and when the persist above has
-    # not materialized yet each branch recomputes the whole assembly
-    tagged = (
-        narrow.select(
-            "claim_header_id", "id_apcd", "first_service_date",
-            F.explode(
-                F.array_compact(
-                    F.array(*[
-                        F.when(F.col(flag) == 1, F.lit(flag))
-                        for flag, _ in event_specs
-                    ])
-                )
-            ).alias("_tag"),
-        )
-        .select("_tag", "claim_header_id", "id_apcd", "first_service_date")
-        .unionByName(ep_claims)
-    )
-    # inline ranking: ids are attached straight to the tagged claim
-    # rows (one range exchange + one tiny count agg) instead of the
-    # distinct-keys mapping + join-back form — two fewer big shuffles
-    # and no second pass over the tagged frame (see
-    # dense_ids_inline_by_tag); the claim-event key grain is within a
-    # small factor of the claim count, which is exactly when inline
-    # wins
-    with_ids = dense_ids_inline_by_tag(
-        tagged, "_tag", ["id_apcd", "first_service_date"],
-        out_col="_event_id", cache_registry=cache_registry,
-    )
-    all_specs = event_specs + [("ed_pophealth", "ed_pophealth_id")]
-    per_claim = (
-        with_ids.groupBy("claim_header_id")
-        .agg(*[
-            F.max(
-                F.when(F.col("_tag") == flag_col, F.col("_event_id"))
-            ).alias(out_col)
-            for flag_col, out_col in all_specs
-        ])
-    )
-    # Serve the event-participation columns from the CACHED narrow
-    # frame and join the remaining assembly columns to it: a consumer
-    # selecting only person/date/flag/event-id columns then references
-    # nothing from the lazy assembly side, so Catalyst's left-join
-    # elimination (the per-claim rollups are aggregate-unique on the
-    # join key) prunes the entire reassembly down to the header scan —
-    # instead of recomputing the lineitem flag rollups a second time.
-    # Wide consumers pay exactly what they select, as before. Column
-    # order of the returned frame is unchanged.
     cols_order = out.columns
     out_extras = out.drop(
         *[c for c in narrow.columns if c != "claim_header_id"]
+    ).dropDuplicates(["claim_header_id"])
+    return (
+        with_ids.join(out_extras, "claim_header_id", "left")
+        .select(*cols_order, *id_cols)
     )
-    merged = narrow.join(out_extras, "claim_header_id").select(*cols_order)
-    return merged.join(per_claim, "claim_header_id", "left")
 
 
 def _injury_nature_match(code: F.Column, version: F.Column) -> F.Column:

@@ -158,19 +158,26 @@ def build_comorb_scores(
         F.broadcast(vs),
         on=[F.col(dx_col) == F.col("_vs_dx"), F.col(ver_col) == F.col("_vs_ver")],
     )
-    # the 43 flag aggregates and the three ~35-term score polynomials
-    # are compiled as SQL text parsed by one expr() each: assembling
-    # them Column-call-by-Column-call costs a py4j round-trip per call
-    # (~6.6k crossings ≈ 1 s of driver time per build, profiled); the
-    # parsed trees and physical plan are identical
-    flag_aggs = [
-        F.expr(
-            f"coalesce(max(case when cond_id = {int(cid)} then 1 end), 0)"
-            f" AS `{short}`"
-        )
-        for cid, short, *_ in COMORB_COND_LOOKUP
-    ]
-    flags = joined.groupBy(F.col(id_col)).agg(*flag_aggs)
+    # ONE set-aggregate instead of 43 conditional max() columns: the
+    # per-row cost of the shuffle's partial aggregate drops from 43
+    # branch evaluations per dx row to a single set insert, and the 43
+    # flag columns are derived as array_contains on the PERSON-grain
+    # output (thousands of rows, not millions). The flag expressions
+    # and the three ~35-term score polynomials are compiled as SQL
+    # text parsed by expr(): assembling them Column-call-by-Column-call
+    # costs a py4j round-trip per call (~6.6k crossings ≈ 1 s of
+    # driver time per build, profiled); parsed trees are identical.
+    flags = (
+        joined.groupBy(F.col(id_col))
+        .agg(F.collect_set("cond_id").alias("_conds"))
+        .withColumns({
+            short: F.expr(
+                f"cast(array_contains(_conds, {int(cid)}) as int)"
+            )
+            for cid, short, *_ in COMORB_COND_LOOKUP
+        })
+        .drop("_conds")
+    )
 
     short_to_row = {c[1]: c for c in COMORB_COND_LOOKUP}
     scores = flags

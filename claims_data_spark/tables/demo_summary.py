@@ -85,17 +85,15 @@ def build_demo_summary_clients(
         F.col("gender_recent") == "Unknown", F.col("gender_me")
     ).otherwise(F.col("gender_recent"))
 
+    # The modal-geocode frame IS the person-year spine: it covers
+    # every (person, year) of the same filtered month rows (null
+    # geocodes group too) exactly once, so using it as the base
+    # replaces the old month-scan + wide 12-column DISTINCT + geocode
+    # join with the rollup the modal step needs anyway — one month
+    # pass total, and every downstream join is 1:1 on person(-year).
     return (
-        month.filter(
-            (F.col("full_benefit") == 1)
-            & (F.col("geo_kc") == 1)
-            & (F.col("year") < F.lit(current_year))
-        )
-        # the month table's own per-row geocode is replaced by the
-        # yearly modal one (the reference joins the geocode ref on
-        # g.geo_hash_geocode, not m.'s)
-        .drop("geo_hash_geocode")
-        .join(geo, ["id_mcaid", "year"], "left")
+        geo
+        .filter(F.col("year") < F.lit(current_year))
         .join(
             demo.select(
                 "id_mcaid", "dob", "gender_recent", "gender_me", *_RACE_COLS
@@ -124,7 +122,6 @@ def build_demo_summary_clients(
             "kccdist",
             "zip",
         )
-        .distinct()
     )
 
 
@@ -150,6 +147,11 @@ def clients_long(clients: DataFrame) -> DataFrame:
         var_name="measure",
         value_name="value",
     ).filter(F.col("value") != "0")
+    # no DISTINCT here: clients is person-year unique, so the unpivot
+    # rows are already unique per (person, year, measure, value) — the
+    # race fold maps distinct race columns to distinct values — and the
+    # summary aggregates with count_distinct anyway. The old exploded-
+    # grain distinct was a full shuffle of 11x the person-year rows.
     is_race = F.col("measure").like("race_%")
     return long.select(
         "id_mcaid",
@@ -160,7 +162,7 @@ def clients_long(clients: DataFrame) -> DataFrame:
         F.when(is_race, F.regexp_replace("measure", "^race_", ""))
         .otherwise(F.col("value"))
         .alias("value"),
-    ).distinct()
+    )
 
 
 def build_mcaid_demo_summary(
@@ -174,16 +176,45 @@ def build_mcaid_demo_summary(
     """Final summary (:228-244 + the NULL->0 UPDATE): counts by
     (year, measure, value) with per-(year, measure) totals and
     small-cell suppression."""
-    long = clients_long(
-        build_demo_summary_clients(month, demo, geocode_ref, current_year)
+    clients = build_demo_summary_clients(
+        month, demo, geocode_ref, current_year
     )
-    counts = long.groupBy("year", "measure", F.lower("value").alias("value")).agg(
-        F.count_distinct("id_mcaid").alias("raw_pop")
+    long = clients_long(clients)
+    # clients is person-year UNIQUE, so long is unique per (person,
+    # year, measure, value) and the value-level population is a plain
+    # COUNT — no count_distinct expand machinery.
+    counts = long.groupBy(
+        "year", "measure", F.lower("value").alias("value")
+    ).agg(F.count(F.lit(1)).alias("raw_pop"))
+    # total_pop is DISTINCT persons per (year, measure) — NOT the sum
+    # of value-level counts: one person can carry several race_aic
+    # values. Computed straight from the person-year-unique clients
+    # frame as eight conditional sums in ONE narrow pass (a person
+    # contributes to a measure's total iff it would emit >=1 long row,
+    # i.e. a non-'0', non-null value), then unpivoted — instead of a
+    # second aggregation over the 11x-exploded long frame.
+    def _has_value(c):
+        col = F.col(c).cast("string")
+        return (col.isNotNull() & (col != "0")).cast("int")
+
+    any_race = F.greatest(
+        *[F.coalesce(F.col(c), F.lit(0)) for c in _RACE_COLS]
     )
-    # total_pop is DISTINCT persons per (year, measure) — NOT the sum of
-    # value-level counts: one person can carry several race_aic values.
-    totals = long.groupBy("year", "measure").agg(
-        F.count_distinct("id_mcaid").alias("total_pop")
+    totals_wide = clients.groupBy("year").agg(
+        F.sum(_has_value("gender")).alias("gender"),
+        F.sum(_has_value("age_group")).alias("age_group"),
+        F.sum(_has_value("kccdist")).alias("kccdist"),
+        F.sum(_has_value("zip")).alias("zip"),
+        F.sum((any_race == 1).cast("int")).alias("race_aic"),
+    )
+    totals = unpivot(
+        totals_wide,
+        id_cols=["year"],
+        value_cols={c: c for c in (
+            "gender", "age_group", "kccdist", "zip", "race_aic"
+        )},
+        var_name="measure",
+        value_name="total_pop",
     )
     return counts.join(F.broadcast(totals), ["year", "measure"]).select(
         "year",

@@ -332,7 +332,12 @@ def build_ref_provider_nppes_apde(nppes_load: DataFrame) -> DataFrame:
         )
     )
     collapsed = long.groupBy("npi", "taxonomy").agg(
-        F.max((F.col("switch") == "Y").cast("int")).alias("primary_flag")
+        # CASE-style flag: all-NULL switches collapse to 0 (not NULL),
+        # matching the reference's max(case when switch='Y' then 1 else 0
+        # end) so the primary_flag DESC rank never sorts NULL after 0.
+        F.max(
+            F.when(F.col("switch") == "Y", 1).otherwise(0)
+        ).alias("primary_flag")
     )
     w = Window.partitionBy("npi").orderBy(
         F.col("primary_flag").desc(), F.col("taxonomy")
@@ -375,17 +380,34 @@ def build_ref_provider_nppes_apde(nppes_load: DataFrame) -> DataFrame:
         F.when(
             F.col("address_practice_state").isin("WA", "WASHINGTON"), 1
         ).otherwise(0).alias("geo_wa"),
+        # Reference hashes CAST(... AS VARCHAR(1275)) — mirror the
+        # 1275-char truncation so cross-system joins line up. Residual
+        # divergence: we hash UTF-8 bytes where the reference hashes
+        # Latin1; identical for ASCII addresses (the NPPES norm), may
+        # differ for non-ASCII practice addresses.
         F.upper(
             F.sha2(
-                F.upper(
-                    F.concat_ws(
-                        "|",
-                        F.coalesce(F.col("address_practice_first"), F.lit("")),
-                        F.coalesce(F.col("address_practice_second"), F.lit("")),
-                        F.coalesce(F.col("address_practice_city"), F.lit("")),
-                        F.coalesce(F.col("address_practice_state"), F.lit("")),
-                        F.coalesce(zip5, F.lit("")),
-                    )
+                F.substring(
+                    F.upper(
+                        F.concat_ws(
+                            "|",
+                            F.coalesce(
+                                F.col("address_practice_first"), F.lit("")
+                            ),
+                            F.coalesce(
+                                F.col("address_practice_second"), F.lit("")
+                            ),
+                            F.coalesce(
+                                F.col("address_practice_city"), F.lit("")
+                            ),
+                            F.coalesce(
+                                F.col("address_practice_state"), F.lit("")
+                            ),
+                            F.coalesce(zip5, F.lit("")),
+                        )
+                    ),
+                    1,
+                    1275,
                 ),
                 256,
             )

@@ -217,7 +217,10 @@ ICD_SUBGROUP_FALLBACK_RULES: list[tuple] = [
 
 
 def _sql_str(s: str) -> str:
-    return "'" + s.replace("'", "''") + "'"
+    # Spark SQL string literals treat backslash as an escape by
+    # default, so patterns like \d must be doubled or they are
+    # silently corrupted when the rule compiles to SQL text.
+    return "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
 
 
 def _rules_to_case(rules: list[tuple], otherwise_sql: str) -> Column:

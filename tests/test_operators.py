@@ -397,3 +397,102 @@ def test_split_to_items_drops_empty(spark):
     df = spark.createDataFrame([("a,b,,c,",), ("",)], "s string")
     out = df.select(F.explode(split_to_items("s", ",")).alias("x")).collect()
     assert [r.x for r in out] == ["a", "b", "c"]
+
+
+# --- inline event-family dense ids -----------------------------------------
+
+
+def test_dense_event_ids_inline_matches_window_oracle(spark):
+    """Property check for the one-pass fact-grain minting: random
+    claim rows with overlapping (person, date) keys and sparse flags,
+    verified against the un-partitioned DENSE_RANK oracle (the
+    reference semantics) computed per family, and the Yale episode
+    oracle (gap-chain over member keys). Arrow batch size is forced
+    tiny so the carried state between record batches — key
+    continuation, per-family seen flags, episode chain date — is
+    exercised across many boundaries."""
+    import random
+
+    from pyspark.sql import Window
+
+    from claims_data_spark.operators.dense_id import dense_event_ids_inline
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(400):
+        person = rng.randint(1, 25)
+        day = dt.date(2020, 1, 1) + dt.timedelta(days=rng.randint(0, 40))
+        rows.append((
+            i, person, day,
+            rng.randint(0, 1), rng.randint(0, 1),
+            rng.randint(0, 1), rng.randint(0, 1),
+        ))
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "17")
+    try:
+        df = spark.createDataFrame(
+            rows, "claim_id long, person long, svc_date date, "
+                  "fa int, fb int, ed1 int, ed2 int",
+        )
+        out = dense_event_ids_inline(
+            df, "person", "svc_date",
+            families=[("fa", "fa_id"), ("fb", "fb_id")],
+            episode_families=[(["ed1", "ed2"], "ep_id", 1)],
+            num_partitions=5,
+        ).toPandas().set_index("claim_id").sort_index()
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", prev
+        )
+
+    # oracle: dense rank over flagged keys, single window
+    for flag, out_col in (("fa", "fa_id"), ("fb", "fb_id")):
+        keyed = (
+            df.filter(F.col(flag) == 1)
+            .select("person", "svc_date").distinct()
+            .withColumn(
+                "oid",
+                F.dense_rank().over(Window.orderBy("person", "svc_date")),
+            )
+        )
+        want = {
+            (r["person"], r["svc_date"]): r["oid"]
+            for r in keyed.collect()
+        }
+        for cid, r in out.iterrows():
+            src = next(x for x in rows if x[0] == cid)
+            fval = src[3] if flag == "fa" else src[4]
+            if fval == 1:
+                assert r[out_col] == want[(src[1], src[2])], (cid, flag)
+
+    # masked rows are NULL
+    import math
+
+    for cid, r in out.iterrows():
+        src = next(x for x in rows if x[0] == cid)
+        if src[3] == 0:
+            assert r["fa_id"] is None or (
+                isinstance(r["fa_id"], float) and math.isnan(r["fa_id"])
+            )
+        if src[5] == 0 and src[6] == 0:
+            assert r["ep_id"] is None or (
+                isinstance(r["ep_id"], float) and math.isnan(r["ep_id"])
+            )
+
+    # episode oracle: member keys chain while consecutive dates <= 1
+    # day apart; id = dense index of (person, episode_start)
+    member_keys = sorted({
+        (p, d) for (_, p, d, _, _, e1, e2) in rows if e1 == 1 or e2 == 1
+    })
+    ep_of_key = {}
+    eid = 0
+    prev_p, prev_d = None, None
+    for p, d in member_keys:
+        if prev_p != p or (d - prev_d).days > 1:
+            eid += 1
+        ep_of_key[(p, d)] = eid
+        prev_p, prev_d = p, d
+    for cid, r in out.iterrows():
+        src = next(x for x in rows if x[0] == cid)
+        if src[5] == 1 or src[6] == 1:
+            assert int(r["ep_id"]) == ep_of_key[(src[1], src[2])], cid

@@ -182,23 +182,18 @@ def test_plr_multi_year_scan_count_constant(spark, sf_dir):
 
 
 def test_header_flags_consumer_skips_reassembly(spark, sf_dir):
-    """The APCD header's final frame serves person/date/flag columns
-    from the cached narrow projection (SCALE.md: left-join
-    elimination). A consumer selecting ONLY those columns must not
-    recompute the lineitem flag rollups: the plan may aggregate
-    lineitem-derived frames at most twice (the line rollup + the ED
-    procedure flag feeding the cached narrow), never a second set for
-    the output side — and it must reference the in-memory narrow."""
+    """The APCD header's final frame serves person/date/flag/id columns
+    from the checkpointed minting pipeline, and the extras side is a
+    LEFT join against a dropDuplicates-backed (provably unique) frame.
+    A consumer selecting ONLY flag/id columns must therefore reference
+    NO parquet scan at all — the assembly ran once into the checkpoint
+    and Catalyst eliminates the entire extras branch, header re-scan
+    included."""
     import __spark_entry__ as entrymod
 
     df = entrymod.q_apcd_ed_episode(spark, sf_dir)
     plan = _plan(df)
-    assert "InMemoryTableScan" in plan
-    # lineitem at sf0.001 materializes as 'Scan parquet' leaves; the
-    # flags-only output references none of the assembly's rollup
-    # columns, so each lineitem aggregation appears at most once
-    # OUTSIDE the InMemoryRelation's cached-plan text. Guard loosely:
-    # total lineitem scans stay under the double-assembly count (4+).
-    body = plan.split("InMemoryRelation")[0]
-    lineitem_scans = body.count("lineitem.parquet")
-    assert lineitem_scans <= 2, (lineitem_scans, body[:2000])
+    # the minting pipeline surfaces as a checkpointed-RDD scan
+    assert "ExistingRDD" in plan
+    assert plan.count("lineitem.parquet") == 0, plan[:2000]
+    assert plan.count("orders.parquet") == 0, plan[:2000]
