@@ -41,6 +41,7 @@ from claims_data_spark.operators.dedup import (
     minhash_near_dup_pairs,
     ngram_jaccard_pairs,
     simhash_near_dup_pairs,
+    simhash_near_dup_pairs_portable,
 )
 from claims_data_spark.operators.dense_id import dense_global_id
 from claims_data_spark.operators.episodes import episode_table
@@ -1456,35 +1457,210 @@ SELECT query_id, vec_id, ROUND(cs, 6) AS cos_sim, rank FROM (
 
 
 def q_minhash_dedup(spark, sf_dir):
-    """MinHash+LSH near-dup pairs — signature math is not reasonably
-    SQL-expressible, so this entry is rows-only checked."""
+    """MinHash+LSH near-dup pairs, full value-checked: the portable
+    md5-hex hash family (lexicographic-min per seed) lets the DuckDB
+    oracle reproduce the banded candidate set EXACTLY, and the output
+    is the exact-Jaccard-verified pairs — so shingling, signatures,
+    banding, the bucket self-join and the verification all get an
+    oracle signal, not just a row count."""
     d = _t(spark, sf_dir, "documents")
     return minhash_near_dup_pairs(
         d, "doc_id", "text", shingle_k=3, num_hashes=32, bands=8,
-        jaccard_threshold=0.8,
+        jaccard_threshold=0.8, portable=True,
     )
+
+
+SQL_MINHASH_NEAR_DUP = """
+WITH norm AS (
+  SELECT doc_id,
+    string_split(regexp_replace(LOWER(TRIM(text)), '\\s+', ' ', 'g'), ' ') AS w
+  FROM documents WHERE text IS NOT NULL
+), sh AS (
+  SELECT doc_id,
+    list_distinct(
+      list_transform(
+        generate_series(1, GREATEST(len(w) - 2, 1)),
+        i -> array_to_string(w[i:i+2], ' ')
+      )
+    ) AS s
+  FROM norm
+), sig AS (
+  SELECT doc_id, s,
+    list_transform(
+      range(0, 32),
+      i -> list_min(list_transform(s, x -> md5(i::VARCHAR || ':' || x)))
+    ) AS g
+  FROM sh
+), bands AS (
+  SELECT doc_id, t.b AS band_id,
+    array_to_string(g[(4 * t.b + 1):(4 * t.b + 4)], '|') AS band_hash
+  FROM sig, range(0, 8) t(b)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+)
+SELECT c.id_a, c.id_b,
+  ROUND(len(list_intersect(x.s, y.s)) * 1.0
+        / len(list_distinct(list_concat(x.s, y.s))), 4) AS jaccard
+FROM cand c
+JOIN sh x ON x.doc_id = c.id_a
+JOIN sh y ON y.doc_id = c.id_b
+WHERE len(list_intersect(x.s, y.s)) * 1.0
+      / len(list_distinct(list_concat(x.s, y.s))) >= 0.8
+"""
 
 
 def q_simhash_dedup(spark, sf_dir):
-    """SimHash near-dup pairs — rows-only checked. Hamming radius 4
-    of 64 bits: the synthetic docs share one small vocabulary, so
+    """SimHash near-dup pairs, full value-checked via the portable
+    md5-hex fingerprint family: the DuckDB oracle rebuilds the 64-bit
+    majority-vote fingerprints, the 16-bit chunk banding and the
+    xor-popcount hamming verification digit-for-digit. Hamming radius
+    4 of 64 bits: the synthetic docs share one small vocabulary, so
     looser radii return most of the n^2 pair space (measured: radius
     8 emits 780k pairs at sf0.1, radius 4 keeps the genuinely close
     ones)."""
-    d = _t(spark, sf_dir, "documents")
-    return simhash_near_dup_pairs(d, "doc_id", "text", max_hamming=4)
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return simhash_near_dup_pairs_portable(
+        d, "doc_id", "text", max_hamming=4
+    )
+
+
+def _sql_simhash() -> str:
+    hexs = "0123456789abcdef"
+    pop4 = "0112122312232334"
+    bit_sums = ",\n    ".join(
+        f"SUM((strpos('{hexs}', substr(h, {j // 4 + 1}, 1)) - 1)"
+        f" // {1 << (3 - j % 4)} % 2) AS b{j}"
+        for j in range(64)
+    )
+    digits = ", ".join(
+        "substr('" + hexs + "', ("
+        + " + ".join(
+            f"(CASE WHEN 2 * b{4 * d + b} > n THEN {1 << (3 - b)} "
+            "ELSE 0 END)"
+            for b in range(4)
+        )
+        + ") + 1, 1)"
+        for d in range(16)
+    )
+    ham = " + ".join(
+        f"CAST(substr('{pop4}', xor("
+        f"strpos('{hexs}', substr(fa, {d}, 1)) - 1, "
+        f"strpos('{hexs}', substr(fb, {d}, 1)) - 1) + 1, 1) AS INT)"
+        for d in range(1, 17)
+    )
+    return f"""
+WITH norm AS (
+  SELECT doc_id,
+    string_split(regexp_replace(LOWER(TRIM(text)), '\\s+', ' ', 'g'), ' ') AS w
+  FROM documents WHERE text IS NOT NULL
+), tok AS (
+  SELECT doc_id, unnest(list_distinct(w)) AS t FROM norm
+), hashed AS (
+  SELECT doc_id, substr(md5(t), 1, 16) AS h FROM tok
+), sums AS (
+  SELECT doc_id, COUNT(*) AS n,
+    {bit_sums}
+  FROM hashed GROUP BY doc_id
+), fp AS (
+  SELECT doc_id, concat({digits}) AS f FROM sums
+), bands AS (
+  SELECT doc_id, f, t.c AS chunk_id, substr(f, 4 * t.c + 1, 4) AS chunk_val
+  FROM fp, range(0, 4) t(c)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.f AS fa, b.f AS fb
+  FROM bands a JOIN bands b
+    ON a.chunk_id = b.chunk_id AND a.chunk_val = b.chunk_val
+   AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, ({ham}) AS hamming
+FROM cand WHERE ({ham}) <= 4
+"""
+
+
+SQL_SIMHASH_NEAR_DUP = _sql_simhash()
 
 
 def q_knn_ivf(spark, sf_dir):
-    """IVF approximate nearest neighbors — rows-only checked (approx)."""
+    """IVF approximate nearest neighbors, full value-checked: the
+    fixed-quantizer variant (codebook = eight seed corpus vectors)
+    makes centroid assignment, probe selection and the exact top-k
+    over the probed lists deterministic and ANSI-reproducible, so the
+    DuckDB oracle verifies the whole probe-pruned pipeline — not just
+    a row count. The learned-codebook path (ivf_build/ivf_topk) keeps
+    its recall pytest."""
+    from claims_data_spark.operators.similarity import (
+        ivf_topk_fixed_centroids,
+    )
+
     emb = _t(spark, sf_dir, "embeddings").withColumn(
         "vec", F.transform("embedding", lambda x: x.cast("double"))
     ).select("vec_id", F.col("vec").alias("embedding"))
-    assigned, cents = ivf_build(emb, num_centroids=8, vec_col="embedding")
+    corpus = emb.filter(F.col("vec_id") >= 5)
     queries = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
     )
-    return ivf_topk(assigned, cents, queries, k=5, nprobe=3)
+    return ivf_topk_fixed_centroids(
+        corpus, queries,
+        centroid_ids=[10, 60, 110, 160, 210, 260, 310, 360],
+        k=5, nprobe=3,
+    )
+
+
+_SQL_COS = (
+    "list_aggregate(list_transform(generate_series(1, len({a})), "
+    "i -> {a}[i] * {b}[i]), 'sum') "
+    "/ (SQRT(list_aggregate(list_transform(generate_series(1, len({a})), "
+    "i -> {a}[i] * {a}[i]), 'sum')) "
+    "* SQRT(list_aggregate(list_transform(generate_series(1, len({b})), "
+    "i -> {b}[i] * {b}[i]), 'sum')))"
+)
+
+SQL_KNN_IVF = f"""
+WITH emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+), cents AS (
+  SELECT vec_id AS cid, vec AS cv FROM emb
+  WHERE vec_id IN (10, 60, 110, 160, 210, 260, 310, 360)
+), corpus AS (
+  SELECT vec_id, vec FROM emb WHERE vec_id >= 5
+), q AS (
+  SELECT vec_id AS query_id, vec AS qv FROM emb WHERE vec_id < 5
+), assigned AS (
+  SELECT vec_id, vec, cid FROM (
+    SELECT c.vec_id, c.vec, k.cid,
+      ROW_NUMBER() OVER (
+        PARTITION BY c.vec_id
+        ORDER BY {_SQL_COS.format(a="c.vec", b="k.cv")} DESC, k.cid
+      ) AS rn
+    FROM corpus c CROSS JOIN cents k
+  ) WHERE rn = 1
+), probes AS (
+  SELECT query_id, qv, cid FROM (
+    SELECT q.query_id, q.qv, k.cid,
+      ROW_NUMBER() OVER (
+        PARTITION BY q.query_id
+        ORDER BY {_SQL_COS.format(a="q.qv", b="k.cv")} DESC, k.cid
+      ) AS rn
+    FROM q CROSS JOIN cents k
+  ) WHERE rn <= 3
+), scored AS (
+  SELECT p.query_id, a.vec_id,
+    {_SQL_COS.format(a="a.vec", b="p.qv")} AS cs
+  FROM assigned a JOIN probes p ON a.cid = p.cid
+)
+SELECT query_id, vec_id, ROUND(cs, 6) AS cos_sim, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cs DESC, vec_id
+  ) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1702,16 +1878,17 @@ FROM documents
 
 def q_multimodal_decode(spark, sf_dir):
     """REAL media decode through the strict path: executors encode a
-    solid-color BMP (R = doc_id % 256) or a constant-amplitude PCM WAV
-    per document, then ``extract_features(mode='strict',
-    codec=pure_python_codec)`` byte-parses them back. The recovered
-    channel level / peak amplitude is integer-exact, so DuckDB can
-    verify the whole decode analytically — no fake features anywhere
-    in this plan. Both stages are Arrow ``mapInPandas``; map-only,
-    zero shuffles."""
+    solid-color BMP (R = doc_id % 256), a constant-amplitude PCM WAV,
+    or a 3-frame solid-color uncompressed AVI per document, then
+    ``extract_features(mode='strict', codec=pure_python_codec)``
+    byte-parses them back. The recovered channel level / peak
+    amplitude is integer-exact, so DuckDB can verify the whole decode
+    analytically — no fake features anywhere in this plan. Both
+    stages are Arrow ``mapInPandas``; map-only, zero shuffles."""
     import numpy as np
 
     from claims_data_spark.operators.codecs import (
+        encode_avi,
         encode_bmp,
         encode_wav,
         pure_python_codec,
@@ -1727,15 +1904,19 @@ def q_multimodal_decode(spark, sf_dir):
             rows = []
             for did in pdf["doc_id"]:
                 did = int(did)
-                if did % 2 == 0:
+                if did % 3 == 0:
                     content = encode_bmp(
                         np.full((4, 4, 3), [did % 256, 0, 0], np.uint8)
                     )
                     rows.append((did, "image", content))
-                else:
+                elif did % 3 == 1:
                     amp = (did % 100) / 200.0
                     content = encode_wav(np.full(800, amp), rate=8000)
                     rows.append((did, "audio", content))
+                else:
+                    frame = np.full((4, 4, 3), [did % 256, 0, 0], np.uint8)
+                    content = encode_avi([frame] * 3, fps=10)
+                    rows.append((did, "video", content))
             yield pd.DataFrame(
                 rows, columns=["media_id", "media_type", "content"]
             )
@@ -1752,10 +1933,11 @@ def q_multimodal_decode(spark, sf_dir):
         ),
     )
     feats = extract_features(media, mode="strict", codec=pure_python_codec)
-    # feature[3] is the mean-R channel (image) / peak amplitude
-    # (audio); rescale to the exact integer the encoder started from
+    # feature[3] is the mean-R channel (image), peak amplitude
+    # (audio), or first-frame mean-R (video); rescale to the exact
+    # integer the encoder started from
     level = F.when(
-        F.col("media_type") == "image",
+        F.col("media_type").isin("image", "video"),
         F.round(F.element_at("feature", 3) * 255),
     ).otherwise(F.round(F.element_at("feature", 3) * 32768))
     return feats.select(
@@ -1765,14 +1947,21 @@ def q_multimodal_decode(spark, sf_dir):
 
 SQL_MULTIMODAL_DECODE = """
 SELECT doc_id AS media_id,
-  CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS media_type,
-  CASE WHEN doc_id % 2 = 0
+  CASE WHEN doc_id % 3 = 0 THEN 'image'
+       WHEN doc_id % 3 = 1 THEN 'audio'
+       ELSE 'video' END AS media_type,
+  CASE WHEN doc_id % 3 = 0
        -- 4x4 24-bit BMP: 54-byte header + 4 rows x 12 data bytes (no pad)
        THEN 54 + 4 * 12
+       WHEN doc_id % 3 = 1
        -- 44-byte WAV header + 800 16-bit mono samples
-       ELSE 44 + 800 * 2 END AS n_bytes,
-  CASE WHEN doc_id % 2 = 0 THEN CAST(doc_id % 256 AS INT)
-       ELSE CAST(TRUNC(((doc_id % 100) / 200.0) * 32767) AS INT)
+       THEN 44 + 800 * 2
+       -- AVI: 12-byte RIFF hdr + LIST hdrl (8 + 4 + 8 + 56)
+       --      + LIST movi (8 + 4 + 3 frames x (8 + 4 rows x 12))
+       ELSE 12 + 76 + 180 END AS n_bytes,
+  CASE WHEN doc_id % 3 = 1
+       THEN CAST(TRUNC(((doc_id % 100) / 200.0) * 32767) AS INT)
+       ELSE CAST(doc_id % 256 AS INT)
        END AS decoded_level
 FROM documents
 """
@@ -5580,9 +5769,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the correctness driver checks the first 50 entries.
-    # Claims-pipeline / measure flagships go first so they get driver-green
-    # oracle rows; trivial single-operator queries (each double-covered by
-    # pytest) fill the tail.
+    # Rotation policy lives in WINDOW.md: red/changed/new queries pin
+    # into the window, queries driver-green two consecutive rounds
+    # rotate out, and the freed rows backfill with the queries that
+    # have gone longest without a driver row (every entry in the tail
+    # is still covered by tools/parity.py and pytest each round).
     return {
         # -- claims-pipeline & measure flagships --------------------------
         "ccw_two_claim": q_ccw_two_claim,
@@ -5622,13 +5813,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_props": q_json_props,
         "embedding_near_dup": q_embedding_near_dup,
         "grouping_sets": q_grouping_sets,
-        "sketch_distinct_rollup": q_sketch_distinct,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
         "corpus_clean": q_corpus_clean,
         "decontaminate": q_decontaminate,
         "stratified_sample": q_stratified_sample,
         "pack_sequences": q_pack_sequences,
+        # -- rotated IN this round (WINDOW.md): newly oracle-checkable
+        # -- approximate operators + longest-unchecked single-operator
+        # -- queries
+        "minhash_near_dup": q_minhash_dedup,
+        "simhash_near_dup": q_simhash_dedup,
+        "knn_ivf": q_knn_ivf,
+        "window_lag_gap": q_window_lag,
+        "mode_weighted": q_mode_weighted,
+        "tabloop_suppress": q_tabloop,
+        "prefix_join": q_prefix_join,
+        "pricing_summary": q_pricing_summary,
         # -- complex operator queries -------------------------------------
         "coverage_stats": q_coverage,
         "interval_resegment": q_resegment,
@@ -5637,16 +5838,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "islands_collapse": q_islands,
         "rolling_months": q_rolling_months,
         "asof_running_min": q_asof_min,
-        "window_lag_gap": q_window_lag,
         "submonth_clip": q_submonth_clip,
         "mode_random_tiebreak": q_mode_random_tiebreak,
-        "mode_weighted": q_mode_weighted,
         "mode_tiebreak": q_mode,
-        "tabloop_suppress": q_tabloop,
         "tabloop_fixed": q_tabloop_fixed,
         "grid_zerofill": q_grid_zerofill,
         "pct_flags": q_pct_flags,
-        "prefix_join": q_prefix_join,
         "theta_or_join": q_theta_or_join,
         "calendar_join": q_calendar_join,
         "full_outer_coalesce": q_full_outer,
@@ -5654,11 +5851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_priority": q_dedup_priority,
         "union_bindrows": q_union_bindrows,
         "scalar_datetime": q_scalar_datetime,
-        # ---- entries below row 50 are outside the driver's correctness
-        # ---- window: trivial single-operator queries, each with its own
-        # ---- pytest coverage, plus the no-oracle approximate operators
-        # ---- (rows-only either way).
-        "pricing_summary": q_pricing_summary,
+        "sketch_distinct_rollup": q_sketch_distinct,
         "typed_projection": q_typed_projection,
         "dynamic_filter": q_dynamic_filter,
         "distinct_dedup": q_distinct,
@@ -5681,9 +5874,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_fingerprint": q_quality,
         "dedup_exact": q_dedup_exact,
         "knn_bruteforce": q_knn_bruteforce,
-        "minhash_near_dup": q_minhash_dedup,
-        "simhash_near_dup": q_simhash_dedup,
-        "knn_ivf": q_knn_ivf,
     }
 
 
@@ -5745,6 +5935,9 @@ def oracle_sql() -> dict[str, str]:
         "grouping_sets": SQL_GROUPING_SETS,
         "json_props": SQL_JSON_PROPS,
         "ngram_jaccard": SQL_NGRAM_JACCARD,
+        "minhash_near_dup": SQL_MINHASH_NEAR_DUP,
+        "simhash_near_dup": SQL_SIMHASH_NEAR_DUP,
+        "knn_ivf": SQL_KNN_IVF,
         "dedup_clusters": SQL_DEDUP_CLUSTERS,
         "ccw_two_claim": SQL_CCW_TWO_CLAIM,
         "ccw_combined": SQL_CCW_COMBINED,

@@ -83,6 +83,29 @@ def minhash_signature(
     )
 
 
+def minhash_signature_portable(
+    shingle_col: Column, num_hashes: int = 32
+) -> Column:
+    """MinHash signature over an ENGINE-PORTABLE hash family: for seed
+    i, the lexicographic MIN of md5(i || ':' || shingle) hex strings.
+    Any permutation-like hash gives a valid min-hash estimator; md5
+    hex is bit-identical across engines (DuckDB, Trino, Spark), so an
+    ANSI-SQL oracle can reproduce the candidate set exactly — used by
+    the driver-checked variant. ~3× the CPU of the murmur3 family;
+    production callers keep :func:`minhash_signature`."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    shingle_col,
+                    lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s)),
+                )
+            )
+            for i in range(num_hashes)
+        ]
+    )
+
+
 def minhash_bands(
     df: DataFrame,
     id_col: str,
@@ -117,12 +140,18 @@ def minhash_near_dup_pairs(
     bands: int = 8,
     jaccard_threshold: float = 0.8,
     eager_cleanup: bool = False,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard >= threshold).
 
     Pipeline: shingle → minhash → band → self-equi-join on band bucket
     → exact Jaccard verification on the candidate pairs only (shingle
     sets re-joined from the docs; array_intersect/union are row-local).
+
+    ``portable=True`` swaps the murmur3 hash family for the md5-hex
+    one (:func:`minhash_signature_portable`) and uses the raw
+    concatenated band slice as the bucket key, so an ANSI-SQL oracle
+    reproduces the exact candidate set — the driver-checked variant.
 
     ``eager_cleanup=True`` materializes the (small) pair output via
     ``localCheckpoint`` and unpersists the signature cache before
@@ -132,17 +161,43 @@ def minhash_near_dup_pairs(
     call ``.unpersist()`` on cached deps when done).
     """
     rows_per_band = num_hashes // bands
+    sig_fn = minhash_signature_portable if portable else minhash_signature
     with_sig = (
         spread(df.select(id_col, F.col(text_col)))
+        .filter(F.col(text_col).isNotNull())
         .withColumn("_sh", word_shingles(text_col, shingle_k))
-        .withColumn("_sig", minhash_signature(F.col("_sh"), num_hashes))
+        .withColumn("_sig", sig_fn(F.col("_sh"), num_hashes))
     )
     # persisted because banding + two verification joins reuse it; the
     # cache is LRU-evictable and bounded by the shingle arrays — at
     # warehouse scale prefer checkpointing this frame to storage and
     # unpersisting after the pairs are materialized
     with_sig = with_sig.persist()
-    banded = minhash_bands(with_sig, id_col, "_sig", bands, rows_per_band)
+    if portable:
+        # fixed-width md5 components -> '|'-concat is an unambiguous
+        # bucket key both engines build identically
+        band_structs = F.array(*[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col("_sig")[b * rows_per_band + r]
+                        for r in range(rows_per_band)
+                    ],
+                ).alias("band_hash"),
+            )
+            for b in range(bands)
+        ])
+        banded = with_sig.select(
+            id_col, F.explode(band_structs).alias("_b")
+        ).select(
+            id_col,
+            F.col("_b.band_id").alias("band_id"),
+            F.col("_b.band_hash").alias("band_hash"),
+        )
+    else:
+        banded = minhash_bands(with_sig, id_col, "_sig", bands, rows_per_band)
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -297,6 +352,108 @@ def simhash_table(
             ).otherwise(F.lit(0).cast("long"))
         )
     return sums.select(F.col(id_col), sh.alias("_sh64"))
+
+
+_HEX = "0123456789abcdef"
+# popcount of a 4-bit value, as a lookup string indexed by value+1
+_POP4 = "0112122312232334"
+
+
+def simhash_table_portable(
+    df: DataFrame, id_col: str, text_col: str, token_k: int = 1
+) -> DataFrame:
+    """(id, _fp16) SimHash fingerprint as a 16-char lowercase hex
+    STRING over the md5 hash family: token hash = first 16 hex digits
+    of md5(token); bit j of the fingerprint (MSB-first within each
+    digit) is set when more than half the tokens have bit j set.
+
+    Same explode→groupBy shape as :func:`simhash_table` (64 branchless
+    bit sums in one partial-aggregated pass), but every operation —
+    md5, substring, strpos-style digit decode — exists identically in
+    ANSI engines, so a DuckDB oracle reproduces fingerprints, banding
+    and hamming verification bit-for-bit. ~2× the CPU of the xxhash64
+    family; production callers keep :func:`simhash_table`.
+    """
+    tokens = spread(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col),
+        F.explode(word_shingles(text_col, token_k)).alias("_tok"),
+    )
+    hashed = tokens.select(
+        id_col, F.expr("substring(md5(_tok), 1, 16)").alias("_h")
+    )
+    bit_aggs = [
+        F.expr(
+            f"sum((instr('{_HEX}', substring(_h, {j // 4 + 1}, 1)) - 1)"
+            f" div {1 << (3 - j % 4)} % 2)"
+        ).alias(f"_b{j}")
+        for j in range(64)
+    ]
+    sums = hashed.groupBy(id_col).agg(
+        *bit_aggs, F.count(F.lit(1)).alias("_n")
+    )
+    digit_exprs = []
+    for d in range(16):
+        v = " + ".join(
+            f"(case when 2 * _b{4 * d + b} > _n then {1 << (3 - b)} "
+            "else 0 end)"
+            for b in range(4)
+        )
+        digit_exprs.append(f"substring('{_HEX}', ({v}) + 1, 1)")
+    fp = F.expr("concat(" + ", ".join(digit_exprs) + ")")
+    return sums.select(F.col(id_col), fp.alias("_fp16"))
+
+
+def simhash_near_dup_pairs_portable(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 8,
+) -> DataFrame:
+    """Oracle-checkable twin of :func:`simhash_near_dup_pairs`: hex-
+    string fingerprints from :func:`simhash_table_portable`, banding on
+    the four 4-hex-digit chunks, hamming via per-digit xor + a 4-bit
+    popcount lookup — every step ANSI-reproducible. Same recall
+    contract as the production pair function."""
+    base = simhash_table_portable(df, id_col, text_col)
+    chunks = F.array(*[
+        F.struct(
+            F.lit(c).alias("chunk_id"),
+            F.substring("_fp16", 4 * c + 1, 4).alias("chunk_val"),
+        )
+        for c in range(4)
+    ])
+    banded = base.select(
+        id_col, "_fp16", F.explode(chunks).alias("_c")
+    ).select(
+        id_col, "_fp16",
+        F.col("_c.chunk_id").alias("chunk_id"),
+        F.col("_c.chunk_val").alias("chunk_val"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    ham = " + ".join(
+        f"int(substring('{_POP4}', "
+        f"((instr('{_HEX}', substring(_fa, {d}, 1)) - 1) ^ "
+        f"(instr('{_HEX}', substring(_fb, {d}, 1)) - 1)) + 1, 1))"
+        for d in range(1, 17)
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a._fp16").alias("_fa"),
+            F.col("b._fp16").alias("_fb"),
+        )
+        .distinct()
+        .withColumn("hamming", F.expr(ham))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
 
 
 def simhash_near_dup_pairs(

@@ -140,7 +140,13 @@ def frame_sample(
         ]
     )
     if mode == "strict" and frame_codec is None:
-        raise NotImplementedError("video codec unavailable; see extract_features")
+        # a real pure-python codec exists — require the caller to opt
+        # in explicitly rather than silently defaulting to it
+        raise NotImplementedError(
+            "strict frame_sample needs an explicit frame_codec; pass "
+            "claims_data_spark.operators.codecs.video_frame_sha for "
+            "the pure-python uncompressed-AVI parser"
+        )
     if frame_codec is None:
         frame_codec = lambda content, ts: hashlib.sha256(  # noqa: E731
             (content or b"") + int(ts).to_bytes(8, "little")

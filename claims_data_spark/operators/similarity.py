@@ -234,3 +234,81 @@ def blocked_pairwise_cosine(
         .groupBy("_blk")
         .applyInPandas(score_block, out_schema)
     )
+
+
+def ivf_topk_fixed_centroids(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroid_ids: list[int],
+    k: int = 5,
+    nprobe: int = 3,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """IVF top-k with a FIXED coarse quantizer: the codebook is the
+    embeddings of ``centroid_ids`` (a valid IVF quantizer — the
+    codebook need not be learned; fixed seed vectors trade a little
+    recall for exact reproducibility), labelled by those ids.
+
+    Unlike the k-means path (:func:`ivf_build`/:func:`ivf_topk`),
+    every step here is deterministic JVM expression work — the
+    centroid vectors become array literals, assignment and probe
+    selection are a row-local sort of (−cos, cid) structs (first-max,
+    ties to the lower centroid id), scoring reuses the sequential-fold
+    ``cosine`` — so an ANSI-SQL oracle reproduces assignments, probes
+    and the exact top-k over the probed lists value-for-value. This is
+    the driver-checked variant; the scale story is identical to
+    ``ivf_topk`` (probe table broadcast, corpus joined on
+    ``centroid_id`` → partition pruning).
+
+    The centroid collect is bounded metadata: ``len(centroid_ids)``
+    rows.
+    """
+    cent_rows = (
+        corpus.filter(F.col(corpus_id).isin([int(c) for c in centroid_ids]))
+        .select(corpus_id, corpus_vec)
+        .collect()
+    )
+    cents = sorted((int(r[0]), [float(x) for x in r[1]]) for r in cent_rows)
+
+    def ranked_structs(vec_col: Column) -> Column:
+        return F.sort_array(F.array(*[
+            F.struct(
+                (-cosine(vec_col, F.array(*[F.lit(x) for x in cv])))
+                .alias("nc"),
+                F.lit(cid).cast("long").alias("cid"),
+            )
+            for cid, cv in cents
+        ]))
+
+    assigned = corpus.withColumn(
+        "centroid_id", ranked_structs(F.col(corpus_vec))[0]["cid"]
+    )
+    probes = queries.select(
+        query_id, query_vec,
+        F.explode(
+            F.transform(
+                F.slice(ranked_structs(F.col(query_vec)), 1, nprobe),
+                lambda s: s["cid"],
+            )
+        ).alias("centroid_id"),
+    )
+    scored = assigned.join(F.broadcast(probes), "centroid_id").select(
+        query_id,
+        corpus_id,
+        cosine(F.col(corpus_vec), F.col(query_vec)).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("cos_sim").desc(), F.col(corpus_id).asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(
+            query_id, corpus_id,
+            F.round("cos_sim", 6).alias("cos_sim"),
+            F.col("_rn").cast("long").alias("rank"),
+        )
+    )

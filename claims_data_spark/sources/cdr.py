@@ -1,0 +1,115 @@
+"""CDR raw-file processing — the engine-shaped kernel of the
+reference's ``claims_db/db_loader/cdr/00_raw_file_processing.R``.
+
+The reference script does four things: (1) derives each table's
+schema from a ``*HeaderOnly.txt`` companion file (fields delimited by
+``|@|`` with stray ``~@~`` markers), sanitizing field names into SQL
+column names; (2) streams the gzipped data files chunk-by-chunk,
+replacing every byte outside printable ASCII (0x20–0x7E) with a
+space; (3) loads the ``|@|``-delimited rows with an appended
+``etl_id``; (4) QA-checks loaded row counts against the vendor's
+DataValidationSummary and column counts against the header file.
+
+All four are re-expressed here as distributed Spark work — the
+byte-cleaning becomes a codegen ``regexp_replace`` instead of a
+50 MB-chunk R loop, the load is one text scan + split (no driver
+pass), and the QA is a single count. The surrounding glue in the
+reference (Azure blob auth/upload, ``//dphcifs`` file shares, xlsx
+metadata workbooks, Synapse COPY INTO) is environment plumbing, not
+query semantics — ruled out of engine scope in COVERAGE.md alongside
+the export directories.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+CDR_FIELD_DELIM = "|@|"
+CDR_NOISE_MARK = "~@~"
+
+
+def sanitize_column_name(field_name: str) -> str:
+    """Vendor field name -> SQL column name, reproducing the
+    reference's chained replacements (``00_raw_file_processing.R:
+    44-56``): lowercase, strip parentheses, drop commas, then map
+    space / dash / slash to underscore."""
+    name = field_name.lower()
+    name = re.sub(r"[()]", "", name)
+    name = name.replace(",", "")
+    for ch in (" ", "-", "/"):
+        name = name.replace(ch, "_")
+    return name
+
+
+def header_columns(header_text: str) -> list[tuple[str, str]]:
+    """Parse a ``*HeaderOnly.txt`` line into ordered
+    (field_name, column_name) pairs (``:38-58``): strip the ``~@~``
+    noise marks, split on the ``|@|`` delimiter, sanitize each name.
+    Every vendor column loads as VARCHAR (typing happens in stage
+    builders, as in the reference)."""
+    cleaned = header_text.replace(CDR_NOISE_MARK, "").strip("\r\n")
+    fields = cleaned.split(CDR_FIELD_DELIM)
+    return [(f, sanitize_column_name(f)) for f in fields]
+
+
+def clean_printable_ascii(col: F.Column) -> F.Column:
+    """Replace every byte outside printable ASCII 0x20–0x7E with a
+    space — the distributed twin of the reference's
+    ``clean_ascii_only_gzip`` chunk loop (``:81-101``), as one
+    codegen regexp instead of a driver-side byte pass."""
+    return F.regexp_replace(col, r"[^\x20-\x7E]", " ")
+
+
+def load_cdr_raw(
+    spark: SparkSession,
+    path: str,
+    header_text: str,
+    etl_id: int,
+) -> DataFrame:
+    """Load a ``|@|``-delimited CDR raw file against its header-file
+    schema: one distributed text scan, printable-ASCII cleaning, a
+    positional split, and the appended ``etl_id`` audit column
+    (``:60-67``). Ragged rows load as NULL-padded (QA catches them
+    via :func:`cdr_load_qa`)."""
+    cols = header_columns(header_text)
+    lines = spark.read.text(path)
+    parts = F.split(
+        clean_printable_ascii(F.col("value")),
+        re.escape(CDR_FIELD_DELIM),
+    )
+    return lines.select(
+        *[
+            F.try_element_at(parts, F.lit(i + 1)).alias(name)
+            for i, (_, name) in enumerate(cols)
+        ],
+        F.size(parts).alias("_n_fields"),
+        F.lit(int(etl_id)).cast("int").alias("etl_id"),
+    )
+
+
+def cdr_load_qa(
+    loaded: DataFrame,
+    expected_rows: int,
+    header_text: str,
+) -> dict:
+    """The reference's load QA (row count vs the vendor's
+    DataValidationSummary, field count vs the header file,
+    ``:72-78``) as ONE fused aggregate pass."""
+    n_cols = len(header_columns(header_text))
+    row = loaded.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            (F.col("_n_fields") != F.lit(n_cols)).cast("int")
+        ).alias("n_ragged"),
+    ).collect()[0]
+    return {
+        "rows_match": int(row["n_rows"]) == int(expected_rows),
+        "n_rows": int(row["n_rows"]),
+        "expected_rows": int(expected_rows),
+        "n_ragged": int(row["n_ragged"] or 0),
+        "cols_match": True,
+        "n_cols": n_cols,
+    }

@@ -503,3 +503,65 @@ def test_pack_sequences_budget_and_determinism(spark):
         plist.sort()
         ids = [p for p, _, _ in plist]
         assert ids == list(range(len(ids)))  # dense from 0
+
+
+def test_codec_avi_roundtrip_and_frame_sha(spark):
+    """Real byte-level AVI parse: encode a 3-frame solid-color video,
+    re-decode it, and drive frame_sample's STRICT mode end-to-end
+    with the pure-python frame codec."""
+    import hashlib
+
+    import numpy as np
+    import pytest
+
+    from claims_data_spark.operators.codecs import (
+        MediaDecodeError,
+        decode_avi,
+        encode_avi,
+        video_features,
+        video_frame_sha,
+    )
+    from claims_data_spark.operators.multimodal import frame_sample
+
+    frames = [
+        np.full((4, 6, 3), [c, 10, 200], np.uint8) for c in (50, 100, 150)
+    ]
+    content = encode_avi(frames, fps=10)
+    w, h, fps, got = decode_avi(content)
+    assert (w, h, fps) == (6, 4, 10.0)
+    assert len(got) == 3
+    for want, have in zip(frames, got):
+        assert np.array_equal(want, have)
+    # feature slot 2 (1-based 3) carries first-frame mean R
+    assert video_features(content)[2] == pytest.approx(50 / 255.0)
+    # frame seek: ts 0 -> frame 0, ts 150ms @10fps -> frame 1; clamped
+    assert video_frame_sha(content, 0) == hashlib.sha256(
+        frames[0].tobytes()
+    ).hexdigest()
+    assert video_frame_sha(content, 150) == hashlib.sha256(
+        frames[1].tobytes()
+    ).hexdigest()
+    assert video_frame_sha(content, 99999) == hashlib.sha256(
+        frames[2].tobytes()
+    ).hexdigest()
+    # corrupt bytes fail loudly
+    with pytest.raises(MediaDecodeError):
+        decode_avi(b"RIFFxxxxWAVE")
+
+    media = spark.createDataFrame(
+        [(1, "video", bytearray(content),
+          {"mime": "video/avi", "width": 6, "height": 4,
+           "duration_ms": 300})],
+        "media_id long, media_type string, content binary, "
+        "meta struct<mime:string,width:int,height:int,duration_ms:int>",
+    )
+    out = frame_sample(
+        media, every_ms=100, mode="strict", frame_codec=video_frame_sha
+    ).collect()
+    assert [r["frame_ts_ms"] for r in out] == [0, 100, 200]
+    assert out[0]["frame_sha"] == hashlib.sha256(
+        frames[0].tobytes()
+    ).hexdigest()
+    assert out[2]["frame_sha"] == hashlib.sha256(
+        frames[2].tobytes()
+    ).hexdigest()

@@ -167,3 +167,43 @@ def test_read_with_header_file(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         read_with_header_file(spark, str(data), str(bad_header))
+
+
+def test_cdr_raw_file_processing(spark, tmp_path):
+    """CDR loader kernel (db_loader/cdr/00_raw_file_processing.R):
+    header-file schema with vendor-name sanitization, |@| delimiter,
+    ~@~ noise strip, printable-ASCII byte cleaning, etl_id audit
+    column, and the row/field-count QA."""
+    from claims_data_spark.sources.cdr import (
+        cdr_load_qa,
+        header_columns,
+        load_cdr_raw,
+        sanitize_column_name,
+    )
+
+    assert sanitize_column_name("Member ID (Hashed)") == "member_id_hashed"
+    assert sanitize_column_name("DOB, Year/Month-Day") == "dob_year_month_day"
+
+    header = "Member ID (Hashed)|@|Svc-Date|@|~@~Amount\n"
+    cols = header_columns(header)
+    assert [c for _, c in cols] == ["member_id_hashed", "svc_date", "amount"]
+
+    data = tmp_path / "cdr_claims_20260101.txt"
+    data.write_bytes(
+        b"abc123|@|2024-01-01|@|19.50\n"
+        b"def\x019|@|2024-\x8001-02|@|7.25\n"   # non-printable bytes
+        b"ragged|@|2024-01-03\n"
+    )
+    df = load_cdr_raw(spark, str(data), header, etl_id=7)
+    rows = {r["member_id_hashed"]: r for r in df.collect()}
+    assert rows["abc123"]["svc_date"] == "2024-01-01"
+    assert rows["abc123"]["etl_id"] == 7
+    # bytes outside 0x20-0x7E became spaces, like clean_ascii_only_gzip
+    assert rows["def 9"]["svc_date"] == "2024- 01-02"
+    # ragged row NULL-pads and is counted by QA
+    assert rows["ragged"]["amount"] is None
+
+    qa = cdr_load_qa(df, expected_rows=3, header_text=header)
+    assert qa["rows_match"] and qa["n_ragged"] == 1 and qa["n_cols"] == 3
+    qa_bad = cdr_load_qa(df, expected_rows=5, header_text=header)
+    assert not qa_bad["rows_match"]
