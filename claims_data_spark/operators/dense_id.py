@@ -187,84 +187,6 @@ def dense_global_id(
     return df.join(aliased, cond).drop(*[f"_key_{c}" for c in order_cols])
 
 
-def dense_ids_inline_by_tag(
-    df: DataFrame,
-    tag_col: str,
-    order_cols: list[str],
-    out_col: str = "global_id",
-    num_partitions: int | None = None,
-    cache_registry: list | None = None,
-) -> DataFrame:
-    """Attach per-tag dense 1-based ids DIRECTLY to the fact rows.
-
-    ``dense_global_ids_by_tag`` builds a distinct-keys mapping and the
-    caller joins it back — three extra shuffles (the distinct, the
-    mapping's range exchange over a second frame, the join-back). When
-    the key grain (person, service_date) is within a small factor of
-    the fact row count — true for claim events — it is cheaper to
-    range-partition the fact ONCE on (tag, *order_cols) and rank in
-    place:
-
-      1. one range exchange of ``df`` (equal keys land in one
-         partition, tags are contiguous because the tag leads the key);
-      2. ``dense_rank`` within each physical partition — counts the
-         distinct keys preceding the row locally;
-      3. a tiny per-(partition, tag) agg (max/min local rank) rolled
-         into per-partition offsets and per-tag bases, broadcast back.
-
-    id = local_dense_rank + partition_offset - tag_base: dense and
-    1-based within each tag, identical to the mapping form. Shuffle
-    count: 1 big (range) + 1 tiny (counts) vs 3 big + 1 tiny.
-
-    Returns ``df`` with ``out_col`` attached (same row count). The
-    result is persisted (it feeds both the counts subplan and the
-    caller's downstream aggregation); pass ``cache_registry`` to
-    unpersist later.
-    """
-    cols = [tag_col, *order_cols]
-    if num_partitions:
-        parted = df.repartitionByRange(num_partitions, *cols)
-    else:
-        parted = df.repartitionByRange(*cols)
-    w = Window.partitionBy("_pid").orderBy(*cols)
-    ranked = (
-        parted.withColumn("_pid", F.spark_partition_id())
-        .withColumn("_dr", F.dense_rank().over(w))
-        .persist()
-    )
-    if cache_registry is not None:
-        cache_registry.append(ranked)
-
-    # per-(partition, tag) local distinct-key span; tags are contiguous
-    # within a partition so span = max - min + 1
-    pt = ranked.groupBy("_pid", tag_col).agg(
-        F.max("_dr").alias("_hi"), F.min("_dr").alias("_lo")
-    )
-    # partition offsets: total keys in earlier partitions
-    per_pid = pt.groupBy("_pid").agg(F.max("_hi").alias("_cnt"))
-    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = per_pid.select(
-        "_pid", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_off")
-    )
-    # tag bases: total keys in earlier tags (across all partitions)
-    tag_tot = pt.groupBy(tag_col).agg(
-        F.sum(F.col("_hi") - F.col("_lo") + 1).alias("_tcnt")
-    )
-    w_tag = Window.orderBy(tag_col).rowsBetween(Window.unboundedPreceding, -1)
-    tag_base = tag_tot.select(
-        tag_col, F.coalesce(F.sum("_tcnt").over(w_tag), F.lit(0)).alias("_base")
-    )
-    return (
-        ranked.join(F.broadcast(offsets), "_pid")
-        .join(F.broadcast(tag_base), tag_col)
-        .withColumn(
-            out_col,
-            (F.col("_dr") + F.col("_off") - F.col("_base")).cast("long"),
-        )
-        .drop("_pid", "_dr", "_off", "_base")
-    )
-
-
 def dense_event_ids_inline(
     facts: DataFrame,
     person_col: str,
@@ -500,72 +422,4 @@ def dense_event_ids_inline(
     return (
         ranked.join(F.broadcast(offsets), "_pid")
         .select(*facts.columns, *id_cols)
-    )
-
-
-def dense_global_ids_by_tag(
-    df: DataFrame,
-    tag_col: str,
-    order_cols: list[str],
-    out_col: str = "global_id",
-    num_partitions: int | None = None,
-    cache_registry: list | None = None,
-    truncate_lineage: bool = True,
-) -> DataFrame:
-    """Mint several INDEPENDENT dense 1-based id families in ONE
-    ranking pass.
-
-    Equivalent to calling ``dense_global_id`` once per distinct value
-    of ``tag_col`` on that tag's subset — but with one distinct, one
-    range shuffle, one window and one offsets pass instead of one per
-    family. A builder minting several utilization-event id families
-    over the same key grain (the APCD header mints pc_visit /
-    inpatient / ed_perform ids over (person, service_date)) collapses
-    3x the shuffle-and-sample machinery into one; at warehouse scale
-    that is two fewer full distinct scans, and on small data it cuts
-    the per-job scheduling floor.
-
-    Returns the (tag, *order_cols, out_col) mapping — dense and
-    1-based WITHIN each tag (global rank minus the count of keys in
-    preceding tags, both from the same ranked-keys frame).
-    """
-    # persist before the eager range-boundary sampling — see
-    # dense_global_id for the rationale
-    keys = df.select(tag_col, *order_cols).distinct().persist()
-    if cache_registry is not None:
-        cache_registry.append(keys)
-    cols = [tag_col, *order_cols]
-    if num_partitions:
-        keys = keys.repartitionByRange(num_partitions, *cols)
-    else:
-        keys = keys.repartitionByRange(*cols)
-    with_pid = keys.withColumn("_pid", F.spark_partition_id())
-    w_in = Window.partitionBy("_pid").orderBy(*cols)
-    ranked = _stable_ranked(
-        with_pid.withColumn("_rn", F.row_number().over(w_in)),
-        truncate_lineage, cache_registry,
-    )
-
-    counts = ranked.groupBy("_pid").agg(F.max("_rn").alias("_cnt"))
-    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    offset_df = counts.select(
-        "_pid", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_off")
-    )
-    # per-tag key totals -> base to subtract so each family restarts at 1
-    tag_counts = ranked.groupBy(tag_col).agg(F.count("*").alias("_tcnt"))
-    w_tag = Window.orderBy(tag_col).rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    tag_base = tag_counts.select(
-        tag_col,
-        F.coalesce(F.sum("_tcnt").over(w_tag), F.lit(0)).alias("_base"),
-    )
-    return (
-        ranked.join(F.broadcast(offset_df), "_pid")
-        .join(F.broadcast(tag_base), tag_col)
-        .withColumn(
-            out_col,
-            (F.col("_rn") + F.col("_off") - F.col("_base")).cast("long"),
-        )
-        .select(tag_col, *order_cols, out_col)
     )

@@ -15,8 +15,6 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from claims_data_spark.functions.strings import tsql_like
-from claims_data_spark.operators.episodes import within_person_episodes
-from claims_data_spark.operators.dense_id import dense_ids_inline_by_tag
 from claims_data_spark.plans.prefix_join import prefix_join
 
 ED_REV_PATTERN = "045[01269]"      # load_stage.mcaid_claim_header.R:242
@@ -262,43 +260,24 @@ def build_claim_header(
     # ED episodes: visits ≤1 day apart merge (``:814-879``); dense
     # ed_pophealth_id over (person, episode); ed_perform_id per
     # (person, service date)
+    # Both id families in ONE range exchange + ONE vectorized pass
+    # over the ED claims only (family ids depend only on FLAGGED keys,
+    # so the non-ED claims never enter the minting at all): ed_perform
+    # ranks distinct (person, service_date) keys, ed_pophealth ranks
+    # the 1-day episode chains — see dense_event_ids_inline. Replaces
+    # the tagged union + range sort + per-claim conditional-agg
+    # fold-back.
+    from claims_data_spark.operators.dense_id import dense_event_ids_inline
+
     ed = out.filter(F.col("ed_flag") == 1).select(
-        "claim_header_id", "id_mcaid", "first_service_date"
+        "claim_header_id", "id_mcaid", "first_service_date",
+        F.lit(1).alias("_edf"),
     )
-    ed_eps = within_person_episodes(
-        ed, ["id_mcaid"], "first_service_date", merge_gap_days=1,
-        out_col="_wep",
-    )
-    # Both id families in ONE tagged ranking pass (one distinct, one
-    # range-boundary sampling, one window) instead of two
-    # dense_global_id cascades. The heterogeneous order columns fold
-    # into a common long `_d` via order-isomorphic, distinctness-
-    # preserving casts: epoch days for service dates, the per-person
-    # episode counter for episodes — dense ranks are identical to
-    # ranking the original columns.
-    tagged = ed_eps.select(
-        F.lit("ed_pophealth").alias("_tag"), "claim_header_id", "id_mcaid",
-        F.col("_wep").cast("long").alias("_d"),
-    ).unionByName(
-        ed.select(
-            F.lit("ed_perform").alias("_tag"), "claim_header_id", "id_mcaid",
-            F.unix_date("first_service_date").cast("long").alias("_d"),
-        )
-    )
-    with_ids = dense_ids_inline_by_tag(
-        tagged, "_tag", ["id_mcaid", "_d"], out_col="_eid"
-    )
-    per_claim = (
-        with_ids.groupBy("claim_header_id")
-        .agg(
-            F.max(
-                F.when(F.col("_tag") == "ed_pophealth", F.col("_eid"))
-            ).alias("ed_pophealth_id"),
-            F.max(
-                F.when(F.col("_tag") == "ed_perform", F.col("_eid"))
-            ).alias("ed_perform_id"),
-        )
-    )
+    per_claim = dense_event_ids_inline(
+        ed, "id_mcaid", "first_service_date",
+        families=[("_edf", "ed_perform_id")],
+        episode_families=[(["_edf"], "ed_pophealth_id", 1)],
+    ).select("claim_header_id", "ed_pophealth_id", "ed_perform_id")
     out = out.join(per_claim, "claim_header_id", "left")
 
     # primary-care visit flag (``:419-424`` shape): professional claims

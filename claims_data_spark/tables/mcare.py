@@ -22,8 +22,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from claims_data_spark.operators.dense_id import dense_ids_inline_by_tag
-from claims_data_spark.operators.episodes import within_person_episodes
+from claims_data_spark.operators.dense_id import (
+    _eager_checkpoint,
+    dense_event_ids_inline,
+)
 
 # ED definitions (load_stage.mcare_claim_header.R:379-399): the RDA
 # 'perform' sets are narrower than the Yale 'pophealth' sets
@@ -229,100 +231,61 @@ def build_mcare_claim_header(
         )
     )
 
-    # ALL FOUR id families -> one tagged ranking pass + one
-    # conditional-agg join (see dense_global_ids_by_tag). The order
-    # columns differ per family (service date, discharge date, episode
-    # counter) but fold into a common long `_d` via order-isomorphic,
-    # distinctness-preserving casts (epoch days / episode counter), so
-    # the per-tag dense ranks equal ranking the original columns —
-    # one distinct + one range-boundary sampling + one window instead
-    # of the former 3-family pass plus a separate ed_pophealth
-    # dense_global_id cascade.
-    # persist the NARROW minting projection only — caching the full
-    # assembly pins every header column and defeats Catalyst pruning
-    # for subset consumers (same fix as the APCD builder); the full
-    # frame stays lazy for the final join-back
-    narrow = out.select(
+    # ALL FOUR id families via the inline fact-grain minting (see
+    # dense_event_ids_inline), split by ORDER DATE: pc_visit /
+    # ed_perform / the Yale episode family all rank by (person,
+    # first_service_date) and mint in one range exchange + one
+    # vectorized pass; inpatient ranks by (person, discharge_date), so
+    # it gets its own pass over ONLY the inpatient rows — family ids
+    # depend on flagged keys alone, so filtering first is exact and
+    # the second exchange carries a small subset, not the claim set.
+    # The narrow minting projection is eagerly checkpointed (same
+    # rationale as the APCD builder: no concurrent-leaf cache races,
+    # bounded lineage, primary-dx aggregate pruned out of its plan).
+    narrow = _eager_checkpoint(out.select(
         "claim_header_id", "id_mcare", "first_service_date",
         "discharge_date", "ed_yale_carrier", "ed_yale_opt", "ed_yale_ipt",
         "pc_visit", "inpatient", "ed_perform",
-    ).persist()
-    event_specs = [
-        ("pc_visit", "pc_visit_id", "first_service_date"),
-        ("inpatient", "inpatient_id", "discharge_date"),
-        ("ed_perform", "ed_perform_id", "first_service_date"),
-    ]
-    # one scan fans out the per-flag tag rows (explode of a compacted
-    # struct array) — a 3-branch filter union would read the assembled
-    # frame three times before the persist materializes
-    tagged = (
-        narrow.select(
+    ))
+    svc_ids = dense_event_ids_inline(
+        narrow, "id_mcare", "first_service_date",
+        families=[
+            ("pc_visit", "pc_visit_id"),
+            ("ed_perform", "ed_perform_id"),
+        ],
+        episode_families=[(
+            ["ed_yale_carrier", "ed_yale_opt", "ed_yale_ipt"],
+            "ed_pophealth_id", 1,
+        )],
+    )
+    ipt_ids = dense_event_ids_inline(
+        narrow.filter(F.col("inpatient") == 1).select(
             "claim_header_id", "id_mcare",
-            F.explode(
-                F.array_compact(
-                    F.array(*[
-                        F.when(
-                            F.col(flag) == 1,
-                            F.struct(
-                                F.lit(flag).alias("_tag"),
-                                F.unix_date(F.col(date_col)).cast("long")
-                                .alias("_d"),
-                            ),
-                        )
-                        for flag, _, date_col in event_specs
-                    ])
-                )
-            ).alias("_td"),
-        )
-        .select(
-            F.col("_td._tag").alias("_tag"), "claim_header_id", "id_mcare",
-            F.col("_td._d").alias("_d"),
-        )
-    )
-    ed = narrow.filter(
-        (F.col("ed_yale_carrier") == 1)
-        | (F.col("ed_yale_opt") == 1)
-        | (F.col("ed_yale_ipt") == 1)
-    ).select("claim_header_id", "id_mcare", "first_service_date")
-    eps = within_person_episodes(
-        ed, ["id_mcare"], "first_service_date", merge_gap_days=1
-    )
-    tagged = tagged.unionByName(
-        eps.select(
-            F.lit("ed_pophealth").alias("_tag"), "claim_header_id",
-            "id_mcare",
-            F.col("within_person_episode_id").cast("long").alias("_d"),
-        )
-    )
-    out_cols = [(f, c) for f, c, _ in event_specs] + [
-        ("ed_pophealth", "ed_pophealth_id")
+            F.coalesce(
+                F.col("discharge_date"), F.to_date(F.lit("0001-01-01"))
+            ).alias("_d_mint"),
+            "inpatient",
+        ),
+        "id_mcare", "_d_mint",
+        families=[("inpatient", "inpatient_id")],
+    ).select("claim_header_id", "inpatient_id")
+    with_ids = svc_ids.join(ipt_ids, "claim_header_id", "left")
+    # reassembly: flag/id columns come from the checkpointed side; the
+    # extras side is LEFT-joined behind a dropDuplicates on the claim
+    # key (a semantic no-op — header grain — that makes it PROVABLY
+    # unique), so flag-only consumers get the whole reassembly branch
+    # eliminated instead of merely column-pruned.
+    id_cols = [
+        "pc_visit_id", "ed_perform_id", "ed_pophealth_id", "inpatient_id",
     ]
-    # inline ranking: ids attach directly to the tagged rows (one range
-    # exchange + tiny count agg) — no distinct-keys mapping, no
-    # join-back (dense_ids_inline_by_tag)
-    with_ids = dense_ids_inline_by_tag(
-        tagged, "_tag", ["id_mcare", "_d"], out_col="_event_id"
-    )
-    per_claim = (
-        with_ids.groupBy("claim_header_id")
-        .agg(*[
-            F.max(
-                F.when(F.col("_tag") == flag_col, F.col("_event_id"))
-            ).alias(out_col)
-            for flag_col, out_col in out_cols
-        ])
-    )
-    # same join-back shape as the APCD builder: event/person/date/flag
-    # columns come from the CACHED narrow frame, so a consumer that
-    # selects only those references nothing from the lazy assembly and
-    # Catalyst's left-join elimination prunes the reassembly to the
-    # header scan; wide consumers pay exactly the columns they select
     cols_order = out.columns
     out_extras = out.drop(
         *[c for c in narrow.columns if c != "claim_header_id"]
+    ).dropDuplicates(["claim_header_id"])
+    return (
+        with_ids.join(out_extras, "claim_header_id", "left")
+        .select(*cols_order, *id_cols)
     )
-    merged = narrow.join(out_extras, "claim_header_id").select(*cols_order)
-    return merged.join(per_claim, "claim_header_id", "left")
 
 
 # ---------------------------------------------------------------------------
@@ -396,74 +359,48 @@ def build_mcaid_mcare_claim_header(
 
     # re-mint event ids over (id_apde, date) — the reference's
     # dense_rank with nulls sorted to the bottom is equivalent to
-    # ranking only the participating rows (``:150-175``). All three
-    # re-minted families ride ONE tagged ranking pass (single scan of
-    # the combined frame via struct-array explode, single
-    # distinct/range-sample/window) instead of three dense_global_id
-    # cascades; dates fold to epoch-day longs (order-isomorphic).
-    remint_specs = [
-        ("_was_ed_perform", "ed_perform_id", "first_service_date"),
-        ("_was_ipt", "inpatient_id", "discharge_date"),
-        ("_was_pc", "pc_visit_id", "first_service_date"),
-    ]
+    # ranking only the participating rows (``:150-175``). The inline
+    # fact-grain minting (dense_event_ids_inline) runs one pass per
+    # ORDER DATE: ed_perform / pc_visit / the cross-source Yale
+    # episode family (``:205-330``: a Medicaid and a Medicare ED
+    # visit ≤1 day apart merge) over first_service_date, inpatient
+    # over discharge_date on ONLY its flagged rows. Unlinked claims
+    # (NULL id_apde) coalesce to '' for the mint — sorts first and
+    # groups equal, exactly like DENSE_RANK's NULLS FIRST key.
     join_key = ["source_desc", "claim_header_id"]
-    tagged = (
-        both.select(
-            "source_desc", "claim_header_id", "id_apde",
-            F.explode(
-                F.array_compact(
-                    F.array(*[
-                        F.when(
-                            F.col(flag),
-                            F.struct(
-                                F.lit(flag).alias("_tag"),
-                                F.unix_date(F.col(date_col)).cast("long")
-                                .alias("_d"),
-                            ),
-                        )
-                        for flag, _, date_col in remint_specs
-                    ])
-                )
-            ).alias("_td"),
-        )
-        .select(
-            F.col("_td._tag").alias("_tag"), "source_desc",
-            "claim_header_id", "id_apde", F.col("_td._d").alias("_d"),
-        )
+    mint_person = F.coalesce(F.col("id_apde"), F.lit("")).alias("_pid_mint")
+    mint_date = lambda c: F.coalesce(  # noqa: E731
+        F.col(c), F.to_date(F.lit("0001-01-01"))
+    ).alias("_d_mint")
+    svc_in = both.select(
+        "source_desc", "claim_header_id", mint_person,
+        mint_date("first_service_date"),
+        F.col("_was_ed_perform").cast("int").alias("_f_edp"),
+        F.col("_was_pc").cast("int").alias("_f_pc"),
+        (F.col("_was_ed") & F.col("claim_type_id").isin(1, 4, 5))
+        .cast("int").alias("_yale_mem"),
     )
-    # cross-source Yale episode clustering (``:205-330``): a Medicaid
-    # and a Medicare ED visit ≤1 day apart merge into one episode.
-    # Yale membership (= _was_ed & kc type 1/4/5) depends only on the
-    # normalized union, so the pophealth family rides the SAME ranking
-    # pass as a fourth tag (episode counter cast to long).
-    ed = both.filter(
-        F.col("_was_ed") & F.col("claim_type_id").isin(1, 4, 5)
-    ).select("source_desc", "claim_header_id", "id_apde", "first_service_date")
-    eps = within_person_episodes(
-        ed, ["id_apde"], "first_service_date", merge_gap_days=1
+    svc_ids = dense_event_ids_inline(
+        svc_in, "_pid_mint", "_d_mint",
+        families=[
+            ("_f_edp", "ed_perform_id"),
+            ("_f_pc", "pc_visit_id"),
+        ],
+        episode_families=[(["_yale_mem"], "ed_pophealth_id", 1)],
+    ).select(
+        "source_desc", "claim_header_id",
+        "ed_perform_id", "pc_visit_id", "ed_pophealth_id",
     )
-    tagged = tagged.unionByName(
-        eps.select(
-            F.lit("ed_pophealth").alias("_tag"), "source_desc",
-            "claim_header_id", "id_apde",
-            F.col("within_person_episode_id").cast("long").alias("_d"),
-        )
-    )
-    out_cols = [(f, c) for f, c, _ in remint_specs] + [
-        ("ed_pophealth", "ed_pophealth_id")
-    ]
-    with_ids = dense_ids_inline_by_tag(
-        tagged, "_tag", ["id_apde", "_d"], out_col="_event_id"
-    )
-    per_claim = (
-        with_ids.groupBy("source_desc", "claim_header_id")
-        .agg(*[
-            F.max(
-                F.when(F.col("_tag") == flag, F.col("_event_id"))
-            ).alias(out_col)
-            for flag, out_col in out_cols
-        ])
-    )
+    ipt_ids = dense_event_ids_inline(
+        both.filter(F.col("_was_ipt")).select(
+            "source_desc", "claim_header_id", mint_person,
+            mint_date("discharge_date"),
+            F.col("_was_ipt").cast("int").alias("_f_ipt"),
+        ),
+        "_pid_mint", "_d_mint",
+        families=[("_f_ipt", "inpatient_id")],
+    ).select("source_desc", "claim_header_id", "inpatient_id")
+    per_claim = svc_ids.join(ipt_ids, join_key, "left")
     out = both.join(per_claim, join_key, "left")
 
     # Yale trio from the prior-stage ED membership + kc type (``:155-157``)
