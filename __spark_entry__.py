@@ -1514,9 +1514,11 @@ WHERE len(list_intersect(x.s, y.s)) * 1.0
 
 def q_simhash_dedup(spark, sf_dir):
     """SimHash near-dup pairs, full value-checked via the portable
-    md5-hex fingerprint family: the DuckDB oracle rebuilds the 64-bit
-    majority-vote fingerprints, the 16-bit chunk banding and the
-    xor-popcount hamming verification digit-for-digit. Hamming radius
+    md5 hash family: token hash = first 15 hex digits of md5 parsed
+    to a 60-bit integer (identical in Spark conv() and DuckDB hex
+    cast), so the oracle rebuilds the majority-vote fingerprints, the
+    15-bit chunk banding and the bit_count(xor) hamming verification
+    bit-for-bit — all integer codegen on both sides. Hamming radius
     4 of 64 bits: the synthetic docs share one small vocabulary, so
     looser radii return most of the n^2 pair space (measured: radius
     8 emits 780k pairs at sf0.1, radius 4 keeps the genuinely close
@@ -1528,28 +1530,12 @@ def q_simhash_dedup(spark, sf_dir):
 
 
 def _sql_simhash() -> str:
-    hexs = "0123456789abcdef"
-    pop4 = "0112122312232334"
     bit_sums = ",\n    ".join(
-        f"SUM((strpos('{hexs}', substr(h, {j // 4 + 1}, 1)) - 1)"
-        f" // {1 << (3 - j % 4)} % 2) AS b{j}"
-        for j in range(64)
+        f"SUM((h // {1 << j}) % 2) AS b{j}" for j in range(60)
     )
-    digits = ", ".join(
-        "substr('" + hexs + "', ("
-        + " + ".join(
-            f"(CASE WHEN 2 * b{4 * d + b} > n THEN {1 << (3 - b)} "
-            "ELSE 0 END)"
-            for b in range(4)
-        )
-        + ") + 1, 1)"
-        for d in range(16)
-    )
-    ham = " + ".join(
-        f"CAST(substr('{pop4}', xor("
-        f"strpos('{hexs}', substr(fa, {d}, 1)) - 1, "
-        f"strpos('{hexs}', substr(fb, {d}, 1)) - 1) + 1, 1) AS INT)"
-        for d in range(1, 17)
+    fp = " + ".join(
+        f"(CASE WHEN 2 * b{j} > n THEN {1 << j} ELSE 0 END)"
+        for j in range(60)
     )
     return f"""
 WITH norm AS (
@@ -1559,15 +1545,18 @@ WITH norm AS (
 ), tok AS (
   SELECT doc_id, unnest(list_distinct(w)) AS t FROM norm
 ), hashed AS (
-  SELECT doc_id, substr(md5(t), 1, 16) AS h FROM tok
+  SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tok
 ), sums AS (
   SELECT doc_id, COUNT(*) AS n,
     {bit_sums}
   FROM hashed GROUP BY doc_id
 ), fp AS (
-  SELECT doc_id, concat({digits}) AS f FROM sums
+  SELECT doc_id, CAST({fp} AS BIGINT) AS f FROM sums
 ), bands AS (
-  SELECT doc_id, f, t.c AS chunk_id, substr(f, 4 * t.c + 1, 4) AS chunk_val
+  SELECT doc_id, f, t.c AS chunk_id,
+         (f // (CASE t.c WHEN 0 THEN 1 WHEN 1 THEN 32768
+                         WHEN 2 THEN 1073741824 ELSE 35184372088832 END)
+         ) % 32768 AS chunk_val
   FROM fp, range(0, 4) t(c)
 ), cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -1576,8 +1565,8 @@ WITH norm AS (
     ON a.chunk_id = b.chunk_id AND a.chunk_val = b.chunk_val
    AND a.doc_id < b.doc_id
 )
-SELECT id_a, id_b, ({ham}) AS hamming
-FROM cand WHERE ({ham}) <= 4
+SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(fa, fb)) <= 4
 """
 
 

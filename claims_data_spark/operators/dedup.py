@@ -354,53 +354,47 @@ def simhash_table(
     return sums.select(F.col(id_col), sh.alias("_sh64"))
 
 
-_HEX = "0123456789abcdef"
-# popcount of a 4-bit value, as a lookup string indexed by value+1
-_POP4 = "0112122312232334"
-
-
 def simhash_table_portable(
     df: DataFrame, id_col: str, text_col: str, token_k: int = 1
 ) -> DataFrame:
-    """(id, _fp16) SimHash fingerprint as a 16-char lowercase hex
-    STRING over the md5 hash family: token hash = first 16 hex digits
-    of md5(token); bit j of the fingerprint (MSB-first within each
-    digit) is set when more than half the tokens have bit j set.
+    """(id, _fp60) SimHash fingerprint as a 60-bit BIGINT over the md5
+    hash family: token hash = first 15 hex digits of md5(token) parsed
+    as an integer (15 digits so the value fits a signed 64-bit long in
+    every engine — Spark ``conv(x, 16, 10)`` and DuckDB
+    ``('0x' || x)::BIGINT`` agree bit-for-bit); fingerprint bit j is
+    set when more than half the tokens have bit j set.
 
-    Same explode→groupBy shape as :func:`simhash_table` (64 branchless
-    bit sums in one partial-aggregated pass), but every operation —
-    md5, substring, strpos-style digit decode — exists identically in
-    ANSI engines, so a DuckDB oracle reproduces fingerprints, banding
-    and hamming verification bit-for-bit. ~2× the CPU of the xxhash64
-    family; production callers keep :func:`simhash_table`.
-    """
+    Same explode→groupBy shape as :func:`simhash_table` (one
+    partial-aggregated pass, 60 branchless integer bit sums — the only
+    string work is ONE md5 per token), but every operation exists
+    identically in ANSI engines, so a DuckDB oracle reproduces
+    fingerprints, banding and hamming verification bit-for-bit."""
     tokens = spread(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col),
         F.explode(word_shingles(text_col, token_k)).alias("_tok"),
     )
     hashed = tokens.select(
-        id_col, F.expr("substring(md5(_tok), 1, 16)").alias("_h")
+        id_col,
+        F.expr(
+            "cast(conv(substring(md5(_tok), 1, 15), 16, 10) as bigint)"
+        ).alias("_h"),
     )
     bit_aggs = [
-        F.expr(
-            f"sum((instr('{_HEX}', substring(_h, {j // 4 + 1}, 1)) - 1)"
-            f" div {1 << (3 - j % 4)} % 2)"
-        ).alias(f"_b{j}")
-        for j in range(64)
+        F.expr(f"sum((_h div {1 << j}) % 2)").alias(f"_b{j}")
+        for j in range(60)
     ]
     sums = hashed.groupBy(id_col).agg(
         *bit_aggs, F.count(F.lit(1)).alias("_n")
     )
-    digit_exprs = []
-    for d in range(16):
-        v = " + ".join(
-            f"(case when 2 * _b{4 * d + b} > _n then {1 << (3 - b)} "
-            "else 0 end)"
-            for b in range(4)
+    fp = F.expr(
+        "cast("
+        + " + ".join(
+            f"(case when 2 * _b{j} > _n then {1 << j} else 0 end)"
+            for j in range(60)
         )
-        digit_exprs.append(f"substring('{_HEX}', ({v}) + 1, 1)")
-    fp = F.expr("concat(" + ", ".join(digit_exprs) + ")")
-    return sums.select(F.col(id_col), fp.alias("_fp16"))
+        + " as bigint)"
+    )
+    return sums.select(F.col(id_col), fp.alias("_fp60"))
 
 
 def simhash_near_dup_pairs_portable(
@@ -409,33 +403,29 @@ def simhash_near_dup_pairs_portable(
     text_col: str,
     max_hamming: int = 8,
 ) -> DataFrame:
-    """Oracle-checkable twin of :func:`simhash_near_dup_pairs`: hex-
-    string fingerprints from :func:`simhash_table_portable`, banding on
-    the four 4-hex-digit chunks, hamming via per-digit xor + a 4-bit
-    popcount lookup — every step ANSI-reproducible. Same recall
-    contract as the production pair function."""
+    """Oracle-checkable twin of :func:`simhash_near_dup_pairs`: 60-bit
+    integer fingerprints from :func:`simhash_table_portable`, banding
+    on four 15-bit chunks (div/mod — pigeonhole guarantee holds for
+    hamming <= 3 exactly as in the 64-bit form), hamming via
+    bit_count(xor) — every step ANSI-reproducible and pure integer
+    codegen."""
     base = simhash_table_portable(df, id_col, text_col)
     chunks = F.array(*[
         F.struct(
             F.lit(c).alias("chunk_id"),
-            F.substring("_fp16", 4 * c + 1, 4).alias("chunk_val"),
+            F.expr(f"(_fp60 div {1 << (15 * c)}) % 32768")
+            .alias("chunk_val"),
         )
         for c in range(4)
     ])
     banded = base.select(
-        id_col, "_fp16", F.explode(chunks).alias("_c")
+        id_col, "_fp60", F.explode(chunks).alias("_c")
     ).select(
-        id_col, "_fp16",
+        id_col, "_fp60",
         F.col("_c.chunk_id").alias("chunk_id"),
         F.col("_c.chunk_val").alias("chunk_val"),
     )
     a, b = banded.alias("a"), banded.alias("b")
-    ham = " + ".join(
-        f"int(substring('{_POP4}', "
-        f"((instr('{_HEX}', substring(_fa, {d}, 1)) - 1) ^ "
-        f"(instr('{_HEX}', substring(_fb, {d}, 1)) - 1)) + 1, 1))"
-        for d in range(1, 17)
-    )
     return (
         a.join(
             b,
@@ -446,13 +436,12 @@ def simhash_near_dup_pairs_portable(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a._fp16").alias("_fa"),
-            F.col("b._fp16").alias("_fb"),
+            F.bit_count(
+                F.col("a._fp60").bitwiseXOR(F.col("b._fp60"))
+            ).alias("hamming"),
         )
         .distinct()
-        .withColumn("hamming", F.expr(ham))
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
     )
 
 
