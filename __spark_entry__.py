@@ -5703,6 +5703,101 @@ WHERE CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGIN
 """
 
 
+def q_repetition_filter(spark, sf_dir):
+    """Gopher-style repetition gate (Rae et al. 2021 Table A1) over
+    the documents table: duplicate-line fraction, duplicate-line
+    character fraction, and top word-2-gram character coverage, with
+    the published drop thresholds. Documents carry no newlines, so
+    the query first folds each text into deterministic 5-word lines
+    (same fold in the oracle) to give the line signals real work; the
+    top-n-gram stage is the scalable explode + (doc, gram) count +
+    per-doc rank plan, not O(words^2) row-local algebra."""
+    from claims_data_spark.operators.corpus import repetition_filter
+
+    d = spread(_t(spark, sf_dir, "documents"))
+    words = F.split(F.col("text"), " ")
+    n_chunks = F.ceil(F.size(words) / F.lit(5)).cast("int")
+    folded = F.when(
+        F.col("text").isNotNull(),
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0))),
+                lambda i: F.concat_ws(" ", F.slice(words, i * 5 + 1, 5)),
+            ),
+        ),
+    )
+    docs = d.select("doc_id", folded.alias("text"))
+    return repetition_filter(docs)
+
+
+SQL_REPETITION_FILTER = """
+WITH folded AS (
+  SELECT doc_id,
+    CASE WHEN text IS NOT NULL THEN
+      array_to_string(
+        list_transform(
+          range(0, GREATEST(CAST(CEIL(len(string_split(text, ' ')) / 5.0)
+                                 AS INT) - 1, 0) + 1),
+          i -> array_to_string(
+                 (string_split(text, ' '))[(i * 5 + 1):(i * 5 + 5)], ' ')
+        ), chr(10))
+    END AS t
+  FROM documents
+), lines AS (
+  SELECT doc_id, t,
+    list_filter(string_split(COALESCE(t, ''), chr(10)),
+                x -> len(TRIM(x)) > 0) AS l
+  FROM folded
+), line_stats AS (
+  SELECT doc_id, t,
+    CASE WHEN len(l) > 0
+         THEN (len(l) - len(list_distinct(l))) * 1.0 / len(l)
+         ELSE 0.0 END AS dup_line_frac,
+    CASE WHEN COALESCE(list_aggregate(
+                list_transform(l, x -> length(x)), 'sum'), 0) > 0
+         THEN (list_aggregate(list_transform(l, x -> length(x)), 'sum')
+               - COALESCE(list_aggregate(list_transform(
+                   list_filter(l, x -> len(list_filter(l, y -> y = x)) = 1),
+                   x -> length(x)), 'sum'), 0)) * 1.0
+              / list_aggregate(list_transform(l, x -> length(x)), 'sum')
+         ELSE 0.0 END AS dup_line_char_frac
+  FROM lines
+), grams AS (
+  SELECT doc_id, unnest(
+    list_transform(
+      range(1, GREATEST(len(w) - 1, 1) + 1),
+      i -> array_to_string(w[i:i+1], ' ')
+    )
+  ) AS g
+  FROM (
+    SELECT doc_id, regexp_split_to_array(LOWER(TRIM(t)), '\\s+') AS w
+    FROM folded WHERE t IS NOT NULL AND len(regexp_split_to_array(LOWER(TRIM(t)), '\\s+')) >= 2
+  )
+), top AS (
+  SELECT doc_id, cnt * length(g) AS top_chars FROM (
+    SELECT doc_id, g, COUNT(*) AS cnt,
+      ROW_NUMBER() OVER (PARTITION BY doc_id
+                         ORDER BY COUNT(*) DESC, g ASC) AS rn
+    FROM grams GROUP BY doc_id, g
+  ) WHERE rn = 1
+)
+SELECT s.doc_id,
+  ROUND(s.dup_line_frac, 6) AS dup_line_frac,
+  ROUND(s.dup_line_char_frac, 6) AS dup_line_char_frac,
+  ROUND(CASE WHEN length(COALESCE(s.t, '')) > 0
+        THEN COALESCE(p.top_chars, 0) * 1.0 / length(COALESCE(s.t, ''))
+        ELSE 0.0 END, 6) AS top_ngram_char_frac,
+  CAST(CASE WHEN s.dup_line_frac <= 0.30
+        AND s.dup_line_char_frac <= 0.20
+        AND (CASE WHEN length(COALESCE(s.t, '')) > 0
+             THEN COALESCE(p.top_chars, 0) * 1.0 / length(COALESCE(s.t, ''))
+             ELSE 0.0 END) <= 0.20
+       THEN 1 ELSE 0 END AS INT) AS keep
+FROM line_stats s LEFT JOIN top p ON s.doc_id = p.doc_id
+"""
+
+
 def q_pack_sequences(spark, sf_dir):
     """Token-budget sequence packing (operators/corpus.pack_sequences):
     greedy next-fit in doc_id order within an explicit modulo shard.
@@ -5818,8 +5913,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mode_weighted": q_mode_weighted,
         "tabloop_suppress": q_tabloop,
         "prefix_join": q_prefix_join,
-        "pricing_summary": q_pricing_summary,
+        "repetition_filter": q_repetition_filter,
         # -- complex operator queries -------------------------------------
+        "pricing_summary": q_pricing_summary,
+        "scalar_datetime": q_scalar_datetime,
         "coverage_stats": q_coverage,
         "interval_resegment": q_resegment,
         "episodes_dense_id": q_episodes,
@@ -5839,7 +5936,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_seeded": q_dedup_seeded,
         "dedup_priority": q_dedup_priority,
         "union_bindrows": q_union_bindrows,
-        "scalar_datetime": q_scalar_datetime,
         "sketch_distinct_rollup": q_sketch_distinct,
         "typed_projection": q_typed_projection,
         "dynamic_filter": q_dynamic_filter,
@@ -5927,6 +6023,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_near_dup": SQL_MINHASH_NEAR_DUP,
         "simhash_near_dup": SQL_SIMHASH_NEAR_DUP,
         "knn_ivf": SQL_KNN_IVF,
+        "repetition_filter": SQL_REPETITION_FILTER,
         "dedup_clusters": SQL_DEDUP_CLUSTERS,
         "ccw_two_claim": SQL_CCW_TWO_CLAIM,
         "ccw_combined": SQL_CCW_COMBINED,

@@ -282,3 +282,127 @@ def pack_sequences(
         return pdf
 
     return src.groupBy("shard").applyInPandas(pack, out_schema)
+
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram_n: int = 2,
+) -> DataFrame:
+    """Per-document repetition signals (Rae et al. 2021, "Scaling
+    Language Models: ... Gopher", Table A1 — the published repetition
+    filters used on MassiveText):
+
+    - ``dup_line_frac``: fraction of lines that are duplicates of an
+      earlier line,
+    - ``dup_line_char_frac``: fraction of line characters inside
+      duplicated lines,
+    - ``top_ngram_char_frac``: characters covered by occurrences of
+      the single most frequent word n-gram / total characters.
+
+    Plan: the two line fractions are ROW-LOCAL array algebra (lines
+    per doc are few; ``aggregate``/``array_distinct`` in codegen).
+    The top-n-gram fraction needs per-(doc, gram) counts, which would
+    be O(words²) row-local — instead it's the scalable explode form:
+    one explode of NON-distinct n-grams, one (doc, gram) count with
+    map-side partial aggregation, one per-doc max (count desc, gram
+    asc tiebreak so the pick is deterministic), joined back. Two
+    shuffles keyed by doc/gram — no all-pairs anything, survives any
+    corpus size.
+
+    NULL text yields zero fractions (nothing to repeat).
+    """
+    lines = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\n"),
+        lambda x: F.length(F.trim(x)) > 0,
+    )
+    n_lines = F.size(lines)
+    n_dist = F.size(F.array_distinct(lines))
+    line_chars = F.aggregate(
+        lines, F.lit(0), lambda acc, x: acc + F.length(x)
+    )
+    # chars inside lines occurring >= 2 times: total minus chars of
+    # lines occurring exactly once (count via a row-local filter —
+    # lines per document are bounded small, unlike n-grams)
+    uniq_chars = F.aggregate(
+        F.filter(
+            lines,
+            lambda x: F.size(F.filter(lines, lambda y: y == x)) == 1,
+        ),
+        F.lit(0),
+        lambda acc, x: acc + F.length(x),
+    )
+    base = df.select(
+        F.col(id_col),
+        F.when(n_lines > 0, (n_lines - n_dist) / n_lines)
+        .otherwise(F.lit(0.0)).alias("dup_line_frac"),
+        F.when(line_chars > 0, (line_chars - uniq_chars) / line_chars)
+        .otherwise(F.lit(0.0)).alias("dup_line_char_frac"),
+        F.length(F.coalesce(F.col(text_col), F.lit(""))).alias("_chars"),
+    )
+
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    k = F.size(words) - F.lit(ngram_n - 1)
+    grams = df.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                F.col(text_col).isNotNull() & (k >= 1),
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+                    lambda i: F.concat_ws(" ", F.slice(words, i, ngram_n)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("_g"),
+    )
+    counts = grams.groupBy(id_col, "_g").agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("_cnt").desc(), F.col("_g").asc()
+    )
+    top = (
+        counts.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col(id_col),
+            (F.col("_cnt") * F.length("_g")).alias("_top_chars"),
+        )
+    )
+    return base.join(top, id_col, "left").select(
+        id_col,
+        F.round("dup_line_frac", 6).alias("dup_line_frac"),
+        F.round("dup_line_char_frac", 6).alias("dup_line_char_frac"),
+        F.round(
+            F.when(
+                F.col("_chars") > 0,
+                F.coalesce(F.col("_top_chars"), F.lit(0)) / F.col("_chars"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("top_ngram_char_frac"),
+    )
+
+
+def repetition_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_dup_line_frac: float = 0.30,
+    max_dup_line_char_frac: float = 0.20,
+    max_top_ngram_char_frac: float = 0.20,
+) -> DataFrame:
+    """Gopher repetition gate: documents whose repetition signals
+    exceed the published thresholds (dup lines > 30%, dup line chars
+    > 20%, top-2-gram chars > 20% — Rae et al. 2021 Table A1) are
+    dropped. Returns (id, the three fractions, keep flag)."""
+    stats = repetition_stats(df, id_col, text_col)
+    return stats.select(
+        id_col, "dup_line_frac", "dup_line_char_frac",
+        "top_ngram_char_frac",
+        (
+            (F.col("dup_line_frac") <= max_dup_line_frac)
+            & (F.col("dup_line_char_frac") <= max_dup_line_char_frac)
+            & (F.col("top_ngram_char_frac") <= max_top_ngram_char_frac)
+        ).cast("int").alias("keep"),
+    )

@@ -565,3 +565,42 @@ def test_codec_avi_roundtrip_and_frame_sha(spark):
     assert out[2]["frame_sha"] == hashlib.sha256(
         frames[2].tobytes()
     ).hexdigest()
+
+
+def test_repetition_stats_gopher_signals(spark):
+    """Hand-computed Gopher repetition fractions: duplicate lines,
+    duplicate-line chars, top-2-gram char coverage (explode plan)."""
+    import pytest
+
+    from claims_data_spark.operators.corpus import repetition_filter
+
+    docs = spark.createDataFrame(
+        [
+            # 4 lines, 'aa bb' repeated twice -> dup_line_frac 1/4;
+            # dup chars 10/20; top 2-gram 'aa bb' count 2 (of the
+            # line-internal grams plus the cross-line ones)
+            (1, "aa bb\ncc dd\naa bb\nee ff"),
+            (2, "xx yy zz"),          # no dup lines; tiny doc
+            (3, None),                # null text -> zeros, kept
+            (4, "qq qq qq qq qq qq"), # one line, top gram dominates
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in repetition_filter(docs).collect()}
+    assert out[1]["dup_line_frac"] == pytest.approx(0.25)
+    assert out[1]["dup_line_char_frac"] == pytest.approx(10 / 20)
+    # grams split on \s+ crosses line breaks: 'aa bb' appears 2x of
+    # 7 grams; covered chars = 2 * 5 = 10 over len(text)=23
+    assert out[1]["top_ngram_char_frac"] == pytest.approx(
+        10 / 23, abs=1e-6
+    )
+    # no duplicate lines, but a 3-word doc's top 2-gram covers 5/8 of
+    # its characters — the Gopher gate rightly drops degenerate-short
+    # docs on the n-gram signal
+    assert out[2]["dup_line_frac"] == 0.0
+    assert out[2]["top_ngram_char_frac"] == pytest.approx(5 / 8)
+    assert out[2]["keep"] == 0
+    assert out[3]["dup_line_frac"] == 0.0 and out[3]["keep"] == 1
+    # 'qq qq' appears 5 times x 5 chars = 25 over 17 chars -> > 1 cap
+    # not applied (coverage can exceed 1 when grams overlap); gate drops
+    assert out[4]["keep"] == 0
