@@ -5703,6 +5703,82 @@ WHERE CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGIN
 """
 
 
+def q_quantize_embeddings(spark, sf_dir):
+    """Int8 symmetric embedding quantization digest: per vector, the
+    scale, the sum of quantized codes, a position-weighted code
+    checksum, and the max dequantization error — scalars that pin the
+    whole quantization arithmetic value-for-value without hashing
+    arrays. Quantization itself (operators/similarity.quantize_int8)
+    is row-local codegen; this query adds only a map-side digest."""
+    from claims_data_spark.operators.similarity import quantize_int8
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    qd = quantize_int8(emb)
+    # compute the error in its own projection: in the final select the
+    # rounded output is ALSO named `scale`, and Spark's lateral
+    # column-alias resolution would silently bind the zip_with's
+    # F.col("scale") to the ROUNDED alias instead of the input column
+    # (observed: max_err off by q*2.6e-10)
+    qd = qd.withColumn(
+        "_err",
+        F.array_max(
+            F.zip_with(
+                "embedding", "q",
+                lambda x, c: F.abs(x - c * F.col("scale")),
+            )
+        ),
+    )
+    dequant_err = F.col("_err")
+    return qd.select(
+        "vec_id",
+        F.round("scale", 9).alias("scale"),
+        F.aggregate("q", F.lit(0), lambda a, c: a + c).alias("qsum"),
+        F.aggregate(
+            F.zip_with(
+                "q",
+                F.sequence(F.lit(1), F.size("q")),
+                lambda c, i: c * i,
+            ),
+            F.lit(0),
+            lambda a, x: a + x,
+        ).alias("qdot"),
+        F.round(F.coalesce(dequant_err, F.lit(0.0)), 9).alias("max_err"),
+    )
+
+
+SQL_QUANTIZE_EMBEDDINGS = """
+WITH emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), scaled AS (
+  SELECT vec_id, v,
+    list_max(list_transform(v, x -> ABS(x))) / 127.0 AS s
+  FROM emb
+), quant AS (
+  SELECT vec_id, v, s,
+    CASE WHEN s > 0
+      THEN list_transform(v, x -> CAST(FLOOR(x / s + 0.5) AS INT))
+      ELSE list_transform(v, x -> 0) END AS q
+  FROM scaled
+)
+SELECT vec_id,
+  ROUND(s, 9) AS scale,
+  CAST(list_aggregate(q, 'sum') AS INT) AS qsum,
+  CAST(list_aggregate(
+    list_transform(range(1, len(q) + 1), i -> q[i] * i), 'sum'
+  ) AS INT) AS qdot,
+  ROUND(COALESCE(list_max(
+    list_transform(range(1, len(q) + 1), i -> ABS(v[i] - q[i] * s))
+  ), 0.0), 9) AS max_err
+FROM quant
+"""
+
+
 def q_repetition_filter(spark, sf_dir):
     """Gopher-style repetition gate (Rae et al. 2021 Table A1) over
     the documents table: duplicate-line fraction, duplicate-line
@@ -5912,9 +5988,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_lag_gap": q_window_lag,
         "mode_weighted": q_mode_weighted,
         "tabloop_suppress": q_tabloop,
-        "prefix_join": q_prefix_join,
+        "quantize_embeddings": q_quantize_embeddings,
         "repetition_filter": q_repetition_filter,
         # -- complex operator queries -------------------------------------
+        "prefix_join": q_prefix_join,
         "pricing_summary": q_pricing_summary,
         "scalar_datetime": q_scalar_datetime,
         "coverage_stats": q_coverage,
@@ -6024,6 +6101,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_dup": SQL_SIMHASH_NEAR_DUP,
         "knn_ivf": SQL_KNN_IVF,
         "repetition_filter": SQL_REPETITION_FILTER,
+        "quantize_embeddings": SQL_QUANTIZE_EMBEDDINGS,
         "dedup_clusters": SQL_DEDUP_CLUSTERS,
         "ccw_two_claim": SQL_CCW_TWO_CLAIM,
         "ccw_combined": SQL_CCW_COMBINED,

@@ -312,3 +312,33 @@ def ivf_topk_fixed_centroids(
             F.col("_rn").cast("long").alias("rank"),
         )
     )
+
+
+def quantize_int8(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str = "q",
+    scale_col: str = "scale",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the storage/transport
+    form every large-scale ANN/training pipeline ships vectors in
+    (4x smaller than float32, dot products in integer SIMD).
+
+    scale = max|x| / 127; q_i = floor(x_i / scale + 0.5) (explicit
+    round-half-up so every ANSI engine computes identical codes —
+    built-in round() functions disagree on ties across engines).
+    All-zero vectors quantize to zeros with scale 0. Pure row-local
+    higher-order expressions: no shuffle, no Python, survives any
+    corpus size as a map stage.
+    """
+    v = F.col(vec_col)
+    mx = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = mx / F.lit(127.0)
+    q = F.when(
+        mx > 0,
+        F.transform(
+            v,
+            lambda x: F.floor(x / scale + F.lit(0.5)).cast("int"),
+        ),
+    ).otherwise(F.transform(v, lambda x: F.lit(0)))
+    return df.withColumns({scale_col: scale, out_col: q})

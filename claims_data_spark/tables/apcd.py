@@ -277,19 +277,18 @@ def build_apcd_claim_header(
             pc = pc.withColumn("pc_taxonomy_temp", F.lit(None).cast("int"))
 
     # STEP 5/6: assemble + kc claim-type crosswalk + CCS columns.
-    # shuffle_hash hints on the rollup joins: each right side is a
-    # claim-grain AGGREGATE (bounded per hash partition), so a hash
-    # build beats sort-merge's three per-side sorts — same exchange
-    # count, no sort phase. At warehouse scale the agg sides stay
-    # proportional to the header side, which is exactly when SHJ is
-    # safe; the tiny reference dims below still broadcast.
+    # No join-strategy hints: the rollup sides are claim-grain
+    # aggregates that fit the session's 64 MB broadcast threshold at
+    # bench scale (a hint would force SHJ and give up the
+    # exchange-free header side); past the threshold the planner's
+    # sort-merge is the spill-safe choice at warehouse scale.
     out = (
-        hdr.join(line_agg.hint("shuffle_hash"), "claim_header_id", "left")
-        .join(ed_px.hint("shuffle_hash"), "claim_header_id", "left")
-        .join(icd1.hint("shuffle_hash"), "claim_header_id", "left")
+        hdr.join(line_agg, "claim_header_id", "left")
+        .join(ed_px, "claim_header_id", "left")
+        .join(icd1, "claim_header_id", "left")
     )
     if pc is not None:
-        out = out.join(pc.hint("shuffle_hash"), "claim_header_id", "left")
+        out = out.join(pc, "claim_header_id", "left")
     else:
         out = out.withColumns({
             c: F.lit(None).cast("int")
@@ -407,9 +406,7 @@ def build_apcd_claim_header(
                 F.max(F.col("sud_any")).alias("sud_any"),
             )
         )
-        out = out.join(
-            bh.hint("shuffle_hash"), "claim_header_id", "left"
-        ).withColumns({
+        out = out.join(bh, "claim_header_id", "left").withColumns({
             c: F.coalesce(F.col(c), F.lit(0))
             for c in ("mh_primary", "mh_any", "sud_primary", "sud_any")
         })
@@ -417,8 +414,7 @@ def build_apcd_claim_header(
     # STEP 9: injury nature/cause surveillance columns
     if ref_icdcm is not None and "intent" in ref_icdcm.columns:
         out = out.join(
-            apcd_injury_flags(icdcm, ref_icdcm).hint("shuffle_hash"),
-            "claim_header_id", "left",
+            apcd_injury_flags(icdcm, ref_icdcm), "claim_header_id", "left"
         ).withColumns({
             c: F.coalesce(F.col(c), F.lit(0))
             for c in ("injury_nature_narrow", "injury_nature_broad")

@@ -604,3 +604,21 @@ def test_repetition_stats_gopher_signals(spark):
     # 'qq qq' appears 5 times x 5 chars = 25 over 17 chars -> > 1 cap
     # not applied (coverage can exceed 1 when grams overlap); gate drops
     assert out[4]["keep"] == 0
+
+
+def test_quantize_int8_roundtrip(spark):
+    """int8 quantization: codes bounded to [-127, 127], dequant error
+    bounded by scale/2, zero vectors quantize to zeros."""
+    from claims_data_spark.operators.similarity import quantize_int8
+
+    df = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {r["vec_id"]: r for r in quantize_int8(df).collect()}
+    r1 = rows[1]
+    assert r1["q"] == [64, -127, 32, 0]
+    assert abs(r1["scale"] - 1.0 / 127) < 1e-12
+    for x, c in zip([0.5, -1.0, 0.25, 0.0], r1["q"]):
+        assert abs(x - c * r1["scale"]) <= r1["scale"] / 2 + 1e-12
+    assert rows[2]["q"] == [0, 0, 0, 0] and rows[2]["scale"] == 0.0
