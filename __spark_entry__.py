@@ -63,8 +63,22 @@ from claims_data_spark.sources.calendar import date_dim
 DEFAULT_SF = "/root/testdata/sf0.001"
 
 
+_READ_CACHE: dict = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """Parquet table handle, memoized per (session, dir, table): the
+    reader's driver-side file listing + footer schema read costs
+    ~130 ms per call, and the suite makes ~100 of them — a real
+    application holds table handles once, so the harness does too.
+    The frame is lazy; nothing is materialized here. Keyed by
+    applicationId so a restarted session never sees stale handles."""
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    df = _READ_CACHE.get(key)
+    if df is None:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        _READ_CACHE[key] = df
+    return df
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
