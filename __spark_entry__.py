@@ -52,7 +52,7 @@ from claims_data_spark.operators.intervals import (
 )
 from claims_data_spark.operators.mode import mode_value
 from claims_data_spark.operators.rolling import sparse_rolling_month_sum
-from claims_data_spark.operators.similarity import brute_force_topk, ivf_build, ivf_topk
+from claims_data_spark.operators.similarity import brute_force_topk
 from claims_data_spark.operators.tabulate import suppress, tabloop
 from claims_data_spark.operators.unpivot import unpivot
 from claims_data_spark.plans.predicates import apply_filters
