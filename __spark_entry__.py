@@ -5717,6 +5717,82 @@ WHERE CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGIN
 """
 
 
+def q_pii_scrub(spark, sf_dir):
+    """PII scrubbing digest over the documents table: deterministic
+    synthetic PII (an email, a phone and an SSN derived from doc_id)
+    is appended to each text, scrubbed by the row-local regex chain,
+    and verified via redaction counts plus the md5 of the scrubbed
+    text — so the oracle checks the exact replacement bytes, not just
+    that something changed."""
+    from claims_data_spark.operators.corpus import pii_scrub
+
+    d = spread(_t(spark, sf_dir, "documents"))
+    k = F.col("doc_id")
+    salted = d.select(
+        "doc_id",
+        F.when(
+            F.col("text").isNotNull(),
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"), k.cast("string"),
+                F.lit("@example.org or "),
+                F.format_string("%03d-%03d-%04d", k % 900 + 100,
+                                k % 743 + 100, k % 8999 + 1000),
+                F.when(
+                    k % 3 == 0,
+                    F.concat(
+                        F.lit(" ssn "),
+                        F.format_string("%03d-%02d-%04d", k % 899 + 100,
+                                        k % 89 + 10, k % 9999),
+                    ),
+                ).otherwise(F.lit("")),
+            ),
+        ).alias("text"),
+    )
+    out = pii_scrub(salted)
+    return out.select(
+        "doc_id", "email_n", "ssn_n", "phone_n",
+        F.md5(F.coalesce(F.col("scrubbed"), F.lit("__null__")))
+        .alias("scrub_md5"),
+    )
+
+
+SQL_PII_SCRUB = """
+WITH salted AS (
+  SELECT doc_id,
+    CASE WHEN text IS NOT NULL THEN
+      text || ' contact user' || CAST(doc_id AS VARCHAR)
+        || '@example.org or '
+        || printf('%03d-%03d-%04d', doc_id % 900 + 100,
+                  doc_id % 743 + 100, doc_id % 8999 + 1000)
+        || CASE WHEN doc_id % 3 = 0 THEN
+             ' ssn ' || printf('%03d-%02d-%04d', doc_id % 899 + 100,
+                               doc_id % 89 + 10, doc_id % 9999)
+           ELSE '' END
+    END AS text
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(COALESCE(text, ''),
+    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}')) AS INT)
+    AS email_n,
+  CAST(len(regexp_extract_all(COALESCE(text, ''),
+    '\\d{3}-\\d{2}-\\d{4}')) AS INT) AS ssn_n,
+  CAST(len(regexp_extract_all(COALESCE(text, ''),
+    '\\d{3}[-.]\\d{3}[-.]\\d{4}')) AS INT) AS phone_n,
+  md5(CASE WHEN text IS NULL THEN '__null__' ELSE
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text,
+          '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}',
+          '<EMAIL>', 'g'),
+        '\\d{3}-\\d{2}-\\d{4}', '<SSN>', 'g'),
+      '\\d{3}[-.]\\d{3}[-.]\\d{4}', '<PHONE>', 'g')
+  END) AS scrub_md5
+FROM salted
+"""
+
+
 def q_quantize_embeddings(spark, sf_dir):
     """Int8 symmetric embedding quantization digest: per vector, the
     scale, the sum of quantized codes, a position-weighted code
@@ -6000,7 +6076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dup": q_simhash_dedup,
         "knn_ivf": q_knn_ivf,
         "window_lag_gap": q_window_lag,
-        "mode_weighted": q_mode_weighted,
+        "pii_scrub": q_pii_scrub,
         "tabloop_suppress": q_tabloop,
         "quantize_embeddings": q_quantize_embeddings,
         "repetition_filter": q_repetition_filter,
@@ -6016,6 +6092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_months": q_rolling_months,
         "asof_running_min": q_asof_min,
         "submonth_clip": q_submonth_clip,
+        "mode_weighted": q_mode_weighted,
         "mode_random_tiebreak": q_mode_random_tiebreak,
         "mode_tiebreak": q_mode,
         "tabloop_fixed": q_tabloop_fixed,
@@ -6116,6 +6193,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_ivf": SQL_KNN_IVF,
         "repetition_filter": SQL_REPETITION_FILTER,
         "quantize_embeddings": SQL_QUANTIZE_EMBEDDINGS,
+        "pii_scrub": SQL_PII_SCRUB,
         "dedup_clusters": SQL_DEDUP_CLUSTERS,
         "ccw_two_claim": SQL_CCW_TWO_CLAIM,
         "ccw_combined": SQL_CCW_COMBINED,

@@ -406,3 +406,47 @@ def repetition_filter(
             & (F.col("top_ngram_char_frac") <= max_top_ngram_char_frac)
         ).cast("int").alias("keep"),
     )
+
+
+# PII patterns shared by the scrubber and its oracle: plain character
+# classes only, so Java regex (Spark) and RE2 (DuckDB/Trino) agree.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    # email first: its local part may embed digit runs the looser
+    # number patterns would mangle; the <EMAIL> token is digit-free so
+    # later scrubs can't touch it. SSN before phone (3-2-4 vs 3-3-4
+    # digit groups are disjoint, but keep the specific-first order).
+    ("email", r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}",
+     "<EMAIL>"),
+    ("ssn", r"\d{3}-\d{2}-\d{4}", "<SSN>"),
+    ("phone", r"\d{3}[-.]\d{3}[-.]\d{4}", "<PHONE>"),
+]
+
+
+def pii_scrub(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "scrubbed",
+) -> DataFrame:
+    """Training-corpus PII redaction (the C4/RefinedWeb-style scrub
+    every published web-scale pipeline runs before training): replace
+    emails, phone numbers and SSNs with typed placeholder tokens and
+    count each redaction per document.
+
+    Order matters and is fixed (see PII_PATTERNS). Entirely row-local
+    regexp codegen — map-only at any corpus size — and the patterns
+    use only character classes so any ANSI engine reproduces the
+    replacements byte-for-byte. Counts come from regexp_count on the
+    PRE-scrub text for the same reason.
+
+    Returns ``df`` plus ``{name}_n`` counts and ``out_col``.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    out = {}
+    for name, pat, token in PII_PATTERNS:
+        out[f"{name}_n"] = F.regexp_count(t, F.lit(pat))
+    scrubbed = t
+    for name, pat, token in PII_PATTERNS:
+        scrubbed = F.regexp_replace(scrubbed, pat, token)
+    out[out_col] = F.when(F.col(text_col).isNotNull(), scrubbed)
+    return df.withColumns(out)

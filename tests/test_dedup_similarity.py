@@ -622,3 +622,28 @@ def test_quantize_int8_roundtrip(spark):
     for x, c in zip([0.5, -1.0, 0.25, 0.0], r1["q"]):
         assert abs(x - c * r1["scale"]) <= r1["scale"] / 2 + 1e-12
     assert rows[2]["q"] == [0, 0, 0, 0] and rows[2]["scale"] == 0.0
+
+
+def test_pii_scrub_redaction(spark):
+    """PII scrub: email/SSN/phone replaced with typed tokens, counts
+    per type, email-first ordering protects digit runs inside local
+    parts, NULL text passes through."""
+    from claims_data_spark.operators.corpus import pii_scrub
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@x-corp.io or 555-123-4567; ssn 123-45-6789"),
+            (2, "digits 555-123-4567@weird.net stay inside the email"),
+            (3, None),
+            (4, "no pii here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in pii_scrub(docs).collect()}
+    assert rows[1]["email_n"] == 1 and rows[1]["phone_n"] == 1
+    assert rows[1]["ssn_n"] == 1
+    assert rows[1]["scrubbed"] == "mail <EMAIL> or <PHONE>; ssn <SSN>"
+    # the phone-looking local part is consumed by the email scrub
+    assert rows[2]["scrubbed"] == "digits <EMAIL> stay inside the email"
+    assert rows[3]["scrubbed"] is None
+    assert rows[4]["scrubbed"] == "no pii here" and rows[4]["email_n"] == 0
