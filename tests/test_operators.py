@@ -496,3 +496,35 @@ def test_dense_event_ids_inline_matches_window_oracle(spark):
         src = next(x for x in rows if x[0] == cid)
         if src[5] == 1 or src[6] == 1:
             assert int(r["ep_id"]) == ep_of_key[(src[1], src[2])], cid
+
+
+def test_dense_event_ids_inline_null_person_sentinel(spark):
+    """The documented caller contract for nullable person ids: callers
+    coalesce NULLs to a least-value sentinel (the combined
+    mcaid+mcare layer uses ''), which must rank exactly like
+    DENSE_RANK's NULLS FIRST — all sentinel rows group per date and
+    come before every real person."""
+    from pyspark.sql import Window
+
+    from claims_data_spark.operators.dense_id import dense_event_ids_inline
+
+    rows = [
+        (1, None, dt.date(2020, 1, 5), 1),
+        (2, None, dt.date(2020, 1, 5), 1),   # same date -> same key
+        (3, None, dt.date(2020, 1, 9), 1),
+        (4, "A1", dt.date(2020, 1, 1), 1),
+        (5, "B2", dt.date(2020, 1, 1), 0),   # unflagged -> NULL id
+    ]
+    df = spark.createDataFrame(
+        rows, "claim long, person string, d date, f int"
+    ).select(
+        "claim", F.coalesce("person", F.lit("")).alias("person"), "d", "f"
+    )
+    out = {r["claim"]: r["fid"] for r in dense_event_ids_inline(
+        df, "person", "d", families=[("f", "fid")], num_partitions=3
+    ).collect()}
+    # oracle: dense rank over flagged keys, nulls-as-'' first
+    assert out[1] == out[2] == 1
+    assert out[3] == 2
+    assert out[4] == 3
+    assert out[5] is None
