@@ -48,9 +48,25 @@ SUPERSEDES = {
 _WGT_IDX = {"elixhauser": 4, "charlson": 5, "gagne": 6}
 
 
+# driver->JVM conversion of the static catalogs costs ~100 ms per
+# call and every comorbidity build makes two of them — memoized per
+# session (the frames are lazy local relations)
+_REF_CACHE: dict = {}
+
+
+def _memo_df(spark: SparkSession, key: str, rows, schema: str) -> DataFrame:
+    k = (spark.sparkContext.applicationId, key)
+    df = _REF_CACHE.get(k)
+    if df is None:
+        df = spark.createDataFrame(rows, schema)
+        _REF_CACHE[k] = df
+    return df
+
+
 def build_comorb_cond_lookup(spark: SparkSession) -> DataFrame:
     """ref.comorb_cond_lookup — 43 conditions with weight columns."""
-    return spark.createDataFrame(
+    return _memo_df(
+        spark, "cond_lookup",
         [(c[0], c[1], c[2], c[3], c[4], c[5], c[6]) for c in COMORB_COND_LOOKUP],
         "cond_id int, short_name string, long_name string, definition string, "
         "elixhauser_wgt int, charlson_wgt int, gagne_wgt int",
@@ -58,8 +74,8 @@ def build_comorb_cond_lookup(spark: SparkSession) -> DataFrame:
 
 
 def _rules_df(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(
-        COMORB_DX_RULES,
+    return _memo_df(
+        spark, "dx_rules", COMORB_DX_RULES,
         "dx_ver int, prefix_len int, lo string, hi string, cond_id int",
     )
 
