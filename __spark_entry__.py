@@ -5717,6 +5717,39 @@ WHERE CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGIN
 """
 
 
+def q_chunk_documents(spark, sf_dir):
+    """Fixed-budget document chunking with overlap (the
+    pre-tokenization step ahead of sequence packing): 64-token chunks,
+    8-token overlap, one output row per chunk with its 0-based index,
+    text and token count — all row-local split/sequence/slice codegen,
+    verified against the same slicing in SQL (md5 of the chunk text so
+    the exact token boundaries are value-checked)."""
+    from claims_data_spark.operators.corpus import chunk_documents
+
+    d = spread(_t(spark, sf_dir, "documents"))
+    out = chunk_documents(d, max_tokens=64, overlap=8)
+    return out.select(
+        "doc_id", "chunk_idx", "n_tokens",
+        F.md5(F.col("chunk_text")).alias("chunk_md5"),
+    )
+
+
+SQL_CHUNK_DOCUMENTS = """
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w
+  FROM documents WHERE text IS NOT NULL
+), spec AS (
+  SELECT doc_id, w,
+    GREATEST(CAST(CEIL((len(w) - 8) / 56.0) AS INT), 1) AS n_chunks
+  FROM base
+)
+SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+  CAST(LEAST(len(w) - i * 56, 64) AS INT) AS n_tokens,
+  md5(array_to_string(w[(i * 56 + 1):(i * 56 + 64)], ' ')) AS chunk_md5
+FROM (SELECT doc_id, w, unnest(range(0, n_chunks)) AS i FROM spec)
+"""
+
+
 def q_pii_scrub(spark, sf_dir):
     """PII scrubbing digest over the documents table: deterministic
     synthetic PII (an email, a phone and an SSN derived from doc_id)
@@ -6077,7 +6110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf": q_knn_ivf,
         "window_lag_gap": q_window_lag,
         "pii_scrub": q_pii_scrub,
-        "tabloop_suppress": q_tabloop,
+        "chunk_documents": q_chunk_documents,
         "quantize_embeddings": q_quantize_embeddings,
         "repetition_filter": q_repetition_filter,
         # -- complex operator queries -------------------------------------
@@ -6093,6 +6126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_running_min": q_asof_min,
         "submonth_clip": q_submonth_clip,
         "mode_weighted": q_mode_weighted,
+        "tabloop_suppress": q_tabloop,
         "mode_random_tiebreak": q_mode_random_tiebreak,
         "mode_tiebreak": q_mode,
         "tabloop_fixed": q_tabloop_fixed,
@@ -6194,6 +6228,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_filter": SQL_REPETITION_FILTER,
         "quantize_embeddings": SQL_QUANTIZE_EMBEDDINGS,
         "pii_scrub": SQL_PII_SCRUB,
+        "chunk_documents": SQL_CHUNK_DOCUMENTS,
         "dedup_clusters": SQL_DEDUP_CLUSTERS,
         "ccw_two_claim": SQL_CCW_TWO_CLAIM,
         "ccw_combined": SQL_CCW_COMBINED,

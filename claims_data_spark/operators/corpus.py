@@ -450,3 +450,57 @@ def pii_scrub(
         scrubbed = F.regexp_replace(scrubbed, pat, token)
     out[out_col] = F.when(F.col(text_col).isNotNull(), scrubbed)
     return df.withColumns(out)
+
+
+def chunk_documents(
+    df: DataFrame,
+    max_tokens: int,
+    overlap: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split long documents into fixed-budget whitespace-token chunks
+    with optional overlap — the standard pre-tokenization step before
+    sequence packing (long documents otherwise overflow every pack and
+    the tail of a context window is wasted).
+
+    Chunk i covers tokens [i*(max_tokens-overlap), ...][:max_tokens],
+    1-indexed positions; the last chunk may be short; a document
+    shorter than the budget yields exactly one chunk. Entirely
+    row-local (split + sequence + slice higher-order expressions):
+    map-only, no shuffle, no Python — the explode multiplies rows by
+    ceil(len/stride), never materializes overlap copies beyond it.
+
+    Returns one row per chunk: id, chunk_idx (0-based), chunk_text,
+    n_tokens. NULL texts produce no chunks (nothing to train on).
+    """
+    if overlap >= max_tokens:
+        raise ValueError("overlap must be smaller than max_tokens")
+    stride = max_tokens - overlap
+    words = F.split(F.col(text_col), r"\s+")
+    n = F.size(words)
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(overlap)) / F.lit(stride)).cast("int"), F.lit(1)
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_idx"),
+            F.concat_ws(
+                " ", F.slice(words, i * stride + 1, max_tokens)
+            ).alias("chunk_text"),
+            F.least(
+                n - i * stride, F.lit(max_tokens)
+            ).cast("int").alias("n_tokens"),
+        ),
+    )
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), F.explode(chunks).alias("_c"))
+        .select(
+            id_col,
+            F.col("_c.chunk_idx").alias("chunk_idx"),
+            F.col("_c.chunk_text").alias("chunk_text"),
+            F.col("_c.n_tokens").alias("n_tokens"),
+        )
+    )

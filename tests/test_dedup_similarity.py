@@ -647,3 +647,33 @@ def test_pii_scrub_redaction(spark):
     assert rows[2]["scrubbed"] == "digits <EMAIL> stay inside the email"
     assert rows[3]["scrubbed"] is None
     assert rows[4]["scrubbed"] == "no pii here" and rows[4]["email_n"] == 0
+
+
+def test_chunk_documents_boundaries(spark):
+    """Chunking: stride = max - overlap, overlap tokens repeat at the
+    chunk seams, last chunk short, short doc -> one chunk, NULL text
+    -> no chunks, overlap >= max rejected."""
+    import pytest
+
+    from claims_data_spark.operators.corpus import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(1, 11))  # 10 tokens
+    docs = spark.createDataFrame(
+        [(1, words), (2, "a b"), (3, None)], "doc_id long, text string"
+    )
+    out = chunk_documents(docs, max_tokens=4, overlap=1)
+    rows = sorted(
+        ((r["doc_id"], r["chunk_idx"], r["chunk_text"], r["n_tokens"])
+         for r in out.collect())
+    )
+    # doc 1: stride 3, n_chunks = ceil((10-1)/3) = 3 -> starts at
+    # tokens 1,4,7; the last chunk reaches token 10, so every token is
+    # covered with no degenerate all-overlap tail chunk
+    assert rows == [
+        (1, 0, "w1 w2 w3 w4", 4),
+        (1, 1, "w4 w5 w6 w7", 4),
+        (1, 2, "w7 w8 w9 w10", 4),
+        (2, 0, "a b", 2),
+    ]
+    with pytest.raises(ValueError):
+        chunk_documents(docs, max_tokens=4, overlap=4)
