@@ -187,6 +187,144 @@ def dense_global_id(
     return df.join(aliased, cond).drop(*[f"_key_{c}" for c in order_cols])
 
 
+def dense_rank_inline(
+    df: DataFrame,
+    order_cols: list[str],
+    out_col: str = "global_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Attach a globally dense 1-based id ordered by ``order_cols``
+    directly on the rows: ONE range exchange + ONE Arrow pass.
+
+    Same semantics as ``dense_global_id`` (the reference's
+    un-partitioned ``DENSE_RANK() OVER (ORDER BY ...)``,
+    ``load_stage.mcaid_claim_header.R:865-967``) with the plan shape
+    proven by ``dense_event_ids_inline``: range-partition the rows by
+    the key order, sort within partitions, count key CHANGES in a
+    vectorized pass (running count of distinct keys == dense rank),
+    then lift per-partition counts into prefix-sum offsets (#partitions
+    rows broadcast back on ``_pid``).
+
+    vs the keys-map form: no distinct shuffle, no key->id join-back at
+    fact grain — right when the key grain is within a small factor of
+    the row count (claim events, standalone rankings). Keep
+    ``dense_global_id`` when keys << rows (ranking a reduced dimension
+    against a 100 TB fact table: exchanging the facts by range costs
+    more than the distinct + broadcast join-back).
+
+    Null handling is eqNullSafe-style: a NULL key value equals itself
+    and keys containing NULLs get ids in Spark's null-first range
+    order, matching ``DENSE_RANK``'s treatment. The Arrow pass
+    compares validity masks alongside values, so no sentinel
+    pre-coalescing is required.
+    """
+    if num_partitions:
+        ranged = df.repartitionByRange(num_partitions, *order_cols)
+    else:
+        ranged = df.repartitionByRange(*order_cols)
+    ranged = ranged.sortWithinPartitions(*order_cols)
+
+    fields = ", ".join(f"`{n}` {t}" for n, t in df.dtypes)
+    out_schema = fields + ", `_pid` int, `_loc` long"
+
+    def _key_arrays(batch, names):
+        """Per key column: (validity bool array, value numpy array)."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        out = []
+        for c in order_cols:
+            arr = batch.column(names.index(c))
+            valid = arr.is_valid().to_numpy(zero_copy_only=False)
+            if pa.types.is_date32(arr.type):
+                arr = pc.cast(arr, pa.int32())
+            elif pa.types.is_date64(arr.type) or pa.types.is_timestamp(
+                arr.type
+            ):
+                arr = arr.view(pa.int64())
+            vals = arr.to_numpy(zero_copy_only=False)
+            # nulls surface as NaN/None/NaT; mask them to a fixed value
+            # so value comparison is deterministic and validity alone
+            # decides null-vs-value changes
+            if vals.dtype == object:
+                vals = np.where(valid, vals, "")
+            elif np.issubdtype(vals.dtype, np.floating):
+                vals = np.where(valid, vals, 0.0)
+            out.append((valid, vals))
+        return out
+
+    def _running(iterator):
+        from pyspark import TaskContext
+        import numpy as np
+        import pyarrow as pa
+
+        pid = TaskContext.get().partitionId()
+        run = 0
+        has_carry = False
+        carry = None  # list of (valid: bool, value) for the last row
+        for batch in iterator:
+            m = batch.num_rows
+            if m == 0:
+                continue
+            names = batch.schema.names
+            keys = _key_arrays(batch, names)
+            change = np.zeros(m, dtype=bool)
+            change[0] = True
+            for valid, vals in keys:
+                change[1:] |= valid[1:] != valid[:-1]
+                change[1:] |= (valid[1:] & valid[:-1]) & (
+                    vals[1:] != vals[:-1]
+                )
+            if has_carry:
+                same = all(
+                    (bool(valid[0]) == cv)
+                    and ((not cv) or vals[0] == cvv)
+                    for (valid, vals), (cv, cvv) in zip(keys, carry)
+                )
+                change[0] = not same
+            locs = run + np.cumsum(change.astype("int64"))
+            run = int(locs[-1])
+            has_carry = True
+            carry = [
+                (bool(valid[-1]), vals[-1]) for valid, vals in keys
+            ]
+            arrays = list(batch.columns)
+            arrays.append(pa.array(np.full(m, pid, dtype="int32")))
+            arrays.append(pa.array(locs))
+            yield pa.RecordBatch.from_arrays(
+                arrays, names=names + ["_pid", "_loc"]
+            )
+
+    ranked = _eager_checkpoint(ranged.mapInArrow(_running, out_schema))
+    # offsets: prefix-sum of per-partition totals. The totals frame is
+    # ONE long per physical partition (bounded metadata, same contract
+    # as the keys-map form's prefix sum), so collecting it and folding
+    # the offsets back as a literal array lookup keeps the final pass
+    # map-only over the checkpointed blocks — no offsets shuffle, no
+    # broadcast-join stage. The totals agg stays JVM-side (map-side
+    # partial max over the cached blocks; the exchange carries one row
+    # per partition).
+    totals = {
+        r["_pid"]: r["_tot"]
+        for r in ranked.groupBy("_pid")
+        .agg(F.max("_loc").alias("_tot"))
+        .collect()
+    }
+    n_parts = (max(totals) + 1) if totals else 0
+    offs, acc = [], 0
+    for p in range(n_parts):
+        offs.append(acc)
+        acc += totals.get(p, 0)
+    off_arr = F.array(*[F.lit(v).cast("long") for v in offs])
+    return ranked.select(
+        *df.columns,
+        (
+            F.col("_loc") + F.element_at(off_arr, F.col("_pid") + 1)
+        ).cast("long").alias(out_col),
+    )
+
+
 def dense_event_ids_inline(
     facts: DataFrame,
     person_col: str,
@@ -234,9 +372,15 @@ def dense_event_ids_inline(
     ``episode_families``: (member_flag_cols, out_col, merge_gap_days)
     — member keys chain into episodes while consecutive member dates
     are <= gap apart; id is dense over (person, episode_start).
-    ``date_col`` must be non-null (claim service dates are, in every
-    caller); equal (person, date) rows may arrive in any order within
-    the key — ids are key-level so the tiebreak cannot matter.
+    ``date_col`` AND ``person_col`` must be non-null: claim service
+    dates are in every caller, and callers with nullable person keys
+    pre-coalesce NULL to a sentinel (the mcaid/mcare/combined builders
+    all do; pinned by ``test_dense_event_ids_inline_null_person_
+    sentinel``). The batch-boundary carry compares raw key values, so
+    an un-coalesced NULL person would compare unequal to itself across
+    an Arrow batch split and mint a duplicate id. Equal (person, date)
+    rows may arrive in any order within the key — ids are key-level so
+    the tiebreak cannot matter.
 
     Returns ``facts`` (same rows, eagerly checkpointed — see
     ``_eager_checkpoint``) plus one nullable long column per family.
@@ -313,6 +457,11 @@ def dense_event_ids_inline(
 
         pid = TaskContext.get().partitionId()
         run = np.zeros(n_tot, dtype="int64")
+        # explicit has-carry flag (not a None-sentinel on the person
+        # value): 'no previous batch yet' and 'previous person was
+        # NULL' must not conflate — see the non-null person_col
+        # precondition in the docstring
+        has_carry = False
         carry_person = None
         carry_date = None
         carry_seen = [False] * n_tot
@@ -336,7 +485,7 @@ def dense_event_ids_inline(
                 days[1:] != days[:-1]
             )
             if (
-                carry_person is not None
+                has_carry
                 and persons[0] == carry_person
                 and days[0] == carry_date
             ):
@@ -376,6 +525,7 @@ def dense_event_ids_inline(
                     last_mem[gi] = (pm[-1], dm[-1])
                 locs[:, k] = run[k] + np.cumsum(events)
             run = locs[-1, :].copy()
+            has_carry = True
             carry_person = persons[-1]
             carry_date = days[-1]
             arrays = list(batch.columns)

@@ -90,6 +90,62 @@ def test_dense_global_id_matches_dense_rank(spark):
     assert ids == list(range(1, len(ids) + 1))
 
 
+def test_dense_rank_inline_matches_dense_rank(spark):
+    """The one-pass inline form must agree with the un-partitioned
+    DENSE_RANK oracle on a key mix with NULLs in both key columns and
+    string keys, across tiny Arrow batches (carried key state) and
+    multiple range partitions."""
+    import random
+
+    from pyspark.sql import Window
+
+    from claims_data_spark.operators.dense_id import dense_rank_inline
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(300):
+        a = rng.choice([None, "x", "y", "zz", ""])
+        b = rng.choice([None, 1, 2, 3, 4, 5])
+        rows.append((i, a, b))
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "13")
+    try:
+        df = spark.createDataFrame(rows, "rid long, a string, b int")
+        out = dense_rank_inline(
+            df, ["a", "b"], out_col="gid", num_partitions=5
+        )
+        got = {r["rid"]: r["gid"] for r in out.collect()}
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+    expected = df.withColumn(
+        "gid_exp", F.dense_rank().over(Window.orderBy("a", "b"))
+    )
+    want = {r["rid"]: r["gid_exp"] for r in expected.collect()}
+    assert got == want
+    ids = sorted(set(got.values()))
+    assert ids == list(range(1, len(ids) + 1))
+
+
+def test_dense_rank_inline_dates(spark):
+    """date32 keys go through the epoch-day cast path."""
+    from pyspark.sql import Window
+
+    from claims_data_spark.operators.dense_id import dense_rank_inline
+
+    rows = [
+        (i, i % 9, d("2020-01-01") + dt.timedelta(days=i % 11))
+        for i in range(150)
+    ]
+    df = spark.createDataFrame(rows, "rid long, k int, dte date")
+    out = dense_rank_inline(df, ["k", "dte"], out_col="gid", num_partitions=3)
+    expected = df.withColumn(
+        "gid_exp", F.dense_rank().over(Window.orderBy("k", "dte"))
+    )
+    got = {r["rid"]: r["gid"] for r in out.collect()}
+    want = {r["rid"]: r["gid_exp"] for r in expected.collect()}
+    assert got == want
+
+
 # --- rolling (FIXTURES.md §14.7) --------------------------------------------
 
 def test_rolling_12m_enrollment(spark):
