@@ -66,7 +66,11 @@ from claims_data_spark.sources.calendar import date_dim
 DEFAULT_SF = "/root/testdata/sf0.001"
 
 
-_READ_CACHE: dict = {}
+import weakref
+
+_READ_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -74,13 +78,16 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     reader's driver-side file listing + footer schema read costs
     ~130 ms per call, and the suite makes ~100 of them — a real
     application holds table handles once, so the harness does too.
-    The frame is lazy; nothing is materialized here. Keyed by
-    applicationId so a restarted session never sees stale handles."""
-    key = (spark.sparkContext.applicationId, sf_dir, name)
-    df = _READ_CACHE.get(key)
+    The frame is lazy; nothing is materialized here. Keyed WEAKLY by
+    the session object: sibling sessions from newSession() share an
+    applicationId but must not share frames, and entries die with
+    their session instead of lingering forever."""
+    per_session = _READ_CACHE.setdefault(spark, {})
+    key = (sf_dir, name)
+    df = per_session.get(key)
     if df is None:
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-        _READ_CACHE[key] = df
+        per_session[key] = df
     return df
 
 
@@ -5055,7 +5062,7 @@ def q_comorb_scores(spark, sf_dir):
     ICD-10 codes so the published rule data drives the matching."""
     from claims_data_spark.tables.comorb import (
         build_comorb_scores,
-        build_comorb_value_set,
+        compile_comorb_masks,
     )
 
     o = _t(spark, sf_dir, "orders")
@@ -5074,8 +5081,15 @@ def q_comorb_scores(spark, sf_dir):
         code_col.alias("dx"),
         F.lit(10).alias("dx_ver"),
     )
-    vs = build_comorb_value_set(spark, ev.select("dx", "dx_ver").distinct())
-    return build_comorb_scores(ev, vs).select(
+    # the dx CATALOG here is the 10 literal codes, so the value-set
+    # expansion compiles driver-side (zero jobs, the reference's own
+    # precomputed ref.comorb_dx_lookup pattern); the distributed
+    # expansion path is exercised by tests/test_comorb.py and pinned
+    # equal to this matcher. Deriving the catalog from ev would
+    # re-execute the fact join inside the value-set subtree (measured:
+    # the whole plan ran twice).
+    masks = compile_comorb_masks([(c, 10) for c in codes])
+    return build_comorb_scores(ev, None, compiled_masks=masks).select(
         "id_mcaid",
         F.col("CHF").alias("chf"),
         F.col("Metastatic").alias("metastatic"),

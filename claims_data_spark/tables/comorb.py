@@ -50,16 +50,23 @@ _WGT_IDX = {"elixhauser": 4, "charlson": 5, "gagne": 6}
 
 # driver->JVM conversion of the static catalogs costs ~100 ms per
 # call and every comorbidity build makes two of them — memoized per
-# session (the frames are lazy local relations)
-_REF_CACHE: dict = {}
+# SparkSession. Keyed weakly by the session OBJECT (not applicationId):
+# sibling sessions from newSession() share an applicationId but must
+# not share frames, and entries from stopped sessions are reclaimed
+# with the session instead of lingering forever.
+import weakref
+
+_REF_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def _memo_df(spark: SparkSession, key: str, rows, schema: str) -> DataFrame:
-    k = (spark.sparkContext.applicationId, key)
-    df = _REF_CACHE.get(k)
+    per_session = _REF_CACHE.setdefault(spark, {})
+    df = per_session.get(key)
     if df is None:
         df = spark.createDataFrame(rows, schema)
-        _REF_CACHE[k] = df
+        per_session[key] = df
     return df
 
 
@@ -78,6 +85,42 @@ def _rules_df(spark: SparkSession) -> DataFrame:
         spark, "dx_rules", COMORB_DX_RULES,
         "dx_ver int, prefix_len int, lo string, hi string, cond_id int",
     )
+
+
+def match_comorb_conds(dx: str, dx_ver: int) -> set[int]:
+    """Pure-Python rule matcher: cond_ids whose prefix/range rules
+    cover ``dx`` — the same semantics as the distributed expansion in
+    ``build_comorb_value_set`` (pinned equal by
+    ``test_python_matcher_equals_spark_expansion``)."""
+    out = set()
+    for ver, plen, lo, hi, cond_id in COMORB_DX_RULES:
+        if ver == dx_ver and len(dx) >= plen and lo <= dx[:plen] <= hi:
+            out.add(cond_id)
+    return out
+
+
+def compile_comorb_masks(
+    dx_rows: list[tuple[str, int]]
+) -> dict[tuple[int, str], int]:
+    """Driver-side (ver, dx) -> condition bitmask for a BOUNDED dx
+    catalog (bit i set iff cond_id i matches; cond_ids are 1..43).
+
+    The reference pre-materializes exactly this lookup as the wide
+    ref.comorb_dx_lookup matrix (load_ref.comorb_ref_tables.sql:
+    185-192); queries consume the precomputed matrix, they do not
+    re-expand the rules per run. Compiling a small catalog on the
+    driver (543 static rules x |catalog|) costs microseconds and zero
+    Spark jobs; large catalogs go through the distributed
+    ``build_comorb_value_set`` instead. Only dx rows matching at least
+    one condition appear in the result."""
+    masks: dict[tuple[int, str], int] = {}
+    for dx, ver in dx_rows:
+        m = 0
+        for cid in match_comorb_conds(dx, ver):
+            m |= 1 << cid
+        if m:
+            masks[(ver, dx)] = m
+    return masks
 
 
 def build_comorb_value_set(spark: SparkSession, dx_lookup: DataFrame) -> DataFrame:
@@ -143,7 +186,7 @@ def build_comorb_dx_lookup(value_set: DataFrame) -> DataFrame:
 
 def build_comorb_scores(
     dx_events: DataFrame,
-    value_set: DataFrame,
+    value_set: DataFrame | None,
     *,
     id_col: str = "id_mcaid",
     dx_col: str = "dx",
@@ -151,6 +194,8 @@ def build_comorb_scores(
     date_col: str | None = None,
     from_date: str | None = None,
     to_date: str | None = None,
+    compile_threshold: int = 4096,
+    compiled_masks: dict[tuple[int, str], int] | None = None,
 ) -> DataFrame:
     """Per-person comorbidity flags and the three weighted scores.
 
@@ -158,46 +203,94 @@ def build_comorb_scores(
     person id, normalized dx, ICD version, and optionally a service
     date restricted to [from_date, to_date] (the usual 1-year lookback).
 
-    Plan: filter -> broadcast-join the value set -> ONE groupBy on the
-    person id with 43 conditional max flags -> score arithmetic on the
-    flag columns (supersession pairs zero the loser's contribution).
-    Exactly one shuffle, keyed by person — scale-safe at any claim
+    Plan: filter -> attach a per-row CONDITION BITMASK (cond_ids are
+    1..43, so one long carries all flags) -> ONE bit_or aggregate on
+    the person id -> flags and the three score polynomials as shift-
+    and-mask arithmetic at person grain. Exactly one shuffle, keyed by
+    person, with a primitive-long partial aggregate (no per-row object
+    sets, no 43-branch CASE per dx row) — scale-safe at any claim
     volume.
+
+    The dx->mask attachment dispatches on catalog size, mirroring the
+    reference's own precomputed wide matrix (ref.comorb_dx_lookup,
+    load_ref.comorb_ref_tables.sql:185-192): when the value set
+    collapses to <= ``compile_threshold`` distinct (dx_ver, dx) rows,
+    the lookup is compiled into a literal CASE expression (pure
+    whole-stage codegen, no join — the rda_value_set compiled-CASE
+    design); above it, the mask frame is broadcast-joined (a 100k-row
+    ICD catalog stays a few MB). Both paths drop dx rows matching no
+    condition before the shuffle, like the reference's inner join.
+
+    Callers that know their catalog ahead of time pass
+    ``compiled_masks`` (from ``compile_comorb_masks``) and may leave
+    ``value_set=None`` — the plan is then built with ZERO eager jobs
+    (the collect-based dispatch costs a small job per build).
     """
     ev = dx_events
     if date_col is not None and from_date is not None:
         ev = ev.where(F.col(date_col).between(F.lit(from_date), F.lit(to_date)))
-    vs = value_set.select(
-        F.col("dx").alias("_vs_dx"), F.col("dx_ver").alias("_vs_ver"), "cond_id"
-    )
-    joined = ev.join(
-        F.broadcast(vs),
-        on=[F.col(dx_col) == F.col("_vs_dx"), F.col(ver_col) == F.col("_vs_ver")],
-    )
-    # ONE set-aggregate instead of 43 conditional max() columns: the
-    # per-row cost of the shuffle's partial aggregate drops from 43
-    # branch evaluations per dx row to a single set insert, and the 43
-    # flag columns are derived as array_contains on the PERSON-grain
-    # output (thousands of rows, not millions). The flag expressions
-    # and the three ~35-term score polynomials are compiled as SQL
-    # text parsed by expr(): assembling them Column-call-by-Column-call
-    # costs a py4j round-trip per call (~6.6k crossings ≈ 1 s of
-    # driver time per build, profiled); parsed trees are identical.
-    flags = (
-        joined.groupBy(F.col(id_col))
-        .agg(F.collect_set("cond_id").alias("_conds"))
-        .withColumns({
-            short: F.expr(
-                f"cast(array_contains(_conds, {int(cid)}) as int)"
+    dx_masks = None
+    if compiled_masks is not None:
+        pairs = [(ver, dx, m) for (ver, dx), m in compiled_masks.items()]
+    else:
+        # one long per (dx_ver, dx): bit i set iff cond_id i matches
+        dx_masks = value_set.groupBy("dx_ver", "dx").agg(
+            F.expr("bit_or(cast(1 as bigint) << cond_id)").alias("_mask")
+        )
+        collected = dx_masks.limit(compile_threshold + 1).collect()
+        pairs = (
+            [(r["dx_ver"], r["dx"], r["_mask"]) for r in collected]
+            if len(collected) <= compile_threshold
+            else None
+        )
+    if pairs is not None:
+        by_ver: dict[int, list] = {}
+        for ver, dx, m in pairs:
+            by_ver.setdefault(ver, []).append((dx, m))
+        arms = []
+        for ver, vpairs in sorted(by_ver.items()):
+            inner = " ".join(
+                f"WHEN '{dx}' THEN {m}L" for dx, m in sorted(vpairs)
             )
-            for cid, short, *_ in COMORB_COND_LOOKUP
-        })
-        .drop("_conds")
+            arms.append(
+                f"WHEN `{ver_col}` = {int(ver)} "
+                f"THEN (CASE `{dx_col}` {inner} END)"
+            )
+        mask_expr = F.expr("CASE " + " ".join(arms) + " END")
+        masked = ev.withColumn("_mask", mask_expr).where(
+            F.col("_mask").isNotNull()
+        )
+    else:
+        vs = dx_masks.select(
+            F.col("dx").alias("_vs_dx"),
+            F.col("dx_ver").alias("_vs_ver"),
+            "_mask",
+        )
+        masked = ev.join(
+            F.broadcast(vs),
+            on=[
+                F.col(dx_col) == F.col("_vs_dx"),
+                F.col(ver_col) == F.col("_vs_ver"),
+            ],
+        )
+    # flag expressions and the three ~35-term score polynomials are
+    # compiled as SQL text shipped in TWO selectExpr batches: per-column
+    # F.expr()/withColumns assembly costs a py4j round-trip per
+    # expression (~46 crossings ≈ 0.2 s of driver time per build,
+    # profiled); selectExpr parses the whole batch JVM-side in one
+    # crossing. Parsed trees are identical.
+    flag_exprs = [
+        f"cast((_conds >> {int(cid)}) & 1 as int) as `{short}`"
+        for cid, short, *_ in COMORB_COND_LOOKUP
+    ]
+    flags = (
+        masked.groupBy(F.col(id_col))
+        .agg(F.expr("bit_or(_mask)").alias("_conds"))
+        .selectExpr(f"`{id_col}`", *flag_exprs)
     )
 
     short_to_row = {c[1]: c for c in COMORB_COND_LOOKUP}
-    scores = flags
-    score_cols = {}
+    score_exprs = []
     for family, wgt_idx in _WGT_IDX.items():
         losers = {loser for _, loser in SUPERSEDES[family]}
         terms = []
@@ -213,7 +306,7 @@ def build_comorb_scores(
                         f"(case when `{winner}` = 1 then 0 else {flag} end)"
                     )
             terms.append(f"{flag} * {int(w)}")
-        score_cols[f"{family}_score"] = F.expr(
-            "cast((" + " + ".join(terms) + ") as int)"
+        score_exprs.append(
+            "cast((" + " + ".join(terms) + f") as int) as {family}_score"
         )
-    return scores.withColumns(score_cols)
+    return flags.selectExpr("*", *score_exprs)

@@ -2,6 +2,8 @@
 (ref: load_ref.comorb_ref_tables.sql)."""
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from claims_data_spark.tables.comorb import (
     build_comorb_cond_lookup,
     build_comorb_dx_lookup,
@@ -112,3 +114,55 @@ def test_scores_date_window(spark):
     )
     ids = {r.id_mcaid for r in out.collect()}
     assert ids == {"A"}
+
+
+def test_python_matcher_equals_spark_expansion(spark):
+    """The driver-side rule matcher (compile_comorb_masks) must agree
+    with the distributed value-set expansion on a catalog mixing
+    ICD-9/ICD-10, matching and non-matching codes."""
+    from claims_data_spark.tables.comorb import compile_comorb_masks
+
+    codes = [
+        ("I500", 10), ("C341", 10), ("C780", 10), ("E1140", 10),
+        ("E119", 10), ("J449", 10), ("F329", 10), ("I10", 10),
+        ("X000", 10), ("N184", 10), ("42800", 9), ("1960", 9),
+        ("25000", 9), ("ZZZZ", 9),
+    ]
+    dx_cat = spark.createDataFrame(codes, "dx string, dx_ver int")
+    vs = build_comorb_value_set(spark, dx_cat)
+    want = {
+        (r["dx_ver"], r["dx"]): r["m"]
+        for r in vs.groupBy("dx_ver", "dx")
+        .agg(F.expr("bit_or(cast(1 as bigint) << cond_id)").alias("m"))
+        .collect()
+    }
+    got = compile_comorb_masks(codes)
+    assert got == want
+    # non-matching codes appear in neither
+    assert (10, "X000") not in got and (9, "ZZZZ") not in got
+
+
+def test_compiled_masks_path_equals_value_set_path(spark):
+    """build_comorb_scores(compiled_masks=...) must produce identical
+    rows to the value_set DataFrame path."""
+    from claims_data_spark.tables.comorb import compile_comorb_masks
+
+    codes = [("I500", 10), ("C341", 10), ("C780", 10), ("E119", 10)]
+    dx_cat = spark.createDataFrame(codes, "dx string, dx_ver int")
+    vs = build_comorb_value_set(spark, dx_cat)
+    events = spark.createDataFrame(
+        [("A", "C341", 10), ("A", "C780", 10), ("B", "I500", 10),
+         ("B", "E119", 10), ("C", "X000", 10)],
+        "id_mcaid string, dx string, dx_ver int",
+    )
+    via_vs = sorted(
+        map(tuple, build_comorb_scores(events, vs).collect())
+    )
+    via_masks = sorted(
+        map(tuple, build_comorb_scores(
+            events, None, compiled_masks=compile_comorb_masks(codes)
+        ).collect())
+    )
+    assert via_vs == via_masks
+    # person C (no matching dx) dropped on both paths
+    assert len(via_vs) == 2
