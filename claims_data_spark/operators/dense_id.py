@@ -539,26 +539,38 @@ def dense_event_ids_inline(
     ranked = _eager_checkpoint(ranged.mapInArrow(_running, out_schema))
 
     # per-partition totals: the running count's last value (monotone,
-    # so max == total) -> prefix-sum offsets; #partitions rows only
-    totals = ranked.groupBy("_pid").agg(*[
-        F.max(F.col(c)).alias(f"_tot{c}") for c in loc_names
-    ])
-    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = totals.select(
-        "_pid",
-        *[
-            F.coalesce(F.sum(F.col(f"_tot{c}")).over(w_off), F.lit(0))
-            .alias(f"_off{c}")
-            for c in loc_names
-        ],
-    )
+    # so max == total) -> prefix-sum offsets. One row per physical
+    # partition — bounded metadata, so collect it (reading the
+    # just-materialized checkpoint blocks, JVM-side partial max) and
+    # fold the offsets back as literal array lookups on _pid: the id
+    # attachment stays MAP-ONLY over the checkpoint, with no offsets
+    # shuffle and no broadcast-join stage (same fold as
+    # ``dense_rank_inline``).
+    totals = {
+        r["_pid"]: [r[f"_tot{c}"] for c in loc_names]
+        for r in ranked.groupBy("_pid").agg(*[
+            F.max(F.col(c)).alias(f"_tot{c}") for c in loc_names
+        ]).collect()
+    }
+    n_parts = (max(totals) + 1) if totals else 0
+    off_arrays = []
+    for j in range(n_tot):
+        offs, acc = [], 0
+        for p in range(n_parts):
+            offs.append(acc)
+            acc += totals[p][j] if p in totals else 0
+        off_arrays.append(
+            F.array(*[F.lit(v).cast("long") for v in offs])
+        )
+    def _off(j):
+        return F.element_at(off_arrays[j], F.col("_pid") + 1)
     id_cols = []
     for i, (flag, out) in enumerate(families):
         c = loc_names[i]
         id_cols.append(
             F.when(
                 F.col(flag) == 1,
-                (F.col(c) + F.col(f"_off{c}")).cast("long"),
+                (F.col(c) + _off(i)).cast("long"),
             ).alias(out)
         )
     for i, (_, out, _) in enumerate(ep_specs):
@@ -566,10 +578,7 @@ def dense_event_ids_inline(
         id_cols.append(
             F.when(
                 F.col(ep_mem_names[i]) == 1,
-                (F.col(c) + F.col(f"_off{c}")).cast("long"),
+                (F.col(c) + _off(n_fam + i)).cast("long"),
             ).alias(out)
         )
-    return (
-        ranked.join(F.broadcast(offsets), "_pid")
-        .select(*facts.columns, *id_cols)
-    )
+    return ranked.select(*facts.columns, *id_cols)

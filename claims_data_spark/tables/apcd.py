@@ -277,18 +277,23 @@ def build_apcd_claim_header(
             pc = pc.withColumn("pc_taxonomy_temp", F.lit(None).cast("int"))
 
     # STEP 5/6: assemble + kc claim-type crosswalk + CCS columns.
-    # No join-strategy hints: the rollup sides are claim-grain
-    # aggregates that fit the session's 64 MB broadcast threshold at
-    # bench scale (a hint would force SHJ and give up the
-    # exchange-free header side); past the threshold the planner's
-    # sort-merge is the spill-safe choice at warehouse scale.
+    # MERGE hints on every rollup join: the rollup sides are CLAIM-
+    # GRAIN aggregates (same cardinality as the header, ~1:1), not
+    # dimension tables — under the session's 64 MB threshold the
+    # planner would broadcast them, paying a driver-side hashed-
+    # relation build per rollup (measured 1.76 s vs 0.98 s at sf1 for
+    # the line+px pair alone). Sort-merge instead REUSES the exchange
+    # each groupBy already emitted on claim_header_id: the header pays
+    # one exchange and every subsequent join is co-partitioned; at
+    # warehouse scale SMJ is also the spill-safe choice. Reference
+    # tables (status, xwalk) stay broadcast — those are true dims.
     out = (
-        hdr.join(line_agg, "claim_header_id", "left")
-        .join(ed_px, "claim_header_id", "left")
-        .join(icd1, "claim_header_id", "left")
+        hdr.join(line_agg.hint("MERGE"), "claim_header_id", "left")
+        .join(ed_px.hint("MERGE"), "claim_header_id", "left")
+        .join(icd1.hint("MERGE"), "claim_header_id", "left")
     )
     if pc is not None:
-        out = out.join(pc, "claim_header_id", "left")
+        out = out.join(pc.hint("MERGE"), "claim_header_id", "left")
     else:
         out = out.withColumns({
             c: F.lit(None).cast("int")
@@ -406,7 +411,7 @@ def build_apcd_claim_header(
                 F.max(F.col("sud_any")).alias("sud_any"),
             )
         )
-        out = out.join(bh, "claim_header_id", "left").withColumns({
+        out = out.join(bh.hint("MERGE"), "claim_header_id", "left").withColumns({
             c: F.coalesce(F.col(c), F.lit(0))
             for c in ("mh_primary", "mh_any", "sud_primary", "sud_any")
         })
@@ -414,7 +419,8 @@ def build_apcd_claim_header(
     # STEP 9: injury nature/cause surveillance columns
     if ref_icdcm is not None and "intent" in ref_icdcm.columns:
         out = out.join(
-            apcd_injury_flags(icdcm, ref_icdcm), "claim_header_id", "left"
+            apcd_injury_flags(icdcm, ref_icdcm).hint("MERGE"),
+            "claim_header_id", "left",
         ).withColumns({
             c: F.coalesce(F.col(c), F.lit(0))
             for c in ("injury_nature_narrow", "injury_nature_broad")
@@ -423,16 +429,18 @@ def build_apcd_claim_header(
     # STEP 7 + 10: utilization event ids via scalable dense ranking.
     # Only the NARROW event-minting projection (claim id, person,
     # service date, the five participation flags) is stabilized — it
-    # feeds the keys-grain minting, the id mask join AND the
-    # reassembly, and materializing anything wider pays for columns
-    # most consumers never read. Eager checkpoint, not lazy persist:
-    # AQE otherwise launches the minting exchange and the join
-    # exchanges as CONCURRENT leaf stages that race to compute the same
-    # un-materialized cache partitions (measured as three identical
-    # full-cost jobs at sf1), and the truncated lineage keeps the
-    # downstream plans — and driver planning time — bounded. The
-    # projection's pruned plan also skips the primary-dx aggregate
-    # entirely (left-join elimination against the icd1 rollup).
+    # feeds the minting exchange and the reassembly, and materializing
+    # anything wider pays for columns most consumers never read. Eager
+    # checkpoint, not lazy persist: AQE otherwise launches the minting
+    # exchange and the join exchanges as CONCURRENT leaf stages that
+    # race to compute the same un-materialized cache partitions
+    # (measured as three identical full-cost jobs at sf1). The
+    # truncation ALSO bounds driver-side analysis: every .schema/
+    # .withColumns downstream of an un-truncated assembly re-analyzes
+    # the whole ~40-join tree (measured seconds of pure py4j/analysis
+    # per build — see SCALE.md round-5 notes). The projection's pruned
+    # plan skips the primary-dx aggregate entirely (left-join
+    # elimination against the icd1 rollup).
     from claims_data_spark.operators.dense_id import (
         _eager_checkpoint,
         dense_event_ids_inline,
