@@ -5758,12 +5758,14 @@ def q_chunk_documents(spark, sf_dir):
 
 SQL_CHUNK_DOCUMENTS = """
 WITH base AS (
-  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                x -> len(x) > 0) AS w
   FROM documents WHERE text IS NOT NULL
 ), spec AS (
   SELECT doc_id, w,
     GREATEST(CAST(CEIL((len(w) - 8) / 56.0) AS INT), 1) AS n_chunks
-  FROM base
+  FROM base WHERE len(w) > 0
 )
 SELECT doc_id, CAST(i AS INT) AS chunk_idx,
   CAST(LEAST(len(w) - i * 56, 64) AS INT) AS n_tokens,

@@ -248,7 +248,16 @@ def decode_avi(content: bytes) -> tuple[int, int, float, list[np.ndarray]]:
             for sub, sdata, ssize in _riff_chunks(
                 content, data + 4, data + size
             ):
-                if sub not in (b"00db", b"00dc"):
+                # '00db' only: '00dc' marks a COMPRESSED frame, and
+                # interpreting compressed bytes as raw DIB data would
+                # silently decode garbage instead of failing loud —
+                # the strict-mode contract
+                if sub != b"00db":
+                    if sub == b"00dc":
+                        raise MediaDecodeError(
+                            "compressed ('00dc') AVI frame; only "
+                            "uncompressed DIB ('00db') is supported"
+                        )
                     continue
                 if ssize < need:
                     raise MediaDecodeError(

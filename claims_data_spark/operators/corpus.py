@@ -472,31 +472,45 @@ def chunk_documents(
     ceil(len/stride), never materializes overlap copies beyond it.
 
     Returns one row per chunk: id, chunk_idx (0-based), chunk_text,
-    n_tokens. NULL texts produce no chunks (nothing to train on).
+    n_tokens. NULL, empty and whitespace-only texts produce no chunks
+    (nothing to train on) — the text is trimmed and zero-length tokens
+    are dropped before slicing, so leading/trailing whitespace cannot
+    mint phantom tokens (consistent with the dedup/packing operators'
+    ``_norm_words``).
     """
     if overlap >= max_tokens:
         raise ValueError("overlap must be smaller than max_tokens")
     stride = max_tokens - overlap
-    words = F.split(F.col(text_col), r"\s+")
-    n = F.size(words)
-    n_chunks = F.greatest(
-        F.ceil((n - F.lit(overlap)) / F.lit(stride)).cast("int"), F.lit(1)
+    words = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"),
+        lambda w: F.length(w) > 0,
     )
-    chunks = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.struct(
-            i.cast("int").alias("chunk_idx"),
-            F.concat_ws(
-                " ", F.slice(words, i * stride + 1, max_tokens)
-            ).alias("chunk_text"),
-            F.least(
-                n - i * stride, F.lit(max_tokens)
-            ).cast("int").alias("n_tokens"),
-        ),
-    )
+
+    def chunks_over(w_col: str):
+        w = F.col(w_col)
+        n = F.size(w)
+        n_chunks = F.greatest(
+            F.ceil((n - F.lit(overlap)) / F.lit(stride)).cast("int"),
+            F.lit(1),
+        )
+        return F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.struct(
+                i.cast("int").alias("chunk_idx"),
+                F.concat_ws(
+                    " ", F.slice(w, i * stride + 1, max_tokens)
+                ).alias("chunk_text"),
+                F.least(
+                    n - i * stride, F.lit(max_tokens)
+                ).cast("int").alias("n_tokens"),
+            ),
+        )
+
     return (
         df.filter(F.col(text_col).isNotNull())
-        .select(F.col(id_col), F.explode(chunks).alias("_c"))
+        .select(F.col(id_col), words.alias("_w"))
+        .filter(F.size("_w") > 0)
+        .select(F.col(id_col), F.explode(chunks_over("_w")).alias("_c"))
         .select(
             id_col,
             F.col("_c.chunk_idx").alias("chunk_idx"),

@@ -97,8 +97,17 @@ def cdr_load_qa(
 ) -> dict:
     """The reference's load QA (row count vs the vendor's
     DataValidationSummary, field count vs the header file,
-    ``:72-78``) as ONE fused aggregate pass."""
+    ``:72-78``) as ONE fused aggregate pass.
+
+    ``cols_match`` compares the LOADED frame's actual column list
+    (minus the ``_n_fields``/``etl_id`` bookkeeping columns) against
+    the header-file count — an independent signal, so a frame whose
+    schema diverged from the header (truncated header, re-projected
+    load) fails the check instead of trivially passing."""
     n_cols = len(header_columns(header_text))
+    loaded_cols = [
+        c for c in loaded.columns if c not in ("_n_fields", "etl_id")
+    ]
     row = loaded.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(
@@ -110,6 +119,6 @@ def cdr_load_qa(
         "n_rows": int(row["n_rows"]),
         "expected_rows": int(expected_rows),
         "n_ragged": int(row["n_ragged"] or 0),
-        "cols_match": True,
+        "cols_match": len(loaded_cols) == n_cols,
         "n_cols": n_cols,
     }

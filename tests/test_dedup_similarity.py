@@ -547,6 +547,11 @@ def test_codec_avi_roundtrip_and_frame_sha(spark):
     # corrupt bytes fail loudly
     with pytest.raises(MediaDecodeError):
         decode_avi(b"RIFFxxxxWAVE")
+    # compressed ('00dc') frame chunks fail loudly instead of being
+    # misread as raw DIB data — strict-mode contract
+    compressed = content.replace(b"00db", b"00dc")
+    with pytest.raises(MediaDecodeError, match="00dc"):
+        decode_avi(compressed)
 
     media = spark.createDataFrame(
         [(1, "video", bytearray(content),
@@ -659,7 +664,9 @@ def test_chunk_documents_boundaries(spark):
 
     words = " ".join(f"w{i}" for i in range(1, 11))  # 10 tokens
     docs = spark.createDataFrame(
-        [(1, words), (2, "a b"), (3, None)], "doc_id long, text string"
+        [(1, words), (2, "a b"), (3, None), (4, ""), (5, "   "),
+         (6, "  x \t y  ")],
+        "doc_id long, text string",
     )
     out = chunk_documents(docs, max_tokens=4, overlap=1)
     rows = sorted(
@@ -668,12 +675,16 @@ def test_chunk_documents_boundaries(spark):
     )
     # doc 1: stride 3, n_chunks = ceil((10-1)/3) = 3 -> starts at
     # tokens 1,4,7; the last chunk reaches token 10, so every token is
-    # covered with no degenerate all-overlap tail chunk
+    # covered with no degenerate all-overlap tail chunk.
+    # docs 4/5 (empty / whitespace-only): no chunks, no phantom
+    # tokens; doc 6: leading/trailing/internal whitespace trims to
+    # two real tokens.
     assert rows == [
         (1, 0, "w1 w2 w3 w4", 4),
         (1, 1, "w4 w5 w6 w7", 4),
         (1, 2, "w7 w8 w9 w10", 4),
         (2, 0, "a b", 2),
+        (6, 0, "x y", 2),
     ]
     with pytest.raises(ValueError):
         chunk_documents(docs, max_tokens=4, overlap=4)

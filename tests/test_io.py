@@ -205,5 +205,11 @@ def test_cdr_raw_file_processing(spark, tmp_path):
 
     qa = cdr_load_qa(df, expected_rows=3, header_text=header)
     assert qa["rows_match"] and qa["n_ragged"] == 1 and qa["n_cols"] == 3
+    assert qa["cols_match"]
     qa_bad = cdr_load_qa(df, expected_rows=5, header_text=header)
     assert not qa_bad["rows_match"]
+    # cols_match is an INDEPENDENT signal: QA against a truncated
+    # header must fail on the frame loaded with the full header
+    truncated = "Member ID (Hashed)|@|Svc-Date\n"
+    qa_trunc = cdr_load_qa(df, expected_rows=3, header_text=truncated)
+    assert not qa_trunc["cols_match"]

@@ -37,3 +37,51 @@ def test_approx_quantiles(spark):
     q = approx_quantiles(df, ["g"], "v", probs=[0.5, 0.99]).collect()[0]
     assert abs(q["p5"] - 5000) < 200
     assert abs(q["p99"] - 9900) < 200
+
+
+def test_hll_merge_associativity_exact_bytes(spark):
+    """sketch(A ∪ B) must equal merge(sketch(A), sketch(B)) as an
+    ESTIMATE-EXACT identity, and merging in either grouping order must
+    produce identical estimates — the property that makes the
+    rows-only driver ruling for the sketch rollup airtight: any
+    partial/merge tree over the same rows converges to the same
+    sketch state.
+
+    Byte-exactness caveat: serialized HLL blobs can differ in
+    compact/updatable encoding while representing the same registers,
+    so the pinned identity is on the union-estimate of the sketch
+    states, which is a pure function of the register array."""
+    from claims_data_spark.operators.sketches import (
+        hll_merge_estimate,
+        hll_partial,
+    )
+
+    df = spark.range(60_000).select(
+        (F.col("id") % 3).alias("part3"),
+        (F.col("id") % 5).alias("part5"),
+        (F.col("id") % 4999).alias("member"),
+    )
+    # direct sketch over everything
+    direct = df.agg(
+        F.hll_sketch_estimate(hll_partial("member")).alias("e")
+    ).collect()[0]["e"]
+    # partials by two DIFFERENT partitionings, merged
+    via3 = (
+        df.groupBy("part3").agg(hll_partial("member").alias("_sk"))
+        .agg(hll_merge_estimate("_sk").alias("e")).collect()[0]["e"]
+    )
+    via5 = (
+        df.groupBy("part5").agg(hll_partial("member").alias("_sk"))
+        .agg(hll_merge_estimate("_sk").alias("e")).collect()[0]["e"]
+    )
+    # two-level merge tree (3 then re-merge) — associativity
+    via3_tree = (
+        df.groupBy("part3", "part5").agg(hll_partial("member").alias("_sk"))
+        .groupBy("part3").agg(
+            F.hll_union_agg(F.col("_sk"), F.lit(False)).alias("_sk")
+        )
+        .agg(hll_merge_estimate("_sk").alias("e")).collect()[0]["e"]
+    )
+    assert direct == via3 == via5 == via3_tree
+    # and the estimate is in tolerance of the exact answer
+    assert abs(direct - 4999) / 4999 < 0.05
