@@ -1270,37 +1270,20 @@ def _plr_assemble(
     def pct(c):
         return F.round(c * 100.0 / range_days, 1)
 
+    # ONE timevar-grain shuffle, then WINDOWS instead of self-joins:
+    # every rollup the PLR needs — per-person coverage sums, the
+    # max-person-time ZIP pick, and person-days inside the winner's
+    # ACH — decomposes over the (person, zip) grain, and at that grain
+    # all three are window aggregates under the SAME person-clustered
+    # exchange (the (person, ach) partition is satisfied by person
+    # clustering). Filtering to the rank-1 row then yields one row
+    # per person carrying everything, with zero join-backs. The old
+    # shape aggregated the timevar three separate times and joined the
+    # branches — column pruning made the three aggregate subplans
+    # non-identical, so not even AQE exchange reuse could deduplicate
+    # them (measured: 3 scans, 13 exchanges, 18 jobs; now 2 scans and
+    # the suite's cascade drops to single digits).
     cov_flags = _plr_cov_flags()
-    cov_aggs = []
-    for name, cond in cov_flags.items():
-        cov_aggs.append(
-            F.sum(F.when(cond, ov).otherwise(0)).alias(f"{name}_covd")
-        )
-    cov = tv.groupBy(*gk).agg(*cov_aggs)
-    pct_cols = [
-        "med_total", "dual", "med_medicaid", "med_medicare",
-        "med_commercial", "pharm_total", "pharm_medicaid",
-        "pharm_medicare", "pharm_commercial",
-    ]
-    cov = cov.select(
-        *gk,
-        *[F.col(f"{n}_covd") for n in cov_flags],
-        *[pct(F.col(f"{n}_covd")).alias(f"{n}_covper") for n in pct_cols],
-        (F.col("dual_covd") > 0).cast("int").alias("dual_flag"),
-    )
-
-    # ZIP with max person-time; reference adds +1 to the summed days
-    zip_dur = tv.groupBy(*gk, "geo_zip").agg(
-        (F.sum(ov) + 1).alias("zip_dur")
-    )
-    zw = Window.partitionBy(*gk).orderBy(
-        F.col("zip_dur").desc(), F.col("geo_zip")
-    )
-    zip_pick = (
-        zip_dur.withColumn("zipr", F.row_number().over(zw))
-        .filter(F.col("zipr") == 1)
-        .select(*gk, "geo_zip")
-    )
     if ref_zip_group is not None:
         county = ref_zip_group.filter(
             F.col("zip_group_type_desc") == "County"
@@ -1314,26 +1297,60 @@ def _plr_assemble(
             F.col("zip_code").alias("geo_zip"),
             F.col("zip_group_desc").alias("geo_ach"),
         ).distinct()
-        zip_pick = (
-            zip_pick.join(F.broadcast(county), "geo_zip", "left")
-            .join(F.broadcast(ach_map), "geo_zip", "left")
-        )
-        # person-days inside the chosen ACH (reference Step 4): the
-        # timevar rows' own ACH via zip, summed where it matches
-        tv_ach = tv.join(F.broadcast(ach_map), "geo_zip", "left")
-        ach_days = (
-            tv_ach.groupBy(*gk, "geo_ach").agg(
-                F.sum(ov).alias("geo_ach_covd")
-            )
-        )
-        zip_pick = zip_pick.join(
-            ach_days, [*gk, "geo_ach"], "left"
-        )
+    zip_grain = tv.groupBy(*gk, "geo_zip").agg(
+        *[
+            F.sum(F.when(cond, ov).otherwise(0)).alias(f"{name}_covd")
+            for name, cond in cov_flags.items()
+        ],
+        F.sum(ov).alias("_zip_ov"),
+    )
+    if ref_zip_group is not None:
+        # ACH is a function of ZIP: attach it BEFORE the windows so
+        # ACH person-days are a window sum, not a join-back
+        zip_grain = zip_grain.join(F.broadcast(ach_map), "geo_zip", "left")
     else:
-        zip_pick = (
-            zip_pick.withColumn("geo_county", F.lit(None).cast("string"))
-            .withColumn("geo_ach", F.lit(None).cast("string"))
-            .withColumn("geo_ach_covd", F.lit(None).cast("long"))
+        zip_grain = zip_grain.withColumn(
+            "geo_ach", F.lit(None).cast("string")
+        )
+
+    w_gk = Window.partitionBy(*gk)
+    w_ach = Window.partitionBy(*gk, "geo_ach")
+    # reference adds +1 to the summed days before ranking (:225)
+    zw = Window.partitionBy(*gk).orderBy(
+        (F.col("_zip_ov") + 1).desc(), F.col("geo_zip")
+    )
+    pct_cols = [
+        "med_total", "dual", "med_medicaid", "med_medicare",
+        "med_commercial", "pharm_total", "pharm_medicaid",
+        "pharm_medicare", "pharm_commercial",
+    ]
+    picked = (
+        zip_grain.withColumns({
+            **{
+                f"{n}_covd": F.sum(F.col(f"{n}_covd")).over(w_gk)
+                for n in cov_flags
+            },
+            # person-days in the row's own ACH; NULL when the zip maps
+            # to no ACH (matches the old null-unsafe join-back)
+            "geo_ach_covd": F.when(
+                F.col("geo_ach").isNotNull(),
+                F.sum(F.col("_zip_ov")).over(w_ach),
+            ).cast("long"),
+            "_zipr": F.row_number().over(zw),
+        })
+        .filter(F.col("_zipr") == 1)
+    )
+    merged = picked.select(
+        *gk, "geo_zip", "geo_ach", "geo_ach_covd",
+        *[F.col(f"{n}_covd") for n in cov_flags],
+        *[pct(F.col(f"{n}_covd")).alias(f"{n}_covper") for n in pct_cols],
+        (F.col("dual_covd") > 0).cast("int").alias("dual_flag"),
+    )
+    if ref_zip_group is not None:
+        merged = merged.join(F.broadcast(county), "geo_zip", "left")
+    else:
+        merged = merged.withColumn(
+            "geo_county", F.lit(None).cast("string")
         )
 
     demo = elig_demo.select(
@@ -1344,11 +1361,7 @@ def _plr_assemble(
         "race_aian", "race_asian", "race_black", "race_latino",
         "race_nhpi", "race_white", "race_unknown",
     )
-
-    merged = (
-        cov.join(zip_pick, gk, "left")
-        .join(demo, "id_apcd", "left")
-    )
+    merged = merged.join(demo, "id_apcd", "left")
     # age is as-of the period END, so it is computed after the demo
     # join where _end is in scope (caps at 90; ninety_only pins there)
     age_raw = F.floor((F.datediff(F.col("_end"), F.col("dob")) + 1) / 365.25)
