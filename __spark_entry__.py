@@ -6082,11 +6082,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # have gone longest without a driver row (every entry in the tail
     # is still covered by tools/parity.py and pytest each round).
     return {
-        # -- claims-pipeline & measure flagships --------------------------
+        # ---- driver window (first 50): round-5 rotation, WINDOW.md ----
+        "apcd_ed_episode": q_apcd_ed_episode,
+        "apcd_plr": q_apcd_plr,
+        "comorb_scores": q_comorb_scores,
+        "chunk_documents": q_chunk_documents,
+        "dense_global_id": q_dense_global,
+        # pinned: first driver-green in r04 (need a 2nd green round)
+        "combined_claim_children": q_combined_claim_children,
+        "minhash_near_dup": q_minhash_dedup,
+        "simhash_near_dup": q_simhash_dedup,
+        "knn_ivf": q_knn_ivf,
+        "window_lag_gap": q_window_lag,
+        "pii_scrub": q_pii_scrub,
+        "quantize_embeddings": q_quantize_embeddings,
+        "repetition_filter": q_repetition_filter,
+        # backfill: longest since last driver row (r02 tranche)
+        "anti_join": q_anti_join,
+        "calendar_join": q_calendar_join,
+        "count_distinct": q_count_distinct,
+        "dedup_first_row": q_first_order,
+        "dedup_priority": q_dedup_priority,
+        "dedup_seeded": q_dedup_seeded,
+        "distinct_dedup": q_distinct,
+        "dynamic_filter": q_dynamic_filter,
+        "except_distinct": q_except,
+        "format_classify": q_format_classify,
+        "full_outer_coalesce": q_full_outer,
+        "grid_zerofill": q_grid_zerofill,
+        "icd_normalize": q_icd_normalize,
+        "intersect_keys": q_intersect,
+        "join_revenue_by_nation": q_join_revenue_by_nation,
+        "lang_id": q_lang_id,
+        "mode_random_tiebreak": q_mode_random_tiebreak,
+        "mode_tiebreak": q_mode,
+        "mode_weighted": q_mode_weighted,
+        "multi_left_join_flags": q_order_flags,
+        "pct_flags": q_pct_flags,
+        "prefix_join": q_prefix_join,
+        "pricing_summary": q_pricing_summary,
+        "quality_fingerprint": q_quality,
+        "right_join": q_right_join,
+        "scalar_datetime": q_scalar_datetime,
+        "semi_join": q_semi_join,
+        "submonth_clip": q_submonth_clip,
+        "tabloop_fixed": q_tabloop_fixed,
+        "tabloop_suppress": q_tabloop,
+        "text_stats": q_text_stats,
+        "theta_or_join": q_theta_or_join,
+        "topk_ties": q_topk_ties,
+        "typed_projection": q_typed_projection,
+        "union_bindrows": q_union_bindrows,
+        "union_stack": q_union,
+        "unpivot_long": q_unpivot,
+        # ---- outside the window: parity + pytest covered ----
         "ccw_two_claim": q_ccw_two_claim,
         "ccw_combined": q_ccw_combined,
-        "combined_claim_children": q_combined_claim_children,
-        "apcd_ed_episode": q_apcd_ed_episode,
         "fuh_followup": q_fuh_followup,
         "pcr_readmission": q_pcr_readmission,
         "tx_pen_measure": q_tx_pen,
@@ -6095,11 +6146,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "claim_value_set": q_claim_value_set,
         "mcare_timevar": q_mcare_timevar,
         "mcare_elig_month": q_mcare_elig_month,
-        "apcd_plr": q_apcd_plr,
         "apcd_elig_month": q_apcd_elig_month,
         "stage_mcaid_elig": q_stage_mcaid_elig,
         "demo_summary": q_demo_summary,
-        "comorb_scores": q_comorb_scores,
         "provider_master_rank": q_provider_master_rank,
         "ndc_normalize": q_ndc_normalize,
         "rda_value_set": q_rda_value_set,
@@ -6111,7 +6160,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perf_measure_fua": q_perf_measure_fua,
         "lcs_match": q_lcs_match,
         "amr_measure": q_amr_measure,
-        # -- streaming / analytics flagships ------------------------------
         "windowed_events": q_windowed_events,
         "sliding_windows": q_sliding_windows,
         "session_windows": q_session_windows,
@@ -6126,63 +6174,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "stratified_sample": q_stratified_sample,
         "pack_sequences": q_pack_sequences,
-        # -- rotated IN this round (WINDOW.md): newly oracle-checkable
-        # -- approximate operators + longest-unchecked single-operator
-        # -- queries
-        "minhash_near_dup": q_minhash_dedup,
-        "simhash_near_dup": q_simhash_dedup,
-        "knn_ivf": q_knn_ivf,
-        "window_lag_gap": q_window_lag,
-        "pii_scrub": q_pii_scrub,
-        "chunk_documents": q_chunk_documents,
-        "quantize_embeddings": q_quantize_embeddings,
-        "repetition_filter": q_repetition_filter,
-        # -- complex operator queries -------------------------------------
-        "prefix_join": q_prefix_join,
-        "pricing_summary": q_pricing_summary,
-        "scalar_datetime": q_scalar_datetime,
         "coverage_stats": q_coverage,
         "interval_resegment": q_resegment,
         "episodes_dense_id": q_episodes,
-        "dense_global_id": q_dense_global,
         "islands_collapse": q_islands,
         "rolling_months": q_rolling_months,
         "asof_running_min": q_asof_min,
-        "submonth_clip": q_submonth_clip,
-        "mode_weighted": q_mode_weighted,
-        "tabloop_suppress": q_tabloop,
-        "mode_random_tiebreak": q_mode_random_tiebreak,
-        "mode_tiebreak": q_mode,
-        "tabloop_fixed": q_tabloop_fixed,
-        "grid_zerofill": q_grid_zerofill,
-        "pct_flags": q_pct_flags,
-        "theta_or_join": q_theta_or_join,
-        "calendar_join": q_calendar_join,
-        "full_outer_coalesce": q_full_outer,
-        "dedup_seeded": q_dedup_seeded,
-        "dedup_priority": q_dedup_priority,
-        "union_bindrows": q_union_bindrows,
         "sketch_distinct_rollup": q_sketch_distinct,
-        "typed_projection": q_typed_projection,
-        "dynamic_filter": q_dynamic_filter,
-        "distinct_dedup": q_distinct,
-        "dedup_first_row": q_first_order,
-        "icd_normalize": q_icd_normalize,
-        "format_classify": q_format_classify,
-        "join_revenue_by_nation": q_join_revenue_by_nation,
-        "multi_left_join_flags": q_order_flags,
-        "right_join": q_right_join,
-        "semi_join": q_semi_join,
-        "anti_join": q_anti_join,
-        "except_distinct": q_except,
-        "intersect_keys": q_intersect,
-        "union_stack": q_union,
-        "unpivot_long": q_unpivot,
-        "count_distinct": q_count_distinct,
-        "topk_ties": q_topk_ties,
-        "text_stats": q_text_stats,
-        "lang_id": q_lang_id,
-        "quality_fingerprint": q_quality,
         "dedup_exact": q_dedup_exact,
         "knn_bruteforce": q_knn_bruteforce,
     }

@@ -62,6 +62,18 @@ HEADLINE = [
     "pack_sequences",
 ]
 
+# Round-4 operator additions, benched as a SEPARATE section: the
+# 40-query HEADLINE list above is frozen for round-over-round
+# comparability (BASELINE.md), so new operators report under
+# "extended" without touching the headline wall-clock.
+EXTENDED = [
+    "knn_ivf",
+    "pii_scrub",
+    "chunk_documents",
+    "quantize_embeddings",
+    "repetition_filter",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -77,7 +89,9 @@ def main() -> None:
     # one warm-up action so JVM/codegen startup isn't billed to the first query
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
 
-    for name in HEADLINE:
+    ext_timings: dict[str, float] = {}
+    ext_jobs: dict[str, int] = {}
+    for name in HEADLINE + EXTENDED:
         best, n = None, 0
         # min of 3 runs: the harness VM carries background load (±15%
         # observed between whole-suite runs), and a single sample
@@ -101,10 +115,15 @@ def main() -> None:
         # drop them or storage grows across the whole suite and later
         # queries pay eviction/GC noise
         spark.catalog.clearCache()
-        timings[name] = round(best, 3)
+        if name in EXTENDED:
+            ext_timings[name] = round(best, 3)
+            ext_jobs[name] = job_counts.pop(name)
+        else:
+            timings[name] = round(best, 3)
+        shown = timings.get(name, ext_timings.get(name))
         print(
-            f"# {name}: {timings[name]:.3f}s ({n} rows, "
-            f"{job_counts[name]} jobs)",
+            f"# {name}: {shown:.3f}s ({n} rows, "
+            f"{job_counts.get(name, ext_jobs.get(name))} jobs)",
             file=sys.stderr,
         )
 
@@ -117,6 +136,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "jobs": job_counts,
+                "extended": ext_timings,
+                "extended_jobs": ext_jobs,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
