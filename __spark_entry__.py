@@ -6074,6 +6074,99 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_coverage(spark, DEFAULT_SF)
 
 
+# ---------------------------------------------------------------------------
+# BM25 top-k retrieval + bigram-LM quality scoring (round-5 operators)
+# ---------------------------------------------------------------------------
+
+def q_bm25_topk(spark, sf_dir):
+    """Lexical retrieval over the documents corpus: BM25 top-15 for a
+    three-term query, with corpus stats (N, avgdl, per-term df) from
+    ONE global aggregate broadcast back — no inverted index, no
+    explode, no wide shuffle; the top-k plans as TakeOrdered."""
+    from claims_data_spark.operators.retrieval import bm25_topk
+
+    d = spread(_t(spark, sf_dir, "documents"))
+    return bm25_topk(
+        d, ["spark", "window", "merge"], k=15,
+        id_col="doc_id", text_col="text",
+    )
+
+
+SQL_BM25_TOPK = """
+WITH base AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                x -> len(x) > 0) AS w
+  FROM documents WHERE text IS NOT NULL
+), tf AS (
+  SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl,
+    CAST(len(list_filter(w, x -> x = 'merge')) AS DOUBLE) AS tf0,
+    CAST(len(list_filter(w, x -> x = 'spark')) AS DOUBLE) AS tf1,
+    CAST(len(list_filter(w, x -> x = 'window')) AS DOUBLE) AS tf2
+  FROM base
+), stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl,
+    SUM(CASE WHEN tf0 > 0 THEN 1.0 ELSE 0.0 END) AS df0,
+    SUM(CASE WHEN tf1 > 0 THEN 1.0 ELSE 0.0 END) AS df1,
+    SUM(CASE WHEN tf2 > 0 THEN 1.0 ELSE 0.0 END) AS df2
+  FROM tf
+)
+SELECT doc_id, ROUND(
+    ln(1 + (n - df0 + 0.5)/(df0 + 0.5)) * tf0 * 2.2
+      / (tf0 + 1.2*(0.25 + 0.75*dl/avgdl))
+  + ln(1 + (n - df1 + 0.5)/(df1 + 0.5)) * tf1 * 2.2
+      / (tf1 + 1.2*(0.25 + 0.75*dl/avgdl))
+  + ln(1 + (n - df2 + 0.5)/(df2 + 0.5)) * tf2 * 2.2
+      / (tf2 + 1.2*(0.25 + 0.75*dl/avgdl)), 4) AS score
+FROM tf, stats
+WHERE tf0 + tf1 + tf2 > 0
+ORDER BY score DESC, doc_id
+LIMIT 15
+"""
+
+
+def q_bigram_lm(spark, sf_dir):
+    """Corpus-quality scoring with a self-trained add-0.1 bigram LM
+    (the KenLM-filter / DSIR building block): per-document mean
+    cross-entropy and perplexity under the corpus's own bigram
+    statistics. The model side is vocabulary-bounded; scoring is one
+    join on the bigram key."""
+    from claims_data_spark.operators.lm import bigram_lm_scores
+
+    d = spread(_t(spark, sf_dir, "documents"))
+    return bigram_lm_scores(d, id_col="doc_id", text_col="text")
+
+
+SQL_BIGRAM_LM = """
+WITH base AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                x -> len(x) > 0) AS w
+  FROM documents WHERE text IS NOT NULL
+), docs2 AS (
+  SELECT * FROM base WHERE len(w) >= 2
+), big AS (
+  SELECT doc_id, w[CAST(i AS INT)] AS w1, w[CAST(i AS INT) + 1] AS w2
+  FROM docs2, LATERAL (SELECT unnest(range(1, len(w))) AS i) ix
+), c12 AS (
+  SELECT w1, w2, CAST(COUNT(*) AS DOUBLE) AS c12 FROM big GROUP BY 1, 2
+), c1 AS (
+  SELECT w1, SUM(c12) AS c1 FROM c12 GROUP BY 1
+), v AS (
+  SELECT CAST(COUNT(DISTINCT t) AS DOUBLE) AS v
+  FROM (SELECT unnest(w) AS t FROM base)
+), j AS (
+  SELECT b.doc_id, ln((c12.c12 + 0.1) / (c1.c1 + 0.1 * v.v)) AS lp
+  FROM big b JOIN c12 USING (w1, w2) JOIN c1 USING (w1), v
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+  ROUND(AVG(-lp), 4) AS xent,
+  ROUND(EXP(ROUND(AVG(-lp), 4)), 2) AS ppl
+FROM j GROUP BY doc_id
+"""
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the correctness driver checks the first 50 entries.
     # Rotation policy lives in WINDOW.md: red/changed/new queries pin
@@ -6088,6 +6181,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "comorb_scores": q_comorb_scores,
         "chunk_documents": q_chunk_documents,
         "dense_global_id": q_dense_global,
+        # new in round 5 (rule 1: new queries pin into the window)
+        "bm25_topk": q_bm25_topk,
+        "bigram_lm": q_bigram_lm,
         # pinned: first driver-green in r04 (need a 2nd green round)
         "combined_claim_children": q_combined_claim_children,
         "minhash_near_dup": q_minhash_dedup,
@@ -6248,6 +6344,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_dup": SQL_SIMHASH_NEAR_DUP,
         "knn_ivf": SQL_KNN_IVF,
         "repetition_filter": SQL_REPETITION_FILTER,
+        "bm25_topk": SQL_BM25_TOPK,
+        "bigram_lm": SQL_BIGRAM_LM,
         "quantize_embeddings": SQL_QUANTIZE_EMBEDDINGS,
         "pii_scrub": SQL_PII_SCRUB,
         "chunk_documents": SQL_CHUNK_DOCUMENTS,

@@ -68,6 +68,8 @@ HEADLINE = [
 # "extended" without touching the headline wall-clock.
 EXTENDED = [
     "knn_ivf",
+    "bm25_topk",
+    "bigram_lm",
     "pii_scrub",
     "chunk_documents",
     "quantize_embeddings",

@@ -688,3 +688,71 @@ def test_chunk_documents_boundaries(spark):
     ]
     with pytest.raises(ValueError):
         chunk_documents(docs, max_tokens=4, overlap=4)
+
+
+def test_bm25_topk_hand_example(spark):
+    """BM25 against a 4-doc corpus with hand-computed scores: the
+    rarer term dominates, longer documents are penalized by the b
+    normalization, and non-matching documents are excluded."""
+    import math
+
+    from claims_data_spark.operators.retrieval import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "cat dog"),
+            (2, "cat cat cat cat"),
+            (3, "fish"),
+            (4, "dog dog fish fish fish fish"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["score"] for r in
+           bm25_topk(docs, ["dog"], k=10, round_to=4).collect()}
+    # df(dog)=2, N=4, avgdl=(2+4+1+6)/4=3.25
+    idf = math.log(1 + (4 - 2 + 0.5) / (2 + 0.5))
+    def s(tf, dl):
+        return round(idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / 3.25)), 4)
+    assert out == {1: s(1, 2), 4: s(2, 6)}
+    # top-1 is the SHORT matching doc: b-normalization penalizes
+    # doc 4's length more than its extra tf helps (s(1,2) > s(2,6))
+    assert out[1] > out[4]
+    top1 = bm25_topk(docs, ["dog"], k=1).collect()
+    assert top1[0]["doc_id"] == 1
+
+
+def test_bigram_lm_scores_properties(spark):
+    """Self-trained bigram LM: a document made of the corpus's most
+    common bigram scores lower cross-entropy than one made of a
+    bigram seen once; one-token docs are excluded; probabilities are
+    the add-alpha closed form."""
+    import math
+
+    from claims_data_spark.operators.lm import bigram_lm_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b a b"),
+            (2, "a b a b"),
+            (3, "c d"),
+            (4, "a"),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in bigram_lm_scores(docs).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1]["n_bigrams"] == 7 and rows[3]["n_bigrams"] == 1
+    # corpus counts: C(a,b)=4+2=6, C(b,a)=3+1=4, C(c,d)=1; contexts
+    # C(a)=6, C(b)=4, C(c)=1; V counts tokens of EVERY non-null doc
+    # (including the bigram-less doc 4) = |{a,b,c,d}| = 4
+    alpha = 0.1
+    p_ab = (6 + alpha) / (6 + alpha * 4)
+    p_ba = (4 + alpha) / (4 + alpha * 4)
+    p_cd = (1 + alpha) / (1 + alpha * 4)
+    x1 = -(4 * math.log(p_ab) + 3 * math.log(p_ba)) / 7
+    x3 = -math.log(p_cd)
+    assert rows[1]["xent"] == round(x1, 4)
+    assert rows[3]["xent"] == round(x3, 4)
+    assert rows[1]["xent"] < rows[3]["xent"]
+    assert rows[1]["ppl"] == round(math.exp(round(x1, 4)), 2)
