@@ -6167,6 +6167,106 @@ FROM j GROUP BY doc_id
 
 
 
+def q_scd2_merge(spark, sf_dir):
+    """SCD2 dimension merge (the warehouse-native generalization of
+    the reference's drop-and-swap refresh, SURVEY §2 S8): one full
+    outer join on the business key + one explode generator emits the
+    close-out/new/unchanged versions, history passes through
+    untouched. Current state and incoming snapshot are both derived
+    deterministically from the customer table."""
+    from claims_data_spark.operators.scd import scd2_merge
+
+    c = _t(spark, sf_dir, "customer")
+    ck = F.col("c_custkey")
+    cur_open = c.filter(ck % 10 != 9).select(
+        ck.alias("cust_key"),
+        F.col("c_nationkey").cast("int").alias("nation"),
+        F.col("c_mktsegment").alias("seg"),
+        F.lit("2020-01-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(1).alias("is_current"),
+    )
+    history = c.filter((ck % 10 != 9) & (ck % 5 == 0)).select(
+        ck.alias("cust_key"),
+        ((F.col("c_nationkey") + 1) % 25).cast("int").alias("nation"),
+        F.col("c_mktsegment").alias("seg"),
+        F.lit("2019-01-01").cast("date").alias("valid_from"),
+        F.lit("2019-12-31").cast("date").alias("valid_to"),
+        F.lit(0).alias("is_current"),
+    )
+    incoming = c.filter(ck % 11 != 0).select(
+        ck.alias("cust_key"),
+        F.when(ck % 7 == 0, (F.col("c_nationkey") + 3) % 25)
+        .otherwise(F.col("c_nationkey")).cast("int").alias("nation"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    out = scd2_merge(
+        cur_open.unionByName(history), incoming,
+        ["cust_key"], ["nation", "seg"], "2021-06-15",
+        close_missing=True,
+    )
+    return out.select(
+        "cust_key", "nation", "seg",
+        _ds(F.col("valid_from")).alias("valid_from"),
+        _ds(F.col("valid_to")).alias("valid_to"),
+        F.col("is_current").cast("int").alias("is_current"),
+    )
+
+
+SQL_SCD2_MERGE = """
+WITH cur AS (
+  SELECT c_custkey AS k, CAST(c_nationkey AS INT) AS nation,
+         c_mktsegment AS seg
+  FROM customer WHERE c_custkey % 10 <> 9
+), hist AS (
+  SELECT c_custkey AS k,
+         CAST((c_nationkey + 1) % 25 AS INT) AS nation,
+         c_mktsegment AS seg
+  FROM customer WHERE c_custkey % 10 <> 9 AND c_custkey % 5 = 0
+), inc AS (
+  SELECT c_custkey AS k,
+         CAST(CASE WHEN c_custkey % 7 = 0 THEN (c_nationkey + 3) % 25
+              ELSE c_nationkey END AS INT) AS nation,
+         c_mktsegment AS seg
+  FROM customer WHERE c_custkey % 11 <> 0
+), j AS (
+  SELECT cur.k AS ck, cur.nation AS cn, cur.seg AS cs,
+         inc.k AS ik, inc.nation AS inat, inc.seg AS iseg
+  FROM cur FULL OUTER JOIN inc ON cur.k = inc.k
+)
+SELECT k AS cust_key, nation, seg, valid_from, valid_to, is_current
+FROM (
+  -- history pass-through
+  SELECT k, nation, seg, '2019-01-01' AS valid_from,
+         '2019-12-31' AS valid_to, 0 AS is_current FROM hist
+  UNION ALL
+  -- changed: close the open version
+  SELECT ck, cn, cs, '2020-01-01', '2021-06-14', 0 FROM j
+  WHERE ck IS NOT NULL AND ik IS NOT NULL
+    AND (cn IS DISTINCT FROM inat OR cs IS DISTINCT FROM iseg)
+  UNION ALL
+  -- changed: open the new version
+  SELECT ik, inat, iseg, '2021-06-15', NULL, 1 FROM j
+  WHERE ck IS NOT NULL AND ik IS NOT NULL
+    AND (cn IS DISTINCT FROM inat OR cs IS DISTINCT FROM iseg)
+  UNION ALL
+  -- unchanged
+  SELECT ck, cn, cs, '2020-01-01', NULL, 1 FROM j
+  WHERE ck IS NOT NULL AND ik IS NOT NULL
+    AND cn IS NOT DISTINCT FROM inat AND cs IS NOT DISTINCT FROM iseg
+  UNION ALL
+  -- brand-new key
+  SELECT ik, inat, iseg, '2021-06-15', NULL, 1 FROM j
+  WHERE ck IS NULL AND ik IS NOT NULL
+  UNION ALL
+  -- missing from snapshot: closed (close_missing)
+  SELECT ck, cn, cs, '2020-01-01', '2021-06-14', 0 FROM j
+  WHERE ck IS NOT NULL AND ik IS NULL
+)
+"""
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the correctness driver checks the first 50 entries.
     # Rotation policy lives in WINDOW.md: red/changed/new queries pin
@@ -6184,6 +6284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 5 (rule 1: new queries pin into the window)
         "bm25_topk": q_bm25_topk,
         "bigram_lm": q_bigram_lm,
+        "scd2_merge": q_scd2_merge,
         # pinned: first driver-green in r04 (need a 2nd green round)
         "combined_claim_children": q_combined_claim_children,
         "minhash_near_dup": q_minhash_dedup,
@@ -6346,6 +6447,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_filter": SQL_REPETITION_FILTER,
         "bm25_topk": SQL_BM25_TOPK,
         "bigram_lm": SQL_BIGRAM_LM,
+        "scd2_merge": SQL_SCD2_MERGE,
         "quantize_embeddings": SQL_QUANTIZE_EMBEDDINGS,
         "pii_scrub": SQL_PII_SCRUB,
         "chunk_documents": SQL_CHUNK_DOCUMENTS,

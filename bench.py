@@ -70,6 +70,7 @@ EXTENDED = [
     "knn_ivf",
     "bm25_topk",
     "bigram_lm",
+    "scd2_merge",
     "pii_scrub",
     "chunk_documents",
     "quantize_embeddings",

@@ -584,3 +584,57 @@ def test_dense_event_ids_inline_null_person_sentinel(spark):
     assert out[3] == 2
     assert out[4] == 3
     assert out[5] is None
+
+
+def test_scd2_merge_outcomes(spark):
+    """SCD2 merge: change closes + reopens, no-change passes through,
+    new key opens, missing key closes under close_missing, history
+    rows pass untouched, NULL attributes compare null-safely."""
+    from claims_data_spark.operators.scd import scd2_merge
+
+    current = spark.createDataFrame(
+        [
+            # key, attr, valid_from, valid_to, is_current
+            (1, "a", d("2020-01-01"), None, 1),        # will change
+            (2, "b", d("2020-01-01"), None, 1),        # unchanged
+            (3, None, d("2020-01-01"), None, 1),       # NULL -> NULL: unchanged
+            (4, "d", d("2020-01-01"), None, 1),        # missing from snapshot
+            (5, None, d("2020-01-01"), None, 1),       # NULL -> value: change
+            (1, "a0", d("2019-01-01"), d("2019-12-31"), 0),  # history
+        ],
+        "k long, attr string, valid_from date, valid_to date, is_current int",
+    )
+    incoming = spark.createDataFrame(
+        [(1, "a2"), (2, "b"), (3, None), (5, "e"), (9, "new")],
+        "k long, attr string",
+    )
+    out = scd2_merge(
+        current, incoming, ["k"], ["attr"], "2021-06-15",
+        close_missing=True,
+    )
+    key = lambda t: (t[0], t[1] or "", t[2], t[3], t[4])
+    rows = sorted(
+        ((r["k"], r["attr"], str(r["valid_from"]), str(r["valid_to"]),
+          r["is_current"]) for r in out.collect()), key=key,
+    )
+    assert rows == sorted([
+        (1, "a0", "2019-01-01", "2019-12-31", 0),       # history untouched
+        (1, "a", "2020-01-01", "2021-06-14", 0),        # closed
+        (1, "a2", "2021-06-15", "None", 1),             # reopened
+        (2, "b", "2020-01-01", "None", 1),              # unchanged
+        (3, None, "2020-01-01", "None", 1),             # null-safe unchanged
+        (4, "d", "2020-01-01", "2021-06-14", 0),        # closed (missing)
+        (5, None, "2020-01-01", "2021-06-14", 0),       # NULL -> value
+        (5, "e", "2021-06-15", "None", 1),
+        (9, "new", "2021-06-15", "None", 1),            # brand new key
+    ], key=key)
+    # idempotence: merging the same snapshot again is a no-op on the
+    # current slice (every key unchanged or already closed)
+    again = scd2_merge(
+        out, incoming, ["k"], ["attr"], "2021-07-01", close_missing=True
+    )
+    canon = lambda df: sorted(
+        ((r["k"], r["attr"], str(r["valid_from"]), str(r["valid_to"]),
+          r["is_current"]) for r in df.collect()), key=key,
+    )
+    assert canon(again) == canon(out)
