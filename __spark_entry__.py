@@ -3482,24 +3482,41 @@ def q_mcare_timevar(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
     k = F.col("c_custkey")
 
-    def pick(vals, expr):
-        return F.element_at(
-            F.array(*[F.lit(v) for v in vals]), (expr % len(vals) + 1).cast("int")
+    # the 48 monthly pick columns compile to SQL text shipped in ONE
+    # selectExpr: Column-API assembly cost a py4j round-trip per array
+    # element (~4k crossings of the build's ~0.6 s driver time,
+    # profiled); parsed trees are identical
+    def pick_sql(vals, expr):
+        arr = ", ".join(f"'{v}'" for v in vals)
+        return (
+            f"element_at(array({arr}), "
+            f"CAST(({expr}) % {len(vals)} + 1 AS INT))"
         )
 
-    cols = [
-        k.alias("bene_id"),
-        F.lit(1995).alias("bene_enrollmt_ref_yr"),
-        F.when(k % 4 == 0, "98101").when(k % 4 == 1, "9810")
-        .when(k % 4 == 2, "98055").otherwise("99999").alias("zip_cd"),
+    exprs = [
+        "c_custkey AS bene_id",
+        "1995 AS bene_enrollmt_ref_yr",
+        "CASE CAST(c_custkey % 4 AS INT) WHEN 0 THEN '98101' "
+        "WHEN 1 THEN '9810' WHEN 2 THEN '98055' ELSE '99999' END "
+        "AS zip_cd",
     ]
     for m in range(1, 13):
-        cols.append(pick(_TV_BUYIN, k * 5 + m * 3).alias(
-            f"mdcr_entlmt_buyin_ind_{m:02d}"))
-        cols.append(pick(_TV_HMO, k + m).alias(f"hmo_ind_{m:02d}"))
-        cols.append(pick(_TV_RX, k * 2 + m).alias(f"ptd_cntrct_id_{m:02d}"))
-        cols.append(pick(_TV_DUAL, k + m * 7).alias(f"dual_stus_cd_{m:02d}"))
-    enr = c.select(*cols)
+        exprs.append(
+            pick_sql(_TV_BUYIN, f"c_custkey * 5 + {m * 3}")
+            + f" AS mdcr_entlmt_buyin_ind_{m:02d}"
+        )
+        exprs.append(
+            pick_sql(_TV_HMO, f"c_custkey + {m}") + f" AS hmo_ind_{m:02d}"
+        )
+        exprs.append(
+            pick_sql(_TV_RX, f"c_custkey * 2 + {m}")
+            + f" AS ptd_cntrct_id_{m:02d}"
+        )
+        exprs.append(
+            pick_sql(_TV_DUAL, f"c_custkey + {m * 7}")
+            + f" AS dual_stus_cd_{m:02d}"
+        )
+    enr = c.selectExpr(*exprs)
     demo = c.select(
         k.alias("id_mcare"),
         F.when(k % 9 == 0, F.lit("1995-06-15").cast("date")).alias(

@@ -59,30 +59,24 @@ def asof_join(
     # fields come atomically from the same matched row — carrying columns
     # independently with last(ignorenulls) would substitute stale values
     # for genuinely-NULL fields and stitch together a row that never
-    # existed.
+    # existed. Each side simply OMITS the other side's struct and
+    # ``unionByName(allowMissingColumns=True)`` fills the typed NULLs —
+    # building typed NULL literals from ``.schema`` would force a full
+    # Catalyst analysis of both subtrees at construction time
+    # (profiled as the bulk of this operator's driver cost).
     l_tag = left.select(
         *key_cols,
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_is_left"),
         F.struct(*[F.col(c) for c in left.columns]).alias("_lrow"),
-        F.lit(None)
-        .cast(
-            "struct<"
-            + ",".join(
-                f"{c}:{right.schema[c].dataType.simpleString()}" for c in right_payload
-            )
-            + ">"
-        )
-        .alias("_rrow"),
     )
     r_tag = right.select(
         *key_cols,
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_is_left"),
-        F.lit(None).cast(l_tag.schema["_lrow"].dataType).alias("_lrow"),
         F.struct(*[F.col(c) for c in right_payload]).alias("_rrow"),
     )
-    unioned = l_tag.unionByName(r_tag)
+    unioned = l_tag.unionByName(r_tag, allowMissingColumns=True)
 
     # Right rows sort before left rows at equal ts so "at or before"
     # (resp. "at or after") includes ties.

@@ -68,11 +68,18 @@ def exact_dedup(
 
 
 def minhash_signature(
-    shingle_col: Column, num_hashes: int = 32
+    shingle_col: Column | str, num_hashes: int = 32
 ) -> Column:
     """MinHash signature: for hash i, min over shingles of
     murmur3(shingle, i). Array<int> of length num_hashes, computed
     entirely row-local."""
+    if isinstance(shingle_col, str):
+        return F.expr(
+            "array(" + ", ".join(
+                f"array_min(transform(`{shingle_col}`, s -> hash(s, {i})))"
+                for i in range(num_hashes)
+            ) + ")"
+        )
     return F.array(
         *[
             F.array_min(
@@ -84,7 +91,7 @@ def minhash_signature(
 
 
 def minhash_signature_portable(
-    shingle_col: Column, num_hashes: int = 32
+    shingle_col: Column | str, num_hashes: int = 32
 ) -> Column:
     """MinHash signature over an ENGINE-PORTABLE hash family: for seed
     i, the lexicographic MIN of md5(i || ':' || shingle) hex strings.
@@ -93,6 +100,18 @@ def minhash_signature_portable(
     ANSI-SQL oracle can reproduce the candidate set exactly — used by
     the driver-checked variant. ~3× the CPU of the murmur3 family;
     production callers keep :func:`minhash_signature`."""
+    # compiled to ONE parsed expression when given a COLUMN NAME: 32
+    # transform/md5 lambdas through the Column API cost ~0.3 s of py4j
+    # round-trips per build (profiled); the parsed tree is identical.
+    # A Column argument falls back to the per-seed Column form.
+    if isinstance(shingle_col, str):
+        return F.expr(
+            "array(" + ", ".join(
+                f"array_min(transform(`{shingle_col}`,"
+                f" s -> md5(concat('{i}:', s))))"
+                for i in range(num_hashes)
+            ) + ")"
+        )
     return F.array(
         *[
             F.array_min(
@@ -166,7 +185,7 @@ def minhash_near_dup_pairs(
         spread(df.select(id_col, F.col(text_col)))
         .filter(F.col(text_col).isNotNull())
         .withColumn("_sh", word_shingles(text_col, shingle_k))
-        .withColumn("_sig", sig_fn(F.col("_sh"), num_hashes))
+        .withColumn("_sig", sig_fn("_sh", num_hashes))
     )
     # persisted because banding + two verification joins reuse it; the
     # cache is LRU-evictable and bounded by the shingle arrays — at
@@ -176,19 +195,17 @@ def minhash_near_dup_pairs(
     if portable:
         # fixed-width md5 components -> '|'-concat is an unambiguous
         # bucket key both engines build identically
-        band_structs = F.array(*[
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.concat_ws(
-                    "|",
-                    *[
-                        F.col("_sig")[b * rows_per_band + r]
-                        for r in range(rows_per_band)
-                    ],
-                ).alias("band_hash"),
-            )
-            for b in range(bands)
-        ])
+        band_structs = F.expr(
+            "array(" + ", ".join(
+                f"named_struct('band_id', {b}, 'band_hash', concat_ws('|', "
+                + ", ".join(
+                    f"_sig[{b * rows_per_band + r}]"
+                    for r in range(rows_per_band)
+                )
+                + "))"
+                for b in range(bands)
+            ) + ")"
+        )
         banded = with_sig.select(
             id_col, F.explode(band_structs).alias("_b")
         ).select(

@@ -30,6 +30,11 @@ from pyspark.sql.window import Window
 
 from claims_data_spark.operators.intervals import collapse_islands
 
+
+def _sql_list(vals) -> str:
+    return ", ".join("'" + v + "'" for v in vals)
+
+
 # ResDAC code tables (load_stage.mcare_elig_timevar.R:130-177)
 _PART_A_YES = ("1", "3", "A", "C")
 _PART_A_NO = ("0", "2", "B")
@@ -191,16 +196,19 @@ def _coded_covered_months(
     Part A/B/C/D + buy-in + dual recodes, zero-coverage months
     dropped, months after death dropped and the death month truncated
     (``load_stage.mcare_elig_month.R:37-231``)."""
-    months = F.array(*[
-        F.struct(
-            F.lit(m).alias("mon"),
-            F.col(f"mdcr_entlmt_buyin_ind_{m:02d}").alias("buyin"),
-            F.col(f"hmo_ind_{m:02d}").alias("hmo"),
-            F.col(f"ptd_cntrct_id_{m:02d}").alias("rx"),
-            F.col(f"dual_stus_cd_{m:02d}").alias("dual"),
-        )
-        for m in range(1, 13)
-    ])
+    # compiled to ONE parsed expression: assembling 12 structs x 5
+    # fields through the Column API costs a py4j round-trip per call
+    # (~60 crossings per build); the parsed tree is identical
+    months = F.expr(
+        "array(" + ", ".join(
+            f"named_struct('mon', {m},"
+            f" 'buyin', `mdcr_entlmt_buyin_ind_{m:02d}`,"
+            f" 'hmo', `hmo_ind_{m:02d}`,"
+            f" 'rx', `ptd_cntrct_id_{m:02d}`,"
+            f" 'dual', `dual_stus_cd_{m:02d}`)"
+            for m in range(1, 13)
+        ) + ")"
+    )
     # the 12x explode plus ~60 CASE recodes per output row is the
     # CPU-heavy part of this builder; a single-row-group MBSF extract
     # would otherwise run it in one task (session.spread is a no-op on
@@ -224,31 +232,32 @@ def _coded_covered_months(
         F.upper(F.trim(F.col("m.dual"))).alias("dual"),
     )
 
-    buyin, hmo, rx, dual = (
-        F.col("buyin"), F.col("hmo"), F.col("rx"), F.col("dual")
-    )
-    coded = long.select(
+    # the seven ResDAC recodes ship as SQL text in one selectExpr
+    # batch (same py4j-crossing argument as the comorbidity flags)
+    coded = long.selectExpr(
         "id_mcare", "from_date", "to_date", "geo_zip",
-        F.when(buyin.isin(*_PART_A_YES), 1)
-        .when(buyin.isin(*_PART_A_NO), 0).alias("part_a"),
-        F.when(buyin.isin(*_PART_B_YES), 1)
-        .when(buyin.isin(*_PART_B_NO), 0).alias("part_b"),
-        F.when(hmo.isin(*_PART_C_YES), 1)
-        .when(hmo.isin(*_PART_C_NO), 0).alias("part_c"),
-        F.when(rx.isin(*_RX_NONE) | rx.isNull(), 0)
-        .when(F.substring(rx, 1, 1).isin(*_RX_PREFIX), 1).alias("part_d"),
-        F.when(buyin.isin(*_STATE_BUYIN_NO), 0)
-        .when(buyin.isin(*_STATE_BUYIN_YES), 1).alias("state_buyin"),
-        F.when(
-            dual.isin(*_DUAL_NONE, "2", "02", "4", "04", "8", "08", "10")
-            | dual.isNull(),
-            0,
-        )
-        .when(dual.isin(*_PARTIAL_DUAL_YES), 1).alias("partial_dual"),
-        F.when(
-            dual.isin(*_DUAL_NONE, *_PARTIAL_DUAL_YES) | dual.isNull(), 0
-        )
-        .when(dual.isin(*_FULL_DUAL_YES), 1).alias("full_dual"),
+        f"CASE WHEN buyin IN ({_sql_list(_PART_A_YES)}) THEN 1 "
+        f"WHEN buyin IN ({_sql_list(_PART_A_NO)}) THEN 0 END AS part_a",
+        f"CASE WHEN buyin IN ({_sql_list(_PART_B_YES)}) THEN 1 "
+        f"WHEN buyin IN ({_sql_list(_PART_B_NO)}) THEN 0 END AS part_b",
+        f"CASE WHEN hmo IN ({_sql_list(_PART_C_YES)}) THEN 1 "
+        f"WHEN hmo IN ({_sql_list(_PART_C_NO)}) THEN 0 END AS part_c",
+        f"CASE WHEN rx IN ({_sql_list(_RX_NONE)}) OR rx IS NULL THEN 0 "
+        f"WHEN substring(rx, 1, 1) IN ({_sql_list(_RX_PREFIX)}) THEN 1 "
+        "END AS part_d",
+        f"CASE WHEN buyin IN ({_sql_list(_STATE_BUYIN_NO)}) THEN 0 "
+        f"WHEN buyin IN ({_sql_list(_STATE_BUYIN_YES)}) THEN 1 "
+        "END AS state_buyin",
+        "CASE WHEN dual IN ("
+        + _sql_list((*_DUAL_NONE, "2", "02", "4", "04", "8", "08", "10"))
+        + ") OR dual IS NULL THEN 0 WHEN dual IN ("
+        + _sql_list(_PARTIAL_DUAL_YES)
+        + ") THEN 1 END AS partial_dual",
+        "CASE WHEN dual IN ("
+        + _sql_list((*_DUAL_NONE, *_PARTIAL_DUAL_YES))
+        + ") OR dual IS NULL THEN 0 WHEN dual IN ("
+        + _sql_list(_FULL_DUAL_YES)
+        + ") THEN 1 END AS full_dual",
     )
 
     z = lambda c: F.coalesce(F.col(c), F.lit(0))  # noqa: E731

@@ -53,6 +53,13 @@ _ADMIN_INJ = ["Q9991", "Q9992", "G2069", "G2070", "G2072", "J0570",
 _NEEDS_OUD_DX = MOUD_PROC_TBD + BUP_PROC_TBD + NAL_PROC
 
 
+def _in(vals) -> str:
+    """SQL IN-list text for a code list (codes are plain literals;
+    compiling to text instead of Column .isin calls keeps the builder's
+    driver time off the py4j socket — ~5.6k crossings profiled)."""
+    return "(" + ", ".join("'" + v + "'" for v in vals) + ")"
+
+
 def _proc_step(
     procedure: DataFrame,
     header: DataFrame,
@@ -64,29 +71,32 @@ def _proc_step(
     diagnosis flag, apply the needs-dx subset rules."""
     p = F.col("procedure_code")
     flagged = procedure.filter(
-        (F.col("last_service_date") >= start_date) & p.isin(ALL_MOUD_PROC)
-    ).select(
+        (F.col("last_service_date") >= start_date)
+        & F.expr(f"procedure_code IN {_in(ALL_MOUD_PROC)}")
+    ).selectExpr(
         id_col,
         "claim_header_id",
         "first_service_date",
         "last_service_date",
         "procedure_code",
-        p.isin(MOUD_PROC_TBD).cast("int").alias("moud_proc_flag_tbd"),
-        p.isin(METH_PROC).cast("int").alias("meth_proc_flag"),
-        (p.isin(BUP_PROC) | p.isin(BUP_PROC_TBD)).cast("int").alias(
-            "bup_proc_flag"
-        ),
-        p.isin(NAL_PROC).cast("int").alias("nal_proc_flag"),
-        p.isin(UNSPEC_PROC).cast("int").alias("unspec_proc_flag"),
-        F.when(p.isin(_SUPPLY_1), 1)
-        .when(p.isin(_SUPPLY_7), 7)
-        .when(p.isin(_SUPPLY_30), 30)
-        .when(p.isin(_SUPPLY_180), 180)
-        .otherwise(0)
-        .alias("moud_days_supply"),
-        F.when(p.isin(_ADMIN_ORAL), "oral")
-        .when(p.isin(_ADMIN_INJ), "injection/implant")
-        .alias("admin_method"),
+        f"CAST(procedure_code IN {_in(MOUD_PROC_TBD)} AS INT)"
+        " AS moud_proc_flag_tbd",
+        f"CAST(procedure_code IN {_in(METH_PROC)} AS INT)"
+        " AS meth_proc_flag",
+        f"CAST(procedure_code IN {_in(BUP_PROC + BUP_PROC_TBD)} AS INT)"
+        " AS bup_proc_flag",
+        f"CAST(procedure_code IN {_in(NAL_PROC)} AS INT)"
+        " AS nal_proc_flag",
+        f"CAST(procedure_code IN {_in(UNSPEC_PROC)} AS INT)"
+        " AS unspec_proc_flag",
+        f"CASE WHEN procedure_code IN {_in(_SUPPLY_1)} THEN 1"
+        f" WHEN procedure_code IN {_in(_SUPPLY_7)} THEN 7"
+        f" WHEN procedure_code IN {_in(_SUPPLY_30)} THEN 30"
+        f" WHEN procedure_code IN {_in(_SUPPLY_180)} THEN 180"
+        " ELSE 0 END AS moud_days_supply",
+        f"CASE WHEN procedure_code IN {_in(_ADMIN_ORAL)} THEN 'oral'"
+        f" WHEN procedure_code IN {_in(_ADMIN_INJ)}"
+        " THEN 'injection/implant' END AS admin_method",
     )
     # no claim-grain DISTINCT here: the step-5 union is DISTINCTed
     # after claim_header_id is dropped (R:145-185), which collapses
@@ -280,57 +290,29 @@ def build_claim_moud(
             "_bup_rx_m", F.sum(F.coalesce("bup_rx_flag", F.lit(0))).over(wym)
         )
     )
-    is_h0033 = F.col("procedure_code") == "H0033"
-    meth_new = (
-        F.when(
-            is_h0033
-            & (F.col("_meth_m") == 0)
-            & (F.col("_bup_m") == 0)
-            & (F.col("_bup_rx_m") == 0),
-            1,
-        )
-        .when(
-            is_h0033
-            & (F.col("_meth_m") == 0)
-            & (F.col("_bup_m") == 0)
-            & (F.col("_bup_rx_m") > 0),
-            0,
-        )
-        .when(
-            is_h0033
-            & (F.col("_meth_m") >= F.col("_bup_m"))
-            & (F.col("_meth_m") != 0),
-            1,
-        )
-        .when(is_h0033 & (F.col("_meth_m") < F.col("_bup_m")), 0)
-        .otherwise(F.col("meth_proc_flag"))
+    # H0033 disambiguation CASEs as parsed SQL text (py4j-crossing
+    # argument as above); the trees are identical to the when() chains
+    h = "procedure_code = 'H0033'"
+    meth_new = F.expr(
+        f"CASE WHEN {h} AND _meth_m = 0 AND _bup_m = 0 AND _bup_rx_m = 0"
+        " THEN 1"
+        f" WHEN {h} AND _meth_m = 0 AND _bup_m = 0 AND _bup_rx_m > 0"
+        " THEN 0"
+        f" WHEN {h} AND _meth_m >= _bup_m AND _meth_m <> 0 THEN 1"
+        f" WHEN {h} AND _meth_m < _bup_m THEN 0"
+        " ELSE meth_proc_flag END"
     )
-    bup_new = (
-        F.when(
-            is_h0033
-            & (F.col("_meth_m") == 0)
-            & (F.col("_bup_m") == 0)
-            & (F.col("_bup_rx_m") == 0),
-            0,
-        )
-        .when(
-            is_h0033
-            & (F.col("_meth_m") == 0)
-            & (F.col("_bup_m") == 0)
-            & (F.col("_bup_rx_m") > 0),
-            1,
-        )
-        .when(
-            is_h0033
-            & (F.col("_meth_m") >= F.col("_bup_m"))
-            & (F.col("_meth_m") != 0),
-            0,
-        )
-        .when(is_h0033 & (F.col("_meth_m") < F.col("_bup_m")), 1)
-        .otherwise(F.col("bup_proc_flag"))
+    bup_new = F.expr(
+        f"CASE WHEN {h} AND _meth_m = 0 AND _bup_m = 0 AND _bup_rx_m = 0"
+        " THEN 0"
+        f" WHEN {h} AND _meth_m = 0 AND _bup_m = 0 AND _bup_rx_m > 0"
+        " THEN 1"
+        f" WHEN {h} AND _meth_m >= _bup_m AND _meth_m <> 0 THEN 0"
+        f" WHEN {h} AND _meth_m < _bup_m THEN 1"
+        " ELSE bup_proc_flag END"
     )
-    union = union.withColumn("meth_proc_flag", meth_new).withColumn(
-        "bup_proc_flag", bup_new
+    union = union.withColumns(
+        {"meth_proc_flag": meth_new, "bup_proc_flag": bup_new}
     )
 
     # step 6b collapse (R:253-272): one row per person/date/flag
@@ -447,26 +429,16 @@ def build_claim_moud(
         )
     )
 
-    is_meth = F.col("meth_proc_flag") == 1
-    supply_new = (
-        F.when(
-            is_meth & (F.col("meth_proc_sum_year_quarter") <= 2),
-            F.col("moud_days_supply"),
-        )
-        .when(
-            is_meth
-            & (
-                F.col("next_meth_diff")
-                > 1.5 * F.col("next_meth_diff_median_year_quarter")
-            ),
-            F.col("next_meth_diff_median_year_quarter"),
-        )
-        .when(
-            is_meth & F.col("next_meth_diff").isNull(),
-            F.col("next_meth_diff_median_year_quarter"),
-        )
-        .when(is_meth, F.col("next_meth_diff"))
-        .otherwise(F.col("moud_days_supply"))
+    supply_new = F.expr(
+        "CASE WHEN meth_proc_flag = 1 AND meth_proc_sum_year_quarter <= 2"
+        " THEN moud_days_supply"
+        " WHEN meth_proc_flag = 1 AND next_meth_diff >"
+        " 1.5 * next_meth_diff_median_year_quarter"
+        " THEN next_meth_diff_median_year_quarter"
+        " WHEN meth_proc_flag = 1 AND next_meth_diff IS NULL"
+        " THEN next_meth_diff_median_year_quarter"
+        " WHEN meth_proc_flag = 1 THEN next_meth_diff"
+        " ELSE moud_days_supply END"
     )
     z = F.lit(0)
     return collapsed.select(
