@@ -6283,6 +6283,161 @@ FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# Round-5 additions: semantic dedup, weighted sampling, mixture
+# rebalancing, per-domain caps
+# ---------------------------------------------------------------------------
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style embedding-space pruning, full value-checked:
+    fixed-quantizer cluster assignment (same codebook discipline as
+    knn_ivf), then within-cluster cosine pairs >= 0.40 mark the
+    higher id as a duplicate — pair work bounded by cluster size,
+    never a global cartesian."""
+    from claims_data_spark.operators.similarity import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "vec", F.transform("embedding", lambda x: x.cast("double"))
+    ).select("vec_id", F.col("vec").alias("embedding"))
+    return semantic_dedup(
+        emb, centroid_ids=[10, 60, 110, 160, 210, 260, 310, 360],
+        threshold=0.40,
+    )
+
+
+SQL_SEMANTIC_DEDUP = f"""
+WITH emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+), cents AS (
+  SELECT vec_id AS cid, vec AS cv FROM emb
+  WHERE vec_id IN (10, 60, 110, 160, 210, 260, 310, 360)
+), assigned AS (
+  SELECT vec_id, vec, cid FROM (
+    SELECT e.vec_id, e.vec, k.cid,
+      ROW_NUMBER() OVER (
+        PARTITION BY e.vec_id
+        ORDER BY {_SQL_COS.format(a="e.vec", b="k.cv")} DESC, k.cid
+      ) AS rn
+    FROM emb e CROSS JOIN cents k
+  ) WHERE rn = 1
+), dups AS (
+  SELECT DISTINCT b.vec_id
+  FROM assigned a JOIN assigned b
+    ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE {_SQL_COS.format(a="a.vec", b="b.vec")} >= 0.40
+)
+SELECT a.vec_id, a.cid AS centroid_id,
+  CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS is_dup
+FROM assigned a LEFT JOIN dups d USING (vec_id)
+"""
+
+
+def q_weighted_sample(spark, sf_dir):
+    """Efraimidis–Spirakis weighted sampling without replacement:
+    top-150 documents by ln(u)/n_chars with md5-pinned uniforms —
+    plans as TakeOrderedAndProject (local top-k per partition, O(k)
+    driver merge, no global sort)."""
+    from claims_data_spark.operators.corpus import weighted_sample
+
+    d = spread(_t(spark, sf_dir, "documents"))
+    return weighted_sample(
+        d, k=150, weight_col="n_chars", id_col="doc_id",
+    ).select("doc_id", "lang", "n_chars", "samp_key")
+
+
+SQL_WEIGHTED_SAMPLE = """
+SELECT doc_id, lang, n_chars, samp_key FROM (
+  SELECT doc_id, lang, n_chars,
+    ROUND(
+      ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || 'ws'), 1, 8))
+           AS BIGINT) + 1.0) / 4294967296.0)
+      / CAST(n_chars AS DOUBLE), 9) AS samp_key
+  FROM documents WHERE n_chars > 0
+) ORDER BY samp_key DESC, doc_id LIMIT 150
+"""
+
+
+def q_mix_rebalance(spark, sf_dir):
+    """Downsample-only mixture rebalancing to a target language
+    distribution (the Pile/DoReMi domain-mixing step): T = min(n/p)
+    over strata, per-stratum keep-rate p*T/n, md5-thinned — one tiny
+    aggregate broadcast back, the corpus sees one map-only filter."""
+    from claims_data_spark.operators.corpus import mix_rebalance
+
+    d = spread(_t(spark, sf_dir, "documents"))
+    out = mix_rebalance(
+        d, strata_col="lang",
+        target={"en": 0.3, "de": 0.2, "es": 0.2, "fr": 0.2, "zh": 0.1},
+        id_col="doc_id",
+    )
+    return out.select(
+        "doc_id", "lang", "source",
+        F.round("keep_rate", 6).alias("keep_rate"),
+    )
+
+
+SQL_MIX_REBALANCE = """
+WITH tgt(lang, p) AS (
+  VALUES ('en', 0.3), ('de', 0.2), ('es', 0.2), ('fr', 0.2), ('zh', 0.1)
+), n AS (
+  SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n FROM documents GROUP BY lang
+), t AS (
+  SELECT MIN(n.n / tgt.p) AS t FROM n JOIN tgt USING (lang)
+), rates AS (
+  SELECT n.lang, LEAST(1.0, tgt.p * t.t / n.n) AS keep_rate
+  FROM n JOIN tgt USING (lang), t
+)
+SELECT d.doc_id, d.lang, d.source, ROUND(r.keep_rate, 6) AS keep_rate
+FROM documents d JOIN rates r USING (lang)
+WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR) || 'mix'), 1, 8))
+           AS BIGINT) / 4294967295.0 < r.keep_rate
+"""
+
+
+def q_domain_cap(spark, sf_dir):
+    """C4/RefinedWeb per-domain document cap: host extracted from the
+    URL by codegen regexp, blocklisted hosts filtered BEFORE the
+    shuffle, top-15 docs per host by (n_chars desc, doc_id). The URL
+    is derived deterministically from source/lang/doc_id (the corpus
+    table carries no URL column)."""
+    from claims_data_spark.operators.web import domain_cap
+
+    d = spread(_t(spark, sf_dir, "documents")).withColumn(
+        "url",
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.org/"),
+            F.col("lang"), F.lit("/"), F.col("doc_id").cast("string"),
+        ),
+    )
+    out = domain_cap(
+        d, "url", k=15, order_cols=[F.col("n_chars").desc()],
+        id_col="doc_id", blocklist=["src13.example.org"],
+    )
+    return out.select(
+        "doc_id", "host", "n_chars",
+        F.col("domain_rank").cast("long").alias("domain_rank"),
+    )
+
+
+SQL_DOMAIN_CAP = """
+WITH d AS (
+  SELECT doc_id, n_chars,
+    lower(regexp_extract(
+      'https://' || source || '.example.org/' || lang || '/'
+        || CAST(doc_id AS VARCHAR),
+      '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1)) AS host
+  FROM documents
+)
+SELECT doc_id, host, n_chars, domain_rank FROM (
+  SELECT doc_id, host, n_chars,
+    ROW_NUMBER() OVER (
+      PARTITION BY host ORDER BY n_chars DESC, doc_id
+    ) AS domain_rank
+  FROM d WHERE host <> 'src13.example.org'
+) WHERE domain_rank <= 15
+"""
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the correctness driver checks the first 50 entries.
@@ -6302,6 +6457,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "bigram_lm": q_bigram_lm,
         "scd2_merge": q_scd2_merge,
+        "semantic_dedup": q_semantic_dedup,
+        "weighted_sample": q_weighted_sample,
+        "mix_rebalance": q_mix_rebalance,
+        "domain_cap": q_domain_cap,
         # pinned: first driver-green in r04 (need a 2nd green round)
         "combined_claim_children": q_combined_claim_children,
         "minhash_near_dup": q_minhash_dedup,
@@ -6342,6 +6501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "submonth_clip": q_submonth_clip,
         "tabloop_fixed": q_tabloop_fixed,
         "tabloop_suppress": q_tabloop,
+        # ---- outside the window: parity + pytest covered ----
         "text_stats": q_text_stats,
         "theta_or_join": q_theta_or_join,
         "topk_ties": q_topk_ties,
@@ -6349,7 +6509,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_bindrows": q_union_bindrows,
         "union_stack": q_union,
         "unpivot_long": q_unpivot,
-        # ---- outside the window: parity + pytest covered ----
         "ccw_two_claim": q_ccw_two_claim,
         "ccw_combined": q_ccw_combined,
         "fuh_followup": q_fuh_followup,
@@ -6465,6 +6624,10 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": SQL_BM25_TOPK,
         "bigram_lm": SQL_BIGRAM_LM,
         "scd2_merge": SQL_SCD2_MERGE,
+        "semantic_dedup": SQL_SEMANTIC_DEDUP,
+        "weighted_sample": SQL_WEIGHTED_SAMPLE,
+        "mix_rebalance": SQL_MIX_REBALANCE,
+        "domain_cap": SQL_DOMAIN_CAP,
         "quantize_embeddings": SQL_QUANTIZE_EMBEDDINGS,
         "pii_scrub": SQL_PII_SCRUB,
         "chunk_documents": SQL_CHUNK_DOCUMENTS,

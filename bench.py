@@ -75,6 +75,10 @@ EXTENDED = [
     "chunk_documents",
     "quantize_embeddings",
     "repetition_filter",
+    "semantic_dedup",
+    "weighted_sample",
+    "mix_rebalance",
+    "domain_cap",
 ]
 
 

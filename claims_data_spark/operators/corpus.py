@@ -518,3 +518,104 @@ def chunk_documents(
             F.col("_c.n_tokens").alias("n_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling (Efraimidis–Spirakis) and mixture rebalancing
+# ---------------------------------------------------------------------------
+
+def _md5_uniform(id_col: str, seed: str, open_zero: bool = False) -> F.Column:
+    """Deterministic per-row uniform in the row's OWN id (the pinned-
+    hash idiom of :func:`stratified_sample` — identical across retries,
+    stages, and engines). ``open_zero`` shifts to (0, 1] so ln(u) is
+    finite."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.col(id_col).cast("string"), F.lit(seed))), 1, 8),
+        16, 10,
+    ).cast("double")
+    if open_zero:
+        return (h + F.lit(1.0)) / F.lit(4294967296.0)
+    return h / F.lit(4294967295.0)
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str,
+    seed: str = "ws",
+    key_col: str = "samp_key",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement of exactly ``k`` rows —
+    the Efraimidis–Spirakis (2006) one-pass reservoir: each row draws
+    a deterministic uniform u and competes with key ln(u)/w (monotone
+    with u^(1/w); larger weights pull the key toward 0 = rank 1); the
+    global top-k by key IS a weighted sample without replacement.
+
+    Scale story: the selection plans as TakeOrderedAndProject — each
+    partition keeps its local k, the driver merges partition winners;
+    no global sort, no shuffle of the corpus, O(k) driver state. The
+    uniform is md5-pinned to the row id, so the sample is identical
+    across task retries and engines (no RNG state, unlike
+    ``df.sample``).
+
+    The key is rounded to 9 decimals BEFORE ordering (ties broken by
+    id): libm's ln may differ by 1 ulp across engines, and the round
+    quashes that 5e-17 noise without costing rank resolution (key
+    gaps at realistic corpus sizes are >> 1e-9).
+    """
+    w = F.col(weight_col).cast("double")
+    key = F.round(F.log(_md5_uniform(id_col, seed, open_zero=True)) / w, 9)
+    return (
+        df.filter(w > 0)
+        .withColumn(key_col, key)
+        .orderBy(F.col(key_col).desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def mix_rebalance(
+    df: DataFrame,
+    strata_col: str,
+    target: dict,
+    id_col: str,
+    seed: str = "mix",
+    rate_col: str = "keep_rate",
+) -> DataFrame:
+    """Rebalance a corpus to a target mixture by downsampling-only
+    (the Pile/DoReMi-style domain-mixing step): given target
+    proportions p_s, the largest total T with exact proportions and no
+    upsampling is T = min_s(n_s / p_s); each stratum keeps
+    rate_s = p_s * T / n_s of its rows via the deterministic md5 thin.
+    Strata absent from ``target`` drop entirely (rate 0).
+
+    All in-plan, no driver collect: the per-stratum counts are one
+    tiny aggregate, T is a scalar aggregate over it, and both broadcast
+    back onto the fact — the fact itself sees one map-only filter. The
+    rates are exact-IEEE arithmetic (one divide, one multiply — both
+    correctly rounded, bit-identical in any engine), so membership is
+    engine-portable.
+    """
+    p = None
+    for s, frac in target.items():
+        cond = F.col(strata_col) == F.lit(s)
+        p = F.when(cond, F.lit(float(frac))) if p is None \
+            else p.when(cond, F.lit(float(frac)))
+    p = p.otherwise(F.lit(0.0))
+
+    counts = df.groupBy(strata_col).agg(F.count("*").cast("double").alias("_n"))
+    counts = counts.withColumn("_p", p)
+    t = counts.filter(F.col("_p") > 0).agg(
+        F.min(F.col("_n") / F.col("_p")).alias("_t")
+    )
+    rates = counts.crossJoin(F.broadcast(t)).select(
+        strata_col,
+        F.when(
+            F.col("_p") > 0,
+            F.least(F.lit(1.0), F.col("_p") * F.col("_t") / F.col("_n")),
+        ).otherwise(F.lit(0.0)).alias(rate_col),
+    )
+    return (
+        df.join(F.broadcast(rates), strata_col)
+        .filter(_md5_uniform(id_col, seed) < F.col(rate_col))
+    )

@@ -236,6 +236,36 @@ def blocked_pairwise_cosine(
     )
 
 
+def _collect_fixed_centroids(
+    corpus: DataFrame,
+    centroid_ids: list[int],
+    id_col: str,
+    vec_col: str,
+) -> list[tuple[int, list[float]]]:
+    """Fetch the codebook rows for a FIXED coarse quantizer. Bounded
+    metadata: ``len(centroid_ids)`` rows, not data."""
+    cent_rows = (
+        corpus.filter(F.col(id_col).isin([int(c) for c in centroid_ids]))
+        .select(id_col, vec_col)
+        .collect()
+    )
+    return sorted((int(r[0]), [float(x) for x in r[1]]) for r in cent_rows)
+
+
+def _centroid_rank(cents: list[tuple[int, list[float]]], vec_col: Column) -> Column:
+    """Row-local ranking of centroids by cosine (first = nearest,
+    ties to the lower centroid id) as a sorted array of
+    (-cos, cid) structs — pure JVM expression work, so an ANSI oracle
+    reproduces the assignment bit-for-bit."""
+    return F.sort_array(F.array(*[
+        F.struct(
+            (-cosine(vec_col, F.array(*[F.lit(x) for x in cv]))).alias("nc"),
+            F.lit(cid).cast("long").alias("cid"),
+        )
+        for cid, cv in cents
+    ]))
+
+
 def ivf_topk_fixed_centroids(
     corpus: DataFrame,
     queries: DataFrame,
@@ -266,22 +296,10 @@ def ivf_topk_fixed_centroids(
     The centroid collect is bounded metadata: ``len(centroid_ids)``
     rows.
     """
-    cent_rows = (
-        corpus.filter(F.col(corpus_id).isin([int(c) for c in centroid_ids]))
-        .select(corpus_id, corpus_vec)
-        .collect()
-    )
-    cents = sorted((int(r[0]), [float(x) for x in r[1]]) for r in cent_rows)
+    cents = _collect_fixed_centroids(corpus, centroid_ids, corpus_id, corpus_vec)
 
     def ranked_structs(vec_col: Column) -> Column:
-        return F.sort_array(F.array(*[
-            F.struct(
-                (-cosine(vec_col, F.array(*[F.lit(x) for x in cv])))
-                .alias("nc"),
-                F.lit(cid).cast("long").alias("cid"),
-            )
-            for cid, cv in cents
-        ]))
+        return _centroid_rank(cents, vec_col)
 
     assigned = corpus.withColumn(
         "centroid_id", ranked_structs(F.col(corpus_vec))[0]["cid"]
@@ -342,3 +360,66 @@ def quantize_int8(
         ),
     ).otherwise(F.transform(v, lambda x: F.lit(0)))
     return df.withColumns({scale_col: scale, out_col: q})
+
+
+# ---------------------------------------------------------------------------
+# Semantic (embedding-space) dedup — SemDeDup-style
+# ---------------------------------------------------------------------------
+
+def semantic_dedup(
+    corpus: DataFrame,
+    centroid_ids: list[int],
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space near-duplicate pruning (the SemDeDup recipe,
+    Abbas et al. 2023): cluster the corpus with a coarse quantizer,
+    then inside each cluster mark every vector that has a
+    cosine-similar neighbor (>= ``threshold``) with a SMALLER id as a
+    duplicate — the greedy keep-lowest-id rule, which needs no
+    connected components and is order-independent.
+
+    Scale story: the all-pairs comparison is confined to cluster
+    buckets — the self-join keys on ``centroid_id``, so pair count is
+    sum(|cluster|^2), bounded by the quantizer's granularity (at 100 TB
+    you raise C so clusters stay ~1e4-1e5 rows; assignment itself is a
+    map-only pass). No global cartesian ever forms. The codebook here
+    is FIXED seed vectors (same trade as
+    :func:`ivf_topk_fixed_centroids`): every step is deterministic JVM
+    expression work an ANSI oracle reproduces value-for-value.
+
+    Returns one row per corpus vector: id, centroid_id, is_dup (1 when
+    a smaller-id neighbor in the same cluster is >= threshold).
+    """
+    cents = _collect_fixed_centroids(corpus, centroid_ids, id_col, vec_col)
+    assigned = spread(corpus.withColumn(
+        "centroid_id", _centroid_rank(cents, F.col(vec_col))[0]["cid"]
+    ))
+    left = assigned.select(
+        F.col("centroid_id"),
+        F.col(id_col).alias("_lid"),
+        F.col(vec_col).alias("_lvec"),
+    )
+    right = assigned.select(
+        F.col("centroid_id"),
+        F.col(id_col).alias("_rid"),
+        F.col(vec_col).alias("_rvec"),
+    )
+    dup_ids = (
+        left.join(right, "centroid_id")
+        .filter(F.col("_lid") < F.col("_rid"))
+        .filter(cosine(F.col("_lvec"), F.col("_rvec")) >= F.lit(threshold))
+        .select(F.col("_rid").alias(id_col))
+        .distinct()
+    )
+    return (
+        assigned.join(
+            dup_ids.withColumn("_isdup", F.lit(1)), id_col, "left"
+        )
+        .select(
+            id_col,
+            "centroid_id",
+            F.coalesce(F.col("_isdup"), F.lit(0)).cast("int").alias("is_dup"),
+        )
+    )

@@ -756,3 +756,52 @@ def test_bigram_lm_scores_properties(spark):
     assert rows[3]["xent"] == round(x3, 4)
     assert rows[1]["xent"] < rows[3]["xent"]
     assert rows[1]["ppl"] == round(math.exp(round(x1, 4)), 2)
+
+
+def test_semantic_dedup_greedy_rule(spark):
+    """Planted near-identical vectors: is_dup=1 exactly when a
+    smaller-id same-cluster neighbor is >= threshold; the smallest id
+    of any duplicate group survives."""
+    from claims_data_spark.operators.similarity import semantic_dedup
+
+    base = [1.0, 0.0, 0.0, 0.0]
+    near = [0.999, 0.01, 0.0, 0.0]      # ~same direction as base
+    other = [0.0, 1.0, 0.0, 0.0]        # orthogonal cluster seed
+    mixed = [0.6, 0.6, 0.0, 0.0]        # between, lands somewhere
+    rows = [
+        (0, base), (1, near), (2, other), (3, mixed),
+        (4, [0.998, 0.02, 0.0, 0.0]),   # another near-dup of base
+        (5, [0.0, 0.999, 0.01, 0.0]),   # near-dup of other
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(df, centroid_ids=[0, 2], threshold=0.98)
+    got = {r["vec_id"]: (r["centroid_id"], r["is_dup"]) for r in out.collect()}
+    # 0 is the smallest id in its group: survives; 1 and 4 dup it.
+    assert got[0][1] == 0 and got[1][1] == 1 and got[4][1] == 1
+    # 2 survives; 5 dups it.
+    assert got[2][1] == 0 and got[5][1] == 1
+    # mixed is similar to neither above 0.98
+    assert got[3][1] == 0
+    # cluster assignment: near-dups share their seed's cluster
+    assert got[1][0] == got[0][0] == 0 and got[5][0] == got[2][0] == 2
+
+
+def test_semantic_dedup_lowest_id_never_dup(spark, sf_dir):
+    """On real embeddings: within every cluster the smallest id is
+    kept (the greedy rule can never mark it)."""
+    from pyspark.sql import functions as F
+    from claims_data_spark.operators.similarity import semantic_dedup
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .withColumn("vec", F.transform("embedding", lambda x: x.cast("double")))
+        .select("vec_id", F.col("vec").alias("embedding"))
+    )
+    out = semantic_dedup(emb, centroid_ids=[10, 60, 110, 160], threshold=0.35)
+    firsts = (
+        out.groupBy("centroid_id")
+        .agg(F.min("vec_id").alias("first_id"))
+        .join(out, (F.col("first_id") == F.col("vec_id")), "inner")
+    )
+    assert firsts.filter(F.col("is_dup") == 1).count() == 0
+    assert out.filter(F.col("is_dup") == 1).count() > 0

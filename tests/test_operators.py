@@ -638,3 +638,97 @@ def test_scd2_merge_outcomes(spark):
           r["is_current"]) for r in df.collect()), key=key,
     )
     assert canon(again) == canon(out)
+
+
+def test_weighted_sample_exact_k_and_bias(spark):
+    """Efraimidis–Spirakis: exactly k rows, deterministic across runs,
+    and selection frequency increases with weight (the heavy row wins
+    far more often across independent seed draws)."""
+    from claims_data_spark.operators.corpus import weighted_sample
+
+    rows = [(i, 1000 if i == 0 else 10) for i in range(40)]
+    df = spark.createDataFrame(rows, "rid long, w long")
+    out1 = weighted_sample(df, k=5, weight_col="w", id_col="rid")
+    out2 = weighted_sample(df, k=5, weight_col="w", id_col="rid")
+    got1 = sorted(r["rid"] for r in out1.collect())
+    assert got1 == sorted(r["rid"] for r in out2.collect())
+    assert len(got1) == 5
+    # the 100x-weight row should win across most seeds
+    hits = 0
+    for s in range(12):
+        picked = {r["rid"] for r in weighted_sample(
+            df, k=5, weight_col="w", id_col="rid", seed=f"s{s}"
+        ).collect()}
+        hits += 0 in picked
+    assert hits >= 10
+
+
+def test_weighted_sample_zero_weight_excluded(spark):
+    from claims_data_spark.operators.corpus import weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, 0), (2, 5), (3, 5)], "rid long, w long"
+    )
+    got = {r["rid"] for r in weighted_sample(
+        df, k=3, weight_col="w", id_col="rid").collect()}
+    assert got == {2, 3}
+
+
+def test_mix_rebalance_proportions_and_drop(spark):
+    """Downsample-only rebalancing: strata hit ~target proportions,
+    no stratum exceeds its own count, untargeted strata drop."""
+    from pyspark.sql import functions as F
+    from claims_data_spark.operators.corpus import mix_rebalance
+
+    rows = [(i, "a" if i % 10 < 6 else ("b" if i % 10 < 9 else "x"))
+            for i in range(2000)]
+    df = spark.createDataFrame(rows, "rid long, s string")
+    out = mix_rebalance(df, "s", {"a": 0.5, "b": 0.5}, id_col="rid")
+    counts = {r["s"]: r["n"] for r in
+              out.groupBy("s").agg(F.count("*").alias("n")).collect()}
+    assert "x" not in counts
+    # b is the binding stratum (600 rows / 0.5 => T=1200): kept whole
+    assert counts["b"] == 600
+    # a thins toward 600 (md5 thinning is approximate at n=1200)
+    assert 500 <= counts["a"] <= 700
+    # rate column present and within (0, 1]
+    rates = out.select("keep_rate").distinct().collect()
+    assert all(0 < r["keep_rate"] <= 1.0 for r in rates)
+
+
+def test_domain_cap_two_phase_equivalence(spark):
+    """The salted two-phase top-k (skew path) returns EXACTLY the
+    single-window result — min-k is decomposable."""
+    from pyspark.sql import functions as F
+    from claims_data_spark.operators.web import domain_cap
+
+    rows = [(i, f"https://host{i % 7}.org/p/{i}", (i * 37) % 100)
+            for i in range(600)]
+    df = spark.createDataFrame(rows, "rid long, url string, score long")
+    kw = dict(url_col="url", k=9, order_cols=[F.col("score").desc()],
+              id_col="rid")
+    one = domain_cap(df, **kw)
+    two = domain_cap(df, two_phase=True, num_salts=8, **kw)
+    cols = ["rid", "host", "domain_rank"]
+    assert sorted(map(tuple, one.select(cols).collect())) == \
+        sorted(map(tuple, two.select(cols).collect()))
+    # cap respected per host
+    mx = one.groupBy("host").count().agg(F.max("count")).collect()[0][0]
+    assert mx <= 9
+
+
+def test_domain_cap_blocklist_and_parse(spark):
+    from pyspark.sql import functions as F
+    from claims_data_spark.operators.web import domain_cap, extract_host
+
+    df = spark.createDataFrame(
+        [(1, "https://Bad.org/x", 5), (2, "https://ok.org/y", 5),
+         (3, "not a url", 5)],
+        "rid long, url string, score long",
+    )
+    out = domain_cap(df, "url", k=10, order_cols=[F.col("score").desc()],
+                     id_col="rid", blocklist=["bad.org"])
+    hosts = {r["host"] for r in out.collect()}
+    assert "bad.org" not in hosts and "ok.org" in hosts
+    # unparseable URL maps to empty host (kept, groupable)
+    assert "" in hosts
