@@ -197,3 +197,67 @@ def test_header_flags_consumer_skips_reassembly(spark, sf_dir):
     assert "ExistingRDD" in plan
     assert plan.count("lineitem.parquet") == 0, plan[:2000]
     assert plan.count("orders.parquet") == 0, plan[:2000]
+
+
+def test_weighted_sample_plans_take_ordered(spark, sf_dir):
+    """The ES sample's global top-k must plan as TakeOrderedAndProject
+    (partition-local k + driver merge), never a global Sort exchange."""
+    from claims_data_spark.operators.corpus import weighted_sample
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = weighted_sample(d, k=100, weight_col="n_chars", id_col="doc_id")
+    plan = _plan(out)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert _n_exchanges(plan) == 0, plan
+
+
+def test_mix_rebalance_fact_side_map_only(spark, sf_dir):
+    """The corpus side of the rebalance joins the (broadcast) rate
+    table and filters — no shuffle of the fact; the only exchanges
+    belong to the tiny per-stratum aggregate."""
+    from claims_data_spark.operators.corpus import mix_rebalance
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = mix_rebalance(
+        d, "lang", {"en": 0.5, "de": 0.5}, id_col="doc_id"
+    )
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan, plan
+    # exchanges only on the counts aggregate (lang-grain, tiny)
+    assert _n_exchanges(plan) <= 2, plan
+
+
+def test_domain_cap_blocklist_before_exchange(spark, sf_dir):
+    """The blocklist filter must sit under the host exchange so
+    blocked giants never shuffle."""
+    from claims_data_spark.operators.web import domain_cap
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "url", F.concat(F.lit("https://"), F.col("source"),
+                        F.lit(".example.org/"), F.col("doc_id").cast("string")),
+    )
+    out = domain_cap(
+        d, "url", k=5, order_cols=[F.col("n_chars").desc()],
+        id_col="doc_id", blocklist=["src13.example.org"],
+    )
+    plan = _plan(out)
+    ex = plan.index("Exchange hashpartitioning")
+    flt = plan.index("Filter NOT (lower(regexp_extract")
+    assert flt > ex, plan  # deeper in the tree = earlier in execution
+
+
+def test_semantic_dedup_pairs_keyed_on_cluster(spark, sf_dir):
+    """The pair join must key on centroid_id (bucketed pairs), with no
+    cartesian product anywhere in the plan."""
+    from pyspark.sql import functions as F2
+    from claims_data_spark.operators.similarity import semantic_dedup
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .withColumn("vec", F2.transform("embedding", lambda x: x.cast("double")))
+        .select("vec_id", F2.col("vec").alias("embedding"))
+    )
+    out = semantic_dedup(emb, centroid_ids=[10, 60, 110, 160], threshold=0.4)
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan, plan
+    assert "centroid_id" in plan, plan
