@@ -6439,6 +6439,60 @@ SELECT doc_id, host, n_chars, domain_rank FROM (
 """
 
 
+def q_record_linkage(spark, sf_dir):
+    """Blocked fuzzy record linkage (the probabilistic step ahead of
+    the reference's deterministic xwalk, tables/xwalk.py): noisy copies
+    of part names ('a' -> '@') link back to their originals via an
+    equi-join on (p_size, 3-char prefix) blocks and a JVM levenshtein
+    verify <= 4 — candidates only, never all-pairs; best match per
+    probe by (dist, lowest id)."""
+    from claims_data_spark.operators.linkage import blocked_link
+
+    p = _t(spark, sf_dir, "part")
+    left = p.select(
+        F.col("p_partkey").alias("lid"),
+        F.col("p_name").alias("ltxt"),
+        "p_size",
+        F.substring("p_name", 1, 3).alias("blk"),
+    )
+    rtxt = F.regexp_replace("p_name", "a", "@")
+    right = p.select(
+        (F.col("p_partkey") + 1000000).alias("rid"),
+        rtxt.alias("rtxt"),
+        "p_size",
+        F.substring(rtxt, 1, 3).alias("blk"),
+    )
+    return blocked_link(
+        left, right, ["p_size", "blk"],
+        left_id="lid", right_id="rid",
+        left_text="ltxt", right_text="rtxt", max_dist=4,
+    )
+
+
+SQL_RECORD_LINKAGE = """
+WITH l AS (
+  SELECT p_partkey AS lid, p_name AS ltxt, p_size,
+         substr(p_name, 1, 3) AS blk
+  FROM part
+), r AS (
+  SELECT p_partkey + 1000000 AS rid, replace(p_name, 'a', '@') AS rtxt,
+         p_size, substr(replace(p_name, 'a', '@'), 1, 3) AS blk
+  FROM part
+), pairs AS (
+  SELECT r.rid, l.lid, levenshtein(l.ltxt, r.rtxt) AS dist,
+         l.ltxt, r.rtxt
+  FROM l JOIN r ON l.p_size = r.p_size AND l.blk = r.blk
+)
+SELECT rid, lid, CAST(dist AS INT) AS dist,
+  ROUND(1.0 - dist / CAST(GREATEST(len(ltxt), len(rtxt)) AS DOUBLE), 6)
+    AS sim
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY rid ORDER BY dist, lid) AS rn
+  FROM pairs WHERE dist <= 4
+) WHERE rn = 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the correctness driver checks the first 50 entries.
     # Rotation policy lives in WINDOW.md: red/changed/new queries pin
@@ -6461,6 +6515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "mix_rebalance": q_mix_rebalance,
         "domain_cap": q_domain_cap,
+        "record_linkage": q_record_linkage,
         # pinned: first driver-green in r04 (need a 2nd green round)
         "combined_claim_children": q_combined_claim_children,
         "minhash_near_dup": q_minhash_dedup,
@@ -6494,7 +6549,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pct_flags": q_pct_flags,
         "prefix_join": q_prefix_join,
         "pricing_summary": q_pricing_summary,
-        "quality_fingerprint": q_quality,
         "right_join": q_right_join,
         "scalar_datetime": q_scalar_datetime,
         "semi_join": q_semi_join,
@@ -6509,6 +6563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_bindrows": q_union_bindrows,
         "union_stack": q_union,
         "unpivot_long": q_unpivot,
+        "quality_fingerprint": q_quality,
         "ccw_two_claim": q_ccw_two_claim,
         "ccw_combined": q_ccw_combined,
         "fuh_followup": q_fuh_followup,
@@ -6628,6 +6683,7 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample": SQL_WEIGHTED_SAMPLE,
         "mix_rebalance": SQL_MIX_REBALANCE,
         "domain_cap": SQL_DOMAIN_CAP,
+        "record_linkage": SQL_RECORD_LINKAGE,
         "quantize_embeddings": SQL_QUANTIZE_EMBEDDINGS,
         "pii_scrub": SQL_PII_SCRUB,
         "chunk_documents": SQL_CHUNK_DOCUMENTS,

@@ -79,6 +79,7 @@ EXTENDED = [
     "weighted_sample",
     "mix_rebalance",
     "domain_cap",
+    "record_linkage",
 ]
 
 

@@ -1,0 +1,81 @@
+"""Blocked fuzzy record linkage (entity resolution).
+
+The claims reference resolves person identity through a deterministic
+crosswalk (claims_db xwalk tables; see `tables/xwalk.py`); real-world
+intake adds the step BEFORE that crosswalk exists: probabilistic
+matching of free-text identifiers. This operator is the scalable
+shape of that step — and equally the fuzzy-join every large corpus
+curation pipeline needs for joining noisy metadata.
+
+Scale: never all-pairs. Candidate pairs come from an EQUI-join on
+blocking keys (the standard record-linkage discipline: a block key
+cheap enough to compute row-locally and selective enough that block
+sizes stay bounded — at 100 TB you block on several keys and union
+the candidate sets). The expensive string distance runs only on
+candidates, JVM-side (`levenshtein` is a built-in — no Python, no
+UDF). Best-match selection is one row_number window per probe id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def blocked_link(
+    left: DataFrame,
+    right: DataFrame,
+    block_cols: list,
+    left_id: str,
+    right_id: str,
+    left_text: str,
+    right_text: str,
+    max_dist: int,
+    keep: str = "best",
+) -> DataFrame:
+    """Link each RIGHT record to LEFT candidates sharing its blocking
+    keys with Levenshtein distance <= ``max_dist``.
+
+    ``keep='best'`` returns one row per matched right record (lowest
+    distance, ties to the lowest left id — deterministic);
+    ``keep='all'`` returns every verified candidate pair. Similarity
+    is 1 - dist/len(longer), rounded to 6.
+    """
+    l = left.select(
+        *block_cols,
+        F.col(left_id).alias("_lid"),
+        F.col(left_text).alias("_ltxt"),
+    )
+    r = right.select(
+        *block_cols,
+        F.col(right_id).alias("_rid"),
+        F.col(right_text).alias("_rtxt"),
+    )
+    dist = F.levenshtein(F.col("_ltxt"), F.col("_rtxt"))
+    pairs = (
+        l.join(r, block_cols)
+        .withColumn("_dist", dist)
+        .filter(F.col("_dist") <= max_dist)
+    )
+    sim = F.round(
+        F.lit(1.0)
+        - F.col("_dist")
+        / F.greatest(F.length("_ltxt"), F.length("_rtxt")).cast("double"),
+        6,
+    )
+    out = pairs.select(
+        F.col("_rid").alias(right_id),
+        F.col("_lid").alias(left_id),
+        F.col("_dist").cast("int").alias("dist"),
+        sim.alias("sim"),
+    )
+    if keep == "all":
+        return out
+    w = Window.partitionBy(right_id).orderBy(
+        F.col("dist").asc(), F.col(left_id).asc()
+    )
+    return (
+        out.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

@@ -732,3 +732,36 @@ def test_domain_cap_blocklist_and_parse(spark):
     assert "bad.org" not in hosts and "ok.org" in hosts
     # unparseable URL maps to empty host (kept, groupable)
     assert "" in hosts
+
+
+def test_blocked_link_best_and_all(spark):
+    """Hand example: candidates only come from matching blocks, the
+    distance gate holds, and keep='best' picks lowest (dist, id)."""
+    from claims_data_spark.operators.linkage import blocked_link
+
+    left = spark.createDataFrame(
+        [(1, "jonathan smith", "b1"), (2, "jon smith", "b1"),
+         (3, "jonathan smith", "b2")],
+        "lid long, ltxt string, blk string",
+    )
+    right = spark.createDataFrame(
+        [(10, "jonathon smith", "b1"), (11, "zzzz", "b1")],
+        "rid long, rtxt string, blk string",
+    )
+    best = blocked_link(
+        left, right, ["blk"], left_id="lid", right_id="rid",
+        left_text="ltxt", right_text="rtxt", max_dist=5,
+    ).collect()
+    got = {r["rid"]: (r["lid"], r["dist"]) for r in best}
+    # rid 10: lid 1 at dist 1 beats lid 2 at dist 5; lid 3 blocked out
+    assert got[10] == (1, 1)
+    # rid 11: nothing within dist 5
+    assert 11 not in got
+    allp = blocked_link(
+        left, right, ["blk"], left_id="lid", right_id="rid",
+        left_text="ltxt", right_text="rtxt", max_dist=5, keep="all",
+    ).collect()
+    assert {(r["rid"], r["lid"]) for r in allp} == {(10, 1), (10, 2)}
+    # similarity normalizes by the longer string
+    sims = {(r["rid"], r["lid"]): r["sim"] for r in allp}
+    assert abs(sims[(10, 1)] - (1 - 1 / 14)) < 1e-6
