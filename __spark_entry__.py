@@ -6441,47 +6441,56 @@ SELECT doc_id, host, n_chars, domain_rank FROM (
 
 def q_record_linkage(spark, sf_dir):
     """Blocked fuzzy record linkage (the probabilistic step ahead of
-    the reference's deterministic xwalk, tables/xwalk.py): noisy copies
-    of part names ('a' -> '@') link back to their originals via an
-    equi-join on (p_size, 3-char prefix) blocks and a JVM levenshtein
-    verify <= 4 — candidates only, never all-pairs; best match per
-    probe by (dist, lowest id)."""
+    the reference's deterministic xwalk, tables/xwalk.py). Each
+    customer carries an MRN-style surrogate identifier (16 hex chars
+    of md5 — high-entropy, like real record numbers; the low-entropy
+    synthetic name columns would make fuzzy matching degenerate);
+    noisy copies ('a' -> '@') link back to their originals via an
+    equi-join on (nation, 2-hex prefix) blocks and a THRESHOLDED JVM
+    levenshtein verify <= 4 over candidates only, never all-pairs;
+    best match per probe by (dist, lowest id). Rows whose block prefix
+    was itself corrupted stay unmatched — the classic blocking miss."""
     from claims_data_spark.operators.linkage import blocked_link
 
-    p = _t(spark, sf_dir, "part")
-    left = p.select(
-        F.col("p_partkey").alias("lid"),
-        F.col("p_name").alias("ltxt"),
-        "p_size",
-        F.substring("p_name", 1, 3).alias("blk"),
+    c = _t(spark, sf_dir, "customer")
+    ent = F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 16)
+    noisy = F.regexp_replace(ent, "a", "@")
+    left = c.select(
+        F.col("c_custkey").alias("lid"),
+        ent.alias("ltxt"),
+        "c_nationkey",
+        F.substring(ent, 1, 2).alias("blk"),
     )
-    rtxt = F.regexp_replace("p_name", "a", "@")
-    right = p.select(
-        (F.col("p_partkey") + 1000000).alias("rid"),
-        rtxt.alias("rtxt"),
-        "p_size",
-        F.substring(rtxt, 1, 3).alias("blk"),
+    right = c.select(
+        (F.col("c_custkey") + 10000000).alias("rid"),
+        noisy.alias("rtxt"),
+        "c_nationkey",
+        F.substring(noisy, 1, 2).alias("blk"),
     )
     return blocked_link(
-        left, right, ["p_size", "blk"],
+        left, right, ["c_nationkey", "blk"],
         left_id="lid", right_id="rid",
         left_text="ltxt", right_text="rtxt", max_dist=4,
     )
 
 
 SQL_RECORD_LINKAGE = """
-WITH l AS (
-  SELECT p_partkey AS lid, p_name AS ltxt, p_size,
-         substr(p_name, 1, 3) AS blk
-  FROM part
+WITH base AS (
+  SELECT c_custkey, c_nationkey,
+         substr(md5(CAST(c_custkey AS VARCHAR)), 1, 16) AS ent
+  FROM customer
+), l AS (
+  SELECT c_custkey AS lid, ent AS ltxt, c_nationkey,
+         substr(ent, 1, 2) AS blk
+  FROM base
 ), r AS (
-  SELECT p_partkey + 1000000 AS rid, replace(p_name, 'a', '@') AS rtxt,
-         p_size, substr(replace(p_name, 'a', '@'), 1, 3) AS blk
-  FROM part
+  SELECT c_custkey + 10000000 AS rid, replace(ent, 'a', '@') AS rtxt,
+         c_nationkey, substr(replace(ent, 'a', '@'), 1, 2) AS blk
+  FROM base
 ), pairs AS (
   SELECT r.rid, l.lid, levenshtein(l.ltxt, r.rtxt) AS dist,
          l.ltxt, r.rtxt
-  FROM l JOIN r ON l.p_size = r.p_size AND l.blk = r.blk
+  FROM l JOIN r ON l.c_nationkey = r.c_nationkey AND l.blk = r.blk
 )
 SELECT rid, lid, CAST(dist AS INT) AS dist,
   ROUND(1.0 - dist / CAST(GREATEST(len(ltxt), len(rtxt)) AS DOUBLE), 6)
