@@ -6556,6 +6556,255 @@ FROM t
 """
 
 
+def q_line_dedup(spark, sf_dir):
+    """C4-style corpus-frequency line dedup (operators/corpus.
+    line_dedup): each document is segmented into 10-word "lines" with
+    a per-source nav header and a per-language copyright footer
+    prepended/appended — the boilerplate every crawl carries. Lines
+    recurring in >= 5 distinct documents are dropped corpus-wide and
+    the survivors reassemble in original order. One count exchange on
+    the normalized line + one reassembly exchange on the doc id; the
+    boilerplate set is the heavy-hitter head, so the kept-line check
+    is a broadcast anti-lookup."""
+    from claims_data_spark.operators.corpus import line_dedup
+
+    d = spread(_t(spark, sf_dir, "documents")).filter(
+        F.col("text").isNotNull()
+    )
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    nseg = F.greatest(
+        F.ceil(F.size(words) / F.lit(10.0)).cast("int"), F.lit(1)
+    )
+    segs = F.transform(
+        F.sequence(F.lit(1), nseg),
+        lambda i: F.array_join(F.slice(words, (i - 1) * 10 + 1, 10), " "),
+    )
+    lines = F.concat(
+        F.array(
+            F.concat_ws(
+                " ", F.lit("nav"), F.col("source"),
+                F.lit("home search login"),
+            )
+        ),
+        segs,
+        F.array(
+            F.concat_ws(
+                " ", F.lit("copyright"), F.col("lang"),
+                F.lit("all rights reserved"),
+            )
+        ),
+    )
+    out = line_dedup(
+        d.withColumn("lines", lines).select("doc_id", "lines"),
+        "lines", min_docs=5,
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        "n_kept",
+        F.md5("text_clean").alias("clean_digest"),
+    )
+
+
+SQL_LINE_DEDUP = r"""
+WITH d AS (
+  SELECT doc_id, lang, source, string_split_regex(trim(text), '\s+') AS w
+  FROM documents WHERE text IS NOT NULL
+), built AS (
+  SELECT doc_id,
+    ['nav ' || source || ' home search login']
+    || list_transform(
+         generate_series(1, greatest(CAST(ceil(len(w) / 10.0) AS INT), 1)),
+         i -> array_to_string(w[(i-1)*10+1 : i*10], ' '))
+    || ['copyright ' || lang || ' all rights reserved'] AS lines
+  FROM d
+), ex AS (
+  SELECT doc_id, unnest(lines) AS line,
+         generate_subscripts(lines, 1) AS pos
+  FROM built
+), normed AS (
+  SELECT doc_id, pos, line,
+    regexp_replace(lower(trim(line)), '\s+', ' ', 'g') AS norm
+  FROM ex
+), boiler AS (
+  SELECT norm FROM normed GROUP BY norm
+  HAVING COUNT(DISTINCT doc_id) >= 5
+), kept AS (
+  SELECT n.doc_id, COUNT(*) AS n_kept,
+    string_agg(n.line, chr(10) ORDER BY n.pos) AS text_clean
+  FROM normed n LEFT JOIN boiler b ON n.norm = b.norm
+  WHERE b.norm IS NULL
+  GROUP BY n.doc_id
+), totals AS (
+  SELECT doc_id, len(lines) AS n_lines FROM built
+)
+SELECT t.doc_id, CAST(t.n_lines AS BIGINT) AS n_lines,
+  CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+  md5(COALESCE(k.text_clean, '')) AS clean_digest
+FROM totals t LEFT JOIN kept k USING (doc_id)
+"""
+
+
+def q_bloom_decontaminate(spark, sf_dir):
+    """Bloom-pruned decontamination (operators/corpus.
+    bloom_decontaminate): every 37th document plays the eval suite;
+    training docs sharing any word 3-gram are flagged. The Bloom
+    filter (16 KiB of longs, md5 hash family, getbit probes — all
+    whole-stage codegen) prunes clean documents at the MAP stage; only
+    Bloom-positive grams reach the exact verify join, so the output is
+    bit-identical to the exact operator — which is why the oracle here
+    IS the exact decontamination SQL."""
+    from claims_data_spark.operators.corpus import bloom_decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 37 == 0)
+    train = docs.filter(F.col("doc_id") % 37 != 0)
+    _clean, contaminated = bloom_decontaminate(train, bench, n=3)
+    return contaminated.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_hits").cast("long").alias("n_hits"),
+    )
+
+
+SQL_BLOOM_DECONTAMINATE = r"""
+WITH words AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+  FROM documents WHERE text IS NOT NULL
+), doc_grams AS (
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id,
+      unnest(list_transform(generate_series(1, len(w) - 2),
+             i -> array_to_string(w[i:i+2], ' '))) AS gram
+    FROM words WHERE len(w) >= 3
+  ) WHERE LENGTH(gram) > 0
+), bench AS (
+  SELECT DISTINCT gram FROM doc_grams WHERE doc_id % 37 = 0
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id, COUNT(*) AS n_hits
+FROM doc_grams d JOIN bench USING (gram)
+WHERE d.doc_id % 37 <> 0
+GROUP BY d.doc_id
+"""
+
+
+def q_url_dedup(spark, sf_dir):
+    """Canonical-URL dedup (operators/web.url_dedup): five raw URL
+    variants per page — www prefix, uppercase scheme/host + default
+    port, tracking params, reordered query params — derived
+    deterministically from doc_id (base = doc_id div 5 is the page).
+    Canonicalization collapses variants 0-2 to one key and 3-4 to
+    another; the survivor per key is the lowest doc_id and
+    ``n_variants`` audits the collapse. Map-only codegen + ONE
+    exchange on the canonical key."""
+    from claims_data_spark.operators.web import url_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    base = F.expr("doc_id div 5").cast("string")
+    hn = F.expr("(doc_id div 5) % 7").cast("string")
+    stem = F.concat(F.lit("https://h"), hn, F.lit(".example.org/doc/"), base)
+    variants = F.array(
+        F.concat(
+            F.lit("https://www.h"), hn, F.lit(".example.org/doc/"), base
+        ),
+        F.concat(
+            F.lit("HTTPS://H"), hn, F.lit(".EXAMPLE.ORG:443/doc/"), base
+        ),
+        F.concat(stem, F.lit("/?utm_source=feed&utm_medium=rss")),
+        F.concat(stem, F.lit("?a=1&b=2")),
+        F.concat(stem, F.lit("/?b=2&a=1&fbclid=abc")),
+    )
+    url = F.element_at(variants, (F.col("doc_id") % 5 + 1).cast("int"))
+    out = url_dedup(d.withColumn("url", url), "url", "doc_id")
+    return out.select("doc_id", "canon_url", "n_variants")
+
+
+SQL_URL_DEDUP = r"""
+WITH d AS (
+  SELECT doc_id, doc_id // 5 AS base, doc_id % 5 AS v,
+         (doc_id // 5) % 7 AS hn
+  FROM documents
+), u AS (
+  SELECT doc_id,
+    CASE v
+      WHEN 0 THEN 'https://www.h' || hn || '.example.org/doc/' || base
+      WHEN 1 THEN 'HTTPS://H' || hn || '.EXAMPLE.ORG:443/doc/' || base
+      WHEN 2 THEN 'https://h' || hn || '.example.org/doc/' || base
+                  || '/?utm_source=feed&utm_medium=rss'
+      WHEN 3 THEN 'https://h' || hn || '.example.org/doc/' || base
+                  || '?a=1&b=2'
+      ELSE 'https://h' || hn || '.example.org/doc/' || base
+           || '/?b=2&a=1&fbclid=abc'
+    END AS url
+  FROM d
+), parts AS (
+  SELECT doc_id, url,
+    lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+    lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1))
+      AS auth,
+    regexp_replace(
+      regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+      '/+$', '') AS path,
+    regexp_extract(url, '\?([^#]*)', 1) AS q
+  FROM u
+), canon AS (
+  SELECT doc_id,
+    scheme || '://' ||
+    CASE
+      WHEN scheme = 'http'
+           AND regexp_replace(auth, '^www\.', '') LIKE '%:80'
+        THEN regexp_replace(regexp_replace(auth, '^www\.', ''), ':80$', '')
+      WHEN scheme = 'https'
+           AND regexp_replace(auth, '^www\.', '') LIKE '%:443'
+        THEN regexp_replace(regexp_replace(auth, '^www\.', ''), ':443$', '')
+      ELSE regexp_replace(auth, '^www\.', '')
+    END || path ||
+    CASE WHEN qq <> '' THEN '?' || qq ELSE '' END AS canon_url
+  FROM (
+    SELECT *, array_to_string(list_sort(list_filter(
+        string_split(q, '&'),
+        p -> len(p) > 0 AND NOT regexp_matches(
+          p, '^(utm_[^=]*|fbclid|gclid|mc_cid|mc_eid|ref)='))), '&') AS qq
+    FROM parts
+  )
+)
+SELECT doc_id, canon_url, n_variants FROM (
+  SELECT doc_id, canon_url,
+    ROW_NUMBER() OVER (PARTITION BY canon_url ORDER BY doc_id) AS rn,
+    CAST(COUNT(*) OVER (PARTITION BY canon_url) AS BIGINT) AS n_variants
+  FROM canon
+) WHERE rn = 1
+"""
+
+
+def q_streaming_dedup(spark, sf_dir):
+    """At-least-once replay dedup (streaming/ingest.streaming_dedup):
+    the event feed unioned with an identical redelivered copy, deduped
+    back to one row per event_id. The streaming form
+    (dropDuplicatesWithinWatermark — state bounded by the watermark
+    horizon, not stream lifetime) is pinned by tests/test_streaming.py
+    with a real availableNow file stream + restart; this
+    oracle-comparable entry runs the operator's batch degradation over
+    the same frame. Replayed rows are bit-identical, so the arbitrary
+    survivor is value-deterministic."""
+    from claims_data_spark.streaming.ingest import streaming_dedup
+
+    ev = _events(spark, sf_dir)
+    doubled = ev.unionByName(ev)
+    out = streaming_dedup(doubled, ["event_id"], ts_col="ts")
+    return out.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        "event_type",
+        F.round("value", 6).alias("value"),
+    )
+
+
+SQL_STREAMING_DEDUP = """
+SELECT DISTINCT event_id, user_id, event_type, ROUND(value, 6) AS value
+FROM (SELECT * FROM events UNION ALL SELECT * FROM events)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the correctness driver checks the first 50 entries.
     # Rotation policy lives in WINDOW.md: red/changed/new queries pin
@@ -6580,6 +6829,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_cap": q_domain_cap,
         "record_linkage": q_record_linkage,
         "wordpiece_tokenize": q_wordpiece_tokenize,
+        "line_dedup": q_line_dedup,
+        "bloom_decontaminate": q_bloom_decontaminate,
+        "url_dedup": q_url_dedup,
+        "streaming_dedup": q_streaming_dedup,
         # pinned: first driver-green in r04 (need a 2nd green round)
         "combined_claim_children": q_combined_claim_children,
         "minhash_near_dup": q_minhash_dedup,
@@ -6590,7 +6843,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_embeddings": q_quantize_embeddings,
         "repetition_filter": q_repetition_filter,
         # backfill: longest since last driver row (r02 tranche)
-        "anti_join": q_anti_join,
         "calendar_join": q_calendar_join,
         "count_distinct": q_count_distinct,
         "dedup_first_row": q_first_order,
@@ -6604,21 +6856,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_zerofill": q_grid_zerofill,
         "icd_normalize": q_icd_normalize,
         "intersect_keys": q_intersect,
-        "join_revenue_by_nation": q_join_revenue_by_nation,
         "lang_id": q_lang_id,
         "mode_random_tiebreak": q_mode_random_tiebreak,
         "mode_tiebreak": q_mode,
         "mode_weighted": q_mode_weighted,
-        "multi_left_join_flags": q_order_flags,
         "pct_flags": q_pct_flags,
         "prefix_join": q_prefix_join,
         "pricing_summary": q_pricing_summary,
         "scalar_datetime": q_scalar_datetime,
-        "semi_join": q_semi_join,
         "submonth_clip": q_submonth_clip,
         "tabloop_fixed": q_tabloop_fixed,
         "tabloop_suppress": q_tabloop,
         # ---- outside the window: parity + pytest covered ----
+        # displaced by the round-5 session-2 additions (rule 1): the
+        # join/set-op singletons below are exercised inside multiple
+        # driver-green composite queries and the bench headline
+        "anti_join": q_anti_join,
+        "semi_join": q_semi_join,
+        "join_revenue_by_nation": q_join_revenue_by_nation,
+        "multi_left_join_flags": q_order_flags,
         "text_stats": q_text_stats,
         "theta_or_join": q_theta_or_join,
         "topk_ties": q_topk_ties,
@@ -6749,6 +7005,10 @@ def oracle_sql() -> dict[str, str]:
         "domain_cap": SQL_DOMAIN_CAP,
         "record_linkage": SQL_RECORD_LINKAGE,
         "wordpiece_tokenize": _sql_wordpiece(),
+        "line_dedup": SQL_LINE_DEDUP,
+        "bloom_decontaminate": SQL_BLOOM_DECONTAMINATE,
+        "url_dedup": SQL_URL_DEDUP,
+        "streaming_dedup": SQL_STREAMING_DEDUP,
         "quantize_embeddings": SQL_QUANTIZE_EMBEDDINGS,
         "pii_scrub": SQL_PII_SCRUB,
         "chunk_documents": SQL_CHUNK_DOCUMENTS,

@@ -81,6 +81,10 @@ EXTENDED = [
     "domain_cap",
     "record_linkage",
     "wordpiece_tokenize",
+    "line_dedup",
+    "bloom_decontaminate",
+    "url_dedup",
+    "streaming_dedup",
 ]
 
 

@@ -619,3 +619,203 @@ def mix_rebalance(
         df.join(F.broadcast(rates), strata_col)
         .filter(_md5_uniform(id_col, seed) < F.col(rate_col))
     )
+
+
+# ---------------------------------------------------------------------------
+# Line-level boilerplate removal (C4-style corpus-frequency line dedup)
+# ---------------------------------------------------------------------------
+
+def line_dedup(
+    docs: DataFrame,
+    lines_col: str,
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+    sep: str = "\n",
+    broadcast_boilerplate: bool = True,
+) -> DataFrame:
+    """Remove lines that recur across the corpus (nav bars, cookie
+    banners, copyright footers — the C4/RefinedWeb line-dedup gate):
+    a line appearing in >= ``min_docs`` DISTINCT documents is
+    boilerplate and is dropped from every document; survivors are
+    reassembled in original order.
+
+    Input is an ``array<string>`` column (the caller chooses the line/
+    sentence segmentation); output is one row per document with
+    ``n_lines`` / ``n_kept`` and the reassembled ``text_clean``.
+    Lines are matched on a normalized form (trim + lowercase +
+    whitespace collapse) so cosmetic variation doesn't hide
+    boilerplate, but the KEPT text preserves the original bytes.
+
+    Scale shape (two shuffles, both necessary):
+      1. posexplode (map-only) -> count DISTINCT docs per normalized
+         line — one exchange on the line key with partial aggregation.
+      2. the boilerplate set (count >= min_docs) is the HEAVY-HITTER
+         head of the line-frequency distribution — small by
+         construction (a line needs many repeats to qualify), so it
+         broadcasts and the exploded lines see a map-side anti-lookup,
+         never a fact-to-fact join.  ``broadcast_boilerplate=False``
+         falls back to a shuffled left-anti join for adversarial
+         corpora where even the >=min_docs head is huge.
+      3. reassembly groups by doc id — the second exchange; kept lines
+         re-join with ``array_sort`` on position, so ordering never
+         depends on shuffle arrival order.
+    Counting DISTINCT docs (not occurrences) means a document that
+    repeats its own refrain doesn't self-promote it to boilerplate —
+    within-doc repetition is ``repetition_filter``'s job.
+    """
+    norm = lambda c: F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")  # noqa: E731
+    exploded = docs.select(
+        F.col(id_col), F.posexplode(lines_col).alias("_pos", "_line")
+    ).withColumn("_norm", norm(F.col("_line")))
+
+    boiler = (
+        exploded.groupBy("_norm")
+        .agg(F.count_distinct(id_col).alias("_nd"))
+        .filter(F.col("_nd") >= F.lit(min_docs))
+        .select("_norm")
+    )
+    if broadcast_boilerplate:
+        boiler = F.broadcast(boiler)
+    kept_flag = exploded.join(boiler, "_norm", "left_anti")
+
+    # reassemble: left-join back so documents whose EVERY line was
+    # boilerplate still appear (n_kept = 0, empty text_clean)
+    kept = kept_flag.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("_pos", "_line"))
+                ),
+                lambda s: s["_line"],
+            ),
+            sep,
+        ).alias("text_clean"),
+    )
+    totals = docs.select(
+        F.col(id_col), F.size(lines_col).alias("n_lines")
+    )
+    return (
+        totals.join(kept, id_col, "left")
+        .select(
+            id_col,
+            "n_lines",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter-pruned benchmark decontamination
+# ---------------------------------------------------------------------------
+
+def _bloom_positions(gram: str, num_bits: int, num_hashes: int) -> list:
+    """Driver-side twin of the JVM probe below: bit positions from the
+    md5 family (hashlib.md5 and Spark's ``md5`` agree byte-for-byte,
+    the repo's standard engine-portable hash)."""
+    import hashlib
+
+    return [
+        int(
+            hashlib.md5(
+                (gram + "\x1f" + str(i)).encode("utf-8")
+            ).hexdigest()[:8],
+            16,
+        )
+        % num_bits
+        for i in range(num_hashes)
+    ]
+
+
+def bloom_decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    n: int = 13,
+    num_bits: int = 1 << 17,
+    num_hashes: int = 3,
+) -> "tuple[DataFrame, DataFrame]":
+    """``decontaminate`` with a Bloom-filter pre-prune: same exact
+    output (the Bloom only PRUNES; survivors are exact-verified), but
+    the corpus-side explode+join only ever sees Bloom-positive grams.
+
+    Why this is the 100 TB shape: the exact path broadcasts the
+    benchmark's distinct n-gram SET as a join hash relation — fine at
+    MBs, but a full eval-suite union (MMLU+GSM8K+HumanEval+held-out
+    dumps) runs to 10^8 grams and multi-GB broadcasts.  The Bloom is a
+    FIXED-SIZE array of longs (``num_bits``/8 bytes, here 16 KiB)
+    carried as a plan literal; each document filters its grams through
+    ``getbit`` probes in whole-stage codegen and the overwhelmingly
+    common clean document exits at the map stage having shuffled
+    NOTHING and joined NOTHING.  Only Bloom-positive grams (true hits
+    + ~(1-e^{-kn/m})^k false positives) reach the exact verify join,
+    so the output is bit-identical to ``decontaminate`` — a false
+    positive costs a join probe, never a wrong row.
+
+    The bit array is built driver-side from the benchmark grams (the
+    same small-side assumption the exact path's broadcast already
+    makes) with the md5 hash family, matching the JVM probe exactly —
+    pinned by ``tests/test_corpus_ops.py``.
+    """
+    from claims_data_spark.session import spread
+
+    bench_grams_df = (
+        benchmark.select(
+            F.explode(_word_ngrams(bench_text_col, n)).alias("gram")
+        )
+        .filter(F.length("gram") > 0)
+        .distinct()
+    )
+    bench_grams = [r.gram for r in bench_grams_df.collect()]
+
+    num_words = (num_bits + 63) // 64
+    words = [0] * num_words
+    for g in bench_grams:
+        for pos in _bloom_positions(g, num_bits, num_hashes):
+            words[pos >> 6] |= 1 << (pos & 63)
+    # two's-complement fold so the literal fits LongType
+    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    bits = F.lit(words)
+
+    def probe(g):
+        """All ``num_hashes`` bits set -> Bloom-positive (codegen)."""
+        cond = None
+        for i in range(num_hashes):
+            pos = (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(g, F.lit("\x1f" + str(i)))), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % F.lit(num_bits)
+            )
+            hit = (
+                F.getbit(
+                    F.element_at(bits, (pos / 64).cast("int") + 1),
+                    (pos % 64).cast("int"),
+                )
+                == 1
+            )
+            cond = hit if cond is None else (cond & hit)
+        return cond
+
+    candidates = spread(docs.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col),
+        F.filter(_word_ngrams(text_col, n), probe).alias("_cand"),
+    ).filter(F.size("_cand") > 0)
+
+    contaminated = (
+        candidates.select(F.col(id_col), F.explode("_cand").alias("gram"))
+        .join(F.broadcast(bench_grams_df), "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    clean = docs.join(
+        F.broadcast(contaminated.select(id_col)), id_col, "left_anti"
+    )
+    return clean, contaminated

@@ -120,3 +120,33 @@ def streaming_refresh(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_dedup(
+    events: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Exactly-once event dedup on a stream: at-least-once sources
+    (Kafka redeliveries, file re-drops) emit the same logical event
+    more than once; this keeps the FIRST arrival per key and drops
+    replays that land within the watermark horizon.
+
+    ``dropDuplicatesWithinWatermark`` bounds the dedup state: a key's
+    fingerprint is held only until the watermark passes its event
+    time, so state size tracks the late-data horizon, not the stream's
+    lifetime — the property that makes streaming dedup viable on an
+    unbounded 100 TB/day feed where ``dropDuplicates`` (which must
+    remember every key forever) would OOM the state store.
+
+    On a batch frame (the harness's oracle-comparable mode) the same
+    call degrades to plain ``dropDuplicates`` semantics over the
+    bounded input; the streaming path (availableNow file source +
+    restart-safety) is pinned by ``tests/test_streaming.py``.
+    """
+    if events.isStreaming:
+        return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            keys
+        )
+    return events.dropDuplicates(keys)

@@ -1,0 +1,305 @@
+"""Round-5 session-2 corpus-curation operators: line-level boilerplate
+dedup, Bloom-pruned decontamination, URL canonicalization dedup, and
+streaming replay dedup."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from claims_data_spark.operators.corpus import (
+    _bloom_positions,
+    bloom_decontaminate,
+    decontaminate,
+    line_dedup,
+)
+from claims_data_spark.operators.web import canonicalize_url, url_dedup
+from claims_data_spark.streaming.ingest import streaming_dedup
+
+
+# ---------------------------------------------------------------------------
+# line_dedup
+# ---------------------------------------------------------------------------
+
+def _line_docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, ["NAV home", "alpha beta", "Copyright X"]),
+            (2, ["nav  home ", "gamma delta", "copyright x"]),
+            (3, ["NAV home", "epsilon", "Copyright X"]),
+            (4, ["unique only", "NAV home"]),
+        ],
+        "doc_id long, lines array<string>",
+    )
+
+
+def test_line_dedup_drops_boilerplate_keeps_order(spark):
+    out = {
+        r["doc_id"]: r
+        for r in line_dedup(_line_docs(spark), "lines", min_docs=3).collect()
+    }
+    # 'NAV home' in 4 docs, 'Copyright X' in 3 (normalized match across
+    # case/whitespace variants) -> both boilerplate at min_docs=3
+    assert out[1]["text_clean"] == "alpha beta"
+    assert out[2]["text_clean"] == "gamma delta"
+    assert out[4]["text_clean"] == "unique only"
+    assert out[1]["n_lines"] == 3 and out[1]["n_kept"] == 1
+
+
+def test_line_dedup_normalized_match_preserves_original_bytes(spark):
+    # doc 2's kept line keeps ITS original text even though matching
+    # was done on the normalized form
+    docs = spark.createDataFrame(
+        [
+            (1, ["Foo  Bar", "keep one"]),
+            (2, ["foo bar", "keep two"]),
+            (3, ["FOO BAR", "keep three"]),
+        ],
+        "doc_id long, lines array<string>",
+    )
+    out = {
+        r["doc_id"]: r["text_clean"]
+        for r in line_dedup(docs, "lines", min_docs=3).collect()
+    }
+    assert out == {1: "keep one", 2: "keep two", 3: "keep three"}
+
+
+def test_line_dedup_all_boilerplate_doc_survives_empty(spark):
+    docs = spark.createDataFrame(
+        [(1, ["same"]), (2, ["same"]), (3, ["same"]), (4, ["same", "mine"])],
+        "doc_id long, lines array<string>",
+    )
+    out = {
+        r["doc_id"]: (r["n_kept"], r["text_clean"])
+        for r in line_dedup(docs, "lines", min_docs=2).collect()
+    }
+    assert out[1] == (0, "")
+    assert out[4] == (1, "mine")
+
+
+def test_line_dedup_within_doc_repeat_not_boilerplate(spark):
+    # a doc repeating its own refrain: count is DISTINCT docs, so the
+    # refrain survives (repetition_filter's job, not line_dedup's)
+    docs = spark.createDataFrame(
+        [(1, ["la la", "la la", "verse"]), (2, ["chorus"])],
+        "doc_id long, lines array<string>",
+    )
+    out = {
+        r["doc_id"]: r["text_clean"]
+        for r in line_dedup(docs, "lines", min_docs=2).collect()
+    }
+    assert out[1] == "la la\nla la\nverse"
+
+
+def test_line_dedup_order_restored_after_shuffle(spark):
+    lines = [f"line {i} only in doc one" for i in range(40)]
+    docs = spark.createDataFrame(
+        [(1, lines), (2, ["other"])], "doc_id long, lines array<string>"
+    )
+    out = line_dedup(docs, "lines", min_docs=2).filter("doc_id = 1").collect()
+    assert out[0]["text_clean"] == "\n".join(lines)
+
+
+# ---------------------------------------------------------------------------
+# bloom_decontaminate
+# ---------------------------------------------------------------------------
+
+def _decon_frames(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),
+            (2, "x y z w v u t s"),
+            (3, "m n c d e f q r"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "c d e f"), (101, "v u t")], "doc_id long, text string"
+    )
+    return docs, bench
+
+
+@pytest.mark.parametrize("n", [2, 4])
+def test_bloom_matches_exact_decontaminate(spark, n):
+    docs, bench = _decon_frames(spark)
+    _, exact = decontaminate(docs, bench, n=n)
+    _, pruned = bloom_decontaminate(docs, bench, n=n)
+    assert sorted(map(tuple, exact.collect())) == sorted(
+        map(tuple, pruned.collect())
+    )
+
+
+def test_bloom_no_false_negatives(spark):
+    # every benchmark gram must probe positive through the JVM path:
+    # running the benchmark text itself through the operator must flag
+    # every bench doc (it shares ALL its grams)
+    docs, bench = _decon_frames(spark)
+    _, cont = bloom_decontaminate(bench, bench, n=2)
+    assert {r["doc_id"] for r in cont.collect()} == {100, 101}
+
+
+def test_bloom_driver_probe_matches_jvm(spark):
+    # the driver-side bit builder and the codegen probe must agree on
+    # positions: a filter built from _bloom_positions over a tiny bit
+    # space reproduces the JVM getbit probe's verdicts
+    num_bits, k = 256, 3
+    grams = ["c d", "d e", "zz qq"]
+    jvm = spark.createDataFrame(
+        [(g,) for g in grams], "gram string"
+    ).select(
+        "gram",
+        *[
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat("gram", F.lit("\x1f" + str(i)))), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % num_bits
+            ).alias(f"p{i}")
+            for i in range(k)
+        ],
+    ).collect()
+    for row in jvm:
+        assert [row[f"p{i}"] for i in range(k)] == _bloom_positions(
+            row["gram"], num_bits, k
+        )
+
+
+def test_bloom_clean_set_complements_contaminated(spark):
+    docs, bench = _decon_frames(spark)
+    clean, cont = bloom_decontaminate(docs, bench, n=2)
+    flagged = {r["doc_id"] for r in cont.collect()}
+    kept = {r["doc_id"] for r in clean.collect()}
+    assert flagged & kept == set()
+    assert flagged | kept == {1, 2, 3, 4}
+
+
+# ---------------------------------------------------------------------------
+# canonicalize_url / url_dedup
+# ---------------------------------------------------------------------------
+
+CANON_CASES = [
+    # scheme+host case, www, default port, fragment
+    ("HTTP://WWW.Example.COM:80/Path#frag", "http://example.com/Path"),
+    ("https://example.com:443/Path/", "https://example.com/Path"),
+    # NON-default port preserved (distinct origin)
+    ("http://example.com:8080/p", "http://example.com:8080/p"),
+    # tracking params dropped, survivors sorted
+    (
+        "https://x.org/p?b=2&utm_source=s&a=1&fbclid=z",
+        "https://x.org/p?a=1&b=2",
+    ),
+    # all params tracking -> no '?'
+    ("https://x.org/p/?utm_medium=m", "https://x.org/p"),
+    # path case preserved, host lowered
+    ("https://X.org/CaseSensitive", "https://x.org/CaseSensitive"),
+    # empty path
+    ("https://www.x.org", "https://x.org"),
+    # non-URL total behavior
+    ("  Not A Url  ", "not a url"),
+]
+
+
+@pytest.mark.parametrize("raw,expected", CANON_CASES)
+def test_canonicalize_url_cases(spark, raw, expected):
+    got = (
+        spark.range(1)
+        .select(canonicalize_url(F.lit(raw)).alias("c"))
+        .collect()[0]["c"]
+    )
+    assert got == expected
+
+
+def test_url_dedup_keep_min_and_variant_count(spark):
+    df = spark.createDataFrame(
+        [
+            (5, "https://www.x.org/p"),
+            (2, "https://x.org/p/"),
+            (9, "HTTPS://X.ORG:443/p?utm_source=a"),
+            (7, "https://x.org/other"),
+        ],
+        "doc_id long, url string",
+    )
+    out = {
+        r["canon_url"]: (r["doc_id"], r["n_variants"])
+        for r in url_dedup(df, "url", "doc_id").collect()
+    }
+    assert out["https://x.org/p"] == (2, 3)
+    assert out["https://x.org/other"] == (7, 1)
+
+
+def test_url_dedup_single_exchange(spark):
+    # rank + group count plan over ONE exchange on the canonical key
+    df = spark.createDataFrame(
+        [(1, "https://x.org/a"), (2, "https://x.org/b")],
+        "doc_id long, url string",
+    )
+    plan = url_dedup(df, "url", "doc_id")._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+
+
+# ---------------------------------------------------------------------------
+# streaming_dedup
+# ---------------------------------------------------------------------------
+
+def test_streaming_dedup_batch_degradation(spark):
+    ev = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 10), 5.0)] * 2
+        + [(2, dt.datetime(2024, 1, 1, 11), 7.0)],
+        "event_id long, ts timestamp, value double",
+    )
+    out = streaming_dedup(ev, ["event_id"]).collect()
+    assert sorted((r["event_id"], r["value"]) for r in out) == [
+        (1, 5.0),
+        (2, 7.0),
+    ]
+
+
+def test_streaming_dedup_stream_drops_replays(spark, tmp_path):
+    """Real file stream: a redelivered file (same events, later drop)
+    must not re-emit — dropDuplicatesWithinWatermark holds the keys'
+    fingerprints across micro-batches via the checkpoint."""
+    from pyspark.sql import types as T
+
+    src, ckpt, sink = (str(tmp_path / d) for d in ("src", "ckpt", "sink"))
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    t = dt.datetime(2024, 1, 1, 10)
+    rows = [(1, t, 5.0), (2, t, 7.0)]
+
+    def run_round():
+        stream = spark.readStream.schema(schema).parquet(src)
+        out = streaming_dedup(stream, ["event_id"], watermark="1 hour")
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    df = spark.createDataFrame(rows, schema)
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+    run_round()
+    # redelivery: the same rows land again as a NEW file, plus one new
+    # event — only the new event may emit
+    df2 = spark.createDataFrame(rows + [(3, t, 9.0)], schema)
+    df2.coalesce(1).write.mode("append").parquet(src)
+    run_round()
+
+    got = sorted(
+        (r["event_id"], r["value"])
+        for r in spark.read.parquet(sink).collect()
+    )
+    assert got == [(1, 5.0), (2, 7.0), (3, 9.0)]
