@@ -6805,6 +6805,68 @@ FROM (SELECT * FROM events UNION ALL SELECT * FROM events)
 """
 
 
+def q_pagerank(spark, sf_dir):
+    """Fixed-point PageRank (operators/graph.pagerank): a link graph
+    synthesized from orders (page s = o_custkey mod 2000 cites page
+    d = o_orderkey mod 2000), ranked for 5 power iterations. ALL
+    arithmetic is BIGINT (truncating shares, integer damping), so the
+    ranks are retry-stable under any partitioning AND bit-identical to
+    the DuckDB oracle's unrolled recurrence — an iterative algorithm
+    with a full value check, not rows-only. Per iteration: one join
+    exchange on the source key + one partial-aggregated sum on the
+    destination key; lineage checkpoint-truncated."""
+    from claims_data_spark.operators.graph import pagerank
+
+    o = _t(spark, sf_dir, "orders")
+    edges = o.select(
+        (F.col("o_custkey") % 2000).cast("long").alias("src"),
+        (F.col("o_orderkey") % 2000).cast("long").alias("dst"),
+    )
+    return pagerank(edges, iterations=5).select(
+        "node", F.col("rank_fp").cast("long").alias("rank_fp")
+    )
+
+
+def _pagerank_oracle_sql(iterations: int = 5, damping: int = 85,
+                         mass: int = 10**12) -> str:
+    """Unroll the exact integer recurrence to `iterations` CTEs —
+    DuckDB's `//` floor-division on BIGINTs matches Spark's `div`
+    bit-for-bit on the non-negative ranks."""
+    head = f"""
+WITH e AS (
+  SELECT DISTINCT CAST(o_custkey % 2000 AS BIGINT) AS s,
+                  CAST(o_orderkey % 2000 AS BIGINT) AS d
+  FROM orders WHERE o_custkey % 2000 <> o_orderkey % 2000
+), nodes AS (
+  SELECT DISTINCT s AS node FROM e UNION SELECT DISTINCT d FROM e
+), cnt AS (SELECT COUNT(*) AS n FROM nodes),
+deg AS (SELECT s, COUNT(*) AS dg FROM e GROUP BY s),
+r0 AS (
+  SELECT node, {mass} // (SELECT n FROM cnt) AS r FROM nodes
+)"""
+    iters = []
+    for i in range(1, iterations + 1):
+        iters.append(f""",
+r{i} AS (
+  SELECT n.node,
+    ((100 - {damping}) * ({mass} // (SELECT n FROM cnt))) // 100
+      + ({damping} * COALESCE(c.contrib, 0)) // 100 AS r
+  FROM nodes n LEFT JOIN (
+    SELECT e.d AS node, SUM(r{i-1}.r // deg.dg) AS contrib
+    FROM e JOIN r{i-1} ON r{i-1}.node = e.s JOIN deg ON deg.s = e.s
+    GROUP BY e.d
+  ) c ON c.node = n.node
+)"""
+        )
+    return (
+        head + "".join(iters)
+        + f"\nSELECT node, CAST(r AS BIGINT) AS rank_fp FROM r{iterations}"
+    )
+
+
+SQL_PAGERANK = _pagerank_oracle_sql()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the correctness driver checks the first 50 entries.
     # Rotation policy lives in WINDOW.md: red/changed/new queries pin
@@ -6833,6 +6895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_decontaminate": q_bloom_decontaminate,
         "url_dedup": q_url_dedup,
         "streaming_dedup": q_streaming_dedup,
+        "pagerank_authority": q_pagerank,
         # pinned: first driver-green in r04 (need a 2nd green round)
         "combined_claim_children": q_combined_claim_children,
         "minhash_near_dup": q_minhash_dedup,
@@ -6849,7 +6912,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_priority": q_dedup_priority,
         "dedup_seeded": q_dedup_seeded,
         "distinct_dedup": q_distinct,
-        "dynamic_filter": q_dynamic_filter,
         "except_distinct": q_except,
         "format_classify": q_format_classify,
         "full_outer_coalesce": q_full_outer,
@@ -6875,6 +6937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_join": q_semi_join,
         "join_revenue_by_nation": q_join_revenue_by_nation,
         "multi_left_join_flags": q_order_flags,
+        "dynamic_filter": q_dynamic_filter,
         "text_stats": q_text_stats,
         "theta_or_join": q_theta_or_join,
         "topk_ties": q_topk_ties,
@@ -7009,6 +7072,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_decontaminate": SQL_BLOOM_DECONTAMINATE,
         "url_dedup": SQL_URL_DEDUP,
         "streaming_dedup": SQL_STREAMING_DEDUP,
+        "pagerank_authority": SQL_PAGERANK,
         "quantize_embeddings": SQL_QUANTIZE_EMBEDDINGS,
         "pii_scrub": SQL_PII_SCRUB,
         "chunk_documents": SQL_CHUNK_DOCUMENTS,

@@ -85,6 +85,7 @@ EXTENDED = [
     "bloom_decontaminate",
     "url_dedup",
     "streaming_dedup",
+    "pagerank_authority",
 ]
 
 

@@ -208,3 +208,107 @@ def cluster_representatives(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 5,
+    damping_pct: int = 85,
+    mass_scale: int = 10**12,
+) -> DataFrame:
+    """Fixed-point PageRank over a link graph: ``(node, rank_fp)``
+    where ``rank_fp`` is the node's authority mass as a BIGINT in
+    units of ``1/mass_scale`` (divide by ``mass_scale`` for the usual
+    [0,1] score).  The corpus-curation use is link-authority quality
+    weighting: crawl pipelines boost sampling rates for pages that
+    many other pages cite (the original web-quality signal) — pair
+    with ``weighted_sample`` / ``mix_rebalance``.
+
+    ALL arithmetic is integer (``div``-truncated shares, integer
+    damping), which buys two properties floats cannot give at scale:
+
+    * **retry-stable**: a recomputed partition sums the same BIGINTs
+      to the same BIGINT regardless of order — no FP drift between
+      task attempts, so downstream sampling keyed on rank never sees
+      two values for one node;
+    * **engine-exact**: a DuckDB oracle reproduces every rank
+      bit-for-bit (unrolled to the same iteration count), so the
+      operator is value-checkable, not just rows-only.
+
+    Semantics (documented simplifications, both deterministic):
+    parallel edges count once and self-loops are dropped; dangling
+    nodes (no out-edges) keep their base share but their mass leaks
+    rather than redistributing — the standard map-reduce PageRank
+    simplification.  Update rule per iteration, all in BIGINT::
+
+        share(u)   = rank(u) div out_deg(u)
+        rank'(v)   = base + (damping_pct * SUM share(u->v)) div 100
+        base       = (100 - damping_pct) * (mass_scale div N) div 100
+
+    Scale shape: the edge list (joined once with out-degrees, then
+    eagerly checkpointed) is scanned once per iteration; each
+    iteration is exactly two exchanges — ranks-to-edges on the source
+    key, contribution sum on the destination key — with partial
+    aggregation on the sum.  Per-iteration state is one (node, rank)
+    row per node, checkpoint-truncated so Catalyst never sees a
+    growing plan.  On a real cluster the edge side would be bucketed
+    by ``src`` to delete the first exchange; nothing in the loop holds
+    driver state beyond the node count (one scalar).
+
+    The reference repo has no graph ranking; this is an engine
+    extension for the training-data pipeline (see module docstring).
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    e = (
+        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+        .filter(F.col("_s") != F.col("_d"))
+        .filter(F.col("_s").isNotNull() & F.col("_d").isNotNull())
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("_s").alias("node"))
+        .unionByName(e.select(F.col("_d").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_nodes = nodes.count()  # bounded metadata: one scalar
+    if n_nodes == 0:
+        return nodes.withColumn("rank_fp", F.lit(0).cast("long"))
+    init = mass_scale // n_nodes
+    base = (100 - damping_pct) * init // 100
+
+    deg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg"))
+    edges_deg = e.join(deg, "_s").localCheckpoint(eager=True)
+
+    ranks = nodes.select(
+        "node", F.lit(init).cast("long").alias("rank_fp")
+    ).localCheckpoint(eager=True)
+    for _ in range(iterations):
+        contrib = (
+            edges_deg.join(
+                ranks.withColumnRenamed("node", "_s"), "_s"
+            )
+            .select(
+                F.col("_d").alias("node"),
+                F.expr("rank_fp div _deg").alias("_share"),
+            )
+            .groupBy("node")
+            .agg(F.sum("_share").alias("_contrib"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({damping_pct} * coalesce(_contrib, 0L)) div 100"
+                    )
+                ).cast("long").alias("rank_fp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
