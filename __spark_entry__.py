@@ -6866,6 +6866,58 @@ r{i} AS (
 
 SQL_PAGERANK = _pagerank_oracle_sql()
 
+# demo model: int8-range weights from a fixed formula (training is
+# offline in production; inference is what the engine runs at scale)
+_HLC_WEIGHTS = [((i * 37) % 17) - 8 for i in range(64)]
+
+
+def q_quality_classify(spark, sf_dir):
+    """Hashed linear quality classifier (operators/classify): the
+    fastText-style corpus-quality gate as pure map-only codegen —
+    word unigram + bigram features hashed into 64 md5 buckets, int
+    weight lookup from a plan-literal array, BIGINT logit sum,
+    integer threshold gate (sigmoid is monotone, so thresholding the
+    logit IS thresholding the probability without the transcendental).
+    No joins, no shuffles; fixed-point arithmetic = retry-stable and
+    bit-identical to the DuckDB oracle."""
+    from claims_data_spark.operators.classify import quality_classify
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    out = quality_classify(
+        d, "text", _HLC_WEIGHTS, bias=3, threshold=0, word_ngrams=2
+    )
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "logit_fp", "keep"
+    )
+
+
+SQL_QUALITY_CLASSIFY = f"""
+WITH d AS (
+  SELECT doc_id,
+    list_filter(
+      string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+      w -> len(w) > 0) AS words
+  FROM documents WHERE text IS NOT NULL
+), f AS (
+  SELECT doc_id,
+    words || CASE WHEN len(words) >= 2 THEN
+      list_transform(generate_series(1, len(words) - 1),
+                     i -> words[i] || ' ' || words[i + 1])
+      ELSE [] END AS feats
+  FROM d
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  CAST(3 + COALESCE(list_sum(list_transform(feats,
+    t -> list_extract({_HLC_WEIGHTS},
+           CAST(concat('0x', substr(md5(t || 'hlc'), 1, 8)) AS BIGINT)
+             % 64 + 1))), 0) AS BIGINT) AS logit_fp,
+  CAST(3 + COALESCE(list_sum(list_transform(feats,
+    t -> list_extract({_HLC_WEIGHTS},
+           CAST(concat('0x', substr(md5(t || 'hlc'), 1, 8)) AS BIGINT)
+             % 64 + 1))), 0) AS BIGINT) >= 0 AS keep
+FROM f
+"""
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the correctness driver checks the first 50 entries.
@@ -6896,6 +6948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": q_url_dedup,
         "streaming_dedup": q_streaming_dedup,
         "pagerank_authority": q_pagerank,
+        "quality_classify": q_quality_classify,
         # pinned: first driver-green in r04 (need a 2nd green round)
         "combined_claim_children": q_combined_claim_children,
         "minhash_near_dup": q_minhash_dedup,
@@ -6907,7 +6960,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_filter": q_repetition_filter,
         # backfill: longest since last driver row (r02 tranche)
         "calendar_join": q_calendar_join,
-        "count_distinct": q_count_distinct,
         "dedup_first_row": q_first_order,
         "dedup_priority": q_dedup_priority,
         "dedup_seeded": q_dedup_seeded,
@@ -6938,6 +6990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_revenue_by_nation": q_join_revenue_by_nation,
         "multi_left_join_flags": q_order_flags,
         "dynamic_filter": q_dynamic_filter,
+        "count_distinct": q_count_distinct,
         "text_stats": q_text_stats,
         "theta_or_join": q_theta_or_join,
         "topk_ties": q_topk_ties,
@@ -7073,6 +7126,7 @@ def oracle_sql() -> dict[str, str]:
         "url_dedup": SQL_URL_DEDUP,
         "streaming_dedup": SQL_STREAMING_DEDUP,
         "pagerank_authority": SQL_PAGERANK,
+        "quality_classify": SQL_QUALITY_CLASSIFY,
         "quantize_embeddings": SQL_QUANTIZE_EMBEDDINGS,
         "pii_scrub": SQL_PII_SCRUB,
         "chunk_documents": SQL_CHUNK_DOCUMENTS,

@@ -86,6 +86,7 @@ EXTENDED = [
     "url_dedup",
     "streaming_dedup",
     "pagerank_authority",
+    "quality_classify",
 ]
 
 

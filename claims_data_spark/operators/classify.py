@@ -1,0 +1,116 @@
+"""Hashed linear text classification — fastText-style quality scoring.
+
+The production corpus-quality gate (CCNet, LLaMA, RefinedWeb) is a
+linear classifier over hashed bag-of-words features: score a document
+against a "looks like wikipedia" model and keep/boost high scorers.
+Training happens offline; what the 100 TB engine needs is INFERENCE
+over every document, and that is a map-only expression:
+
+* features are word unigrams (optionally + word bigrams, the fastText
+  default) hashed into ``dim`` buckets with the repo's portable md5
+  family — no vocabulary join, no broadcast map, fixed memory;
+* the weight vector is an INT (quantized) array carried as a plan
+  literal, looked up per token with ``element_at`` in whole-stage
+  codegen;
+* the score is the integer sum ``bias + Σ w[h(tok)]`` — a BIGINT
+  logit in fixed-point units (the caller's quantization scale).
+
+Integer weights are not a compromise: int8/int16 quantization is how
+these classifiers ship anyway (the margin matters, not the 7th
+decimal), and fixed-point makes the score retry-stable under any
+partitioning and bit-identical in any engine — the same argument as
+``operators/graph.pagerank``.
+
+The reference repo has no classifier; this is an engine extension for
+the training-data pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from claims_data_spark.operators.dedup import _norm_words
+
+
+def _bucket(tok: Column, dim: int, seed: str) -> Column:
+    """md5-family hash bucket in [0, dim) — hashlib-reproducible
+    (driver/test twin) and expressible in DuckDB
+    (``CAST(concat('0x', substr(md5(..), 1, 8)) AS BIGINT) % dim``)."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(tok, F.lit(seed))), 1, 8), 16, 10
+        ).cast("long")
+        % F.lit(dim)
+    ).cast("int")
+
+
+def hashed_linear_logit(
+    text_col: Column | str,
+    weights: list[int],
+    bias: int = 0,
+    word_ngrams: int = 1,
+    seed: str = "hlc",
+) -> Column:
+    """BIGINT logit of the hashed linear model over ``text_col``.
+
+    Tokens are the normalized words (lowercase, whitespace-collapsed);
+    ``word_ngrams=2`` adds joined word-bigram features (fastText's
+    default quality setup). Each token occurrence contributes its
+    bucket weight — natural term-frequency weighting. Entirely
+    row-local codegen: split → transform(md5 bucket → element_at) →
+    aggregate sum. Zero-length token lists score exactly ``bias``.
+    """
+    if word_ngrams not in (1, 2):
+        raise ValueError("word_ngrams must be 1 or 2")
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
+    words = F.filter(_norm_words(t), lambda w: F.length(w) > 0)
+    feats = words
+    if word_ngrams == 2:
+        n = F.size(words)
+        bigrams = F.when(
+            n >= 2,
+            F.transform(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: F.concat_ws(" ", F.slice(words, i, 2)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        feats = F.concat(words, bigrams)
+    dim = len(weights)
+    w = F.lit(weights)
+    return F.aggregate(
+        F.transform(
+            feats,
+            lambda tok: F.element_at(w, _bucket(tok, dim, seed) + 1).cast(
+                "long"
+            ),
+        ),
+        F.lit(bias).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def quality_classify(
+    df: DataFrame,
+    text_col: str,
+    weights: list[int],
+    bias: int = 0,
+    threshold: int = 0,
+    word_ngrams: int = 1,
+    seed: str = "hlc",
+    logit_col: str = "logit_fp",
+    keep_col: str = "keep",
+) -> DataFrame:
+    """Score every document and flag ``keep = logit >= threshold``.
+
+    The threshold is in the SAME fixed-point units as the weights, so
+    the gate is an integer compare — no sigmoid in the hot path (the
+    sigmoid is monotone; thresholding the logit IS thresholding the
+    probability, without the FP transcendental). Map-only at any
+    scale: no joins, no shuffles, no state.
+    """
+    logit = hashed_linear_logit(
+        text_col, weights, bias=bias, word_ngrams=word_ngrams, seed=seed
+    )
+    return df.withColumn(logit_col, logit).withColumn(
+        keep_col, F.col(logit_col) >= F.lit(threshold)
+    )
