@@ -6919,6 +6919,57 @@ FROM f
 """
 
 
+def q_cms_heavy_hitters(spark, sf_dir):
+    """Count-min-sketch frequent words (operators/sketches.
+    cms_heavy_hitters): words recurring >= 40 times corpus-wide, with
+    the CMS estimate. The grid build is groupBy(depth, bucket) —
+    partial aggregation makes each task emit at most depth x width
+    pre-merged rows, so the exchange is FIXED-SIZE regardless of item
+    cardinality (the 100 TB argument). md5 hash family => every
+    collision is deterministic, so the estimates are value-checked
+    against the oracle's replica grid, not tolerance-tested."""
+    from claims_data_spark.operators.sketches import cms_heavy_hitters
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    words = d.select(
+        F.explode(
+            F.filter(
+                F.split(
+                    F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "),
+                    " ",
+                ),
+                lambda w: F.length(w) > 0,
+            )
+        ).alias("word")
+    )
+    out = cms_heavy_hitters(words, "word", threshold=40)
+    return out.select("word", F.col("est_count").cast("long").alias("est_count"))
+
+
+SQL_CMS_HEAVY_HITTERS = r"""
+WITH occ AS (
+  SELECT unnest(list_filter(
+    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+    w -> len(w) > 0)) AS item
+  FROM documents WHERE text IS NOT NULL
+), keyed AS (
+  SELECT item, j,
+    CAST(concat('0x', substr(md5(item || chr(31) || 'cms' || chr(31)
+                                  || CAST(j AS VARCHAR)), 1, 8)) AS BIGINT)
+      % 8192 AS b
+  FROM occ, generate_series(0, 3) AS t(j)
+), grid AS (
+  SELECT j, b, COUNT(*) AS n FROM keyed GROUP BY j, b
+), cand AS (
+  SELECT DISTINCT item, j, b FROM keyed
+)
+SELECT c.item AS word, CAST(MIN(g.n) AS BIGINT) AS est_count
+FROM cand c JOIN grid g USING (j, b)
+GROUP BY c.item
+HAVING MIN(g.n) >= 40
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the correctness driver checks the first 50 entries.
     # Rotation policy lives in WINDOW.md: red/changed/new queries pin
@@ -6949,6 +7000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup": q_streaming_dedup,
         "pagerank_authority": q_pagerank,
         "quality_classify": q_quality_classify,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
         # pinned: first driver-green in r04 (need a 2nd green round)
         "combined_claim_children": q_combined_claim_children,
         "minhash_near_dup": q_minhash_dedup,
@@ -6963,7 +7015,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_first_row": q_first_order,
         "dedup_priority": q_dedup_priority,
         "dedup_seeded": q_dedup_seeded,
-        "distinct_dedup": q_distinct,
         "except_distinct": q_except,
         "format_classify": q_format_classify,
         "full_outer_coalesce": q_full_outer,
@@ -6991,6 +7042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_left_join_flags": q_order_flags,
         "dynamic_filter": q_dynamic_filter,
         "count_distinct": q_count_distinct,
+        "distinct_dedup": q_distinct,
         "text_stats": q_text_stats,
         "theta_or_join": q_theta_or_join,
         "topk_ties": q_topk_ties,
@@ -7127,6 +7179,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_dedup": SQL_STREAMING_DEDUP,
         "pagerank_authority": SQL_PAGERANK,
         "quality_classify": SQL_QUALITY_CLASSIFY,
+        "cms_heavy_hitters": SQL_CMS_HEAVY_HITTERS,
         "quantize_embeddings": SQL_QUANTIZE_EMBEDDINGS,
         "pii_scrub": SQL_PII_SCRUB,
         "chunk_documents": SQL_CHUNK_DOCUMENTS,

@@ -87,6 +87,7 @@ EXTENDED = [
     "streaming_dedup",
     "pagerank_authority",
     "quality_classify",
+    "cms_heavy_hitters",
 ]
 
 

@@ -75,3 +75,87 @@ def approx_quantiles(
             for p in probs
         ]
     )
+
+
+def _cms_bucket(item: Column, depth_idx: int, width: int, seed: str) -> Column:
+    """md5-family bucket for CMS row ``depth_idx`` — the engine-portable
+    hash used throughout (hashlib / Spark md5 / DuckDB md5 agree)."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(item, F.lit(f"\x1f{seed}\x1f{depth_idx}"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long")
+        % F.lit(width)
+    )
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    item_col: str,
+    threshold: int,
+    depth: int = 4,
+    width: int = 8192,
+    seed: str = "cms",
+) -> DataFrame:
+    """Frequent-item detection with a count-min sketch: items whose
+    CMS estimate reaches ``threshold``, with the estimate attached.
+    Input is one row per OCCURRENCE (pre-explode n-grams/hosts/lines
+    upstream); output is ``(item, est_count)``.
+
+    Why a sketch instead of an exact groupBy-count at 100 TB: exact
+    counting shuffles every distinct item; the CMS table is a FIXED
+    ``depth x width`` grid of counters, and expressing its
+    construction as ``groupBy(depth, bucket).count`` makes Spark's
+    partial aggregation build the per-task sketch map-side — the
+    exchange carries at most ``tasks x depth x width`` pre-merged
+    rows, independent of item cardinality. The probe pass dedups
+    candidate items (the one cardinality-bound shuffle; callers with
+    a known candidate set can pre-distinct and make it map-only) and
+    looks estimates up against the broadcast grid.
+
+    Estimates are the classic CMS upper bound: ``est >= true`` always
+    (no false negatives at any threshold — every truly-frequent item
+    survives), with overestimates only from bucket collisions.  The
+    md5 hash family makes every collision — and therefore every
+    estimate — deterministic and engine-reproducible, so unlike most
+    sketches this one is VALUE-checkable against a SQL oracle, not
+    just tolerance-tested.
+    """
+    item = F.col(item_col).cast("string")
+    occ = df.select(item.alias("_item")).filter(F.col("_item").isNotNull())
+    keyed = occ.select(
+        "_item",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("_j"),
+                    _cms_bucket(F.col("_item"), j, width, seed).alias("_b"),
+                )
+                for j in range(depth)
+            ])
+        ).alias("_k"),
+    ).select("_item", "_k._j", "_k._b")
+    grid = keyed.groupBy("_j", "_b").agg(F.count(F.lit(1)).alias("_n"))
+
+    cand = occ.distinct().select(
+        "_item",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("_j"),
+                    _cms_bucket(F.col("_item"), j, width, seed).alias("_b"),
+                )
+                for j in range(depth)
+            ])
+        ).alias("_k"),
+    ).select("_item", "_k._j", "_k._b")
+    return (
+        cand.join(F.broadcast(grid), ["_j", "_b"])
+        .groupBy("_item")
+        .agg(F.min("_n").alias("est_count"))
+        .filter(F.col("est_count") >= F.lit(threshold))
+        .select(F.col("_item").alias(item_col), "est_count")
+    )
