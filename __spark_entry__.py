@@ -6970,6 +6970,98 @@ HAVING MIN(g.n) >= 40
 """
 
 
+def q_knn_rh_lsh(spark, sf_dir):
+    """Random-hyperplane LSH kNN (operators/similarity.rh_lsh_topk):
+    the codebook-free ANN path — signatures are sign bits of INTEGER
+    dot products (int8-quantized vectors x md5-derived integer
+    hyperplanes), so candidate generation is engine-exact; candidates
+    equi-join on (band, packed-key) buckets and verify with exact
+    float cosine before ranking. 24 planes, 3 bands of 8 bits, k=5
+    over the embeddings table (queries = vec_id < 5)."""
+    from claims_data_spark.operators.similarity import rh_lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "vec", F.transform("embedding", lambda x: x.cast("double"))
+    ).select("vec_id", F.col("vec").alias("embedding"))
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return rh_lsh_topk(corpus, queries_df, dim=64, k=5).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        "cos_sim",
+        "rank",
+    )
+
+
+def _rh_lsh_oracle_sql(num_planes: int = 24, band_size: int = 8,
+                       dim: int = 64, k: int = 5) -> str:
+    """Replicate quantization, integer sign bits, band keys, the
+    bucket join and the cosine-verified ranking in DuckDB, with the
+    same md5-derived hyperplanes embedded as literals."""
+    from claims_data_spark.operators.similarity import rh_planes
+
+    planes = rh_planes(num_planes, dim)
+    planes_lit = "[" + ", ".join(
+        "[" + ", ".join(str(c) for c in p) + "]" for p in planes
+    ) + "]"
+    band_key = lambda bi: " + ".join(  # noqa: E731
+        f"(CASE WHEN list_aggregate(list_transform(generate_series(1, {dim}),"
+        f" i -> q[i] * pl[{bi * band_size + j + 1}][i]), 'sum') >= 0"
+        f" THEN {1 << j} ELSE 0 END)"
+        for j in range(band_size)
+    )
+    bands_struct = ", ".join(
+        f"{{'band': {bi}, 'key': {band_key(bi)}}}"
+        for bi in range(num_planes // band_size)
+    )
+    return f"""
+WITH emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), quant AS (
+  SELECT vec_id, v,
+    CASE WHEN list_max(list_transform(v, x -> ABS(x))) > 0
+      THEN list_transform(v,
+        x -> CAST(FLOOR(x / (list_max(list_transform(v, y -> ABS(y)))
+                             / 127.0) + 0.5) AS INT))
+      ELSE list_transform(v, x -> 0) END AS q
+  FROM emb
+), keyed AS (
+  SELECT vec_id, v, unnest([{bands_struct}]) AS bk
+  FROM (SELECT vec_id, v, q, {planes_lit} AS pl FROM quant)
+), cb AS (
+  SELECT vec_id, v, bk.band AS band, bk.key AS key FROM keyed
+  WHERE vec_id >= 5
+), qb AS (
+  SELECT vec_id AS query_id, v AS qv, bk.band AS band, bk.key AS key
+  FROM keyed WHERE vec_id < 5
+), cand AS (
+  SELECT DISTINCT qb.query_id, cb.vec_id
+  FROM cb JOIN qb USING (band, key)
+), scored AS (
+  SELECT c.query_id, c.vec_id,
+    {_SQL_COS.format(a="e.v", b="q.qv")} AS cs
+  FROM cand c
+  JOIN emb e ON e.vec_id = c.vec_id
+  JOIN (SELECT DISTINCT query_id, qv FROM qb) q ON q.query_id = c.query_id
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(vec_id AS BIGINT) AS vec_id,
+       ROUND(cs, 6) AS cos_sim, CAST(rn AS BIGINT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cs DESC, vec_id) AS rn
+  FROM scored
+) WHERE rn <= {k}
+"""
+
+
+SQL_KNN_RH_LSH = _rh_lsh_oracle_sql()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the correctness driver checks the first 50 entries.
     # Rotation policy lives in WINDOW.md: red/changed/new queries pin
@@ -7001,6 +7093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_authority": q_pagerank,
         "quality_classify": q_quality_classify,
         "cms_heavy_hitters": q_cms_heavy_hitters,
+        "knn_rh_lsh": q_knn_rh_lsh,
         # pinned: first driver-green in r04 (need a 2nd green round)
         "combined_claim_children": q_combined_claim_children,
         "minhash_near_dup": q_minhash_dedup,
@@ -7020,7 +7113,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "full_outer_coalesce": q_full_outer,
         "grid_zerofill": q_grid_zerofill,
         "icd_normalize": q_icd_normalize,
-        "intersect_keys": q_intersect,
         "lang_id": q_lang_id,
         "mode_random_tiebreak": q_mode_random_tiebreak,
         "mode_tiebreak": q_mode,
@@ -7043,6 +7135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dynamic_filter": q_dynamic_filter,
         "count_distinct": q_count_distinct,
         "distinct_dedup": q_distinct,
+        "intersect_keys": q_intersect,
         "text_stats": q_text_stats,
         "theta_or_join": q_theta_or_join,
         "topk_ties": q_topk_ties,
@@ -7180,6 +7273,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_authority": SQL_PAGERANK,
         "quality_classify": SQL_QUALITY_CLASSIFY,
         "cms_heavy_hitters": SQL_CMS_HEAVY_HITTERS,
+        "knn_rh_lsh": SQL_KNN_RH_LSH,
         "quantize_embeddings": SQL_QUANTIZE_EMBEDDINGS,
         "pii_scrub": SQL_PII_SCRUB,
         "chunk_documents": SQL_CHUNK_DOCUMENTS,

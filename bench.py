@@ -88,6 +88,7 @@ EXTENDED = [
     "pagerank_authority",
     "quality_classify",
     "cms_heavy_hitters",
+    "knn_rh_lsh",
 ]
 
 

@@ -423,3 +423,143 @@ def semantic_dedup(
             F.coalesce(F.col("_isdup"), F.lit(0)).cast("int").alias("is_dup"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH approximate kNN (SimHash for embeddings)
+# ---------------------------------------------------------------------------
+
+def rh_planes(num_planes: int, dim: int, seed: str = "rhlsh",
+              plane_range: int = 16) -> list:
+    """Deterministic integer hyperplanes from the md5 family: plane
+    coefficients in [-plane_range, plane_range], reproducible in any
+    engine/driver (hashlib twin in tests; embedded as literals in the
+    SQL oracle). Integer planes + int8-quantized vectors make every
+    signature BIT exact — sign(int dot) has no FP boundary to flip."""
+    import hashlib
+
+    return [
+        [
+            (
+                int(
+                    hashlib.md5(f"rh|{seed}|{b}|{i}".encode()).hexdigest()[:8],
+                    16,
+                )
+                % (2 * plane_range + 1)
+            )
+            - plane_range
+            for i in range(dim)
+        ]
+        for b in range(num_planes)
+    ]
+
+
+def _int_dot(vec: Column, plane: list) -> Column:
+    return F.aggregate(
+        F.zip_with(vec, F.lit(plane), lambda x, y: (x * y).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _band_keys(qvec: Column, planes: list, band_size: int) -> Column:
+    """array<struct<band:int, key:long>> — the LSH bucket coordinates
+    of one signature, band bits packed into an integer key."""
+    bits = [(_int_dot(qvec, p) >= 0).cast("long") for p in planes]
+    bands = []
+    for bi in range(len(planes) // band_size):
+        key = F.lit(0).cast("long")
+        for j in range(band_size):
+            key = key + bits[bi * band_size + j] * F.lit(1 << j)
+        bands.append(
+            F.struct(F.lit(bi).alias("band"), key.alias("key"))
+        )
+    return F.array(*bands)
+
+
+def rh_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    num_planes: int = 24,
+    band_size: int = 8,
+    seed: str = "rhlsh",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """Approximate cosine top-k via random-hyperplane LSH — the
+    SimHash construction applied to embeddings, the third ANN path
+    next to ``brute_force_topk`` (exact) and ``ivf_topk`` (probe-
+    pruned): no codebook to train or store, candidate generation is a
+    pure equi-join on (band, key) buckets.
+
+    Signatures are computed over the int8-QUANTIZED vectors
+    (``quantize_int8``) against INTEGER hyperplanes, so every sign bit
+    is exact integer arithmetic — retry-stable and engine-exact (the
+    repo's fixed-point discipline; float dots could flip a boundary
+    bit between engines). Bits pack into ``num_planes/band_size``
+    band keys; corpus and query band arrays explode and equi-join, so
+    candidate work is Σ|bucket|·|query-hits|, never |corpus|×|queries|.
+    Candidates dedup and verify with EXACT float cosine; ranking only
+    ever sees verified scores (an LSH false positive costs a verify,
+    never a wrong row — same contract as the MinHash/Bloom operators).
+
+    Recall is governed by (num_planes, band_size): a candidate needs
+    ONE identical band (prob ≈ Σ (1-θ/π)^band_size per band). Queries
+    with no colliding candidates return < k rows — the documented
+    LSH tradeoff (callers needing guaranteed k use brute force or
+    raise bands).
+
+    Scale shape: signatures/bands are map-only codegen on both sides;
+    ONE exchange keys the band join (query side broadcast), one
+    semi-join-shaped dedup on the pair, one hash join back to fetch
+    the float vectors for verification, one top-k window per query.
+    """
+    planes = rh_planes(num_planes, dim, seed)
+    c = quantize_int8(
+        spread(corpus.select(corpus_id, corpus_vec)),
+        vec_col=corpus_vec, out_col="_q", scale_col="_s",
+    )
+    qy = quantize_int8(
+        queries.select(query_id, query_vec),
+        vec_col=query_vec, out_col="_q", scale_col="_s",
+    )
+    c_bands = c.select(
+        corpus_id, F.explode(_band_keys(F.col("_q"), planes, band_size)).alias("_bk")
+    ).select(corpus_id, "_bk.band", "_bk.key")
+    q_bands = qy.select(
+        query_id, F.explode(_band_keys(F.col("_q"), planes, band_size)).alias("_bk")
+    ).select(query_id, "_bk.band", "_bk.key")
+
+    cand = (
+        c_bands.join(F.broadcast(q_bands), ["band", "key"])
+        .select(query_id, corpus_id)
+        .distinct()
+    )
+    verified = (
+        cand.join(corpus.select(corpus_id, corpus_vec), corpus_id)
+        .join(
+            F.broadcast(queries.select(query_id, query_vec)), query_id
+        )
+        .select(
+            query_id,
+            corpus_id,
+            cosine(F.col(corpus_vec), F.col(query_vec)).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("cos_sim").desc(), F.col(corpus_id).asc()
+    )
+    return (
+        verified.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(
+            query_id,
+            corpus_id,
+            F.round("cos_sim", 6).alias("cos_sim"),
+            F.col("_rn").cast("long").alias("rank"),
+        )
+    )
