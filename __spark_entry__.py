@@ -6781,8 +6781,8 @@ def q_streaming_dedup(spark, sf_dir):
     the event feed unioned with an identical redelivered copy, deduped
     back to one row per event_id. The streaming form
     (dropDuplicatesWithinWatermark — state bounded by the watermark
-    horizon, not stream lifetime) is pinned by tests/test_streaming.py
-    with a real availableNow file stream + restart; this
+    horizon, not stream lifetime) is pinned by
+    tests/test_corpus_curation2.py with a real availableNow file stream; this
     oracle-comparable entry runs the operator's batch degradation over
     the same frame. Replayed rows are bit-identical, so the arbitrary
     survivor is value-deterministic."""
@@ -7062,6 +7062,61 @@ FROM (
 SQL_KNN_RH_LSH = _rh_lsh_oracle_sql()
 
 
+def q_image_resize(spark, sf_dir):
+    """REAL BMP resize through the strict media path (operators/
+    multimodal.image_resize): executors encode an 8x8 gradient BMP
+    per document (pixel(r,c) = [(r*16+c+doc_id)%256, (c*3)%256, 7]),
+    the operator byte-parses it, nearest-neighbor resamples to 4x4
+    with integer index maps (src row = (r*8) div 4 = 2r) and
+    re-encodes; ``pixel_sum`` integrates the output channels. The
+    index arithmetic is exact, so DuckDB verifies the whole
+    decode-resize-reencode analytically from the gradient formula —
+    no decoder on the oracle side. Both stages are Arrow mapInPandas;
+    map-only, zero shuffles."""
+    import numpy as np
+
+    from claims_data_spark.operators.codecs import encode_bmp
+    from claims_data_spark.operators.multimodal import image_resize
+
+    d = spread(_t(spark, sf_dir, "documents"))
+
+    def make_images(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                px = np.zeros((8, 8, 3), np.uint8)
+                for r in range(8):
+                    for c in range(8):
+                        px[r, c] = [(r * 16 + c + did) % 256, (c * 3) % 256, 7]
+                rows.append((did, encode_bmp(px)))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    media = d.select("doc_id").mapInPandas(
+        make_images, "media_id long, content binary"
+    )
+    out = image_resize(media, 4, 4, method="nearest")
+    return out.select(
+        "media_id", "out_width", "out_height", "pixel_sum"
+    )
+
+
+SQL_IMAGE_RESIZE = """
+WITH g AS (
+  SELECT r.x AS r, c.x AS c
+  FROM generate_series(0, 3) r(x), generate_series(0, 3) c(x)
+)
+SELECT CAST(doc_id AS BIGINT) AS media_id,
+  CAST(4 AS INT) AS out_width, CAST(4 AS INT) AS out_height,
+  CAST(SUM(((2 * r) * 16 + 2 * c + doc_id) % 256
+           + ((2 * c) * 3) % 256 + 7) AS BIGINT) AS pixel_sum
+FROM documents, g
+GROUP BY doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the correctness driver checks the first 50 entries.
     # Rotation policy lives in WINDOW.md: red/changed/new queries pin
@@ -7094,6 +7149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classify": q_quality_classify,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "knn_rh_lsh": q_knn_rh_lsh,
+        "image_resize": q_image_resize,
         # pinned: first driver-green in r04 (need a 2nd green round)
         "combined_claim_children": q_combined_claim_children,
         "minhash_near_dup": q_minhash_dedup,
@@ -7110,7 +7166,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_seeded": q_dedup_seeded,
         "except_distinct": q_except,
         "format_classify": q_format_classify,
-        "full_outer_coalesce": q_full_outer,
         "grid_zerofill": q_grid_zerofill,
         "icd_normalize": q_icd_normalize,
         "lang_id": q_lang_id,
@@ -7136,6 +7191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "count_distinct": q_count_distinct,
         "distinct_dedup": q_distinct,
         "intersect_keys": q_intersect,
+        "full_outer_coalesce": q_full_outer,
         "text_stats": q_text_stats,
         "theta_or_join": q_theta_or_join,
         "topk_ties": q_topk_ties,
@@ -7274,6 +7330,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_classify": SQL_QUALITY_CLASSIFY,
         "cms_heavy_hitters": SQL_CMS_HEAVY_HITTERS,
         "knn_rh_lsh": SQL_KNN_RH_LSH,
+        "image_resize": SQL_IMAGE_RESIZE,
         "quantize_embeddings": SQL_QUANTIZE_EMBEDDINGS,
         "pii_scrub": SQL_PII_SCRUB,
         "chunk_documents": SQL_CHUNK_DOCUMENTS,

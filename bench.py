@@ -89,6 +89,7 @@ EXTENDED = [
     "quality_classify",
     "cms_heavy_hitters",
     "knn_rh_lsh",
+    "image_resize",
 ]
 
 

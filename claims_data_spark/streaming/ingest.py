@@ -143,7 +143,7 @@ def streaming_dedup(
     On a batch frame (the harness's oracle-comparable mode) the same
     call degrades to plain ``dropDuplicates`` semantics over the
     bounded input; the streaming path (availableNow file source +
-    restart-safety) is pinned by ``tests/test_streaming.py``.
+    replay drop) is pinned by ``tests/test_corpus_curation2.py``.
     """
     if events.isStreaming:
         return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
