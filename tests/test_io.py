@@ -213,3 +213,66 @@ def test_cdr_raw_file_processing(spark, tmp_path):
     truncated = "Member ID (Hashed)|@|Svc-Date\n"
     qa_trunc = cdr_load_qa(df, expected_rows=3, header_text=truncated)
     assert not qa_trunc["cols_match"]
+
+
+def test_read_jsonl(spark, tmp_path):
+    from claims_data_spark.sources.io import read_file
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "hello", "lang": "en"}\n'
+        '{"doc_id": 2, "text": "bonjour", "lang": "fr"}\n'
+    )
+    df = read_file(spark, str(p), fmt="jsonl")
+    rows = {r.doc_id: (r.text, r.lang) for r in df.collect()}
+    assert rows == {1: ("hello", "en"), 2: ("bonjour", "fr")}
+    # declared schema path: no inference pass, types as declared
+    from pyspark.sql import types as T
+
+    sch = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    df2 = read_file(spark, str(p), fmt="json", schema=sch)
+    assert df2.schema == sch and df2.count() == 2
+
+
+def test_clustered_write_prunes_partitions(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from claims_data_spark.sources.io import write_clustered
+
+    df = spark.range(1000).select(
+        F.col("id"),
+        (F.col("id") % 4).alias("part_key"),
+        (F.col("id") * 37 % 1000).alias("cluster_key"),
+    )
+    path = str(tmp_path / "clustered")
+    write_clustered(df, path, ["part_key"], cluster_by=["cluster_key"])
+
+    back = spark.read.parquet(path).filter(F.col("part_key") == 2)
+    assert back.count() == 250
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    # partition pruning: the scan carries the partition filter and
+    # reports a single matched partition directory
+    assert "PartitionFilters" in plan and "part_key" in plan
+    import os
+
+    dirs = [d for d in os.listdir(path) if d.startswith("part_key=")]
+    assert sorted(dirs) == [f"part_key={i}" for i in range(4)]
+    # rows inside each file are sorted by the cluster key (row-group
+    # min/max selectivity): verify per input-file ordering
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(F.input_file_name()).orderBy(
+        F.monotonically_increasing_id()
+    )
+    chk = (
+        spark.read.parquet(path)
+        .withColumn("_prev", F.lag("cluster_key").over(w))
+        .filter(F.col("_prev").isNotNull())
+        .filter(F.col("_prev") > F.col("cluster_key"))
+    )
+    assert chk.count() == 0
