@@ -7117,6 +7117,59 @@ GROUP BY doc_id
 """
 
 
+def q_text_normalize(spark, sf_dir):
+    """Unicode normalization gate (functions/text.normalize_text):
+    documents wrapped in the typographic noise crawls carry — curly
+    quotes, NBSP, em dash, ellipsis, a zero-width space — then folded
+    to canonical ASCII-ish form. Pure translate/regexp codegen,
+    map-only; digest + length pin every folding rule byte-for-byte."""
+    from claims_data_spark.functions.text import normalize_text
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    noisy = F.concat(
+        F.lit("“"), F.col("source"), F.lit("”\u00a0— "),
+        F.col("text"), F.lit(" …\u200b"),
+    )
+    norm = normalize_text(noisy)
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.md5(norm).alias("norm_digest"),
+        F.length(norm).cast("long").alias("n_chars"),
+    )
+
+
+SQL_TEXT_NORMALIZE = r"""
+WITH noisy AS (
+  SELECT doc_id,
+    chr(8220) || source || chr(8221) || chr(160) || chr(8212) || ' '
+      || text || ' ' || chr(8230) || chr(8203) AS t
+  FROM documents WHERE text IS NOT NULL
+), folded AS (
+  SELECT doc_id,
+    translate(
+      regexp_replace(
+        regexp_replace(t,
+          chr(8203)||'|'||chr(8204)||'|'||chr(8205)||'|'||chr(65279)
+            ||'|'||chr(173), '', 'g'),
+        '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+      chr(8216)||chr(8217)||chr(8218)||chr(8249)||chr(8250)
+        ||chr(8220)||chr(8221)||chr(8222)||chr(171)||chr(187)
+        ||chr(8211)||chr(8212)||chr(8722)||chr(160)||chr(12288),
+      repeat(chr(39), 3) || '<>' || repeat(chr(34), 5)
+        || '---' || '  ') AS t
+  FROM noisy
+), norm AS (
+  SELECT doc_id,
+    trim(regexp_replace(lower(replace(t, chr(8230), '...')),
+                        '\s+', ' ', 'g')) AS t
+  FROM folded
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, md5(t) AS norm_digest,
+       CAST(length(t) AS BIGINT) AS n_chars
+FROM norm
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the correctness driver checks the first 50 entries.
     # Rotation policy lives in WINDOW.md: red/changed/new queries pin
@@ -7150,6 +7203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "knn_rh_lsh": q_knn_rh_lsh,
         "image_resize": q_image_resize,
+        "text_normalize": q_text_normalize,
         # pinned: first driver-green in r04 (need a 2nd green round)
         "combined_claim_children": q_combined_claim_children,
         "minhash_near_dup": q_minhash_dedup,
@@ -7169,7 +7223,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_zerofill": q_grid_zerofill,
         "icd_normalize": q_icd_normalize,
         "lang_id": q_lang_id,
-        "mode_random_tiebreak": q_mode_random_tiebreak,
         "mode_tiebreak": q_mode,
         "mode_weighted": q_mode_weighted,
         "pct_flags": q_pct_flags,
@@ -7192,6 +7245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_dedup": q_distinct,
         "intersect_keys": q_intersect,
         "full_outer_coalesce": q_full_outer,
+        "mode_random_tiebreak": q_mode_random_tiebreak,
         "text_stats": q_text_stats,
         "theta_or_join": q_theta_or_join,
         "topk_ties": q_topk_ties,
@@ -7331,6 +7385,7 @@ def oracle_sql() -> dict[str, str]:
         "cms_heavy_hitters": SQL_CMS_HEAVY_HITTERS,
         "knn_rh_lsh": SQL_KNN_RH_LSH,
         "image_resize": SQL_IMAGE_RESIZE,
+        "text_normalize": SQL_TEXT_NORMALIZE,
         "quantize_embeddings": SQL_QUANTIZE_EMBEDDINGS,
         "pii_scrub": SQL_PII_SCRUB,
         "chunk_documents": SQL_CHUNK_DOCUMENTS,

@@ -90,6 +90,7 @@ EXTENDED = [
     "cms_heavy_hitters",
     "knn_rh_lsh",
     "image_resize",
+    "text_normalize",
 ]
 
 

@@ -88,3 +88,51 @@ def doc_fingerprint(text: Column | str) -> Column:
     stable across engines (md5 is identical in Spark and DuckDB)."""
     norm = F.regexp_replace(F.lower(F.trim(_col(text))), r"\s+", " ")
     return F.md5(norm)
+
+
+def normalize_text(
+    text: Column | str,
+    lowercase: bool = True,
+    collapse_ws: bool = True,
+) -> Column:
+    """Unicode text normalization — the first gate of every crawl
+    pipeline, before any hashing/dedup/classification sees the bytes
+    (typographic variants of the same sentence must fingerprint
+    identically):
+
+    * zero-width characters (ZWSP/ZWNJ/ZWJ/BOM), the soft hyphen,
+      and C0 controls
+      (except \\t \\n \\r) are DELETED;
+    * typographic quotes/dashes fold to ASCII (single-char
+      ``translate``): ‘ ’ ‚ ‹ › -> ' ,
+      “ ” „ « » -> " , – — − -> - ,
+      NBSP and ideographic space -> plain space;
+    * ellipsis … expands to ``...``;
+    * optionally lowercase and collapse all whitespace runs to one
+      space (trimmed).
+
+    Pure ``translate``/``regexp_replace`` codegen — map-only at any
+    scale, and every rule is expressible identically in DuckDB, so
+    the operator is value-checkable end to end. Deliberately NOT a
+    full NFKC pass (no normalization tables in either engine); the
+    folded set covers the variants that dominate crawled text.
+    """
+    c = _col(text)
+    out = F.regexp_replace(
+        c, "[​‌‍﻿­]", ""
+    )
+    out = F.regexp_replace(
+        out, "[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", ""
+    )
+    out = F.translate(
+        out,
+        "‘’‚‹›“”„«»"
+        "–—− 　",
+        "'''<>\"\"\"\"\"--- " + " ",
+    )
+    out = F.regexp_replace(out, "…", "...")
+    if lowercase:
+        out = F.lower(out)
+    if collapse_ws:
+        out = F.trim(F.regexp_replace(out, r"\s+", " "))
+    return out
