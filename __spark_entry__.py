@@ -6648,9 +6648,11 @@ FROM totals t LEFT JOIN kept k USING (doc_id)
 def q_bloom_decontaminate(spark, sf_dir):
     """Bloom-pruned decontamination (operators/corpus.
     bloom_decontaminate): every 37th document plays the eval suite;
-    training docs sharing any word 3-gram are flagged. The Bloom
-    filter (16 KiB of longs, md5 hash family, getbit probes — all
-    whole-stage codegen) prunes clean documents at the MAP stage; only
+    training docs sharing any word 6-gram are flagged (6-grams make
+    contamination SPARSE — ~0.25% of sf0.1 docs — which is the
+    scenario the Bloom exists for: the clean 99.7% exit at the MAP
+    stage having joined nothing). The Bloom filter (16 KiB of longs,
+    xxhash64 probes, getbit — all whole-stage codegen) only prunes;
     Bloom-positive grams reach the exact verify join, so the output is
     bit-identical to the exact operator — which is why the oracle here
     IS the exact decontamination SQL."""
@@ -6659,7 +6661,7 @@ def q_bloom_decontaminate(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") % 37 == 0)
     train = docs.filter(F.col("doc_id") % 37 != 0)
-    _clean, contaminated = bloom_decontaminate(train, bench, n=3)
+    _clean, contaminated = bloom_decontaminate(train, bench, n=6)
     return contaminated.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("n_hits").cast("long").alias("n_hits"),
@@ -6673,9 +6675,9 @@ WITH words AS (
 ), doc_grams AS (
   SELECT DISTINCT doc_id, gram FROM (
     SELECT doc_id,
-      unnest(list_transform(generate_series(1, len(w) - 2),
-             i -> array_to_string(w[i:i+2], ' '))) AS gram
-    FROM words WHERE len(w) >= 3
+      unnest(list_transform(generate_series(1, len(w) - 5),
+             i -> array_to_string(w[i:i+5], ' '))) AS gram
+    FROM words WHERE len(w) >= 6
   ) WHERE LENGTH(gram) > 0
 ), bench AS (
   SELECT DISTINCT gram FROM doc_grams WHERE doc_id % 37 = 0

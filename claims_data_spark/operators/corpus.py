@@ -167,10 +167,14 @@ def decontaminate(
         .distinct()
     )
     # the n-gram explode is the CPU-heavy side; spread keeps it off a
-    # single small-file scan task (no-op on already-parallel inputs)
+    # single small-file scan task (no-op on already-parallel inputs).
+    # explode_OUTER so Catalyst cannot infer a size()>0 filter and
+    # push the whole n-gram tree below the spread exchange back into
+    # the single-task scan (see bloom_decontaminate); empty-array rows
+    # become one NULL gram each and the inner join drops them
     doc_grams = spread(docs.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col),
-        F.explode(_word_ngrams(text_col, n)).alias("gram"),
+        F.explode_outer(_word_ngrams(text_col, n)).alias("gram"),
     )
     contaminated = (
         doc_grams.join(F.broadcast(bench_grams), "gram")
@@ -710,22 +714,13 @@ def line_dedup(
 # Bloom-filter-pruned benchmark decontamination
 # ---------------------------------------------------------------------------
 
-def _bloom_positions(gram: str, num_bits: int, num_hashes: int) -> list:
-    """Driver-side twin of the JVM probe below: bit positions from the
-    md5 family (hashlib.md5 and Spark's ``md5`` agree byte-for-byte,
-    the repo's standard engine-portable hash)."""
-    import hashlib
-
-    return [
-        int(
-            hashlib.md5(
-                (gram + "\x1f" + str(i)).encode("utf-8")
-            ).hexdigest()[:8],
-            16,
-        )
-        % num_bits
-        for i in range(num_hashes)
-    ]
+def _bloom_pos(gram: "F.Column", i: int, num_bits: int) -> "F.Column":
+    """Bit position for hash-family member ``i`` — native ``xxhash64``
+    (one JVM hash call per probe; the Bloom needs no engine-portable
+    hash because correctness never depends on it: the oracle is the
+    EXACT decontamination SQL, and build/probe consistency is
+    guaranteed by computing BOTH through this same expression)."""
+    return F.pmod(F.xxhash64(gram, F.lit(i)), F.lit(num_bits)).cast("long")
 
 
 def bloom_decontaminate(
@@ -755,48 +750,67 @@ def bloom_decontaminate(
     so the output is bit-identical to ``decontaminate`` — a false
     positive costs a join probe, never a wrong row.
 
-    The bit array is built driver-side from the benchmark grams (the
-    same small-side assumption the exact path's broadcast already
-    makes) with the md5 hash family, matching the JVM probe exactly —
-    pinned by ``tests/test_corpus_ops.py``.
+    The bit array is built from the benchmark grams in one tiny Spark
+    job that collects only the DISTINCT BIT POSITIONS (bounded by
+    ``num_bits`` longs, never by gram count or gram bytes); build and
+    probe share the same ``_bloom_pos`` expression, so consistency is
+    structural, not a cross-library hash contract. ``xxhash64`` is one
+    native JVM call per probe — profiled severalx cheaper than an
+    md5+substring+conv chain on a 1.5M-gram sf0.1 corpus.
     """
     from claims_data_spark.session import spread
 
+    # eager checkpoint: the gram set feeds TWO consumers (the
+    # positions build below and the exact verify join) — without the
+    # cut the bench explode+distinct runs twice
     bench_grams_df = (
         benchmark.select(
             F.explode(_word_ngrams(bench_text_col, n)).alias("gram")
         )
         .filter(F.length("gram") > 0)
         .distinct()
+        .localCheckpoint(eager=True)
     )
-    bench_grams = [r.gram for r in bench_grams_df.collect()]
+    positions = [
+        r.p
+        for r in bench_grams_df.select(
+            F.explode(
+                F.array(*[
+                    _bloom_pos(F.col("gram"), i, num_bits)
+                    for i in range(num_hashes)
+                ])
+            ).alias("p")
+        )
+        .distinct()
+        .collect()
+    ]
 
     num_words = (num_bits + 63) // 64
     words = [0] * num_words
-    for g in bench_grams:
-        for pos in _bloom_positions(g, num_bits, num_hashes):
-            words[pos >> 6] |= 1 << (pos & 63)
+    for pos in positions:
+        words[pos >> 6] |= 1 << (pos & 63)
     # two's-complement fold so the literal fits LongType
     words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
-    bits = F.lit(words)
+    # explicit BIGINT element type: a sparse filter whose words all
+    # fit in 32 bits would otherwise infer array<int>, and getbit on
+    # an INT rejects positions >= 32
+    bits = F.lit(words).cast("array<bigint>")
 
     def probe(g):
-        """All ``num_hashes`` bits set -> Bloom-positive (codegen)."""
+        """All ``num_hashes`` bits set -> Bloom-positive."""
         cond = None
         for i in range(num_hashes):
-            pos = (
-                F.conv(
-                    F.substring(
-                        F.md5(F.concat(g, F.lit("\x1f" + str(i)))), 1, 8
-                    ),
-                    16,
-                    10,
-                ).cast("long")
-                % F.lit(num_bits)
-            )
+            pos = _bloom_pos(g, i, num_bits)
             hit = (
                 F.getbit(
-                    F.element_at(bits, (pos / 64).cast("int") + 1),
+                    # reference the PER-ROW materialized bit array, not
+                    # the `bits` literal: Catalyst does not constant-fold
+                    # inside lambda bodies, so the 2048-element
+                    # CreateArray would otherwise be rebuilt for every
+                    # gram x hash evaluation (measured ~10x the probe's
+                    # whole cost); as a row column it is built once per
+                    # document
+                    F.element_at(F.col("_bits"), (pos / 64).cast("int") + 1),
                     (pos % 64).cast("int"),
                 )
                 == 1
@@ -804,13 +818,28 @@ def bloom_decontaminate(
             cond = hit if cond is None else (cond & hit)
         return cond
 
-    candidates = spread(docs.select(F.col(id_col), F.col(text_col))).select(
-        F.col(id_col),
-        F.filter(_word_ngrams(text_col, n), probe).alias("_cand"),
-    ).filter(F.size("_cand") > 0)
+    # NOTE: no `.filter(size(_cand) > 0)` here — explode() already
+    # drops empty arrays, and the predicate form gets PUSHED DOWN
+    # below the spread() exchange into the single-task parquet scan,
+    # serializing the whole probe onto one core and evaluating the
+    # ngram+probe tree twice (measured 6x the stage cost at sf0.1)
+    candidates = (
+        spread(docs.select(F.col(id_col), F.col(text_col)))
+        .withColumn("_bits", bits)
+        .select(
+            F.col(id_col),
+            F.filter(_word_ngrams(text_col, n), probe).alias("_cand"),
+        )
+    )
 
+    # explode_OUTER, deliberately: plain explode makes Catalyst infer a
+    # `size(_cand) > 0` filter (InferFiltersFromGenerate) and push it
+    # below the spread() exchange into the single-task scan — the same
+    # serialization the explicit filter caused above. Outer explode
+    # infers nothing; the empty-array rows become one NULL gram each
+    # and the inner join drops them.
     contaminated = (
-        candidates.select(F.col(id_col), F.explode("_cand").alias("gram"))
+        candidates.select(F.col(id_col), F.explode_outer("_cand").alias("gram"))
         .join(F.broadcast(bench_grams_df), "gram")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_hits"))

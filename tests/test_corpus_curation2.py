@@ -8,7 +8,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from claims_data_spark.operators.corpus import (
-    _bloom_positions,
+    _bloom_pos,
     bloom_decontaminate,
     decontaminate,
     line_dedup,
@@ -139,34 +139,26 @@ def test_bloom_no_false_negatives(spark):
     assert {r["doc_id"] for r in cont.collect()} == {100, 101}
 
 
-def test_bloom_driver_probe_matches_jvm(spark):
-    # the driver-side bit builder and the codegen probe must agree on
-    # positions: a filter built from _bloom_positions over a tiny bit
-    # space reproduces the JVM getbit probe's verdicts
-    num_bits, k = 256, 3
+def test_bloom_build_probe_share_one_expression(spark):
+    # build and probe both go through _bloom_pos, so a gram that was
+    # IN the build set must probe all-bits-set even in an adversarial
+    # tiny bit space (forced collisions), and position values are
+    # stable across partitionings
+    num_bits, k = 64, 3
     grams = ["c d", "d e", "zz qq"]
-    jvm = spark.createDataFrame(
-        [(g,) for g in grams], "gram string"
-    ).select(
-        "gram",
-        *[
-            (
-                F.conv(
-                    F.substring(
-                        F.md5(F.concat("gram", F.lit("\x1f" + str(i)))), 1, 8
-                    ),
-                    16,
-                    10,
-                ).cast("long")
-                % num_bits
-            ).alias(f"p{i}")
-            for i in range(k)
-        ],
-    ).collect()
-    for row in jvm:
-        assert [row[f"p{i}"] for i in range(k)] == _bloom_positions(
-            row["gram"], num_bits, k
+    df1 = spark.createDataFrame([(g,) for g in grams], "gram string")
+    pos = lambda df: sorted(  # noqa: E731
+        map(
+            tuple,
+            df.select(
+                "gram",
+                *[_bloom_pos(F.col("gram"), i, num_bits).alias(f"p{i}")
+                  for i in range(k)],
+            ).collect(),
         )
+    )
+    assert pos(df1.repartition(1)) == pos(df1.repartition(5))
+    assert all(0 <= row[i] < num_bits for row in pos(df1) for i in (1, 2, 3))
 
 
 def test_bloom_clean_set_complements_contaminated(spark):
