@@ -477,6 +477,33 @@ def _band_keys(qvec: Column, planes: list, band_size: int) -> Column:
     return F.array(*bands)
 
 
+def _band_keys_sql(qcol: str, planes: list, band_size: int) -> str:
+    """The same band-key expression compiled to ONE SQL string parsed
+    JVM-side — the repo's plan-construction pattern (SCALE.md round-5
+    sweep): assembling 24 x 64-literal dot products through the Column
+    API costs thousands of py4j round-trips (~4 s of driver wall per
+    build, measured); one ``expr()`` crossing costs none of that."""
+    def dot(p):
+        arr = "array(" + ",".join(str(c) for c in p) + ")"
+        return (
+            f"aggregate(zip_with({qcol}, {arr},"
+            f" (x, y) -> CAST(x AS BIGINT) * CAST(y AS BIGINT)),"
+            f" CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        )
+
+    bands = []
+    for bi in range(len(planes) // band_size):
+        key = " + ".join(
+            f"(CASE WHEN {dot(planes[bi * band_size + j])} >= 0"
+            f" THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+            for j in range(band_size)
+        )
+        bands.append(
+            f"named_struct('band', {bi}, 'key', {key})"
+        )
+    return "array(" + ", ".join(bands) + ")"
+
+
 def rh_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -527,11 +554,12 @@ def rh_lsh_topk(
         queries.select(query_id, query_vec),
         vec_col=query_vec, out_col="_q", scale_col="_s",
     )
+    keys = F.expr(_band_keys_sql("_q", planes, band_size))
     c_bands = c.select(
-        corpus_id, F.explode(_band_keys(F.col("_q"), planes, band_size)).alias("_bk")
+        corpus_id, F.explode(keys).alias("_bk")
     ).select(corpus_id, "_bk.band", "_bk.key")
     q_bands = qy.select(
-        query_id, F.explode(_band_keys(F.col("_q"), planes, band_size)).alias("_bk")
+        query_id, F.explode(keys).alias("_bk")
     ).select(query_id, "_bk.band", "_bk.key")
 
     cand = (
