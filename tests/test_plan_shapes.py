@@ -261,3 +261,27 @@ def test_semantic_dedup_pairs_keyed_on_cluster(spark, sf_dir):
     plan = _plan(out)
     assert "CartesianProduct" not in plan, plan
     assert "centroid_id" in plan, plan
+
+
+def test_no_generator_filter_pushed_below_spread_exchange(spark, sf_dir):
+    """Regression guard for the InferFiltersFromGenerate trap
+    (SCALE.md round 5): `explode(heavy_expr)` must not leave an
+    inferred size()>0 filter carrying the n-gram/probe tree BELOW the
+    spread() exchange, where it executes serially in the single-task
+    scan and duplicates the most expensive expression in the query.
+    Both decontamination paths use explode_outer, so no node between
+    the scan and the exchange may contain a lambda."""
+    import __spark_entry__ as m
+
+    for name in ("decontaminate", "bloom_decontaminate"):
+        df = m.queries()[name](spark, sf_dir)
+        plan = _plan(df)
+        # walk the tree text: everything printed AFTER the last
+        # "Exchange round" line is the scan-side subtree of that
+        # exchange in the indented physical-plan dump
+        lines = plan.splitlines()
+        ex_rows = [i for i, ln in enumerate(lines) if "Exchange Round" in ln
+                   or "Exchange round" in ln or "REPARTITION_BY_NUM" in ln]
+        assert ex_rows, plan
+        scan_side = "\n".join(lines[ex_rows[-1] + 1:])
+        assert "lambdafunction" not in scan_side, (name, scan_side)
