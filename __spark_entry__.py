@@ -6944,7 +6944,7 @@ def q_cms_heavy_hitters(spark, sf_dir):
             )
         ).alias("word")
     )
-    out = cms_heavy_hitters(words, "word", threshold=40)
+    out = cms_heavy_hitters(words, "word", threshold=40, hash_family="md5")
     return out.select("word", F.col("est_count").cast("long").alias("est_count"))
 
 

@@ -77,9 +77,19 @@ def approx_quantiles(
     )
 
 
-def _cms_bucket(item: Column, depth_idx: int, width: int, seed: str) -> Column:
-    """md5-family bucket for CMS row ``depth_idx`` — the engine-portable
-    hash used throughout (hashlib / Spark md5 / DuckDB md5 agree)."""
+def _cms_bucket(
+    item: Column, depth_idx: int, width: int, seed: str, hash_family: str
+) -> Column:
+    """Bucket for CMS row ``depth_idx``. Two families (the minhash
+    precedent): ``xxhash64`` — one native JVM call, the production
+    path — and ``md5`` — engine-portable (hashlib / Spark / DuckDB
+    agree), the path the value-check oracle replicates. Estimates are
+    deterministic under either; only cross-ENGINE reproducibility
+    needs md5."""
+    if hash_family == "xxhash64":
+        return F.pmod(
+            F.xxhash64(item, F.lit(f"{seed}\x1f{depth_idx}")), F.lit(width)
+        ).cast("long")
     return (
         F.conv(
             F.substring(
@@ -99,6 +109,7 @@ def cms_heavy_hitters(
     depth: int = 4,
     width: int = 8192,
     seed: str = "cms",
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Frequent-item detection with a count-min sketch: items whose
     CMS estimate reaches ``threshold``, with the estimate attached.
@@ -114,7 +125,11 @@ def cms_heavy_hitters(
     rows, independent of item cardinality. The probe pass dedups
     candidate items (the one cardinality-bound shuffle; callers with
     a known candidate set can pre-distinct and make it map-only) and
-    looks estimates up against the broadcast grid.
+    looks estimates up against the broadcast grid.  Default
+    ``hash_family='xxhash64'`` (native, fast); pass ``'md5'`` for
+    engine-portable buckets (the DuckDB value-check oracle's path —
+    the guarantees are identical, only cross-engine bucket
+    reproducibility differs).
 
     Estimates are the classic CMS upper bound: ``est >= true`` always
     (no false negatives at any threshold — every truly-frequent item
@@ -132,7 +147,9 @@ def cms_heavy_hitters(
             F.array(*[
                 F.struct(
                     F.lit(j).alias("_j"),
-                    _cms_bucket(F.col("_item"), j, width, seed).alias("_b"),
+                    _cms_bucket(
+                        F.col("_item"), j, width, seed, hash_family
+                    ).alias("_b"),
                 )
                 for j in range(depth)
             ])
@@ -146,7 +163,9 @@ def cms_heavy_hitters(
             F.array(*[
                 F.struct(
                     F.lit(j).alias("_j"),
-                    _cms_bucket(F.col("_item"), j, width, seed).alias("_b"),
+                    _cms_bucket(
+                        F.col("_item"), j, width, seed, hash_family
+                    ).alias("_b"),
                 )
                 for j in range(depth)
             ])

@@ -39,7 +39,7 @@ ITEMS = (
 @pytest.fixture(scope="module")
 def hh(spark):
     df = spark.createDataFrame([(x,) for x in ITEMS], "item string")
-    out = cms_heavy_hitters(df, "item", threshold=10)
+    out = cms_heavy_hitters(df, "item", threshold=10, hash_family="md5")
     return {r.item: r.est_count for r in out.collect()}
 
 
@@ -60,12 +60,29 @@ def test_tiny_width_forces_collisions_but_still_overestimates(spark):
     df = spark.createDataFrame([(x,) for x in ITEMS], "item string")
     out = {
         r.item: r.est_count
-        for r in cms_heavy_hitters(df, "item", threshold=1, width=4).collect()
+        for r in cms_heavy_hitters(
+            df, "item", threshold=1, width=4, hash_family="md5"
+        ).collect()
     }
     true = Counter(ITEMS)
     assert len(out) == len(true)       # threshold 1 keeps everything
     assert all(out[i] >= n for i, n in true.items())
     assert any(out[i] > n for i, n in true.items())  # width 4 must collide
+
+
+def test_xxhash_family_same_guarantees(spark):
+    # production path: different buckets, identical CMS contracts
+    df = spark.createDataFrame([(x,) for x in ITEMS], "item string")
+    out = {
+        r.item: r.est_count
+        for r in cms_heavy_hitters(df, "item", threshold=10).collect()
+    }
+    true = Counter(ITEMS)
+    for it, n in true.items():
+        if n >= 10:
+            assert it in out
+    for it, est in out.items():
+        assert est >= true[it]
 
 
 def test_nulls_ignored(spark):
