@@ -252,3 +252,50 @@ def test_pack_sequences_matches_sequential_reference(spark, toks, budget):
     want = _pack_reference(rows, budget)
     got = {r["doc_id"]: (r["pack_id"], r["pack_offset"]) for r in out}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# canonicalize_url: idempotence over adversarial URL-ish strings
+# ---------------------------------------------------------------------------
+
+_url_chars = st.text(
+    alphabet=st.sampled_from(
+        list("abcXYZ019-._~:/?#[]@!$&'()*+,;=%é ")
+    ),
+    max_size=24,
+)
+_urls = st.one_of(
+    # well-formed-ish: scheme://host[:port]/path[?query][#frag]
+    st.builds(
+        lambda s, h, p, q, f: f"{s}://{h}{p}{q}{f}",
+        st.sampled_from(["http", "HTTP", "https", "HTTPS", "ftp"]),
+        st.sampled_from(
+            ["www.Ex.com", "ex.com", "EX.COM:443", "h1.org:80", "h2.org:8080"]
+        ),
+        st.sampled_from(["", "/", "/a/b", "/a/b///", "/A%20B"]),
+        st.sampled_from(
+            ["", "?a=1&b=2", "?b=2&a=1", "?utm_source=x&a=1", "?ref=z", "?"]
+        ),
+        st.sampled_from(["", "#frag", "#a#b"]),
+    ),
+    _url_chars,  # arbitrary junk: operator must stay total
+)
+
+
+@_settings
+@given(url=_urls)
+def test_canonicalize_url_idempotent(spark, url):
+    """canonicalize(canonicalize(u)) == canonicalize(u): the dedup key
+    must be a fixed point, or re-crawling already-canonical URLs would
+    mint NEW keys and split pages across dedup groups."""
+    from claims_data_spark.operators.web import canonicalize_url
+
+    df = spark.createDataFrame([(url,)], "u string")
+    once = df.select(canonicalize_url("u").alias("c")).collect()[0].c
+    twice = (
+        spark.createDataFrame([(once,)], "u string")
+        .select(canonicalize_url("u").alias("c"))
+        .collect()[0]
+        .c
+    )
+    assert twice == once, (url, once, twice)
