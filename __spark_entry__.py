@@ -7172,6 +7172,25 @@ FROM norm
 """
 
 
+def q_learn_bpe(spark, sf_dir):
+    """Distributed BPE vocabulary induction (operators/bpe.learn_bpe):
+    6 merge rounds over the documents word-frequency table. The merge
+    loop is data-dependent (each round re-segments by the previous
+    argmax), so no SQL oracle exists — rows-only for the driver, with
+    the real check in tests/test_bpe.py (exact match of merges AND
+    final segmentations against a pure-python Sennrich mirror).
+    Corpus touched once; each round = one dimension-scale pair-count
+    exchange + a 1-row argmax collect."""
+    from claims_data_spark.operators.bpe import learn_bpe
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    merges, _vocab = learn_bpe(d, num_merges=6)
+    return spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "merge_idx int, left string, right string",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the correctness driver checks the first 50 entries.
     # Rotation policy lives in WINDOW.md: red/changed/new queries pin
@@ -7304,6 +7323,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_distinct_rollup": q_sketch_distinct,
         "dedup_exact": q_dedup_exact,
         "knn_bruteforce": q_knn_bruteforce,
+        # rows-only by design (data-dependent iterative loop — the
+        # HLL precedent; real check = tests/test_bpe.py mirror)
+        "learn_bpe": q_learn_bpe,
     }
 
 

@@ -91,6 +91,7 @@ EXTENDED = [
     "knn_rh_lsh",
     "image_resize",
     "text_normalize",
+    "learn_bpe",
 ]
 
 
