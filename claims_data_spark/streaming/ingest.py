@@ -150,3 +150,27 @@ def streaming_dedup(
             keys
         )
     return events.dropDuplicates(keys)
+
+
+def stream_enrich(
+    events: DataFrame,
+    dim: DataFrame,
+    keys: list[str],
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static dimension enrichment: join a stream against a
+    batch reference table (claim-type crosswalk, geo dims, value
+    sets — the same dimensions every batch builder broadcasts).
+
+    Stream-static joins need NO watermark and keep NO state: Spark
+    re-plans the static side per micro-batch (so a slowly-refreshed
+    dimension picks up changes between batches) and the broadcast
+    hint keeps the stream side un-shuffled — each micro-batch is a
+    map-only probe, the property that lets enrichment ride at ingest
+    throughput on an unbounded feed. Inner and left joins are the
+    supported shapes (right/full against a stream would need the
+    unmatched-static state Spark refuses).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("stream-static enrichment supports inner/left")
+    return events.join(F.broadcast(dim), keys, how)

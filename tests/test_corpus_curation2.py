@@ -295,3 +295,57 @@ def test_streaming_dedup_stream_drops_replays(spark, tmp_path):
         for r in spark.read.parquet(sink).collect()
     )
     assert got == [(1, 5.0), (2, 7.0), (3, 9.0)]
+
+
+# ---------------------------------------------------------------------------
+# stream_enrich (stream-static dimension join)
+# ---------------------------------------------------------------------------
+
+def test_stream_enrich_joins_dim_per_microbatch(spark, tmp_path):
+    import os
+
+    from pyspark.sql import types as T2
+
+    from claims_data_spark.streaming.ingest import stream_enrich
+
+    src = tmp_path / "stream_src"
+    os.makedirs(src)
+    spark.createDataFrame(
+        [(1, "A"), (2, "B"), (3, "C"), (4, "ZZ")],
+        "event_id long, code string",
+    ).coalesce(1).write.mode("overwrite").parquet(str(src))
+    dim = spark.createDataFrame(
+        [("A", "alpha"), ("B", "beta"), ("C", "gamma")],
+        "code string, label string",
+    )
+    schema = T2.StructType(
+        [
+            T2.StructField("event_id", T2.LongType()),
+            T2.StructField("code", T2.StringType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    out = stream_enrich(stream, dim, ["code"])
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("enriched_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    rows = {
+        r.event_id: r.label for r in spark.sql("SELECT * FROM enriched_t").collect()
+    }
+    assert rows == {1: "alpha", 2: "beta", 3: "gamma", 4: None}
+
+
+def test_stream_enrich_rejects_unsupported_shape(spark):
+    from claims_data_spark.streaming.ingest import stream_enrich
+
+    df = spark.createDataFrame([(1, "A")], "event_id long, code string")
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        stream_enrich(df, df, ["code"], how="full")

@@ -273,15 +273,26 @@ def test_no_generator_filter_pushed_below_spread_exchange(spark, sf_dir):
     the scan and the exchange may contain a lambda."""
     import __spark_entry__ as m
 
+    def _connector_depth(line: str) -> int:
+        for marker in ("+- ", ":- "):
+            i = line.find(marker)
+            if i >= 0:
+                return i
+        return -1
+
     for name in ("decontaminate", "bloom_decontaminate"):
         df = m.queries()[name](spark, sf_dir)
         plan = _plan(df)
-        # walk the tree text: everything printed AFTER the last
-        # "Exchange round" line is the scan-side subtree of that
-        # exchange in the indented physical-plan dump
         lines = plan.splitlines()
-        ex_rows = [i for i, ln in enumerate(lines) if "Exchange Round" in ln
-                   or "Exchange round" in ln or "REPARTITION_BY_NUM" in ln]
+        ex_rows = [i for i, ln in enumerate(lines) if "REPARTITION_BY_NUM" in ln]
         assert ex_rows, plan
-        scan_side = "\n".join(lines[ex_rows[-1] + 1:])
-        assert "lambdafunction" not in scan_side, (name, scan_side)
+        for ex in ex_rows:
+            d = _connector_depth(lines[ex])
+            subtree = []
+            for ln in lines[ex + 1:]:
+                dd = _connector_depth(ln)
+                if 0 <= dd <= d:
+                    break  # left the exchange's subtree
+                subtree.append(ln)
+            scan_side = "\n".join(subtree)
+            assert "lambdafunction" not in scan_side, (name, scan_side)
