@@ -6364,6 +6364,37 @@ SELECT doc_id, lang, n_chars, samp_key FROM (
 """
 
 
+def q_weighted_sample_grouped(spark, sf_dir):
+    """Per-GROUP Efraimidis–Spirakis (operators/corpus.
+    weighted_sample_grouped): exactly 3 docs per source, weighted by
+    n_chars, md5-pinned uniforms — the per-domain quota form of
+    weighted sampling. One exchange on the group key + a ranking
+    window (P7 shape)."""
+    from claims_data_spark.operators.corpus import weighted_sample_grouped
+
+    d = spread(_t(spark, sf_dir, "documents"))
+    return weighted_sample_grouped(
+        d, k=3, weight_col="n_chars", id_col="doc_id", group_col="source",
+    ).select("doc_id", "source", "n_chars", "samp_key")
+
+
+SQL_WEIGHTED_SAMPLE_GROUPED = """
+SELECT doc_id, source, n_chars, samp_key FROM (
+  SELECT doc_id, source, n_chars, samp_key,
+    ROW_NUMBER() OVER (
+      PARTITION BY source ORDER BY samp_key DESC, doc_id) AS rn
+  FROM (
+    SELECT doc_id, source, n_chars,
+      ROUND(
+        ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || 'wsg'),
+                 1, 8)) AS BIGINT) + 1.0) / 4294967296.0)
+        / CAST(n_chars AS DOUBLE), 9) AS samp_key
+    FROM documents WHERE n_chars > 0
+  )
+) WHERE rn <= 3
+"""
+
+
 def q_mix_rebalance(spark, sf_dir):
     """Downsample-only mixture rebalancing to a target language
     distribution (the Pile/DoReMi domain-mixing step): T = min(n/p)
@@ -7225,6 +7256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_rh_lsh": q_knn_rh_lsh,
         "image_resize": q_image_resize,
         "text_normalize": q_text_normalize,
+        "weighted_sample_grouped": q_weighted_sample_grouped,
         # pinned: first driver-green in r04 (need a 2nd green round)
         "combined_claim_children": q_combined_claim_children,
         "minhash_near_dup": q_minhash_dedup,
@@ -7240,7 +7272,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_priority": q_dedup_priority,
         "dedup_seeded": q_dedup_seeded,
         "except_distinct": q_except,
-        "format_classify": q_format_classify,
         "grid_zerofill": q_grid_zerofill,
         "icd_normalize": q_icd_normalize,
         "lang_id": q_lang_id,
@@ -7267,6 +7298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "intersect_keys": q_intersect,
         "full_outer_coalesce": q_full_outer,
         "mode_random_tiebreak": q_mode_random_tiebreak,
+        "format_classify": q_format_classify,
         "text_stats": q_text_stats,
         "theta_or_join": q_theta_or_join,
         "topk_ties": q_topk_ties,
@@ -7410,6 +7442,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_rh_lsh": SQL_KNN_RH_LSH,
         "image_resize": SQL_IMAGE_RESIZE,
         "text_normalize": SQL_TEXT_NORMALIZE,
+        "weighted_sample_grouped": SQL_WEIGHTED_SAMPLE_GROUPED,
         "quantize_embeddings": SQL_QUANTIZE_EMBEDDINGS,
         "pii_scrub": SQL_PII_SCRUB,
         "chunk_documents": SQL_CHUNK_DOCUMENTS,

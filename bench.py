@@ -92,6 +92,7 @@ EXTENDED = [
     "image_resize",
     "text_normalize",
     "learn_bpe",
+    "weighted_sample_grouped",
 ]
 
 

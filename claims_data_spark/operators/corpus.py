@@ -578,6 +578,44 @@ def weighted_sample(
     )
 
 
+def weighted_sample_grouped(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str,
+    group_col: str,
+    seed: str = "wsg",
+    key_col: str = "samp_key",
+) -> DataFrame:
+    """Per-GROUP Efraimidis-Spirakis: exactly ``k`` weighted-sampled
+    rows per group (per-domain / per-language quotas — the grouped
+    form of ``weighted_sample``; same deterministic md5 uniforms,
+    same 9-dp rounded key, same no-replacement semantics within each
+    group).
+
+    Scale shape: one exchange on the group key + a ranking window —
+    the P7-style shape, NOT a per-group TakeOrdered (no such operator
+    exists); groups sharing the exchange means hot groups can skew a
+    task — salt with ``operators/skew`` if a group dominates the
+    corpus. Seeded separately from the global sampler so composing
+    both on one corpus draws independent uniforms.
+    """
+    from pyspark.sql import Window
+
+    w = F.col(weight_col).cast("double")
+    key = F.round(F.log(_md5_uniform(id_col, seed, open_zero=True)) / w, 9)
+    win = Window.partitionBy(group_col).orderBy(
+        F.col(key_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        df.filter(w > 0)
+        .withColumn(key_col, key)
+        .withColumn("_rn", F.row_number().over(win))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 def mix_rebalance(
     df: DataFrame,
     strata_col: str,
