@@ -5,7 +5,10 @@ BENCH_r{N} has a same-data, same-machine reference point (the
 reference repo publishes only production Synapse wall-clocks at
 incomparable scale).
 
-Usage: python tools/duckdb_bench.py [sf_dir] [runs]
+Usage: python tools/duckdb_bench.py [sf_dir] [runs] [section]
+``section`` = headline (default) | extended | all — the extended list
+can run alone because three HEADLINE oracles are pathological at sf1
+(recursive-CTE packing 604 s etc., BASELINE.md) and dominate the wall.
 """
 
 from __future__ import annotations
@@ -20,7 +23,7 @@ import duckdb
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entrymod  # noqa: E402
-from bench import HEADLINE  # noqa: E402
+from bench import EXTENDED, HEADLINE  # noqa: E402
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
@@ -31,6 +34,7 @@ TABLES = [
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     runs = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    section = sys.argv[3] if len(sys.argv) > 3 else "headline"
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     con = duckdb.connect()
     for t in TABLES:
@@ -39,8 +43,11 @@ def main() -> None:
         )
     oracles = entrymod.oracle_sql()
     timings: dict[str, float] = {}
+    ext_timings: dict[str, float] = {}
     skipped = []
-    for name in HEADLINE:
+    names = {"headline": HEADLINE, "extended": EXTENDED,
+             "all": HEADLINE + EXTENDED}[section]
+    for name in names:
         if name not in oracles:
             skipped.append(name)  # rows-only: no SQL formulation exists
             continue
@@ -50,12 +57,13 @@ def main() -> None:
             con.execute(oracles[name]).fetchall()
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+        (timings if name in HEADLINE else ext_timings)[name] = round(best, 3)
     print(json.dumps({
         "metric": "duckdb_oracle_headline_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "extended": ext_timings,
         "skipped_rows_only": skipped,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
