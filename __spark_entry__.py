@@ -6395,6 +6395,45 @@ SELECT doc_id, source, n_chars, samp_key FROM (
 """
 
 
+def q_collocations(spark, sf_dir):
+    """PMI collocation mining (operators/lm.collocations): global
+    top-50 adjacent word pairs by pointwise mutual information with a
+    >= 20 pair-count gate. One corpus-grain pair-count exchange;
+    marginals are vocabulary-bounded rollups broadcast back; ln on
+    exact integer ratios rounded to 6 dp before ranking (cross-engine
+    1-ulp safety, the weighted_sample precedent)."""
+    from claims_data_spark.operators.lm import collocations
+
+    d = spread(_t(spark, sf_dir, "documents"))
+    return collocations(d, min_count=20, top_k=50)
+
+
+SQL_COLLOCATIONS = r"""
+WITH w AS (
+  SELECT list_filter(
+    string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS w
+  FROM documents WHERE text IS NOT NULL
+), p AS (
+  SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+                i -> w[i] || chr(31) || w[i + 1])) AS pk
+  FROM w WHERE len(w) >= 2
+), pc AS (
+  SELECT split_part(pk, chr(31), 1) AS a, split_part(pk, chr(31), 2) AS b,
+         COUNT(*) AS pair_n
+  FROM p GROUP BY pk
+), lm AS (SELECT a, SUM(pair_n) AS a_n FROM pc GROUP BY a),
+rm AS (SELECT b, SUM(pair_n) AS b_n FROM pc GROUP BY b),
+tot AS (SELECT SUM(pair_n) AS n_total FROM pc)
+SELECT a, b, CAST(pair_n AS BIGINT) AS pair_n,
+  CAST(a_n AS BIGINT) AS a_n, CAST(b_n AS BIGINT) AS b_n,
+  ROUND(ln(CAST(pair_n AS DOUBLE) * CAST(n_total AS DOUBLE)
+           / (CAST(a_n AS DOUBLE) * CAST(b_n AS DOUBLE))), 6) AS pmi
+FROM pc JOIN lm USING (a) JOIN rm USING (b) CROSS JOIN tot
+WHERE pair_n >= 20
+ORDER BY pmi DESC, a, b LIMIT 50
+"""
+
+
 def q_mix_rebalance(spark, sf_dir):
     """Downsample-only mixture rebalancing to a target language
     distribution (the Pile/DoReMi domain-mixing step): T = min(n/p)
@@ -7257,6 +7296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_resize": q_image_resize,
         "text_normalize": q_text_normalize,
         "weighted_sample_grouped": q_weighted_sample_grouped,
+        "collocations": q_collocations,
         # pinned: first driver-green in r04 (need a 2nd green round)
         "combined_claim_children": q_combined_claim_children,
         "minhash_near_dup": q_minhash_dedup,
@@ -7273,7 +7313,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_seeded": q_dedup_seeded,
         "except_distinct": q_except,
         "grid_zerofill": q_grid_zerofill,
-        "icd_normalize": q_icd_normalize,
         "lang_id": q_lang_id,
         "mode_tiebreak": q_mode,
         "mode_weighted": q_mode_weighted,
@@ -7299,6 +7338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "full_outer_coalesce": q_full_outer,
         "mode_random_tiebreak": q_mode_random_tiebreak,
         "format_classify": q_format_classify,
+        "icd_normalize": q_icd_normalize,
         "text_stats": q_text_stats,
         "theta_or_join": q_theta_or_join,
         "topk_ties": q_topk_ties,
@@ -7443,6 +7483,7 @@ def oracle_sql() -> dict[str, str]:
         "image_resize": SQL_IMAGE_RESIZE,
         "text_normalize": SQL_TEXT_NORMALIZE,
         "weighted_sample_grouped": SQL_WEIGHTED_SAMPLE_GROUPED,
+        "collocations": SQL_COLLOCATIONS,
         "quantize_embeddings": SQL_QUANTIZE_EMBEDDINGS,
         "pii_scrub": SQL_PII_SCRUB,
         "chunk_documents": SQL_CHUNK_DOCUMENTS,

@@ -93,6 +93,7 @@ EXTENDED = [
     "text_normalize",
     "learn_bpe",
     "weighted_sample_grouped",
+    "collocations",
 ]
 
 

@@ -100,3 +100,78 @@ def bigram_lm_scores(
         )
         .withColumn("ppl", F.round(F.exp(F.col("xent")), 2))
     )
+
+
+def collocations(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 100,
+    round_to: int = 6,
+) -> DataFrame:
+    """PMI collocation mining: the word pairs that co-occur far more
+    than chance — phrase discovery ("new york", "machine learning")
+    ahead of vocabulary induction (feed winners to ``learn_bpe`` /
+    the wordpiece vocab) or query expansion.
+
+    ``pmi = ln(C(a,b) * N / (C(a) * C(b)))`` over adjacent pairs,
+    gated by ``C(a,b) >= min_count`` (raw PMI is maximized by hapax
+    pairs — the count gate is how every collocation extractor tames
+    that bias). Returns the global ``top_k`` by (rounded pmi desc,
+    pair asc) with all counts attached.
+
+    Plan: one map-only bigram fan-out; the pair-count aggregate is the
+    single corpus-grain exchange; unigram counts are its vocabulary-
+    bounded rollup and broadcast back onto the pair table; the final
+    top-k is TakeOrdered over the (already tiny) gated pair table.
+    ln runs on exact integer ratios and is rounded before ranking, so
+    cross-engine 1-ulp drift cannot flip an ordering (the
+    ``weighted_sample`` precedent).
+    """
+    toks = _tokens(text_col)
+    base = docs.filter(F.col(text_col).isNotNull()).select(toks.alias("_w")).filter(
+        F.size("_w") >= 2
+    )
+    pairs = base.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("_w") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("_w"), i).alias("a"),
+                    F.element_at(F.col("_w"), i + 1).alias("b"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    pair_counts = pairs.groupBy("a", "b").agg(
+        F.count(F.lit(1)).alias("pair_n")
+    )
+    # left-position and right-position unigram marginals + total, all
+    # derived from the SAME pair table (vocabulary-bounded rollups)
+    left = pair_counts.groupBy("a").agg(F.sum("pair_n").alias("a_n"))
+    right = pair_counts.groupBy("b").agg(F.sum("pair_n").alias("b_n"))
+    total = pair_counts.agg(F.sum("pair_n").alias("n_total"))
+    scored = (
+        pair_counts.filter(F.col("pair_n") >= min_count)
+        .join(F.broadcast(left), "a")
+        .join(F.broadcast(right), "b")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "a", "b",
+            F.col("pair_n").cast("long").alias("pair_n"),
+            F.col("a_n").cast("long").alias("a_n"),
+            F.col("b_n").cast("long").alias("b_n"),
+            F.round(
+                F.log(
+                    F.col("pair_n").cast("double")
+                    * F.col("n_total").cast("double")
+                    / (F.col("a_n").cast("double") * F.col("b_n").cast("double"))
+                ),
+                round_to,
+            ).alias("pmi"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("pmi").desc(), F.col("a").asc(), F.col("b").asc())
+        .limit(top_k)
+    )

@@ -396,3 +396,51 @@ def test_weighted_sample_grouped_weight_bias(spark):
     ).collect()
     heavy = sum(1 for r in out if r.doc_id < 10)
     assert heavy >= 8, heavy
+
+
+# ---------------------------------------------------------------------------
+# collocations (PMI phrase mining)
+# ---------------------------------------------------------------------------
+
+def test_collocations_pmi_math_and_gate(spark):
+    import math
+
+    from claims_data_spark.operators.lm import collocations
+
+    texts = (
+        ["new york city hall"] * 10
+        + ["the city the hall the new"] * 5
+        + ["york the"] * 3
+    )
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    out = {(r.a, r.b): r for r in collocations(df, min_count=5, top_k=50).collect()}
+    # mirror counts
+    from collections import Counter
+    pair = Counter()
+    for t in texts:
+        w = t.split()
+        for x, y in zip(w, w[1:]):
+            pair[(x, y)] += 1
+    left = Counter(); right = Counter()
+    for (a, b), n in pair.items():
+        left[a] += n; right[b] += n
+    N = sum(pair.values())
+    for (a, b), r in out.items():
+        assert pair[(a, b)] >= 5           # count gate
+        expect = round(math.log(pair[(a, b)] * N / (left[a] * right[b])), 6)
+        assert abs(r.pmi - expect) < 1e-9, (a, b)
+    # the strong collocation outranks the function-word pair
+    assert ("new", "york") in out
+    pmis = sorted(out.values(), key=lambda r: -r.pmi)
+    assert (pmis[0].a, pmis[0].b) in {("new", "york"), ("york", "city"), ("city", "hall")}
+
+
+def test_collocations_deterministic_and_k(spark):
+    from claims_data_spark.operators.lm import collocations
+
+    texts = ["a b c d e f g h"] * 6 + ["b c x y"] * 6
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    a = [tuple(r) for r in collocations(df, min_count=2, top_k=4).collect()]
+    b = [tuple(r) for r in collocations(
+        df.repartition(7), min_count=2, top_k=4).collect()]
+    assert a == b and len(a) == 4
