@@ -214,9 +214,10 @@ def dense_rank_inline(
 
     Null handling is eqNullSafe-style: a NULL key value equals itself
     and keys containing NULLs get ids in Spark's null-first range
-    order, matching ``DENSE_RANK``'s treatment. The Arrow pass
-    compares validity masks alongside values, so no sentinel
-    pre-coalescing is required.
+    order, matching ``DENSE_RANK``'s treatment. Float NaN likewise
+    equals itself (one rank group — Spark's NaN semantics), via a
+    per-key state channel (null / value / NaN) compared alongside the
+    NaN-masked values, so no sentinel pre-coalescing is required.
     """
     if num_partitions:
         ranged = df.repartitionByRange(num_partitions, *order_cols)
@@ -228,7 +229,14 @@ def dense_rank_inline(
     out_schema = fields + ", `_pid` int, `_loc` long"
 
     def _key_arrays(batch, names):
-        """Per key column: (validity bool array, value numpy array)."""
+        """Per key column: (state int8 array, value numpy array).
+
+        ``state`` is 0 for NULL, 1 for an ordinary value, 2 for a float
+        NaN VALUE — DENSE_RANK treats NaN as equal to itself (one rank
+        group), but numpy's ``vals[1:] != vals[:-1]`` is True for
+        adjacent NaNs, so NaN gets its own state channel (values masked
+        to 0.0) exactly like NULLs do.
+        """
         import numpy as np
         import pyarrow as pa
         import pyarrow.compute as pc
@@ -236,7 +244,9 @@ def dense_rank_inline(
         out = []
         for c in order_cols:
             arr = batch.column(names.index(c))
-            valid = arr.is_valid().to_numpy(zero_copy_only=False)
+            state = arr.is_valid().to_numpy(
+                zero_copy_only=False
+            ).astype(np.int8)
             if pa.types.is_date32(arr.type):
                 arr = pc.cast(arr, pa.int32())
             elif pa.types.is_date64(arr.type) or pa.types.is_timestamp(
@@ -245,13 +255,14 @@ def dense_rank_inline(
                 arr = arr.view(pa.int64())
             vals = arr.to_numpy(zero_copy_only=False)
             # nulls surface as NaN/None/NaT; mask them to a fixed value
-            # so value comparison is deterministic and validity alone
-            # decides null-vs-value changes
+            # so value comparison is deterministic and the state channel
+            # alone decides null-vs-NaN-vs-value changes
             if vals.dtype == object:
-                vals = np.where(valid, vals, "")
+                vals = np.where(state == 1, vals, "")
             elif np.issubdtype(vals.dtype, np.floating):
-                vals = np.where(valid, vals, 0.0)
-            out.append((valid, vals))
+                state[(state == 1) & np.isnan(vals)] = 2
+                vals = np.where(state == 1, vals, 0.0)
+            out.append((state, vals))
         return out
 
     def _running(iterator):
@@ -271,23 +282,24 @@ def dense_rank_inline(
             keys = _key_arrays(batch, names)
             change = np.zeros(m, dtype=bool)
             change[0] = True
-            for valid, vals in keys:
-                change[1:] |= valid[1:] != valid[:-1]
-                change[1:] |= (valid[1:] & valid[:-1]) & (
-                    vals[1:] != vals[:-1]
+            for state, vals in keys:
+                change[1:] |= state[1:] != state[:-1]
+                change[1:] |= (
+                    (state[1:] == 1) & (state[:-1] == 1)
+                    & (vals[1:] != vals[:-1])
                 )
             if has_carry:
                 same = all(
-                    (bool(valid[0]) == cv)
-                    and ((not cv) or vals[0] == cvv)
-                    for (valid, vals), (cv, cvv) in zip(keys, carry)
+                    (int(state[0]) == cs)
+                    and (cs != 1 or vals[0] == cvv)
+                    for (state, vals), (cs, cvv) in zip(keys, carry)
                 )
                 change[0] = not same
             locs = run + np.cumsum(change.astype("int64"))
             run = int(locs[-1])
             has_carry = True
             carry = [
-                (bool(valid[-1]), vals[-1]) for valid, vals in keys
+                (int(state[-1]), vals[-1]) for state, vals in keys
             ]
             arrays = list(batch.columns)
             arrays.append(pa.array(np.full(m, pid, dtype="int32")))

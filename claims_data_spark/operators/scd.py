@@ -69,10 +69,12 @@ def scd2_merge(
         *[F.col(c).alias(f"_cur_{c}") for c in key_cols],
         *[F.col(c).alias(f"_cur_{c}") for c in tracked_cols],
         F.col(valid_from_col).alias("_cur_vf"),
+        F.lit(1).alias("_in_cur"),
     )
     inc = incoming.select(
         *[F.col(c).alias(f"_inc_{c}") for c in key_cols],
         *[F.col(c).alias(f"_inc_{c}") for c in tracked_cols],
+        F.lit(1).alias("_in_inc"),
     )
     cond = None
     for c in key_cols:
@@ -80,8 +82,12 @@ def scd2_merge(
         cond = e if cond is None else (cond & e)
     j = cur.join(inc, cond, "full_outer")
 
-    in_cur = F.col(f"_cur_{key_cols[0]}").isNotNull()
-    in_inc = F.col(f"_inc_{key_cols[0]}").isNotNull()
+    # Presence is an explicit lit(1) marker, NOT key nullness: the join
+    # condition is eqNullSafe, so a NULL business key can legitimately
+    # match, and key-null presence tests would route that row into no
+    # when() branch (emitted NULL -> explode() drops it silently).
+    in_cur = F.col("_in_cur").isNotNull()
+    in_inc = F.col("_in_inc").isNotNull()
     changed = None
     for c in tracked_cols:
         e = ~F.col(f"_cur_{c}").eqNullSafe(F.col(f"_inc_{c}"))

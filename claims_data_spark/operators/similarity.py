@@ -41,6 +41,15 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def cosine_safe(a: Column, b: Column) -> Column:
+    """Cosine with a zero-norm guard: NULL when either vector has zero
+    norm, instead of NaN. Spark (and DuckDB) order NaN ABOVE every
+    number, so an unguarded all-zero corpus vector would rank first for
+    any query and pass ``>= threshold`` filters; NULL fails both."""
+    na, nb = l2_norm(a), l2_norm(b)
+    return F.when((na > 0) & (nb > 0), dot(a, b) / (na * nb))
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -257,9 +266,15 @@ def _centroid_rank(cents: list[tuple[int, list[float]]], vec_col: Column) -> Col
     ties to the lower centroid id) as a sorted array of
     (-cos, cid) structs — pure JVM expression work, so an ANSI oracle
     reproduces the assignment bit-for-bit."""
+    # zero-norm vectors: cosine_safe is NULL -> coalesce to -1.0 (worst
+    # similarity), so a zero vector assigns deterministically to the
+    # lowest centroid id instead of raising DIVIDE_BY_ZERO under ANSI
     return F.sort_array(F.array(*[
         F.struct(
-            (-cosine(vec_col, F.array(*[F.lit(x) for x in cv]))).alias("nc"),
+            (-F.coalesce(
+                cosine_safe(vec_col, F.array(*[F.lit(x) for x in cv])),
+                F.lit(-1.0),
+            )).alias("nc"),
             F.lit(cid).cast("long").alias("cid"),
         )
         for cid, cv in cents
@@ -409,7 +424,7 @@ def semantic_dedup(
     dup_ids = (
         left.join(right, "centroid_id")
         .filter(F.col("_lid") < F.col("_rid"))
-        .filter(cosine(F.col("_lvec"), F.col("_rvec")) >= F.lit(threshold))
+        .filter(cosine_safe(F.col("_lvec"), F.col("_rvec")) >= F.lit(threshold))
         .select(F.col("_rid").alias(id_col))
         .distinct()
     )
@@ -545,6 +560,12 @@ def rh_lsh_topk(
     semi-join-shaped dedup on the pair, one hash join back to fetch
     the float vectors for verification, one top-k window per query.
     """
+    if num_planes % band_size != 0:
+        raise ValueError(
+            f"num_planes ({num_planes}) must be divisible by band_size "
+            f"({band_size}): trailing planes would be silently dropped, "
+            "quietly lowering recall"
+        )
     planes = rh_planes(num_planes, dim, seed)
     c = quantize_int8(
         spread(corpus.select(corpus_id, corpus_vec)),
@@ -575,8 +596,9 @@ def rh_lsh_topk(
         .select(
             query_id,
             corpus_id,
-            cosine(F.col(corpus_vec), F.col(query_vec)).alias("cos_sim"),
+            cosine_safe(F.col(corpus_vec), F.col(query_vec)).alias("cos_sim"),
         )
+        .filter(F.col("cos_sim").isNotNull())
     )
     w = Window.partitionBy(query_id).orderBy(
         F.col("cos_sim").desc(), F.col(corpus_id).asc()

@@ -249,8 +249,11 @@ def build_comorb_scores(
             by_ver.setdefault(ver, []).append((dx, m))
         arms = []
         for ver, vpairs in sorted(by_ver.items()):
+            # dx values come from DATA (the collected catalog), so
+            # escape embedded quotes before splicing into SQL text
             inner = " ".join(
-                f"WHEN '{dx}' THEN {m}L" for dx, m in sorted(vpairs)
+                "WHEN '" + dx.replace("'", "''") + f"' THEN {m}L"
+                for dx, m in sorted(vpairs)
             )
             arms.append(
                 f"WHEN `{ver_col}` = {int(ver)} "

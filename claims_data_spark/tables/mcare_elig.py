@@ -32,7 +32,7 @@ from claims_data_spark.operators.intervals import collapse_islands
 
 
 def _sql_list(vals) -> str:
-    return ", ".join("'" + v + "'" for v in vals)
+    return ", ".join("'" + v.replace("'", "''") + "'" for v in vals)
 
 
 # ResDAC code tables (load_stage.mcare_elig_timevar.R:130-177)

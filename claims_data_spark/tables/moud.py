@@ -57,7 +57,9 @@ def _in(vals) -> str:
     """SQL IN-list text for a code list (codes are plain literals;
     compiling to text instead of Column .isin calls keeps the builder's
     driver time off the py4j socket — ~5.6k crossings profiled)."""
-    return "(" + ", ".join("'" + v + "'" for v in vals) + ")"
+    return "(" + ", ".join(
+        "'" + v.replace("'", "''") + "'" for v in vals
+    ) + ")"
 
 
 def _proc_step(

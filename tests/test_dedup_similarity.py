@@ -805,3 +805,22 @@ def test_semantic_dedup_lowest_id_never_dup(spark, sf_dir):
     )
     assert firsts.filter(F.col("is_dup") == 1).count() == 0
     assert out.filter(F.col("is_dup") == 1).count() > 0
+
+
+def test_semantic_dedup_zero_norm_vector_is_inert(spark):
+    """An all-zero vector has NaN cosine with everything; unguarded,
+    NaN >= threshold is TRUE in Spark's ordering semantics and every
+    colliding row would be marked duplicate. The guard makes the zero
+    vector similar to nothing (it survives, and marks nothing)."""
+    from claims_data_spark.operators.similarity import semantic_dedup
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 0.0, 0.0, 0.0]),   # zero-norm, same cluster bucket
+        (2, [0.9, 0.1, 0.0, 0.0]),   # genuinely near 0
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(df, centroid_ids=[0], threshold=0.98)
+    got = {r["vec_id"]: r["is_dup"] for r in out.collect()}
+    assert got[1] == 0          # zero vector is NOT a spurious dup
+    assert got[0] == 0 and got[2] == 1

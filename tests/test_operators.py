@@ -146,6 +146,36 @@ def test_dense_rank_inline_dates(spark):
     assert got == want
 
 
+def test_dense_rank_inline_float_nan(spark):
+    """Float keys with NaN: DENSE_RANK treats NaN as equal to itself
+    (one rank group, ordered above every number in Spark), and NULL,
+    NaN and 0.0 are three distinct rank groups."""
+    from pyspark.sql import Window
+
+    from claims_data_spark.operators.dense_id import dense_rank_inline
+
+    nan = float("nan")
+    rows = [
+        (0, nan), (1, nan), (2, 1.5), (3, None), (4, 0.0),
+        (5, nan), (6, 1.5), (7, None), (8, 0.0), (9, 2.5),
+    ]
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+    try:
+        df = spark.createDataFrame(rows, "rid long, v double")
+        out = dense_rank_inline(df, ["v"], out_col="gid", num_partitions=2)
+        got = {r["rid"]: r["gid"] for r in out.collect()}
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+    expected = df.withColumn(
+        "gid_exp", F.dense_rank().over(Window.orderBy("v"))
+    )
+    want = {r["rid"]: r["gid_exp"] for r in expected.collect()}
+    assert got == want
+    # all NaN rows share ONE rank
+    assert got[0] == got[1] == got[5]
+
+
 # --- rolling (FIXTURES.md §14.7) --------------------------------------------
 
 def test_rolling_12m_enrollment(spark):
@@ -638,6 +668,30 @@ def test_scd2_merge_outcomes(spark):
           r["is_current"]) for r in df.collect()), key=key,
     )
     assert canon(again) == canon(out)
+
+
+def test_scd2_merge_null_business_key(spark):
+    """A NULL business key is a real key (eqNullSafe join): matched
+    NULL-key rows must survive the merge, not fall through the when()
+    branches (presence is an explicit lit(1) marker, not key
+    nullness)."""
+    from claims_data_spark.operators.scd import scd2_merge
+
+    current = spark.createDataFrame(
+        [(None, "a", d("2020-01-01"), None, 1)],
+        "k string, attr string, valid_from date, valid_to date,"
+        " is_current int",
+    )
+    incoming = spark.createDataFrame(
+        [(None, "a2")], "k string, attr string"
+    )
+    out = scd2_merge(current, incoming, ["k"], ["attr"], "2021-06-15")
+    rows = sorted(
+        (r["attr"], str(r["valid_to"]), r["is_current"])
+        for r in out.collect()
+    )
+    # change detected on the NULL key: close-out + new version
+    assert rows == [("a", "2021-06-14", 0), ("a2", "None", 1)]
 
 
 def test_weighted_sample_exact_k_and_bias(spark):

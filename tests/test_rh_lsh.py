@@ -119,3 +119,22 @@ def test_partitioning_invariance(spark, frames):
         map(tuple, rh_lsh_topk(corpus.repartition(13), queries, dim=DIM, k=4).collect())
     )
     assert a == b
+
+
+def test_band_size_divisibility_enforced(spark, frames):
+    corpus, queries = frames
+    with pytest.raises(ValueError, match="divisible"):
+        rh_lsh_topk(corpus, queries, dim=DIM, num_planes=20, band_size=8)
+
+
+def test_zero_norm_corpus_vector_never_ranks(spark, frames):
+    """An all-zero corpus vector must not surface as a top hit: NaN
+    cosine orders above every number in Spark, so the guard (NULL +
+    filter) is load-bearing."""
+    corpus, queries = frames
+    zero = corpus.sparkSession.createDataFrame(
+        [(999, [0.0] * DIM)], "vec_id long, embedding array<double>"
+    )
+    out = rh_lsh_topk(corpus.unionByName(zero), queries, dim=DIM, k=3)
+    assert all(r.vec_id != 999 for r in out.collect())
+    assert all(not math.isnan(r.cos_sim) for r in out.collect())
