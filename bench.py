@@ -1,7 +1,17 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
-ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+a detail JSON line (per-query spark + same-run DuckDB denominators +
+job counts) followed by ONE final compact JSON line
+{"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...} — the compact line is LAST so a
+tail-truncated driver artifact always captures the headline block
+(BENCH_r05 lost it when the single long line was front-truncated).
+
+Same-run DuckDB: host drift (±20-40% between rounds, BASELINE.md) made
+ratios against the pinned BENCH_sf1_duckdb.json unreliable in both
+directions, so each bench session re-runs the oracle SQL for every
+query in the SAME session (skip with SPARK_GRAFT_DUCKDB=0; the three
+pathological oracles below are excluded and reported as skipped).
 """
 
 from __future__ import annotations
@@ -97,6 +107,51 @@ EXTENDED = [
 ]
 
 
+# Oracles that are pathological in DuckDB at sf>=0.1 (BASELINE.md: at
+# sf1 pack_sequences 604 s / embedding_near_dup 106 s / minhash 57 s —
+# recursive-CTE / quadratic formulations the oracle uses only to PROVE
+# values, not as a fair engine baseline). Excluded from the same-run
+# denominator and listed in duckdb_skipped.
+DUCKDB_PATHOLOGICAL = {"pack_sequences", "embedding_near_dup",
+                       "minhash_near_dup"}
+
+DUCKDB_TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def duckdb_denominators(sf_dir: str, names: list[str], runs: int = 2):
+    """Same-session DuckDB wall for each query's oracle SQL. Returns
+    (timings, skipped) — skipped = rows-only queries (no oracle) plus
+    the pathological set."""
+    import duckdb
+
+    con = duckdb.connect()
+    for t in DUCKDB_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    oracles = entrymod.oracle_sql()
+    timings: dict[str, float] = {}
+    skipped: list[str] = []
+    for name in names:
+        if name not in oracles or name in DUCKDB_PATHOLOGICAL:
+            skipped.append(name)
+            continue
+        best = None
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            con.execute(oracles[name]).fetchall()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
+        print(f"# duckdb {name}: {best:.3f}s", file=sys.stderr)
+    con.close()
+    return timings, skipped
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -150,6 +205,39 @@ def main() -> None:
         )
 
     total = round(sum(timings.values()), 3)
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    spark.stop()
+
+    duck: dict[str, float] = {}
+    duck_skipped: list[str] = []
+    if os.environ.get("SPARK_GRAFT_DUCKDB", "1") != "0":
+        duck, duck_skipped = duckdb_denominators(
+            sf_dir, HEADLINE + EXTENDED
+        )
+    # ratio over the same-run comparable set (both engines measured in
+    # THIS session — immune to host drift)
+    comp_spark = sum(
+        (timings | ext_timings)[n] for n in duck
+    )
+    comp_duck = sum(duck.values())
+    ratio = round(comp_spark / comp_duck, 3) if comp_duck else None
+
+    # detail line FIRST (may be front-truncated by the driver capture)
+    print(
+        json.dumps(
+            {
+                "detail": "per-query spark/duckdb same-run",
+                "jobs": job_counts,
+                "extended": ext_timings,
+                "extended_jobs": ext_jobs,
+                "duckdb": duck,
+                "duckdb_skipped": duck_skipped,
+                "spark_vs_duckdb_same_run": ratio,
+                "sf": sf_val,
+            }
+        )
+    )
+    # headline line LAST so a tail-capture always keeps it
     print(
         json.dumps(
             {
@@ -157,14 +245,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "jobs": job_counts,
-                "extended": ext_timings,
-                "extended_jobs": ext_jobs,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf_val,
             }
         )
     )
-    spark.stop()
 
 
 if __name__ == "__main__":
