@@ -74,6 +74,16 @@ def build_claim_ccw(
     condition/exclusion membership is one aggregation keyed by
     (claim_header_id, condition); the two-claim rule is one window
     pass per (condition, person) — no per-person self-join.
+
+    Job-cascade shape (round 6): config frames (``ccw_lookup_rows`` is
+    a driver-side list already) compile to literal map/CASE lookups
+    instead of broadcast joins — each AQE broadcast materialization is
+    its own blocking job, so two config joins cost two jobs each round
+    for data the driver already holds. The distinct + two-claim window
+    + final collapse share ONE exchange: an explicit repartition on
+    (abbrev, id) whose partitioning satisfies the distinct (subset of
+    its keys), the window spec, and the final groupBy. 10 -> ~5 jobs
+    at equal wall (bench, sf0.1/sf1).
     """
     if id_col != "id_mcaid":
         out = build_claim_ccw(
@@ -132,14 +142,21 @@ def build_claim_ccw(
         .filter(F.col("flag") == 1)
         .select(F.col("icdcm").alias("icdcm_norm"), "icdcm_version", "flag_col")
     )
-    flag_map = spark.createDataFrame(
-        map_rows, "flag_col string, abbrev string, is_excl int, dx_fields string"
-    )
-    cond_cfg = spark.createDataFrame(
-        cfg_rows,
-        "abbrev string, claim_types_1 array<int>, claim_types_2 array<int>, "
-        "condition_type int, lookback_months int",
-    )
+    # flag_col -> (abbrev, is_excl, dx_fields) as a LITERAL map: the
+    # config is a driver-side list, so a broadcast join would spend an
+    # AQE job materializing data the plan can carry as an expression
+    flag_meta = F.create_map(*[
+        x
+        for fc, abbrev, is_excl, dxf in map_rows
+        for x in (
+            F.lit(fc),
+            F.struct(
+                F.lit(abbrev).alias("abbrev"),
+                F.lit(is_excl).alias("is_excl"),
+                F.lit(dxf).alias("dx_fields"),
+            ),
+        )
+    ])
 
     # ONE scan of the dx table -> claim-level condition membership
     hits = (
@@ -147,14 +164,31 @@ def build_claim_ccw(
             "id_mcaid", "claim_header_id", "first_service_date",
             "icdcm_norm", "icdcm_version", "icdcm_number",
         )
-        .join(F.broadcast(long_ref.join(flag_map, "flag_col")),
-              ["icdcm_norm", "icdcm_version"])
+        .join(F.broadcast(long_ref), ["icdcm_norm", "icdcm_version"])
+        .withColumn("_fm", flag_meta[F.col("flag_col")])
+        .select(
+            "id_mcaid", "claim_header_id", "first_service_date",
+            "icdcm_number",
+            F.col("_fm.abbrev").alias("abbrev"),
+            F.col("_fm.is_excl").alias("is_excl"),
+            F.col("_fm.dx_fields").alias("dx_fields"),
+        )
         .filter(_dx_fields_ok(F.col("dx_fields"), F.col("icdcm_number")))
+        # THE one exchange of the whole engine: hash the flag hits on
+        # (abbrev, person). Every downstream key set contains these two
+        # columns — the claim-grain membership groupBy (id_mcaid is
+        # claim-functional, so adding it to the keys is free), the
+        # distinct, the two-claim window and the final collapse — so
+        # Catalyst plans zero further shuffles. Trade: the hits ship
+        # un-combined (no map-side partial before this exchange), but
+        # the dedup factor at hit grain is ~1-2x (a claim rarely
+        # carries the same condition's dx twice), far cheaper than the
+        # second fact-grain exchange it replaces.
+        .repartition("abbrev", "id_mcaid")
     )
     claim_cond = (
-        hits.groupBy("claim_header_id", "abbrev")
+        hits.groupBy("claim_header_id", "abbrev", "id_mcaid")
         .agg(
-            F.first("id_mcaid").alias("id_mcaid"),
             F.first("first_service_date").alias("first_service_date"),
             F.max(1 - F.col("is_excl")).alias("has_cond"),
             F.max("is_excl").alias("has_excl"),
@@ -165,21 +199,38 @@ def build_claim_ccw(
 
     # claim-type split -> condition1/condition2 from-dates
     # (load_ccw.R:509-527); empty type list matches nothing, like the
-    # reference's IN ('')
+    # reference's IN (''). Per-condition claim-type lists / lookback /
+    # type are literal maps (driver-side config, same ruling as above).
+    types_1 = F.create_map(*[
+        x for a, t1, _t2, _ct, _lb in cfg_rows
+        for x in (F.lit(a), F.array(*[F.lit(t) for t in t1]))
+    ])
+    types_2 = F.create_map(*[
+        x for a, _t1, t2, _ct, _lb in cfg_rows
+        for x in (F.lit(a), F.array(*[F.lit(t) for t in t2]))
+    ])
+    cond_type = F.create_map(*[
+        x for a, _t1, _t2, ct, _lb in cfg_rows
+        for x in (F.lit(a), F.lit(ct))
+    ])
+    lookback = F.create_map(*[
+        x for a, _t1, _t2, _ct, lb in cfg_rows
+        for x in (F.lit(a), F.lit(lb))
+    ])
+    ab = F.col("abbrev")
     typed = (
         claim_cond.join(
             header.select("claim_header_id", "claim_type_id"), "claim_header_id"
         )
-        .join(F.broadcast(cond_cfg), "abbrev")
-        .withColumn(
-            "condition1", F.array_contains("claim_types_1", F.col("claim_type_id"))
-        )
-        .withColumn(
-            "condition2", F.array_contains("claim_types_2", F.col("claim_type_id"))
-        )
+        .withColumn("condition1",
+                    F.array_contains(types_1[ab], F.col("claim_type_id")))
+        .withColumn("condition2",
+                    F.array_contains(types_2[ab], F.col("claim_type_id")))
         .filter(F.col("condition1") | F.col("condition2"))
         .select(
-            "abbrev", "id_mcaid", "condition_type", "lookback_months",
+            "abbrev", "id_mcaid",
+            cond_type[ab].alias("condition_type"),
+            lookback[ab].alias("lookback_months"),
             "first_service_date",
             F.when(F.col("condition1"), F.col("first_service_date")).alias(
                 "condition_1_from_date"

@@ -85,6 +85,10 @@ def normalize_value_set_codes(df: DataFrame) -> DataFrame:
         .when(ndc, F.lpad(code, 11, "0"))
         .otherwise(code),
     )
+    # one exchange serves the distinct (its keys contain code_set/code)
+    # AND the per-code longest-raw window below — without it each plans
+    # its own shuffle (two AQE stage jobs for a reference-sized frame)
+    d = d.repartition("code_set", "code")
     d = d.distinct()
     # per normalized ICD code keep the longest raw form (:641-652)
     w = Window.partitionBy("code_set", "code").orderBy(
@@ -265,21 +269,41 @@ def assign_icd_subgroups(
 ) -> DataFrame:
     """Step 4 (:663-828): broadcast-join the ICD-CM reference to get
     CCS detail categories, then run the two ordered rule catalogs.
-    Non-ICD rows pass through untouched."""
+    Non-ICD rows pass through untouched.
+
+    Pre-assigned rows (the NO-HARMS extras, union-ed in upstream with
+    a non-null ``sub_group_condition`` and ``_fill_desc`` = 1) keep
+    their condition and take their description from the SAME ref
+    broadcast — folding what used to be a second broadcast stage (its
+    own AQE job) into this join."""
     ref = ref_icdcm.select(
         F.col("icdcm").alias("code"),
         "icdcm_version",
         "ccs_detail_code",
+        F.upper(F.col("icdcm_description")).alias("_ref_desc"),
     )
     d = normalized.join(
         F.broadcast(ref), ["code", "icdcm_version"], "left"
+    )
+    if "_fill_desc" in normalized.columns:
+        d = d.withColumn(
+            "desc",
+            F.when(F.col("_fill_desc") == 1, F.col("_ref_desc"))
+            .otherwise(F.col("desc")),
+        ).drop("_fill_desc")
+    pre = (
+        F.col("sub_group_condition")
+        if "sub_group_condition" in normalized.columns
+        else F.lit(None).cast("string")
     )
     primary = _rules_to_case(
         ICD_SUBGROUP_RULES, "CAST(NULL AS STRING)"
     )
     d = d.withColumn(
         "sub_group_condition",
-        F.when(F.col("code_set").isin(*ICD_SETS), primary),
+        F.coalesce(
+            pre, F.when(F.col("code_set").isin(*ICD_SETS), primary)
+        ),
     )
     fallback = _rules_to_case(
         ICD_SUBGROUP_FALLBACK_RULES, "`sub_group_condition`"
@@ -291,7 +315,7 @@ def assign_icd_subgroups(
             & F.col("sub_group_condition").isNull(),
             fallback,
         ).otherwise(F.col("sub_group_condition")),
-    ).drop("ccs_detail_code")
+    ).drop("ccs_detail_code", "_ref_desc")
 
 
 # ---------------------------------------------------------------------------
@@ -357,10 +381,16 @@ def assign_pharmacy_subgroups(
     regex fallbacks (NALTREXONE / DISULFIRAM substring), then the
     pharm_* -> condition mapping.  ``sub_group_pharmacy`` carries
     (desc_1, sub_group_pharmacy-label)."""
+    # No distinct here: an exact-duplicate (desc, label) pair in the
+    # curated table fans the join out into IDENTICAL rows, which the
+    # builder's final keep-first collapse removes anyway — the distinct
+    # bought nothing but its own shuffle stage (one AQE job). A same-
+    # desc DIFFERENT-label conflict survived the old distinct too, so
+    # semantics are unchanged.
     cur = sub_group_pharmacy.select(
         F.upper(F.col("desc_1")).alias("desc"),
         F.col("sub_group_pharmacy").alias("_label"),
-    ).distinct()
+    )
     label_map = F.create_map(
         *[F.lit(x) for kv in PHARM_LABEL_MAP.items() for x in kv]
     )
@@ -425,10 +455,11 @@ MOUD_DX1_CODES = ("H0033", "96372", "11981", "11983", "G0516", "G0518",
                   "G2073", "J2315")
 
 
-def no_harms_extra_codes(spark, ref_icdcm: DataFrame) -> DataFrame:
-    """Step 5b: the 66 APDE-added ICD-10 self-harm codes, described
-    from the ICD-CM reference (right join keeps every code even when
-    the reference lacks a description)."""
+def no_harms_extra_codes(spark, ref_icdcm: DataFrame | None = None) -> DataFrame:
+    """Step 5b: the 66 APDE-added ICD-10 self-harm codes. Descriptions
+    come from the main assignment join (``_fill_desc`` marker), NOT a
+    second broadcast of the ICD-CM reference — when ``ref_icdcm`` is
+    passed (standalone use) the old direct describe-join shape runs."""
     extra = spark.createDataFrame(
         [(c,) for c in NO_HARMS_ICD10_CODES], "code string"
     ).select(
@@ -440,6 +471,10 @@ def no_harms_extra_codes(spark, ref_icdcm: DataFrame) -> DataFrame:
         F.lit(10).cast("int").alias("icdcm_version"),
         F.lit("mh_other").alias("sub_group_condition"),
     )
+    if ref_icdcm is None:
+        return extra.withColumns(
+            {"desc": F.lit(None).cast("string"), "_fill_desc": F.lit(1)}
+        )
     descs = ref_icdcm.filter(F.col("icdcm_version") == 10).select(
         F.col("icdcm").alias("code"),
         F.upper(F.col("icdcm_description")).alias("desc"),
@@ -479,13 +514,18 @@ def build_ref_rda_value_set(
     from pyspark.sql import Window
 
     d = normalize_value_set_codes(new_raw)
+    # NO-HARMS extras join the stream BEFORE assignment so their
+    # descriptions ride the one ref_icdcm broadcast (they carry a
+    # pre-set condition the rule CASE must not overwrite, and a
+    # _fill_desc marker the assignment join resolves)
+    d = d.withColumns(
+        {"sub_group_condition": F.lit(None).cast("string"),
+         "_fill_desc": F.lit(0)}
+    ).unionByName(no_harms_extra_codes(spark))
     d = assign_icd_subgroups(d, ref_icdcm)
     d = assign_pharmacy_subgroups(d, sub_group_pharmacy)
     d = d.withColumn("oud_dx1_flag", F.lit(None).cast("int"))
-    parts = [d, no_harms_extra_codes(spark, ref_icdcm).withColumns(
-        {"sub_group_pharmacy": F.lit(None).cast("string"),
-         "oud_dx1_flag": F.lit(None).cast("int")}
-    )]
+    parts = [d]
     if existing is not None:
         parts.insert(0, existing)
     out = parts[0]
@@ -494,7 +534,14 @@ def build_ref_rda_value_set(
     keys = [c for c in out.columns if c != "desc"]
     w = Window.partitionBy(*keys).orderBy(F.col("desc").asc_nulls_last())
     out = (
-        out.withColumn("_rn", F.row_number().over(w))
+        # explicit low-cardinality-safe partitioning the window AND the
+        # typical downstream rollups (per code_set/value_set/condition)
+        # can all reuse: the union above erased child partitioning, so
+        # without this the window plans its own 8-key exchange and any
+        # caller aggregate plans another
+        out.repartition("code_set", "value_set_name",
+                        "sub_group_condition")
+        .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )

@@ -128,6 +128,43 @@ def test_ccw_single_dx_scan(spark, sf_dir):
     plan = _plan(ccw)
     # one scan of lineitem (the dx fact) regardless of condition count
     assert plan.count("lineitem.parquet") == 1, plan
+    # round 6: the whole engine runs on ONE shuffle exchange — the
+    # (abbrev, person) repartition that the membership groupBy, the
+    # distinct, the two-claim window and the final collapse all reuse;
+    # config lookups are literal maps, never broadcast-join stages
+    assert _n_exchanges(plan) == 1, plan
+
+
+def test_rda_value_set_two_shuffles(spark, sf_dir):
+    """The RDA value-set assembly pays exactly two shuffle exchanges:
+    the (code_set, code) repartition serving the normalize distinct +
+    longest-raw window, and the final repartition serving the
+    keep-first collapse; config catalogs compile to CASE/map literals
+    and the one ref_icdcm broadcast also describes the NO-HARMS
+    extras."""
+    from claims_data_spark.tables.rda_value_set import (
+        build_ref_rda_value_set,
+    )
+
+    new_raw = spark.createDataFrame(
+        [("mh", "vs", "diagnosis", "ICDCM", "2960", "MOOD"),
+         ("sud", "vs", "pharmacy", "NDC", "123", "NALTREXONE HCL")],
+        "value_set_group string, value_set_name string,"
+        " data_source_type string, code_set string, code string,"
+        " desc string",
+    )
+    ref = spark.createDataFrame(
+        [("29600", 9, "5.8", "MOOD EP")],
+        "icdcm string, icdcm_version int, ccs_detail_code string,"
+        " icdcm_description string",
+    )
+    pharm = spark.createDataFrame(
+        [("Naltrexone HCl", "Naltrexone")],
+        "desc_1 string, sub_group_pharmacy string",
+    )
+    out = build_ref_rda_value_set(spark, new_raw, ref, pharm)
+    plan = _plan(out)
+    assert _n_exchanges(plan) == 2, plan
 
 
 def test_plr_multi_year_scan_count_constant(spark, sf_dir):
