@@ -217,6 +217,7 @@ def pagerank(
     iterations: int = 5,
     damping_pct: int = 85,
     mass_scale: int = 10**12,
+    checkpoint_edge_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Fixed-point PageRank over a link graph: ``(node, rank_fp)``
     where ``rank_fp`` is the node's authority mass as a BIGINT in
@@ -257,6 +258,15 @@ def pagerank(
     by ``src`` to delete the first exchange; nothing in the loop holds
     driver state beyond the node count (one scalar).
 
+    Adaptive small-graph path (the union-find counted-fallback
+    ruling): at or below ``checkpoint_edge_threshold`` counted edges
+    the per-iteration eager checkpoints are SKIPPED and the whole
+    recurrence plans as one lazy DAG — a demo-scale graph doesn't need
+    lineage truncation, and each checkpoint is a blocking job (5
+    iterations cost 37 jobs with, ~13 without; measured).  Integer
+    arithmetic makes the two paths bit-identical; the distributed
+    checkpointed path stays the default above the threshold.
+
     The reference repo has no graph ranking; this is an engine
     extension for the training-data pipeline (see module docstring).
     """
@@ -268,12 +278,15 @@ def pagerank(
         .filter(F.col("_s").isNotNull() & F.col("_d").isNotNull())
         .distinct()
     )
+    e = e.persist()
+    n_edges = e.count()  # bounded metadata: one scalar (threshold gate)
+    small = n_edges <= checkpoint_edge_threshold
     nodes = (
         e.select(F.col("_s").alias("node"))
         .unionByName(e.select(F.col("_d").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
+    nodes = nodes.persist() if small else nodes.localCheckpoint(eager=True)
     n_nodes = nodes.count()  # bounded metadata: one scalar
     if n_nodes == 0:
         return nodes.withColumn("rank_fp", F.lit(0).cast("long"))
@@ -281,11 +294,17 @@ def pagerank(
     base = (100 - damping_pct) * init // 100
 
     deg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg"))
-    edges_deg = e.join(deg, "_s").localCheckpoint(eager=True)
+    edges_deg = e.join(deg, "_s")
+    edges_deg = (
+        edges_deg.persist() if small
+        else edges_deg.localCheckpoint(eager=True)
+    )
 
     ranks = nodes.select(
         "node", F.lit(init).cast("long").alias("rank_fp")
-    ).localCheckpoint(eager=True)
+    )
+    if not small:
+        ranks = ranks.localCheckpoint(eager=True)
     for _ in range(iterations):
         contrib = (
             edges_deg.join(
@@ -309,6 +328,7 @@ def pagerank(
                     )
                 ).cast("long").alias("rank_fp"),
             )
-            .localCheckpoint(eager=True)
         )
+        if not small:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks
