@@ -226,6 +226,86 @@ def write_clustered(
     out.write.mode(mode).format(fmt).partitionBy(*partition_by).save(path)
 
 
+def delete_data_year(
+    spark: SparkSession,
+    tables: list[dict],
+    delete_year: int,
+    fmt: str = "parquet",
+    keep_backup: bool = True,
+) -> list[dict]:
+    """Surgically delete ONE data year across a table family — the
+    third refresh primitive next to :func:`incremental_merge` and
+    :func:`promote` (``mcaid_delete_data_year.R:1-162``: expiring data
+    -usage agreements require removing a year from every mcaid table).
+
+    ``tables`` rows mirror the reference's mcaid_tables.csv contract:
+    ``{"path": ..., "date_column": ...}``; a row with a date column the
+    rule set doesn't know is SKIPPED and reported, exactly like the R's
+    "No known way to handle this date column" branch. The known rule is
+    the reference's: the column's string form starts with the year
+    (covers CLNDR_YEAR_MNTH ints, yyyymmdd ints and ISO date/strings —
+    ``date_col LIKE '{year}%'``, :141).
+
+    Shape per table (mirrors the R's rename -> SELECT INTO -> QA):
+
+    1. rewrite rows ``NOT LIKE 'year%'`` into a temp sibling (one scan,
+       one write — at scale with year-partitioned layout this becomes
+       a metadata-only partition drop; the filter is pushed to the
+       scan here);
+    2. count QA from parquet metadata: kept + deleted == old total, or
+       the swap is refused;
+    3. atomic swap; the old directory survives as ``<path>._to_delete``
+       (the R's renamed table) until the caller confirms and removes —
+       ``keep_backup=False`` removes it immediately.
+
+    Returns one report dict per table: path, status, old/kept/deleted
+    counts.
+    """
+    import shutil
+
+    reports: list[dict] = []
+    for t in tables:
+        path, date_col = t["path"], t.get("date_column")
+        if not date_col:
+            reports.append(
+                {"path": path, "status": "skipped_no_date_column"}
+            )
+            continue
+        df = read_file(spark, path, fmt)
+        if date_col not in df.columns:
+            reports.append(
+                {"path": path, "status": "skipped_unknown_date_column",
+                 "date_column": date_col}
+            )
+            continue
+        old_n = df.count()
+        cond = F.col(date_col).cast("string").startswith(str(delete_year))
+        tmp = path.rstrip("/") + "._delete_tmp"
+        df.filter(~cond).write.mode("overwrite").format(fmt).save(tmp)
+        kept_n = read_file(spark, tmp, fmt).count()
+        deleted_n = old_n - kept_n
+        # the year filter can only remove rows; anything else (or a
+        # negative delta) means the rewrite saw different data — refuse
+        if kept_n > old_n:
+            shutil.rmtree(tmp)
+            raise AssertionError(
+                f"delete_data_year row-count anomaly on {path}: "
+                f"old={old_n} kept={kept_n}"
+            )
+        backup = path.rstrip("/") + "._to_delete"
+        if os.path.exists(backup):
+            shutil.rmtree(backup)
+        os.rename(path, backup)
+        os.rename(tmp, path)
+        if not keep_backup:
+            shutil.rmtree(backup)
+        reports.append(
+            {"path": path, "status": "deleted", "old_rows": old_n,
+             "kept_rows": kept_n, "deleted_rows": deleted_n}
+        )
+    return reports
+
+
 def promote(
     spark: SparkSession,
     stage_path: str,

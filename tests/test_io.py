@@ -276,3 +276,63 @@ def test_clustered_write_prunes_partitions(spark, tmp_path):
         .filter(F.col("_prev") > F.col("cluster_key"))
     )
     assert chk.count() == 0
+
+
+def test_delete_data_year(spark, tmp_path):
+    """mcaid_delete_data_year.R mirror: one year removed across a table
+    family, before/after count gates, unknown date columns skipped, old
+    data preserved as the _to_delete backup."""
+    import os
+
+    from claims_data_spark.sources.io import delete_data_year, read_file
+
+    elig = spark.createDataFrame(
+        [(1, 201501), (2, 201512), (3, 201601), (4, 201703)],
+        "id long, CLNDR_YEAR_MNTH int",
+    )
+    claims = spark.createDataFrame(
+        [(1, "2015-03-04"), (2, "2016-07-01"), (3, "2015-12-31")],
+        "id long, first_service_date string",
+    )
+    odd = spark.createDataFrame([(1, 5)], "id long, weird_col int")
+    p_elig = str(tmp_path / "mcaid_elig")
+    p_claims = str(tmp_path / "mcaid_claim")
+    p_odd = str(tmp_path / "mcaid_odd")
+    elig.write.parquet(p_elig)
+    claims.write.parquet(p_claims)
+    odd.write.parquet(p_odd)
+
+    reports = delete_data_year(
+        spark,
+        [
+            {"path": p_elig, "date_column": "CLNDR_YEAR_MNTH"},
+            {"path": p_claims, "date_column": "first_service_date"},
+            {"path": p_odd, "date_column": "not_there"},
+            {"path": p_odd},
+        ],
+        2015,
+    )
+    by_path = {}
+    for r in reports:
+        by_path.setdefault(r["path"], []).append(r)
+    e = by_path[p_elig][0]
+    assert (e["old_rows"], e["kept_rows"], e["deleted_rows"]) == (4, 2, 2)
+    c = by_path[p_claims][0]
+    assert (c["old_rows"], c["kept_rows"], c["deleted_rows"]) == (3, 1, 2)
+    assert by_path[p_odd][0]["status"] == "skipped_unknown_date_column"
+    assert by_path[p_odd][1]["status"] == "skipped_no_date_column"
+
+    # surviving rows are exactly the non-2015 ones
+    kept = {r["CLNDR_YEAR_MNTH"] for r in read_file(spark, p_elig).collect()}
+    assert kept == {201601, 201703}
+    # rollback copy intact
+    backup = {r["CLNDR_YEAR_MNTH"]
+              for r in spark.read.parquet(p_elig + "._to_delete").collect()}
+    assert backup == {201501, 201512, 201601, 201703}
+    # keep_backup=False removes it (idempotent re-run over the new data)
+    delete_data_year(
+        spark, [{"path": p_elig, "date_column": "CLNDR_YEAR_MNTH"}],
+        2015, keep_backup=False,
+    )
+    assert not os.path.exists(p_elig + "._to_delete")
+    assert read_file(spark, p_elig).count() == 2

@@ -1,0 +1,119 @@
+"""Scale-point evidence for the weak set (round-5 verdict task 1).
+
+The 8 'correct but >2x DuckDB at sf1' queries are all flat-with-scale
+job cascades; the claim that the fixed scheduling floor amortizes at
+larger data needs a measured point, not extrapolation. This tool runs
+each weak query AND its DuckDB oracle in the SAME session at a given
+sf directory and prints one JSON line per query plus a summary —
+BASELINE.md records the table.
+
+Usage: python tools/scale_proof.py SF_DIR [runs] [query ...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from bench import DUCKDB_TABLES  # noqa: E402
+from claims_data_spark.session import get_spark  # noqa: E402
+
+WEAK_SET = [
+    "apcd_ed_episode",
+    "ccw_two_claim",
+    "rda_value_set",
+    "fuh_followup",
+    "tx_pen_measure",
+    "housing_status",
+    "knn_ivf",
+    "pagerank_authority",
+]
+
+
+def main() -> None:
+    sf_dir = sys.argv[1]
+    runs = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    names = sys.argv[3:] or WEAK_SET
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+
+    spark = get_spark("scale-proof")
+    spark.sparkContext.setLogLevel("ERROR")
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
+    spark_t: dict[str, float] = {}
+    spark_rows: dict[str, int] = {}
+    jobs: dict[str, int] = {}
+    for name in names:
+        best = None
+        for run in range(runs):
+            group = f"{name}#r{run}"
+            sc.setJobGroup(group, name)
+            t0 = time.perf_counter()
+            n = qs[name](spark, sf_dir).count()
+            el = time.perf_counter() - t0
+            sc.setJobGroup(None, None)
+            best = el if best is None else min(best, el)
+            jobs[name] = len(tracker.getJobIdsForGroup(group))
+        spark.catalog.clearCache()
+        spark_t[name] = round(best, 3)
+        spark_rows[name] = n
+        print(f"# spark {name}: {best:.3f}s ({n} rows, {jobs[name]} jobs)",
+              file=sys.stderr)
+    spark.stop()
+
+    import duckdb
+
+    con = duckdb.connect()
+    for t in DUCKDB_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    duck_t: dict[str, float] = {}
+    duck_rows: dict[str, int] = {}
+    for name in names:
+        if name not in oracles:
+            continue
+        best = None
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            rows = con.execute(oracles[name]).fetchall()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        duck_t[name] = round(best, 3)
+        duck_rows[name] = len(rows)
+        print(f"# duckdb {name}: {best:.3f}s ({len(rows)} rows)",
+              file=sys.stderr)
+
+    out = {
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "runs": runs,
+        "queries": {
+            n: {
+                "spark_sec": spark_t[n],
+                "duckdb_sec": duck_t.get(n),
+                "ratio": (
+                    round(spark_t[n] / duck_t[n], 2) if duck_t.get(n) else None
+                ),
+                "jobs": jobs[n],
+                "rows_match": (
+                    spark_rows[n] == duck_rows[n] if n in duck_rows else None
+                ),
+            }
+            for n in names
+        },
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
