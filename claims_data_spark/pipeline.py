@@ -21,6 +21,11 @@ from pyspark.sql import functions as F
 
 from claims_data_spark.qa import (
     fused_table_qa,
+    qa_ids_in_elig,
+    qa_mcaid_claim_icdcm_header,
+    qa_mcaid_claim_line,
+    qa_mcaid_claim_pharm,
+    qa_mcaid_claim_procedure,
     QaResult,
     check_referential,
     run_qa,
@@ -102,9 +107,21 @@ def run_mcaid_pipeline(
 
     line = build_claim_line(raw_claim)
     gate("claim_line", *fused_table_qa(line, unique_keys=["claim_line_id"]))
+    # per-table reference suites (round 6): qa_stage.mcaid_claim_line/
+    # pharm/procedure/icdcm_header.R, each one fused aggregate
+    gate("claim_line", *qa_mcaid_claim_line(line, demo))
     icdcm = build_claim_icdcm_header(raw_claim)
+    if ref_icdcm is not None:
+        gate(
+            "claim_icdcm_header",
+            *qa_mcaid_claim_icdcm_header(icdcm, demo, ref_icdcm),
+        )
+    else:
+        gate("claim_icdcm_header", *qa_ids_in_elig(icdcm, demo))
     procedure = build_claim_procedure(raw_claim)
+    gate("claim_procedure", *qa_mcaid_claim_procedure(procedure, demo))
     pharm = build_claim_pharm(raw_claim)
+    gate("claim_pharm", *qa_mcaid_claim_pharm(pharm, demo))
 
     header = build_claim_header(
         raw_claim, icdcm, ref_xwalk, ref_hedis, ref_telehealth, ref_icdcm

@@ -502,3 +502,262 @@ def refresh_acceptance_qa(
         " pre_cutoff_rows long, archive_pre_cutoff_rows long,"
         " pre_cutoff_match string, extract_date_ranges string",
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-table claim-family QA gates (round 6): the remaining reference
+# suites — qa_stage.mcaid_claim_line/pharm/procedure/icdcm_header/
+# naloxone/preg_episode.R — each fused into ONE aggregate action
+# (broadcast membership markers + row-local format flags + conditional
+# min/max/countDistinct collapse together), plus the qa_final.apcd_*
+# stage-vs-final promotion gate.
+# ---------------------------------------------------------------------------
+
+def _digits_only(col: F.Column) -> F.Column:
+    """T-SQL ``isnumeric() = 1`` as the reference QA uses it on code
+    fields: every character a digit."""
+    return ~col.rlike("[^0-9]")
+
+
+def _with_elig_marker(df: DataFrame, elig: DataFrame, id_col: str):
+    """Left-join a broadcast membership marker from the elig-demo ids
+    (qa_stage.mcaid_claim_*.R check 1: 'IDs are all found in the elig
+    tables'). Marker form so the violation count folds into the same
+    aggregate as every other flag."""
+    ids = elig.select(F.col(id_col)).distinct().withColumn(
+        "_in_elig", F.lit(1)
+    )
+    return df.join(F.broadcast(ids), id_col, "left")
+
+
+def qa_mcaid_claim_line(
+    line: DataFrame,
+    elig: DataFrame,
+    raw_distinct_lines: int | None = None,
+    id_col: str = "id_mcaid",
+) -> list[QaResult]:
+    """qa_stage.mcaid_claim_line.R:9-14 — ids in elig, distinct
+    claim-line count vs raw, rev_code 4-digit-numeric format."""
+    work = _with_elig_marker(line, elig, id_col)
+    rc = F.col("rev_code")
+    row = work.agg(
+        F.sum(F.when(F.col("_in_elig").isNull(), 1).otherwise(0))
+        .alias("_no_elig"),
+        F.countDistinct("claim_line_id").alias("_n_lines"),
+        F.sum(
+            F.when(
+                rc.isNotNull()
+                & ((F.length(rc) != 4) | ~_digits_only(rc)),
+                1,
+            ).otherwise(0)
+        ).alias("_bad_rev"),
+    ).first()
+    out = [
+        ("ids-in-elig", (row["_no_elig"] or 0) == 0,
+         f"violations={row['_no_elig'] or 0}"),
+        ("rev_code-format", (row["_bad_rev"] or 0) == 0,
+         f"violations={row['_bad_rev'] or 0}"),
+    ]
+    if raw_distinct_lines is not None:
+        out.append((
+            "distinct-lines-vs-raw",
+            row["_n_lines"] == raw_distinct_lines,
+            f"table={row['_n_lines']} raw={raw_distinct_lines}",
+        ))
+    return out
+
+
+def qa_mcaid_claim_pharm(
+    pharm: DataFrame, elig: DataFrame, id_col: str = "id_mcaid"
+) -> list[QaResult]:
+    """qa_stage.mcaid_claim_pharm.R:9-12 — ids in elig; NDC 11-digit
+    numeric (:116-121)."""
+    work = _with_elig_marker(pharm, elig, id_col)
+    ndc = F.col("ndc")
+    row = work.agg(
+        F.sum(F.when(F.col("_in_elig").isNull(), 1).otherwise(0))
+        .alias("_no_elig"),
+        F.sum(
+            F.when(
+                ndc.isNotNull()
+                & ((F.length(ndc) != 11) | ~_digits_only(ndc)),
+                1,
+            ).otherwise(0)
+        ).alias("_bad_ndc"),
+    ).first()
+    return [
+        ("ids-in-elig", (row["_no_elig"] or 0) == 0,
+         f"violations={row['_no_elig'] or 0}"),
+        ("ndc-format", (row["_bad_ndc"] or 0) == 0,
+         f"violations={row['_bad_ndc'] or 0}"),
+    ]
+
+
+def procedure_code_system(code: F.Column) -> F.Column:
+    """The reference's code-system classifier CASE
+    (qa_stage.mcaid_claim_procedure.R:123-139): CPT I/II/III/other,
+    HCPCS, ICD-9-PCS, ICD-10-PCS, else UNKNOWN."""
+    four_num = _digits_only(F.substring(code, 1, 4))
+    last = F.substring(code, 5, 1)
+    return (
+        F.when((F.length(code) == 5) & _digits_only(code),
+               "CPT Category I")
+        .when((F.length(code) == 5) & four_num & (last == "F"),
+              "CPT Category II")
+        .when((F.length(code) == 5) & four_num & (last == "T"),
+              "CPT Category III")
+        .when((F.length(code) == 5) & four_num & last.isin("M", "U"),
+              "CPT Other")
+        .when(
+            (F.length(code) == 5)
+            & F.substring(code, 1, 1).rlike("[A-Z]")
+            & _digits_only(F.substring(code, 2, 4)),
+            "HCPCS",
+        )
+        .when(F.length(code).isin(3, 4) & _digits_only(code), "ICD-9-PCS")
+        .when(F.length(code) == 7, "ICD-10-PCS")
+        .otherwise("UNKNOWN")
+    )
+
+
+def qa_mcaid_claim_procedure(
+    proc: DataFrame,
+    elig: DataFrame,
+    id_col: str = "id_mcaid",
+    unknown_limit: int = 50,
+) -> list[QaResult]:
+    """qa_stage.mcaid_claim_procedure.R:10-14 — ids in elig; distinct
+    UNKNOWN-code-system procedure codes below the reference's
+    tolerance (< 50, :152)."""
+    work = _with_elig_marker(proc, elig, id_col).withColumn(
+        "_sys", procedure_code_system(F.col("procedure_code"))
+    )
+    row = work.agg(
+        F.sum(F.when(F.col("_in_elig").isNull(), 1).otherwise(0))
+        .alias("_no_elig"),
+        F.countDistinct(
+            F.when(F.col("_sys") == "UNKNOWN", F.col("procedure_code"))
+        ).alias("_unknown"),
+    ).first()
+    return [
+        ("ids-in-elig", (row["_no_elig"] or 0) == 0,
+         f"violations={row['_no_elig'] or 0}"),
+        ("procedure-code-format",
+         (row["_unknown"] or 0) < unknown_limit,
+         f"unknown-codes={row['_unknown'] or 0} (limit {unknown_limit})"),
+    ]
+
+
+def qa_mcaid_claim_icdcm_header(
+    icdcm: DataFrame,
+    elig: DataFrame,
+    ref_icdcm: DataFrame,
+    id_col: str = "id_mcaid",
+    unmatched_dx_limit: int = 350,
+) -> list[QaResult]:
+    """qa_stage.mcaid_claim_icdcm_header.R:9-15 fused to one action —
+    ids in elig; ICD-9 codes exactly 5 chars (:129-130); ICD-10 codes
+    3-7 chars (:163-164); icdcm_number in 01-12/admit (:197-206);
+    distinct dx not joining the ICD-CM reference below the tolerance
+    (< 350, :234-243)."""
+    ref = ref_icdcm.select(
+        F.col("icdcm").alias("icdcm_norm"),
+        "icdcm_version",
+        F.lit(1).alias("_in_ref"),
+    ).distinct()
+    work = (
+        _with_elig_marker(icdcm, elig, id_col)
+        .join(F.broadcast(ref), ["icdcm_norm", "icdcm_version"], "left")
+    )
+    ln = F.length("icdcm_norm")
+    v9 = F.col("icdcm_version") == 9
+    v10 = F.col("icdcm_version") == 10
+    num_ok = F.col("icdcm_number").isin(
+        *[f"{i:02d}" for i in range(1, 13)], "admit"
+    )
+    row = work.agg(
+        F.sum(F.when(F.col("_in_elig").isNull(), 1).otherwise(0))
+        .alias("_no_elig"),
+        F.min(F.when(v9, ln)).alias("_v9_lo"),
+        F.max(F.when(v9, ln)).alias("_v9_hi"),
+        F.min(F.when(v10, ln)).alias("_v10_lo"),
+        F.max(F.when(v10, ln)).alias("_v10_hi"),
+        F.sum(F.when(~num_ok, 1).otherwise(0)).alias("_bad_num"),
+        F.countDistinct(
+            F.when(
+                F.col("_in_ref").isNull(),
+                F.concat_ws("-", "icdcm_version", "icdcm_norm"),
+            )
+        ).alias("_no_ref"),
+    ).first()
+    v9_ok = row["_v9_lo"] is None or (
+        row["_v9_lo"] == 5 and row["_v9_hi"] == 5
+    )
+    v10_ok = row["_v10_lo"] is None or (
+        row["_v10_lo"] >= 3 and row["_v10_hi"] <= 7
+    )
+    return [
+        ("ids-in-elig", (row["_no_elig"] or 0) == 0,
+         f"violations={row['_no_elig'] or 0}"),
+        ("icd9-length-5", v9_ok,
+         f"len-range=[{row['_v9_lo']}..{row['_v9_hi']}]"),
+        ("icd10-length-3-7", v10_ok,
+         f"len-range=[{row['_v10_lo']}..{row['_v10_hi']}]"),
+        ("icdcm_number-range", (row["_bad_num"] or 0) == 0,
+         f"violations={row['_bad_num'] or 0}"),
+        ("dx-in-ref", (row["_no_ref"] or 0) < unmatched_dx_limit,
+         f"unmatched={row['_no_ref'] or 0} (limit {unmatched_dx_limit})"),
+    ]
+
+
+def qa_ids_in_elig(
+    df: DataFrame, elig: DataFrame, id_col: str = "id_mcaid"
+) -> list[QaResult]:
+    """The single-check suites (qa_stage.mcaid_claim_naloxone.R:9-10,
+    qa_stage.mcaid_claim_preg_episode.R:9-10): every id appears in the
+    elig tables."""
+    row = _with_elig_marker(df, elig, id_col).agg(
+        F.sum(F.when(F.col("_in_elig").isNull(), 1).otherwise(0))
+        .alias("_no_elig")
+    ).first()
+    return [("ids-in-elig", (row["_no_elig"] or 0) == 0,
+             f"violations={row['_no_elig'] or 0}")]
+
+
+def qa_rows_per_year(
+    new_df: DataFrame,
+    year_col,
+    prior_year_counts: dict[int, int],
+    allow_equal: bool = True,
+) -> list[QaResult]:
+    """'As many or more rows for each calendar year' (the shared final
+    check of every qa_stage.mcaid_claim_*.R suite, e.g.
+    icdcm_header:280-331): one groupBy against the PRIOR refresh's
+    per-year counts (bounded metadata the pipeline carries forward)."""
+    got = {
+        int(r["_y"]): int(r["_n"])
+        for r in new_df.groupBy(
+            year_col.alias("_y") if hasattr(year_col, "alias")
+            else F.col(year_col).alias("_y")
+        ).agg(F.count(F.lit(1)).alias("_n")).collect()
+    }
+    bad = []
+    for y, prior in sorted(prior_year_counts.items()):
+        now = got.get(int(y), 0)
+        if now < prior or (not allow_equal and now == prior):
+            bad.append(f"{y}: {prior}->{now}")
+    return [("rows-per-year-nondecreasing", not bad,
+             "; ".join(bad) or "all years >= prior")]
+
+
+def promotion_qa(stage: DataFrame, final: DataFrame) -> list[QaResult]:
+    """qa_final.apcd_*.sql (11 files, all the same shape): stage and
+    final must agree on row count and column count before the stage
+    table is dropped."""
+    n_stage, n_final = stage.count(), final.count()
+    return [
+        ("row-count-match", n_stage == n_final,
+         f"stage={n_stage} final={n_final}"),
+        ("col-count-match", len(stage.columns) == len(final.columns),
+         f"stage={len(stage.columns)} final={len(final.columns)}"),
+    ]
