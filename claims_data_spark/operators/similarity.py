@@ -261,24 +261,112 @@ def _collect_fixed_centroids(
     return sorted((int(r[0]), [float(x) for x in r[1]]) for r in cent_rows)
 
 
-def _centroid_rank(cents: list[tuple[int, list[float]]], vec_col: Column) -> Column:
-    """Row-local ranking of centroids by cosine (first = nearest,
-    ties to the lower centroid id) as a sorted array of
-    (-cos, cid) structs — pure JVM expression work, so an ANSI oracle
-    reproduces the assignment bit-for-bit."""
-    # zero-norm vectors: cosine_safe is NULL -> coalesce to -1.0 (worst
-    # similarity), so a zero vector assigns deterministically to the
-    # lowest centroid id instead of raising DIVIDE_BY_ZERO under ANSI
-    return F.sort_array(F.array(*[
-        F.struct(
-            (-F.coalesce(
-                cosine_safe(vec_col, F.array(*[F.lit(x) for x in cv])),
-                F.lit(-1.0),
-            )).alias("nc"),
-            F.lit(cid).cast("long").alias("cid"),
+def _dlit(x: float) -> str:
+    """Exact double literal: repr() round-trips IEEE doubles, the CAST
+    keeps ANSI SQL from typing bare decimals as DECIMAL."""
+    return f"CAST('{x!r}' AS DOUBLE)"
+
+
+def _sql_dot_lit_unrolled(col: str, coeffs: list[float]) -> str:
+    """Dot product against a LITERAL vector, unrolled to a left-nested
+    sum — the association order of a sequential fold, so values are
+    bit-identical to ``aggregate(zip_with(...))`` and to the oracle's
+    ``list_aggregate(..., 'sum')``, but the expression is plain
+    arithmetic whole-stage codegen fuses (the lambda form is
+    interpreted per element: ~40x slower, measured at sf10)."""
+    return " + ".join(
+        f"element_at({col}, {i + 1}) * {_dlit(c)}"
+        for i, c in enumerate(coeffs)
+    )
+
+
+def _sql_norm_unrolled(col: str, dim: int) -> str:
+    """L2 norm unrolled the same way (sequential-fold order)."""
+    sq = " + ".join(
+        f"element_at({col}, {i}) * element_at({col}, {i})"
+        for i in range(1, dim + 1)
+    )
+    return f"SQRT({sq})"
+
+
+def _sql_cos_unrolled(a: str, b: str, dim: int) -> str:
+    """Exact cosine of two COLUMN vectors, unrolled (same fold order as
+    :func:`cosine`); caller guards zero norms."""
+    dot = " + ".join(
+        f"element_at({a}, {i}) * element_at({b}, {i})"
+        for i in range(1, dim + 1)
+    )
+    return (
+        f"({dot}) / ({_sql_norm_unrolled(a, dim)}"
+        f" * {_sql_norm_unrolled(b, dim)})"
+    )
+
+
+def _seq_norm(vals: list[float]) -> float:
+    """Python twin of the SQL sequential-fold L2 norm — same rounding
+    as the engines' left fold (NOT math.fsum, whose exact summation
+    can differ in the last ulp)."""
+    import math
+
+    s = 0.0
+    for x in vals:
+        s += x * x
+    return math.sqrt(s)
+
+
+def _attach_centroid_rank(
+    df: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    vec_name: str,
+    out: str,
+) -> DataFrame:
+    """Attach ``out`` = row-local centroid ranking by cosine (first =
+    nearest, ties to the lower centroid id) as a sorted array of
+    (-cos, cid) structs — compiled to unrolled-arithmetic SQL
+    (codegen, no per-element lambdas: the lambda form is interpreted
+    per element, ~6x slower end-to-end at sf10, measured), so an ANSI
+    oracle reproduces the assignment bit-for-bit: centroid
+    coefficients and norms embed as exact double literals (repr
+    round-trip of the same parquet doubles the oracle reads), and
+    every fold keeps the sequential association order.
+
+    The norm and each centroid dot are SEPARATE projection columns,
+    not one expression tree: whole-stage codegen splits methods
+    per-expression, and one fused 8x64-term tree overflows the JVM's
+    64 KB method limit, silently falling back to interpreted mode
+    (measured: the fallback plus failed Janino compile cost more than
+    the lambdas it replaced). For very high-dimensional embeddings
+    (>~1k dims) even one dot outgrows a method — that regime belongs
+    to the Arrow/BLAS path (:func:`ivf_build`), not this oracle-exact
+    one.
+
+    Zero-norm row vectors take cosine -1.0 (worst similarity, assigns
+    to the lowest centroid id) instead of raising DIVIDE_BY_ZERO under
+    ANSI."""
+    dim = len(cents[0][1])
+    col = f"`{vec_name}`" if not vec_name.startswith("`") else vec_name
+    nv_col = f"_cr_nv_{out}"
+    cols = {nv_col: F.expr(_sql_norm_unrolled(col, dim))}
+    structs = []
+    for cid, cv in cents:
+        nc = _seq_norm(cv)
+        if nc == 0.0:
+            raise ValueError(f"zero-norm centroid vector (id {cid})")
+        dcol = f"_cr_dot_{out}_{cid}"
+        cols[dcol] = F.expr(_sql_dot_lit_unrolled(col, cv))
+        cos = (
+            f"CASE WHEN `{nv_col}` = {_dlit(0.0)} THEN {_dlit(-1.0)} "
+            f"ELSE `{dcol}` / (`{nv_col}` * {_dlit(nc)}) END"
         )
-        for cid, cv in cents
-    ]))
+        structs.append(
+            f"named_struct('nc', -({cos}), 'cid', CAST({int(cid)} AS BIGINT))"
+        )
+    ranked = F.expr("sort_array(array(" + ", ".join(structs) + "))")
+    return (
+        df.withColumns(cols)
+        .withColumn(out, ranked)
+        .drop(*cols.keys())
+    )
 
 
 def ivf_topk_fixed_centroids(
@@ -312,26 +400,52 @@ def ivf_topk_fixed_centroids(
     rows.
     """
     cents = _collect_fixed_centroids(corpus, centroid_ids, corpus_id, corpus_vec)
+    dim = len(cents[0][1])
 
-    def ranked_structs(vec_col: Column) -> Column:
-        return _centroid_rank(cents, vec_col)
-
-    assigned = corpus.withColumn(
-        "centroid_id", ranked_structs(F.col(corpus_vec))[0]["cid"]
-    )
-    probes = queries.select(
+    # spread: a small parquet scans as 1-2 tasks, serializing the
+    # CPU-heavy assignment + verify stages regardless of cores
+    assigned = _attach_centroid_rank(
+        spread(corpus), cents, corpus_vec, "_cr"
+    ).withColumn("centroid_id", F.col("_cr")[0]["cid"]).drop("_cr")
+    probes = _attach_centroid_rank(
+        queries, cents, query_vec, "_cr"
+    ).select(
         query_id, query_vec,
         F.explode(
-            F.transform(
-                F.slice(ranked_structs(F.col(query_vec)), 1, nprobe),
-                lambda s: s["cid"],
-            )
+            F.transform(F.slice("_cr", 1, nprobe), lambda s: s["cid"])
         ).alias("centroid_id"),
     )
-    scored = assigned.join(F.broadcast(probes), "centroid_id").select(
-        query_id,
-        corpus_id,
-        cosine(F.col(corpus_vec), F.col(query_vec)).alias("cos_sim"),
+    # exact verification cosine over the CANDIDATE set only. Norms are
+    # unrolled codegen on each side before the join (simple stages
+    # where the split fits); the column-vs-column dot stays the
+    # single-pass lambda fold — unrolled text inlined into the
+    # broadcast-join stage overflows the JVM's 64 KB method limit and
+    # falls back to interpreted mode (measured; CollapseProject
+    # re-inlines any attempt to split it into chained columns), and
+    # the candidate set is probe-pruned so one tight interpreted loop
+    # per candidate is cheap. Fold order matches the oracle's
+    # sequential sum either way. Zero-norm rows would be NaN so they
+    # are guarded out like everywhere else in this module.
+    scored = (
+        assigned.withColumn(
+            "_nc", F.expr(_sql_norm_unrolled(f"`{corpus_vec}`", dim))
+        )
+        .join(
+            F.broadcast(probes.withColumn(
+                "_nq", F.expr(_sql_norm_unrolled(f"`{query_vec}`", dim))
+            )),
+            "centroid_id",
+        )
+        .withColumn("_dot", dot(F.col(corpus_vec), F.col(query_vec)))
+        .select(
+            query_id,
+            corpus_id,
+            F.when(
+                (F.col("_nc") > 0) & (F.col("_nq") > 0),
+                F.col("_dot") / (F.col("_nc") * F.col("_nq")),
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim").isNotNull())
     )
     w = Window.partitionBy(query_id).orderBy(
         F.col("cos_sim").desc(), F.col(corpus_id).asc()
@@ -408,9 +522,11 @@ def semantic_dedup(
     a smaller-id neighbor in the same cluster is >= threshold).
     """
     cents = _collect_fixed_centroids(corpus, centroid_ids, id_col, vec_col)
-    assigned = spread(corpus.withColumn(
-        "centroid_id", _centroid_rank(cents, F.col(vec_col))[0]["cid"]
-    ))
+    assigned = spread(
+        _attach_centroid_rank(corpus, cents, vec_col, "_cr")
+        .withColumn("centroid_id", F.col("_cr")[0]["cid"])
+        .drop("_cr")
+    )
     left = assigned.select(
         F.col("centroid_id"),
         F.col(id_col).alias("_lid"),

@@ -79,11 +79,16 @@ def build_claim_ccw(
     a driver-side list already) compile to literal map/CASE lookups
     instead of broadcast joins — each AQE broadcast materialization is
     its own blocking job, so two config joins cost two jobs each round
-    for data the driver already holds. The distinct + two-claim window
-    + final collapse share ONE exchange: an explicit repartition on
-    (abbrev, id) whose partitioning satisfies the distinct (subset of
-    its keys), the window spec, and the final groupBy. 10 -> ~5 jobs
-    at equal wall (bench, sf0.1/sf1).
+    for data the driver already holds. The narrow header (claim_type)
+    joins the dx HITS before aggregation: hits are typically already
+    partitioned by claim (they come off a claim-keyed fact), so the
+    claim-grain membership groupBy reuses that partitioning with zero
+    extra exchange, and the header join never becomes the scale trap
+    the first cut had (a claim-grain SortMergeJoin AFTER the agg that
+    re-shuffled both sides once the header outgrew the broadcast
+    threshold at sf10 — measured 17 s / 11 jobs; this shape is
+    9 s / 8 jobs at sf10). The distinct + two-claim window + final
+    collapse still share ONE explicit (abbrev, id) repartition.
     """
     if id_col != "id_mcaid":
         out = build_claim_ccw(
@@ -158,7 +163,11 @@ def build_claim_ccw(
         )
     ])
 
-    # ONE scan of the dx table -> claim-level condition membership
+    # ONE scan of the dx table -> claim-level condition membership.
+    # The header join happens at HIT grain (before the agg): header is
+    # one narrow row per claim, the hits keep their claim-keyed
+    # partitioning, and the membership groupBy below — whose keys
+    # contain claim_header_id — then needs no exchange of its own.
     hits = (
         icdcm.select(
             "id_mcaid", "claim_header_id", "first_service_date",
@@ -174,22 +183,16 @@ def build_claim_ccw(
             F.col("_fm.dx_fields").alias("dx_fields"),
         )
         .filter(_dx_fields_ok(F.col("dx_fields"), F.col("icdcm_number")))
-        # THE one exchange of the whole engine: hash the flag hits on
-        # (abbrev, person). Every downstream key set contains these two
-        # columns — the claim-grain membership groupBy (id_mcaid is
-        # claim-functional, so adding it to the keys is free), the
-        # distinct, the two-claim window and the final collapse — so
-        # Catalyst plans zero further shuffles. Trade: the hits ship
-        # un-combined (no map-side partial before this exchange), but
-        # the dedup factor at hit grain is ~1-2x (a claim rarely
-        # carries the same condition's dx twice), far cheaper than the
-        # second fact-grain exchange it replaces.
-        .repartition("abbrev", "id_mcaid")
+        .join(
+            header.select("claim_header_id", "claim_type_id"),
+            "claim_header_id",
+        )
     )
     claim_cond = (
         hits.groupBy("claim_header_id", "abbrev", "id_mcaid")
         .agg(
             F.first("first_service_date").alias("first_service_date"),
+            F.first("claim_type_id").alias("claim_type_id"),
             F.max(1 - F.col("is_excl")).alias("has_cond"),
             F.max("is_excl").alias("has_excl"),
         )
@@ -219,9 +222,7 @@ def build_claim_ccw(
     ])
     ab = F.col("abbrev")
     typed = (
-        claim_cond.join(
-            header.select("claim_header_id", "claim_type_id"), "claim_header_id"
-        )
+        claim_cond
         .withColumn("condition1",
                     F.array_contains(types_1[ab], F.col("claim_type_id")))
         .withColumn("condition2",
@@ -239,6 +240,10 @@ def build_claim_ccw(
                 "condition_2_from_date"
             ),
         )
+        # the ONE explicit exchange of the back half: (abbrev, person)
+        # partitioning the distinct (keys superset), the two-claim
+        # window (same keys) and the final collapse all reuse
+        .repartition("abbrev", "id_mcaid")
         .distinct()  # the reference's UNION across ICD versions dedups
     )
 
