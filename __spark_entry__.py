@@ -7261,6 +7261,89 @@ def q_learn_bpe(spark, sf_dir):
     )
 
 
+def q_hedis_year_merge(spark, sf_dir):
+    """HEDIS/QRS value-set year-merge
+    (load_claims.ref_hedis_value_sets_apde_2018-2023.R:687-730): two
+    measurement years with DRIFTING schemas (2023 adds
+    value_set_version) bind by name, each row year-tagged, then the
+    ICD vocabulary normalizes once — punctuation stripped from
+    ICD-9/10-CM, ICD-9 padded to 5 with trailing zeros."""
+    from claims_data_spark.tables.ref_lookups import (
+        build_ref_hedis_value_sets,
+    )
+
+    p = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    b = (k % 4).cast("int")
+    code = (
+        F.when(b == 0, F.format_string(
+            "F%02d.%02d", (k % 50).cast("int"), (k % 100).cast("int")))
+        .when(b == 1, F.format_string("%03d", (100 + k % 900).cast("int")))
+        .when(b == 2, F.format_string(
+            "%03d.%01d", (100 + k % 900).cast("int"), (k % 10).cast("int")))
+        .otherwise(F.format_string("9%04d", (k % 10000).cast("int")))
+    )
+    system = (
+        F.when(b == 0, "ICD10CM")
+        .when(b.isin(1, 2), "ICD9CM")
+        .otherwise("CPT")
+    )
+    base = p.select(
+        F.concat(F.lit("vs-"), b.cast("string")).alias("value_set_name"),
+        system.alias("code_system"),
+        code.alias("code"),
+        (k % 2).alias("_half"),
+    )
+    y2022 = base.filter(F.col("_half") == 0).drop("_half")
+    y2023 = base.filter(F.col("_half") == 1).drop("_half").withColumn(
+        "value_set_version", F.lit("2023-03-31")
+    )
+    out = build_ref_hedis_value_sets({2022: y2022, 2023: y2023})
+    return out.select(
+        F.col("year").cast("int").alias("year"),
+        "value_set_name", "code_system", "code", "value_set_version",
+    )
+
+
+SQL_HEDIS_YEAR_MERGE = """
+WITH base AS (
+  SELECT 'vs-' || CAST(p_partkey % 4 AS VARCHAR) AS value_set_name,
+    CASE WHEN p_partkey % 4 = 0 THEN 'ICD10CM'
+         WHEN p_partkey % 4 IN (1, 2) THEN 'ICD9CM'
+         ELSE 'CPT' END AS code_system,
+    CASE WHEN p_partkey % 4 = 0
+           THEN printf('F%02d.%02d', p_partkey % 50, p_partkey % 100)
+         WHEN p_partkey % 4 = 1
+           THEN printf('%03d', 100 + p_partkey % 900)
+         WHEN p_partkey % 4 = 2
+           THEN printf('%03d.%01d', 100 + p_partkey % 900, p_partkey % 10)
+         ELSE printf('9%04d', p_partkey % 10000) END AS code,
+    p_partkey % 2 AS half
+  FROM part
+), u AS (
+  SELECT 2022 AS year, value_set_name, code_system, code,
+         CAST(NULL AS VARCHAR) AS value_set_version
+  FROM base WHERE half = 0
+  UNION ALL
+  SELECT 2023, value_set_name, code_system, code, '2023-03-31'
+  FROM base WHERE half = 1
+), stripped AS (
+  SELECT year, value_set_name, code_system,
+    CASE WHEN code_system IN ('ICD10CM', 'ICD9CM')
+         THEN regexp_replace(code, '[[:punct:]]', '', 'g')
+         ELSE code END AS c1,
+    value_set_version
+  FROM u
+)
+SELECT year, value_set_name, code_system,
+  CASE WHEN code_system = 'ICD9CM' AND length(c1) = 3 THEN c1 || '00'
+       WHEN code_system = 'ICD9CM' AND length(c1) = 4 THEN c1 || '0'
+       ELSE c1 END AS code,
+  value_set_version
+FROM stripped
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the correctness driver checks the first 50 entries.
     # Rotation policy lives in WINDOW.md: red/changed/new queries pin
@@ -7269,64 +7352,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # have gone longest without a driver row (every entry in the tail
     # is still covered by tools/parity.py and pytest each round).
     return {
-        # ---- driver window (first 50): round-5 rotation, WINDOW.md ----
-        "apcd_ed_episode": q_apcd_ed_episode,
-        "apcd_plr": q_apcd_plr,
-        "comorb_scores": q_comorb_scores,
-        "chunk_documents": q_chunk_documents,
-        "dense_global_id": q_dense_global,
-        # new in round 5 (rule 1: new queries pin into the window)
-        "bm25_topk": q_bm25_topk,
-        "bigram_lm": q_bigram_lm,
-        "scd2_merge": q_scd2_merge,
-        "semantic_dedup": q_semantic_dedup,
-        "weighted_sample": q_weighted_sample,
-        "mix_rebalance": q_mix_rebalance,
-        "domain_cap": q_domain_cap,
-        "record_linkage": q_record_linkage,
-        "wordpiece_tokenize": q_wordpiece_tokenize,
-        "line_dedup": q_line_dedup,
-        "bloom_decontaminate": q_bloom_decontaminate,
-        "url_dedup": q_url_dedup,
-        "streaming_dedup": q_streaming_dedup,
-        "pagerank_authority": q_pagerank,
-        "quality_classify": q_quality_classify,
-        "cms_heavy_hitters": q_cms_heavy_hitters,
-        "knn_rh_lsh": q_knn_rh_lsh,
-        "image_resize": q_image_resize,
-        "text_normalize": q_text_normalize,
-        "weighted_sample_grouped": q_weighted_sample_grouped,
-        "collocations": q_collocations,
-        # pinned: first driver-green in r04 (need a 2nd green round)
-        "combined_claim_children": q_combined_claim_children,
-        "minhash_near_dup": q_minhash_dedup,
-        "simhash_near_dup": q_simhash_dedup,
+        # ---- driver window (first 50): round-6 rotation, WINDOW.md ----
+        # rule 1 pins — implementation changed this round (cascade
+        # fusions, unrolled IVF assignment, SQL-escape hardening, NaN
+        # rank channel, adaptive pagerank) or brand new
+        "hedis_year_merge": q_hedis_year_merge,
+        "ccw_two_claim": q_ccw_two_claim,
+        "ccw_combined": q_ccw_combined,
+        "rda_value_set": q_rda_value_set,
         "knn_ivf": q_knn_ivf,
-        "window_lag_gap": q_window_lag,
-        "pii_scrub": q_pii_scrub,
-        "quantize_embeddings": q_quantize_embeddings,
-        "repetition_filter": q_repetition_filter,
-        # backfill: longest since last driver row (r02 tranche)
-        "calendar_join": q_calendar_join,
-        "dedup_first_row": q_first_order,
-        "dedup_priority": q_dedup_priority,
-        "dedup_seeded": q_dedup_seeded,
-        "except_distinct": q_except,
-        "grid_zerofill": q_grid_zerofill,
-        "lang_id": q_lang_id,
-        "mode_tiebreak": q_mode,
-        "mode_weighted": q_mode_weighted,
-        "pct_flags": q_pct_flags,
-        "prefix_join": q_prefix_join,
-        "pricing_summary": q_pricing_summary,
-        "scalar_datetime": q_scalar_datetime,
-        "submonth_clip": q_submonth_clip,
-        "tabloop_fixed": q_tabloop_fixed,
-        "tabloop_suppress": q_tabloop,
-        # ---- outside the window: parity + pytest covered ----
-        # displaced by the round-5 session-2 additions (rule 1): the
-        # join/set-op singletons below are exercised inside multiple
-        # driver-green composite queries and the bench headline
+        "semantic_dedup": q_semantic_dedup,
+        "scd2_merge": q_scd2_merge,
+        "pagerank_authority": q_pagerank,
+        "dense_global_id": q_dense_global,
+        "comorb_scores": q_comorb_scores,
+        "claim_moud": q_claim_moud,
+        "mcare_timevar": q_mcare_timevar,
+        "mcare_elig_month": q_mcare_elig_month,
+        "knn_rh_lsh": q_knn_rh_lsh,
+        # rule 3 backfill — the whole r02 tranche (verdict task 3):
+        # after this rotation no query's last driver row predates r03
         "anti_join": q_anti_join,
         "semi_join": q_semi_join,
         "join_revenue_by_nation": q_join_revenue_by_nation,
@@ -7348,22 +7393,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot_long": q_unpivot,
         "quality_fingerprint": q_quality,
         "right_join": q_right_join,
-        "ccw_two_claim": q_ccw_two_claim,
-        "ccw_combined": q_ccw_combined,
+        "dedup_exact": q_dedup_exact,
+        "knn_bruteforce": q_knn_bruteforce,
+        # r05-new queries taking their second consecutive green round
+        "bm25_topk": q_bm25_topk,
+        "bigram_lm": q_bigram_lm,
+        "weighted_sample": q_weighted_sample,
+        "mix_rebalance": q_mix_rebalance,
+        "domain_cap": q_domain_cap,
+        "record_linkage": q_record_linkage,
+        "wordpiece_tokenize": q_wordpiece_tokenize,
+        "line_dedup": q_line_dedup,
+        "bloom_decontaminate": q_bloom_decontaminate,
+        "url_dedup": q_url_dedup,
+        "quality_classify": q_quality_classify,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
+        "collocations": q_collocations,
+        # ---- outside the window: parity + pytest covered ----
+        # r05-window queries green in r05 (image_resize /
+        # text_normalize / streaming_dedup / weighted_sample_grouped
+        # defer their 2nd green to r07 — each carries a dedicated
+        # exact/property pytest; rule 3 prioritizes the r02 tranche)
+        "image_resize": q_image_resize,
+        "text_normalize": q_text_normalize,
+        "streaming_dedup": q_streaming_dedup,
+        "weighted_sample_grouped": q_weighted_sample_grouped,
+        "apcd_ed_episode": q_apcd_ed_episode,
+        "apcd_plr": q_apcd_plr,
+        "chunk_documents": q_chunk_documents,
+        "combined_claim_children": q_combined_claim_children,
+        "minhash_near_dup": q_minhash_dedup,
+        "simhash_near_dup": q_simhash_dedup,
+        "window_lag_gap": q_window_lag,
+        "pii_scrub": q_pii_scrub,
+        "quantize_embeddings": q_quantize_embeddings,
+        "repetition_filter": q_repetition_filter,
+        "calendar_join": q_calendar_join,
+        "dedup_first_row": q_first_order,
+        "dedup_priority": q_dedup_priority,
+        "dedup_seeded": q_dedup_seeded,
+        "except_distinct": q_except,
+        "grid_zerofill": q_grid_zerofill,
+        "lang_id": q_lang_id,
+        "mode_tiebreak": q_mode,
+        "mode_weighted": q_mode_weighted,
+        "pct_flags": q_pct_flags,
+        "prefix_join": q_prefix_join,
+        "pricing_summary": q_pricing_summary,
+        "scalar_datetime": q_scalar_datetime,
+        "submonth_clip": q_submonth_clip,
+        "tabloop_fixed": q_tabloop_fixed,
+        "tabloop_suppress": q_tabloop,
         "fuh_followup": q_fuh_followup,
         "pcr_readmission": q_pcr_readmission,
         "tx_pen_measure": q_tx_pen,
         "ah_utilization": q_ah_utilization,
-        "claim_moud": q_claim_moud,
         "claim_value_set": q_claim_value_set,
-        "mcare_timevar": q_mcare_timevar,
-        "mcare_elig_month": q_mcare_elig_month,
         "apcd_elig_month": q_apcd_elig_month,
         "stage_mcaid_elig": q_stage_mcaid_elig,
         "demo_summary": q_demo_summary,
         "provider_master_rank": q_provider_master_rank,
         "ndc_normalize": q_ndc_normalize,
-        "rda_value_set": q_rda_value_set,
         "claims_summary": q_claims_summary,
         "housing_status": q_housing_status,
         "address_clean": q_address_clean,
@@ -7393,8 +7483,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_months": q_rolling_months,
         "asof_running_min": q_asof_min,
         "sketch_distinct_rollup": q_sketch_distinct,
-        "dedup_exact": q_dedup_exact,
-        "knn_bruteforce": q_knn_bruteforce,
         # rows-only by design (data-dependent iterative loop — the
         # HLL precedent; real check = tests/test_bpe.py mirror)
         "learn_bpe": q_learn_bpe,
@@ -7403,6 +7491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "hedis_year_merge": SQL_HEDIS_YEAR_MERGE,
         "pricing_summary": SQL_PRICING,
         "typed_projection": SQL_TYPED_PROJECTION,
         "dynamic_filter": SQL_DYNAMIC_FILTER,
