@@ -7344,6 +7344,150 @@ FROM stripped
 """
 
 
+def q_dsir_select(spark, sf_dir):
+    """DSIR importance resampling (operators/selection, Xie et al.
+    2023): hashed-unigram bucket models over a target slice vs the raw
+    pool, per-document log importance weights (every ln over exact
+    integer ratios, rounded 6dp), Gumbel-top-k resample without
+    replacement with md5-pinned uniforms. Two dim-bounded count
+    aggregates + map-only scoring + TakeOrdered — no corpus-grain
+    join anywhere."""
+    from claims_data_spark.operators.selection import dsir_select
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    target = d.filter(F.col("doc_id") < 20).select("doc_id", "text")
+    raw = d.filter(F.col("doc_id") >= 20).select("doc_id", "text")
+    out = dsir_select(raw, target, "text", "doc_id", k=40, dim=64)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "logw", "samp_key", "rank",
+    )
+
+
+_SQL_DSIR_BUCKET = (
+    "CAST(concat('0x', substr(md5({t} || 'dsir'), 1, 8)) AS BIGINT) % 64"
+)
+
+SQL_DSIR_SELECT = f"""
+WITH d AS (
+  SELECT doc_id,
+    list_filter(
+      string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+      w -> len(w) > 0) AS words
+  FROM documents WHERE text IS NOT NULL
+), ttok AS (
+  SELECT {_SQL_DSIR_BUCKET.format(t='t.w')} AS b
+  FROM (SELECT unnest(words) AS w FROM d WHERE doc_id < 20) t
+), rtok AS (
+  SELECT {_SQL_DSIR_BUCKET.format(t='t.w')} AS b
+  FROM (SELECT unnest(words) AS w FROM d WHERE doc_id >= 20) t
+), buckets AS (
+  SELECT unnest(generate_series(0, 63)) AS b
+), lam AS (
+  SELECT bk.b,
+    ROUND(
+      ln(CAST(COALESCE(tc.n, 0) + 1 AS DOUBLE)
+         / CAST((SELECT COUNT(*) FROM ttok) + 64 AS DOUBLE))
+      - ln(CAST(COALESCE(rc.n, 0) + 1 AS DOUBLE)
+           / CAST((SELECT COUNT(*) FROM rtok) + 64 AS DOUBLE)), 6
+    ) AS lam
+  FROM buckets bk
+  LEFT JOIN (SELECT b, COUNT(*) AS n FROM ttok GROUP BY b) tc
+    ON bk.b = tc.b
+  LEFT JOIN (SELECT b, COUNT(*) AS n FROM rtok GROUP BY b) rc
+    ON bk.b = rc.b
+), lam_arr AS (
+  SELECT list(lam ORDER BY b) AS arr FROM lam
+), scored AS (
+  SELECT d.doc_id,
+    ROUND(COALESCE(list_sum(list_transform(d.words,
+      w -> list_extract(la.arr,
+             CAST({_SQL_DSIR_BUCKET.format(t='w')} + 1 AS INT)))), 0.0),
+      6) AS logw
+  FROM d CROSS JOIN lam_arr la
+  WHERE d.doc_id >= 20
+), keyed AS (
+  SELECT doc_id, logw,
+    ROUND(logw - ln(-ln(LEAST(
+      (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)
+        || 'dsir|gumbel'), 1, 8)) AS BIGINT) + 1) / 4294967296.0,
+      1.0 - 1.1641532182693481e-10))), 6) AS samp_key
+  FROM scored
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, logw, samp_key,
+  ROW_NUMBER() OVER (ORDER BY samp_key DESC, doc_id) AS rank
+FROM keyed
+ORDER BY samp_key DESC, doc_id
+LIMIT 40
+"""
+
+
+def q_substring_spans(spark, sf_dir):
+    """Exact shared-substring spans (operators/dedup.
+    substring_dup_spans, Lee et al. 2021): strided 50-char shingle
+    fingerprints -> one corpus-grain groupBy (singletons die in the
+    partial agg) -> pair join on hot fingerprints -> EXACT substring
+    verify. A deterministic boilerplate prefix is planted on every
+    97th document so the fixture carries guaranteed aligned spans;
+    organic corpus duplicates surface too. Output aggregated per
+    document pair."""
+    from claims_data_spark.operators.dedup import substring_dup_spans
+
+    lic = ("this software is provided as is without warranty of any "
+           "kind express or implied ")
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.when(
+                F.col("doc_id") % 97 == 0,
+                F.concat(F.lit(lic), F.col("text")),
+            ).otherwise(F.col("text")).alias("text"),
+        )
+    )
+    spans = substring_dup_spans(d, span=50, stride=10)
+    return (
+        spans.groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.min("pos_a").alias("first_pos_a"),
+            F.min("pos_b").alias("first_pos_b"),
+        )
+    )
+
+
+SQL_SUBSTRING_SPANS = """
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+    CASE WHEN doc_id % 97 = 0 THEN
+      'this software is provided as is without warranty of any kind express or implied '
+      || text ELSE text END AS text
+  FROM documents WHERE text IS NOT NULL
+), sh AS (
+  SELECT doc_id, p.pos,
+    substr(text, p.pos, 50) AS s,
+    md5(substr(text, p.pos, 50)) AS fp
+  FROM d, LATERAL (
+    SELECT unnest(generate_series(1, len(text) - 49, 10)) AS pos
+  ) p
+  WHERE len(text) >= 50
+), hot AS (
+  SELECT fp FROM sh GROUP BY fp HAVING COUNT(DISTINCT doc_id) >= 2
+), cand AS (
+  SELECT sh.* FROM sh JOIN hot USING (fp)
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+    a.pos AS pos_a, b.pos AS pos_b, a.fp
+  FROM cand a JOIN cand b
+    ON a.fp = b.fp AND a.doc_id < b.doc_id AND a.s = b.s
+)
+SELECT id_a, id_b, COUNT(*) AS n_spans,
+  MIN(pos_a) AS first_pos_a, MIN(pos_b) AS first_pos_b
+FROM pairs GROUP BY id_a, id_b
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the correctness driver checks the first 50 entries.
     # Rotation policy lives in WINDOW.md: red/changed/new queries pin
@@ -7410,6 +7554,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "collocations": q_collocations,
         # ---- outside the window: parity + pytest covered ----
+        # NEW in round 6 but seated at the tail head: rule 1 would pin
+        # them, but the window is exactly full with the verdict-ordered
+        # r02 backfill tranche; they take their first driver rows in
+        # r07 (tools/parity.py value-checks them every round meanwhile)
+        "dsir_select": q_dsir_select,
+        "substring_spans": q_substring_spans,
         # r05-window queries green in r05 (image_resize /
         # text_normalize / streaming_dedup / weighted_sample_grouped
         # defer their 2nd green to r07 — each carries a dedicated
@@ -7492,6 +7642,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "hedis_year_merge": SQL_HEDIS_YEAR_MERGE,
+        "dsir_select": SQL_DSIR_SELECT,
+        "substring_spans": SQL_SUBSTRING_SPANS,
         "pricing_summary": SQL_PRICING,
         "typed_projection": SQL_TYPED_PROJECTION,
         "dynamic_filter": SQL_DYNAMIC_FILTER,

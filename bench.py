@@ -104,6 +104,10 @@ EXTENDED = [
     "learn_bpe",
     "weighted_sample_grouped",
     "collocations",
+    # round-6 additions
+    "hedis_year_merge",
+    "dsir_select",
+    "substring_spans",
 ]
 
 

@@ -508,3 +508,85 @@ def simhash_near_dup_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact shared-substring spans (Lee et al. 2021, arXiv:2107.06499 —
+# "Deduplicating Training Data Makes Language Models Better")
+# ---------------------------------------------------------------------------
+
+def substring_dup_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span: int = 50,
+    stride: int = 10,
+) -> DataFrame:
+    """Cross-document EXACT duplicated character spans — the ExactSubstr
+    signal of Lee et al. 2021: long verbatim passages shared between
+    training documents (boilerplate, licenses, wholesale copies) that
+    document-level near-dup misses.
+
+    The paper builds a single-node suffix array; that does not shard.
+    The Spark-native form is strided shingle fingerprinting: every
+    document emits its ``span``-char substring at positions 1, 1+stride,
+    ... (md5-keyed), equal fingerprints group, and surviving pairs
+    verify by EXACT substring equality — an md5 collision can only cost
+    a verify, never a wrong row. A duplicated region of length >=
+    span + stride - 1 is GUARANTEED to contain at least one aligned
+    strided shingle on both sides when both documents emit positions on
+    the same stride grid; shorter overlaps may be missed — that is the
+    documented sensitivity/cost dial (stride=1 is exhaustive and
+    span-complete, stride=k cuts the exchange k-fold).
+
+    Scale shape: the fingerprint exchange carries |text|/stride rows
+    (one groupBy — THE corpus-grain stage); singleton fingerprints die
+    in the aggregate (map-side partial count), so the pair fan-out is
+    bounded by true duplication; the verify is row-local on the joined
+    pair. Output: one row per (id_a < id_b, pos_a, pos_b) aligned
+    duplicated span, plus the fingerprint.
+    """
+    t = F.col(text_col)
+    positions = F.sequence(
+        F.lit(1),
+        F.greatest(F.length(t) - F.lit(span - 1), F.lit(0)),
+        F.lit(stride),
+    )
+    shingles = (
+        docs.filter(F.length(t) >= span)
+        .select(
+            F.col(id_col),
+            F.explode(positions).alias("pos"),
+            t.alias("_t"),
+        )
+        .select(
+            id_col, "pos",
+            F.substring(F.col("_t"), F.col("pos"), F.lit(span))
+            .alias("_s"),
+        )
+        .select(id_col, "pos", F.md5("_s").alias("fp"), "_s")
+    )
+    # keep only fingerprints seen in >= 2 documents (partial-agg
+    # combine makes this the one bounded corpus-grain exchange)
+    hot = (
+        shingles.groupBy("fp")
+        .agg(F.countDistinct(id_col).alias("_docs"))
+        .filter(F.col("_docs") >= 2)
+        .select("fp")
+    )
+    cand = shingles.join(hot, "fp")
+    a = cand.select(
+        F.col("fp"), F.col(id_col).alias("id_a"),
+        F.col("pos").alias("pos_a"), F.col("_s").alias("_sa"),
+    )
+    b = cand.select(
+        F.col("fp"), F.col(id_col).alias("id_b"),
+        F.col("pos").alias("pos_b"), F.col("_s").alias("_sb"),
+    )
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.col("_sa") == F.col("_sb"))   # exact verify
+        .select("id_a", "id_b", "pos_a", "pos_b", "fp")
+        .distinct()
+    )

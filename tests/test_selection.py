@@ -1,0 +1,185 @@
+"""DSIR importance resampling (operators/selection.py) and exact
+shared-substring spans (operators/dedup.substring_dup_spans)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from claims_data_spark.operators.dedup import substring_dup_spans
+from claims_data_spark.operators.selection import (
+    bucket_counts,
+    dsir_log_ratios,
+    dsir_score,
+    dsir_select,
+    hashed_features,
+)
+
+
+def _bucket_py(tok: str, dim: int, seed: str = "dsir") -> int:
+    return int(hashlib.md5((tok + seed).encode()).hexdigest()[:8], 16) % dim
+
+
+def test_bucket_counts_match_pure_python(spark):
+    rows = [(1, "the cat sat"), (2, "the dog"), (3, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = bucket_counts(df.filter(F.col("text").isNotNull()),
+                        "text", dim=16)
+    want: dict[int, int] = {}
+    for _, text in rows:
+        if text is None:
+            continue
+        for w in text.split():
+            b = _bucket_py(w, 16)
+            want[b] = want.get(b, 0) + 1
+    assert got == want
+
+
+def test_dsir_scores_favor_target_like_docs(spark):
+    target = spark.createDataFrame(
+        [(i, "medical claim diagnosis provider") for i in range(20)],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [(1, "medical claim diagnosis provider visit"),
+         (2, "football game score highlights replay"),
+         (3, "medical diagnosis notes"),
+         (4, "random words apple banana")],
+        "doc_id long, text string",
+    )
+    tc = bucket_counts(target, "text", dim=64)
+    rc = bucket_counts(raw, "text", dim=64)
+    lam = dsir_log_ratios(tc, rc, 64)
+    scored = {r["doc_id"]: r["logw"]
+              for r in dsir_score(raw, "text", lam, 64).collect()}
+    # target-like docs outscore off-domain docs
+    assert scored[1] > scored[2]
+    assert scored[3] > scored[4]
+
+
+def test_dsir_score_matches_pure_python(spark):
+    """Value-level mirror: λ from smoothed integer counts + sequential
+    fold, every ln rounded to 6dp — same recipe in pure python."""
+    target = spark.createDataFrame(
+        [(1, "a b a"), (2, "b c")], "doc_id long, text string"
+    )
+    raw = spark.createDataFrame(
+        [(1, "a b"), (2, "c c d")], "doc_id long, text string"
+    )
+    dim = 8
+    tc = bucket_counts(target, "text", dim=dim)
+    rc = bucket_counts(raw, "text", dim=dim)
+    lam_py = {}
+    tot_t = sum(tc.values()) + dim
+    tot_r = sum(rc.values()) + dim
+    for b in range(dim):
+        lam_py[b] = round(
+            math.log((tc.get(b, 0) + 1) / tot_t)
+            - math.log((rc.get(b, 0) + 1) / tot_r), 6
+        )
+    got = {
+        r["doc_id"]: r["logw"]
+        for r in dsir_score(
+            raw, "text", dsir_log_ratios(tc, rc, dim), dim
+        ).collect()
+    }
+    for doc_id, text in [(1, "a b"), (2, "c c d")]:
+        s = 0.0
+        for w in text.split():
+            s += lam_py[_bucket_py(w, dim)]
+        assert got[doc_id] == pytest.approx(round(s, 6), abs=2e-6)
+
+
+def test_dsir_select_exact_k_and_determinism(spark):
+    target = spark.createDataFrame(
+        [(i, "alpha beta gamma") for i in range(5)],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [(i, "alpha beta gamma" if i % 3 == 0 else "zeta eta theta")
+         for i in range(30)],
+        "doc_id long, text string",
+    )
+    out = dsir_select(raw, target, "text", "doc_id", k=8, dim=32)
+    rows = out.collect()
+    assert len(rows) == 8
+    assert sorted(r["rank"] for r in rows) == list(range(1, 9))
+    # deterministic across partitioning
+    again = dsir_select(
+        raw.repartition(7), target, "text", "doc_id", k=8, dim=32
+    )
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again.collect()))
+    # selection is biased toward target-like docs (10 of 30 match)
+    picked = {r["doc_id"] for r in rows}
+    assert len([d for d in picked if d % 3 == 0]) >= 5
+
+
+def test_hashed_features_bigrams(spark):
+    df = spark.createDataFrame([(1, " The  cat sat ")], "i long, t string")
+    got = df.select(
+        hashed_features(F.col("t"), word_ngrams=2).alias("f")
+    ).first()["f"]
+    assert got == ["the", "cat", "sat", "the cat", "cat sat"]
+
+
+# --- substring_dup_spans ----------------------------------------------------
+
+LICENSE = "this software is provided as is without warranty of any kind"
+
+
+def test_substring_spans_finds_planted_passage(spark):
+    shared = (LICENSE + " ") * 3                       # ~180 chars shared
+    docs = spark.createDataFrame(
+        [
+            (1, "unique preamble one " + shared + " tail one"),
+            (2, "different intro text " + shared + " other ending"),
+            (3, "totally unrelated document about weather and sports"),
+        ],
+        "doc_id long, text string",
+    )
+    out = substring_dup_spans(docs, span=50, stride=10)
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert pairs == {(1, 2)}
+    # aligned spans verify exactly: re-check one row against the text
+    row = out.first()
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert (texts[row["id_a"]][row["pos_a"] - 1:row["pos_a"] - 1 + 50]
+            == texts[row["id_b"]][row["pos_b"] - 1:row["pos_b"] - 1 + 50])
+
+
+def test_substring_spans_no_false_pairs(spark):
+    docs = spark.createDataFrame(
+        [(i, f"document {i} " + " ".join(f"w{i}x{j}" for j in range(40)))
+         for i in range(10)],
+        "doc_id long, text string",
+    )
+    assert substring_dup_spans(docs, span=50, stride=10).count() == 0
+
+
+def test_substring_spans_guarantee_threshold(spark):
+    """A duplicated region of span + stride - 1 chars is guaranteed to
+    be caught when both docs emit it on their stride grids; engineer
+    alignment by placing the shared block at position 1 in both."""
+    shared = "x" * 59 + "."                     # span 50 + stride 10 - 1
+    docs = spark.createDataFrame(
+        [(1, shared + " unique a tail padding beyond"),
+         (2, shared + " other b ending entirely different")],
+        "doc_id long, text string",
+    )
+    out = substring_dup_spans(docs, span=50, stride=10)
+    assert out.filter((F.col("id_a") == 1) & (F.col("id_b") == 2)).count() > 0
+
+
+def test_substring_spans_partitioning_invariance(spark):
+    shared = (LICENSE + " ") * 2
+    docs = spark.createDataFrame(
+        [(i, f"head {i} " + shared + f" tail {i}") for i in range(6)],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, substring_dup_spans(docs).collect()))
+    b = sorted(map(tuple,
+                   substring_dup_spans(docs.repartition(5)).collect()))
+    assert a == b and len(a) > 0
