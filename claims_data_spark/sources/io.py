@@ -306,6 +306,64 @@ def delete_data_year(
     return reports
 
 
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 256 * 1024 * 1024,
+    fmt: str = "parquet",
+) -> dict:
+    """Small-file compaction — the maintenance primitive every
+    incremental pipeline needs once :func:`incremental_merge` /
+    streaming sinks have run for a while: thousands of KB-sized files
+    turn a scan into a task-scheduling exercise and blow the driver's
+    file-listing memory at 100 TB.
+
+    Bin-packs the table into ``ceil(total_bytes / target)`` files via
+    coalesce when shrinking (no shuffle — partitions concatenate) or
+    repartition when the table has too FEW partitions (a shuffle, but
+    growing file count is rare and explicit). Rewrite goes through the
+    tmp-sibling + row-count QA + atomic-swap contract shared with
+    :func:`promote`. Returns {files_before, files_after, rows}.
+    """
+    import math
+
+    before = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if not f.startswith((".", "_"))
+    ]
+    total = sum(os.path.getsize(f) for f in before)
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = read_file(spark, path, fmt)
+    n_parts = df.rdd.getNumPartitions()
+    out = df.coalesce(n_files) if n_files <= n_parts else df.repartition(n_files)
+    tmp = path.rstrip("/") + "._compact_tmp"
+    out.write.mode("overwrite").format(fmt).save(tmp)
+    rows_before = df.count()
+    rows_after = read_file(spark, tmp, fmt).count()
+    if rows_before != rows_after:
+        import shutil
+
+        shutil.rmtree(tmp)
+        raise AssertionError(
+            f"compaction row-count mismatch on {path}: "
+            f"{rows_before} -> {rows_after}"
+        )
+    _swap_dir(tmp, path)
+    after = [
+        f
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if not f.startswith((".", "_")) and f.endswith(fmt)
+    ]
+    return {
+        "files_before": len(before),
+        "files_after": len(after),
+        "rows": rows_after,
+    }
+
+
 def promote(
     spark: SparkSession,
     stage_path: str,

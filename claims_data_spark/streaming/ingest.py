@@ -174,3 +174,48 @@ def stream_enrich(
     if how not in ("inner", "left"):
         raise ValueError("stream-static enrichment supports inner/left")
     return events.join(F.broadcast(dim), keys, how)
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    left_watermark: str = "1 hour",
+    right_watermark: str = "2 hours",
+    join_window: str = "interval 1 hour",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-STREAM equi-join with an event-time range constraint —
+    the missing fourth join shape next to stream-static enrichment
+    (claims arriving on one feed matched to eligibility/authorization
+    events arriving on another; impressions-to-clicks in the corpus
+    world).
+
+    State-boundedness contract: BOTH sides carry watermarks and the
+    join condition bounds the two event times against each other
+    (``right_ts`` within [left_ts, left_ts + join_window]), so Spark
+    can evict a buffered row the moment no future match can arrive —
+    without the range condition an inner stream-stream join buffers
+    both streams FOREVER. For outer joins the range + watermarks are
+    mandatory (Spark refuses otherwise) and the unmatched side emits
+    only after the watermark passes — the documented latency trade.
+
+    Scale shape: one exchange per side keyed on the join key; state
+    per key is the rows inside the watermark+window horizon, so state
+    size tracks feed rate x horizon, never stream lifetime.
+    """
+    if how not in ("inner", "leftOuter", "rightOuter", "fullOuter"):
+        raise ValueError(f"unsupported stream-stream join type: {how}")
+    lw = left.withWatermark(left_ts, left_watermark).alias("l")
+    rw = right.withWatermark(right_ts, right_watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
+        & (
+            F.col(f"r.{right_ts}")
+            <= F.col(f"l.{left_ts}") + F.expr(join_window)
+        )
+    )
+    return lw.join(rw, cond, how)

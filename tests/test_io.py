@@ -336,3 +336,23 @@ def test_delete_data_year(spark, tmp_path):
     )
     assert not os.path.exists(p_elig + "._to_delete")
     assert read_file(spark, p_elig).count() == 2
+
+
+def test_compact_table(spark, tmp_path):
+    """Small-file compaction: many tiny files collapse toward the
+    target size, rows preserved, atomic swap."""
+    from claims_data_spark.sources.io import compact_table, read_file
+
+    p = str(tmp_path / "fragged")
+    df = spark.range(10000).withColumn("v", F.col("id") * 2)
+    df.repartition(64).write.parquet(p)
+    n_before = len([f for f in __import__("os").listdir(p)
+                    if f.endswith(".parquet")])
+    assert n_before == 64
+    report = compact_table(spark, p, target_file_bytes=10**9)
+    assert report["rows"] == 10000
+    assert report["files_after"] < n_before
+    assert report["files_after"] <= 2
+    out = read_file(spark, p)
+    assert out.count() == 10000
+    assert out.agg(F.sum("v")).first()[0] == 2 * sum(range(10000))

@@ -114,3 +114,72 @@ def test_streaming_refresh_replace_dups_append_rest(spark, tmp_path):
                           ["claim_id"], ckpt)
     q.awaitTermination(120)
     assert spark.read.parquet(target).count() == 3
+
+
+def test_stream_stream_join_real_streams(spark, tmp_path):
+    """Stream-STREAM join over two real file-source streams: matches
+    inside the event-time window emit; a right-side event outside the
+    window never joins; state stays bounded by the watermark+range
+    contract (the query would be rejected outright without it)."""
+    from pyspark.sql import types as T
+
+    from claims_data_spark.streaming.ingest import stream_stream_join
+
+    lsrc, rsrc, ckpt, sink = (
+        str(tmp_path / d) for d in ("lsrc", "rsrc", "ckpt", "sink")
+    )
+    t0 = dt.datetime(2024, 1, 1, 10)
+    claims = spark.createDataFrame(
+        [(1, "c1", t0), (2, "c2", t0)],
+        "member_id long, claim_id string, cts timestamp",
+    )
+    auths = spark.createDataFrame(
+        [
+            (1, "a1", t0 + dt.timedelta(minutes=30)),   # inside window
+            (2, "a2", t0 + dt.timedelta(hours=5)),      # outside window
+        ],
+        "member_id long, auth_id string, ats timestamp",
+    )
+    claims.coalesce(1).write.parquet(lsrc)
+    auths.coalesce(1).write.parquet(rsrc)
+
+    lschema = T.StructType([
+        T.StructField("member_id", T.LongType()),
+        T.StructField("claim_id", T.StringType()),
+        T.StructField("cts", T.TimestampType()),
+    ])
+    rschema = T.StructType([
+        T.StructField("member_id", T.LongType()),
+        T.StructField("auth_id", T.StringType()),
+        T.StructField("ats", T.TimestampType()),
+    ])
+    lstream = spark.readStream.schema(lschema).parquet(lsrc)
+    rstream = spark.readStream.schema(rschema).parquet(rsrc)
+    joined = stream_stream_join(
+        lstream, rstream, "member_id", "cts", "ats",
+        join_window="interval 1 hour",
+    )
+    q = (
+        joined.select("claim_id", "auth_id")
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r["claim_id"], r["auth_id"])
+           for r in spark.read.parquet(sink).collect()}
+    assert got == {("c1", "a1")}
+
+
+def test_stream_stream_join_rejects_unknown_type(spark):
+    import pytest as _pytest
+
+    from claims_data_spark.streaming.ingest import stream_stream_join
+
+    df = spark.createDataFrame([(1, dt.datetime(2024, 1, 1))],
+                               "k long, ts timestamp")
+    with _pytest.raises(ValueError, match="unsupported"):
+        stream_stream_join(df, df, "k", "ts", "ts", how="semi")
