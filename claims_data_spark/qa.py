@@ -761,3 +761,69 @@ def promotion_qa(stage: DataFrame, final: DataFrame) -> list[QaResult]:
         ("col-count-match", len(stage.columns) == len(final.columns),
          f"stage={len(stage.columns)} final={len(final.columns)}"),
     ]
+
+
+def qa_mcaid_claim_moud(
+    df: DataFrame, elig: DataFrame, id_col: str = "id_mcaid"
+) -> list[QaResult]:
+    """qa_stage.mcaid_claim_moud.R:9-12 — ids in elig; 'new NDCs':
+    MOUD rows whose admin_method stayed NULL mean the NDC/procedure
+    classification maps have a gap a human must extend (the
+    reference's review query at :114-115)."""
+    work = _with_elig_marker(df, elig, id_col)
+    row = work.agg(
+        F.sum(F.when(F.col("_in_elig").isNull(), 1).otherwise(0))
+        .alias("_no_elig"),
+        F.sum(
+            F.when(F.col("admin_method").isNull(), 1).otherwise(0)
+        ).alias("_new_ndc"),
+    ).first()
+    return [
+        ("ids-in-elig", (row["_no_elig"] or 0) == 0,
+         f"violations={row['_no_elig'] or 0}"),
+        ("no-unclassified-moud-codes", (row["_new_ndc"] or 0) == 0,
+         f"unclassified={row['_new_ndc'] or 0}"),
+    ]
+
+
+def qa_housing_status(
+    df: DataFrame,
+    id_col: str = "id_mcaid",
+    from_col: str = "from_date",
+    max_month_pct_change: float = 5.0,
+) -> list[QaResult]:
+    """qa_stage.mcaid_housing_status.R:9-11 — no duplicate
+    (id, from_date) rows, and no month-to-month swing >= 5% in the
+    distinct-person count (a sudden jump means a bad PHA refresh).
+    One aggregate for the dup check; the trend check is one
+    month-grain groupBy + lag over the (tiny) month series."""
+    from pyspark.sql import Window
+
+    row = df.agg(
+        (
+            F.count(F.lit(1))
+            - F.countDistinct(id_col, from_col)
+        ).alias("_dups")
+    ).first()
+    months = (
+        df.groupBy(F.date_trunc("month", F.col(from_col)).alias("_m"))
+        .agg(F.countDistinct(id_col).alias("_n"))
+    )
+    w = Window.orderBy("_m")
+    swings = (
+        months.withColumn("_prev", F.lag("_n").over(w))
+        .filter(F.col("_prev").isNotNull())
+        .withColumn(
+            "_pct",
+            F.abs(F.col("_n") - F.col("_prev"))
+            / F.col("_prev") * F.lit(100.0),
+        )
+        .filter(F.col("_pct") >= F.lit(max_month_pct_change))
+        .count()
+    )
+    return [
+        ("no-duplicate-id-from-date", (row["_dups"] or 0) == 0,
+         f"dups={row['_dups'] or 0}"),
+        (f"month-trend-under-{max_month_pct_change}pct", swings == 0,
+         f"swinging-months={swings}"),
+    ]

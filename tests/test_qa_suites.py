@@ -154,3 +154,43 @@ def test_promotion_qa(spark):
     narrow = spark.createDataFrame([(1,), (2,)], "id int")
     got = _by_name(promotion_qa(stage, narrow))
     assert not got["col-count-match"][0]
+
+
+def test_qa_claim_moud_new_ndc_gate(spark):
+    from claims_data_spark.qa import qa_mcaid_claim_moud
+
+    ok = spark.createDataFrame(
+        [("p1", "oral"), ("p2", "injection/implant")],
+        "id_mcaid string, admin_method string",
+    )
+    assert all(k for _, k, _ in qa_mcaid_claim_moud(ok, _elig(spark)))
+    bad = spark.createDataFrame(
+        [("p1", None), ("zz", "oral")],
+        "id_mcaid string, admin_method string",
+    )
+    got = _by_name(qa_mcaid_claim_moud(bad, _elig(spark)))
+    assert not got["ids-in-elig"][0]
+    assert not got["no-unclassified-moud-codes"][0]
+
+
+def test_qa_housing_status_trend_and_dups(spark):
+    import datetime as dt
+
+    from claims_data_spark.qa import qa_housing_status
+
+    d = dt.date
+    steady = spark.createDataFrame(
+        [(f"p{i}", d(2020, m, 1)) for m in (1, 2, 3) for i in range(100)],
+        "id_mcaid string, from_date date",
+    )
+    assert all(k for _, k, _ in qa_housing_status(steady))
+    # duplicate (id, from_date) + a 50% month jump
+    jumpy = spark.createDataFrame(
+        [("p1", d(2020, 1, 1)), ("p1", d(2020, 1, 1))]
+        + [(f"p{i}", d(2020, 2, 1)) for i in range(30)]
+        + [(f"p{i}", d(2020, 3, 1)) for i in range(60)],
+        "id_mcaid string, from_date date",
+    )
+    got = _by_name(qa_housing_status(jumpy))
+    assert not got["no-duplicate-id-from-date"][0]
+    assert not got["month-trend-under-5.0pct"][0]
