@@ -7488,6 +7488,72 @@ FROM pairs GROUP BY id_a, id_b
 """
 
 
+def q_corpus_card(spark, sf_dir):
+    """One-row corpus card (operators/corpus.corpus_report): docs /
+    tokens / chars / emptiness / exact-dup rate / quality profile in
+    ONE aggregate scan. Driver surface runs the fixed-point mode —
+    quality/punct profiles as BIGINT sums of 4dp per-doc scores
+    (float-avg summation order varies with partitioning; integer sums
+    never do) — and drops the approx length quantiles
+    (percentile_approx is a bounded sketch, not an ANSI value)."""
+    from claims_data_spark.operators.corpus import corpus_report
+
+    d = _t(spark, sf_dir, "documents")
+    return corpus_report(d, fixed_point=True).select(
+        "n_docs", "n_distinct_ids", "n_empty", "n_chars", "n_tokens",
+        "n_distinct_texts", "sum_quality_fp", "sum_punct_fp",
+        "exact_dup_rate",
+    )
+
+
+SQL_CORPUS_CARD = """
+WITH per AS (
+  SELECT doc_id, text,
+    CASE WHEN text IS NULL OR LENGTH(TRIM(text)) = 0 THEN 0
+         ELSE len(string_split_regex(TRIM(text), '\\s+')) END AS n_tok,
+    CASE WHEN text IS NULL THEN NULL
+         WHEN LENGTH(regexp_replace(text, '\\s', '', 'g')) = 0 THEN 0.0
+         ELSE LENGTH(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0
+              / LENGTH(regexp_replace(text, '\\s', '', 'g')) END AS pr,
+    CASE WHEN text IS NULL THEN NULL
+         ELSE len(list_filter(string_split_regex(LOWER(TRIM(text)), '\\s+'),
+             x -> x IN ('the','a','an','and','or','of','to','in','is','it')))
+           * 1.0 / len(string_split_regex(LOWER(TRIM(text)), '\\s+')) END AS sr
+  FROM documents
+), scored AS (
+  SELECT *,
+    CASE WHEN text IS NULL THEN NULL
+         ELSE ROUND((LEAST(n_tok / 50.0, 1.0)
+                     + GREATEST(0.0, 1.0 - pr * 4)
+                     + LEAST(sr * 5.0, 1.0)) / 3.0, 4) END AS q
+  FROM per
+), agg AS (
+  SELECT
+    COUNT(*) AS n_docs,
+    COUNT(DISTINCT doc_id) AS n_distinct_ids,
+    SUM(CASE WHEN text IS NULL OR LENGTH(TRIM(text)) = 0
+             THEN 1 ELSE 0 END) AS n_empty,
+    SUM(COALESCE(LENGTH(text), 0)) AS n_chars,
+    SUM(CASE WHEN text IS NOT NULL THEN n_tok ELSE 0 END) AS n_tokens,
+    COUNT(DISTINCT CASE WHEN text IS NOT NULL
+                         AND LENGTH(TRIM(text)) > 0
+                        THEN MD5(text) END) AS n_distinct_texts,
+    SUM(CASE WHEN text IS NOT NULL
+             THEN CAST(ROUND(q * 10000) AS BIGINT) ELSE 0 END)
+      AS sum_quality_fp,
+    SUM(CASE WHEN text IS NOT NULL
+             THEN CAST(ROUND(pr * 10000) AS BIGINT) ELSE 0 END)
+      AS sum_punct_fp
+  FROM scored
+)
+SELECT n_docs, n_distinct_ids, n_empty, n_chars, n_tokens,
+  n_distinct_texts, sum_quality_fp, sum_punct_fp,
+  ROUND((n_docs - n_empty - n_distinct_texts) * 1.0
+        / GREATEST(n_docs - n_empty, 1), 4) AS exact_dup_rate
+FROM agg
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the correctness driver checks the first 50 entries.
     # Rotation policy lives in WINDOW.md: red/changed/new queries pin
@@ -7560,6 +7626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r07 (tools/parity.py value-checks them every round meanwhile)
         "dsir_select": q_dsir_select,
         "substring_spans": q_substring_spans,
+        "corpus_card": q_corpus_card,
         # r05-window queries green in r05 (image_resize /
         # text_normalize / streaming_dedup / weighted_sample_grouped
         # defer their 2nd green to r07 — each carries a dedicated
@@ -7644,6 +7711,7 @@ def oracle_sql() -> dict[str, str]:
         "hedis_year_merge": SQL_HEDIS_YEAR_MERGE,
         "dsir_select": SQL_DSIR_SELECT,
         "substring_spans": SQL_SUBSTRING_SPANS,
+        "corpus_card": SQL_CORPUS_CARD,
         "pricing_summary": SQL_PRICING,
         "typed_projection": SQL_TYPED_PROJECTION,
         "dynamic_filter": SQL_DYNAMIC_FILTER,

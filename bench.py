@@ -108,6 +108,7 @@ EXTENDED = [
     "hedis_year_merge",
     "dsir_select",
     "substring_spans",
+    "corpus_card",
 ]
 
 

@@ -886,3 +886,81 @@ def bloom_decontaminate(
         F.broadcast(contaminated.select(id_col)), id_col, "left_anti"
     )
     return clean, contaminated
+
+
+def corpus_report(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fixed_point: bool = False,
+) -> DataFrame:
+    """One-row corpus card — the summary every dataset release ships
+    (docs/tokens/chars, emptiness, exact-dup rate, length quantiles,
+    quality/punctuation profile): composes the repo's text primitives
+    into ONE aggregate action, so producing the card on 100 TB costs a
+    single scan with map-side partial aggregation (the distinct-text
+    count is the one cardinality-bound term, same contract as
+    dedup_exact's hash-groupBy).
+
+    Length quantiles use percentile_approx (bounded sketch state per
+    partition) — the card is a profile, not an oracle surface, and the
+    approx rank error is documented by Spark; everything else is
+    exact.
+
+    ``fixed_point=True`` swaps the float quality/punct AVERAGES for
+    BIGINT sums of the per-doc 4dp fixed-point scores: float-sum order
+    varies with partitioning, integer sums never do — the mode the
+    value-checked driver surface uses (the repo's retry-stable
+    discipline)."""
+    from claims_data_spark.functions.text import (
+        punct_ratio,
+        quality_score,
+        token_count_ws,
+    )
+
+    t = F.col(text_col)
+    tok = token_count_ws(t)
+    if fixed_point:
+        q_agg = F.sum(
+            F.when(
+                t.isNotNull(),
+                F.round(quality_score(t) * 10000).cast("long"),
+            ).otherwise(0)
+        ).alias("sum_quality_fp")
+        p_agg = F.sum(
+            F.when(
+                t.isNotNull(),
+                F.round(punct_ratio(t) * 10000).cast("long"),
+            ).otherwise(0)
+        ).alias("sum_punct_fp")
+    else:
+        q_agg = F.round(
+            F.avg(F.when(t.isNotNull(), quality_score(t))), 4
+        ).alias("avg_quality")
+        p_agg = F.round(
+            F.avg(F.when(t.isNotNull(), punct_ratio(t))), 4
+        ).alias("avg_punct_ratio")
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(id_col).alias("n_distinct_ids"),
+        F.sum(F.when(t.isNull() | (F.length(F.trim(t)) == 0), 1)
+              .otherwise(0)).alias("n_empty"),
+        F.sum(F.coalesce(F.length(t), F.lit(0))).alias("n_chars"),
+        F.sum(F.when(t.isNotNull(), tok).otherwise(0)).alias("n_tokens"),
+        F.countDistinct(
+            F.when(F.length(F.trim(t)) > 0, F.md5(t))
+        ).alias("n_distinct_texts"),
+        F.percentile_approx(
+            F.when(t.isNotNull(), tok), [0.1, 0.5, 0.9], 10000
+        ).alias("token_quantiles"),
+        q_agg,
+        p_agg,
+    ).withColumn(
+        "exact_dup_rate",
+        F.round(
+            (F.col("n_docs") - F.col("n_empty")
+             - F.col("n_distinct_texts"))
+            / F.greatest(F.col("n_docs") - F.col("n_empty"), F.lit(1)),
+            4,
+        ),
+    )

@@ -183,3 +183,26 @@ def test_substring_spans_partitioning_invariance(spark):
     b = sorted(map(tuple,
                    substring_dup_spans(docs.repartition(5)).collect()))
     assert a == b and len(a) > 0
+
+
+def test_corpus_report_one_row_card(spark):
+    from claims_data_spark.operators.corpus import corpus_report
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox"),
+         (2, "the quick brown fox"),      # exact dup of 1
+         (3, "something else entirely!"),
+         (4, ""),                          # empty
+         (5, None)],                       # null
+        "doc_id long, text string",
+    )
+    row = corpus_report(docs).first()
+    assert row["n_docs"] == 5
+    assert row["n_distinct_ids"] == 5
+    assert row["n_empty"] == 2
+    assert row["n_tokens"] == 4 + 4 + 3
+    assert row["n_distinct_texts"] == 2   # two distinct non-empty texts
+    # 3 non-empty docs, 2 distinct -> 1 duplicate -> rate 1/3
+    assert row["exact_dup_rate"] == pytest.approx(0.3333, abs=1e-4)
+    assert 0.0 <= row["avg_punct_ratio"] <= 1.0
+    assert len(row["token_quantiles"]) == 3
