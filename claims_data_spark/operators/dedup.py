@@ -590,3 +590,114 @@ def substring_dup_spans(
         .select("id_a", "id_b", "pos_a", "pos_b", "fp")
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental near-dup: new batch vs a persisted signature index
+# ---------------------------------------------------------------------------
+
+def sig_jaccard_estimate(sig_a: Column, sig_b: Column) -> Column:
+    """MinHash's own similarity estimator: the fraction of agreeing
+    signature positions is an unbiased estimate of Jaccard — the
+    verification an INDEX can support, since it stores signatures
+    (1 row/doc), not shingle sets."""
+    agree = F.size(
+        F.filter(
+            F.zip_with(sig_a, sig_b, lambda a, b: a == b),
+            lambda x: x,
+        )
+    )
+    return agree / F.size(sig_a)
+
+
+def incremental_minhash_dedup(
+    index: DataFrame | None,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    jaccard_threshold: float = 0.8,
+) -> tuple[DataFrame, DataFrame]:
+    """Deduplicate a NEW batch against an existing corpus without
+    touching the old documents — the daily-ingest shape (the
+    reference's replace-dups refresh contract applied to NEAR-dups):
+    yesterday's corpus is represented only by its signature index
+    ``(id, sig)``, today's batch drops documents near-duplicating the
+    index OR an earlier (lower-id) batch member, and the index grows
+    by the survivors. Returns ``(clean_new_docs, updated_index)``.
+
+    Scale shape: the index is never re-shingled — bands re-derive from
+    stored signatures map-only; the cross join is banded (new bands ⋈
+    index bands equi-join), candidates verify with the signature-
+    agreement estimator (the verification an index CAN support;
+    full-text exact Jaccard would mean storing every shingle set
+    forever). Intra-batch dedup reuses the exact-verify pair path over
+    just the batch. State carried between batches = one row per
+    surviving document.
+    """
+    rows_per_band = num_hashes // bands
+    new_sigs = (
+        spread(new_docs.select(id_col, text_col))
+        .filter(F.col(text_col).isNotNull())
+        .withColumn("_sh", word_shingles(text_col, shingle_k))
+        .withColumn("sig", minhash_signature("_sh", num_hashes))
+        .select(id_col, "sig")
+        .persist()
+    )
+    vs_index_dups = None
+    if index is not None:
+        nb = minhash_bands(
+            new_sigs, id_col, "sig", bands, rows_per_band
+        )
+        ib = minhash_bands(
+            index.withColumnRenamed(id_col, "_old_id"),
+            "_old_id", "sig", bands, rows_per_band,
+        )
+        cand = (
+            nb.join(ib, ["band_id", "band_hash"])
+            .select(id_col, "_old_id")
+            .distinct()
+        )
+        vs_index_dups = (
+            cand.join(new_sigs, id_col)
+            .join(
+                index.select(
+                    F.col(id_col).alias("_old_id"),
+                    F.col("sig").alias("_old_sig"),
+                ),
+                "_old_id",
+            )
+            .filter(
+                sig_jaccard_estimate(F.col("sig"), F.col("_old_sig"))
+                >= F.lit(jaccard_threshold)
+            )
+            .select(id_col)
+            .distinct()
+        )
+    survivors = (
+        new_sigs.join(vs_index_dups, id_col, "left_anti")
+        if vs_index_dups is not None
+        else new_sigs
+    )
+    # intra-batch: exact-verify pairs over the surviving docs only,
+    # greedy keep-lowest-id (the semantic_dedup rule)
+    batch_pairs = minhash_near_dup_pairs(
+        new_docs.join(survivors.select(id_col), id_col),
+        id_col, text_col,
+        shingle_k=shingle_k, num_hashes=num_hashes, bands=bands,
+        jaccard_threshold=jaccard_threshold,
+    )
+    batch_dups = batch_pairs.select(
+        F.col("id_b").alias(id_col)
+    ).distinct()
+    kept_ids = survivors.select(id_col).join(
+        batch_dups, id_col, "left_anti"
+    )
+    clean = new_docs.join(kept_ids, id_col)
+    kept_sigs = new_sigs.join(kept_ids, id_col)
+    updated_index = (
+        index.unionByName(kept_sigs) if index is not None else kept_sigs
+    )
+    return clean, updated_index

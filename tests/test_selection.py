@@ -206,3 +206,64 @@ def test_corpus_report_one_row_card(spark):
     assert row["exact_dup_rate"] == pytest.approx(0.3333, abs=1e-4)
     assert 0.0 <= row["avg_punct_ratio"] <= 1.0
     assert len(row["token_quantiles"]) == 3
+
+
+# --- incremental_minhash_dedup ----------------------------------------------
+
+def _doc(base: str, salt: str = "") -> str:
+    return (base + " " + salt).strip()
+
+
+def test_incremental_dedup_across_batches(spark):
+    from claims_data_spark.operators.dedup import incremental_minhash_dedup
+
+    base = ("the quick brown fox jumps over the lazy dog and then runs "
+            "far away into the deep dark forest tonight") * 2
+    other = ("completely different content about medical claims and "
+             "eligibility spans for washington state members") * 2
+    b1 = spark.createDataFrame(
+        [(1, base), (2, other)], "doc_id long, text string"
+    )
+    clean1, idx1 = incremental_minhash_dedup(None, b1)
+    assert {r["doc_id"] for r in clean1.collect()} == {1, 2}
+    assert idx1.count() == 2
+
+    # batch 2: near-dup of indexed doc 1, an intra-batch dup pair, and
+    # one genuinely new doc
+    fresh = ("totally novel text discussing training data pipelines "
+             "and shuffle topology at warehouse scale today") * 2
+    b2 = spark.createDataFrame(
+        [
+            (10, base),                     # dups the INDEX (doc 1)
+            (11, fresh),                    # new — keep
+            (12, fresh),                    # dups 11 intra-batch
+        ],
+        "doc_id long, text string",
+    )
+    clean2, idx2 = incremental_minhash_dedup(idx1, b2)
+    assert {r["doc_id"] for r in clean2.collect()} == {11}
+    # index grew by exactly the survivor
+    assert {r["doc_id"] for r in idx2.select("doc_id").collect()} == {1, 2, 11}
+
+
+def test_incremental_dedup_partitioning_invariance(spark):
+    from claims_data_spark.operators.dedup import incremental_minhash_dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} with shared boilerplate text "
+              * 3) for i in range(12)],
+        "doc_id long, text string",
+    )
+    _, idx = incremental_minhash_dedup(None, docs)
+    batch = spark.createDataFrame(
+        [(100 + i, f"document number {i} with shared boilerplate text "
+                   * 3) for i in range(6)]
+        + [(200, "entirely unrelated fresh material appearing once " * 3)],
+        "doc_id long, text string",
+    )
+    a, _ = incremental_minhash_dedup(idx, batch)
+    b, _ = incremental_minhash_dedup(idx, batch.repartition(7))
+    assert (sorted(r["doc_id"] for r in a.collect())
+            == sorted(r["doc_id"] for r in b.collect()))
+    # every batch doc near-duplicating the index was dropped
+    assert all(r["doc_id"] == 200 for r in a.collect())
