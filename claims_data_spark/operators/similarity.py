@@ -289,19 +289,6 @@ def _sql_norm_unrolled(col: str, dim: int) -> str:
     return f"SQRT({sq})"
 
 
-def _sql_cos_unrolled(a: str, b: str, dim: int) -> str:
-    """Exact cosine of two COLUMN vectors, unrolled (same fold order as
-    :func:`cosine`); caller guards zero norms."""
-    dot = " + ".join(
-        f"element_at({a}, {i}) * element_at({b}, {i})"
-        for i in range(1, dim + 1)
-    )
-    return (
-        f"({dot}) / ({_sql_norm_unrolled(a, dim)}"
-        f" * {_sql_norm_unrolled(b, dim)})"
-    )
-
-
 def _seq_norm(vals: list[float]) -> float:
     """Python twin of the SQL sequential-fold L2 norm — same rounding
     as the engines' left fold (NOT math.fsum, whose exact summation
