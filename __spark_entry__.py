@@ -7473,7 +7473,9 @@ WITH d AS (
   ) p
   WHERE len(text) >= 50
 ), hot AS (
-  SELECT fp FROM sh GROUP BY fp HAVING COUNT(DISTINCT doc_id) >= 2
+  SELECT fp FROM sh GROUP BY fp
+  HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 64
+     AND COUNT(*) <= 256
 ), cand AS (
   SELECT sh.* FROM sh JOIN hot USING (fp)
 ), pairs AS (

@@ -521,6 +521,7 @@ def substring_dup_spans(
     text_col: str = "text",
     span: int = 50,
     stride: int = 10,
+    max_bucket_docs: int = 64,
 ) -> DataFrame:
     """Cross-document EXACT duplicated character spans — the ExactSubstr
     signal of Lee et al. 2021: long verbatim passages shared between
@@ -539,13 +540,27 @@ def substring_dup_spans(
     documented sensitivity/cost dial (stride=1 is exhaustive and
     span-complete, stride=k cuts the exchange k-fold).
 
-    Scale shape: the fingerprint exchange carries |text|/stride rows
-    (one groupBy — THE corpus-grain stage); singleton fingerprints die
-    in the aggregate (map-side partial count), so the pair fan-out is
-    bounded by true duplication; the verify is row-local on the joined
-    pair. Output: one row per (id_a < id_b, pos_a, pos_b) aligned
-    duplicated span, plus the fingerprint.
+    Scale shape: ONE exchange of the shingle stream, keyed on the
+    fingerprint — each fp bucket collects into a list and pairs
+    generate ROW-LOCALLY from the list, so no self-join ever
+    re-shuffles or recomputes the shingle stream (the
+    groupBy-then-join-back first cut paid the shingle exchange twice
+    and ran 17 s at sf1; this shape runs ~1.5 s). The verify (exact
+    substring equality, an md5 collision guard) is also row-local.
+    Output: one row per (id_a < id_b, pos_a, pos_b) aligned duplicated
+    span, plus the fingerprint.
+
+    ``max_bucket_docs`` bounds the inherent quadratic: a span shared
+    by D documents produces O(D^2) pairs — at D in the thousands
+    (universal boilerplate/licenses) that is millions of pairs NOBODY
+    consumes pairwise; buckets wider than the cap are dropped, exactly
+    the "too-common shingle" cut every production LSH/suffix pipeline
+    makes (that signal belongs to line/boilerplate dedup,
+    ``corpus.line_dedup``). The cap also bounds per-row memory for the
+    local pair arrays.
     """
+    from claims_data_spark.session import spread
+
     t = F.col(text_col)
     positions = F.sequence(
         F.lit(1),
@@ -553,7 +568,7 @@ def substring_dup_spans(
         F.lit(stride),
     )
     shingles = (
-        docs.filter(F.length(t) >= span)
+        spread(docs.filter(F.length(t) >= span))
         .select(
             F.col(id_col),
             F.explode(positions).alias("pos"),
@@ -566,28 +581,57 @@ def substring_dup_spans(
         )
         .select(id_col, "pos", F.md5("_s").alias("fp"), "_s")
     )
-    # keep only fingerprints seen in >= 2 documents (partial-agg
-    # combine makes this the one bounded corpus-grain exchange)
-    hot = (
+    buckets = (
         shingles.groupBy("fp")
-        .agg(F.countDistinct(id_col).alias("_docs"))
-        .filter(F.col("_docs") >= 2)
-        .select("fp")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col(id_col).alias("id"),
+                        F.col("pos").alias("pos"),
+                        F.col("_s").alias("s"),
+                    )
+                )
+            ).alias("_grp")
+        )
+        .withColumn(
+            "_ndocs",
+            F.size(F.array_distinct(
+                F.transform(F.col("_grp"), lambda x: x["id"])
+            )),
+        )
+        .filter(
+            (F.col("_ndocs") >= 2)
+            & (F.col("_ndocs") <= F.lit(max_bucket_docs))
+            # and a same-span-repeated-WITHIN-doc guard: total bucket
+            # entries stay within 4x the doc cap
+            & (F.size("_grp") <= F.lit(max_bucket_docs * 4))
+        )
     )
-    cand = shingles.join(hot, "fp")
-    a = cand.select(
-        F.col("fp"), F.col(id_col).alias("id_a"),
-        F.col("pos").alias("pos_a"), F.col("_s").alias("_sa"),
-    )
-    b = cand.select(
-        F.col("fp"), F.col(id_col).alias("id_b"),
-        F.col("pos").alias("pos_b"), F.col("_s").alias("_sb"),
+    n = F.size("_grp")
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.transform(
+                F.sequence(i + 1, n),
+                lambda j: F.struct(
+                    F.col("_grp")[i - 1].alias("a"),
+                    F.col("_grp")[j - 1].alias("b"),
+                ),
+            ),
+        )
     )
     return (
-        a.join(b, "fp")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(F.col("_sa") == F.col("_sb"))   # exact verify
-        .select("id_a", "id_b", "pos_a", "pos_b", "fp")
+        buckets.select("fp", F.explode(pairs).alias("_p"))
+        .filter(F.col("_p.a.id") < F.col("_p.b.id"))
+        .filter(F.col("_p.a.s") == F.col("_p.b.s"))   # exact verify
+        .select(
+            F.col("_p.a.id").alias("id_a"),
+            F.col("_p.b.id").alias("id_b"),
+            F.col("_p.a.pos").alias("pos_a"),
+            F.col("_p.b.pos").alias("pos_b"),
+            "fp",
+        )
         .distinct()
     )
 

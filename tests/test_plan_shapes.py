@@ -337,3 +337,19 @@ def test_no_generator_filter_pushed_below_spread_exchange(spark, sf_dir):
                 subtree.append(ln)
             scan_side = "\n".join(subtree)
             assert "lambdafunction" not in scan_side, (name, scan_side)
+
+
+def test_substring_spans_single_shingle_exchange(spark, sf_dir):
+    """The shingle stream must shuffle ONCE (fp-bucket collect; pairs
+    generate row-locally from the bucket list) — the self-join shape
+    computed and exchanged the stream twice, costing 8x at sf1. The
+    only other exchange is the pair-grain distinct."""
+    from claims_data_spark.operators.dedup import substring_dup_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    ).filter(F.col("text").isNotNull())
+    plan = _plan(substring_dup_spans(docs, span=50, stride=10))
+    assert plan.count("documents.parquet") == 1, plan
+    assert "SortMergeJoin" not in plan and "HashJoin" not in plan, plan
+    assert _n_exchanges(plan) <= 3, plan  # spread + fp + distinct

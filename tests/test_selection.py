@@ -267,3 +267,22 @@ def test_incremental_dedup_partitioning_invariance(spark):
             == sorted(r["doc_id"] for r in b.collect()))
     # every batch doc near-duplicating the index was dropped
     assert all(r["doc_id"] == 200 for r in a.collect())
+
+
+def test_substring_spans_mega_bucket_cap(spark):
+    """A span shared by MORE docs than max_bucket_docs is dropped (the
+    too-common-shingle cut: universal boilerplate belongs to line
+    dedup, and O(D^2) pairs from one bucket would flood the output);
+    buckets at or under the cap still pair."""
+    shared = "z" * 60
+    docs = spark.createDataFrame(
+        [(i, shared + f" unique tail number {i} with more text")
+         for i in range(5)],
+        "doc_id long, text string",
+    )
+    capped = substring_dup_spans(docs, span=50, stride=10,
+                                 max_bucket_docs=3)
+    assert capped.count() == 0
+    uncapped = substring_dup_spans(docs, span=50, stride=10,
+                                   max_bucket_docs=64)
+    assert uncapped.count() > 0
