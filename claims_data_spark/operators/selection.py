@@ -44,6 +44,21 @@ from claims_data_spark.operators.corpus import _md5_uniform
 from claims_data_spark.operators.dedup import _norm_words
 
 
+def _fast_bucket(tok: Column, dim: int, seed: str) -> Column:
+    """xxhash64 bucket — the production-speed twin of the md5 family
+    (the minhash portable/fast dual): whole-stage-codegen hashing at
+    ~10x the md5+hex-conv path's throughput, still deterministic and
+    retry-stable, but NOT reproducible outside the JVM — use when the
+    run doesn't need an external oracle."""
+    return (
+        F.pmod(F.xxhash64(tok, F.lit(seed)), F.lit(dim))
+    ).cast("int")
+
+
+def _bucket_fn(portable: bool):
+    return _bucket if portable else _fast_bucket
+
+
 def hashed_features(text: Column | str, word_ngrams: int = 1) -> Column:
     """Normalized word unigrams (optionally + joined word bigrams) —
     the same feature map as the hashed quality classifier."""
@@ -70,6 +85,7 @@ def bucket_counts(
     dim: int,
     seed: str = "dsir",
     word_ngrams: int = 1,
+    portable: bool = True,
 ) -> dict[int, int]:
     """Per-bucket feature-occurrence counts as a driver dict —
     ``dim``-bounded metadata (the exchange carries at most ``dim``
@@ -79,7 +95,7 @@ def bucket_counts(
             F.explode(hashed_features(F.col(text_col), word_ngrams))
             .alias("_tok")
         )
-        .select(_bucket(F.col("_tok"), dim, seed).alias("_b"))
+        .select(_bucket_fn(portable)(F.col("_tok"), dim, seed).alias("_b"))
         .groupBy("_b")
         .agg(F.count(F.lit(1)).alias("_n"))
         .collect()
@@ -118,6 +134,7 @@ def dsir_score(
     seed: str = "dsir",
     word_ngrams: int = 1,
     out_col: str = "logw",
+    portable: bool = True,
 ) -> DataFrame:
     """Per-document importance log-weight: sequential fold of λ over
     the document's hashed features (map-only codegen; empty docs score
@@ -125,7 +142,10 @@ def dsir_score(
     feats = hashed_features(F.col(text_col), word_ngrams)
     score = F.aggregate(
         F.transform(
-            feats, lambda tok: F.element_at(lam, _bucket(tok, dim, seed) + 1)
+            feats,
+            lambda tok: F.element_at(
+                lam, _bucket_fn(portable)(tok, dim, seed) + 1
+            ),
         ),
         F.lit(0.0),
         lambda acc, x: acc + x,
@@ -142,6 +162,7 @@ def dsir_select(
     dim: int = 1024,
     seed: str = "dsir",
     word_ngrams: int = 1,
+    portable: bool = True,
 ) -> DataFrame:
     """Full DSIR: fit both hashed bucket models, score every raw
     document, Gumbel-top-k resample ``k`` documents without
@@ -152,11 +173,11 @@ def dsir_select(
     under/overflows exp(logw). Returns the selected rows with
     ``logw``, ``samp_key`` and 1-based ``rank``.
     """
-    tc = bucket_counts(target, text_col, dim, seed, word_ngrams)
-    rc = bucket_counts(raw, text_col, dim, seed, word_ngrams)
+    tc = bucket_counts(target, text_col, dim, seed, word_ngrams, portable)
+    rc = bucket_counts(raw, text_col, dim, seed, word_ngrams, portable)
     lam = dsir_log_ratios(tc, rc, dim)
     scored = dsir_score(
-        raw, text_col, lam, dim, seed, word_ngrams
+        raw, text_col, lam, dim, seed, word_ngrams, portable=portable
     )
     # the pinned uniform lands in (0,1]; u == 1 would make the Gumbel
     # -ln(-ln 1) = +inf, so clamp to the open interval (1 - 2^-33 is

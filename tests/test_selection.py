@@ -286,3 +286,26 @@ def test_substring_spans_mega_bucket_cap(spark):
     uncapped = substring_dup_spans(docs, span=50, stride=10,
                                    max_bucket_docs=64)
     assert uncapped.count() > 0
+
+
+def test_dsir_fast_path_equivalent_shape(spark):
+    """portable=False (xxhash64 buckets) selects exactly k, is
+    deterministic across partitionings, and keeps the target bias —
+    the production-speed twin of the oracle-exact md5 path."""
+    target = spark.createDataFrame(
+        [(i, "alpha beta gamma") for i in range(5)],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [(i, "alpha beta gamma" if i % 3 == 0 else "zeta eta theta")
+         for i in range(30)],
+        "doc_id long, text string",
+    )
+    out = dsir_select(raw, target, "text", "doc_id", k=8, dim=32,
+                      portable=False)
+    rows = out.collect()
+    assert len(rows) == 8
+    again = dsir_select(raw.repartition(5), target, "text", "doc_id",
+                        k=8, dim=32, portable=False)
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again.collect()))
+    assert len([r for r in rows if r["doc_id"] % 3 == 0]) >= 5
