@@ -5734,6 +5734,59 @@ GROUP BY d.doc_id
 """
 
 
+def q_contamination_report(spark, sf_dir):
+    """Fractional train-test overlap analysis (operators/corpus.
+    contamination_report — the GPT-3-style per-document percent of
+    4-gram overlap with the eval suite, next to decontaminate's
+    boolean gate): benchmark grams broadcast, one corpus scan,
+    per-doc exact integer counts, pct from the integers (2dp)."""
+    from claims_data_spark.operators.corpus import contamination_report
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    bench = d.filter(F.col("doc_id") % 50 == 0)
+    docs = d.filter(F.col("doc_id") % 50 != 0)
+    out = contamination_report(docs, bench, n=4)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_grams", "n_overlap", "overlap_pct",
+    )
+
+
+SQL_CONTAMINATION_REPORT = """
+WITH words AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+  FROM documents WHERE text IS NOT NULL
+), doc_grams AS (
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id,
+      unnest(list_transform(generate_series(1, len(w) - 3),
+             i -> array_to_string(w[i:i+3], ' '))) AS gram
+    FROM words WHERE len(w) >= 4
+  ) WHERE LENGTH(gram) > 0
+), bench AS (
+  SELECT DISTINCT gram FROM doc_grams WHERE doc_id % 50 = 0
+), per AS (
+  SELECT d.doc_id,
+    COUNT(*) AS n_grams,
+    SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS n_overlap
+  FROM doc_grams d LEFT JOIN bench b USING (gram)
+  WHERE d.doc_id % 50 <> 0
+  GROUP BY d.doc_id
+), shorts AS (
+  -- documents with zero 4-grams still report (0, 0, 0.0)
+  SELECT doc_id, 0 AS n_grams, 0 AS n_overlap
+  FROM words WHERE len(w) < 4 AND doc_id % 50 <> 0
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  CAST(n_grams AS BIGINT) AS n_grams,
+  CAST(n_overlap AS BIGINT) AS n_overlap,
+  CASE WHEN n_grams > 0
+       THEN ROUND(n_overlap * 100.0 / n_grams, 2) ELSE 0.0 END
+    AS overlap_pct
+FROM (SELECT * FROM per UNION ALL SELECT * FROM shorts)
+"""
+
+
 def q_stratified_sample(spark, sf_dir):
     """Deterministic per-stratum sampling for dataset mixing
     (operators/corpus.stratified_sample): survival decided by the
@@ -7629,6 +7682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": q_dsir_select,
         "substring_spans": q_substring_spans,
         "corpus_card": q_corpus_card,
+        "contamination_report": q_contamination_report,
         # r05-window queries green in r05 (image_resize /
         # text_normalize / streaming_dedup / weighted_sample_grouped
         # defer their 2nd green to r07 — each carries a dedicated
@@ -7714,6 +7768,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_select": SQL_DSIR_SELECT,
         "substring_spans": SQL_SUBSTRING_SPANS,
         "corpus_card": SQL_CORPUS_CARD,
+        "contamination_report": SQL_CONTAMINATION_REPORT,
         "pricing_summary": SQL_PRICING,
         "typed_projection": SQL_TYPED_PROJECTION,
         "dynamic_filter": SQL_DYNAMIC_FILTER,

@@ -109,6 +109,7 @@ EXTENDED = [
     "dsir_select",
     "substring_spans",
     "corpus_card",
+    "contamination_report",
 ]
 
 

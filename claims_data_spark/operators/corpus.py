@@ -964,3 +964,64 @@ def corpus_report(
             4,
         ),
     )
+
+
+def contamination_report(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    n: int = 13,
+) -> DataFrame:
+    """Fractional train-test overlap analysis — the GPT-3-style
+    "percent of each document's n-grams that appear in the eval suite"
+    report, the ANALYSIS view next to :func:`decontaminate`'s boolean
+    gate (a release ships the distribution, not just the drop list:
+    1% overlap is quotation, 80% is a leaked test document).
+
+    Per document: total distinct n-grams, distinct n-grams hitting the
+    benchmark set, and ``overlap_pct`` rounded to 2dp from the exact
+    integer counts (engine-reproducible — no float accumulation).
+    Documents shorter than ``n`` words report 0 grams / 0 pct.
+
+    Scale shape: identical to decontaminate — benchmark grams
+    broadcast, one corpus scan, per-doc counts aggregate with map-side
+    combine; no corpus-grain join.
+    """
+    from claims_data_spark.session import spread
+
+    bench_grams = (
+        benchmark.select(
+            F.explode(_word_ngrams(bench_text_col, n)).alias("gram")
+        )
+        .filter(F.length("gram") > 0)
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    doc_grams = (
+        spread(docs.select(F.col(id_col), F.col(text_col)))
+        .select(
+            F.col(id_col),
+            F.explode_outer(
+                F.array_distinct(_word_ngrams(text_col, n))
+            ).alias("gram"),
+        )
+    )
+    return (
+        doc_grams.join(F.broadcast(bench_grams), "gram", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("gram").alias("n_grams"),
+            F.sum(F.coalesce("_hit", F.lit(0))).alias("n_overlap"),
+        )
+        .withColumn(
+            "overlap_pct",
+            F.when(
+                F.col("n_grams") > 0,
+                F.round(
+                    F.col("n_overlap") * 100.0 / F.col("n_grams"), 2
+                ),
+            ).otherwise(F.lit(0.0)),
+        )
+    )

@@ -309,3 +309,34 @@ def test_dsir_fast_path_equivalent_shape(spark):
                         k=8, dim=32, portable=False)
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again.collect()))
     assert len([r for r in rows if r["doc_id"] % 3 == 0]) >= 5
+
+
+def test_contamination_report_fractions(spark):
+    from claims_data_spark.operators.corpus import contamination_report
+
+    bench = spark.createDataFrame(
+        [(1, "the capital of france is paris and it is large")],
+        "q long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            # contains the full bench sentence -> high overlap
+            (1, "quiz answer: the capital of france is paris and it is "
+                "large indeed everyone knows"),
+            # no 5-gram overlap at all
+            (2, "completely unrelated text about spark shuffles and "
+                "exchanges in a warehouse"),
+            # shorter than n words
+            (3, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    out = contamination_report(docs, bench, n=5)
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert got[1]["n_overlap"] > 0
+    assert got[1]["overlap_pct"] > 30.0
+    assert got[2]["n_overlap"] == 0 and got[2]["overlap_pct"] == 0.0
+    assert got[3]["n_grams"] == 0 and got[3]["overlap_pct"] == 0.0
+    # exact fraction check for doc 1
+    r = got[1]
+    assert r["overlap_pct"] == round(r["n_overlap"] * 100.0 / r["n_grams"], 2)
