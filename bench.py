@@ -172,10 +172,26 @@ def main() -> None:
     # one warm-up action so JVM/codegen startup isn't billed to the first query
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
 
+    def cpu_probe() -> float:
+        """Fixed pure-CPU probe (md5 over a constant range): an in-band
+        host-speed measurement. BENCH_r06 recorded quality_classify at
+        4.44 s where three same-code repro runs read 0.14-0.58 s; the
+        probe makes any such host-state episode visible in the artifact
+        of record instead of leaving a ratio unexplained."""
+        t0 = time.perf_counter()
+        spark.range(0, 2_000_000, 1, 32).selectExpr(
+            "sum(conv(substring(md5(cast(id as string)), 1, 8), 16, 10))"
+        ).collect()
+        return round(time.perf_counter() - t0, 3)
+
+    calib = {"cpu_probe_start": cpu_probe()}
+
     ext_timings: dict[str, float] = {}
     ext_jobs: dict[str, int] = {}
+    runs_detail: dict[str, list[float]] = {}
     for name in HEADLINE + EXTENDED:
         best, n = None, 0
+        runs_detail[name] = []
         # min of 3 runs: the harness VM carries background load (±15%
         # observed between whole-suite runs), and a single sample
         # conflates that noise with plan cost
@@ -191,6 +207,7 @@ def main() -> None:
             n = df.count()
             el = time.perf_counter() - t0
             sc.setJobGroup(None, None)
+            runs_detail[name].append(round(el, 3))
             best = el if best is None else min(best, el)
             job_counts[name] = len(tracker.getJobIdsForGroup(group))
         # builder queries persist narrow intermediates; each run mints
@@ -210,6 +227,7 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    calib["cpu_probe_end"] = cpu_probe()
     total = round(sum(timings.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     spark.stop()
@@ -228,21 +246,37 @@ def main() -> None:
     comp_duck = sum(duck.values())
     ratio = round(comp_spark / comp_duck, 3) if comp_duck else None
 
-    # detail line FIRST (may be front-truncated by the driver capture)
+    # sections print in INCREASING survival priority: the driver
+    # captures only the tail of stdout (BENCH_r05 lost the headline,
+    # BENCH_r06 lost the extended head + job counts), so the verbose
+    # detail goes first and each later line is a compact, self-
+    # sufficient JSON section — headline LAST so a tail-capture of any
+    # length keeps the most important blocks.
     print(
         json.dumps(
             {
                 "detail": "per-query spark/duckdb same-run",
-                "jobs": job_counts,
-                "extended": ext_timings,
-                "extended_jobs": ext_jobs,
                 "duckdb": duck,
                 "duckdb_skipped": duck_skipped,
-                "spark_vs_duckdb_same_run": ratio,
                 "sf": sf_val,
             }
         )
     )
+    # all three per-query wall times (min is the reported number):
+    # decomposes host-state anomalies like BENCH_r06's quality_classify
+    print(json.dumps({"section": "runs3", "runs": runs_detail}))
+    print(json.dumps(
+        {"section": "jobs", "jobs": job_counts, "extended_jobs": ext_jobs}
+    ))
+    print(json.dumps(
+        {
+            "section": "extended",
+            "total": round(sum(ext_timings.values()), 3),
+            "queries": ext_timings,
+            "spark_vs_duckdb_same_run": ratio,
+            "sf": sf_val,
+        }
+    ))
     # headline line LAST so a tail-capture always keeps it
     print(
         json.dumps(
@@ -251,6 +285,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "extended_total": round(sum(ext_timings.values()), 3),
+                "spark_vs_duckdb_same_run": ratio,
+                "calib": calib,
                 "sf": sf_val,
             }
         )

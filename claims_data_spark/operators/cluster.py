@@ -104,6 +104,12 @@ def kmeans_fit(
         raise ValueError("k and iterations must be >= 1")
     qdf = _quantize(df, vec_col, scale_fp).select(id_col, "_qv").persist()
     cents = _seed_centroids(qdf, id_col, k, seed)
+    if len(cents) < k:
+        qdf.unpersist()
+        raise ValueError(
+            f"kmeans_fit: input has only {len(cents)} row(s) but k={k}; "
+            "reduce k or provide at least k rows"
+        )
     dim = len(cents[0])
     for _ in range(iterations):
         assigned = qdf.withColumn("_cid", _assign_expr(cents))

@@ -533,12 +533,20 @@ def substring_dup_spans(
     document emits its ``span``-char substring at positions 1, 1+stride,
     ... (md5-keyed), equal fingerprints group, and surviving pairs
     verify by EXACT substring equality — an md5 collision can only cost
-    a verify, never a wrong row. A duplicated region of length >=
-    span + stride - 1 is GUARANTEED to contain at least one aligned
-    strided shingle on both sides when both documents emit positions on
-    the same stride grid; shorter overlaps may be missed — that is the
-    documented sensitivity/cost dial (stride=1 is exhaustive and
-    span-complete, stride=k cuts the exchange k-fold).
+    a verify, never a wrong row.
+
+    Detection contract (precise, because callers must not assume
+    span-length completeness): both documents emit spans on the SAME
+    stride grid anchored at position 1, so a duplicated region is
+    guaranteed detected only when (a) it is at least ``span + stride -
+    1`` chars long AND (b) the two copies start at offsets congruent
+    mod ``stride``. A copy shifted by one character escapes detection
+    entirely, regardless of length. ``stride=1`` removes the alignment
+    condition and is span-complete; ``stride=k`` accepts a 1-1/k miss
+    probability on randomly-aligned copies in exchange for a k-fold
+    smaller exchange (the Lee et al. pipeline's sensitivity/cost dial;
+    templated/boilerplate copies are usually grid-aligned because the
+    shared prefix aligns the grids).
 
     Scale shape: ONE exchange of the shingle stream, keyed on the
     fingerprint — each fp bucket collects into a list and pairs
@@ -680,7 +688,18 @@ def incremental_minhash_dedup(
     forever). Intra-batch dedup reuses the exact-verify pair path over
     just the batch. State carried between batches = one row per
     surviving document.
+
+    NULL-text rows carry no signature, so they can never be identified
+    as duplicates — they pass through to ``clean`` unmodified (and add
+    nothing to the index) rather than being silently conflated with
+    duplicates.
     """
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands "
+            f"({bands}): truncating the band width silently ignores the "
+            "trailing signature positions and lowers recall"
+        )
     rows_per_band = num_hashes // bands
     new_sigs = (
         spread(new_docs.select(id_col, text_col))
@@ -739,9 +758,20 @@ def incremental_minhash_dedup(
     kept_ids = survivors.select(id_col).join(
         batch_dups, id_col, "left_anti"
     )
-    clean = new_docs.join(kept_ids, id_col)
+    # anti-join against the DROPPED ids (not inner-join on kept ids):
+    # NULL-text rows have no signature, hence no kept row — an inner
+    # join would silently conflate "unsigned" with "duplicate"
+    dropped_ids = (
+        vs_index_dups.unionByName(batch_dups)
+        if vs_index_dups is not None
+        else batch_dups
+    )
+    clean = new_docs.join(dropped_ids, id_col, "left_anti")
     kept_sigs = new_sigs.join(kept_ids, id_col)
     updated_index = (
         index.unionByName(kept_sigs) if index is not None else kept_sigs
     )
+    # the persist served the multi-branch plan above; the returned
+    # frames re-derive lazily, so don't pin executor memory past return
+    new_sigs.unpersist()
     return clean, updated_index

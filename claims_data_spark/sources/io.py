@@ -241,19 +241,39 @@ def delete_data_year(
     ``tables`` rows mirror the reference's mcaid_tables.csv contract:
     ``{"path": ..., "date_column": ...}``; a row with a date column the
     rule set doesn't know is SKIPPED and reported, exactly like the R's
-    "No known way to handle this date column" branch. The known rule is
-    the reference's: the column's string form starts with the year
-    (covers CLNDR_YEAR_MNTH ints, yyyymmdd ints and ISO date/strings —
-    ``date_col LIKE '{year}%'``, :141).
+    "No known way to handle this date column" branch
+    (``mcaid_delete_data_year.R:60-65`` applies ``date_col LIKE
+    '{year}%'`` ONLY to its whitelist CLNDR_YEAR_MNTH / FROM_SRVC_DATE
+    / first_service_date and skips everything else). This port keeps
+    the skip-unknown contract but validates by FORMAT instead of by
+    name — stronger than the R, which trusts the csv:
+
+    * date/timestamp-typed columns match on ``year(col)`` — format
+      can't lie about a typed column;
+    * int/string columns must be year-prefixed in EVERY non-null row
+      (``^\\d{4}`` with the prefix in a plausible 1700-2199 range —
+      covers CLNDR_YEAR_MNTH ints, yyyymmdd ints, ISO date strings).
+      A column in any other shape (epoch seconds, mm/dd/yyyy, ...)
+      is ``skipped_unvalidated_date_format`` — NOT silently
+      "deleted 0 rows", which is how a DUA-mandated purge fails
+      quietly. The validation is one extra aggregate pushed into the
+      same scan.
+
+    NULL-dated rows are KEPT and reported (``null_date_rows``): a row
+    whose year is unknown is not evidence it belongs to the purge
+    year, and silently deleting it would remove data outside the
+    requested year. (The R's LIKE keeps NULLs too — NULL LIKE is not
+    TRUE — so this also matches the reference.)
 
     Shape per table (mirrors the R's rename -> SELECT INTO -> QA):
 
-    1. rewrite rows ``NOT LIKE 'year%'`` into a temp sibling (one scan,
-       one write — at scale with year-partitioned layout this becomes
-       a metadata-only partition drop; the filter is pushed to the
-       scan here);
-    2. count QA from parquet metadata: kept + deleted == old total, or
-       the swap is refused;
+    1. rewrite rows ``NOT (year-match)`` OR NULL-dated into a temp
+       sibling (one scan, one write — at scale with year-partitioned
+       layout this becomes a metadata-only partition drop; the filter
+       is pushed to the scan here);
+    2. count QA: kept + deleted == old total AND deleted equals the
+       independently-counted ``df.filter(cond)`` rows, or the swap is
+       refused;
     3. atomic swap; the old directory survives as ``<path>._to_delete``
        (the R's renamed table) until the caller confirms and removes —
        ``keep_backup=False`` removes it immediately.
@@ -278,19 +298,52 @@ def delete_data_year(
                  "date_column": date_col}
             )
             continue
-        old_n = df.count()
-        cond = F.col(date_col).cast("string").startswith(str(delete_year))
+        dtype = dict(df.dtypes)[date_col]
+        c = F.col(date_col)
+        if dtype in ("date", "timestamp", "timestamp_ntz"):
+            cond = F.year(c) == F.lit(int(delete_year))
+            stats = df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count(F.when(c.isNull(), 1)).alias("nulls"),
+                F.count(F.when(cond, 1)).alias("hits"),
+            ).first()
+        else:
+            # year-prefix formats only; anything else must be skipped,
+            # not silently matched against zero rows
+            prefix_ok = c.cast("string").rlike(r"^(1[789]|2[01])\d{2}")
+            cond = c.cast("string").startswith(str(delete_year))
+            stats = df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count(F.when(c.isNull(), 1)).alias("nulls"),
+                F.count(F.when(cond, 1)).alias("hits"),
+                F.count(F.when(c.isNotNull() & ~prefix_ok, 1)).alias("bad"),
+            ).first()
+            if stats["bad"] > 0:
+                reports.append(
+                    {"path": path,
+                     "status": "skipped_unvalidated_date_format",
+                     "date_column": date_col,
+                     "unparseable_rows": stats["bad"]}
+                )
+                continue
+        old_n, null_n, expect_del = stats["n"], stats["nulls"], stats["hits"]
         tmp = path.rstrip("/") + "._delete_tmp"
-        df.filter(~cond).write.mode("overwrite").format(fmt).save(tmp)
+        # keep NULL-dated rows explicitly: ~cond alone drops them
+        # (NULL -> not kept), deleting rows outside the purge year
+        df.filter(cond.isNull() | ~cond).write.mode("overwrite").format(
+            fmt
+        ).save(tmp)
         kept_n = read_file(spark, tmp, fmt).count()
         deleted_n = old_n - kept_n
-        # the year filter can only remove rows; anything else (or a
-        # negative delta) means the rewrite saw different data — refuse
-        if kept_n > old_n:
+        # refuse the swap unless the delta equals the independently
+        # counted year-matched rows (catches concurrent writes AND any
+        # filter/format disagreement)
+        if deleted_n != expect_del:
             shutil.rmtree(tmp)
             raise AssertionError(
                 f"delete_data_year row-count anomaly on {path}: "
-                f"old={old_n} kept={kept_n}"
+                f"old={old_n} kept={kept_n} "
+                f"deleted={deleted_n} != expected {expect_del}"
             )
         backup = path.rstrip("/") + "._to_delete"
         if os.path.exists(backup):
@@ -301,7 +354,8 @@ def delete_data_year(
             shutil.rmtree(backup)
         reports.append(
             {"path": path, "status": "deleted", "old_rows": old_n,
-             "kept_rows": kept_n, "deleted_rows": deleted_n}
+             "kept_rows": kept_n, "deleted_rows": deleted_n,
+             "null_date_rows": null_n}
         )
     return reports
 

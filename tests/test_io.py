@@ -338,6 +338,66 @@ def test_delete_data_year(spark, tmp_path):
     assert read_file(spark, p_elig).count() == 2
 
 
+def test_delete_data_year_format_and_null_guards(spark, tmp_path):
+    """Round-7 ADVICE fix: (a) a date column in an unvalidated format
+    (epoch ints, mm/dd/yyyy) is SKIPPED with a report — never silently
+    'deleted 0 rows'; (b) NULL-dated rows are KEPT, not purged; (c)
+    typed date columns match on year() rather than the string prefix."""
+    from claims_data_spark.sources.io import delete_data_year, read_file
+
+    epoch = spark.createDataFrame(
+        [(1, 1420070400), (2, 1451606400)], "id long, svc_epoch long"
+    )
+    mdy = spark.createDataFrame(
+        [(1, "03/04/2015"), (2, "07/01/2016")], "id long, svc_mdy string"
+    )
+    nully = spark.createDataFrame(
+        [(1, "2015-03-04"), (2, None), (3, "2016-01-01")],
+        "id long, first_service_date string",
+    )
+    typed = spark.createDataFrame(
+        [(1, "2015-03-04"), (2, None), (3, "2016-01-01")],
+        "id long, d string",
+    ).withColumn("d", F.col("d").cast("date"))
+    paths = {}
+    for name, df in [("epoch", epoch), ("mdy", mdy), ("nully", nully),
+                     ("typed", typed)]:
+        p = str(tmp_path / name)
+        df.write.parquet(p)
+        paths[name] = p
+
+    reports = delete_data_year(
+        spark,
+        [
+            {"path": paths["epoch"], "date_column": "svc_epoch"},
+            {"path": paths["mdy"], "date_column": "svc_mdy"},
+            {"path": paths["nully"], "date_column": "first_service_date"},
+            {"path": paths["typed"], "date_column": "d"},
+        ],
+        2015,
+    )
+    by_path = {r["path"]: r for r in reports}
+    # (a) unvalidated formats refuse rather than no-op
+    assert by_path[paths["epoch"]]["status"] == "skipped_unvalidated_date_format"
+    assert by_path[paths["epoch"]]["unparseable_rows"] == 2
+    assert by_path[paths["mdy"]]["status"] == "skipped_unvalidated_date_format"
+    assert read_file(spark, paths["epoch"]).count() == 2  # untouched
+    # (b) the NULL-dated row survives the purge and is reported
+    r = by_path[paths["nully"]]
+    assert (r["status"], r["deleted_rows"], r["null_date_rows"]) == (
+        "deleted", 1, 1,
+    )
+    kept = {row["id"] for row in read_file(spark, paths["nully"]).collect()}
+    assert kept == {2, 3}
+    # (c) typed date column: year() match, NULL kept
+    t = by_path[paths["typed"]]
+    assert (t["status"], t["deleted_rows"], t["null_date_rows"]) == (
+        "deleted", 1, 1,
+    )
+    assert {row["id"] for row in read_file(spark, paths["typed"]).collect()} \
+        == {2, 3}
+
+
 def test_compact_table(spark, tmp_path):
     """Small-file compaction: many tiny files collapse toward the
     target size, rows preserved, atomic swap."""

@@ -269,6 +269,44 @@ def test_incremental_dedup_partitioning_invariance(spark):
     assert all(r["doc_id"] == 200 for r in a.collect())
 
 
+def test_incremental_dedup_null_text_and_band_guard(spark):
+    """Round-7 ADVICE fixes: NULL-text rows pass through to the clean
+    batch (unsigned != duplicate) and never enter the index; indivisible
+    num_hashes/bands raises instead of silently truncating recall."""
+    import pytest
+
+    from claims_data_spark.operators.dedup import incremental_minhash_dedup
+
+    b = spark.createDataFrame(
+        [(1, "some real document text repeated for shingles " * 3),
+         (2, None)],
+        "doc_id long, text string",
+    )
+    clean, idx = incremental_minhash_dedup(None, b)
+    assert {r["doc_id"] for r in clean.collect()} == {1, 2}
+    assert {r["doc_id"] for r in idx.collect()} == {1}
+
+    with pytest.raises(ValueError, match="divisible"):
+        incremental_minhash_dedup(None, b, num_hashes=32, bands=5)
+
+
+def test_kmeans_fit_fewer_rows_than_k(spark):
+    """Round-7 ADVICE fix: < k rows raises a clear ValueError instead
+    of an opaque IndexError mid-iteration."""
+    import pytest
+
+    from claims_data_spark.operators.cluster import kmeans_fit
+
+    two = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="k=5"):
+        kmeans_fit(two, k=5)
+    with pytest.raises(ValueError, match="k=1"):
+        kmeans_fit(two.filter("vec_id < 0"), k=1)
+
+
 def test_substring_spans_mega_bucket_cap(spark):
     """A span shared by MORE docs than max_bucket_docs is dropped (the
     too-common-shingle cut: universal boilerplate belongs to line
