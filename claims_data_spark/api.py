@@ -172,6 +172,9 @@ def claims_condition(
     ).select(id_col, cond_col, "first_encounter_date", "last_encounter_date")
 
 
+_TOP_CAUSES_TYPE_COL = {"ed": "ed_pophealth_id", "inpatient": "inpatient_id"}
+
+
 def top_causes(
     cohort: DataFrame,
     header: DataFrame,
@@ -180,44 +183,131 @@ def top_causes(
     from_date: str,
     to_date: str,
     top_n: int = 10,
-    event_id_col: str = "ed_pophealth_id",
+    type: str = "ed",
+    override_all: bool = False,
+    catch_all: bool = False,
+    primary_dx: bool = True,
+    ind_dates: bool = False,
+    ind_from_col: str = "from_date",
+    ind_to_col: str = "to_date",
+    event_id_col: str | None = None,
     id_col: str = "id_mcaid",
 ) -> DataFrame:
     """Top causes (CCS categories) among a cohort's events
     (``R/top_causes.R:55-346``): cohort ⋈ date/event-filtered headers
-    ⋈ primary dx ⋈ CCS reference, drop catch-all categories, count
-    distinct events per category, top-N with rank ties (A12/O3).
+    ⋈ dx ⋈ CCS reference, count distinct events per category, top-N
+    with rank ties (A12/O3, the R's ``top_n`` keeps ties too).
+
+    Parameter parity with the reference:
+
+    * ``type`` — ``"ed"`` keeps claims with a non-null
+      ``ed_pophealth_id`` and counts distinct ED episodes;
+      ``"inpatient"`` the same over ``inpatient_id``; ``"all"`` takes
+      every claim and counts distinct ``claim_header_id``, and — like
+      the R's stop() (``:182-190``) — requires ``override_all=True``
+      because an unflagged pull scans the whole header. A custom
+      ``event_id_col`` overrides the type→column map for bespoke
+      event grains.
+    * ``primary_dx`` — True restricts to ``icdcm_number IN
+      ('01', 'admit')`` (``:166-170``); False uses every dx row.
+    * ``catch_all`` — False drops catch-all CCS categories keeping
+      NULL-flag rows (`is.na(ccs_catch_all) | ccs_catch_all == 0`,
+      ``:314-316``); True keeps them.
+    * ``ind_dates`` / ``ind_from_col`` / ``ind_to_col`` — per-person
+      date windows (``:119-132, 173-178, 198-214, 289-306``): cohort
+      rows entirely outside the global window are dropped, each
+      person's window is clipped to the global one, and a claim
+      counts only when ``from_date_ind <= first_service_date <=
+      to_date_ind`` for THAT person (on top of the global filter, so
+      the header scan still prunes on the global range). Divergence,
+      on purpose: the R clips the individual END date with ``pmax``
+      (``:209``), which widens it to at least the global to_date and
+      silently ignores every individual end date — an apparent typo
+      for ``pmin`` (the join predicate ``:175-177`` clearly intends a
+      narrowing window, and the roxygen says "narrow the default date
+      window"). This port clips with ``least``, honoring the
+      documented intent; set ``ind_to_col`` to a column of global
+      to_dates to reproduce the R's literal behavior.
 
     The cohort is a DataFrame — no 1,000-literal ``##temp_ids``
-    batches (``:216-273``); the join IS the temp table.
+    batches (``:216-273``); the join IS the temp table. The per-person
+    window rides the same equi-join on ``id`` (a post-join filter,
+    not a range join), so ind_dates adds zero exchanges.
     """
-    events = (
-        header.join(cohort.select(id_col).distinct(), id_col, "left_semi")
-        .filter(
-            (F.col("first_service_date") >= F.lit(from_date).cast("date"))
-            & (F.col("first_service_date") <= F.lit(to_date).cast("date"))
-            & F.col(event_id_col).isNotNull()
-            & F.col("primary_diagnosis").isNotNull()
+    _validate_window(from_date, to_date)
+    if type not in ("ed", "inpatient", "all"):
+        raise ValueError(f"type must be ed|inpatient|all, got {type!r}")
+    if type == "all" and not override_all:
+        raise ValueError(
+            "type='all' pulls every claim (slow); pass override_all=True "
+            "to confirm (R/top_causes.R:186-189)"
         )
-        .select("claim_header_id", id_col, event_id_col)
+    count_col = (
+        event_id_col
+        if event_id_col is not None
+        else _TOP_CAUSES_TYPE_COL.get(type, "claim_header_id")
     )
-    primary_dx = icdcm.filter(F.col("icdcm_number") == "01").select(
-        "claim_header_id", "icdcm_norm", "icdcm_version"
+    gf, gt = F.lit(from_date).cast("date"), F.lit(to_date).cast("date")
+
+    flt = (
+        (F.col("first_service_date") >= gf)
+        & (F.col("first_service_date") <= gt)
+        & F.col("primary_diagnosis").isNotNull()
     )
+    if type != "all":
+        flt = flt & F.col(count_col).isNotNull()
+
+    if ind_dates:
+        # unique (id, window) rows; drop persons entirely outside the
+        # global window; clip to it (R :198-214, pmax typo corrected)
+        ids = (
+            cohort.select(
+                id_col,
+                F.col(ind_from_col).cast("date").alias("_ind_from"),
+                F.col(ind_to_col).cast("date").alias("_ind_to"),
+            )
+            .distinct()
+            .filter(~((F.col("_ind_to") < gf) | (F.col("_ind_from") > gt)))
+            .withColumn("_ind_from", F.greatest("_ind_from", gf))
+            .withColumn("_ind_to", F.least("_ind_to", gt))
+            .distinct()
+        )
+        events = (
+            header.filter(flt)
+            .join(ids, id_col)
+            .filter(
+                (F.col("first_service_date") >= F.col("_ind_from"))
+                & (F.col("first_service_date") <= F.col("_ind_to"))
+            )
+            .select("claim_header_id", id_col, count_col)
+        )
+    else:
+        events = (
+            header.filter(flt)
+            .join(cohort.select(id_col).distinct(), id_col, "left_semi")
+            .select("claim_header_id", id_col, count_col)
+        )
+
+    dx = icdcm.select("claim_header_id", "icdcm_norm", "icdcm_version")
+    if primary_dx:
+        dx = icdcm.filter(
+            F.col("icdcm_number").isin("01", "admit")
+        ).select("claim_header_id", "icdcm_norm", "icdcm_version")
     ccs = ref_icdcm.select(
         F.col("icdcm").alias("icdcm_norm"),
         "icdcm_version",
         "ccs_detail_desc",
         "ccs_catch_all",
     )
-    counted = (
-        events.join(primary_dx, "claim_header_id")
-        .join(F.broadcast(ccs), ["icdcm_norm", "icdcm_version"])
-        # keep NULL catch-all like the reference's
-        # `is.na(ccs_catch_all) | ccs_catch_all == 0` (R/top_causes.R:314-316)
-        .filter(F.col("ccs_catch_all").isNull() | (F.col("ccs_catch_all") == 0))
-        .groupBy("ccs_detail_desc")
-        .agg(F.countDistinct(event_id_col).alias("event_count"))
+    joined = events.join(dx, "claim_header_id").join(
+        F.broadcast(ccs), ["icdcm_norm", "icdcm_version"]
+    )
+    if not catch_all:
+        joined = joined.filter(
+            F.col("ccs_catch_all").isNull() | (F.col("ccs_catch_all") == 0)
+        )
+    counted = joined.groupBy("ccs_detail_desc").agg(
+        F.countDistinct(count_col).alias("event_count")
     )
     w = Window.orderBy(F.col("event_count").desc())
     return (

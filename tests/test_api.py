@@ -128,6 +128,95 @@ def test_top_causes(spark, tables):
     assert "Personal history of malignancy" not in by_desc  # V100 in 2017 is v10, no ref match
 
 
+def test_top_causes_param_parity(spark, tables):
+    """R/top_causes.R parameter parity: type/override_all, catch_all,
+    primary_dx, ind_dates per-person windows (:63-70, 115-130, 166-190,
+    198-214, 289-306)."""
+    # mcaid's final header carries inpatient_flag; synthesize the
+    # apcd/mcare-style stay id the reference's type='inpatient' counts
+    header = tables["header"].withColumn(
+        "inpatient_id",
+        F.when(F.col("inpatient_flag") == 1, F.col("claim_header_id")),
+    )
+    ref = fx.ref_icdcm_codes(spark)
+    cohort = tables["demo"].select("id_mcaid")
+
+    # type='inpatient': p1's acute stay only (p2's nonacute TOB has no
+    # inpatient_id); with primary_dx only the 25000 primary surfaces
+    ipt = top_causes(
+        cohort, header, tables["icdcm"], ref,
+        "2017-01-01", "2017-12-31", type="inpatient",
+    ).collect()
+    assert {r["ccs_detail_desc"]: r["event_count"] for r in ipt} == {
+        "Diabetes mellitus without complication": 1
+    }
+
+    # primary_dx=False reaches TCN4's dx2 (F329 depression)
+    ipt_all = top_causes(
+        cohort, header, tables["icdcm"], ref,
+        "2017-01-01", "2017-12-31", type="inpatient", primary_dx=False,
+    ).collect()
+    assert "Major depressive disorder" in {
+        r["ccs_detail_desc"] for r in ipt_all
+    }
+
+    # type='all' without the override refuses, like the R's stop()
+    with pytest.raises(ValueError, match="override_all"):
+        top_causes(
+            cohort, header, tables["icdcm"], ref,
+            "2017-01-01", "2017-12-31", type="all",
+        )
+
+    # catch_all toggle over type='all': Z001 well-child (ccs_catch_all=1)
+    kw = dict(type="all", override_all=True, top_n=20)
+    excl = top_causes(
+        cohort, header, tables["icdcm"], ref,
+        "2017-01-01", "2017-12-31", **kw,
+    ).collect()
+    incl = top_causes(
+        cohort, header, tables["icdcm"], ref,
+        "2017-01-01", "2017-12-31", catch_all=True, **kw,
+    ).collect()
+    assert "Well child exam" not in {r["ccs_detail_desc"] for r in excl}
+    assert "Well child exam" in {r["ccs_detail_desc"] for r in incl}
+
+    # ind_dates: p1's personal window starting Feb drops all January ED
+    # claims — the global-window answer (1 diabetes episode) differs
+    coh_ind = spark.createDataFrame(
+        [("p1", d("2017-02-01"), d("2017-12-31"))],
+        "id_mcaid string, from_date date, to_date date",
+    )
+    glob = top_causes(
+        coh_ind, header, tables["icdcm"], ref, "2017-01-01", "2017-12-31",
+    ).collect()
+    assert {r["ccs_detail_desc"]: r["event_count"] for r in glob} == {
+        "Diabetes mellitus without complication": 1
+    }
+    ind = top_causes(
+        coh_ind, header, tables["icdcm"], ref,
+        "2017-01-01", "2017-12-31", ind_dates=True,
+    ).collect()
+    assert ind == []
+
+    # clip-to-global + drop-outside-global: p1's window widens past the
+    # global end (clipped back, episode 1 still counted once via TCN2);
+    # p2's 2016-only window never overlaps and the person is dropped
+    coh2 = spark.createDataFrame(
+        [
+            ("p1", d("2017-01-06"), d("2018-06-30")),
+            ("p2", d("2016-01-01"), d("2016-12-31")),
+        ],
+        "id_mcaid string, from_date date, to_date date",
+    )
+    ind2 = top_causes(
+        coh2, header, tables["icdcm"], ref,
+        "2017-01-01", "2017-12-31", ind_dates=True,
+    ).collect()
+    assert {r["ccs_detail_desc"]: r["event_count"] for r in ind2} == {
+        "Diabetes mellitus without complication": 1
+    }
+
+
 def test_elig_timevar_collapse(spark, tables):
     # dropping the address covariate merges p1's Jan | Feb-Mar islands
     collapsed = elig_timevar_collapse(
