@@ -172,12 +172,47 @@ def dsir_select(
     identical across retries/engines, and working in log space never
     under/overflows exp(logw). Returns the selected rows with
     ``logw``, ``samp_key`` and 1-based ``rank``.
+
+    Hashing shape: the raw pool is the corpus-sized side and its
+    tokens feed BOTH passes (the raw-model counts, then the scoring
+    fold), so the tokenize→md5-bucket work — the measured wall
+    dominator at sf10 — runs ONCE into a narrow (id, bucket-array)
+    frame persisted MEMORY_AND_DISK; the count pass explodes the
+    cached ints and the scoring fold reads them back, halving the
+    portable-hash cost and skipping the second regex tokenization
+    entirely. The heavy path stays narrow (ids + int arrays, ~4
+    bytes/token); the k winners broadcast-join back to the full raw
+    rows at the end, so no corpus-grain exchange ever carries text.
+    The selection itself is computed eagerly (it is k-bounded driver
+    metadata, like the λ counts) so the cache can be released before
+    returning — callers get a k-row plan, not a pinned corpus cache.
+    Values are bit-identical to the two-pass form: same bucket
+    function, same sequential fold order, same 6dp rounds.
     """
+    from pyspark import StorageLevel
+
     tc = bucket_counts(target, text_col, dim, seed, word_ngrams, portable)
-    rc = bucket_counts(raw, text_col, dim, seed, word_ngrams, portable)
+    feats = hashed_features(F.col(text_col), word_ngrams)
+    bk = F.transform(
+        feats, lambda tok: _bucket_fn(portable)(tok, dim, seed)
+    )
+    rawb = raw.select(F.col(id_col), bk.alias("_bk")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    rc = {
+        int(r["_b"]): int(r["_n"])
+        for r in (
+            rawb.select(F.explode("_bk").alias("_b"))
+            .groupBy("_b")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .collect()
+        )
+    }
     lam = dsir_log_ratios(tc, rc, dim)
-    scored = dsir_score(
-        raw, text_col, lam, dim, seed, word_ngrams, portable=portable
+    score = F.aggregate(
+        F.transform("_bk", lambda b: F.element_at(lam, b + 1)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
     )
     # the pinned uniform lands in (0,1]; u == 1 would make the Gumbel
     # -ln(-ln 1) = +inf, so clamp to the open interval (1 - 2^-33 is
@@ -186,12 +221,29 @@ def dsir_select(
         _md5_uniform(id_col, seed + "|gumbel", open_zero=True),
         F.lit(1.0 - 2.0 ** -33),
     )
+    scored = rawb.withColumn("logw", F.round(score, 6))
     key = F.round(F.col("logw") - F.log(-F.log(u)), 6)
-    out = (
+    sel = (
         scored.withColumn("samp_key", key)
+        .select(id_col, "logw", "samp_key")
         .orderBy(F.col("samp_key").desc(), F.col(id_col).asc())
-        .limit(k)
+        .limit(k)  # plans as TakeOrderedAndProject — O(k) driver state
+        .collect()
     )
-    # rank over the k selected rows only — O(k) single-partition window
-    w = Window.orderBy(F.col("samp_key").desc(), F.col(id_col).asc())
-    return out.withColumn("rank", F.row_number().over(w).cast("long"))
+    rawb.unpersist()
+    spark = raw.sparkSession
+    winners = spark.createDataFrame(
+        [(r[id_col], r["logw"], r["samp_key"], i + 1)
+         for i, r in enumerate(sel)],
+        schema=(
+            scored.select(id_col, "logw")
+            .withColumn("samp_key", key)
+            .withColumn("rank", F.lit(1).cast("long"))
+            .schema
+        ),
+    )
+    # enrich the k winners with the full raw row: broadcast the
+    # k-bounded side, no corpus shuffle
+    return raw.join(F.broadcast(winners), id_col).select(
+        *raw.columns, "logw", "samp_key", "rank"
+    )

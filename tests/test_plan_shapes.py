@@ -353,3 +353,67 @@ def test_substring_spans_single_shingle_exchange(spark, sf_dir):
     assert plan.count("documents.parquet") == 1, plan
     assert "SortMergeJoin" not in plan and "HashJoin" not in plan, plan
     assert _n_exchanges(plan) <= 3, plan  # spread + fp + distinct
+
+
+def test_ccw_bucketed_inputs_single_exchange(spark):
+    """The production CCW path reads a STORED claim-bucketed dx fact
+    and header (the reference's Synapse HASH(claim) distribution,
+    load_ccw.R:522-541): with both inputs bucketed on the claim key,
+    the dx-header join and the claim-grain membership aggregation
+    reuse the bucket partitioning, and the whole engine runs with
+    exactly ONE shuffle — the explicit (abbrev, id) repartition that
+    the distinct, the two-claim window and the final collapse share.
+    This pins the round-6 scale fix: no claim-grain exchange can
+    reappear regardless of header size (the old broadcast->SMJ trap)."""
+    import shutil
+
+    from claims_data_spark.sources.io import write_bucketed
+    from claims_data_spark.tables.conditions import build_claim_ccw
+
+    for t in ("t_ccw_dx_b", "t_ccw_hdr_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+    n = 2000
+    dx = spark.range(n).select(
+        (F.col("id") % 300).alias("id_mcaid"),
+        F.col("id").alias("claim_header_id"),
+        F.date_add(F.lit("2017-01-01").cast("date"),
+                   (F.col("id") % 365).cast("int")).alias("first_service_date"),
+        F.format_string("C%03d", F.col("id") % 50).alias("icdcm_norm"),
+        F.lit(10).alias("icdcm_version"),
+        F.lpad((F.col("id") % 3 + 1).cast("string"), 2, "0").alias("icdcm_number"),
+    )
+    hdr = spark.range(n).select(
+        F.col("id").alias("claim_header_id"),
+        (F.col("id") % 6).cast("int").alias("claim_type_id"),
+    )
+    write_bucketed(dx, "t_ccw_dx_b", ["claim_header_id"], num_buckets=8,
+                   sort_cols=["claim_header_id"])
+    write_bucketed(hdr, "t_ccw_hdr_b", ["claim_header_id"], num_buckets=8,
+                    sort_cols=["claim_header_id"])
+    ref = spark.range(50).select(
+        F.format_string("C%03d", F.col("id")).alias("icdcm"),
+        F.lit(10).alias("icdcm_version"),
+        F.when(F.col("id") < 5, 1).otherwise(0).alias("ccw_synth"),
+        F.when(F.col("id") >= 45, 1).otherwise(0).alias("ccw_synth_exclude1"),
+    )
+    cfg = [
+        {"ccw_abbrev": "ccw_synth", "dx_fields": "1-2",
+         "claim_type_1": "1", "claim_type_2": "2;3",
+         "condition_type": 2, "lookback_months": 12},
+        {"ccw_abbrev": "ccw_synth_exclude1", "dx_fields": "any"},
+    ]
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # the header must NOT be broadcastable: at 100 TB it isn't,
+        # and the bucketed merge path is exactly what runs
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        out = build_claim_ccw(
+            spark.table("t_ccw_dx_b"), spark.table("t_ccw_hdr_b"), ref, cfg
+        )
+        out.count()  # materialize so AQE finalizes the plan
+        plan = _plan(out)
+        assert _n_exchanges(plan) == 1, plan
+        assert out.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
