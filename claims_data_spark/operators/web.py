@@ -83,9 +83,26 @@ _QUERY_RE = r"\?([^#]*)"
 _TRACKING_RE = r"^(utm_[^=]*|fbclid|gclid|mc_cid|mc_eid|ref)="
 
 
+def _is_tracking_param(p: Column) -> Column:
+    """String-op mirror of ``_TRACKING_RE`` (no per-param regex):
+    ``utm_<no-=>*=`` reduces to startswith('utm_') AND contains '='
+    (the utm_ prefix itself has no '='), the rest are literal
+    ``name=`` prefixes."""
+    return (
+        (p.startswith("utm_") & (F.instr(p, "=") > 0))
+        | p.startswith("fbclid=")
+        | p.startswith("gclid=")
+        | p.startswith("mc_cid=")
+        | p.startswith("mc_eid=")
+        | p.startswith("ref=")
+    )
+
+
 def canonicalize_url(url_col: Column | str) -> Column:
-    """Canonical form of a URL for dedup keys — pure codegen (regexp
-    extracts + array ops), no UDF, map-only at any corpus scale.
+    """Canonical form of a URL for dedup keys — built on
+    ``try_parse_url`` (one java.net.URI parse per part, measured ~3x
+    cheaper than a regexp_extract pass at sf10) plus non-regex string
+    ops; no UDF, map-only at any corpus scale.
 
     Rules (the common-crawl canonical set):
       * scheme and host lowercase; path/query case preserved
@@ -96,30 +113,66 @@ def canonicalize_url(url_col: Column | str) -> Column:
         ``gclid``, ``mc_cid``, ``mc_eid``, ``ref``); the survivors are
         SORTED so param order doesn't split a page into two keys
       * trailing slashes stripped from the path
-    Non-URL strings (no ``scheme://``) canonicalize to the trimmed
-    lowercase input, so the operator is total.
+    Strings that do not parse as ``scheme://...`` — including RFC-
+    invalid inputs URI rejects (raw spaces, doubled fragments) —
+    canonicalize to the trimmed lowercase input, so the operator is
+    total and the key is a fixed point either way (the idempotence
+    property test covers both branches).
     """
     c = F.col(url_col) if isinstance(url_col, str) else url_col
     u = F.trim(c)
-    scheme = F.lower(F.regexp_extract(u, _SCHEME_RE, 1))
-    # authority INCLUDING the port (``_HOST_RE`` stops at ':' — using
-    # it here would silently drop ':8080' and conflate distinct
-    # origins); default ports are stripped explicitly below
-    host0 = F.lower(F.regexp_extract(u, _AUTHORITY_RE, 1))
-    host1 = F.regexp_replace(host0, r"^www\.", "")
+    return _canon_from_parts(
+        u,
+        F.try_parse_url(u, F.lit("PROTOCOL")),
+        F.try_parse_url(u, F.lit("AUTHORITY")),
+        F.try_parse_url(u, F.lit("PATH")),
+        F.try_parse_url(u, F.lit("QUERY")),
+    )
+
+
+def _canon_from_parts(
+    u: Column, scheme0: Column, auth0: Column, path0: Column, query0: Column
+) -> Column:
+    """Assemble the canonical form from already-extracted URI parts.
+
+    Split out so ``url_dedup`` can MATERIALIZE the four
+    ``try_parse_url`` calls as stepwise columns first: the conditional
+    reuse below (authority feeds the www-strip and both port-strip
+    branches) would otherwise re-parse the full URL at every use site
+    — conditional branches are invisible to codegen subexpression
+    elimination, and the re-parses were the measured sf10 wall. The
+    remaining duplicated ops here run over the SHORT extracted parts.
+    """
+    scheme = F.lower(scheme0)
+    # URI also accepts non-hierarchical forms (mailto:x); the regex
+    # contract this replaces required a literal '://' right after the
+    # scheme — keep that gate so such strings take the total fallback
+    parses = scheme0.isNotNull() & (
+        F.instr(u, "://") == F.length(scheme0) + 1
+    )
+    # authority INCLUDING the port (host-only would silently drop
+    # ':8080' and conflate distinct origins); default ports are
+    # stripped explicitly below
+    host0 = F.lower(F.coalesce(auth0, F.lit("")))
+    host1 = F.when(
+        host0.startswith("www."),
+        F.substring(host0, 5, F.length(host0)),
+    ).otherwise(host0)
     host = F.when(
         (scheme == "http") & host1.endswith(":80"),
-        F.regexp_replace(host1, ":80$", ""),
+        F.substring(host1, 1, F.length(host1) - 3),
     ).when(
         (scheme == "https") & host1.endswith(":443"),
-        F.regexp_replace(host1, ":443$", ""),
+        F.substring(host1, 1, F.length(host1) - 4),
     ).otherwise(host1)
-    path = F.regexp_replace(F.regexp_extract(u, _PATH_RE, 1), "/+$", "")
+    # strip ALL trailing slashes: two-arg rtrim, not a regex
+    path = F.call_function(
+        "rtrim", F.lit("/"), F.coalesce(path0, F.lit(""))
+    )
     qparams = F.array_sort(
         F.filter(
-            F.split(F.regexp_extract(u, _QUERY_RE, 1), "&"),
-            lambda p: (F.length(p) > 0)
-            & ~p.rlike(_TRACKING_RE),
+            F.split(F.coalesce(query0, F.lit("")), "&"),
+            lambda p: (F.length(p) > 0) & ~_is_tracking_param(p),
         )
     )
     query = F.array_join(qparams, "&")
@@ -132,7 +185,7 @@ def canonicalize_url(url_col: Column | str) -> Column:
             F.lit("")
         ),
     )
-    return F.when(scheme == "", F.lower(u)).otherwise(canon)
+    return F.when(~parses, F.lower(u)).otherwise(canon)
 
 
 def url_dedup(
@@ -151,14 +204,50 @@ def url_dedup(
     the repo's standard keep-min rule); ``group_col`` reports how many
     raw variants collapsed into the key, for crawl-health audit.
 
-    Scale: canonicalization is map-only codegen; the dedup itself is
-    ONE exchange on the canonical key (window rank + count over the
-    same partitioning — Spark plans both over a single shuffle since
-    the partition keys match). No driver state, no collect.
+    Scale: canonicalization is map-only codegen. The default survivor
+    rule (no ``order_cols`` — keep the lowest ``id_col``) plans as ONE
+    hash aggregate: ``min_by(row, id)`` + ``count`` get map-side
+    partial aggregation, so the exchange carries one partial row per
+    (task, canonical key) instead of every raw variant, and no
+    per-partition sort ever runs. Custom ``order_cols`` (arbitrary
+    Column orderings — desc, null placement) fall back to the rank
+    window over the same single exchange. No driver state, no collect.
     """
-    order = [F.col(c) if isinstance(c, str) else c for c in (order_cols or [])]
+    # stepwise part materialization: each try_parse_url (full-URL URI
+    # parse) evaluates exactly ONCE per row into its own projected
+    # column; the assembly then reuses the short parts freely. A
+    # single nested Column would re-parse the URL at every
+    # conditional use site (see _canon_from_parts). CollapseProject
+    # keeps the layers apart because the parts are non-cheap and
+    # multiply referenced.
+    u = F.trim(F.col(url_col))
+    cu = F.col("_cu")
+    out = (
+        df.withColumn("_cu", u)
+        .withColumns({
+            "_cp": F.try_parse_url(cu, F.lit("PROTOCOL")),
+            "_ca": F.try_parse_url(cu, F.lit("AUTHORITY")),
+            "_cpt": F.try_parse_url(cu, F.lit("PATH")),
+            "_cq": F.try_parse_url(cu, F.lit("QUERY")),
+        })
+        .withColumn(canon_col, _canon_from_parts(
+            cu, F.col("_cp"), F.col("_ca"), F.col("_cpt"), F.col("_cq"),
+        ))
+        .drop("_cu", "_cp", "_ca", "_cpt", "_cq")
+    )
+    if not order_cols:
+        row = F.struct(*[F.col(c) for c in out.columns])
+        agg = out.groupBy(canon_col).agg(
+            F.min_by(row, F.col(id_col)).alias("_row"),
+            F.count(F.lit(1)).alias(group_col),
+        )
+        return agg.select(
+            *[F.col(f"_row.{c}").alias(c) for c in df.columns],
+            canon_col,
+            F.col(group_col).cast("long").alias(group_col),
+        )
+    order = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     order.append(F.col(id_col).asc())
-    out = df.withColumn(canon_col, canonicalize_url(url_col))
     w = Window.partitionBy(canon_col)
     return (
         out.withColumn("_rn", F.row_number().over(w.orderBy(*order)))
