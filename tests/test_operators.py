@@ -847,3 +847,80 @@ def test_wordpiece_tokenize_greedy_semantics(spark):
     # pattern orders by length desc then lexicographic, fallback last
     pat = compile_wordpiece_pattern(vocab)
     assert pat == "(table|dow|tab|win|ab|[\\s\\S])"
+
+
+def test_linkage_sig_prune_sound_and_exact(spark):
+    """The count-signature band must NEVER drop a true match
+    (soundness: lev <= k implies sig L1 <= 2k), and the SWAR L1 must
+    equal a per-character python recomputation bit-for-bit."""
+    import random
+    import string as _string
+
+    from pyspark.sql import functions as F
+
+    from claims_data_spark.operators.linkage import (
+        _SIG_BUCKETS,
+        _char_count_sig,
+        _sig_l1,
+        blocked_link,
+    )
+
+    rng = random.Random(7)
+    alpha = _string.ascii_lowercase + _string.digits + "@_ é"
+
+    def mutate(s, edits):
+        s = list(s)
+        for _ in range(edits):
+            op = rng.choice("ids") if s else "i"
+            i = rng.randrange(len(s) + (op == "i"))
+            if op == "i":
+                s.insert(i, rng.choice(alpha))
+            elif op == "d" and s:
+                s.pop(min(i, len(s) - 1))
+            else:
+                s[min(i, len(s) - 1)] = rng.choice(alpha)
+        return "".join(s)
+
+    rows = []
+    for i in range(200):
+        base = "".join(rng.choice(alpha) for _ in range(rng.randrange(3, 30)))
+        rows.append((i, base, mutate(base, rng.randrange(0, 4))))
+    df = spark.createDataFrame(rows, "i long, a string, b string")
+    got = df.select(
+        "a", "b",
+        _sig_l1(
+            _char_count_sig(F.col("a")), _char_count_sig(F.col("b"))
+        ).alias("l1"),
+        F.levenshtein("a", "b").alias("lev"),
+    ).collect()
+
+    def py_sig(s):
+        return [sum(1 for ch in s if ch in bkt) for bkt in _SIG_BUCKETS]
+
+    for r in got:
+        want = sum(
+            abs(x - y) for x, y in zip(py_sig(r["a"]), py_sig(r["b"]))
+        )
+        assert r["l1"] == want, (r["a"], r["b"], r["l1"], want)
+        # soundness: an edit moves the L1 by at most 2
+        assert r["l1"] <= 2 * r["lev"] or r["lev"] == 0
+
+    # end-to-end: pruned blocked_link finds the same matches as a
+    # brute-force distance pass at max_dist=3
+    left = spark.createDataFrame(
+        [(i, a, "blk") for i, a, _ in rows], "lid long, ltxt string, b string"
+    )
+    right = spark.createDataFrame(
+        [(i + 1000, bb, "blk") for i, _, bb in rows],
+        "rid long, rtxt string, b string",
+    )
+    out = blocked_link(
+        left, right, ["b"], left_id="lid", right_id="rid",
+        left_text="ltxt", right_text="rtxt", max_dist=3, keep="all",
+    )
+    got_pairs = {(r["rid"], r["lid"]) for r in out.collect()}
+    brute = left.crossJoin(
+        right.withColumnRenamed("b", "b2")
+    ).withColumn("d", F.levenshtein("ltxt", "rtxt")).filter(F.col("d") <= 3)
+    want_pairs = {(r["rid"], r["lid"]) for r in brute.collect()}
+    assert got_pairs == want_pairs
