@@ -21,11 +21,14 @@ from pyspark.sql import functions as F
 
 from claims_data_spark.qa import (
     fused_table_qa,
+    qa_apcd_claim_provider,
     qa_ids_in_elig,
     qa_mcaid_claim_icdcm_header,
     qa_mcaid_claim_line,
     qa_mcaid_claim_pharm,
     qa_mcaid_claim_procedure,
+    qa_mcaid_mcare_claim_ccw,
+    qa_mcare_elig_timevar,
     QaResult,
     check_referential,
     run_qa,
@@ -281,6 +284,22 @@ def run_mcaid_mcare_pipeline(
             tables["mcaid_mcare_claim_ccw"] = build_mcaid_mcare_claim_ccw(
                 icdcm, header, ref_icdcm, ccw_lookup_rows
             )
+            # qa_stage.mcaid_mcare_claim_ccw.sql STEP 1: all configured
+            # conditions ran, zero NULL-id_apde header claims, zero
+            # mcare-source members missing from the xwalk
+            expected = [
+                r["ccw_abbrev"] for r in ccw_lookup_rows
+                if not r["ccw_abbrev"].endswith("_exclude1")
+                and not r["ccw_abbrev"].endswith("_exclude2")
+                and r["ccw_abbrev"] in ref_icdcm.columns
+            ]
+            qa.extend(
+                ("mcaid_mcare_claim_ccw", r)
+                for r in qa_mcaid_mcare_claim_ccw(
+                    tables["mcaid_mcare_claim_ccw"], header, xwalk,
+                    expected,
+                )
+            )
         pharm = tables.get("mcaid_mcare_claim_pharm")
         proc = tables.get("mcaid_mcare_claim_procedure")
         if (icdcm is not None and ref_rda is not None
@@ -403,6 +422,13 @@ def run_apcd_pipeline(
         tables["apcd_claim_provider"] = build_apcd_claim_provider(
             claim_provider_raw
         )
+        # qa_stage.apcd_claim_provider.sql generalized: projection row
+        # parity with raw, provider id non-null, members in elig
+        gate("apcd_claim_provider",
+             qa_apcd_claim_provider(
+                 tables["apcd_claim_provider"], claim_provider_raw,
+                 elig_demo=demo,
+             ))
         if provider_master_raw is not None:
             tables["ref_apcd_provider_npi"] = build_ref_apcd_provider_npi(
                 provider_master_raw, claim_provider_raw
@@ -503,6 +529,11 @@ def run_mcare_pipeline(
     tables["mcare_elig_timevar"] = build_mcare_elig_timevar(
         bene_enrollment, elig_demo=demo, ref_geo_kc_zip=ref_geo_kc_zip
     )
+    # the reference's full timevar suite (qa_stage.mcare_elig_timevar.R):
+    # dup-row/interval/overlap fused + distinct-id parity with MBSF
+    gate("mcare_elig_timevar",
+         qa_mcare_elig_timevar(tables["mcare_elig_timevar"],
+                               bene_enrollment))
     tables["mcare_elig_month"] = build_mcare_elig_month(
         bene_enrollment, elig_demo=demo, ref_geo_kc_zip=ref_geo_kc_zip
     )

@@ -827,3 +827,106 @@ def qa_housing_status(
         (f"month-trend-under-{max_month_pct_change}pct", swings == 0,
          f"swinging-months={swings}"),
     ]
+
+
+def qa_mcare_elig_timevar(
+    timevar: DataFrame,
+    bene_enrollment: DataFrame,
+    id_col: str = "id_mcare",
+    raw_id_col: str | None = None,
+) -> list[QaResult]:
+    """Medicare timevar suite (``qa_stage.mcare_elig_timevar.R``)
+    composed from the generic gates: segment-key distinctness +
+    interval validity + per-person overlap (the dup-row check,
+    :137-170, in one fused action) and distinct-id parity with the WA
+    MBSF extract (:95-135). The row-count-vs-previous-run item
+    (:29-90) compares against the metadata history of PRIOR loads —
+    that is ``qa_rows_per_year``'s contract, not a single-build gate,
+    so it is intentionally not composed here."""
+    out = fused_table_qa(
+        timevar,
+        unique_keys=[id_col, "from_date", "to_date"],
+        interval_cols=("from_date", "to_date"),
+        overlap_ids=[id_col],
+    )
+    raw_id = raw_id_col or (
+        "bene_id" if "bene_id" in bene_enrollment.columns else id_col
+    )
+    out.append(check_member_count_match(
+        timevar, bene_enrollment, id_col, raw_id,
+        name="distinct-ids-match-mbsf",
+    ))
+    return out
+
+
+def qa_apcd_claim_provider(
+    provider: DataFrame,
+    provider_raw: DataFrame,
+    elig_demo: DataFrame | None = None,
+) -> list[QaResult]:
+    """APCD claim_provider suite (``qa_stage.apcd_claim_provider.sql``
+    — the reference's line-level spot checks of the role projection
+    against ``apcd_medical_claim``, generalized to the full table):
+    row parity with the raw extract (a pure projection must neither
+    drop nor mint rows), the provider id never null, and member ids
+    referenced in elig — the spot-checkable predicates in one fused
+    pass + one count."""
+    out = fused_table_qa(
+        provider,
+        extra_flags={
+            "provider_id-not-null": F.col("provider_id_apcd").isNull(),
+        },
+    )
+    n_built = provider.count()
+    n_raw = provider_raw.count()
+    out.append((
+        "row-parity-with-raw", n_built == n_raw,
+        f"built={n_built} raw={n_raw}",
+    ))
+    if elig_demo is not None:
+        out += qa_ids_in_elig(provider, elig_demo, id_col="id_apcd")
+    return out
+
+
+def qa_mcaid_mcare_claim_ccw(
+    ccw: DataFrame,
+    header: DataFrame,
+    xwalk: DataFrame,
+    expected_conditions: list[str],
+    id_col: str = "id_apde",
+) -> list[QaResult]:
+    """Combined-layer CCW suite (``qa_stage.mcaid_mcare_claim_ccw.sql``
+    STEP 1, the pass/fail-able table-wide checks): every configured
+    condition present with ordered encounter ranges (:27-28 via
+    ``ccw_table_qa``), zero header claims with a NULL ``id_apde``
+    (:21-25 — "members with claim but no elig information"), and zero
+    mcare-source header members missing from the xwalk (:10-16).
+    The remainder of the script (person-year tabulations against CMS
+    published counts, prevalence-by-age review) is the analyst
+    comparison step — ``ccw_table_qa`` surfaces the prevalence
+    numbers it eyeballs."""
+    out = ccw_table_qa(
+        ccw, expected_conditions, id_col=id_col, cond_col="ccw_desc"
+    )
+    nulls = (
+        header.agg(F.sum(
+            F.when(F.col(id_col).isNull(), 1).otherwise(0)
+        ).alias("_n")).first()["_n"] or 0
+    )
+    out.append((
+        "header-id_apde-not-null", nulls == 0, f"violations={nulls}"
+    ))
+    missing = (
+        header.filter(F.col("source_desc") == "mcare")
+        .select(id_col).distinct()
+        .join(
+            xwalk.filter(F.col("id_mcare").isNotNull()).select(id_col),
+            id_col, "left_anti",
+        )
+        .count()
+    )
+    out.append((
+        "mcare-header-ids-in-xwalk", missing == 0,
+        f"violations={missing}",
+    ))
+    return out

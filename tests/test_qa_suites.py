@@ -194,3 +194,98 @@ def test_qa_housing_status_trend_and_dups(spark):
     got = _by_name(qa_housing_status(jumpy))
     assert not got["no-duplicate-id-from-date"][0]
     assert not got["month-trend-under-5.0pct"][0]
+
+
+def test_qa_mcare_elig_timevar_pass_and_fail(spark):
+    import datetime as dt
+
+    from claims_data_spark.qa import qa_mcare_elig_timevar
+
+    d = dt.date.fromisoformat
+    mbsf = spark.createDataFrame([("m1",), ("m2",)], "bene_id string")
+    good = spark.createDataFrame(
+        [("m1", d("2017-01-01"), d("2017-03-31")),
+         ("m1", d("2017-05-01"), d("2017-06-30")),
+         ("m2", d("2017-01-01"), d("2017-12-31"))],
+        "id_mcare string, from_date date, to_date date",
+    )
+    got = _by_name(qa_mcare_elig_timevar(good, mbsf))
+    assert all(ok for ok, _ in got.values()), got
+    # failing: duplicate segment, inverted interval, overlap, and a
+    # member missing from the MBSF extract
+    bad = spark.createDataFrame(
+        [("m1", d("2017-01-01"), d("2017-03-31")),
+         ("m1", d("2017-01-01"), d("2017-03-31")),
+         ("m1", d("2017-02-01"), d("2017-01-01")),
+         ("m2", d("2017-01-01"), d("2017-06-30")),
+         ("m3", d("2017-01-01"), d("2017-12-31"))],
+        "id_mcare string, from_date date, to_date date",
+    )
+    got = _by_name(qa_mcare_elig_timevar(bad, mbsf))
+    assert not got["distinct-ids-match-mbsf"][0]
+    assert any(
+        not ok for name, (ok, _) in got.items()
+        if name != "distinct-ids-match-mbsf"
+    ), got
+
+
+def test_qa_apcd_claim_provider_pass_and_fail(spark):
+    from claims_data_spark.qa import qa_apcd_claim_provider
+
+    raw = spark.createDataFrame(
+        [("a1", 1, 101, "billing"), ("a2", 2, 102, "rendering")],
+        "id_apcd string, claim_header_id long, provider_id_apcd long,"
+        " provider_type string",
+    )
+    demo = spark.createDataFrame([("a1",), ("a2",)], "id_apcd string")
+    got = _by_name(qa_apcd_claim_provider(raw, raw, elig_demo=demo))
+    assert all(ok for ok, _ in got.values()), got
+    # failing: a minted extra row (parity), a NULL provider id, and a
+    # member not in elig
+    bad = spark.createDataFrame(
+        [("a1", 1, 101, "billing"), ("zz", 2, None, "rendering"),
+         ("a2", 3, 103, "attending")],
+        "id_apcd string, claim_header_id long, provider_id_apcd long,"
+        " provider_type string",
+    )
+    got = _by_name(qa_apcd_claim_provider(bad, raw, elig_demo=demo))
+    assert not got["row-parity-with-raw"][0]
+    assert not got["provider_id-not-null"][0]
+    assert not got["ids-in-elig"][0]
+
+
+def test_qa_mcaid_mcare_claim_ccw_pass_and_fail(spark):
+    import datetime as dt
+
+    from claims_data_spark.qa import qa_mcaid_mcare_claim_ccw
+
+    d = dt.date.fromisoformat
+    ccw = spark.createDataFrame(
+        [("x1", "ccw_diabetes", d("2017-01-01"), d("2017-06-30"))],
+        "id_apde string, ccw_desc string, first_encounter_date date,"
+        " last_encounter_date date",
+    )
+    header = spark.createDataFrame(
+        [("x1", "mcare", 1), ("x2", "mcaid", 2)],
+        "id_apde string, source_desc string, claim_header_id long",
+    )
+    xwalk = spark.createDataFrame(
+        [("x1", "mc1"), ("x2", None)], "id_apde string, id_mcare string"
+    )
+    got = _by_name(qa_mcaid_mcare_claim_ccw(
+        ccw, header, xwalk, ["ccw_diabetes"]
+    ))
+    assert all(ok for ok, _ in got.values()), got
+    # failing on all three fronts: a configured condition never ran,
+    # a NULL-id_apde header claim, and an mcare-source member whose
+    # id is missing from the xwalk
+    header_bad = spark.createDataFrame(
+        [("x1", "mcare", 1), (None, "mcaid", 2), ("x9", "mcare", 3)],
+        "id_apde string, source_desc string, claim_header_id long",
+    )
+    got = _by_name(qa_mcaid_mcare_claim_ccw(
+        ccw, header_bad, xwalk, ["ccw_diabetes", "ccw_hypertension"]
+    ))
+    assert not got["distinct-conditions-match"][0]
+    assert not got["header-id_apde-not-null"][0]
+    assert not got["mcare-header-ids-in-xwalk"][0]
