@@ -7617,106 +7617,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # have gone longest without a driver row (every entry in the tail
     # is still covered by tools/parity.py and pytest each round).
     return {
-        # ---- driver window (first 50): round-6 rotation, WINDOW.md ----
-        # rule 1 pins — implementation changed this round (cascade
-        # fusions, unrolled IVF assignment, SQL-escape hardening, NaN
-        # rank channel, adaptive pagerank) or brand new
-        "hedis_year_merge": q_hedis_year_merge,
+        # ---- driver window (first 50): round-7 rotation, WINDOW.md ----
+        # rule 1 pins (impl changed r07: ccw scan pushdown, parse_url
+        # canonicalization + min_by survivor, SWAR signature band,
+        # single-bucketize DSIR) and the r07-scheduled first/second rows,
+        # then rows-only periodic rows, then rule-3 backfill: the six
+        # r03-last queries and the r04-last tranche (oldest first)
         "ccw_two_claim": q_ccw_two_claim,
         "ccw_combined": q_ccw_combined,
-        "rda_value_set": q_rda_value_set,
-        "knn_ivf": q_knn_ivf,
-        "semantic_dedup": q_semantic_dedup,
-        "scd2_merge": q_scd2_merge,
-        "pagerank_authority": q_pagerank,
-        "dense_global_id": q_dense_global,
-        "comorb_scores": q_comorb_scores,
-        "claim_moud": q_claim_moud,
-        "mcare_timevar": q_mcare_timevar,
-        "mcare_elig_month": q_mcare_elig_month,
-        "knn_rh_lsh": q_knn_rh_lsh,
-        # rule 3 backfill — the whole r02 tranche (verdict task 3):
-        # after this rotation no query's last driver row predates r03
-        "anti_join": q_anti_join,
-        "semi_join": q_semi_join,
-        "join_revenue_by_nation": q_join_revenue_by_nation,
-        "multi_left_join_flags": q_order_flags,
-        "dynamic_filter": q_dynamic_filter,
-        "count_distinct": q_count_distinct,
-        "distinct_dedup": q_distinct,
-        "intersect_keys": q_intersect,
-        "full_outer_coalesce": q_full_outer,
-        "mode_random_tiebreak": q_mode_random_tiebreak,
-        "format_classify": q_format_classify,
-        "icd_normalize": q_icd_normalize,
-        "text_stats": q_text_stats,
-        "theta_or_join": q_theta_or_join,
-        "topk_ties": q_topk_ties,
-        "typed_projection": q_typed_projection,
-        "union_bindrows": q_union_bindrows,
-        "union_stack": q_union,
-        "unpivot_long": q_unpivot,
-        "quality_fingerprint": q_quality,
-        "right_join": q_right_join,
-        "dedup_exact": q_dedup_exact,
-        "knn_bruteforce": q_knn_bruteforce,
-        # r05-new queries taking their second consecutive green round
-        "bm25_topk": q_bm25_topk,
-        "bigram_lm": q_bigram_lm,
-        "weighted_sample": q_weighted_sample,
-        "mix_rebalance": q_mix_rebalance,
-        "domain_cap": q_domain_cap,
-        "record_linkage": q_record_linkage,
-        "wordpiece_tokenize": q_wordpiece_tokenize,
-        "line_dedup": q_line_dedup,
-        "bloom_decontaminate": q_bloom_decontaminate,
         "url_dedup": q_url_dedup,
-        "quality_classify": q_quality_classify,
-        "cms_heavy_hitters": q_cms_heavy_hitters,
-        "collocations": q_collocations,
-        # ---- outside the window: parity + pytest covered ----
-        # NEW in round 6 but seated at the tail head: rule 1 would pin
-        # them, but the window is exactly full with the verdict-ordered
-        # r02 backfill tranche; they take their first driver rows in
-        # r07 (tools/parity.py value-checks them every round meanwhile)
+        "record_linkage": q_record_linkage,
         "dsir_select": q_dsir_select,
         "substring_spans": q_substring_spans,
         "corpus_card": q_corpus_card,
         "contamination_report": q_contamination_report,
-        # r05-window queries green in r05 (image_resize /
-        # text_normalize / streaming_dedup / weighted_sample_grouped
-        # defer their 2nd green to r07 — each carries a dedicated
-        # exact/property pytest; rule 3 prioritizes the r02 tranche)
         "image_resize": q_image_resize,
         "text_normalize": q_text_normalize,
         "streaming_dedup": q_streaming_dedup,
         "weighted_sample_grouped": q_weighted_sample_grouped,
-        "apcd_ed_episode": q_apcd_ed_episode,
-        "apcd_plr": q_apcd_plr,
-        "chunk_documents": q_chunk_documents,
-        "combined_claim_children": q_combined_claim_children,
-        "minhash_near_dup": q_minhash_dedup,
-        "simhash_near_dup": q_simhash_dedup,
-        "window_lag_gap": q_window_lag,
-        "pii_scrub": q_pii_scrub,
-        "quantize_embeddings": q_quantize_embeddings,
-        "repetition_filter": q_repetition_filter,
-        "calendar_join": q_calendar_join,
-        "dedup_first_row": q_first_order,
-        "dedup_priority": q_dedup_priority,
-        "dedup_seeded": q_dedup_seeded,
-        "except_distinct": q_except,
-        "grid_zerofill": q_grid_zerofill,
-        "lang_id": q_lang_id,
-        "mode_tiebreak": q_mode,
-        "mode_weighted": q_mode_weighted,
-        "pct_flags": q_pct_flags,
-        "prefix_join": q_prefix_join,
-        "pricing_summary": q_pricing_summary,
-        "scalar_datetime": q_scalar_datetime,
-        "submonth_clip": q_submonth_clip,
-        "tabloop_fixed": q_tabloop_fixed,
-        "tabloop_suppress": q_tabloop,
+        "hedis_year_merge": q_hedis_year_merge,
+        "sketch_distinct_rollup": q_sketch_distinct,
+        "learn_bpe": q_learn_bpe,
+        "coverage_stats": q_coverage,
+        "interval_resegment": q_resegment,
+        "episodes_dense_id": q_episodes,
+        "islands_collapse": q_islands,
+        "rolling_months": q_rolling_months,
+        "asof_running_min": q_asof_min,
         "fuh_followup": q_fuh_followup,
         "pcr_readmission": q_pcr_readmission,
         "tx_pen_measure": q_tx_pen,
@@ -7746,19 +7673,85 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
         "corpus_clean": q_corpus_clean,
+        # ---- outside the window: parity + pytest covered ----
+        # head of the r08 backfill queue: the three r04-last queries the
+        # window could not seat (each is covered by a driver-green
+        # bit-identical or superset sibling: bloom_decontaminate /
+        # weighted_sample family / the pack_sequences exact pytest)
         "decontaminate": q_decontaminate,
         "stratified_sample": q_stratified_sample,
         "pack_sequences": q_pack_sequences,
-        "coverage_stats": q_coverage,
-        "interval_resegment": q_resegment,
-        "episodes_dense_id": q_episodes,
-        "islands_collapse": q_islands,
-        "rolling_months": q_rolling_months,
-        "asof_running_min": q_asof_min,
-        "sketch_distinct_rollup": q_sketch_distinct,
-        # rows-only by design (data-dependent iterative loop — the
-        # HLL precedent; real check = tests/test_bpe.py mirror)
-        "learn_bpe": q_learn_bpe,
+        "apcd_ed_episode": q_apcd_ed_episode,
+        "apcd_plr": q_apcd_plr,
+        "chunk_documents": q_chunk_documents,
+        "combined_claim_children": q_combined_claim_children,
+        "minhash_near_dup": q_minhash_dedup,
+        "simhash_near_dup": q_simhash_dedup,
+        "window_lag_gap": q_window_lag,
+        "pii_scrub": q_pii_scrub,
+        "quantize_embeddings": q_quantize_embeddings,
+        "repetition_filter": q_repetition_filter,
+        "calendar_join": q_calendar_join,
+        "dedup_first_row": q_first_order,
+        "dedup_priority": q_dedup_priority,
+        "dedup_seeded": q_dedup_seeded,
+        "except_distinct": q_except,
+        "grid_zerofill": q_grid_zerofill,
+        "lang_id": q_lang_id,
+        "mode_tiebreak": q_mode,
+        "mode_weighted": q_mode_weighted,
+        "pct_flags": q_pct_flags,
+        "prefix_join": q_prefix_join,
+        "pricing_summary": q_pricing_summary,
+        "scalar_datetime": q_scalar_datetime,
+        "submonth_clip": q_submonth_clip,
+        "tabloop_fixed": q_tabloop_fixed,
+        "tabloop_suppress": q_tabloop,
+        "knn_ivf": q_knn_ivf,
+        "semantic_dedup": q_semantic_dedup,
+        "scd2_merge": q_scd2_merge,
+        "pagerank_authority": q_pagerank,
+        "dense_global_id": q_dense_global,
+        "comorb_scores": q_comorb_scores,
+        "claim_moud": q_claim_moud,
+        "mcare_timevar": q_mcare_timevar,
+        "mcare_elig_month": q_mcare_elig_month,
+        "knn_rh_lsh": q_knn_rh_lsh,
+        "rda_value_set": q_rda_value_set,
+        "bm25_topk": q_bm25_topk,
+        "bigram_lm": q_bigram_lm,
+        "weighted_sample": q_weighted_sample,
+        "mix_rebalance": q_mix_rebalance,
+        "domain_cap": q_domain_cap,
+        "wordpiece_tokenize": q_wordpiece_tokenize,
+        "line_dedup": q_line_dedup,
+        "bloom_decontaminate": q_bloom_decontaminate,
+        "quality_classify": q_quality_classify,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
+        "collocations": q_collocations,
+        "anti_join": q_anti_join,
+        "semi_join": q_semi_join,
+        "join_revenue_by_nation": q_join_revenue_by_nation,
+        "multi_left_join_flags": q_order_flags,
+        "dynamic_filter": q_dynamic_filter,
+        "count_distinct": q_count_distinct,
+        "distinct_dedup": q_distinct,
+        "intersect_keys": q_intersect,
+        "full_outer_coalesce": q_full_outer,
+        "mode_random_tiebreak": q_mode_random_tiebreak,
+        "format_classify": q_format_classify,
+        "icd_normalize": q_icd_normalize,
+        "text_stats": q_text_stats,
+        "theta_or_join": q_theta_or_join,
+        "topk_ties": q_topk_ties,
+        "typed_projection": q_typed_projection,
+        "union_bindrows": q_union_bindrows,
+        "union_stack": q_union,
+        "unpivot_long": q_unpivot,
+        "quality_fingerprint": q_quality,
+        "right_join": q_right_join,
+        "dedup_exact": q_dedup_exact,
+        "knn_bruteforce": q_knn_bruteforce,
     }
 
 
