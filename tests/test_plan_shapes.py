@@ -417,3 +417,47 @@ def test_ccw_bucketed_inputs_single_exchange(spark):
         assert out.count() > 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_ccw_flag_codes_pushed_to_scan(spark, tmp_path):
+    """The compiled flag-code In() filter must reach the parquet scan
+    (PushedFilters), not sit above the join — at 100 TB this is the
+    difference between decoding every dx row and dictionary-skipping
+    the ~80-95% that match no condition."""
+    from claims_data_spark.tables.conditions import build_claim_ccw
+
+    p = str(tmp_path / "dx")
+    spark.range(2000).select(
+        (F.col("id") % 300).alias("id_mcaid"),
+        F.col("id").alias("claim_header_id"),
+        F.date_add(F.lit("2017-01-01").cast("date"),
+                   (F.col("id") % 365).cast("int")).alias("first_service_date"),
+        F.format_string("C%03d", F.col("id") % 50).alias("icdcm_norm"),
+        F.lit(10).alias("icdcm_version"),
+        F.lpad((F.col("id") % 3 + 1).cast("string"), 2, "0").alias(
+            "icdcm_number"),
+    ).write.parquet(p)
+    dx = spark.read.parquet(p)
+    hdr = spark.range(2000).select(
+        F.col("id").alias("claim_header_id"),
+        (F.col("id") % 6).cast("int").alias("claim_type_id"),
+    )
+    ref = spark.range(50).select(
+        F.format_string("C%03d", F.col("id")).alias("icdcm"),
+        F.lit(10).alias("icdcm_version"),
+        F.when(F.col("id") < 5, 1).otherwise(0).alias("ccw_synth"),
+        F.when(F.col("id") >= 45, 1).otherwise(0).alias(
+            "ccw_synth_exclude1"),
+    )
+    cfg = [
+        {"ccw_abbrev": "ccw_synth", "dx_fields": "1-2",
+         "claim_type_1": "1", "claim_type_2": "2;3",
+         "condition_type": 2, "lookback_months": 12},
+        {"ccw_abbrev": "ccw_synth_exclude1", "dx_fields": "any"},
+    ]
+    out = build_claim_ccw(dx, hdr, ref, cfg)
+    plan = _plan(out)
+    scan = plan[plan.index("FileScan parquet"):]
+    pushed = scan[scan.index("PushedFilters"):][:400]
+    assert "icdcm_norm" in pushed and "In(" in pushed, pushed
+    assert out.count() > 0
