@@ -5734,6 +5734,56 @@ GROUP BY d.doc_id
 """
 
 
+def q_split_assign(spark, sf_dir):
+    """Deterministic grouped train/val/test split assignment
+    (operators/corpus.assign_splits): md5-pinned uniform drawn on the
+    GROUP key (canonical domain), so near-duplicates sharing a domain
+    can never straddle train and eval — the release-step leakage
+    guard. Map-only codegen; the per-split rollup is the only
+    exchange. Oracle re-derives every label from the same md5 cut."""
+    from claims_data_spark.operators.corpus import assign_splits
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("dom"), (F.col("doc_id") % 23).cast("string"))
+        .alias("domain"),
+    )
+    out = assign_splits(
+        d, {"train": 8, "val": 1, "test": 1},
+        id_col="doc_id", group_col="domain",
+    )
+    return out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("domain").alias("n_domains"),
+        F.sum("doc_id").cast("long").alias("id_checksum"),
+    )
+
+
+SQL_SPLIT_ASSIGN = """
+WITH d AS (
+  SELECT doc_id,
+         'dom' || CAST(CAST(doc_id % 23 AS INT) AS VARCHAR) AS domain
+  FROM documents
+), s AS (
+  SELECT doc_id, domain,
+    CASE
+      WHEN u < 0.8 THEN 'train'
+      WHEN u < 0.9000000000000001 THEN 'val'
+      ELSE 'test'
+    END AS split
+  FROM (
+    SELECT *,
+      CAST(concat('0x', substr(md5(domain || 'split'), 1, 8)) AS BIGINT)
+        / 4294967295.0 AS u
+    FROM d
+  )
+)
+SELECT split, COUNT(*) AS n_docs, COUNT(DISTINCT domain) AS n_domains,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+FROM s GROUP BY split
+"""
+
+
 def q_contamination_report(spark, sf_dir):
     """Fractional train-test overlap analysis (operators/corpus.
     contamination_report — the GPT-3-style per-document percent of
@@ -7752,6 +7802,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "right_join": q_right_join,
         "dedup_exact": q_dedup_exact,
         "knn_bruteforce": q_knn_bruteforce,
+        # NEW in round 7, seated at the tail (window frozen for r07):
+        # grouped split assignment with the leakage guard; first
+        # driver row scheduled r08, parity + pytest covered meanwhile
+        "split_assign": q_split_assign,
     }
 
 
@@ -7762,6 +7816,7 @@ def oracle_sql() -> dict[str, str]:
         "substring_spans": SQL_SUBSTRING_SPANS,
         "corpus_card": SQL_CORPUS_CARD,
         "contamination_report": SQL_CONTAMINATION_REPORT,
+        "split_assign": SQL_SPLIT_ASSIGN,
         "pricing_summary": SQL_PRICING,
         "typed_projection": SQL_TYPED_PROJECTION,
         "dynamic_filter": SQL_DYNAMIC_FILTER,

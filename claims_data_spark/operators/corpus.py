@@ -1025,3 +1025,74 @@ def contamination_report(
             ).otherwise(F.lit(0.0)),
         )
     )
+
+
+def assign_splits(
+    df: DataFrame,
+    splits: dict[str, float],
+    id_col: str,
+    group_col: str | None = None,
+    seed: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test split assignment — the release
+    step after dedup/decontamination, with the leakage guard every
+    training pipeline needs: when ``group_col`` is given (canonical
+    domain, URL host, near-dup cluster id), the hash draws on the
+    GROUP, so every row of a group lands in the SAME split and
+    near-duplicates can never straddle train and eval.
+
+    ``splits`` maps name -> weight (normalized internally, so
+    {train: 8, val: 1, test: 1} works). Assignment is the md5-pinned
+    uniform of the sampling family (identical across retries, stages
+    and engines — a re-run of the release build reproduces the split
+    exactly, and a DuckDB oracle re-derives it value-for-value) cut
+    by cumulative weight. Map-only codegen: no shuffle, no state, no
+    collect; at 100 TB this is a free column on the release scan.
+
+    Split boundaries use the uniform's full 2^32 grid, so quota error
+    is O(2^-32) per split, not rows-dependent. The reference repo has
+    no training-split step; this is an engine extension
+    (train-data-pipeline family, SURVEY.md addendum).
+    """
+    if not splits:
+        raise ValueError("splits must be a non-empty {name: weight} map")
+    if any(w <= 0 for w in splits.values()):
+        raise ValueError("split weights must be positive")
+    total = float(sum(splits.values()))
+    key_col = group_col or id_col
+    u = _md5_uniform(key_col, seed)
+    expr = None
+    acc = 0.0
+    items = list(splits.items())
+    for name, w in items[:-1]:
+        acc += float(w) / total
+        cond_val = F.lit(name)
+        expr = (
+            F.when(u < acc, cond_val)
+            if expr is None
+            else expr.when(u < acc, cond_val)
+        )
+    last = F.lit(items[-1][0])
+    out = last if expr is None else expr.otherwise(last)
+    return df.withColumn(out_col, out)
+
+
+def split_leakage_report(
+    df: DataFrame,
+    group_col: str,
+    split_col: str = "split",
+) -> DataFrame:
+    """Leakage audit for a split assignment: groups whose rows span
+    more than one split (MUST be empty when `assign_splits` ran with
+    ``group_col`` — pinned by test). One aggregate on the group key;
+    output is bounded by the number of leaky groups."""
+    return (
+        df.groupBy(group_col)
+        .agg(
+            F.countDistinct(split_col).alias("n_splits"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.array_sort(F.collect_set(split_col)).alias("splits"),
+        )
+        .filter(F.col("n_splits") > 1)
+    )

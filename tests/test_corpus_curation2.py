@@ -444,3 +444,76 @@ def test_collocations_deterministic_and_k(spark):
     b = [tuple(r) for r in collocations(
         df.repartition(7), min_count=2, top_k=4).collect()]
     assert a == b and len(a) == 4
+
+
+# ---------------------------------------------------------------------------
+# assign_splits / split_leakage_report
+# ---------------------------------------------------------------------------
+
+def test_assign_splits_deterministic_and_mirrored(spark):
+    """Split assignment is md5-pinned: a pure-python mirror reproduces
+    every label, re-running reproduces the same frame, and the weight
+    quotas hold on a 2000-row draw."""
+    import hashlib
+
+    from claims_data_spark.operators.corpus import assign_splits
+
+    df = spark.range(2000).select(F.col("id").alias("doc_id"))
+    out = assign_splits(
+        df, {"train": 8, "val": 1, "test": 1}, id_col="doc_id"
+    )
+    rows = {r["doc_id"]: r["split"] for r in out.collect()}
+
+    def py_split(k):
+        h = int(hashlib.md5(f"{k}split".encode()).hexdigest()[:8], 16)
+        u = h / 4294967295.0
+        if u < 0.8:
+            return "train"
+        if u < 0.8 + 0.1:
+            return "val"
+        return "test"
+
+    assert all(rows[k] == py_split(k) for k in rows)
+    counts = {s: sum(1 for v in rows.values() if v == s)
+              for s in ("train", "val", "test")}
+    assert 1500 < counts["train"] < 1700
+    assert 130 < counts["val"] < 270 and 130 < counts["test"] < 270
+    again = {r["doc_id"]: r["split"] for r in assign_splits(
+        df, {"train": 8, "val": 1, "test": 1}, id_col="doc_id"
+    ).collect()}
+    assert again == rows
+
+
+def test_assign_splits_group_cohesion_and_leakage_report(spark):
+    """With group_col every row of a group takes the group's split
+    (leakage report EMPTY); per-row assignment of the same data leaks
+    groups across splits (report non-empty) — the guard is real."""
+    from claims_data_spark.operators.corpus import (
+        assign_splits,
+        split_leakage_report,
+    )
+
+    df = spark.range(600).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("dom"), (F.col("id") % 23).cast("string"))
+        .alias("domain"),
+    )
+    grouped = assign_splits(
+        df, {"train": 0.8, "val": 0.1, "test": 0.1},
+        id_col="doc_id", group_col="domain",
+    )
+    assert split_leakage_report(grouped, "domain").count() == 0
+    per_row = assign_splits(
+        df, {"train": 0.8, "val": 0.1, "test": 0.1}, id_col="doc_id"
+    )
+    leaks = split_leakage_report(per_row, "domain")
+    assert leaks.count() > 0
+    # report carries the evidence: which splits the group straddles
+    r = leaks.orderBy("domain").first()
+    assert r["n_splits"] == len(r["splits"]) >= 2
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        assign_splits(df, {}, id_col="doc_id")
+    with _pytest.raises(ValueError):
+        assign_splits(df, {"a": 1, "b": -1}, id_col="doc_id")
