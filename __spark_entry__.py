@@ -6873,7 +6873,11 @@ def q_url_dedup(spark, sf_dir):
     exchange on the canonical key."""
     from claims_data_spark.operators.web import url_dedup
 
-    d = _t(spark, sf_dir, "documents")
+    # narrow to the key BEFORE the operator: url_dedup's min_by
+    # survivor struct references every input column, which would
+    # defeat column pruning and ship the documents' text through the
+    # canonical-key exchange for a query that only returns doc_id
+    d = _t(spark, sf_dir, "documents").select("doc_id")
     base = F.expr("doc_id div 5").cast("string")
     hn = F.expr("(doc_id div 5) % 7").cast("string")
     stem = F.concat(F.lit("https://h"), hn, F.lit(".example.org/doc/"), base)

@@ -212,6 +212,12 @@ def url_dedup(
     per-partition sort ever runs. Custom ``order_cols`` (arbitrary
     Column orderings — desc, null placement) fall back to the rank
     window over the same single exchange. No driver state, no collect.
+
+    Pruning caveat: the survivor struct references EVERY input column
+    (the contract returns whole rows), so Catalyst cannot prune
+    columns a downstream select drops — narrow ``df`` to the columns
+    you need BEFORE calling, or wide payloads (document text) ride
+    the exchange for nothing.
     """
     # stepwise part materialization: each try_parse_url (full-URL URI
     # parse) evaluates exactly ONCE per row into its own projected
