@@ -262,9 +262,15 @@ def _collect_fixed_centroids(
 
 
 def _dlit(x: float) -> str:
-    """Exact double literal: repr() round-trips IEEE doubles, the CAST
-    keeps ANSI SQL from typing bare decimals as DECIMAL."""
-    return f"CAST('{x!r}' AS DOUBLE)"
+    """Exact double literal: repr() round-trips IEEE doubles and the
+    ``D`` suffix types it DOUBLE (bare decimals would be DECIMAL under
+    ANSI) — verified bit-exact against the CAST('…' AS DOUBLE) form
+    this replaces, at ONE tree node per literal instead of three: the
+    fixed-quantizer assignment embeds 8x64 of these, and the planning
+    floor walks every node on every optimizer pass."""
+    if x != x or x in (float("inf"), float("-inf")):
+        raise ValueError(f"non-finite literal {x!r}")
+    return f"{x!r}D"
 
 
 def _sql_dot_lit_unrolled(col: str, coeffs: list[float]) -> str:
