@@ -7722,7 +7722,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "multimodal_decode": q_multimodal_decode,
         "json_props": q_json_props,
-        "embedding_near_dup": q_embedding_near_dup,
+        # rule-1 late pin: knn_ivf's compiled assignment changed this
+        # round (_dlit literal-node diet) — displaces embedding_near_dup
+        # (r04-last, nearly subsumed by the r06-green semantic_dedup /
+        # knn_brute siblings) to the r08 backfill head
+        "knn_ivf": q_knn_ivf,
         "grouping_sets": q_grouping_sets,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
@@ -7761,7 +7765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "submonth_clip": q_submonth_clip,
         "tabloop_fixed": q_tabloop_fixed,
         "tabloop_suppress": q_tabloop,
-        "knn_ivf": q_knn_ivf,
+        "embedding_near_dup": q_embedding_near_dup,
         "semantic_dedup": q_semantic_dedup,
         "scd2_merge": q_scd2_merge,
         "pagerank_authority": q_pagerank,
