@@ -7368,6 +7368,78 @@ def q_learn_bpe(spark, sf_dir):
     )
 
 
+# pinned BPE merge table for the encode query — a realistic learned
+# ordering over the documents vocabulary (suffix merges first). The
+# oracle's whole-document replace chain is exact ONLY because no left
+# side is (or ends with) '</w>': such a pair could match across a word
+# boundary, and no learned merge can ever produce one ('</w>' is
+# always word-final during training).
+_BPE_MERGES = [
+    ("t", "h"), ("th", "e"), ("the", "</w>"), ("e", "r"), ("er", "</w>"),
+    ("s", "c"), ("sc", "a"), ("sca", "n"), ("o", "r"), ("b", "a"),
+    ("ba", "t"), ("bat", "c"), ("batc", "h"), ("t", "a"), ("j", "o"),
+    ("jo", "i"), ("joi", "n"), ("join", "</w>"),
+]
+assert not any(a == "</w>" or a.endswith("</w>") for a, _ in _BPE_MERGES)
+
+
+def q_bpe_encode(spark, sf_dir):
+    """BPE corpus encoding (operators/bpe.bpe_encode): apply the
+    pinned 18-merge table to every document; per-doc token count plus
+    an md5 digest of the exact token sequence. The engine encodes the
+    DISTINCT-WORD dimension table (one map-only replace per merge —
+    greedy Sennrich re-segmentation IS non-overlapping left-to-right
+    string replace on the double-space-delimited symbol form) and
+    broadcast-joins the encoded words back to the positional word
+    stream; the oracle independently encodes each WHOLE document with
+    the same replace algebra (sound because no merge's left side ends
+    in '</w>' — see _BPE_MERGES). Same values, genuinely different
+    computation paths."""
+    from claims_data_spark.operators.bpe import bpe_encode
+
+    d = spread(_t(spark, sf_dir, "documents")).filter(
+        F.col("text").isNotNull()
+    )
+    out = bpe_encode(d.select("doc_id", "text"), _BPE_MERGES)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.md5(F.array_join("tokens", "|")).alias("tok_digest"),
+    )
+
+
+def _sql_bpe_encode() -> str:
+    chain = "seed"
+    for a, b in _BPE_MERGES:
+        chain = f"replace({chain}, ' {a}  {b} ', ' {a}{b} ')"
+    return f"""
+WITH seeded AS (
+  SELECT doc_id,
+    CASE WHEN norm = '' THEN ''
+         ELSE ' ' || replace(
+                regexp_replace(norm, '([^ ])', '\\1  ', 'g'),
+                '   ', '  </w>  ') || '</w> '
+    END AS seed
+  FROM (
+    SELECT doc_id,
+      regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+    FROM documents WHERE text IS NOT NULL
+  )
+), merged AS (
+  SELECT doc_id, trim({chain}) AS tokstr FROM seeded
+)
+SELECT doc_id,
+  CAST(CASE WHEN tokstr = '' THEN 0
+            ELSE len(string_split(tokstr, '  ')) END AS BIGINT)
+    AS n_tokens,
+  md5(replace(tokstr, '  ', '|')) AS tok_digest
+FROM merged
+"""
+
+
+SQL_BPE_ENCODE = _sql_bpe_encode()
+
+
 def q_hedis_year_merge(spark, sf_dir):
     """HEDIS/QRS value-set year-merge
     (load_claims.ref_hedis_value_sets_apde_2018-2023.R:687-730): two
@@ -7811,9 +7883,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "knn_bruteforce": q_knn_bruteforce,
         # NEW in round 7, seated at the tail (window frozen for r07):
-        # grouped split assignment with the leakage guard; first
-        # driver row scheduled r08, parity + pytest covered meanwhile
+        # grouped split assignment with the leakage guard, and BPE
+        # corpus encoding; first driver rows scheduled r08, parity +
+        # pytest covered meanwhile
         "split_assign": q_split_assign,
+        "bpe_encode": q_bpe_encode,
     }
 
 
@@ -7825,6 +7899,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_card": SQL_CORPUS_CARD,
         "contamination_report": SQL_CONTAMINATION_REPORT,
         "split_assign": SQL_SPLIT_ASSIGN,
+        "bpe_encode": SQL_BPE_ENCODE,
         "pricing_summary": SQL_PRICING,
         "typed_projection": SQL_TYPED_PROJECTION,
         "dynamic_filter": SQL_DYNAMIC_FILTER,

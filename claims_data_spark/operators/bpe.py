@@ -133,3 +133,120 @@ def learn_bpe(
             "word", "n", _merge_pair_expr(F.col("syms"), a, b, a + b).alias("syms")
         ).localCheckpoint(eager=True)
     return merges, table
+
+
+# ---------------------------------------------------------------------------
+# Encoding: apply a learned merge table to a corpus
+# ---------------------------------------------------------------------------
+
+_SEP = "  "  # double space BETWEEN symbols; single space at both ends
+
+
+def _seed_symbol_string(word) -> "F.Column":
+    """`` a  b  c</w> `` — the word's characters (plus the end mark)
+    joined by DOUBLE spaces with single-space sentinels at both ends.
+    Words come from a whitespace split, so a symbol can never contain
+    a space: the space is the one delimiter the alphabet cannot
+    collide with (unlike '|' or control chars, which survive a
+    whitespace tokenizer)."""
+    chars = F.filter(F.split(word, "(?!^)"), lambda s: F.length(s) > 0)
+    return F.concat(
+        F.lit(" "),
+        F.array_join(F.concat(chars, F.array(F.lit("</w>"))), _SEP),
+        F.lit(" "),
+    )
+
+
+def _apply_merge(sym_str, a: str, b: str):
+    """One BPE merge round as ONE non-overlapping left-to-right
+    ``replace``. In the delimited form, greedy Sennrich re-segmentation
+    IS string replace: '` a  b `' -> '` ab `'. The boundary algebra
+    holds under consecutive matches — the replacement re-emits a
+    single edge space on each side and the unconsumed half of each
+    double separator survives, so ``' a  a  a '`` -> ``' aa  a '``
+    (greedy LTR), never ``' aa  aa '``. Symbols never contain spaces,
+    so a pattern can match neither inside a symbol nor across the
+    string ends. Equivalence to the per-symbol fold
+    (`_merge_pair_expr`) is pinned by test against a pure-python
+    Sennrich mirror."""
+    return F.replace(
+        sym_str,
+        F.lit(f" {a}{_SEP}{b} "),
+        F.lit(f" {a}{b} "),
+    )
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: "list[tuple[str, str]]",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    checkpoint_every: int = 64,
+) -> DataFrame:
+    """Tokenize a corpus with a learned BPE merge table — the apply
+    side of ``learn_bpe`` (reference for the induction semantics:
+    Sennrich et al. 2016; the greedy longest-match APPLY counterpart
+    for a flat vocabulary lives in ``functions/tokenize``).
+
+    Returns one row per input row: ``(id_col, tokens array<string>,
+    n_tokens)``. Unknown characters need no handling: every character
+    is its own base symbol, so encoding is total.
+
+    Scale shape (the same reduction as training): the corpus is
+    touched for the word split + count, then every merge round runs on
+    the DISTINCT-WORD dimension table (~10^7-10^8 rows at 100 TB), as
+    one map-only ``replace`` each — no per-round shuffle, no python.
+    The encoded word table broadcast-joins back to the per-doc word
+    stream (dimension-scale right side), and the per-doc token
+    sequence reassembles with one aggregation keyed by the input row.
+    Long merge chains checkpoint every ``checkpoint_every`` rounds so
+    whole-stage codegen never compiles past the JVM's 64 KB method
+    cliff (SCALE.md lesson: the knn_ivf unroll)."""
+    if not merges:
+        raise ValueError("merges must be a non-empty list of (a, b)")
+    # per-doc word stream WITH position, so the token sequence
+    # reassembles in document order after the join
+    words = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.filter(
+                F.split(
+                    F.regexp_replace(F.lower(F.trim(text_col)), r"\s+", " "),
+                    " ",
+                ),
+                lambda w: F.length(w) > 0,
+            )
+        ).alias("_pos", "_word"),
+    )
+    dim = words.select("_word").distinct()
+    sym = _seed_symbol_string(F.col("_word"))
+    out = dim.withColumn("_sym", sym)
+    for i, (a, b) in enumerate(merges):
+        out = out.withColumn("_sym", _apply_merge(F.col("_sym"), a, b))
+        if (i + 1) % checkpoint_every == 0 and (i + 1) < len(merges):
+            out = out.localCheckpoint(eager=False)
+    encoded = out.select(
+        "_word",
+        F.split(F.trim(F.col("_sym")), _SEP).alias("_toks"),
+    )
+    joined = words.join(F.broadcast(encoded), "_word")
+    per_doc = joined.groupBy(id_col).agg(
+        F.flatten(
+            F.array_sort(
+                F.collect_list(F.struct("_pos", "_toks"))
+            ).getField("_toks")
+        ).alias("tokens")
+    )
+    # keep word-less rows (empty/whitespace text): one row per input
+    # row, empty token sequence
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(
+                "tokens", F.array().cast("array<string>")
+            ).alias("tokens"),
+        )
+        .withColumn("n_tokens", F.size("tokens").cast("long"))
+    )

@@ -83,3 +83,99 @@ def test_greedy_overlap_rule(spark):
     segs = {r.word: list(r.syms) for r in vocab.collect()}
     assert segs["aaa"] == ["aa", "a", "</w>"]
     assert segs["aaaa"] == ["aa", "aa", "</w>"]
+
+
+# ---------------------------------------------------------------------------
+# bpe_encode: apply a merge table to a corpus
+# ---------------------------------------------------------------------------
+
+from claims_data_spark.operators.bpe import bpe_encode  # noqa: E402
+
+
+def _mirror_encode(text, merges, end="</w>"):
+    """Independent greedy Sennrich APPLY: per word, seed chars+end,
+    then one greedy left-to-right fold per merge, in merge order."""
+    toks = []
+    for w in re.sub(r"\s+", " ", text.strip().lower()).split(" "):
+        if not w:
+            continue
+        s = list(w) + [end]
+        for a, b in merges:
+            out = []
+            for x in s:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            s = out
+        toks.extend(s)
+    return toks
+
+
+ENC_TEXTS = [
+    "low low lower lowest",
+    "newest new news",
+    "aaaa aaa a",
+    "",
+    "   ",
+    "The THE the",
+    "wider low newest",
+]
+ENC_MERGES = [
+    ("e", "s"), ("es", "t"), ("est", "</w>"), ("l", "o"), ("lo", "w"),
+    ("a", "a"), ("n", "e"), ("w", "</w>"),
+]
+
+
+def test_bpe_encode_matches_mirror(spark):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(ENC_TEXTS)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (list(r.tokens), r.n_tokens)
+        for r in bpe_encode(df, ENC_MERGES).collect()
+    }
+    assert len(got) == len(ENC_TEXTS)  # one row per input row
+    for i, t in enumerate(ENC_TEXTS):
+        expect = _mirror_encode(t, ENC_MERGES)
+        assert got[i] == (expect, len(expect)), (i, t, got[i], expect)
+
+
+def test_bpe_encode_consistent_with_learn(spark):
+    """Encoding the training corpus with the learned merges must
+    reproduce learn_bpe's own final segmentation of every word."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "doc_id long, text string"
+    )
+    merges, vocab = learn_bpe(df, num_merges=8)
+    segs = {r.word: list(r.syms) for r in vocab.collect()}
+    for r in bpe_encode(df, merges).collect():
+        expect = []
+        for w in TEXTS[r.doc_id].split():
+            expect.extend(segs[w])
+        assert list(r.tokens) == expect
+
+
+def test_bpe_encode_checkpoint_chunking(spark):
+    """A merge chain longer than checkpoint_every must produce
+    identical output (the chunk boundary is invisible)."""
+    df = spark.createDataFrame(
+        [(0, "low lower lowest newest")], "doc_id long, text string"
+    )
+    a = bpe_encode(df, ENC_MERGES, checkpoint_every=3).collect()[0]
+    b = bpe_encode(df, ENC_MERGES, checkpoint_every=64).collect()[0]
+    assert list(a.tokens) == list(b.tokens)
+
+
+def test_bpe_encode_greedy_ltr_on_runs(spark):
+    # ' a  a  a ' must encode to [aa, a, </w>]-style greedy LTR, never
+    # pairing the middle symbol twice
+    df = spark.createDataFrame([(0, "aaa")], "doc_id long, text string")
+    r = bpe_encode(df, [("a", "a")]).collect()[0]
+    assert list(r.tokens) == ["aa", "a", "</w>"]
+
+
+def test_bpe_encode_empty_merges_raises(spark):
+    df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        bpe_encode(df, [])
