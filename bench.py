@@ -110,6 +110,9 @@ EXTENDED = [
     "substring_spans",
     "corpus_card",
     "contamination_report",
+    # round-7 additions
+    "split_assign",
+    "bpe_encode",
 ]
 
 
