@@ -62,9 +62,24 @@ def main():
 
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entrymod
-    from claims_data_spark.session import get_spark
 
-    spark = get_spark("parity", shuffle_partitions=8)
+    import os
+    if os.environ.get("PARITY_VANILLA"):
+        # dress rehearsal for the driver's own gate: a PLAIN session
+        # (Spark 4 ANSI defaults, no tuned configs) — queries must not
+        # depend on anything claims_data_spark.session.get_spark sets
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .config("spark.ui.enabled", "false")
+            .appName("parity-vanilla")
+            .getOrCreate()
+        )
+    else:
+        from claims_data_spark.session import get_spark
+
+        spark = get_spark("parity", shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
