@@ -7440,6 +7440,93 @@ FROM merged
 SQL_BPE_ENCODE = _sql_bpe_encode()
 
 
+def q_html_extract(spark, sf_dir):
+    """HTML boilerplate extraction (operators/web.html_extract): the
+    step BEFORE every text operator in a crawl pipeline. Deterministic
+    HTML wrappers (head/script/style/comment/anchors, entity-escaped
+    body, one doc in five with a tracking-pixel script block) are
+    synthesized around each document's text from doc_id, then the
+    extractor recovers the visible text plus the n_links and
+    html_ratio crawl-audit columns. Pure regexp/replace codegen,
+    map-only, no shuffle; the SAME rule set runs on java.util.regex
+    (engine) and RE2 (oracle) — patterns use no lookaround or
+    backreferences, and the oracle passes explicit 'g' flags where
+    DuckDB defaults to first-match-only."""
+    from claims_data_spark.operators.web import html_extract
+
+    d = spread(_t(spark, sf_dir, "documents")).filter(
+        F.col("text").isNotNull()
+    )
+    k = F.col("doc_id")
+    body = F.replace(F.col("text"), F.lit("a"), F.lit("&amp;"))
+    html = F.concat(
+        F.lit("<html><head><title>doc "), k.cast("string"),
+        F.lit("</title>"),
+        F.when(
+            k % 5 == 0,
+            F.concat(F.lit("<script type='text/javascript'>track("),
+                     k.cast("string"), F.lit(");</script>")),
+        ).otherwise(F.lit("")),
+        F.lit("<style>p{margin:0}</style></head><body><h1>H</h1><p>"),
+        body,
+        F.lit("</p><a href='/d/"), k.cast("string"),
+        F.lit("'>self</a><a name='x'>plain</a><!-- crawler:"),
+        k.cast("string"), F.lit(" --></body></html>"),
+    )
+    out = html_extract(
+        d.select("doc_id", html.alias("html")), "html"
+    )
+    return out.select(
+        "doc_id",
+        F.md5("text_extracted").alias("text_digest"),
+        F.length("text_extracted").cast("long").alias("text_len"),
+        "n_links",
+        "html_ratio",
+    )
+
+
+SQL_HTML_EXTRACT = """
+WITH raw AS (
+  SELECT doc_id,
+    '<html><head><title>doc ' || CAST(doc_id AS VARCHAR) || '</title>'
+    || CASE WHEN doc_id % 5 = 0
+            THEN '<script type=''text/javascript''>track('
+                 || CAST(doc_id AS VARCHAR) || ');</script>'
+            ELSE '' END
+    || '<style>p{margin:0}</style></head><body><h1>H</h1><p>'
+    || replace(text, 'a', '&amp;')
+    || '</p><a href=''/d/' || CAST(doc_id AS VARCHAR)
+    || '''>self</a><a name=''x''>plain</a><!-- crawler:'
+    || CAST(doc_id AS VARCHAR) || ' --></body></html>' AS html
+  FROM documents WHERE text IS NOT NULL
+), stripped AS (
+  SELECT doc_id, html,
+    trim(regexp_replace(
+      replace(replace(replace(replace(replace(replace(replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(html,
+                '(?is)<script\\b[^>]*>.*?</script\\s*>', ' ', 'g'),
+              '(?is)<style\\b[^>]*>.*?</style\\s*>', ' ', 'g'),
+            '(?s)<!--.*?-->', ' ', 'g'),
+          '<[^>]*>', ' ', 'g'),
+        '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        '&#39;', ''''), '&apos;', ''''), '&amp;', '&'),
+      '\\s+', ' ', 'g')) AS t
+  FROM raw
+)
+SELECT doc_id, md5(t) AS text_digest,
+  CAST(length(t) AS BIGINT) AS text_len,
+  CAST(len(regexp_extract_all(html, '(?i)<a\\s[^>]*href', 0)) AS BIGINT)
+    AS n_links,
+  CASE WHEN length(html) > 0
+       THEN round((length(html) - length(t)) / CAST(length(html) AS DOUBLE), 6)
+       ELSE 0.0 END AS html_ratio
+FROM stripped
+"""
+
+
 def q_hedis_year_merge(spark, sf_dir):
     """HEDIS/QRS value-set year-merge
     (load_claims.ref_hedis_value_sets_apde_2018-2023.R:687-730): two
@@ -7888,6 +7975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pytest covered meanwhile
         "split_assign": q_split_assign,
         "bpe_encode": q_bpe_encode,
+        "html_extract": q_html_extract,
     }
 
 
@@ -7900,6 +7988,7 @@ def oracle_sql() -> dict[str, str]:
         "contamination_report": SQL_CONTAMINATION_REPORT,
         "split_assign": SQL_SPLIT_ASSIGN,
         "bpe_encode": SQL_BPE_ENCODE,
+        "html_extract": SQL_HTML_EXTRACT,
         "pricing_summary": SQL_PRICING,
         "typed_projection": SQL_TYPED_PROJECTION,
         "dynamic_filter": SQL_DYNAMIC_FILTER,

@@ -113,6 +113,7 @@ EXTENDED = [
     # round-7 additions
     "split_assign",
     "bpe_encode",
+    "html_extract",
 ]
 
 

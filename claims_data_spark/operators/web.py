@@ -311,3 +311,88 @@ def url_dedup(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# HTML boilerplate extraction
+# ---------------------------------------------------------------------------
+
+# the entity set every crawl actually hits; chained literal replaces
+# (no regex) — ORDER MATTERS: '&amp;' decodes LAST so '&amp;lt;'
+# becomes the literal '&lt;' (correct double-encoding behavior), not
+# '<'
+_HTML_ENTITIES = [
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+    ("&amp;", "&"),
+]
+
+
+def html_extract_text(html_col: Column | str) -> Column:
+    """Visible text of an HTML document — the step BEFORE every text
+    operator in a crawl pipeline (language ID, quality scoring, dedup
+    all assume markup-free text). Pure regexp/replace codegen,
+    map-only at any corpus scale; the patterns use no lookaround or
+    backreferences, so the SAME rules run on java.util.regex (Spark)
+    and RE2 (DuckDB oracle) byte-for-byte.
+
+    Rules:
+      * ``<script>``/``<style>`` ELEMENTS drop with their contents
+        (case-insensitive, dotall, non-greedy; attribute-bearing open
+        tags included)
+      * HTML comments ``<!-- ... -->`` drop with contents
+      * every remaining tag becomes ONE space (block/inline
+        distinction deliberately not modeled: downstream ops tokenize
+        on whitespace, so a space boundary is sufficient and cheaper
+        than a newline grammar)
+      * the seven crawl-frequent entities decode literally
+        (``&amp;`` last, so double-encoded text stays escaped — see
+        _HTML_ENTITIES); numeric character references are NOT decoded
+        (deliberate: a numeric-reference table is a tokenizer concern)
+      * whitespace collapses to single spaces, ends trimmed
+    Malformed markup degrades safely: an unclosed ``<tag`` with no
+    ``>`` anywhere is not a match for ``<[^>]*>`` and survives as
+    text rather than swallowing the document tail.
+    """
+    c = F.col(html_col) if isinstance(html_col, str) else html_col
+    out = F.regexp_replace(c, r"(?is)<script\b[^>]*>.*?</script\s*>", " ")
+    out = F.regexp_replace(out, r"(?is)<style\b[^>]*>.*?</style\s*>", " ")
+    out = F.regexp_replace(out, r"(?s)<!--.*?-->", " ")
+    out = F.regexp_replace(out, r"<[^>]*>", " ")
+    for ent, ch in _HTML_ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
+def html_extract(
+    df: DataFrame,
+    html_col: str,
+    text_col: str = "text_extracted",
+    keep_stats: bool = True,
+) -> DataFrame:
+    """Frame-level HTML extraction: adds ``text_col`` plus (when
+    ``keep_stats``) the crawl-audit columns ``n_links`` (anchor count)
+    and ``html_ratio`` (markup bytes / total bytes — the classic
+    boilerplate-heaviness signal; 0.0 for empty input). One map-only
+    projection, no shuffle, no UDF."""
+    c = F.col(html_col)
+    out = df.withColumn(text_col, html_extract_text(c))
+    if keep_stats:
+        out = out.withColumn(
+            "n_links",
+            F.size(
+                F.regexp_extract_all(c, F.lit(r"(?i)<a\s[^>]*href"), F.lit(0))
+            ).cast("long"),
+        ).withColumn(
+            "html_ratio",
+            F.when(F.length(c) > 0,
+                   F.round(
+                       (F.length(c) - F.length(F.col(text_col)))
+                       / F.length(c).cast("double"), 6)
+                   ).otherwise(F.lit(0.0)),
+        )
+    return out

@@ -517,3 +517,92 @@ def test_assign_splits_group_cohesion_and_leakage_report(spark):
         assign_splits(df, {}, id_col="doc_id")
     with _pytest.raises(ValueError):
         assign_splits(df, {"a": 1, "b": -1}, id_col="doc_id")
+
+
+# ---------------------------------------------------------------------------
+# html_extract: crawl HTML -> visible text
+# ---------------------------------------------------------------------------
+
+from claims_data_spark.operators.web import html_extract, html_extract_text
+
+
+@pytest.mark.parametrize(
+    "raw, expected",
+    [
+        ("<p>Hello <b>world</b></p>", "Hello world"),
+        # script/style contents drop entirely, across newlines,
+        # with attributes, any case
+        ("<SCRIPT type='x'>\nvar a = '<p>';\n</SCRIPT>keep", "keep"),
+        ("a<style>p { color: red }</style>b", "a b"),
+        # comments drop with contents
+        ("x<!-- <b>not text</b> -->y", "x y"),
+        # entity decode incl. the double-encoding rule (&amp; LAST)
+        ("a &amp; b &lt;tag&gt; &quot;q&quot; &#39;s&#39;", "a & b <tag> \"q\" 's'"),
+        ("&amp;lt;", "&lt;"),
+        ("a&nbsp;b", "a b"),
+        # malformed: unclosed tag with no '>' survives as text
+        ("before <unclosed and-no-gt after", "before <unclosed and-no-gt after"),
+        # whitespace collapse + trim
+        ("  <div>\n  spaced   out \t</div>  ", "spaced out"),
+        ("", ""),
+        # self-closing and attribute-heavy tags
+        ('<img src="x.png"/>text<br/>more', "text more"),
+    ],
+)
+def test_html_extract_text_cases(spark, raw, expected):
+    got = (
+        spark.createDataFrame([(raw,)], "h string")
+        .select(html_extract_text("h").alias("t"))
+        .collect()[0]
+        .t
+    )
+    assert got == expected, (raw, got, expected)
+
+
+def test_html_extract_stats(spark):
+    html = (
+        '<html><body><a href="/x">one</a> <a class="z" href="http://y">two'
+        "</a> plain <a>no-href</a></body></html>"
+    )
+    r = html_extract(
+        spark.createDataFrame([(1, html)], "doc_id long, h string"), "h"
+    ).collect()[0]
+    assert r.n_links == 2  # href-bearing anchors only
+    assert r.text_extracted == "one two plain no-href"
+    assert 0.0 < r.html_ratio < 1.0
+    # empty input: ratio defined as 0.0
+    r0 = html_extract(
+        spark.createDataFrame([(1, "")], "doc_id long, h string"), "h"
+    ).collect()[0]
+    assert r0.html_ratio == 0.0 and r0.n_links == 0
+
+
+def test_html_extract_matches_python_mirror(spark):
+    """Independent mirror using python's re module over generated
+    docs — same rule set, different regex engine."""
+    import re as _re
+
+    def mirror(s):
+        s = _re.sub(r"(?is)<script\b[^>]*>.*?</script\s*>", " ", s)
+        s = _re.sub(r"(?is)<style\b[^>]*>.*?</style\s*>", " ", s)
+        s = _re.sub(r"(?s)<!--.*?-->", " ", s)
+        s = _re.sub(r"<[^>]*>", " ", s)
+        for ent, ch in [("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+                        ("&quot;", '"'), ("&#39;", "'"), ("&apos;", "'"),
+                        ("&amp;", "&")]:
+            s = s.replace(ent, ch)
+        return _re.sub(r"\s+", " ", s).strip()
+
+    docs = [
+        f"<html><head><title>T{i}</title><script>x={i}</script></head>"
+        f"<body><h1>H {i}</h1><p>para {i} &amp; more</p>"
+        f"<a href='/l{i}'>link</a><!-- c{i} --></body></html>"
+        for i in range(50)
+    ]
+    rows = (
+        spark.createDataFrame([(d,) for d in docs], "h string")
+        .select(html_extract_text("h").alias("t"))
+        .collect()
+    )
+    for r, d in zip(rows, docs):
+        assert r.t == mirror(d), d
