@@ -357,6 +357,12 @@ def html_extract_text(html_col: Column | str) -> Column:
     Malformed markup degrades safely: an unclosed ``<tag`` with no
     ``>`` anywhere is not a match for ``<[^>]*>`` and survives as
     text rather than swallowing the document tail.
+
+    Portability boundary: java.util.regex ``\\s`` includes vertical
+    tab (U+000B) where RE2's does not — inputs containing raw VT
+    collapse differently under the DuckDB oracle. Run
+    ``functions/text.normalize_text`` first (it deletes control
+    characters) when the corpus may carry them.
     """
     c = F.col(html_col) if isinstance(html_col, str) else html_col
     out = F.regexp_replace(c, r"(?is)<script\b[^>]*>.*?</script\s*>", " ")
