@@ -299,3 +299,48 @@ def test_canonicalize_url_idempotent(spark, url):
         .c
     )
     assert twice == once, (url, once, twice)
+
+
+# ---------------------------------------------------------------------------
+# bpe_encode: property equivalence vs a pure-python Sennrich apply
+# ---------------------------------------------------------------------------
+
+_bpe_words = st.lists(
+    st.text(alphabet=st.sampled_from(list("abcde")), min_size=1, max_size=6),
+    min_size=0, max_size=8,
+)
+_bpe_merge_pool = [
+    ("a", "b"), ("b", "c"), ("a", "a"), ("c", "</w>"), ("ab", "c"),
+    ("d", "e"), ("e", "</w>"), ("aa", "b"), ("bc", "</w>"), ("a", "bc"),
+]
+_bpe_merges = st.lists(
+    st.sampled_from(_bpe_merge_pool), min_size=1, max_size=6, unique=True
+)
+
+
+@_settings
+@given(words=_bpe_words, merges=_bpe_merges)
+def test_bpe_encode_matches_python_apply(spark, words, merges):
+    """bpe_encode's replace-chain-over-distinct-words must equal the
+    direct greedy Sennrich apply for ANY corpus and merge ordering —
+    including merges that never fire, overlapping runs, and merged
+    symbols consumed by later merges."""
+    from claims_data_spark.operators.bpe import bpe_encode
+
+    text = " ".join(words)
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    got = bpe_encode(df, list(merges)).collect()[0]
+
+    expect = []
+    for w in words:
+        s = list(w) + ["</w>"]
+        for a, b in merges:
+            out = []
+            for x in s:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            s = out
+        expect.extend(s)
+    assert list(got.tokens) == expect, (words, merges)
