@@ -7527,6 +7527,71 @@ FROM stripped
 """
 
 
+def q_corpus_diff(spark, sf_dir):
+    """Corpus snapshot diff (operators/corpus.corpus_diff +
+    corpus_diff_summary): release N vs a synthesized release N+1
+    (every 7th doc removed, every 5th surviving doc's text edited,
+    one new doc per 11th id) — per-status doc counts plus an ORDERLESS
+    id checksum (sum of 60-bit md5 ints as DECIMAL(38,0), the portable
+    md5 family) so a downstream system can verify delta membership
+    without ordering. ONE full-outer shuffle join on the id + one
+    map-side-partial aggregation."""
+    from claims_data_spark.operators.corpus import (
+        corpus_diff,
+        corpus_diff_summary,
+    )
+
+    d = spread(_t(spark, sf_dir, "documents")).filter(
+        F.col("text").isNotNull()
+    )
+    old = d.select("doc_id", "text", "lang")
+    surviving = d.filter(F.col("doc_id") % 7 != 0)
+    edited = surviving.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")).alias("text"),
+        "lang",
+    )
+    added = d.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+        F.col("text"),
+        F.lit("new").alias("lang"),
+    )
+    new = edited.unionByName(added)
+    return corpus_diff_summary(corpus_diff(old, new, "doc_id"))
+
+
+SQL_CORPUS_DIFF = """
+WITH base AS (
+  SELECT doc_id, text, lang FROM documents WHERE text IS NOT NULL
+), old AS (
+  SELECT * FROM base
+), new AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text,
+    lang
+  FROM base WHERE doc_id % 7 <> 0
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, text, 'new' AS lang
+  FROM base WHERE doc_id % 11 = 0
+), diff AS (
+  SELECT COALESCE(n.doc_id, o.doc_id) AS doc_id,
+    CASE WHEN o.doc_id IS NULL THEN 'added'
+         WHEN n.doc_id IS NULL THEN 'removed'
+         WHEN o.text IS NOT DISTINCT FROM n.text
+          AND o.lang IS NOT DISTINCT FROM n.lang THEN 'unchanged'
+         ELSE 'changed' END AS status
+  FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+)
+SELECT status, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                      AS UBIGINT) AS HUGEINT)) AS DECIMAL(38,0))
+    AS id_checksum
+FROM diff GROUP BY status
+"""
+
+
 def q_hedis_year_merge(spark, sf_dir):
     """HEDIS/QRS value-set year-merge
     (load_claims.ref_hedis_value_sets_apde_2018-2023.R:687-730): two
@@ -7976,6 +8041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_assign": q_split_assign,
         "bpe_encode": q_bpe_encode,
         "html_extract": q_html_extract,
+        "corpus_diff": q_corpus_diff,
     }
 
 
@@ -7989,6 +8055,7 @@ def oracle_sql() -> dict[str, str]:
         "split_assign": SQL_SPLIT_ASSIGN,
         "bpe_encode": SQL_BPE_ENCODE,
         "html_extract": SQL_HTML_EXTRACT,
+        "corpus_diff": SQL_CORPUS_DIFF,
         "pricing_summary": SQL_PRICING,
         "typed_projection": SQL_TYPED_PROJECTION,
         "dynamic_filter": SQL_DYNAMIC_FILTER,

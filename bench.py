@@ -114,6 +114,7 @@ EXTENDED = [
     "split_assign",
     "bpe_encode",
     "html_extract",
+    "corpus_diff",
 ]
 
 

@@ -1096,3 +1096,95 @@ def split_leakage_report(
         )
         .filter(F.col("n_splits") > 1)
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus version diff
+# ---------------------------------------------------------------------------
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    compare_cols: "list[str] | None" = None,
+    status_col: str = "status",
+) -> DataFrame:
+    """Per-document delta between two corpus snapshots — the
+    versioning primitive for incremental training-data releases
+    (what changed between release N and N+1, and is the changed set
+    small enough to ship as a delta). Returns one row per id present
+    in EITHER snapshot with ``status`` in {'added', 'removed',
+    'changed', 'unchanged'} plus the NEW side's columns for added/
+    changed/unchanged rows and the OLD side's for removed rows.
+
+    ``compare_cols`` (default: every shared non-id column) compare
+    null-safe (``<=>``), so NULL -> 'x' and 'x' -> NULL both read as
+    changed and NULL -> NULL as unchanged — no digest round-trip, no
+    ambiguity between NULL and empty string.
+
+    Scale: ONE full-outer shuffle join on the id — the minimum any
+    exact diff pays. Both snapshots of a stored corpus should be
+    written claim-bucketed on the id (`sources/io.write_bucketed`),
+    which turns the exchange into a zip of co-located buckets; the
+    status projection and any downstream per-status aggregation get
+    map-side partials.
+    """
+    if compare_cols is None:
+        compare_cols = [
+            c for c in new.columns if c != id_col and c in old.columns
+        ]
+    if not compare_cols:
+        raise ValueError("no comparable columns between snapshots")
+    o = old.select(
+        F.col(id_col).alias("_oid"),
+        *[F.col(c).alias(f"_o_{c}") for c in compare_cols],
+    )
+    n = new.select(
+        F.col(id_col).alias("_nid"),
+        *[F.col(c).alias(f"_n_{c}") for c in compare_cols],
+    )
+    joined = o.join(n, F.col("_oid") == F.col("_nid"), "full_outer")
+    same = None
+    for c in compare_cols:
+        eq = F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
+        same = eq if same is None else (same & eq)
+    status = (
+        F.when(F.col("_oid").isNull(), F.lit("added"))
+        .when(F.col("_nid").isNull(), F.lit("removed"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return joined.select(
+        F.coalesce(F.col("_nid"), F.col("_oid")).alias(id_col),
+        status.alias(status_col),
+        *[
+            F.coalesce(F.col(f"_n_{c}"), F.col(f"_o_{c}")).alias(c)
+            for c in compare_cols
+        ],
+    )
+
+
+def corpus_diff_summary(
+    diff: DataFrame, id_col: str = "doc_id", status_col: str = "status"
+) -> DataFrame:
+    """Release-note rollup of `corpus_diff`: per status, the document
+    count and an ORDERLESS id checksum (sum of each id's 60-bit md5
+    integer as DECIMAL(38,0) — the repo's portable md5 family, so an
+    external system can re-verify membership without ordering). One
+    aggregation with map-side partials; 4 rows out."""
+    id60 = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+    ).cast("decimal(38,0)")
+    return (
+        diff.groupBy(status_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(id60).alias("id_checksum"),
+        )
+        .select(
+            status_col,
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("id_checksum").cast("decimal(38,0)").alias("id_checksum"),
+        )
+    )

@@ -606,3 +606,70 @@ def test_html_extract_matches_python_mirror(spark):
     )
     for r, d in zip(rows, docs):
         assert r.t == mirror(d), d
+
+
+# ---------------------------------------------------------------------------
+# corpus_diff: snapshot delta report
+# ---------------------------------------------------------------------------
+
+from claims_data_spark.operators.corpus import corpus_diff, corpus_diff_summary
+
+
+def _diff_fixture(spark):
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, None, 40),
+         (5, "e", 50)],
+        "doc_id long, text string, score long",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10),          # unchanged
+         (2, "B", 20),          # changed (text)
+         (4, None, 40),         # unchanged (NULL == NULL null-safe)
+         (5, "e", None),        # changed (value -> NULL)
+         (6, "f", 60)],         # added; 3 removed
+        "doc_id long, text string, score long",
+    )
+    return old, new
+
+
+def test_corpus_diff_statuses(spark):
+    old, new = _diff_fixture(spark)
+    got = {r.doc_id: r.status for r in corpus_diff(old, new).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed",
+                   4: "unchanged", 5: "changed", 6: "added"}
+
+
+def test_corpus_diff_carries_new_side(spark):
+    old, new = _diff_fixture(spark)
+    rows = {r.doc_id: r for r in corpus_diff(old, new).collect()}
+    assert rows[2].text == "B"          # changed rows carry NEW values
+    assert rows[3].text == "c"          # removed rows carry OLD values
+    assert rows[5].score == 50          # NULL on new side coalesces to old
+    assert rows[6].text == "f"
+
+
+def test_corpus_diff_summary_checksum(spark):
+    old, new = _diff_fixture(spark)
+    s = {r.status: (r.n_docs, int(r.id_checksum))
+         for r in corpus_diff_summary(corpus_diff(old, new)).collect()}
+    assert {k: v[0] for k, v in s.items()} == {
+        "unchanged": 2, "changed": 2, "removed": 1, "added": 1}
+    # checksum = sum of 60-bit md5 ints; verify independently
+    import hashlib
+
+    def id60(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+
+    assert s["changed"][1] == id60(2) + id60(5)
+    assert s["added"][1] == id60(6)
+
+
+def test_corpus_diff_subset_columns_and_errors(spark):
+    old, new = _diff_fixture(spark)
+    # comparing only `score` makes row 2 unchanged
+    got = {r.doc_id: r.status
+           for r in corpus_diff(old, new, compare_cols=["score"]).collect()}
+    assert got[2] == "unchanged" and got[5] == "changed"
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        corpus_diff(old.select("doc_id"), new.select("doc_id"))
