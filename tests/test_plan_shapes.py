@@ -461,3 +461,50 @@ def test_ccw_flag_codes_pushed_to_scan(spark, tmp_path):
     pushed = scan[scan.index("PushedFilters"):][:400]
     assert "icdcm_norm" in pushed and "In(" in pushed, pushed
     assert out.count() > 0
+
+
+def test_corpus_diff_bucketed_snapshots_zero_exchange(spark):
+    """BASELINE.md's claim that at stored-corpus scale corpus_diff's
+    full-outer exchange disappears: with both snapshots written
+    bucketed on the doc id (io.write_bucketed — how release artifacts
+    should be stored), the diff executes with ZERO shuffle exchanges
+    (the join zips co-located buckets) and the per-status summary
+    needs only the final single-partition agg exchange at most."""
+    import shutil
+
+    from claims_data_spark.operators.corpus import (
+        corpus_diff,
+        corpus_diff_summary,
+    )
+    from claims_data_spark.sources.io import write_bucketed
+
+    for t in ("t_diff_old_b", "t_diff_new_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+    old = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.format_string("text-%d", F.col("id")).alias("text"),
+    )
+    new = spark.range(1100).filter(F.col("id") % 7 != 0).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 5 == 0,
+               F.format_string("text-%d-v2", F.col("id")))
+         .otherwise(F.format_string("text-%d", F.col("id"))).alias("text"),
+    )
+    write_bucketed(old, "t_diff_old_b", ["doc_id"], num_buckets=8,
+                   sort_cols=["doc_id"])
+    write_bucketed(new, "t_diff_new_b", ["doc_id"], num_buckets=8,
+                   sort_cols=["doc_id"])
+    diff = corpus_diff(
+        spark.table("t_diff_old_b"), spark.table("t_diff_new_b"), "doc_id"
+    )
+    plan = diff._jdf.queryExecution().executedPlan().toString()
+    assert _n_exchanges(plan) == 0, plan
+    # the values stay right on the bucketed path
+    got = dict(
+        corpus_diff_summary(diff).select("status", "n_docs").collect()
+    )
+    assert got["added"] > 0 and got["removed"] > 0
+    assert got["changed"] > 0 and got["unchanged"] > 0
+    total = sum(got.values())
+    assert total == diff.count()
