@@ -508,3 +508,21 @@ def test_corpus_diff_bucketed_snapshots_zero_exchange(spark):
     assert got["changed"] > 0 and got["unchanged"] > 0
     total = sum(got.values())
     assert total == diff.count()
+
+
+def test_assign_splits_map_only(spark):
+    """assign_splits is a pure md5 cut: ZERO shuffle exchanges — the
+    split column must attach map-side at any corpus scale (BASELINE's
+    floor-trend note leans on this shape)."""
+    from claims_data_spark.operators.corpus import assign_splits
+
+    docs = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 37).cast("string").alias("domain"),
+    )
+    out = assign_splits(
+        docs, {"train": 0.8, "val": 0.1, "test": 0.1},
+        id_col="doc_id", group_col="domain",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert _n_exchanges(plan) == 0, plan
