@@ -23,15 +23,17 @@ import __spark_entry__ as entrymod  # noqa: E402
 from bench import DUCKDB_TABLES  # noqa: E402
 from claims_data_spark.session import get_spark  # noqa: E402
 
+# default set = the CURRENT weak/watch list (correct but >2x DuckDB at
+# the honest scale point, or floor-trend entries awaiting crossover);
+# r07 state — pass query names to override
 WEAK_SET = [
-    "apcd_ed_episode",
     "ccw_two_claim",
     "rda_value_set",
-    "fuh_followup",
-    "tx_pen_measure",
-    "housing_status",
+    "url_dedup",
+    "split_assign",
+    "corpus_diff",
     "knn_ivf",
-    "pagerank_authority",
+    "record_linkage",
 ]
 
 
