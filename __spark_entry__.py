@@ -7592,6 +7592,141 @@ FROM diff GROUP BY status
 """
 
 
+def q_top_causes_window(spark, sf_dir):
+    """Top causes with the round-7 parameter-parity surface
+    (api.top_causes; R/top_causes.R:55-346): per-person date windows
+    (``ind_dates=True`` — cohort rows outside the global window drop,
+    windows clip to it, claims count only inside THAT person's
+    window), ``type='ed'`` (distinct-ED-episode counting via the
+    type→event-id map), the reference's ``IN ('01','admit')``
+    primary-dx rule (some claims carry an 'admit'-numbered primary
+    row), and ``catch_all=False`` (CCS categories flagged catch-all
+    drop, NULL-flag rows keep). Fixture: cohort/window grid from
+    ``customer``, headers from ``orders`` (every 13th claim loses its
+    primary diagnosis, every 3rd carries an ED episode id), a
+    two-row-per-claim dx table, and a 40-code x 2-version CCS
+    reference grid built from ``range``."""
+    from claims_data_spark.api import top_causes
+
+    gf, gt = "1995-01-01", "1996-12-31"
+    c = _t(spark, sf_dir, "customer")
+    ck = F.col("c_custkey")
+    cohort = c.select(
+        ck.alias("id_mcaid"),
+        F.date_add(F.lit(gf).cast("date"), ((ck % 200) * 5).cast("int"))
+        .alias("from_date"),
+        F.date_add(F.lit(gf).cast("date"), ((ck % 200) * 5 + 180).cast("int"))
+        .alias("to_date"),
+    )
+    o = _t(spark, sf_dir, "orders")
+    ok = F.col("o_orderkey")
+    header = o.select(
+        F.col("o_custkey").alias("id_mcaid"),
+        ok.alias("claim_header_id"),
+        F.col("o_orderdate").cast("date").alias("first_service_date"),
+        F.when(ok % 3 == 0, F.floor(ok / 3)).alias("ed_pophealth_id"),
+        F.when(ok % 13 != 0, F.lit("dx")).alias("primary_diagnosis"),
+    )
+    ver = F.when(ok % 2 == 0, 9).otherwise(10).cast("int")
+    dx_a = o.select(
+        ok.alias("claim_header_id"),
+        F.when(ok % 7 == 0, "admit")
+        .when(ok % 11 == 0, "03")
+        .otherwise("01")
+        .alias("icdcm_number"),
+        F.concat(F.lit("C"), (ok % 40).cast("int").cast("string"))
+        .alias("icdcm_norm"),
+        ver.alias("icdcm_version"),
+    )
+    dx_b = o.select(
+        ok.alias("claim_header_id"),
+        F.lit("02").alias("icdcm_number"),
+        F.concat(F.lit("C"), ((ok + 17) % 40).cast("int").cast("string"))
+        .alias("icdcm_norm"),
+        ver.alias("icdcm_version"),
+    )
+    icdcm = dx_a.unionByName(dx_b)
+    i = F.col("id")
+    ref = (
+        spark.range(40)
+        .crossJoin(spark.createDataFrame([(9,), (10,)], "icdcm_version int"))
+        .select(
+            F.concat(F.lit("C"), i.cast("int").cast("string")).alias("icdcm"),
+            "icdcm_version",
+            F.concat(F.lit("cat"), (i % 12).cast("int").cast("string"))
+            .alias("ccs_detail_desc"),
+            F.when(i % 10 == 0, 1)
+            .when(i % 5 == 0, F.lit(None))
+            .otherwise(0)
+            .cast("int")
+            .alias("ccs_catch_all"),
+        )
+    )
+    out = top_causes(
+        cohort, header, icdcm, ref, gf, gt,
+        top_n=10, type="ed", catch_all=False, primary_dx=True,
+        ind_dates=True,
+    )
+    return out.select(
+        "ccs_detail_desc",
+        F.col("event_count").cast("long").alias("event_count"),
+        F.col("rk").cast("long").alias("rk"),
+    )
+
+
+SQL_TOP_CAUSES_WINDOW = """
+WITH coh AS (
+  SELECT DISTINCT c_custkey AS id,
+    GREATEST(DATE '1995-01-01' + CAST((c_custkey % 200) * 5 AS INT),
+             DATE '1995-01-01') AS f,
+    LEAST(DATE '1995-01-01' + CAST((c_custkey % 200) * 5 + 180 AS INT),
+          DATE '1996-12-31') AS t
+  FROM customer
+  WHERE NOT (DATE '1995-01-01' + CAST((c_custkey % 200) * 5 + 180 AS INT)
+               < DATE '1995-01-01'
+          OR DATE '1995-01-01' + CAST((c_custkey % 200) * 5 AS INT)
+               > DATE '1996-12-31')
+), ev AS (
+  SELECT o.o_orderkey AS claim,
+         CAST(FLOOR(o.o_orderkey / 3) AS BIGINT) AS ed_id
+  FROM orders o JOIN coh c ON o.o_custkey = c.id
+  WHERE CAST(o.o_orderdate AS DATE)
+          BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
+    AND o.o_orderkey % 13 <> 0
+    AND o.o_orderkey % 3 = 0
+    AND CAST(o.o_orderdate AS DATE) BETWEEN c.f AND c.t
+), dx AS (
+  -- the primary-dx rule is IN ('01','admit'): row A is 'admit' for
+  -- every 7th claim (kept), '03' for every 11th (dropped), '01'
+  -- otherwise; row B ('02') never qualifies
+  SELECT o_orderkey AS claim,
+         'C' || CAST(o_orderkey % 40 AS INT) AS code,
+         CASE WHEN o_orderkey % 2 = 0 THEN 9 ELSE 10 END AS ver
+  FROM orders
+  WHERE o_orderkey % 7 = 0 OR o_orderkey % 11 <> 0
+), ref AS (
+  SELECT 'C' || CAST(r.range AS INT) AS code, v.ver,
+         'cat' || CAST(r.range % 12 AS INT) AS cat,
+         CASE WHEN r.range % 10 = 0 THEN 1
+              WHEN r.range % 5 = 0 THEN NULL ELSE 0 END AS catch_all
+  FROM range(40) r CROSS JOIN (VALUES (9), (10)) v(ver)
+), counted AS (
+  SELECT ref.cat AS ccs_detail_desc,
+         COUNT(DISTINCT ev.ed_id) AS event_count
+  FROM ev
+  JOIN dx ON ev.claim = dx.claim
+  JOIN ref ON dx.code = ref.code AND dx.ver = ref.ver
+  WHERE ref.catch_all IS NULL OR ref.catch_all = 0
+  GROUP BY ref.cat
+)
+SELECT ccs_detail_desc, CAST(event_count AS BIGINT) AS event_count,
+       CAST(rk AS BIGINT) AS rk
+FROM (SELECT *, RANK() OVER (ORDER BY event_count DESC) AS rk
+      FROM counted)
+WHERE rk <= 10
+"""
+
+
 def q_hedis_year_merge(spark, sf_dir):
     """HEDIS/QRS value-set year-merge
     (load_claims.ref_hedis_value_sets_apde_2018-2023.R:687-730): two
@@ -7945,21 +8080,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_windows": q_session_windows,
         "multimodal_features": q_multimodal_features,
         "multimodal_decode": q_multimodal_decode,
-        "json_props": q_json_props,
-        # rule-1 late pin: knn_ivf's compiled assignment changed this
-        # round (_dlit literal-node diet) — displaces embedding_near_dup
-        # (r04-last, nearly subsumed by the r06-green semantic_dedup /
-        # knn_brute siblings) to the r08 backfill head
+        # rule-1 late pins: knn_ivf's compiled assignment changed this
+        # round (_dlit literal-node diet), and the five round-7
+        # additions (split_assign / bpe_encode / html_extract /
+        # corpus_diff / the top_causes parameter-parity query) are new
+        # — each displaces an r04-last rule-3 backfill entry
+        # (embedding_near_dup, json_props, grouping_sets,
+        # ngram_jaccard, dedup_clusters, corpus_clean) to the r08
+        # backfill head; every displaced query stays parity- and
+        # pytest-covered each round
         "knn_ivf": q_knn_ivf,
+        "top_causes_window": q_top_causes_window,
+        "split_assign": q_split_assign,
+        "bpe_encode": q_bpe_encode,
+        "html_extract": q_html_extract,
+        "corpus_diff": q_corpus_diff,
+        # ---- outside the window: parity + pytest covered ----
+        # head of the r08 backfill queue: the r04-last queries the
+        # window could not seat (each is covered by a driver-green
+        # bit-identical or superset sibling: bloom_decontaminate /
+        # weighted_sample family / the pack_sequences exact pytest /
+        # get_json_object parity rows)
+        "json_props": q_json_props,
         "grouping_sets": q_grouping_sets,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
         "corpus_clean": q_corpus_clean,
-        # ---- outside the window: parity + pytest covered ----
-        # head of the r08 backfill queue: the three r04-last queries the
-        # window could not seat (each is covered by a driver-green
-        # bit-identical or superset sibling: bloom_decontaminate /
-        # weighted_sample family / the pack_sequences exact pytest)
         "decontaminate": q_decontaminate,
         "stratified_sample": q_stratified_sample,
         "pack_sequences": q_pack_sequences,
@@ -8034,14 +8180,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "right_join": q_right_join,
         "dedup_exact": q_dedup_exact,
         "knn_bruteforce": q_knn_bruteforce,
-        # NEW in round 7, seated at the tail (window frozen for r07):
-        # grouped split assignment with the leakage guard, and BPE
-        # corpus encoding; first driver rows scheduled r08, parity +
-        # pytest covered meanwhile
-        "split_assign": q_split_assign,
-        "bpe_encode": q_bpe_encode,
-        "html_extract": q_html_extract,
-        "corpus_diff": q_corpus_diff,
     }
 
 
@@ -8056,6 +8194,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_encode": SQL_BPE_ENCODE,
         "html_extract": SQL_HTML_EXTRACT,
         "corpus_diff": SQL_CORPUS_DIFF,
+        "top_causes_window": SQL_TOP_CAUSES_WINDOW,
         "pricing_summary": SQL_PRICING,
         "typed_projection": SQL_TYPED_PROJECTION,
         "dynamic_filter": SQL_DYNAMIC_FILTER,

@@ -115,6 +115,7 @@ EXTENDED = [
     "bpe_encode",
     "html_extract",
     "corpus_diff",
+    "top_causes_window",
 ]
 
 
