@@ -7646,21 +7646,22 @@ def q_top_causes_window(spark, sf_dir):
         ver.alias("icdcm_version"),
     )
     icdcm = dx_a.unionByName(dx_b)
-    i = F.col("id")
-    ref = (
-        spark.range(40)
-        .crossJoin(spark.createDataFrame([(9,), (10,)], "icdcm_version int"))
-        .select(
-            F.concat(F.lit("C"), i.cast("int").cast("string")).alias("icdcm"),
-            "icdcm_version",
-            F.concat(F.lit("cat"), (i % 12).cast("int").cast("string"))
-            .alias("ccs_detail_desc"),
-            F.when(i % 10 == 0, 1)
-            .when(i % 5 == 0, F.lit(None))
-            .otherwise(0)
-            .cast("int")
-            .alias("ccs_catch_all"),
-        )
+    # 80-row CCS reference grid as a LocalRelation (a driver-side
+    # literal list, zero scan jobs; a range x crossJoin build spent a
+    # BroadcastNestedLoopJoin job on 80 rows)
+    ref = spark.createDataFrame(
+        [
+            (
+                f"C{i}",
+                v,
+                f"cat{i % 12}",
+                1 if i % 10 == 0 else (None if i % 5 == 0 else 0),
+            )
+            for i in range(40)
+            for v in (9, 10)
+        ],
+        "icdcm string, icdcm_version int, ccs_detail_desc string, "
+        "ccs_catch_all int",
     )
     out = top_causes(
         cohort, header, icdcm, ref, gf, gt,

@@ -34,6 +34,7 @@ WEAK_SET = [
     "corpus_diff",
     "knn_ivf",
     "record_linkage",
+    "top_causes_window",
 ]
 
 
