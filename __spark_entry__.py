@@ -7728,6 +7728,46 @@ WHERE rk <= 10
 """
 
 
+def q_shard_manifest(spark, sf_dir):
+    """Release-shard manifest (sources/io.shard_manifest + the
+    export_shards writer): deterministic md5-pinned shard assignment
+    (the assign_splits hash family, mod 8) and the per-shard
+    verification triple a downstream trainer checks after transfer —
+    doc count, total characters, ORDERLESS 60-bit-md5 id checksum
+    (associative-commutative, so it reduces map-side and is
+    partitioning-invariant). ONE aggregation; output bounded by the
+    shard count."""
+    from claims_data_spark.sources.io import shard_manifest
+
+    d = spread(_t(spark, sf_dir, "documents"))
+    out = shard_manifest(d, "doc_id", 8, text_col="text")
+    return out.select(
+        F.col("shard").cast("int").alias("shard"),
+        "n_docs",
+        "id_checksum",
+        "n_chars",
+    )
+
+
+SQL_SHARD_MANIFEST = """
+WITH s AS (
+  SELECT doc_id, text,
+    CAST(CAST('0x' || substring(
+           md5(CAST(doc_id AS VARCHAR) || 'shard'), 1, 15)
+         AS UBIGINT) % 8 AS INT) AS shard
+  FROM documents
+)
+SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(COALESCE(
+         sum(CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                       AS UBIGINT) AS HUGEINT))
+         % 1152921504606846976, 0) AS BIGINT)
+    AS id_checksum,
+  CAST(sum(length(text)) AS BIGINT) AS n_chars
+FROM s GROUP BY shard
+"""
+
+
 def q_hedis_year_merge(spark, sf_dir):
     """HEDIS/QRS value-set year-merge
     (load_claims.ref_hedis_value_sets_apde_2018-2023.R:687-730): two
@@ -8077,7 +8117,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lcs_match": q_lcs_match,
         "amr_measure": q_amr_measure,
         "windowed_events": q_windowed_events,
-        "sliding_windows": q_sliding_windows,
         "session_windows": q_session_windows,
         "multimodal_features": q_multimodal_features,
         "multimodal_decode": q_multimodal_decode,
@@ -8096,6 +8135,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": q_bpe_encode,
         "html_extract": q_html_extract,
         "corpus_diff": q_corpus_diff,
+        # rule-1 pin: shard_manifest (release-shard export manifest,
+        # new r07) displaces sliding_windows — its readStream
+        # windowed-agg family stays covered in-window by
+        # windowed_events + session_windows
+        "shard_manifest": q_shard_manifest,
         # ---- outside the window: parity + pytest covered ----
         # head of the r08 backfill queue: the r04-last queries the
         # window could not seat (each is covered by a driver-green
@@ -8103,6 +8147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # weighted_sample family / the pack_sequences exact pytest /
         # get_json_object parity rows)
         "json_props": q_json_props,
+        "sliding_windows": q_sliding_windows,
         "grouping_sets": q_grouping_sets,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
@@ -8196,6 +8241,7 @@ def oracle_sql() -> dict[str, str]:
         "html_extract": SQL_HTML_EXTRACT,
         "corpus_diff": SQL_CORPUS_DIFF,
         "top_causes_window": SQL_TOP_CAUSES_WINDOW,
+        "shard_manifest": SQL_SHARD_MANIFEST,
         "pricing_summary": SQL_PRICING,
         "typed_projection": SQL_TYPED_PROJECTION,
         "dynamic_filter": SQL_DYNAMIC_FILTER,

@@ -116,6 +116,7 @@ EXTENDED = [
     "html_extract",
     "corpus_diff",
     "top_causes_window",
+    "shard_manifest",
 ]
 
 

@@ -360,6 +360,165 @@ def delete_data_year(
     return reports
 
 
+def shard_assign(
+    df: DataFrame,
+    id_col: str,
+    num_shards: int,
+    seed: str = "shard",
+    out_col: str = "shard",
+) -> DataFrame:
+    """Deterministic shard assignment for a corpus release export —
+    the md5-pinned hash family of ``assign_splits`` (identical across
+    retries, stages, partitionings, and engines: a DuckDB verifier
+    re-derives every assignment value-for-value), reduced mod
+    ``num_shards``. Map-only codegen; at 100 TB the shard id is a
+    free column on whatever scan already reads the release.
+
+    NULL ids get a NULL shard — visible in the manifest and in the
+    written layout (Hive default partition) rather than silently
+    hashed into shard 0; an export with NULL document ids is a data
+    bug the manifest should surface.
+    """
+    if num_shards < 1:
+        raise ValueError("num_shards must be >= 1")
+    # 15 hex chars = 60 bits: fits a signed long exactly, and matches
+    # the DuckDB mirror CAST('0x'||substring(md5(..),1,15) AS UBIGINT)
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(seed))),
+            1, 15,
+        ),
+        16, 10,
+    ).cast("long")
+    return df.withColumn(out_col, F.pmod(h, F.lit(num_shards)).cast("int"))
+
+
+def shard_manifest(
+    df: DataFrame,
+    id_col: str,
+    num_shards: int,
+    text_col: str | None = None,
+    seed: str = "shard",
+    shard_col: str = "shard",
+) -> DataFrame:
+    """Release manifest for a sharded corpus export: one row per
+    shard with the document count, total characters (when
+    ``text_col`` is given), and an ORDERLESS id checksum — the sum of
+    each id's 60-bit md5 integer (the ``corpus_diff_summary`` idiom)
+    reduced mod 2^60 so the final value fits a BIGINT exactly on
+    every engine and every JSON parser (a DECIMAL(38,0) sum survives
+    Spark/DuckDB but loses low bits the moment a verifier touches it
+    as a double). Modular sums stay associative-commutative, so the
+    checksum reduces map-side and is partitioning-invariant. A
+    downstream trainer verifies a transferred shard by recomputing
+    three numbers — no ordering, no full-content comparison.
+
+    ONE aggregation with map-side partials; output bounded by
+    ``num_shards`` (+1 row for NULL ids, if any — see
+    :func:`shard_assign`).
+    """
+    sharded = (
+        df if shard_col in df.columns
+        else shard_assign(df, id_col, num_shards, seed, shard_col)
+    )
+    id60 = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+    ).cast("decimal(38,0)")
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(id60).alias("_sum60"),
+    ]
+    if text_col is not None:
+        aggs.append(F.sum(F.length(F.col(text_col))).alias("n_chars"))
+    out = sharded.groupBy(shard_col).agg(*aggs)
+    cols = [
+        F.col(shard_col),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        # the NULL-id group's sum is NULL (md5 of NULL) — its
+        # checksum is defined as 0, the checksum of "no ids"
+        F.coalesce(F.pmod(F.col("_sum60"), F.lit(2 ** 60)), F.lit(0))
+        .cast("long")
+        .alias("id_checksum"),
+    ]
+    if text_col is not None:
+        cols.append(F.col("n_chars").cast("long").alias("n_chars"))
+    return out.select(*cols)
+
+
+def export_shards(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    num_shards: int,
+    text_col: str | None = None,
+    seed: str = "shard",
+    fmt: str = "parquet",
+) -> list[dict]:
+    """Deterministic sharded corpus export with a verified manifest —
+    the release step after dedup/decontamination/split assignment:
+    write the corpus partitioned by the md5-pinned shard id (ONE
+    exchange on the shard column, the physical minimum a sharded
+    layout costs; one output file per shard), then recompute the
+    manifest FROM THE WRITTEN FILES and verify it against the input's
+    own manifest before reporting success. The export never reports a
+    manifest it did not re-derive from the artifact — the
+    ``cross-db copy + count QA`` contract (S5) applied to a release.
+
+    Returns the verified manifest as a list of dicts (bounded by
+    ``num_shards``), also written as ``_manifest.json`` next to the
+    shard directories so a consumer can verify without Spark.
+    """
+    sharded = shard_assign(df, id_col, num_shards, seed)
+    (
+        sharded.repartition(num_shards, F.col("shard"))
+        .write.mode("overwrite")
+        .format(fmt)
+        .partitionBy("shard")
+        .save(path)
+    )
+    expected = {
+        r["shard"]: r
+        for r in shard_manifest(
+            sharded, id_col, num_shards, text_col, seed
+        ).collect()
+    }
+    written = spark.read.format(fmt).load(path)
+    actual = {
+        r["shard"]: r
+        for r in shard_manifest(
+            written, id_col, num_shards, text_col, seed, shard_col="shard"
+        ).collect()
+    }
+    if {k: tuple(v) for k, v in expected.items()} != {
+        k: tuple(v) for k, v in actual.items()
+    }:
+        raise AssertionError(
+            f"export QA failed at {path}: written manifest does not match "
+            f"the input (expected {expected}, read back {actual})"
+        )
+    import json
+
+    manifest = [
+        {
+            "shard": None if r["shard"] is None else int(r["shard"]),
+            "n_docs": int(r["n_docs"]),
+            "id_checksum": int(r["id_checksum"]),
+            **(
+                {"n_chars": int(r["n_chars"])}
+                if text_col is not None
+                else {}
+            ),
+        }
+        for r in sorted(
+            actual.values(), key=lambda r: (r["shard"] is None, r["shard"])
+        )
+    ]
+    with open(os.path.join(path, "_manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1)
+    return manifest
+
+
 def compact_table(
     spark: SparkSession,
     path: str,

@@ -416,3 +416,77 @@ def test_compact_table(spark, tmp_path):
     out = read_file(spark, p)
     assert out.count() == 10000
     assert out.agg(F.sum("v")).first()[0] == 2 * sum(range(10000))
+
+
+def test_shard_assign_deterministic_and_partitioning_invariant(spark):
+    """The shard id depends only on (id, seed): same values across
+    partitionings, full coverage of [0, n), NULL id -> NULL shard."""
+    from claims_data_spark.sources.io import shard_assign
+
+    df = spark.range(2000).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: r["shard"]
+         for r in shard_assign(df, "doc_id", 8).collect()}
+    b = {r["doc_id"]: r["shard"]
+         for r in shard_assign(df.repartition(13), "doc_id", 8).collect()}
+    assert a == b
+    assert set(a.values()) == set(range(8))
+    # a different seed reshuffles assignments
+    c = {r["doc_id"]: r["shard"]
+         for r in shard_assign(df, "doc_id", 8, seed="v2").collect()}
+    assert a != c
+    # NULL ids surface as NULL shards, never silently hashed
+    nul = spark.createDataFrame([(None,), (1,)], "doc_id long")
+    got = {r["doc_id"]: r["shard"]
+           for r in shard_assign(nul, "doc_id", 8).collect()}
+    assert got[None] is None and got[1] is not None
+    with pytest.raises(ValueError):
+        shard_assign(df, "doc_id", 0)
+
+
+def test_export_shards_roundtrip_manifest(spark, tmp_path):
+    """export_shards writes one directory per shard, re-derives the
+    manifest from the WRITTEN files, QA-matches it against the input,
+    and the _manifest.json totals equal the input's own totals."""
+    import json
+    import os
+
+    from claims_data_spark.sources.io import export_shards
+
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("text-"), F.col("id").cast("string")).alias("text"),
+    )
+    path = str(tmp_path / "release")
+    manifest = export_shards(spark, df, path, "doc_id", 4, text_col="text")
+    assert sorted(m["shard"] for m in manifest) == [0, 1, 2, 3]
+    assert sum(m["n_docs"] for m in manifest) == 500
+    total_chars = df.agg(F.sum(F.length("text"))).first()[0]
+    assert sum(m["n_chars"] for m in manifest) == total_chars
+    # layout: one directory per shard, readable with partition pruning
+    dirs = {d for d in os.listdir(path) if d.startswith("shard=")}
+    assert dirs == {f"shard={i}" for i in range(4)}
+    with open(os.path.join(path, "_manifest.json")) as f:
+        assert json.load(f) == manifest
+    # read-back parity (the QA inside export_shards already asserted
+    # this; re-assert from a fresh session read)
+    back = spark.read.parquet(path)
+    assert back.count() == 500
+    per_shard = {r["shard"]: r["cnt"] for r in
+                 back.groupBy("shard").agg(F.count("*").alias("cnt"))
+                 .collect()}
+    assert per_shard == {m["shard"]: m["n_docs"] for m in manifest}
+
+
+def test_export_shards_null_ids_visible(spark, tmp_path):
+    """NULL document ids land in the Hive default partition and get
+    their own manifest row (shard None) instead of polluting shard 0."""
+    from claims_data_spark.sources.io import export_shards
+
+    df = spark.createDataFrame(
+        [(None, "a"), (1, "b"), (2, "c")], "doc_id long, text string"
+    )
+    path = str(tmp_path / "withnulls")
+    manifest = export_shards(spark, df, path, "doc_id", 2, text_col="text")
+    null_rows = [m for m in manifest if m["shard"] is None]
+    assert len(null_rows) == 1 and null_rows[0]["n_docs"] == 1
+    assert sum(m["n_docs"] for m in manifest) == 3

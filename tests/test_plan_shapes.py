@@ -526,3 +526,23 @@ def test_assign_splits_map_only(spark):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert _n_exchanges(plan) == 0, plan
+
+
+def test_shard_assign_map_only_manifest_one_exchange(spark):
+    """shard_assign is a pure md5-mod projection: ZERO exchanges (the
+    shard id is a free column on the release scan at any scale);
+    shard_manifest pays exactly ONE exchange — the shard-key hash agg
+    with map-side partials, state bounded by num_shards."""
+    from claims_data_spark.sources.io import shard_assign, shard_manifest
+
+    docs = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        F.col("id").cast("string").alias("text"),
+    )
+    assigned = shard_assign(docs, "doc_id", 16)
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert _n_exchanges(plan) == 0, plan
+
+    man = shard_manifest(docs, "doc_id", 16, text_col="text")
+    plan = man._jdf.queryExecution().executedPlan().toString()
+    assert _n_exchanges(plan) == 1, plan
