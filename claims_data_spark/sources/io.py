@@ -468,6 +468,14 @@ def export_shards(
     Returns the verified manifest as a list of dicts (bounded by
     ``num_shards``), also written as ``_manifest.json`` next to the
     shard directories so a consumer can verify without Spark.
+
+    Cost note: the verification pays one extra scan of the INPUT (the
+    expected-side manifest) on top of the unavoidable re-read of the
+    written artifact — the same two-sided price the S5 cross-db
+    count-QA pays, accepted because a release manifest derived from
+    anything but the artifact itself would be a claim, not a check.
+    Persist/cache the input before calling if its lineage is
+    expensive to recompute.
     """
     sharded = shard_assign(df, id_col, num_shards, seed)
     (
