@@ -7768,6 +7768,71 @@ FROM s GROUP BY shard
 """
 
 
+def q_threshold_sweep(spark, sf_dir):
+    """Quality-filter calibration sweep
+    (operators/classify.threshold_sweep): precision / recall / F1 at
+    every candidate keep-threshold over 20 score bins — the table an
+    engineer reads to pick the corpus-quality cutoff. Fixture: a
+    deterministic md5-uniform score blended (0.6/0.4) with a
+    length>=200 label signal so the curve is non-trivial and both
+    engines derive score and label identically. ONE n_bins-bounded
+    aggregate + a 20-row dimension window."""
+    from claims_data_spark.operators.classify import threshold_sweep
+
+    d = spread(_t(spark, sf_dir, "documents")).filter(
+        F.col("text").isNotNull()
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("ts"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("double")
+        / F.lit(4294967295.0)
+    )
+    lbl = (F.length("text") >= 200).cast("int")
+    scored = d.select(
+        (F.lit(0.6) * u + F.lit(0.4) * lbl).alias("score"),
+        lbl.alias("label"),
+    )
+    out = threshold_sweep(scored, "score", "label", n_bins=20)
+    return out.select(
+        "threshold", "kept", "true_pos", "precision", "recall", "f1"
+    )
+
+
+SQL_THRESHOLD_SWEEP = """
+WITH scored AS (
+  SELECT
+    0.6 * (CAST(CAST('0x' || substring(
+               md5(CAST(doc_id AS VARCHAR) || 'ts'), 1, 8)
+             AS UBIGINT) AS DOUBLE) / 4294967295.0)
+      + 0.4 * CAST(length(text) >= 200 AS INT) AS score,
+    CAST(length(text) >= 200 AS INT) AS label
+  FROM documents WHERE text IS NOT NULL
+), bins AS (
+  SELECT LEAST(GREATEST(CAST(FLOOR(score * 20) AS INT), 0), 19) AS bin,
+         count(*) AS n, sum(label) AS npos
+  FROM scored GROUP BY 1
+), cum AS (
+  SELECT bin,
+         sum(n) OVER (ORDER BY bin DESC) AS kept,
+         sum(npos) OVER (ORDER BY bin DESC) AS tp,
+         sum(npos) OVER () AS allpos
+  FROM bins
+)
+SELECT CAST(bin AS DOUBLE) / 20 AS threshold,
+       CAST(kept AS BIGINT) AS kept,
+       CAST(tp AS BIGINT) AS true_pos,
+       CAST(tp AS DOUBLE) / kept AS "precision",
+       CAST(tp AS DOUBLE) / allpos AS recall,
+       2 * CAST(tp AS DOUBLE) / (kept + allpos) AS f1
+FROM cum
+"""
+
+
 def q_hedis_year_merge(spark, sf_dir):
     """HEDIS/QRS value-set year-merge
     (load_claims.ref_hedis_value_sets_apde_2018-2023.R:687-730): two
@@ -8116,7 +8181,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perf_measure_fua": q_perf_measure_fua,
         "lcs_match": q_lcs_match,
         "amr_measure": q_amr_measure,
-        "windowed_events": q_windowed_events,
         "session_windows": q_session_windows,
         "multimodal_features": q_multimodal_features,
         "multimodal_decode": q_multimodal_decode,
@@ -8135,11 +8199,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": q_bpe_encode,
         "html_extract": q_html_extract,
         "corpus_diff": q_corpus_diff,
-        # rule-1 pin: shard_manifest (release-shard export manifest,
-        # new r07) displaces sliding_windows — its readStream
-        # windowed-agg family stays covered in-window by
-        # windowed_events + session_windows
+        # rule-1 pins: shard_manifest (release-shard export manifest)
+        # and threshold_sweep (quality-filter calibration), both new
+        # r07 — they displace sliding_windows and windowed_events,
+        # whose readStream windowed-agg family stays covered in-window
+        # by session_windows
         "shard_manifest": q_shard_manifest,
+        "threshold_sweep": q_threshold_sweep,
         # ---- outside the window: parity + pytest covered ----
         # head of the r08 backfill queue: the r04-last queries the
         # window could not seat (each is covered by a driver-green
@@ -8148,6 +8214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # get_json_object parity rows)
         "json_props": q_json_props,
         "sliding_windows": q_sliding_windows,
+        "windowed_events": q_windowed_events,
         "grouping_sets": q_grouping_sets,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
@@ -8242,6 +8309,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_diff": SQL_CORPUS_DIFF,
         "top_causes_window": SQL_TOP_CAUSES_WINDOW,
         "shard_manifest": SQL_SHARD_MANIFEST,
+        "threshold_sweep": SQL_THRESHOLD_SWEEP,
         "pricing_summary": SQL_PRICING,
         "typed_projection": SQL_TYPED_PROJECTION,
         "dynamic_filter": SQL_DYNAMIC_FILTER,

@@ -117,6 +117,7 @@ EXTENDED = [
     "corpus_diff",
     "top_causes_window",
     "shard_manifest",
+    "threshold_sweep",
 ]
 
 

@@ -114,3 +114,71 @@ def quality_classify(
     return df.withColumn(logit_col, logit).withColumn(
         keep_col, F.col(logit_col) >= F.lit(threshold)
     )
+
+
+def threshold_sweep(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 100,
+) -> DataFrame:
+    """Filter-calibration report: precision / recall / F1 at every
+    candidate threshold, the table an engineer reads to pick the
+    quality-gate cutoff before filtering a 100 TB corpus (the CCNet /
+    RefinedWeb keep-fraction decision).
+
+    ``score_col`` must be in [0, 1] (out-of-range values clamp into
+    the edge bins — a score is a probability here; the fixed-point
+    logit path thresholds integers directly and doesn't need a
+    sweep). Scores bucket into ``n_bins`` equal bins — ONE hash
+    aggregate with map-side partials whose state is bounded by
+    ``n_bins``, never by corpus size — then the cumulative-from-top
+    window runs over the BIN TABLE (n_bins rows: a dimension-sized
+    sort, not a data-sized one). Row ``threshold = b/n_bins`` reports
+    the filter "keep score >= threshold": kept count, true positives,
+    precision, recall, F1 (0-division → NULL precision, the honest
+    value for an empty keep set).
+
+    Keeps every bin (even empty ones are absent, not zero-filled —
+    join to a spine if a dense grid is needed). Engine extension
+    (training-data pipeline family); deterministic: no sampling, no
+    randomness.
+    """
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    s = F.col(score_col)
+    b = F.least(
+        F.greatest(F.floor(s * n_bins).cast("int"), F.lit(0)),
+        F.lit(n_bins - 1),
+    )
+    lab = F.col(label_col).cast("int")
+    bins = df.select(
+        b.alias("_bin"), lab.alias("_pos")
+    ).groupBy("_bin").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_pos").alias("_npos"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("_bin").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    out = (
+        bins.withColumn("_kept", F.sum("_n").over(w))
+        .withColumn("_tp", F.sum("_npos").over(w))
+        .withColumn("_allpos", F.sum("_npos").over(wall))
+    )
+    return out.select(
+        (F.col("_bin").cast("double") / n_bins).alias("threshold"),
+        F.col("_kept").cast("long").alias("kept"),
+        F.col("_tp").cast("long").alias("true_pos"),
+        (F.col("_tp") / F.col("_kept")).alias("precision"),
+        (F.col("_tp") / F.col("_allpos")).alias("recall"),
+        (
+            F.lit(2) * F.col("_tp")
+            / (F.col("_kept") + F.col("_allpos"))
+        ).alias("f1"),
+    )

@@ -88,3 +88,56 @@ def test_word_ngrams_validated(spark):
     with pytest.raises(ValueError):
         hashed_linear_logit("text", WEIGHTS, word_ngrams=3)
         quality_classify(df, "text", WEIGHTS, word_ngrams=3).collect()
+
+
+def test_threshold_sweep_matches_python_mirror(spark):
+    """Exact PR/F1 values vs a pure-python mirror, plus the curve
+    invariants: recall non-increasing and kept non-increasing as the
+    threshold rises."""
+    import math
+
+    from claims_data_spark.operators.classify import threshold_sweep
+
+    n_bins = 10
+    rows = []
+    for i in range(500):
+        # deterministic scores spread over [0,1] incl. the clamp edges
+        score = ((i * 37) % 101) / 100.0 + (0.02 if i % 17 == 0 else 0.0)
+        label = 1 if (i * 7) % 10 < (score * 10) else 0
+        rows.append((score, label))
+    df = spark.createDataFrame(rows, "score double, label int")
+    got = {
+        r["threshold"]: r
+        for r in threshold_sweep(df, "score", "label", n_bins).collect()
+    }
+
+    # python mirror
+    bins = {}
+    for score, label in rows:
+        b = min(max(math.floor(score * n_bins), 0), n_bins - 1)
+        n, p = bins.get(b, (0, 0))
+        bins[b] = (n + 1, p + label)
+    allpos = sum(p for _, p in bins.values())
+    kept = tp = 0
+    exp = {}
+    for b in sorted(bins, reverse=True):
+        n, p = bins[b]
+        kept += n
+        tp += p
+        exp[b / n_bins] = (kept, tp, tp / kept, tp / allpos,
+                           2 * tp / (kept + allpos))
+    assert set(got) == set(exp)
+    for t, (k, tpos, prec, rec, f1) in exp.items():
+        r = got[t]
+        assert (r["kept"], r["true_pos"]) == (k, tpos)
+        assert abs(r["precision"] - prec) < 1e-12
+        assert abs(r["recall"] - rec) < 1e-12
+        assert abs(r["f1"] - f1) < 1e-12
+    # invariants across rising thresholds
+    ordered = [got[t] for t in sorted(got)]
+    for a, b in zip(ordered, ordered[1:]):
+        assert a["kept"] >= b["kept"]
+        assert a["recall"] >= b["recall"]
+
+    with pytest.raises(ValueError):
+        threshold_sweep(df, "score", "label", 0)

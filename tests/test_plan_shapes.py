@@ -546,3 +546,21 @@ def test_shard_assign_map_only_manifest_one_exchange(spark):
     man = shard_manifest(docs, "doc_id", 16, text_col="text")
     plan = man._jdf.queryExecution().executedPlan().toString()
     assert _n_exchanges(plan) == 1, plan
+
+
+def test_threshold_sweep_one_exchange(spark):
+    """threshold_sweep pays ONE corpus-grain exchange (the n_bins-
+    bounded hash agg with map-side partials); the cumulative window
+    runs over the bin table, a dimension-sized single partition."""
+    from claims_data_spark.operators.classify import threshold_sweep
+
+    docs = spark.range(1000).select(
+        ((F.col("id") % 97) / 97.0).alias("score"),
+        (F.col("id") % 3 == 0).cast("int").alias("label"),
+    )
+    out = threshold_sweep(docs, "score", "label", 20)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the bin agg exchange + the SinglePartition exchange feeding the
+    # 20-row window — corpus-size-dependent shuffles: exactly one
+    assert _n_exchanges(plan) == 1, plan
+    assert plan.count("Exchange SinglePartition") <= 2, plan
