@@ -52,27 +52,6 @@ def main() -> None:
     oracles = entrymod.oracle_sql()
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
 
-    spark_t: dict[str, float] = {}
-    spark_rows: dict[str, int] = {}
-    jobs: dict[str, int] = {}
-    for name in names:
-        best = None
-        for run in range(runs):
-            group = f"{name}#r{run}"
-            sc.setJobGroup(group, name)
-            t0 = time.perf_counter()
-            n = qs[name](spark, sf_dir).count()
-            el = time.perf_counter() - t0
-            sc.setJobGroup(None, None)
-            best = el if best is None else min(best, el)
-            jobs[name] = len(tracker.getJobIdsForGroup(group))
-        spark.catalog.clearCache()
-        spark_t[name] = round(best, 3)
-        spark_rows[name] = n
-        print(f"# spark {name}: {best:.3f}s ({n} rows, {jobs[name]} jobs)",
-              file=sys.stderr)
-    spark.stop()
-
     import duckdb
 
     con = duckdb.connect()
@@ -81,25 +60,57 @@ def main() -> None:
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"read_parquet('{sf_dir}/{t}.parquet')"
         )
+
+    # INTERLEAVED protocol (round-7 revision): sub-5s walls drift
+    # ~30% with host/FS-cache state ACROSS sessions, which is wider
+    # than the 2x gate the ratio feeds — so both engines now run
+    # back-to-back per query in the SAME session, after one untimed
+    # warm-up pass each, and the ratio is min-over-runs of each
+    # engine under identical host state. Cross-session drift cancels
+    # out of the ratio by construction.
+    spark_t: dict[str, float] = {}
+    spark_rows: dict[str, int] = {}
+    jobs: dict[str, int] = {}
     duck_t: dict[str, float] = {}
     duck_rows: dict[str, int] = {}
     for name in names:
-        if name not in oracles:
-            continue
-        best = None
-        for _ in range(runs):
+        has_oracle = name in oracles
+        # warm-up, untimed: page cache + plan/codegen caches
+        qs[name](spark, sf_dir).count()
+        spark.catalog.clearCache()
+        if has_oracle:
+            con.execute(oracles[name]).fetchall()
+        s_best = d_best = None
+        for run in range(runs):
+            group = f"{name}#r{run}"
+            sc.setJobGroup(group, name)
             t0 = time.perf_counter()
-            rows = con.execute(oracles[name]).fetchall()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        duck_t[name] = round(best, 3)
-        duck_rows[name] = len(rows)
-        print(f"# duckdb {name}: {best:.3f}s ({len(rows)} rows)",
+            n = qs[name](spark, sf_dir).count()
+            el = time.perf_counter() - t0
+            sc.setJobGroup(None, None)
+            s_best = el if s_best is None else min(s_best, el)
+            jobs[name] = len(tracker.getJobIdsForGroup(group))
+            spark.catalog.clearCache()
+            if has_oracle:
+                t0 = time.perf_counter()
+                rows = con.execute(oracles[name]).fetchall()
+                dt = time.perf_counter() - t0
+                d_best = dt if d_best is None else min(d_best, dt)
+        spark_t[name] = round(s_best, 3)
+        spark_rows[name] = n
+        print(f"# spark {name}: {s_best:.3f}s ({n} rows, {jobs[name]} jobs)",
               file=sys.stderr)
+        if has_oracle:
+            duck_t[name] = round(d_best, 3)
+            duck_rows[name] = len(rows)
+            print(f"# duckdb {name}: {d_best:.3f}s ({len(rows)} rows)",
+                  file=sys.stderr)
+    spark.stop()
 
     out = {
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "runs": runs,
+        "protocol": "interleaved-warm",
         "queries": {
             n: {
                 "spark_sec": spark_t[n],
