@@ -7833,6 +7833,77 @@ FROM cum
 """
 
 
+def q_cross_source_overlap(spark, sf_dir):
+    """Cross-source n-gram contamination matrix
+    (operators/corpus.cross_source_contamination): pairwise distinct-
+    trigram overlap between four synthetic sources — the release
+    report that catches two ingested sources carrying the same
+    underlying content before their duplicates dilute a mixture
+    weight. ONE corpus-grain exchange (the gram shuffle) folds each
+    gram's source set into a bit_or mask; everything after runs over
+    dimension-sized frames. Sources index by SORTED name on both
+    engines."""
+    from claims_data_spark.operators.corpus import (
+        cross_source_contamination,
+    )
+
+    d = _t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    ).select(
+        F.concat(F.lit("src"), (F.col("doc_id") % 4).cast("int").cast("string"))
+        .alias("src"),
+        "text",
+    )
+    out = cross_source_contamination(d, "src", "text", n=3)
+    return out.select(
+        "source_a", "source_b", "shared_ngrams", "total_a", "total_b",
+        "jaccard",
+    )
+
+
+SQL_CROSS_SOURCE_OVERLAP = """
+WITH d AS (
+  SELECT 'src' || CAST(CAST(doc_id % 4 AS INT) AS VARCHAR) AS src,
+         CAST(doc_id % 4 AS INT) AS sidx, text
+  FROM documents WHERE text IS NOT NULL
+), words AS (
+  SELECT sidx, string_split_regex(lower(trim(text)), '\\s+') AS w FROM d
+), grams AS (
+  SELECT DISTINCT sidx, gram FROM (
+    SELECT sidx,
+      unnest(list_transform(generate_series(1, len(w) - 2),
+             i -> array_to_string(w[i:i+2], ' '))) AS gram
+    FROM words WHERE len(w) >= 3
+  ) WHERE LENGTH(gram) > 0
+), masks AS (
+  SELECT gram, bit_or(CAST(1 AS BIGINT) << sidx) AS mask
+  FROM grams GROUP BY gram
+), pairs AS (
+  SELECT CAST(a.range AS INT) AS ia, CAST(b.range AS INT) AS ib
+  FROM range(4) a, range(4) b WHERE a.range < b.range
+), agg AS (
+  SELECT ia, ib,
+    sum(CASE WHEN (mask & (CAST(1 AS BIGINT) << ia)) <> 0
+              AND (mask & (CAST(1 AS BIGINT) << ib)) <> 0
+             THEN 1 ELSE 0 END) AS shared,
+    sum(CASE WHEN (mask & (CAST(1 AS BIGINT) << ia)) <> 0
+             THEN 1 ELSE 0 END) AS ta,
+    sum(CASE WHEN (mask & (CAST(1 AS BIGINT) << ib)) <> 0
+             THEN 1 ELSE 0 END) AS tb
+  FROM masks CROSS JOIN pairs GROUP BY ia, ib
+)
+SELECT 'src' || CAST(ia AS VARCHAR) AS source_a,
+       'src' || CAST(ib AS VARCHAR) AS source_b,
+       CAST(shared AS BIGINT) AS shared_ngrams,
+       CAST(ta AS BIGINT) AS total_a,
+       CAST(tb AS BIGINT) AS total_b,
+       CASE WHEN ta + tb - shared > 0
+            THEN CAST(shared AS DOUBLE) / (ta + tb - shared)
+            ELSE 0.0 END AS jaccard
+FROM agg
+"""
+
+
 def q_hedis_year_merge(spark, sf_dir):
     """HEDIS/QRS value-set year-merge
     (load_claims.ref_hedis_value_sets_apde_2018-2023.R:687-730): two
@@ -8183,7 +8254,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "amr_measure": q_amr_measure,
         "session_windows": q_session_windows,
         "multimodal_features": q_multimodal_features,
-        "multimodal_decode": q_multimodal_decode,
         # rule-1 late pins: knn_ivf's compiled assignment changed this
         # round (_dlit literal-node diet), and the five round-7
         # additions (split_assign / bpe_encode / html_extract /
@@ -8206,6 +8276,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # by session_windows
         "shard_manifest": q_shard_manifest,
         "threshold_sweep": q_threshold_sweep,
+        # rule-1 pin: cross_source_overlap (pairwise source
+        # contamination matrix, new r07) displaces multimodal_decode
+        # — its byte-level decoders keep dedicated pytests and the
+        # sibling multimodal_features stays in-window
+        "cross_source_overlap": q_cross_source_overlap,
         # ---- outside the window: parity + pytest covered ----
         # head of the r08 backfill queue: the r04-last queries the
         # window could not seat (each is covered by a driver-green
@@ -8215,6 +8290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_props": q_json_props,
         "sliding_windows": q_sliding_windows,
         "windowed_events": q_windowed_events,
+        "multimodal_decode": q_multimodal_decode,
         "grouping_sets": q_grouping_sets,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
@@ -8310,6 +8386,7 @@ def oracle_sql() -> dict[str, str]:
         "top_causes_window": SQL_TOP_CAUSES_WINDOW,
         "shard_manifest": SQL_SHARD_MANIFEST,
         "threshold_sweep": SQL_THRESHOLD_SWEEP,
+        "cross_source_overlap": SQL_CROSS_SOURCE_OVERLAP,
         "pricing_summary": SQL_PRICING,
         "typed_projection": SQL_TYPED_PROJECTION,
         "dynamic_filter": SQL_DYNAMIC_FILTER,

@@ -118,6 +118,7 @@ EXTENDED = [
     "top_causes_window",
     "shard_manifest",
     "threshold_sweep",
+    "cross_source_overlap",
 ]
 
 

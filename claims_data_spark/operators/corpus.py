@@ -1188,3 +1188,115 @@ def corpus_diff_summary(
             F.col("id_checksum").cast("decimal(38,0)").alias("id_checksum"),
         )
     )
+
+
+def cross_source_contamination(
+    docs: DataFrame,
+    source_col: str,
+    text_col: str = "text",
+    n: int = 8,
+    max_sources: int = 16,
+) -> DataFrame:
+    """Pairwise word-n-gram overlap matrix BETWEEN corpus sources —
+    the release report that tells you two ingested sources carry the
+    same underlying content (a crawl and a curated dump of the same
+    site, two snapshots of one forum) before their duplicates dilute
+    a mixture weight. Complements :func:`decontaminate` (corpus vs a
+    small eval suite): here both sides are corpus-sized.
+
+    Returns one row per unordered source pair ``(source_a <
+    source_b)``: ``shared_ngrams`` (distinct n-grams present in
+    both), each side's distinct total, and the Jaccard overlap.
+
+    Scale shape: ONE corpus-grain exchange — the n-gram explode
+    shuffles once on the gram so each gram's source set unifies, and
+    ``bit_or(1 << source_index)`` folds that set into a single LONG
+    with map-side partials (source count is validated ≤
+    ``max_sources`` ≤ 16, so masks fit comfortably and the mask
+    rollup is bounded by 2^k rows worst-case, typically far fewer).
+    Every downstream step (per-mask counts, per-source totals, the
+    ≤ k(k-1)/2 pair expansion) runs over dimension-sized frames. The
+    distinct-source collect is bounded metadata (≤ ``max_sources``
+    rows + 1 for the over-limit check). NULL sources and empty texts
+    are excluded; NULL-source rows would otherwise silently merge
+    into one phantom source.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    if not 2 <= max_sources <= 16:
+        raise ValueError("max_sources must be in [2, 16]")
+    srcs = sorted(
+        r[0]
+        for r in docs.select(source_col)
+        .filter(F.col(source_col).isNotNull())
+        .distinct()
+        .limit(max_sources + 1)
+        .collect()
+    )
+    if len(srcs) > max_sources:
+        raise ValueError(
+            f"more than max_sources={max_sources} distinct sources; "
+            "bucket sources first (the mask rollup is 2^k worst-case)"
+        )
+    if len(srcs) < 2:
+        raise ValueError("need at least 2 non-null sources to compare")
+    bit_map = F.create_map(
+        *[x for s, i in ((s, i) for i, s in enumerate(srcs))
+          for x in (F.lit(s), F.lit(1 << i))]
+    )
+    from claims_data_spark.session import spread
+
+    grams = (
+        spread(
+            docs.filter(F.col(source_col).isNotNull())
+            .select(F.col(source_col).alias("_src"), F.col(text_col))
+        )
+        .select(
+            F.element_at(bit_map, F.col("_src")).cast("long").alias("_bit"),
+            F.explode_outer(_word_ngrams(text_col, n)).alias("gram"),
+        )
+        .filter(F.col("gram").isNotNull() & (F.length("gram") > 0))
+    )
+    masks = grams.groupBy("gram").agg(F.bit_or("_bit").alias("_mask"))
+    mask_counts = masks.groupBy("_mask").agg(F.count(F.lit(1)).alias("_n"))
+    pairs = [
+        (srcs[a], srcs[b], 1 << a, 1 << b)
+        for a in range(len(srcs))
+        for b in range(a + 1, len(srcs))
+    ]
+    pair_df = masks.sparkSession.createDataFrame(
+        pairs, "source_a string, source_b string, _ba long, _bb long"
+    )
+    joined = mask_counts.crossJoin(F.broadcast(pair_df))
+    agg = joined.groupBy("source_a", "source_b", "_ba", "_bb").agg(
+        F.sum(
+            F.when(
+                (F.col("_mask").bitwiseAND(F.col("_ba")) != 0)
+                & (F.col("_mask").bitwiseAND(F.col("_bb")) != 0),
+                F.col("_n"),
+            ).otherwise(F.lit(0))
+        ).alias("shared_ngrams"),
+        F.sum(
+            F.when(
+                F.col("_mask").bitwiseAND(F.col("_ba")) != 0, F.col("_n")
+            ).otherwise(F.lit(0))
+        ).alias("total_a"),
+        F.sum(
+            F.when(
+                F.col("_mask").bitwiseAND(F.col("_bb")) != 0, F.col("_n")
+            ).otherwise(F.lit(0))
+        ).alias("total_b"),
+    )
+    return agg.select(
+        "source_a",
+        "source_b",
+        F.col("shared_ngrams").cast("long").alias("shared_ngrams"),
+        F.col("total_a").cast("long").alias("total_a"),
+        F.col("total_b").cast("long").alias("total_b"),
+        F.when(
+            (F.col("total_a") + F.col("total_b") - F.col("shared_ngrams"))
+            > 0,
+            F.col("shared_ngrams")
+            / (F.col("total_a") + F.col("total_b") - F.col("shared_ngrams")),
+        ).otherwise(F.lit(0.0)).alias("jaccard"),
+    )

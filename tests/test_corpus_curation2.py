@@ -673,3 +673,58 @@ def test_corpus_diff_subset_columns_and_errors(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         corpus_diff(old.select("doc_id"), new.select("doc_id"))
+
+
+def test_cross_source_contamination_exact(spark):
+    """Hand-built three-source fixture with known distinct-trigram
+    sets; shared counts and Jaccard must match exact set arithmetic,
+    NULL sources excluded, guards raise."""
+    import pytest
+
+    from claims_data_spark.operators.corpus import (
+        cross_source_contamination,
+    )
+
+    rows = [
+        # src A: trigrams {a b c, b c d}
+        ("A", "a b c d"),
+        # src B: shares "a b c" with A, adds {x y z}
+        ("B", "a b c"),
+        ("B", "x y z"),
+        # src C: shares "x y z" with B only
+        ("C", "x y z"),
+        # excluded channels
+        (None, "a b c d"),
+        ("A", None),
+        ("B", "too short"),
+    ]
+    df = spark.createDataFrame(rows, "src string, text string")
+    got = {
+        (r["source_a"], r["source_b"]): r
+        for r in cross_source_contamination(
+            df, "src", "text", n=3
+        ).collect()
+    }
+    assert set(got) == {("A", "B"), ("A", "C"), ("B", "C")}
+    ab = got[("A", "B")]
+    assert (ab["shared_ngrams"], ab["total_a"], ab["total_b"]) == (1, 2, 2)
+    assert abs(ab["jaccard"] - 1 / 3) < 1e-12
+    ac = got[("A", "C")]
+    assert (ac["shared_ngrams"], ac["total_a"], ac["total_b"]) == (0, 2, 1)
+    assert ac["jaccard"] == 0.0
+    bc = got[("B", "C")]
+    assert (bc["shared_ngrams"], bc["total_a"], bc["total_b"]) == (1, 2, 1)
+    assert abs(bc["jaccard"] - 1 / 2) < 1e-12
+
+    with pytest.raises(ValueError):
+        cross_source_contamination(df, "src", "text", n=0)
+    with pytest.raises(ValueError):
+        cross_source_contamination(
+            spark.createDataFrame([("A", "a b c")], "src string, text string"),
+            "src", "text", n=3,
+        )
+    many = spark.createDataFrame(
+        [(f"s{i}", "a b c") for i in range(20)], "src string, text string"
+    )
+    with pytest.raises(ValueError):
+        cross_source_contamination(many, "src", "text", n=3, max_sources=16)

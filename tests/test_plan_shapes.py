@@ -564,3 +564,25 @@ def test_threshold_sweep_one_exchange(spark):
     # 20-row window — corpus-size-dependent shuffles: exactly one
     assert _n_exchanges(plan) == 1, plan
     assert plan.count("Exchange SinglePartition") <= 2, plan
+
+
+def test_cross_source_overlap_one_corpus_exchange(spark):
+    """cross_source_contamination pays ONE corpus-grain exchange (the
+    gram shuffle that unifies each gram's source set into a bit_or
+    mask); the mask rollup, pair expansion and totals are all
+    dimension-sized. The pair table is broadcast, never shuffled."""
+    from claims_data_spark.operators.corpus import (
+        cross_source_contamination,
+    )
+
+    docs = spark.createDataFrame(
+        [(f"s{i % 3}", f"w{i} w{i+1} w{i+2} w{i+3}") for i in range(200)],
+        "src string, text string",
+    )
+    out = cross_source_contamination(docs, "src", "text", n=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # corpus-size-dependent shuffles: the gram agg (+ the spread
+    # repartition on a tiny local input); mask/pair stages are bounded
+    assert _n_exchanges(plan) <= 3, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan \
+        or "CartesianProduct" not in plan, plan
