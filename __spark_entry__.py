@@ -1541,6 +1541,91 @@ WHERE len(list_intersect(x.s, y.s)) * 1.0
 """
 
 
+def q_fuzzy_decontaminate(spark, sf_dir):
+    """MinHash-banded cross-corpus decontamination (operators/
+    corpus.fuzzy_decontaminate): drop training documents NEAR-
+    duplicate to any benchmark doc — the fuzzy complement of the
+    exact/Bloom 13-gram gate (paraphrased eval leakage shares no
+    verbatim n-gram but still contaminates). Fixture: the benchmark is
+    every 101st document verbatim (the "eval set was drawn from the
+    crawl" scenario), the full corpus is the training side, so every
+    bench row has a guaranteed exact hit plus whatever planted
+    near-dups cross the split. portable=True (md5-hex MinHash family)
+    so the oracle reproduces the banded candidate set exactly —
+    signatures, banding, the broadcast bucket probe and the exact-
+    Jaccard verification all get a value-level signal."""
+    from claims_data_spark.operators.corpus import fuzzy_decontaminate
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 101 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    _, cont = fuzzy_decontaminate(
+        d, bench, jaccard_threshold=0.8, num_hashes=32, bands=8,
+        portable=True,
+    )
+    return cont.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("best_bench_id").cast("long").alias("best_bench_id"),
+        F.col("best_jaccard").cast("double").alias("best_jaccard"),
+        F.col("n_bench_hits").cast("long").alias("n_bench_hits"),
+    )
+
+
+SQL_FUZZY_DECONTAMINATE = """
+WITH norm AS (
+  SELECT doc_id,
+    string_split(regexp_replace(LOWER(TRIM(text)), '\\s+', ' ', 'g'), ' ') AS w
+  FROM documents WHERE text IS NOT NULL
+), sh AS (
+  SELECT doc_id,
+    list_distinct(
+      list_transform(
+        generate_series(1, GREATEST(len(w) - 2, 1)),
+        i -> array_to_string(w[i:i+2], ' ')
+      )
+    ) AS s
+  FROM norm
+), sig AS (
+  SELECT doc_id, s,
+    list_transform(
+      range(0, 32),
+      i -> list_min(list_transform(s, x -> md5(i::VARCHAR || ':' || x)))
+    ) AS g
+  FROM sh
+), bands AS (
+  SELECT doc_id, t.b AS band_id,
+    array_to_string(g[(4 * t.b + 1):(4 * t.b + 4)], '|') AS band_hash
+  FROM sig, range(0, 8) t(b)
+), cand AS (
+  SELECT DISTINCT d.doc_id, b.doc_id AS bench_id
+  FROM bands d JOIN bands b
+    ON d.band_id = b.band_id AND d.band_hash = b.band_hash
+  WHERE b.doc_id % 101 = 0
+), verified AS (
+  SELECT c.doc_id, c.bench_id,
+    len(list_intersect(x.s, y.s)) * 1.0
+      / len(list_distinct(list_concat(x.s, y.s))) AS j
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.doc_id
+  JOIN sh y ON y.doc_id = c.bench_id
+  WHERE len(list_intersect(x.s, y.s)) * 1.0
+        / len(list_distinct(list_concat(x.s, y.s))) >= 0.8
+)
+SELECT doc_id,
+  CAST(bench_id AS BIGINT) AS best_bench_id,
+  ROUND(mx, 4) AS best_jaccard,
+  cnt AS n_bench_hits
+FROM (
+  SELECT doc_id, bench_id,
+    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY j DESC, bench_id) AS rn,
+    MAX(j) OVER (PARTITION BY doc_id) AS mx,
+    COUNT(*) OVER (PARTITION BY doc_id)::BIGINT AS cnt
+  FROM verified
+) WHERE rn = 1
+"""
+
+
 def q_simhash_dedup(spark, sf_dir):
     """SimHash near-dup pairs, full value-checked via the portable
     md5 hash family: token hash = first 15 hex digits of md5 parsed
@@ -8249,7 +8334,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "address_clean": q_address_clean,
         "spatial_pip": q_spatial_pip,
         "perf_measure_ed": q_perf_measure_ed,
-        "perf_measure_fua": q_perf_measure_fua,
         "lcs_match": q_lcs_match,
         "amr_measure": q_amr_measure,
         "session_windows": q_session_windows,
@@ -8281,6 +8365,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # — its byte-level decoders keep dedicated pytests and the
         # sibling multimodal_features stays in-window
         "cross_source_overlap": q_cross_source_overlap,
+        # rule-1 pin: fuzzy_decontaminate (MinHash-banded cross-corpus
+        # near-dup decontamination, new r07) displaces
+        # perf_measure_fua — its registry/staging machinery stays
+        # in-window via perf_measure_ed and the fuh/pcr/tx_pen measures
+        "fuzzy_decontaminate": q_fuzzy_decontaminate,
         # ---- outside the window: parity + pytest covered ----
         # head of the r08 backfill queue: the r04-last queries the
         # window could not seat (each is covered by a driver-green
@@ -8288,6 +8377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # weighted_sample family / the pack_sequences exact pytest /
         # get_json_object parity rows)
         "json_props": q_json_props,
+        "perf_measure_fua": q_perf_measure_fua,
         "sliding_windows": q_sliding_windows,
         "windowed_events": q_windowed_events,
         "multimodal_decode": q_multimodal_decode,
@@ -8387,6 +8477,7 @@ def oracle_sql() -> dict[str, str]:
         "shard_manifest": SQL_SHARD_MANIFEST,
         "threshold_sweep": SQL_THRESHOLD_SWEEP,
         "cross_source_overlap": SQL_CROSS_SOURCE_OVERLAP,
+        "fuzzy_decontaminate": SQL_FUZZY_DECONTAMINATE,
         "pricing_summary": SQL_PRICING,
         "typed_projection": SQL_TYPED_PROJECTION,
         "dynamic_filter": SQL_DYNAMIC_FILTER,

@@ -119,6 +119,7 @@ EXTENDED = [
     "shard_manifest",
     "threshold_sweep",
     "cross_source_overlap",
+    "fuzzy_decontaminate",
 ]
 
 

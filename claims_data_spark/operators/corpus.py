@@ -187,6 +187,152 @@ def decontaminate(
     return clean, contaminated
 
 
+def fuzzy_decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "bench_id",
+    bench_text_col: str = "text",
+    shingle_k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    jaccard_threshold: float = 0.8,
+    portable: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """Drop training documents NEAR-duplicate to any benchmark/eval
+    document — the fuzzy complement of :func:`decontaminate`'s exact
+    n-gram gate (paraphrased or lightly-edited eval leakage that
+    shares no verbatim 13-gram still contaminates; GPT-3 appendix C
+    and the Pile decontaminate at the fuzzy level for this reason).
+
+    Returns ``(clean_docs, contaminated)`` where ``contaminated`` is
+    one audit row per leaked training doc: the best-matching benchmark
+    id (ties break to the lowest), its Jaccard, and how many benchmark
+    docs matched at or above the threshold.
+
+    Scale shape (the decontamination asymmetry is the whole design):
+    benchmark suites are MB-sized next to a 100 TB corpus, so the
+    benchmark's banded signature table and its shingle sets are both
+    BROADCAST. The corpus pays ONE scan that computes shingles and
+    MinHash signatures row-local; its band rows broadcast-join the
+    benchmark bands (no corpus-grain exchange — compare
+    ``minhash_near_dup_pairs``, whose self-join must shuffle), the
+    (rare) candidate pairs verify exact Jaccard against the broadcast
+    benchmark shingles on the spot, and the only exchanges left are
+    candidate-grain: the per-doc best-match aggregate and the
+    broadcast anti-join that keeps the clean rows. NULL-text training
+    rows have no shingles and always survive.
+
+    ``portable=True`` swaps murmur3 MinHash for the md5-hex family
+    (`minhash_signature_portable`) so an ANSI-SQL oracle reproduces
+    the banded candidate set exactly — the driver-checked variant;
+    production callers keep the ~3x-cheaper murmur3 default.
+    """
+    from claims_data_spark.operators.dedup import (
+        minhash_signature,
+        minhash_signature_portable,
+        word_shingles,
+    )
+    from claims_data_spark.session import spread
+
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must divide evenly into "
+            f"bands ({bands})"
+        )
+    rows_per_band = num_hashes // bands
+    sig_fn = minhash_signature_portable if portable else minhash_signature
+
+    def _with_sig(df: DataFrame, idc: str, txtc: str) -> DataFrame:
+        return (
+            df.select(F.col(idc), F.col(txtc))
+            .filter(F.col(txtc).isNotNull())
+            .withColumn("_sh", word_shingles(txtc, shingle_k))
+            .withColumn("_sig", sig_fn("_sh", num_hashes))
+        )
+
+    def _bands(df: DataFrame, idc: str) -> DataFrame:
+        if portable:
+            # fixed-width md5 components -> '|'-concat is an
+            # unambiguous bucket key both engines build identically
+            band_structs = F.expr(
+                "array(" + ", ".join(
+                    f"named_struct('band_id', {b}, 'band_hash', "
+                    "concat_ws('|', "
+                    + ", ".join(
+                        f"_sig[{b * rows_per_band + r}]"
+                        for r in range(rows_per_band)
+                    )
+                    + "))"
+                    for b in range(bands)
+                ) + ")"
+            )
+        else:
+            band_structs = F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.hash(
+                            *[
+                                F.col("_sig")[b * rows_per_band + r]
+                                for r in range(rows_per_band)
+                            ]
+                        ).cast("string").alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        return df.select(idc, F.explode(band_structs).alias("_b")).select(
+            idc,
+            F.col("_b.band_id").alias("band_id"),
+            F.col("_b.band_hash").alias("band_hash"),
+        )
+
+    bench_sig = _with_sig(benchmark, bench_id_col, bench_text_col)
+    bench_bands = _bands(bench_sig, bench_id_col)
+    bench_sh = bench_sig.select(
+        F.col(bench_id_col), F.col("_sh").alias("_sh_bench")
+    )
+
+    # spread keeps the shingle/signature map stage off a single
+    # small-file scan task (no-op on already-parallel inputs);
+    # persisted because the band probe and the candidate verification
+    # both reuse it — without the persist the corpus scans twice
+    doc_sig = spread(_with_sig(docs, id_col, text_col)).persist()
+    cand = (
+        _bands(doc_sig, id_col)
+        .join(F.broadcast(bench_bands), ["band_id", "band_hash"])
+        .select(id_col, bench_id_col)
+        .distinct()
+    )
+    verified = (
+        cand.join(doc_sig.select(id_col, "_sh"), id_col)
+        .join(F.broadcast(bench_sh), bench_id_col)
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("_sh", "_sh_bench"))
+            / F.size(F.array_union("_sh", "_sh_bench")),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+    )
+    contaminated = verified.groupBy(id_col).agg(
+        F.min_by(
+            F.col(bench_id_col),
+            F.struct(
+                (-F.col("jaccard")).alias("nj"),
+                F.col(bench_id_col).alias("tie"),
+            ),
+        ).alias("best_bench_id"),
+        F.round(F.max("jaccard"), 4).alias("best_jaccard"),
+        F.count(F.lit(1)).cast("long").alias("n_bench_hits"),
+    )
+    clean = docs.join(
+        F.broadcast(contaminated.select(id_col)), id_col, "left_anti"
+    )
+    return clean, contaminated
+
+
 # ---------------------------------------------------------------------------
 # Deterministic stratified sampling
 # ---------------------------------------------------------------------------

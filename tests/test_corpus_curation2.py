@@ -728,3 +728,111 @@ def test_cross_source_contamination_exact(spark):
     )
     with pytest.raises(ValueError):
         cross_source_contamination(many, "src", "text", n=3, max_sources=16)
+
+
+# ---------------------------------------------------------------------------
+# fuzzy_decontaminate (MinHash-banded cross-corpus near-dup gate)
+# ---------------------------------------------------------------------------
+
+from claims_data_spark.operators.corpus import fuzzy_decontaminate
+
+_FD_BASE = (
+    "the quick brown fox jumps over the lazy dog while seventeen "
+    "sleepy cats watch from a warm stone wall near the old harbor "
+    "lighthouse at dusk"
+)
+
+
+def _fd_frames(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, _FD_BASE),  # exact copy of bench 100
+            (2, _FD_BASE.replace("seventeen", "nineteen")),  # near-dup
+            (3, "completely unrelated text about spark shuffle plans "
+                "and parquet row groups with nothing shared at all "
+                "beyond function words maybe"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, _FD_BASE), (101, "short bench item nothing matches")],
+        "bench_id long, text string",
+    )
+    return docs, bench
+
+
+@pytest.mark.parametrize("portable", [False, True])
+def test_fuzzy_decon_exact_copy_always_flagged(spark, portable):
+    # identical text -> identical signature -> every band collides:
+    # detection is GUARANTEED, not probabilistic
+    docs, bench = _fd_frames(spark)
+    clean, cont = fuzzy_decontaminate(
+        docs, bench, jaccard_threshold=0.8, portable=portable
+    )
+    rows = {r["doc_id"]: r for r in cont.collect()}
+    assert 1 in rows
+    assert rows[1]["best_bench_id"] == 100
+    assert rows[1]["best_jaccard"] == 1.0
+    kept = {r["doc_id"] for r in clean.collect()}
+    assert 1 not in kept
+    # NULL text and the unrelated doc survive
+    assert {3, 4} <= kept
+
+
+def test_fuzzy_decon_near_dup_flagged_unrelated_kept(spark):
+    # one word changed in a 26-word doc: 21/27 shared shingles
+    # (jaccard 0.778). The default 8x4 banding would give that pair a
+    # ~97% detection chance — and under the seeded murmur3 family it
+    # deterministically lands in the unlucky 3%, a useful reminder the
+    # LSH recall contract is per-FAMILY; 16 bands x 2 rows puts the
+    # miss probability at ~3e-7 and (pinned) detects it
+    docs, bench = _fd_frames(spark)
+    clean, cont = fuzzy_decontaminate(
+        docs, bench, jaccard_threshold=0.5, bands=16
+    )
+    rows = {r["doc_id"]: r for r in cont.collect()}
+    assert set(rows) == {1, 2}
+    assert rows[2]["best_bench_id"] == 100
+    assert 0.5 <= rows[2]["best_jaccard"] < 1.0
+    kept = {r["doc_id"] for r in clean.collect()}
+    assert kept == {3, 4}
+
+
+def test_fuzzy_decon_portable_matches_murmur3_on_verified_set(spark):
+    # the hash family only shapes the CANDIDATE set; after exact
+    # Jaccard verification both families must emit the same rows here
+    # (every true pair is an exact copy -> guaranteed candidates)
+    docs, bench = _fd_frames(spark)
+    a = fuzzy_decontaminate(docs, bench, jaccard_threshold=0.99)[1]
+    b = fuzzy_decontaminate(
+        docs, bench, jaccard_threshold=0.99, portable=True
+    )[1]
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_fuzzy_decon_best_match_tiebreak_lowest_bench_id(spark):
+    docs = spark.createDataFrame([(1, _FD_BASE)], "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(200, _FD_BASE), (150, _FD_BASE)], "bench_id long, text string"
+    )
+    cont = fuzzy_decontaminate(docs, bench)[1].collect()
+    assert len(cont) == 1
+    assert cont[0]["best_bench_id"] == 150
+    assert cont[0]["n_bench_hits"] == 2
+
+
+def test_fuzzy_decon_partitioning_invariant(spark):
+    docs, bench = _fd_frames(spark)
+    out = lambda d, b: sorted(  # noqa: E731
+        map(tuple, fuzzy_decontaminate(d, b, jaccard_threshold=0.5)[1].collect())
+    )
+    assert out(docs.repartition(1), bench.repartition(1)) == out(
+        docs.repartition(7), bench.repartition(3)
+    )
+
+
+def test_fuzzy_decon_band_validation(spark):
+    docs, bench = _fd_frames(spark)
+    with pytest.raises(ValueError):
+        fuzzy_decontaminate(docs, bench, num_hashes=30, bands=8)

@@ -586,3 +586,24 @@ def test_cross_source_overlap_one_corpus_exchange(spark):
     assert _n_exchanges(plan) <= 3, plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan \
         or "CartesianProduct" not in plan, plan
+
+
+def test_fuzzy_decontaminate_bench_side_broadcast(spark, sf_dir):
+    # the decontamination asymmetry: the benchmark's band table and
+    # shingle sets BROADCAST, the corpus pays one scan — the band
+    # probe must plan as a BroadcastHashJoin, never a corpus-grain
+    # SortMergeJoin, and the only shuffle exchanges are
+    # candidate-grain (the distinct + per-doc best-match aggregate)
+    from claims_data_spark.operators.corpus import fuzzy_decontaminate
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = d.filter(F.col("doc_id") % 101 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    _, cont = fuzzy_decontaminate(d, bench)
+    plan = _plan(cont)
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("SortMergeJoin") == 0, plan
+    # candidate-grain exchanges only: the distinct over (doc, bench)
+    # pairs and the groupBy(doc) aggregate — ≤ 4 with partials
+    assert _n_exchanges(plan) <= 4, plan
