@@ -6624,9 +6624,13 @@ ORDER BY pmi DESC, a, b LIMIT 50
 
 def q_mix_rebalance(spark, sf_dir):
     """Downsample-only mixture rebalancing to a target language
-    distribution (the Pile/DoReMi domain-mixing step): T = min(n/p)
-    over strata, per-stratum keep-rate p*T/n, md5-thinned — one tiny
-    aggregate broadcast back, the corpus sees one map-only filter."""
+    distribution (the Pile/DoReMi domain-mixing step): T = min(W/p)
+    over strata, per-stratum keep-rate p*T/W, md5-thinned — one tiny
+    aggregate broadcast back, the corpus sees one map-only filter.
+    Round-7: the mixture unit is TOKEN-weighted (``weight_col=
+    'n_chars'`` — LLM mixtures are specified in token shares and
+    doc-count mixing skews toward short-doc strata), so the stratum
+    totals are char sums, exercising the weighted surface end-to-end."""
     from claims_data_spark.operators.corpus import mix_rebalance
 
     d = spread(_t(spark, sf_dir, "documents"))
@@ -6634,6 +6638,7 @@ def q_mix_rebalance(spark, sf_dir):
         d, strata_col="lang",
         target={"en": 0.3, "de": 0.2, "es": 0.2, "fr": 0.2, "zh": 0.1},
         id_col="doc_id",
+        weight_col="n_chars",
     )
     return out.select(
         "doc_id", "lang", "source",
@@ -6645,7 +6650,8 @@ SQL_MIX_REBALANCE = """
 WITH tgt(lang, p) AS (
   VALUES ('en', 0.3), ('de', 0.2), ('es', 0.2), ('fr', 0.2), ('zh', 0.1)
 ), n AS (
-  SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n FROM documents GROUP BY lang
+  SELECT lang, SUM(COALESCE(CAST(n_chars AS DOUBLE), 0.0)) AS n
+  FROM documents GROUP BY lang
 ), t AS (
   SELECT MIN(n.n / tgt.p) AS t FROM n JOIN tgt USING (lang)
 ), rates AS (
@@ -8328,7 +8334,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stage_mcaid_elig": q_stage_mcaid_elig,
         "demo_summary": q_demo_summary,
         "provider_master_rank": q_provider_master_rank,
-        "ndc_normalize": q_ndc_normalize,
+        # rule-1 re-pin: mix_rebalance's checked surface changed this
+        # round (token-weighted mixture via weight_col='n_chars') —
+        # displaces ndc_normalize to the r08 backfill head (NDC
+        # normalization stays driver-exercised inside the r06-green
+        # claim_moud / rda paths and keeps its pytests)
+        "mix_rebalance": q_mix_rebalance,
         "claims_summary": q_claims_summary,
         "housing_status": q_housing_status,
         "address_clean": q_address_clean,
@@ -8428,7 +8439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "bigram_lm": q_bigram_lm,
         "weighted_sample": q_weighted_sample,
-        "mix_rebalance": q_mix_rebalance,
+        "ndc_normalize": q_ndc_normalize,
         "domain_cap": q_domain_cap,
         "wordpiece_tokenize": q_wordpiece_tokenize,
         "line_dedup": q_line_dedup,

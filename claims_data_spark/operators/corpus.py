@@ -769,6 +769,7 @@ def mix_rebalance(
     id_col: str,
     seed: str = "mix",
     rate_col: str = "keep_rate",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Rebalance a corpus to a target mixture by downsampling-only
     (the Pile/DoReMi-style domain-mixing step): given target
@@ -776,6 +777,18 @@ def mix_rebalance(
     upsampling is T = min_s(n_s / p_s); each stratum keeps
     rate_s = p_s * T / n_s of its rows via the deterministic md5 thin.
     Strata absent from ``target`` drop entirely (rate 0).
+
+    ``weight_col`` switches the mixture unit from documents to a
+    per-row weight (token or char counts — LLM mixtures are specified
+    in TOKEN shares, and doc-count mixing skews toward short-doc
+    strata): n_s becomes SUM(weight) and the target proportions are
+    weight shares. Selection stays per-document at the stratum rate,
+    so the realized weight share is the target in expectation with
+    O(1/sqrt(docs)) relative error — exact-to-the-token knapsack
+    selection would need a per-stratum running sum (one extra window
+    shuffle) for a guarantee no training mixture needs. NULL weights
+    count as 0 toward the stratum total but the row still thins at
+    the stratum rate.
 
     All in-plan, no driver collect: the per-stratum counts are one
     tiny aggregate, T is a scalar aggregate over it, and both broadcast
@@ -791,7 +804,12 @@ def mix_rebalance(
             else p.when(cond, F.lit(float(frac)))
     p = p.otherwise(F.lit(0.0))
 
-    counts = df.groupBy(strata_col).agg(F.count("*").cast("double").alias("_n"))
+    n_expr = (
+        F.count("*").cast("double")
+        if weight_col is None
+        else F.sum(F.coalesce(F.col(weight_col).cast("double"), F.lit(0.0)))
+    )
+    counts = df.groupBy(strata_col).agg(n_expr.alias("_n"))
     counts = counts.withColumn("_p", p)
     t = counts.filter(F.col("_p") > 0).agg(
         F.min(F.col("_n") / F.col("_p")).alias("_t")

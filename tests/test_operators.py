@@ -750,6 +750,52 @@ def test_mix_rebalance_proportions_and_drop(spark):
     assert all(0 < r["keep_rate"] <= 1.0 for r in rates)
 
 
+def test_mix_rebalance_token_weighted_rates(spark):
+    """weight_col switches the mixture unit to per-row weights: the
+    binding stratum is the one scarce in WEIGHT, and rates are exactly
+    p * T / W (IEEE-exact, checked against hand arithmetic). NULL
+    weights count 0 toward the stratum total."""
+    from pyspark.sql import functions as F
+    from claims_data_spark.operators.corpus import mix_rebalance
+
+    # stratum a: many short docs (100 x 10 chars = 1000); stratum b:
+    # few long docs (5 x 100 = 500, plus one NULL-weight doc) — by
+    # DOC count a:b is 100:6, by WEIGHT 1000:500
+    rows = [(i, "a", 10) for i in range(100)]
+    rows += [(1000 + i, "b", 100) for i in range(5)]
+    rows += [(2000, "b", None)]
+    df = spark.createDataFrame(rows, "rid long, s string, w int")
+    out = mix_rebalance(
+        df, "s", {"a": 0.5, "b": 0.5}, id_col="rid", weight_col="w"
+    )
+    rates = {r["s"]: r["keep_rate"] for r in
+             out.select("s", "keep_rate").distinct().collect()}
+    # T = min(1000/0.5, 500/0.5) = 1000; b keeps all (rate 1.0),
+    # a keeps 0.5 * 1000 / 1000 = 0.5
+    assert rates["b"] == 1.0
+    assert rates["a"] == 0.5
+    # the NULL-weight doc still thins at its stratum rate (b=1.0)
+    assert out.filter("rid = 2000").count() == 1
+
+
+def test_mix_rebalance_default_unchanged_by_weight_param(spark):
+    """weight_col=None must stay bit-identical to the historical
+    doc-count behavior (same rates, same kept ids)."""
+    from claims_data_spark.operators.corpus import mix_rebalance
+
+    rows = [(i, "a" if i % 3 else "b") for i in range(300)]
+    df = spark.createDataFrame(rows, "rid long, s string")
+    base = mix_rebalance(df, "s", {"a": 0.6, "b": 0.4}, id_col="rid")
+    # weight 1 per row == doc counting
+    w1 = mix_rebalance(
+        df.withColumn("one", F.lit(1)), "s", {"a": 0.6, "b": 0.4},
+        id_col="rid", weight_col="one",
+    ).drop("one")
+    assert sorted(map(tuple, base.collect())) == sorted(
+        map(tuple, w1.collect())
+    )
+
+
 def test_domain_cap_two_phase_equivalence(spark):
     """The salted two-phase top-k (skew path) returns EXACTLY the
     single-window result — min-k is decomposable."""
