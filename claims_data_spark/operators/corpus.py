@@ -244,13 +244,22 @@ def fuzzy_decontaminate(
     rows_per_band = num_hashes // bands
     sig_fn = minhash_signature_portable if portable else minhash_signature
 
-    def _with_sig(df: DataFrame, idc: str, txtc: str) -> DataFrame:
-        return (
-            df.select(F.col(idc), F.col(txtc))
-            .filter(F.col(txtc).isNotNull())
-            .withColumn("_sh", word_shingles(txtc, shingle_k))
-            .withColumn("_sig", sig_fn("_sh", num_hashes))
+    def _with_sig(df: DataFrame, idc: str, txtc: str, par: bool) -> DataFrame:
+        # spread BEFORE the shingle/signature projection — repartition
+        # on the raw text so the CPU-heavy MinHash math runs on every
+        # core, not inside the handful of parquet scan tasks (an
+        # exchange evaluates everything BELOW it pre-shuffle; spread on
+        # top of the projection would serialize the signatures into
+        # the scan tasks and only shuffle the finished arrays —
+        # measured 75 s -> ~8 s at sf1)
+        base = df.select(F.col(idc), F.col(txtc)).filter(
+            F.col(txtc).isNotNull()
         )
+        if par:
+            base = spread(base)
+        return base.withColumn(
+            "_sh", word_shingles(txtc, shingle_k)
+        ).withColumn("_sig", sig_fn("_sh", num_hashes))
 
     def _bands(df: DataFrame, idc: str) -> DataFrame:
         if portable:
@@ -289,17 +298,15 @@ def fuzzy_decontaminate(
             F.col("_b.band_hash").alias("band_hash"),
         )
 
-    bench_sig = _with_sig(benchmark, bench_id_col, bench_text_col)
+    bench_sig = _with_sig(benchmark, bench_id_col, bench_text_col, False)
     bench_bands = _bands(bench_sig, bench_id_col)
     bench_sh = bench_sig.select(
         F.col(bench_id_col), F.col("_sh").alias("_sh_bench")
     )
 
-    # spread keeps the shingle/signature map stage off a single
-    # small-file scan task (no-op on already-parallel inputs);
     # persisted because the band probe and the candidate verification
     # both reuse it — without the persist the corpus scans twice
-    doc_sig = spread(_with_sig(docs, id_col, text_col)).persist()
+    doc_sig = _with_sig(docs, id_col, text_col, True).persist()
     cand = (
         _bands(doc_sig, id_col)
         .join(F.broadcast(bench_bands), ["band_id", "band_hash"])
