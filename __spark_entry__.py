@@ -6527,6 +6527,69 @@ FROM assigned a LEFT JOIN dups d USING (vec_id)
 """
 
 
+def q_diversity_sample(spark, sf_dir):
+    """Cluster-balanced diversity sampling (operators/similarity.
+    diversity_sample): nearest-centroid assignment over a fixed
+    8-vector codebook (the knn_ivf coarse-quantizer discipline —
+    unrolled-codegen cosine, centroids as exact double literals), then
+    at most 40 survivors per cluster by the md5-pinned draw. Equal
+    quotas flatten the embedding-space density — the coreset-selection
+    step of data-pruning pipelines. Fully value-checked: assignment,
+    draw ordering, and ranks are all engine-portable."""
+    from claims_data_spark.operators.similarity import (
+        _collect_fixed_centroids,
+        diversity_sample,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "vec", F.transform("embedding", lambda x: x.cast("double"))
+    ).select("vec_id", F.col("vec").alias("embedding"))
+    cents = _collect_fixed_centroids(
+        emb, [10, 60, 110, 160, 210, 260, 310, 360], "vec_id", "embedding"
+    )
+    out = diversity_sample(
+        emb, "embedding", "vec_id", [c for _, c in cents],
+        n_per_cluster=40, seed="div",
+    )
+    return out.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        F.col("sample_rank").cast("long").alias("sample_rank"),
+    )
+
+
+SQL_DIVERSITY_SAMPLE = f"""
+WITH emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+), cents AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, vec AS cv
+  FROM emb WHERE vec_id IN (10, 60, 110, 160, 210, 260, 310, 360)
+), assigned AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, k.cid,
+      ROW_NUMBER() OVER (
+        PARTITION BY e.vec_id
+        ORDER BY {{_SQL_COS_A}} DESC, k.cid
+      ) AS rn
+    FROM emb e CROSS JOIN cents k
+  ) WHERE rn = 1
+), drawn AS (
+  SELECT vec_id, cid,
+    ROW_NUMBER() OVER (
+      PARTITION BY cid
+      ORDER BY CAST(concat('0x',
+        substr(md5(CAST(vec_id AS VARCHAR) || 'div'), 1, 8)) AS BIGINT),
+        vec_id
+    ) AS rk
+  FROM assigned
+)
+SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id,
+  CAST(rk AS BIGINT) AS sample_rank
+FROM drawn WHERE rk <= 40
+""".replace("{_SQL_COS_A}", _SQL_COS.format(a="e.vec", b="k.cv"))
+
+
 def q_weighted_sample(spark, sf_dir):
     """Efraimidis–Spirakis weighted sampling without replacement:
     top-150 documents by ln(u)/n_chars with md5-pinned uniforms —
@@ -8342,7 +8405,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_rebalance": q_mix_rebalance,
         "claims_summary": q_claims_summary,
         "housing_status": q_housing_status,
-        "address_clean": q_address_clean,
+        # rule-1 pin: diversity_sample (cluster-balanced coreset
+        # selection, new r07) displaces address_clean to the r08
+        # backfill head — the address/geocode family keeps spatial_pip
+        # and housing_status in-window and address_clean's
+        # normalization rules keep their dedicated pytests
+        "diversity_sample": q_diversity_sample,
         "spatial_pip": q_spatial_pip,
         "perf_measure_ed": q_perf_measure_ed,
         "lcs_match": q_lcs_match,
@@ -8388,6 +8456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # weighted_sample family / the pack_sequences exact pytest /
         # get_json_object parity rows)
         "json_props": q_json_props,
+        "address_clean": q_address_clean,
         "perf_measure_fua": q_perf_measure_fua,
         "sliding_windows": q_sliding_windows,
         "windowed_events": q_windowed_events,
@@ -8489,6 +8558,7 @@ def oracle_sql() -> dict[str, str]:
         "threshold_sweep": SQL_THRESHOLD_SWEEP,
         "cross_source_overlap": SQL_CROSS_SOURCE_OVERLAP,
         "fuzzy_decontaminate": SQL_FUZZY_DECONTAMINATE,
+        "diversity_sample": SQL_DIVERSITY_SAMPLE,
         "pricing_summary": SQL_PRICING,
         "typed_projection": SQL_TYPED_PROJECTION,
         "dynamic_filter": SQL_DYNAMIC_FILTER,

@@ -120,6 +120,7 @@ EXTENDED = [
     "threshold_sweep",
     "cross_source_overlap",
     "fuzzy_decontaminate",
+    "diversity_sample",
 ]
 
 

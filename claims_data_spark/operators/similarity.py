@@ -484,6 +484,79 @@ def quantize_int8(
     return df.withColumns({scale_col: scale, out_col: q})
 
 
+def diversity_sample(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    centroids: list[list[float]],
+    n_per_cluster: int,
+    seed: str = "div",
+    cluster_col: str = "cluster_id",
+    rank_col: str = "sample_rank",
+    two_phase: bool = False,
+    num_salts: int = 16,
+) -> DataFrame:
+    """Diversity-preserving corpus subsampling: assign each row to its
+    nearest centroid (cosine over PLAN-LITERAL centroids — a k-means
+    codebook from :func:`claims_data_spark.operators.cluster.kmeans_fit`,
+    or any fixed anchor set), then keep at most ``n_per_cluster`` rows
+    per cluster by the deterministic md5 draw. Equal per-cluster
+    quotas flatten the density of the embedding space, so the sample
+    covers the modes of the distribution instead of oversampling the
+    head — the cluster-balanced selection step of coreset/data-pruning
+    pipelines (SemDeDup-adjacent, but keeping diverse survivors rather
+    than dropping near-dups).
+
+    Scale shape: assignment is the same unrolled-codegen projection
+    the IVF oracle path uses (`_attach_centroid_rank` — map-only, no
+    lambdas, 64 KB-method-aware), the draw is the engine-portable
+    md5 uniform, and the quota is ONE rank window partitioned by
+    cluster id. With few clusters over a huge corpus that window is a
+    skew funnel (every row shuffles into k partitions);
+    ``two_phase=True`` pre-prunes per (cluster, salt) to
+    ``n_per_cluster`` candidates first — the final window then sees at
+    most ``num_salts * n_per_cluster`` rows per cluster, the
+    ``domain_cap`` salted-top-k pattern. Rows with NULL vectors carry
+    no position in the space and are dropped (document them upstream);
+    zero-norm vectors assign to the lowest centroid id (cosine -1
+    everywhere, `_attach_centroid_rank`'s documented channel).
+
+    Deterministic and retry-stable: assignment, draw, and tiebreak
+    (draw, then id) are all value-derived; no ``rand()``.
+    """
+    if not centroids:
+        raise ValueError("centroids must be non-empty")
+    if n_per_cluster < 1:
+        raise ValueError("n_per_cluster must be >= 1")
+    cents = [(i, list(map(float, c))) for i, c in enumerate(centroids)]
+    out = _attach_centroid_rank(
+        df.filter(F.col(vec_col).isNotNull()), cents, vec_col, "_dvr"
+    ).withColumn(cluster_col, F.col("_dvr")[0]["cid"]).drop("_dvr")
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(seed))), 1, 8
+        ),
+        16, 10,
+    ).cast("double").alias("_du")
+    out = out.withColumn("_du", u)
+    order = [F.col("_du").asc(), F.col(id_col).asc()]
+    if two_phase:
+        salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_salts))
+        out = (
+            out.withColumn("_drn", F.row_number().over(
+                Window.partitionBy(F.col(cluster_col), salt).orderBy(*order)
+            ))
+            .filter(F.col("_drn") <= n_per_cluster)
+            .drop("_drn")
+        )
+    w = Window.partitionBy(cluster_col).orderBy(*order)
+    return (
+        out.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= n_per_cluster)
+        .drop("_du")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Semantic (embedding-space) dedup — SemDeDup-style
 # ---------------------------------------------------------------------------

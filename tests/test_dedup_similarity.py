@@ -824,3 +824,80 @@ def test_semantic_dedup_zero_norm_vector_is_inert(spark):
     got = {r["vec_id"]: r["is_dup"] for r in out.collect()}
     assert got[1] == 0          # zero vector is NOT a spurious dup
     assert got[0] == 0 and got[2] == 1
+
+
+# ---------------------------------------------------------------------------
+# diversity_sample (cluster-balanced coreset selection)
+# ---------------------------------------------------------------------------
+
+def _div_frame(spark):
+    from pyspark.sql import functions as F
+    # three tight blobs around axis centroids, deliberately unbalanced:
+    # 60 docs near e1, 20 near e2, 3 near e3
+    rows = []
+    for i in range(60):
+        rows.append((i, [10.0, float(i % 5) * 0.1, 0.0]))
+    for i in range(20):
+        rows.append((100 + i, [0.0, 10.0, float(i % 3) * 0.1]))
+    for i in range(3):
+        rows.append((200 + i, [float(i % 2) * 0.1, 0.0, 10.0]))
+    rows.append((999, None))
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+
+
+_DIV_CENTS = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]
+
+
+def test_diversity_sample_quota_and_assignment(spark):
+    from claims_data_spark.operators.similarity import diversity_sample
+
+    df = _div_frame(spark)
+    out = diversity_sample(
+        df, "embedding", "vec_id", _DIV_CENTS, n_per_cluster=5
+    ).collect()
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    # quota respected; the 3-doc cluster keeps all 3 (no upsampling)
+    assert len(by_cluster[0]) == 5
+    assert len(by_cluster[1]) == 5
+    assert len(by_cluster[2]) == 3
+    # assignment: each survivor's id range matches its blob
+    assert all(r["vec_id"] < 100 for r in by_cluster[0])
+    assert all(100 <= r["vec_id"] < 200 for r in by_cluster[1])
+    assert all(200 <= r["vec_id"] < 300 for r in by_cluster[2])
+    # NULL-vector rows dropped
+    assert all(r["vec_id"] != 999 for r in out)
+    # ranks are 1..n within each cluster
+    assert sorted(r["sample_rank"] for r in by_cluster[0]) == [1, 2, 3, 4, 5]
+
+
+def test_diversity_sample_two_phase_equivalence_and_determinism(spark):
+    from claims_data_spark.operators.similarity import diversity_sample
+
+    df = _div_frame(spark)
+    key = lambda rows: sorted(  # noqa: E731
+        (r["vec_id"], r["cluster_id"], r["sample_rank"]) for r in rows
+    )
+    base = key(diversity_sample(
+        df, "embedding", "vec_id", _DIV_CENTS, 4).collect())
+    two = key(diversity_sample(
+        df, "embedding", "vec_id", _DIV_CENTS, 4, two_phase=True,
+        num_salts=8).collect())
+    rep = key(diversity_sample(
+        df.repartition(13), "embedding", "vec_id", _DIV_CENTS, 4).collect())
+    assert base == two     # salted pre-prune is exact: min-k decomposes
+    assert base == rep     # partitioning-invariant
+
+
+def test_diversity_sample_validation(spark):
+    import pytest as _pytest
+    from claims_data_spark.operators.similarity import diversity_sample
+
+    df = _div_frame(spark)
+    with _pytest.raises(ValueError):
+        diversity_sample(df, "embedding", "vec_id", [], 5)
+    with _pytest.raises(ValueError):
+        diversity_sample(df, "embedding", "vec_id", _DIV_CENTS, 0)

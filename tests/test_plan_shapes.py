@@ -607,3 +607,23 @@ def test_fuzzy_decontaminate_bench_side_broadcast(spark, sf_dir):
     # candidate-grain exchanges only: the distinct over (doc, bench)
     # pairs and the groupBy(doc) aggregate — ≤ 4 with partials
     assert _n_exchanges(plan) <= 4, plan
+
+
+def test_diversity_sample_assignment_map_only(spark, sf_dir):
+    # nearest-centroid assignment is an unrolled-codegen projection —
+    # no join, no Python; the only exchanges are the rank windows
+    # (1 single-phase, 2 with the salted pre-prune)
+    from claims_data_spark.operators.similarity import diversity_sample
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    cents = [[1.0] + [0.0] * 15, [0.0, 1.0] + [0.0] * 14]
+    one = diversity_sample(emb, "v", "vec_id", cents, 5)
+    plan = _plan(one)
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan
+    assert _n_exchanges(plan) == 1, plan
+    two = diversity_sample(emb, "v", "vec_id", cents, 5, two_phase=True)
+    assert _n_exchanges(_plan(two)) == 2
