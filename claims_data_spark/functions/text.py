@@ -30,6 +30,46 @@ LANG_MARKERS: dict[str, list[str]] = {
 EN_STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
 
 
+def blocklist_hits(text: Column | str, terms: list[str]) -> Column:
+    """Count of blocklisted terms present in the text — the C4-style
+    "bad words" gate (C4 drops any page containing a term from the
+    LDNOOBW list; toxicity/safety filtering is a standard corpus
+    cleaning stage). Two matching modes composed in one expression,
+    both whole-word and case-insensitive:
+
+    * single-token terms match against the whitespace token set
+      (one ``array_intersect`` over the normalized word array — the
+      list embeds as an array literal, no join, no regex);
+    * multi-word terms (phrases) match as ``' term '`` substrings of
+      the space-padded normalized text (one ``instr`` per phrase —
+      keep phrase lists short; they cost a scan each).
+
+    Counts DISTINCT matched terms (a page mentioning one slur fifty
+    times and one mentioning five different ones are both gated by
+    threshold >= 1, the C4 rule; distinct-term counts make thresholds
+    meaningful). NULL text -> 0 hits.
+    """
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    norm = [t.lower().strip() for t in terms]
+    if any(not t for t in norm):
+        raise ValueError("blocklist terms must be non-empty strings")
+    singles = [t for t in norm if " " not in t]
+    phrases = [t for t in norm if " " in t]
+    t = F.regexp_replace(F.lower(F.trim(_col(text))), r"\s+", " ")
+    hits = F.lit(0)
+    if singles:
+        words = F.array_distinct(F.split(t, " "))
+        sl = F.array(*[F.lit(w) for w in singles])
+        hits = hits + F.size(F.array_intersect(words, sl))
+    for p in phrases:
+        padded = F.concat(F.lit(" "), t, F.lit(" "))
+        hits = hits + F.when(
+            F.instr(padded, f" {p} ") > 0, F.lit(1)
+        ).otherwise(F.lit(0))
+    return F.when(_col(text).isNull(), F.lit(0)).otherwise(hits)
+
+
 def token_count_ws(text: Column | str) -> Column:
     """Whitespace token count: size(split(trim(text), '\\s+'))."""
     t = F.trim(_col(text))

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from claims_data_spark.functions.text import (
+    blocklist_hits,
     doc_fingerprint,
     lang_marker_hits,
     quality_score,
@@ -34,18 +35,34 @@ def clean_corpus_status(
     min_quality: float = 0.5,
     lang: str = "en",
     min_lang_hits: int = 1,
+    blocklist: list[str] | None = None,
+    max_blocklist_hits: int = 0,
 ) -> DataFrame:
     """One row per input document with its gate outcome:
-    ``low_quality`` | ``wrong_lang`` | ``duplicate`` | ``kept``.
+    ``low_quality`` | ``blocked`` | ``wrong_lang`` | ``duplicate`` |
+    ``kept``.
 
     Gate order matches pipeline practice (cheap row-local first):
-    quality < ``min_quality`` rejects before language, language before
-    dedup; among gate-passing rows sharing a content fingerprint the
-    lowest id survives (``exact_dedup``'s keep-min rule). NULL text is
-    low-quality by definition.
+    quality < ``min_quality`` rejects before the blocklist, blocklist
+    before language, language before dedup; among gate-passing rows
+    sharing a content fingerprint the lowest id survives
+    (``exact_dedup``'s keep-min rule). NULL text is low-quality by
+    definition.
+
+    ``blocklist`` (default None = gate off, behavior unchanged) adds
+    the C4-style bad-words gate: documents with more than
+    ``max_blocklist_hits`` distinct blocklisted terms take status
+    ``blocked`` (C4 itself uses threshold 0 — one hit drops the
+    page). Matching semantics live in
+    :func:`claims_data_spark.functions.text.blocklist_hits`.
     """
     q = quality_score(text_col)
     hits = lang_marker_hits(text_col, lang)
+    bl_hits = (
+        blocklist_hits(text_col, blocklist)
+        if blocklist
+        else F.lit(0)
+    )
     fp = F.when(
         F.col(text_col).isNotNull(), doc_fingerprint(text_col)
     )
@@ -53,10 +70,12 @@ def clean_corpus_status(
         F.col(id_col),
         F.coalesce(q, F.lit(0.0)).alias("quality"),
         F.coalesce(hits, F.lit(0)).alias("_hits"),
+        F.coalesce(bl_hits, F.lit(0)).alias("_bl"),
         fp.alias("_fp"),
     )
     eligible = (
         (F.col("quality") >= min_quality)
+        & (F.col("_bl") <= max_blocklist_hits)
         & (F.col("_hits") >= min_lang_hits)
         & F.col("_fp").isNotNull()
     )
@@ -75,6 +94,7 @@ def clean_corpus_status(
     )
     status = (
         F.when(F.col("quality") < min_quality, "low_quality")
+        .when(F.col("_bl") > max_blocklist_hits, "blocked")
         .when(F.col("_hits") < min_lang_hits, "wrong_lang")
         .when(F.col("_rn") > 1, "duplicate")
         .otherwise("kept")

@@ -836,3 +836,62 @@ def test_fuzzy_decon_band_validation(spark):
     docs, bench = _fd_frames(spark)
     with pytest.raises(ValueError):
         fuzzy_decontaminate(docs, bench, num_hashes=30, bands=8)
+
+
+# ---------------------------------------------------------------------------
+# blocklist_hits + the clean_corpus 'blocked' gate (C4 bad-words filter)
+# ---------------------------------------------------------------------------
+
+def test_blocklist_hits_tokens_phrases_and_nulls(spark):
+    from pyspark.sql import functions as F
+    from claims_data_spark.functions.text import blocklist_hits
+
+    df = spark.createDataFrame(
+        [
+            (1, "the Alpha word and also beta beta beta"),
+            (2, "contains the bad phrase here somewhere"),
+            (3, "alphabet is not alpha-bet but alphabetical"),  # no whole-word hit
+            (4, None),
+            (5, "ALPHA bad phrase beta"),  # 3 distinct: alpha, beta, phrase match
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["h"]
+        for r in df.select(
+            "doc_id",
+            blocklist_hits("text", ["alpha", "beta", "bad phrase"]).alias("h"),
+        ).collect()
+    }
+    # doc 1: alpha + beta = 2 DISTINCT terms (beta repeats count once)
+    assert out[1] == 2
+    assert out[2] == 1          # the phrase, whole-word
+    assert out[3] == 0          # substrings don't match
+    assert out[4] == 0          # NULL text
+    assert out[5] == 3          # case-insensitive, all three
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        blocklist_hits("text", [])
+    with _pytest.raises(ValueError):
+        blocklist_hits("text", ["ok", "  "])
+
+
+def test_clean_corpus_blocked_gate_and_default_off(spark):
+    from claims_data_spark.operators.corpus import clean_corpus_status
+
+    docs = spark.createDataFrame(
+        [
+            # long enough + stopwords so quality passes; 'the' = en marker
+            (1, "the quick brown fox jumps over the lazy dog again and again ok"),
+            (2, "the quick brown fox jumps over the lazy dog with badword inside"),
+        ],
+        "doc_id long, text string",
+    )
+    on = {r["doc_id"]: r["status"] for r in clean_corpus_status(
+        docs, min_quality=0.1, blocklist=["badword"]).collect()}
+    assert on[1] == "kept"
+    assert on[2] == "blocked"
+    # default (no blocklist): bit-identical to the historical behavior
+    off = {r["doc_id"]: r["status"] for r in clean_corpus_status(
+        docs, min_quality=0.1).collect()}
+    assert off == {1: "kept", 2: "kept"}
