@@ -627,3 +627,60 @@ def test_diversity_sample_assignment_map_only(spark, sf_dir):
     assert _n_exchanges(plan) == 1, plan
     two = diversity_sample(emb, "v", "vec_id", cents, 5, two_phase=True)
     assert _n_exchanges(_plan(two)) == 2
+
+
+def test_top_causes_bucketed_inputs_no_claim_exchange(spark):
+    """The production top_causes path reads STORED claim-bucketed
+    header and dx tables (the Synapse HASH-distribution layout the
+    reference queries, same ruling as the CCW proof): the cohort
+    broadcasts (MB-sized next to the claim facts), so the header keeps
+    its bucket partitioning through the semi-join and the events-dx
+    join runs bucket-local — no claim-grain exchange anywhere. The
+    only shuffles left are dimension-sized: the CCS-category
+    countDistinct and the global rank window."""
+    import shutil
+
+    from claims_data_spark.api import top_causes
+    from claims_data_spark.sources.io import write_bucketed
+
+    for t in ("t_tc_hdr_b", "t_tc_dx_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+    n = 3000
+    hdr = spark.range(n).select(
+        (F.col("id") % 400).alias("id_mcaid"),
+        F.col("id").alias("claim_header_id"),
+        F.date_add(F.lit("1995-01-01").cast("date"),
+                   (F.col("id") % 700).cast("int")).alias("first_service_date"),
+        F.when(F.col("id") % 3 == 0, F.floor(F.col("id") / 3))
+        .alias("ed_pophealth_id"),
+        F.when(F.col("id") % 13 != 0, F.lit("dx")).alias("primary_diagnosis"),
+    )
+    dx = spark.range(n).select(
+        F.col("id").alias("claim_header_id"),
+        F.lit("01").alias("icdcm_number"),
+        F.format_string("C%02d", F.col("id") % 40).alias("icdcm_norm"),
+        F.lit(10).alias("icdcm_version"),
+    )
+    write_bucketed(hdr, "t_tc_hdr_b", ["claim_header_id"], num_buckets=8)
+    write_bucketed(dx, "t_tc_dx_b", ["claim_header_id"], num_buckets=8)
+    cohort = spark.range(300).select(F.col("id").alias("id_mcaid"))
+    ref = spark.range(40).select(
+        F.format_string("C%02d", F.col("id")).alias("icdcm"),
+        F.lit(10).alias("icdcm_version"),
+        F.format_string("cat%d", F.col("id") % 12).alias("ccs_detail_desc"),
+        F.lit(0).alias("ccs_catch_all"),
+    )
+    out = top_causes(
+        cohort, spark.table("t_tc_hdr_b"), spark.table("t_tc_dx_b"), ref,
+        "1995-01-01", "1996-12-31", top_n=10, type="ed",
+    )
+    plan = _plan(out)
+    # claim-grain inputs are bucketed: the events-dx join must not
+    # exchange; the residual hash exchanges are the category
+    # countDistinct's (dimension-sized state)
+    assert _n_exchanges(plan) <= 2, plan
+    # and none of them may partition on the claim key
+    import re
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "claim_header_id" not in m.group(1), plan
