@@ -45,6 +45,7 @@ def claims_elig(
     demo_filters: dict[str, Any] | None = None,
     timevar_values: list[str] | None = None,
     timevar_pct: list[str] | None = None,
+    timevar_denom: str = "duration",
     id_col: str = "id_mcaid",
     ref_bsp_names: DataFrame | None = None,
     ref_hra_names: DataFrame | None = None,
@@ -71,6 +72,18 @@ def claims_elig(
     bsp_group_name, geo_hra_code -> geo_hra_name, geo_county_code ->
     geo_county_name, each a broadcast left join when the code column
     was requested via ``timevar_values``.
+
+    ``timevar_denom`` (R ``:691-696``; reference default
+    ``"duration"``) picks the percentage denominator: the window
+    length, or the person's covered days (``"cov_days"``).
+
+    Divergence, on purpose: the R emits ``AND c.covgap_max >=
+    {covgap_max}`` (``:687``) — keeping members whose largest gap is
+    AT LEAST the cap — while its own roxygen defines the parameter as
+    the "maximum gap in continuous coverage allowed" (``:31``) and
+    validates it as a cap. An apparent ``>=``/``<=`` typo of the same
+    family as ``top_causes``' pmax/pmin; this port filters
+    ``covgap_max <= cap``, honoring the documented contract.
     """
     _validate_window(from_date, to_date)
     cov = coverage_stats(
@@ -117,8 +130,18 @@ def claims_elig(
     # the reference's second subquery form (R/claims_elig.R:788-881):
     # top value plus its share of the person's covered days, as a
     # percentage of the coverage denominator
+    # timevar_denom (R :133, :410-411, :691-696): the percentage
+    # denominator is either the WINDOW length ('duration', the
+    # reference default — a constant, so the pct reads "share of the
+    # whole window") or the person's covered days ('cov_days' —
+    # "share of the time they were covered")
+    if timevar_denom not in ("duration", "cov_days"):
+        raise ValueError(
+            "timevar_denom must be one of 'duration' or 'cov_days' "
+            f"(R/claims_elig.R:691-696), got {timevar_denom!r}"
+        )
     denom = None
-    if timevar_pct:
+    if timevar_pct and timevar_denom == "cov_days":
         denom = overlapping.groupBy(id_col).agg(
             F.sum("_cov_days").alias("_denom_days")
         )
@@ -131,13 +154,23 @@ def claims_elig(
             keep_weight_as=f"_{var}_days",
         )
         value_cols = [] if var in (timevar_values or []) else [F.col(var)]
-        pct = best.join(denom, id_col).select(
-            id_col,
-            *value_cols,
-            F.round(
-                F.col(f"_{var}_days") * 100.0 / F.col("_denom_days"), 1
-            ).alias(f"{var}_pct"),
-        )
+        if timevar_denom == "duration":
+            window_days = F.datediff(win_to, win_from) + 1
+            pct = best.select(
+                id_col,
+                *value_cols,
+                F.round(
+                    F.col(f"_{var}_days") * 100.0 / window_days, 1
+                ).alias(f"{var}_pct"),
+            )
+        else:
+            pct = best.join(denom, id_col).select(
+                id_col,
+                *value_cols,
+                F.round(
+                    F.col(f"_{var}_days") * 100.0 / F.col("_denom_days"), 1
+                ).alias(f"{var}_pct"),
+            )
         out = out.join(pct, id_col, "left")
 
     # name post-joins (R/claims_elig.R:1408-1438) — tiny reference

@@ -80,15 +80,38 @@ def test_claims_elig_covgap_filter(spark, tables):
 
 
 def test_claims_elig_pct_mode(spark, tables):
+    # reference default timevar_denom='duration': the pct denominator
+    # is the WINDOW length (181 days for Jan-Jun 2017), not the
+    # person's covered days (R/claims_elig.R:691-696)
     cohort = claims_elig(
         tables["demo"], tables["tv"],
         from_date="2017-01-01", to_date="2017-06-30",
         timevar_pct=["geo_zip_clean"],
     )
     p1 = cohort.filter(F.col("id_mcaid") == "p1").collect()[0]
+    # 98004 covers 120 days of the 181-day window -> 66.3%
+    assert p1["geo_zip_clean"] == "98004"
+    assert float(p1["geo_zip_clean_pct"]) == round(120 / 181 * 100, 1)
+
+
+def test_claims_elig_pct_mode_cov_days_denom(spark, tables):
+    cohort = claims_elig(
+        tables["demo"], tables["tv"],
+        from_date="2017-01-01", to_date="2017-06-30",
+        timevar_pct=["geo_zip_clean"],
+        timevar_denom="cov_days",
+    )
+    p1 = cohort.filter(F.col("id_mcaid") == "p1").collect()[0]
     # 98004 covers 120 of p1's 151 covered days -> 79.5%
     assert p1["geo_zip_clean"] == "98004"
     assert float(p1["geo_zip_clean_pct"]) == round(120 / 151 * 100, 1)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        claims_elig(
+            tables["demo"], tables["tv"],
+            from_date="2017-01-01", to_date="2017-06-30",
+            timevar_pct=["geo_zip_clean"], timevar_denom="bogus",
+        )
 
 
 def test_claims_elig_filters(spark, tables):
