@@ -194,15 +194,43 @@ def claims_condition(
     to_date: str,
     cond_col: str = "ccw_desc",
     id_col: str = "id_mcaid",
+    ids: list | DataFrame | None = None,
 ) -> DataFrame:
     """Members whose condition interval overlaps the request window
-    (``R/claims_condition.R:126-132`` — J8 range predicate)."""
+    (``R/claims_condition.R:126-132`` — J8 range predicate).
+
+    ``condition`` is validated against the 31-condition CCW catalog
+    when it carries the ``ccw_`` prefix (the R's ``match.arg`` over
+    its literal list, ``:53-68`` — a typo'd condition errors instead
+    of silently matching nothing); non-CCW condition tables (BH,
+    MOUD) pass through unvalidated since their vocabularies live in
+    the table. ``ids`` (R ``:71``, the ``id`` parameter) restricts to
+    a member cohort — a Python list compiles to an IN predicate, a
+    DataFrame joins (left semi, broadcast-eligible)."""
     _validate_window(from_date, to_date)
-    return condition_table.filter(
+    if condition.lower().startswith("ccw_"):
+        from claims_data_spark.tables.ccw_catalog import CCW_CATALOG
+
+        known = {c["ccw_abbrev"] for c in CCW_CATALOG}
+        if condition.lower() not in known:
+            raise ValueError(
+                f"unknown CCW condition {condition!r} "
+                f"(R/claims_condition.R:53-68); known: {sorted(known)}"
+            )
+    out = condition_table.filter(
         (F.lower(F.col(cond_col)) == condition.lower())
         & (F.col("first_encounter_date") <= F.lit(to_date).cast("date"))
         & (F.col("last_encounter_date") >= F.lit(from_date).cast("date"))
     ).select(id_col, cond_col, "first_encounter_date", "last_encounter_date")
+    if ids is not None:
+        if isinstance(ids, DataFrame):
+            out = out.join(
+                F.broadcast(ids.select(id_col).distinct()), id_col,
+                "left_semi",
+            )
+        else:
+            out = out.filter(F.col(id_col).isin(list(ids)))
+    return out
 
 
 _TOP_CAUSES_TYPE_COL = {"ed": "ed_pophealth_id", "inpatient": "inpatient_id"}

@@ -361,3 +361,29 @@ def test_claims_summary_distinct_date_counting(spark):
     assert rows[2]["ed_cnt"] == 0 and rows[2]["no_claims"] == 1
     assert rows[3]["no_claims"] == 1
     assert 9 not in rows
+
+
+def test_claims_condition_validation_and_ids(spark, tables):
+    import pytest as _pytest
+
+    ccw = build_claim_ccw(
+        tables["icdcm"], tables["header"], fx.ref_icdcm_codes(spark),
+        [r.asDict() for r in fx.ref_ccw_lookup(spark).collect()],
+    )
+    with _pytest.raises(ValueError):
+        claims_condition(ccw, "ccw_diabetus", "2017-02-01", "2017-02-28")
+    all_hits = claims_condition(ccw, "ccw_diabetes", "2017-02-01", "2017-02-28")
+    got = {r["id_mcaid"] for r in all_hits.collect()}
+    assert got  # fixture has at least one diabetic member in-window
+    some = sorted(got)[:1]
+    # list ids -> IN predicate
+    subset = claims_condition(
+        ccw, "ccw_diabetes", "2017-02-01", "2017-02-28", ids=some
+    )
+    assert {r["id_mcaid"] for r in subset.collect()} == set(some)
+    # DataFrame ids -> broadcast semi join
+    iddf = spark.createDataFrame([(i,) for i in some], "id_mcaid string")
+    subset2 = claims_condition(
+        ccw, "ccw_diabetes", "2017-02-01", "2017-02-28", ids=iddf
+    )
+    assert {r["id_mcaid"] for r in subset2.collect()} == set(some)
