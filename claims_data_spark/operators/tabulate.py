@@ -25,16 +25,77 @@ STAT_BUILDERS = {
 }
 
 
+# R/tabloop.R:569-571 — categorical loop vars whose EVERY level is
+# meaningful; all other (flag) vars keep only the group == '1' rows
+# when filter=True
+TABLOOP_KEEP_CATS = [
+    "cov_cohort", "cov_cohort3", "age_grp7", "gender_mx", "race_eth_mx",
+    "race_mx", "tractce10", "zip_new", "hra_id", "hra", "region_id",
+    "region", "maxlang", "overall", "year",
+]
+
+# R/tabloop.R:575-612 — dashboard display names per loop-var family
+_TABLOOP_TITLE_CATS = [
+    "male", "female", "gender_unk", "aian", "asian", "black", "nhpi",
+    "white", "latino", "race_unk", "english", "spanish", "vietnamese",
+    "chinese", "somali", "russian", "arabic", "korean", "ukrainian",
+    "amharic", "lang_unk", "new_adult", "apple_kids", "older_adults",
+    "family_med", "family_planning", "former_foster", "foster",
+    "caretaker_adults", "partial_duals", "disabled", "pregnancy",
+    "dual_flag",
+]
+TABLOOP_CAT_LABELS = {
+    **{c: "Gender, inclusive" for c in ("male", "female", "gender_unk")},
+    "age_grp7": "Age",
+    "gender_mx": "Gender, exclusive",
+    **{c: "Race/ethnicity, inclusive" for c in (
+        "aian", "asian", "black", "nhpi", "white", "latino", "race_unk")},
+    "race_eth_mx": "Race/ethnicity, Latino included, exclusive",
+    "race_mx": "Race/ethnicity, Latino excluded, exclusive",
+    **{c: "Language" for c in (
+        "english", "spanish", "vietnamese", "chinese", "somali",
+        "russian", "arabic", "korean", "ukrainian", "amharic",
+        "lang_unk")},
+    **{c: "Coverage group" for c in (
+        "new_adult", "apple_kids", "older_adults", "family_med",
+        "family_planning", "former_foster", "foster",
+        "caretaker_adults", "partial_duals", "disabled", "pregnancy",
+        "dual_flag")},
+    "cov_cohort": "Coverage cohort",
+    "cov_cohort3": "Coverage cohort",
+    "zip_new": "ZIP code",
+    "hra": "HRA",
+    "tractce10": "Census tract",
+    "region": "Region",
+    "maxlang": "Preferred language",
+    "overall": "_Overall",
+    "year": "Year",
+}
+
+
 def tabloop(
     df: DataFrame,
     fixed: list[str],
     loop_vars: list[str],
     stats: dict[str, tuple[str, str]],
+    filter: bool = False,
+    rename: bool = False,
+    keep_cats: list[str] | None = None,
 ) -> DataFrame:
     """For each loop var, groupBy(fixed + [var]) computing ``stats``
     ({out_col: (stat_name, value_col)}), stacked long with
     ``group_cat`` = loop var name and ``group`` = its value (cast to
-    string so heterogeneous loop vars stack)."""
+    string so heterogeneous loop vars stack).
+
+    ``filter=True`` (R/tabloop.R:569-571): keep every level of the
+    categorical vars in ``keep_cats`` (default: the reference's
+    dashboard list, ``TABLOOP_KEEP_CATS``) but only the ``group ==
+    '1'`` rows of flag vars — the "count the 1s, drop the 0s" rule
+    for indicator columns. ``rename=True`` (R :575-612): flag-var
+    levels title-case into ``group`` and each loop-var family gets
+    its dashboard display name in ``group_cat`` (overall → _Overall
+    so it sorts first, the reference's convention). Both compile to
+    literal CASE/IN expressions — no joins."""
     pieces = []
     for lv in loop_vars:
         aggs = [
@@ -49,7 +110,27 @@ def tabloop(
             .drop(lv)
         )
         pieces.append(piece)
-    return reduce(lambda a, b: a.unionByName(b), pieces)
+    out = reduce(lambda a, b: a.unionByName(b), pieces)
+    if filter:
+        keep = keep_cats if keep_cats is not None else TABLOOP_KEEP_CATS
+        out = out.filter(
+            F.col("group_cat").isin(keep) | (F.col("group") == "1")
+        )
+    if rename:
+        # R tools::toTitleCase on these single-word tokens capitalizes
+        # the first letter and leaves underscores ('dual_flag' ->
+        # 'Dual_flag') — Spark initcap matches exactly (space-split)
+        group = F.when(
+            F.col("group_cat").isin(_TABLOOP_TITLE_CATS),
+            F.initcap(F.col("group_cat")),
+        ).when(
+            F.lower(F.col("group_cat")) == "overall", F.lit("_Overall")
+        ).otherwise(F.col("group"))
+        cat = F.col("group_cat")
+        for src, label in TABLOOP_CAT_LABELS.items():
+            cat = F.when(F.col("group_cat") == src, F.lit(label)).otherwise(cat)
+        out = out.withColumn("group", group).withColumn("group_cat", cat)
+    return out
 
 
 def zero_fill(

@@ -970,3 +970,40 @@ def test_linkage_sig_prune_sound_and_exact(spark):
     ).withColumn("d", F.levenshtein("ltxt", "rtxt")).filter(F.col("d") <= 3)
     want_pairs = {(r["rid"], r["lid"]) for r in brute.collect()}
     assert got_pairs == want_pairs
+
+
+def test_tabloop_filter_and_rename_parity(spark):
+    """R/tabloop.R:569-612 filter/rename: flag vars keep only the
+    group=='1' rows; categorical vars in the keep list keep every
+    level; rename title-cases flag names into group and maps each
+    family to its dashboard label (overall -> _Overall)."""
+    from claims_data_spark.operators.tabulate import tabloop
+
+    df = spark.createDataFrame(
+        [
+            (1, "18-24", 1, 0, "overall"),
+            (2, "25-44", 0, 1, "overall"),
+            (3, "18-24", 1, 1, "overall"),
+        ],
+        "pid long, age_grp7 string, female int, dual_flag int, overall string",
+    )
+    out = tabloop(
+        df, [], ["age_grp7", "female", "dual_flag", "overall"],
+        {"n": ("count", "pid")}, filter=True,
+    ).collect()
+    rows = {(r["group_cat"], r["group"]) for r in out}
+    # age_grp7 keeps both levels; flags keep only '1'; overall kept
+    assert ("age_grp7", "18-24") in rows and ("age_grp7", "25-44") in rows
+    assert ("female", "1") in rows and ("female", "0") not in rows
+    assert ("dual_flag", "1") in rows and ("dual_flag", "0") not in rows
+    assert ("overall", "overall") in rows
+
+    ren = tabloop(
+        df, [], ["age_grp7", "female", "dual_flag", "overall"],
+        {"n": ("count", "pid")}, filter=True, rename=True,
+    ).collect()
+    rrows = {(r["group_cat"], r["group"]) for r in ren}
+    assert ("Age", "18-24") in rrows
+    assert ("Gender, inclusive", "Female") in rrows
+    assert ("Coverage group", "Dual_flag") in rrows   # R toTitleCase form
+    assert ("_Overall", "_Overall") in rrows
