@@ -384,18 +384,49 @@ def elig_timevar_collapse(
     id_col: str = "id_mcaid",
     from_col: str = "from_date",
     to_col: str = "to_date",
+    cov_time_day: bool = True,
+    ids: list | DataFrame | None = None,
 ) -> DataFrame:
     """Re-collapse the timevar table keeping only a user-chosen subset
     of covariates (``R/elig_timevar_collapse.R:251-283``): adjacent
-    periods that agree on the kept columns merge into wider islands."""
-    return collapse_islands(
-        timevar.select(id_col, from_col, to_col, *group_cols),
+    periods that agree on the kept columns merge into wider islands
+    (a calendar gap breaks the island, matching the R's
+    ``datediff(lag(to_date), from_date) <= 1`` group rule).
+
+    ``cov_time_day`` (R ``:189-194``, reference default TRUE) appends
+    the collapsed period's coverage days (``datediff + 1`` — exact,
+    because merged periods are contiguous by construction). ``ids``
+    (R ``:197-214``) restricts to a member cohort before collapsing —
+    list → IN predicate, DataFrame → broadcast semi join.
+    """
+    if not group_cols:
+        raise ValueError(
+            "Choose at least one column to collapse over "
+            "(R/elig_timevar_collapse.R:106)"
+        )
+    src = timevar.select(id_col, from_col, to_col, *group_cols)
+    if ids is not None:
+        if isinstance(ids, DataFrame):
+            src = src.join(
+                F.broadcast(ids.select(id_col).distinct()), id_col,
+                "left_semi",
+            )
+        else:
+            src = src.filter(F.col(id_col).isin(list(ids)))
+    out = collapse_islands(
+        src,
         [id_col],
         from_col,
         to_col,
         group_cols=group_cols,
         max_gap_days=1,
     )
+    if cov_time_day:
+        out = out.withColumn(
+            "cov_time_day",
+            F.datediff(F.col(to_col), F.col(from_col)) + 1,
+        )
+    return out
 
 
 DEFAULT_SUMMARY_FLAGS = [

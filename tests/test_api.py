@@ -387,3 +387,21 @@ def test_claims_condition_validation_and_ids(spark, tables):
         ccw, "ccw_diabetes", "2017-02-01", "2017-02-28", ids=iddf
     )
     assert {r["id_mcaid"] for r in subset2.collect()} == set(some)
+
+
+def test_elig_timevar_collapse_cov_time_and_ids(spark, tables):
+    collapsed = elig_timevar_collapse(
+        tables["tv"], group_cols=["cov_type"], ids=["p1"]
+    )
+    rows = sorted(collapsed.collect(), key=lambda r: r["from_date"])
+    assert {r["id_mcaid"] for r in rows} == {"p1"}
+    # R :189-194 default cov_time_day=TRUE: datediff + 1 per island
+    assert [(str(r["from_date"]), r["cov_time_day"]) for r in rows] == [
+        ("2017-01-01", 90), ("2017-05-01", 61),
+    ]
+    off = elig_timevar_collapse(
+        tables["tv"], group_cols=["cov_type"], cov_time_day=False
+    )
+    assert "cov_time_day" not in off.columns
+    with pytest.raises(ValueError, match="at least one column"):
+        elig_timevar_collapse(tables["tv"], group_cols=[])
