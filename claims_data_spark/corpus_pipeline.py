@@ -50,6 +50,7 @@ def run_corpus_pipeline(
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
+    bench_id_col: str | None = None,
     strata_col: str = "source",
     min_quality: float = 0.5,
     lang: str = "en",
@@ -149,7 +150,7 @@ def run_corpus_pipeline(
         )
         clean_fuzzy, near = fuzzy_decontaminate(
             clean_exact, benchmark, id_col=id_col, text_col=text_col,
-            bench_id_col=benchmark.columns[0],
+            bench_id_col=bench_id_col or benchmark.columns[0],
             bench_text_col=text_col,
             jaccard_threshold=fuzzy_threshold,
             num_hashes=fuzzy_hashes,

@@ -51,7 +51,9 @@ def blocklist_hits(text: Column | str, terms: list[str]) -> Column:
     """
     if not terms:
         raise ValueError("terms must be non-empty")
-    norm = [t.lower().strip() for t in terms]
+    # collapse inner whitespace too — the text side is normalized to
+    # single spaces, so a double-spaced phrase term would never match
+    norm = [" ".join(t.lower().split()) for t in terms]
     if any(not t for t in norm):
         raise ValueError("blocklist terms must be non-empty strings")
     singles = [t for t in norm if " " not in t]

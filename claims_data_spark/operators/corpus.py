@@ -248,6 +248,12 @@ def fuzzy_decontaminate(
     (`minhash_signature_portable`) so an ANSI-SQL oracle reproduces
     the banded candidate set exactly — the driver-checked variant;
     production callers keep the ~3x-cheaper murmur3 default.
+
+    The doc-side signature frame persists for the probe+verify reuse
+    (same contract as ``minhash_near_dup_pairs``' default): the cache
+    is LRU-evictable; long-lived sessions calling this repeatedly
+    should materialize the returned frames and unpersist, as
+    ``run_corpus_pipeline`` does with its stage checkpoints.
     """
     from claims_data_spark.operators.dedup import (
         minhash_signature,
