@@ -219,3 +219,52 @@ def stream_stream_join(
         )
     )
     return lw.join(rw, cond, how)
+
+
+def streaming_clean(
+    stream: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.5,
+    lang: str = "en",
+    min_lang_hits: int = 1,
+    blocklist: list | None = None,
+    max_blocklist_hits: int = 0,
+) -> DataFrame:
+    """Row-local corpus cleaning gates applied ON THE STREAM — the
+    continuous-ingest form of :func:`operators.corpus.
+    clean_corpus_status` minus the dedup stage (exact dedup needs
+    corpus-wide state; on a stream that job belongs to
+    ``streaming_ingest``'s watermarked natural-key dedup or the batch
+    reconciliation). Each micro-batch pays only map-side expressions
+    (quality score, language markers, blocklist hits) — no state
+    store, no shuffle — so the gate adds zero latency classes to the
+    ingest: the same filter-first discipline the batch pipeline uses,
+    applied before rows ever reach stateful operators.
+
+    Returns the stream with ``quality`` and ``status`` columns
+    (``low_quality`` | ``blocked`` | ``wrong_lang`` | ``kept``);
+    filter on ``status = 'kept'`` to gate, or sink the full frame to
+    keep rejection audit trails flowing into the same telemetry the
+    batch report feeds.
+    """
+    from claims_data_spark.functions.text import (
+        blocklist_hits,
+        lang_marker_hits,
+        quality_score,
+    )
+
+    q = F.coalesce(quality_score(text_col), F.lit(0.0))
+    hits = F.coalesce(lang_marker_hits(text_col, lang), F.lit(0))
+    bl = (
+        F.coalesce(blocklist_hits(text_col, blocklist), F.lit(0))
+        if blocklist
+        else F.lit(0)
+    )
+    status = (
+        F.when(q < min_quality, "low_quality")
+        .when(bl > max_blocklist_hits, "blocked")
+        .when(hits < min_lang_hits, "wrong_lang")
+        .otherwise("kept")
+    )
+    return stream.withColumn("quality", q).withColumn("status", status)

@@ -183,3 +183,46 @@ def test_stream_stream_join_rejects_unknown_type(spark):
                                "k long, ts timestamp")
     with _pytest.raises(ValueError, match="unsupported"):
         stream_stream_join(df, df, "k", "ts", "ts", how="semi")
+
+
+def test_streaming_clean_gates_on_a_real_stream(spark, tmp_path):
+    """streaming_clean: the row-local corpus gates run per micro-batch
+    with NO state store — statuses match the batch operator's rules
+    and the kept filter flows through a real readStream."""
+    import pyspark.sql.types as T
+    from claims_data_spark.streaming.ingest import streaming_clean
+
+    src = str(tmp_path / "docs_src")
+    good = ("the quick brown fox jumps over the lazy dog and then a "
+            "few more words of fine quality text to pass the gate")
+    rows = [
+        (1, good),
+        (2, "zz"),                      # low quality
+        (3, good + " badword"),         # blocked
+        (4, "uno dos tres quatro cinco seis siete ocho nueve diez "
+            "once doce trece catorce quince " * 3),  # wrong lang
+    ]
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    gated = streaming_clean(
+        stream, min_quality=0.5, blocklist=["badword"]
+    )
+    q = (
+        gated.writeStream.format("memory").queryName("t_sclean")
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r["doc_id"]: r["status"]
+            for r in spark.sql("SELECT * FROM t_sclean").collect()
+        }
+    finally:
+        q.stop()
+    assert got == {1: "kept", 2: "low_quality", 3: "blocked",
+                   4: "wrong_lang"}

@@ -25,16 +25,22 @@ from claims_data_spark.session import get_spark  # noqa: E402
 
 # default set = the CURRENT weak/watch list (correct but >2x DuckDB at
 # the honest scale point, or floor-trend entries awaiting crossover);
-# r07 state — pass query names to override
+# end-of-r07 state — pass query names to override. knn_ivf /
+# record_linkage / diversity_sample / mix_rebalance closed under the
+# gate this round but stay listed one more round as borderline
+# (1.92 / 1.73 / 1.81@sf30 / 1.18@sf30).
 WEAK_SET = [
     "ccw_two_claim",
     "rda_value_set",
     "url_dedup",
     "split_assign",
+    "threshold_sweep",
     "corpus_diff",
     "knn_ivf",
     "record_linkage",
     "top_causes_window",
+    "diversity_sample",
+    "mix_rebalance",
 ]
 
 
