@@ -63,6 +63,8 @@ def run_corpus_pipeline(
     weight_col: str | None = None,
     split_weights: dict | None = None,
     split_group_col: str | None = None,
+    export_path: str | None = None,
+    export_shards_n: int = 16,
     seed: str = "release",
     strict_qa: bool = True,
 ) -> dict:
@@ -254,7 +256,34 @@ def run_corpus_pipeline(
             f"card={card_row['n_docs']} final={n_final}",
         ),
     )
+    # ---- stage 6 (optional): verified shard export ---------------------
+    manifest = None
+    if export_path:
+        from claims_data_spark.sources.io import export_shards
+
+        # export_shards re-derives the manifest FROM THE WRITTEN FILES
+        # and raises on mismatch — the S5 copy-QA contract; surface its
+        # success as a gate row so the release log is self-contained
+        manifest = export_shards(
+            cur.sparkSession, cur, export_path, id_col=id_col,
+            num_shards=export_shards_n, text_col=text_col,
+            seed=f"{seed}-shard",
+        )
+        exported = sum(m["n_docs"] for m in manifest)
+        gate(
+            "export",
+            (
+                "manifest-verified-and-complete",
+                exported == n_final,
+                f"exported={exported} final={n_final} "
+                f"shards={len(manifest)}",
+            ),
+        )
+
     for df in _persisted:
         if df is not cur:
             df.unpersist()
-    return {"docs": cur, "qa": qa, "card": card, "rejected": rejected}
+    return {
+        "docs": cur, "qa": qa, "card": card, "rejected": rejected,
+        "manifest": manifest,
+    }

@@ -103,3 +103,23 @@ def test_corpus_pipeline_strict_qa_raises(spark):
     # strict_qa=False records the failure and continues
     out = run_corpus_pipeline(bad, bench, min_quality=0.9, strict_qa=False)
     assert any(not ok for _, (_, ok, _) in out["qa"])
+
+
+def test_corpus_pipeline_export_stage(spark, tmp_path):
+    docs, bench = _corpus(spark)
+    out = run_corpus_pipeline(
+        docs, bench, min_quality=0.3,
+        split_weights={"train": 0.8, "val": 0.1, "test": 0.1},
+        decontaminate_n=8, fuzzy_threshold=0.3, fuzzy_bands=32,
+        export_path=str(tmp_path / "release"),
+        export_shards_n=4,
+    )
+    assert all(ok for _, (_, ok, _) in out["qa"])
+    stages = [s for s, _ in out["qa"]]
+    assert "export" in stages
+    m = out["manifest"]
+    assert sum(r["n_docs"] for r in m) == out["docs"].count()
+    # the artifact is readable and carries the split column
+    back = spark.read.parquet(str(tmp_path / "release"))
+    assert back.count() == out["docs"].count()
+    assert "split" in back.columns
