@@ -8287,6 +8287,120 @@ FROM pairs GROUP BY id_a, id_b
 """
 
 
+def q_redact_spans(spark, sf_dir):
+    """Span redaction (operators/dedup.redact_spans — the APPLY side
+    of substring_dup_spans, Lee et al. 2021 remove the duplicated
+    substrings, not the documents): the substring_spans fixture's
+    pair table feeds the keep-min policy (the later copy's positions
+    redact), overlapping spans merge into islands, and each flagged
+    document's text is rebuilt around them. Output: one row per
+    REDACTED doc with the island count, chars removed, and the md5 of
+    the rebuilt text — so the island merge, the segment arithmetic
+    and the rebuilt bytes all get a value-level oracle signal."""
+    from claims_data_spark.operators.dedup import (
+        redact_spans,
+        substring_dup_spans,
+    )
+
+    lic = ("this software is provided as is without warranty of any "
+           "kind express or implied ")
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.when(
+                F.col("doc_id") % 97 == 0,
+                F.concat(F.lit(lic), F.col("text")),
+            ).otherwise(F.col("text")).alias("text"),
+        )
+    )
+    pairs = substring_dup_spans(d, span=50, stride=10)
+    out = redact_spans(
+        d, pairs.selectExpr("id_b AS doc_id", "pos_b AS pos"), span=50
+    )
+    return out.filter(F.col("n_redacted_spans") > 0).select(
+        "doc_id",
+        F.col("n_redacted_spans").cast("long").alias("n_redacted_spans"),
+        F.col("chars_removed").cast("long").alias("chars_removed"),
+        F.md5("text_redacted").alias("redacted_md5"),
+    )
+
+
+SQL_REDACT_SPANS = """
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+    CASE WHEN doc_id % 97 = 0 THEN
+      'this software is provided as is without warranty of any kind express or implied '
+      || text ELSE text END AS text
+  FROM documents WHERE text IS NOT NULL
+), sh AS (
+  SELECT doc_id, p.pos,
+    substr(text, p.pos, 50) AS s,
+    md5(substr(text, p.pos, 50)) AS fp
+  FROM d, LATERAL (
+    SELECT unnest(generate_series(1, len(text) - 49, 10)) AS pos
+  ) p
+  WHERE len(text) >= 50
+), hot AS (
+  SELECT fp FROM sh GROUP BY fp
+  HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 64
+     AND COUNT(*) <= 256
+), cand AS (
+  SELECT sh.* FROM sh JOIN hot USING (fp)
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+    a.pos AS pos_a, b.pos AS pos_b
+  FROM cand a JOIN cand b
+    ON a.fp = b.fp AND a.doc_id < b.doc_id AND a.s = b.s
+), redspans AS (
+  SELECT DISTINCT id_b AS doc_id, CAST(pos_b AS BIGINT) AS s,
+    CAST(pos_b + 49 AS BIGINT) AS e
+  FROM pairs
+), marked AS (
+  SELECT doc_id, s, e,
+    CASE WHEN s > COALESCE(MAX(e) OVER (
+        PARTITION BY doc_id ORDER BY s
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+      THEN 1 ELSE 0 END AS new_island
+  FROM redspans
+), numbered AS (
+  SELECT doc_id, s, e,
+    SUM(new_island) OVER (PARTITION BY doc_id ORDER BY s) AS isl
+  FROM marked
+), merged AS (
+  SELECT doc_id, isl, MIN(s) AS s, MAX(e) AS e
+  FROM numbered GROUP BY doc_id, isl
+), with_prev AS (
+  SELECT doc_id, s, e,
+    COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS prev_e
+  FROM merged
+), segs AS (
+  SELECT w.doc_id, w.s AS ord,
+    substr(d.text, CAST(w.prev_e + 1 AS INT),
+           CAST(w.s - w.prev_e - 1 AS INT)) AS seg
+  FROM with_prev w JOIN d USING (doc_id)
+  UNION ALL
+  SELECT t.doc_id, CAST(9223372036854775807 AS BIGINT) AS ord,
+    substr(d.text, CAST(t.last_e + 1 AS INT)) AS seg
+  FROM (SELECT doc_id, MAX(e) AS last_e FROM merged GROUP BY doc_id) t
+  JOIN d USING (doc_id)
+  WHERE t.last_e < len(d.text)
+), rebuilt AS (
+  SELECT m.doc_id,
+    COALESCE((SELECT string_agg(seg, '' ORDER BY ord)
+              FROM segs WHERE segs.doc_id = m.doc_id), '') AS txt,
+    COUNT(*) AS n_isl
+  FROM merged m GROUP BY m.doc_id
+)
+SELECT r.doc_id,
+  CAST(r.n_isl AS BIGINT) AS n_redacted_spans,
+  CAST(len(d.text) - len(r.txt) AS BIGINT) AS chars_removed,
+  md5(r.txt) AS redacted_md5
+FROM rebuilt r JOIN d USING (doc_id)
+"""
+
+
 def q_corpus_card(spark, sf_dir):
     """One-row corpus card (operators/corpus.corpus_report): docs /
     tokens / chars / emptiness / exact-dup rate / quality profile in
@@ -8468,6 +8582,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "stratified_sample": q_stratified_sample,
         "pack_sequences": q_pack_sequences,
+        # NEW late-r07: span redaction (apply side of substring_spans)
+        # — seats at the tail head for its first driver row in r08
+        # (corpus_card precedent: parity-green at both scales this
+        # round, exact pytests incl. the find->redact round trip)
+        "redact_spans": q_redact_spans,
         "apcd_ed_episode": q_apcd_ed_episode,
         "apcd_plr": q_apcd_plr,
         "chunk_documents": q_chunk_documents,
@@ -8559,6 +8678,7 @@ def oracle_sql() -> dict[str, str]:
         "cross_source_overlap": SQL_CROSS_SOURCE_OVERLAP,
         "fuzzy_decontaminate": SQL_FUZZY_DECONTAMINATE,
         "diversity_sample": SQL_DIVERSITY_SAMPLE,
+        "redact_spans": SQL_REDACT_SPANS,
         "pricing_summary": SQL_PRICING,
         "typed_projection": SQL_TYPED_PROJECTION,
         "dynamic_filter": SQL_DYNAMIC_FILTER,

@@ -121,6 +121,7 @@ EXTENDED = [
     "cross_source_overlap",
     "fuzzy_decontaminate",
     "diversity_sample",
+    "redact_spans",
 ]
 
 

@@ -644,6 +644,118 @@ def substring_dup_spans(
     )
 
 
+def redact_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    pos_col: str = "pos",
+    span: int = 50,
+    marker: str = "",
+    out_col: str = "text_redacted",
+) -> DataFrame:
+    """Remove flagged character spans from documents — the APPLY side
+    of :func:`substring_dup_spans` (Lee et al. 2021 remove the
+    duplicated substrings rather than dropping whole documents; the
+    usual keep-min policy feeds this the LATER copy's positions, e.g.
+    ``pairs.select(id_b, pos_b)``).
+
+    ``spans`` is one row per (doc, 1-indexed start position) of a
+    fixed ``span``-length region; overlapping/adjacent regions merge
+    into islands first (the gaps-and-islands idiom over integer
+    offsets — same shape as the date-interval operators), then each
+    document's redacted text is rebuilt by concatenating the kept
+    segments around the islands, with ``marker`` in place of each
+    removed region.
+
+    Scale shape: the island merge is one window + one aggregate over
+    the SPAN table (flagged docs only — a tiny fraction of the
+    corpus); the rebuild joins one island-array row per flagged doc
+    back to the text and runs row-local; unflagged docs pass through
+    the left join untouched (``out_col`` = original text). No UDFs —
+    the segment rebuild is a sorted higher-order fold compiled to
+    codegen.
+
+    Added columns: ``out_col``, ``n_redacted_spans`` (merged islands;
+    0 for untouched docs), ``chars_removed``.
+    """
+    if span < 1:
+        raise ValueError("span must be >= 1")
+    s0 = spans.select(
+        F.col(id_col),
+        F.col(pos_col).cast("long").alias("_s"),
+        (F.col(pos_col).cast("long") + F.lit(span - 1)).alias("_e"),
+    ).distinct()
+    w = Window.partitionBy(id_col).orderBy("_s")
+    prev_max_e = F.max("_e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = (
+        s0.withColumn(
+            "_new",
+            F.when(
+                prev_max_e.isNull() | (F.col("_s") > prev_max_e + 1), 1
+            ).otherwise(0),
+        )
+        .withColumn("_isl", F.sum("_new").over(w))
+        .groupBy(id_col, "_isl")
+        .agg(F.min("_s").alias("_s"), F.max("_e").alias("_e"))
+        .groupBy(id_col)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("_s"), F.col("_e")))
+            ).alias("_isls")
+        )
+    )
+    t = F.col(text_col)
+    n = F.length(t)
+    # fold over the sorted islands: emit the kept segment before each
+    # island (clipped to the text) + the marker; finish with the tail
+    acc0 = F.struct(
+        F.lit(1).cast("long").alias("cur"), F.lit("").alias("out")
+    )
+    folded = F.aggregate(
+        F.col("_isls"),
+        acc0,
+        lambda acc, isl: F.struct(
+            F.greatest(acc["cur"], isl["_e"] + 1).alias("cur"),
+            F.concat(
+                acc["out"],
+                F.substring(
+                    t, acc["cur"].cast("int"),
+                    F.greatest(
+                        isl["_s"] - acc["cur"], F.lit(0).cast("long")
+                    ).cast("int"),
+                ),
+                F.lit(marker),
+            ).alias("out"),
+        ),
+        lambda acc: F.concat(
+            acc["out"],
+            F.when(
+                acc["cur"] <= n,
+                F.substring(
+                    t, acc["cur"].cast("int"), (n - acc["cur"] + 1).cast("int")
+                ),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    out = docs.join(islands, id_col, "left")
+    redacted = F.when(F.col("_isls").isNotNull(), folded).otherwise(t)
+    n_spans = F.coalesce(F.size("_isls"), F.lit(0))
+    return (
+        out.withColumn(out_col, redacted)
+        .withColumn("n_redacted_spans", n_spans.cast("long"))
+        .withColumn(
+            "chars_removed",
+            (F.coalesce(n, F.lit(0))
+             - F.coalesce(F.length(F.col(out_col)), F.lit(0))
+             + n_spans * F.length(F.lit(marker))).cast("long"),
+        )
+        .drop("_isls")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Incremental near-dup: new batch vs a persisted signature index
 # ---------------------------------------------------------------------------

@@ -378,3 +378,87 @@ def test_contamination_report_fractions(spark):
     # exact fraction check for doc 1
     r = got[1]
     assert r["overlap_pct"] == round(r["n_overlap"] * 100.0 / r["n_grams"], 2)
+
+
+# ---------------------------------------------------------------------------
+# redact_spans (the apply side of substring_dup_spans)
+# ---------------------------------------------------------------------------
+
+def test_redact_spans_exact_rebuild_and_merge(spark):
+    from claims_data_spark.operators.dedup import redact_spans
+
+    docs = spark.createDataFrame(
+        [(1, "abcdefghijklmnopqrstuvwxyz"), (2, "untouched text")],
+        "doc_id long, text string",
+    )
+    # spans of length 5 at positions 3 and 6 overlap -> one island 3-10
+    spans = spark.createDataFrame(
+        [(1, 3), (1, 6)], "doc_id long, pos long"
+    )
+    out = {r["doc_id"]: r for r in redact_spans(
+        docs, spans, span=5).collect()}
+    assert out[1]["text_redacted"] == "ab" + "klmnopqrstuvwxyz"
+    assert out[1]["n_redacted_spans"] == 1
+    assert out[1]["chars_removed"] == 8
+    assert out[2]["text_redacted"] == "untouched text"
+    assert out[2]["n_redacted_spans"] == 0
+    assert out[2]["chars_removed"] == 0
+
+
+def test_redact_spans_marker_tail_clip_and_determinism(spark):
+    from claims_data_spark.operators.dedup import redact_spans
+
+    docs = spark.createDataFrame(
+        [(1, "0123456789")], "doc_id long, text string"
+    )
+    # island 9-13 runs past the end; marker inserted once
+    spans = spark.createDataFrame([(1, 9)], "doc_id long, pos long")
+    r = redact_spans(docs, spans, span=5, marker="<DUP>").collect()[0]
+    assert r["text_redacted"] == "01234567" + "<DUP>"
+    assert r["chars_removed"] == 2  # '89' removed
+    # disjoint spans keep the middle segment; partitioning invariant
+    docs2 = spark.createDataFrame(
+        [(7, "a" * 30)], "doc_id long, text string"
+    )
+    spans2 = spark.createDataFrame(
+        [(7, 1), (7, 21)], "doc_id long, pos long"
+    )
+    a = redact_spans(docs2, spans2, span=5).collect()[0]
+    b = redact_spans(
+        docs2.repartition(3), spans2.repartition(5), span=5
+    ).collect()[0]
+    assert a["text_redacted"] == "a" * 15 + "a" * 5  # 6-20 and 26-30 kept
+    assert a["n_redacted_spans"] == 2
+    assert (a["text_redacted"], a["chars_removed"]) == (
+        b["text_redacted"], b["chars_removed"])
+
+
+def test_redact_spans_roundtrip_with_substring_dup_spans(spark):
+    from claims_data_spark.operators.dedup import (
+        redact_spans,
+        substring_dup_spans,
+    )
+
+    lic = ("this license text is exactly repeated across both of the "
+           "two documents here")  # 77 chars
+    docs = spark.createDataFrame(
+        [
+            (1, lic + " then doc one continues with its own words"),
+            (2, lic + " and doc two goes elsewhere after the prefix"),
+            (3, "totally unrelated content with no shared prefix at all"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = substring_dup_spans(docs, span=20, stride=1)
+    # keep-min policy: the lower id keeps its copy, redact the later
+    out = {r["doc_id"]: r for r in redact_spans(
+        docs,
+        pairs.selectExpr("id_b AS doc_id", "pos_b AS pos"),
+        span=20,
+    ).collect()}
+    assert out[1]["n_redacted_spans"] == 0          # keeper untouched
+    assert out[3]["n_redacted_spans"] == 0
+    assert out[2]["n_redacted_spans"] >= 1
+    assert lic not in out[2]["text_redacted"]       # shared prefix gone
+    assert out[2]["text_redacted"].endswith(
+        "goes elsewhere after the prefix")          # own tail kept
