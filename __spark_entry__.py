@@ -3997,7 +3997,9 @@ def q_apcd_plr(spark, sf_dir):
         F.col("geo_ach_covd").cast("long").alias("geo_ach_covd"),
         F.col("age").cast("int").alias("age"), "age_grp7",
         F.col("med_total_covd").cast("long").alias("med_total_covd"),
-        _dec(F.col("med_total_covper"), 1, 5).alias("med_total_covper"),
+        # double, not decimal: the oracle's ROUND(double,1) fetches as
+        # float64, and the driver hash is type-sensitive (r07 lesson)
+        _dbl(_dec(F.col("med_total_covper"), 1, 5)).alias("med_total_covper"),
         F.col("med_medicaid_covd").cast("long").alias("med_medicaid_covd"),
         F.col("med_medicare_covd").cast("long").alias("med_medicare_covd"),
         F.col("pharm_total_covd").cast("long").alias("pharm_total_covd"),
@@ -7739,8 +7741,8 @@ WITH base AS (
   FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
 )
 SELECT status, CAST(count(*) AS BIGINT) AS n_docs,
-  CAST(sum(CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)
-                      AS UBIGINT) AS HUGEINT)) AS DECIMAL(38,0))
+  CAST(CAST(sum(CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                          AS UBIGINT) AS HUGEINT)) AS DECIMAL(38,0)) AS VARCHAR)
     AS id_checksum
 FROM diff GROUP BY status
 """
@@ -8459,8 +8461,13 @@ WITH per AS (
       AS sum_punct_fp
   FROM scored
 )
-SELECT n_docs, n_distinct_ids, n_empty, n_chars, n_tokens,
-  n_distinct_texts, sum_quality_fp, sum_punct_fp,
+SELECT n_docs, n_distinct_ids,
+  CAST(n_empty AS BIGINT) AS n_empty,
+  CAST(n_chars AS BIGINT) AS n_chars,
+  CAST(n_tokens AS BIGINT) AS n_tokens,
+  n_distinct_texts,
+  CAST(sum_quality_fp AS BIGINT) AS sum_quality_fp,
+  CAST(sum_punct_fp AS BIGINT) AS sum_punct_fp,
   ROUND((n_docs - n_empty - n_distinct_texts) * 1.0
         / GREATEST(n_docs - n_empty, 1), 4) AS exact_dup_rate
 FROM agg

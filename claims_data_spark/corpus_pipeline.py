@@ -84,6 +84,26 @@ def run_corpus_pipeline(
         split_leakage_report,
     )
 
+    # resolve the benchmark id column explicitly, BEFORE any stage
+    # runs — a positional guess (columns[0]) can silently pick the
+    # TEXT column when a benchmark frame lists it first, producing
+    # meaningless audit rows instead of failing loudly
+    if benchmark is not None:
+        if bench_id_col is None:
+            if "bench_id" in benchmark.columns:
+                bench_id_col = "bench_id"
+            else:
+                raise ValueError(
+                    "bench_id_col is required when the benchmark frame "
+                    "has no 'bench_id' column; got columns "
+                    f"{benchmark.columns}"
+                )
+        elif bench_id_col not in benchmark.columns:
+            raise ValueError(
+                f"bench_id_col={bench_id_col!r} not in benchmark columns "
+                f"{benchmark.columns}"
+            )
+
     qa: list[tuple[str, QaResult]] = []
     rejected: dict[str, int] = {}
     _persisted: list[DataFrame] = []
@@ -152,7 +172,7 @@ def run_corpus_pipeline(
         )
         clean_fuzzy, near = fuzzy_decontaminate(
             clean_exact, benchmark, id_col=id_col, text_col=text_col,
-            bench_id_col=bench_id_col or benchmark.columns[0],
+            bench_id_col=bench_id_col,
             bench_text_col=text_col,
             jaccard_threshold=fuzzy_threshold,
             num_hashes=fuzzy_hashes,

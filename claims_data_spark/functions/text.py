@@ -53,7 +53,10 @@ def blocklist_hits(text: Column | str, terms: list[str]) -> Column:
         raise ValueError("terms must be non-empty")
     # collapse inner whitespace too — the text side is normalized to
     # single spaces, so a double-spaced phrase term would never match
-    norm = [" ".join(t.lower().split()) for t in terms]
+    # dedupe after normalization (order-preserving): array_intersect
+    # already dedupes single tokens, but a phrase listed twice would
+    # otherwise add 2 to a 'distinct matched terms' count
+    norm = list(dict.fromkeys(" ".join(t.lower().split()) for t in terms))
     if any(not t for t in norm):
         raise ValueError("blocklist terms must be non-empty strings")
     singles = [t for t in norm if " " not in t]

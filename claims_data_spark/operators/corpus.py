@@ -821,7 +821,11 @@ def mix_rebalance(
     selection would need a per-stratum running sum (one extra window
     shuffle) for a guarantee no training mixture needs. NULL weights
     count as 0 toward the stratum total but the row still thins at
-    the stratum rate.
+    the stratum rate. A TARGETED stratum whose weight sum is 0 (all
+    rows NULL/zero weight) cannot supply any weight toward its share:
+    it is excluded from the T minimum (a 0 there would zero out the
+    whole corpus — or crash with DIVIDE_BY_ZERO under ANSI mode) and
+    its rows drop at rate 0, same as an untargeted stratum.
 
     All in-plan, no driver collect: the per-stratum counts are one
     tiny aggregate, T is a scalar aggregate over it, and both broadcast
@@ -844,13 +848,13 @@ def mix_rebalance(
     )
     counts = df.groupBy(strata_col).agg(n_expr.alias("_n"))
     counts = counts.withColumn("_p", p)
-    t = counts.filter(F.col("_p") > 0).agg(
+    t = counts.filter((F.col("_p") > 0) & (F.col("_n") > 0)).agg(
         F.min(F.col("_n") / F.col("_p")).alias("_t")
     )
     rates = counts.crossJoin(F.broadcast(t)).select(
         strata_col,
         F.when(
-            F.col("_p") > 0,
+            (F.col("_p") > 0) & (F.col("_n") > 0),
             F.least(F.lit(1.0), F.col("_p") * F.col("_t") / F.col("_n")),
         ).otherwise(F.lit(0.0)).alias(rate_col),
     )
@@ -1367,9 +1371,11 @@ def corpus_diff_summary(
 ) -> DataFrame:
     """Release-note rollup of `corpus_diff`: per status, the document
     count and an ORDERLESS id checksum (sum of each id's 60-bit md5
-    integer as DECIMAL(38,0) — the repo's portable md5 family, so an
-    external system can re-verify membership without ordering). One
-    aggregation with map-side partials; 4 rows out."""
+    integer, emitted as a decimal STRING — the repo's portable md5
+    family, so an external system can re-verify membership without
+    ordering; string because the sum exceeds 2^63 and any engine's
+    float fetch path would corrupt it). One aggregation with map-side
+    partials; 4 rows out."""
     id60 = F.conv(
         F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
     ).cast("decimal(38,0)")
@@ -1382,7 +1388,8 @@ def corpus_diff_summary(
         .select(
             status_col,
             F.col("n_docs").cast("long").alias("n_docs"),
-            F.col("id_checksum").cast("decimal(38,0)").alias("id_checksum"),
+            F.col("id_checksum").cast("decimal(38,0)").cast("string")
+            .alias("id_checksum"),
         )
     )
 

@@ -113,8 +113,13 @@ def tabloop(
     out = reduce(lambda a, b: a.unionByName(b), pieces)
     if filter:
         keep = keep_cats if keep_cats is not None else TABLOOP_KEEP_CATS
+        # numeric compare, not string: the reference keeps group == 1
+        # numerically, so a double-typed flag that stacks as '1.0'
+        # must still qualify (try_cast: non-numeric levels -> NULL,
+        # never an ANSI cast error)
         out = out.filter(
-            F.col("group_cat").isin(keep) | (F.col("group") == "1")
+            F.col("group_cat").isin(keep)
+            | (F.col("group").try_cast("double") == 1)
         )
     if rename:
         # R tools::toTitleCase on these single-word tokens capitalizes
@@ -128,7 +133,14 @@ def tabloop(
         ).otherwise(F.col("group"))
         cat = F.col("group_cat")
         for src, label in TABLOOP_CAT_LABELS.items():
-            cat = F.when(F.col("group_cat") == src, F.lit(label)).otherwise(cat)
+            # 'overall' matches case-insensitively (R/tabloop.R:608
+            # maps Overall/OVERALL too, and the group-side rename
+            # above already lowercases for its overall check)
+            src_col = (
+                F.lower(F.col("group_cat")) if src == "overall"
+                else F.col("group_cat")
+            )
+            cat = F.when(src_col == src, F.lit(label)).otherwise(cat)
         out = out.withColumn("group", group).withColumn("group_cat", cat)
     return out
 

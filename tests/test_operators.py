@@ -1007,3 +1007,106 @@ def test_tabloop_filter_and_rename_parity(spark):
     assert ("Gender, inclusive", "Female") in rrows
     assert ("Coverage group", "Dual_flag") in rrows   # R toTitleCase form
     assert ("_Overall", "_Overall") in rrows
+
+
+def test_mix_rebalance_zero_weight_stratum_excluded(spark):
+    """ADVICE r07: a TARGETED stratum whose weights are all NULL/zero
+    must not poison T (min would be 0 -> whole corpus dropped, or a
+    DIVIDE_BY_ZERO crash under ANSI mode). It is excluded from the T
+    aggregate and its rows drop at rate 0; the other strata keep
+    their normal downsample-only rates."""
+    from claims_data_spark.operators.corpus import mix_rebalance
+
+    rows = [(i, "a", 10) for i in range(100)]
+    rows += [(1000 + i, "b", 100) for i in range(5)]
+    rows += [(2000, "z", None), (2001, "z", 0)]   # targeted, zero weight
+    df = spark.createDataFrame(rows, "rid long, s string, w int")
+    out = mix_rebalance(
+        df, "s", {"a": 0.4, "b": 0.4, "z": 0.2}, id_col="rid",
+        weight_col="w",
+    )
+    rates = {r["s"]: r["keep_rate"] for r in
+             out.select("s", "keep_rate").distinct().collect()}
+    # T over {a, b} only: min(1000/0.4, 500/0.4) = 1250
+    # a: 0.4*1250/1000 = 0.5 ; b: 0.4*1250/500 = 1.0 ; z: dropped
+    assert rates["b"] == 1.0
+    assert rates["a"] == 0.5
+    assert "z" not in rates
+    assert out.filter("s = 'z'").count() == 0
+
+
+def test_tabloop_filter_keeps_double_typed_flags(spark):
+    """ADVICE r07: a DOUBLE-typed flag column stacks as '1.0' after
+    the string cast; the filter compares numerically (reference
+    group == 1), so it must keep those rows — and non-numeric levels
+    of kept categoricals must not trip an ANSI cast error."""
+    from claims_data_spark.operators.tabulate import tabloop
+
+    df = spark.createDataFrame(
+        [(1, "18-24", 1.0), (2, "25-44", 0.0), (3, "18-24", 1.0)],
+        "pid long, age_grp7 string, dbl_flag double",
+    )
+    out = tabloop(
+        df, [], ["age_grp7", "dbl_flag"], {"n": ("count", "pid")},
+        filter=True,
+    ).collect()
+    rows = {(r["group_cat"], r["group"]): r["n"] for r in out}
+    assert rows[("dbl_flag", "1.0")] == 2
+    assert ("dbl_flag", "0.0") not in rows
+    assert ("age_grp7", "18-24") in rows and ("age_grp7", "25-44") in rows
+
+
+def test_tabloop_rename_overall_case_insensitive(spark):
+    """ADVICE r07: R/tabloop.R:608 maps 'overall'/'Overall'/'OVERALL'
+    to _Overall; the group_cat relabel must match case-insensitively
+    like the group-side rename already does."""
+    from claims_data_spark.operators.tabulate import tabloop
+
+    df = spark.createDataFrame(
+        [(1, "Overall"), (2, "Overall")], "pid long, Overall string",
+    )
+    ren = tabloop(
+        df, [], ["Overall"], {"n": ("count", "pid")}, rename=True,
+    ).collect()
+    assert {(r["group_cat"], r["group"]) for r in ren} \
+        == {("_Overall", "_Overall")}
+
+
+def test_blocklist_duplicate_phrase_terms_count_once(spark):
+    """ADVICE r07: duplicate multi-word terms in the blocklist must
+    count once toward the distinct-matched-terms total (single tokens
+    were already deduped by array_intersect; phrases were not)."""
+    from pyspark.sql import functions as F  # noqa: F401
+    from claims_data_spark.functions.text import blocklist_hits
+
+    df = spark.createDataFrame(
+        [("x", "this has a bad phrase in it")], "rid string, text string"
+    )
+    n = df.select(
+        blocklist_hits(
+            "text", ["bad phrase", "Bad  Phrase", "bad phrase"]
+        ).alias("h")
+    ).collect()[0]["h"]
+    assert n == 1
+
+
+def test_corpus_pipeline_bench_id_col_required(spark):
+    """ADVICE r07: no positional guessing of the benchmark id column —
+    a frame without 'bench_id' and no explicit bench_id_col must fail
+    loudly, and a wrong explicit name must too."""
+    import pytest
+    from claims_data_spark.corpus_pipeline import run_corpus_pipeline
+
+    docs = spark.createDataFrame(
+        [(1, "some perfectly reasonable document text here", "web")],
+        "doc_id long, text string, source string",
+    )
+    bench = spark.createDataFrame(
+        [("benchmark text first", 7)], "text string, qid long"
+    )
+    with pytest.raises(ValueError, match="bench_id_col is required"):
+        run_corpus_pipeline(docs, bench, min_quality=0.0)
+    with pytest.raises(ValueError, match="not in benchmark columns"):
+        run_corpus_pipeline(
+            docs, bench, min_quality=0.0, bench_id_col="nope"
+        )
