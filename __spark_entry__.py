@@ -7509,11 +7509,17 @@ def q_learn_bpe(spark, sf_dir):
     """Distributed BPE vocabulary induction (operators/bpe.learn_bpe):
     6 merge rounds over the documents word-frequency table. The merge
     loop is data-dependent (each round re-segments by the previous
-    argmax), so no SQL oracle exists — rows-only for the driver, with
-    the real check in tests/test_bpe.py (exact match of merges AND
-    final segmentations against a pure-python Sennrich mirror).
-    Corpus touched once; each round = one dimension-scale pair-count
-    exchange + a 1-row argmax collect."""
+    argmax), but with the round COUNT fixed the recurrence unrolls
+    into a DuckDB CTE chain (the pagerank_authority precedent): each
+    round is one weighted pair-count aggregate, a deterministic argmax
+    (cnt desc, pair asc — WHERE cnt >= min_pair_count, so early stop
+    falls out as an empty winner CTE whose rounds pass through
+    unchanged), and one greedy left-to-right re-segmentation — which
+    on the double-space-delimited symbol form IS non-overlapping
+    string replace (the boundary algebra the driver already value-
+    proved on bpe_encode). Exact-mirror pytests in tests/test_bpe.py
+    remain. Corpus touched once; each round = one dimension-scale
+    pair-count exchange + a 1-row argmax collect."""
     from claims_data_spark.operators.bpe import learn_bpe
 
     d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
@@ -7522,6 +7528,57 @@ def q_learn_bpe(spark, sf_dir):
         [(i, a, b) for i, (a, b) in enumerate(merges)],
         "merge_idx int, left string, right string",
     )
+
+
+def _learn_bpe_oracle(num_merges: int = 6, min_pair_count: int = 2) -> str:
+    """Unroll ``num_merges`` Sennrich rounds as a DuckDB CTE
+    recurrence over the word-frequency table. Round r: p{r} counts
+    adjacent symbol pairs weighted by word count (symbols recovered by
+    splitting the delimited form on the double-space separator — a
+    symbol can never contain a space), w{r} is the deterministic
+    argmax gated on min_pair_count, t{r} re-segments via ONE
+    non-overlapping left-to-right replace (scalar subqueries; an empty
+    winner makes replace NULL and coalesce passes the table through —
+    the engine's early-stop break, expressed statefully)."""
+    parts = [r"""WITH words AS MATERIALIZED (
+  SELECT w AS word, CAST(count(*) AS BIGINT) AS n
+  FROM (
+    SELECT unnest(list_filter(
+      string_split(trim(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), ' '),
+      x -> length(x) > 0)) AS w
+    FROM documents WHERE text IS NOT NULL
+  ) GROUP BY w
+), t0 AS MATERIALIZED (
+  SELECT word, n,
+    ' ' || regexp_replace(word, '(.)', '\1  ', 'g') || '</w> ' AS sym
+  FROM words
+)"""]
+    for r in range(1, num_merges + 1):
+        parts.append(f""", p{r} AS MATERIALIZED (
+  SELECT l[i] AS a, l[i+1] AS b, CAST(sum(n) AS BIGINT) AS cnt FROM (
+    SELECT n, unnest(range(1, len(l))) AS i, l
+    FROM (SELECT n, string_split(trim(sym, ' '), '  ') AS l FROM t{r-1})
+  ) GROUP BY 1, 2
+), w{r} AS MATERIALIZED (
+  SELECT a, b FROM p{r} WHERE cnt >= {min_pair_count}
+  ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
+), t{r} AS MATERIALIZED (
+  SELECT word, n,
+    coalesce(replace(sym,
+      (SELECT ' ' || a || '  ' || b || ' ' FROM w{r}),
+      (SELECT ' ' || a || b || ' ' FROM w{r})), sym) AS sym
+  FROM t{r-1}
+)""")
+    union = "\n  UNION ALL ".join(
+        f'SELECT CAST({r - 1} AS INTEGER) AS merge_idx, '
+        f'a AS "left", b AS "right" FROM w{r}'
+        for r in range(1, num_merges + 1)
+    )
+    parts.append(f'\nSELECT merge_idx, "left", "right" FROM (\n  {union}\n)')
+    return "".join(parts)
+
+
+SQL_LEARN_BPE = _learn_bpe_oracle(num_merges=6, min_pair_count=2)
 
 
 # pinned BPE merge table for the encode query — a realistic learned
@@ -8677,6 +8734,7 @@ def oracle_sql() -> dict[str, str]:
         "contamination_report": SQL_CONTAMINATION_REPORT,
         "split_assign": SQL_SPLIT_ASSIGN,
         "bpe_encode": SQL_BPE_ENCODE,
+        "learn_bpe": SQL_LEARN_BPE,
         "html_extract": SQL_HTML_EXTRACT,
         "corpus_diff": SQL_CORPUS_DIFF,
         "top_causes_window": SQL_TOP_CAUSES_WINDOW,

@@ -179,3 +179,36 @@ def test_bpe_encode_empty_merges_raises(spark):
     df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
     with pytest.raises(ValueError):
         bpe_encode(df, [])
+
+
+def test_learn_bpe_oracle_matches_engine_with_early_stop(spark, tmp_path):
+    """The unrolled DuckDB oracle (__spark_entry__._learn_bpe_oracle)
+    must reproduce learn_bpe EXACTLY — including the early-stop break:
+    on a fixture whose pair counts dry up before num_merges rounds,
+    the engine breaks and the oracle's empty winner CTEs pass the
+    table through, yielding the same (shorter) merge list."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+
+    rows = [
+        (0, "aa aa aa bb"),     # (a,a) rich; after merges counts dry up
+        (1, "aa bb cc"),
+        (2, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    merges, _ = __import__(
+        "claims_data_spark.operators.bpe", fromlist=["learn_bpe"]
+    ).learn_bpe(df.filter("text is not null"), num_merges=8)
+    assert len(merges) < 8, "fixture must actually early-stop"
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    got = con.execute(entrymod._learn_bpe_oracle(8, 2)).fetchall()
+    got = [(a, b) for _, a, b in sorted(got)]
+    assert got == merges
