@@ -920,3 +920,52 @@ def test_fuzzy_decon_planted_recall(spark):
     _, cont = fuzzy_decontaminate(docs, bench, jaccard_threshold=0.85)
     flagged = {r["doc_id"] for r in cont.collect()}
     assert flagged == set(range(40))   # full recall, zero false flags
+
+
+def test_url_dedup_fast_path_equivalent_batch(spark):
+    """Deterministic batch differential: url_dedup with and without
+    the canonical-shape fast path must produce identical survivor
+    sets, canonical keys, and variant counts over an adversarial URL
+    grid — including strings the gate accepts (already canonical),
+    near-misses on every gate clause, and unparseable junk."""
+    from claims_data_spark.operators.web import url_dedup
+
+    urls = [
+        # gate-accepting canonical forms
+        "https://ex.com/a/b", "http://h.org", "https://x.io/p-1_2.html",
+        "http://sub.dom.ex.com/path/to/doc",
+        # near-misses, one per gate clause
+        "HTTPS://ex.com/a", "https://EX.com/a",        # case
+        "https://ex.com/a?b=1", "https://ex.com/a#f",  # query/frag
+        "https://www.ex.com/a", "http://www.h.org",    # www
+        "https://ex.com/a/", "http://h.org///",        # trailing /
+        "http://ex.com:80/a", "https://ex.com:443/a",  # default port
+        "https://ex.com:8080/a",                       # :80 substring
+        "http://ex.com/p:80x",                         # :80 in path
+        # tracking params, reorder, mixed
+        "https://ex.com/a?utm_source=f&b=2", "https://ex.com/a?b=2&a=1",
+        # junk: unparseable, spaces, empty-ish
+        "not a url", "http://exa mple.com/x", "://x", "ftp://f.com/z",
+        "mailto:a@b.c", "  https://ex.com/a/b  ",
+    ]
+    rows = [(i, u) for i, u in enumerate(urls)]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    fast = sorted(map(tuple, url_dedup(df, "url", "doc_id").collect()))
+    slow = sorted(map(tuple, url_dedup(
+        df, "url", "doc_id", fast_path=False).collect()))
+    assert fast == slow
+
+
+def test_url_dedup_fast_path_skips_parse(spark):
+    """Plan shape: with fast_path on, try_parse_url sits under a CASE
+    WHEN guarded by the gate, so already-canonical rows never construct
+    a java.net.URI."""
+    from claims_data_spark.operators.web import url_dedup
+
+    df = spark.createDataFrame([(0, "https://ex.com/a")], "doc_id long, url string")
+    plan = url_dedup(df, "url", "doc_id")._jdf.queryExecution() \
+        .optimizedPlan().toString()
+    # the parse renders as invoke(ParseUrlEvaluator...) and must sit
+    # under the gate's negation
+    assert "ParseUrlEvaluator" in plan
+    assert "CASE WHEN NOT _cg" in plan

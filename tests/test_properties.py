@@ -344,3 +344,20 @@ def test_bpe_encode_matches_python_apply(spark, words, merges):
             s = out
         expect.extend(s)
     assert list(got.tokens) == expect, (words, merges)
+
+
+@_settings
+@given(url=_urls)
+def test_canonicalize_url_fast_path_equivalent(spark, url):
+    """The canonical-shape fast path (r08) must be a semantic no-op:
+    gate-passing strings are PROVABLY fixed points, so
+    canonicalize_url(fast_path=True) == canonicalize_url(False) for
+    every input — including junk that fails the URI parse."""
+    from claims_data_spark.operators.web import canonicalize_url
+
+    df = spark.createDataFrame([(url,)], "u string")
+    row = df.select(
+        canonicalize_url("u", fast_path=True).alias("f"),
+        canonicalize_url("u", fast_path=False).alias("s"),
+    ).collect()[0]
+    assert row.f == row.s
