@@ -969,3 +969,47 @@ def test_url_dedup_fast_path_skips_parse(spark):
     # under the gate's negation
     assert "ParseUrlEvaluator" in plan
     assert "CASE WHEN NOT _cg" in plan
+
+
+def test_assign_splits_xxhash64_production_family(spark):
+    """hash_family='xxhash64' (r08, the minhash-murmur3 precedent:
+    native JVM hash for production, md5 for the oracle-checked
+    surface): same semantics — deterministic across partitionings,
+    group-cohesive, weights respected — on a different pseudo-random
+    stream. Bad family names fail loudly."""
+    import pytest
+    from claims_data_spark.operators.corpus import (
+        assign_splits, split_leakage_report,
+    )
+
+    rows = [(i, f"dom{i % 40}") for i in range(4000)]
+    df = spark.createDataFrame(rows, "doc_id long, domain string")
+    out = assign_splits(
+        df, {"train": 8, "val": 1, "test": 1},
+        id_col="doc_id", group_col="domain", hash_family="xxhash64",
+    )
+    got = {r["split"]: r["n"] for r in
+           out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    # 40 domains of 100 docs; train share within a loose binomial band
+    assert 0.6 <= got.get("train", 0) / 4000 <= 0.95
+    assert set(got) <= {"train", "val", "test"}
+    # group cohesion: zero leaky domains
+    assert split_leakage_report(out, "domain").count() == 0
+    # partitioning invariance
+    again = assign_splits(
+        df.repartition(13), {"train": 8, "val": 1, "test": 1},
+        id_col="doc_id", group_col="domain", hash_family="xxhash64",
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, again.collect())
+    )
+    # a DIFFERENT stream than md5 (same weights, same keys)
+    md5 = assign_splits(
+        df, {"train": 8, "val": 1, "test": 1},
+        id_col="doc_id", group_col="domain",
+    )
+    pairs = {(r["domain"], r["split"]) for r in md5.collect()}
+    xpairs = {(r["domain"], r["split"]) for r in out.collect()}
+    assert pairs != xpairs
+    with pytest.raises(ValueError, match="hash_family"):
+        assign_splits(df, {"a": 1}, id_col="doc_id", hash_family="sha9")
