@@ -242,6 +242,54 @@ def main() -> None:
     calib["cpu_probe_end"] = cpu_probe()
     total = round(sum(timings.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+
+    # end-to-end release pipeline (round-7 verdict task 9: the sf1
+    # 54.6 s / sf10 313.7 s trend lived only in BASELINE.md prose —
+    # the artifact of record now carries it per round). Same protocol
+    # as the BASELINE rows: full documents table, ~1%-of-corpus
+    # benchmark, token-weighted 5-language mixture, grouped 90/5/5
+    # splits, all QA gates strict. Skip with SPARK_GRAFT_PIPELINE=0.
+    pipeline: dict = {}
+    if os.environ.get("SPARK_GRAFT_PIPELINE", "1") != "0":
+        from pyspark.sql import functions as F
+
+        from claims_data_spark.corpus_pipeline import run_corpus_pipeline
+
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        benchmark = (
+            docs.filter(F.col("doc_id") % 101 == 0)
+            .select(F.col("doc_id").alias("bench_id"), "text")
+        )
+        mix = {
+            lang: 0.2 for lang in ("en", "es", "fr", "de", "zh")
+        }
+        t0 = time.perf_counter()
+        try:
+            out = run_corpus_pipeline(
+                docs, benchmark,
+                min_quality=0.3, min_lang_hits=0,
+                target_mix=mix, strata_col="lang", weight_col="n_chars",
+                split_weights={"train": 0.9, "val": 0.05, "test": 0.05},
+                split_group_col="source",
+                decontaminate_n=13, fuzzy_threshold=0.8,
+                seed="bench",
+            )
+            n_out = out["docs"].count()
+            pipeline = {
+                "wall_sec": round(time.perf_counter() - t0, 3),
+                "n_in": docs.count(),
+                "n_out": n_out,
+                "rejected": out["rejected"],
+                "gates_green": all(ok for _, (_, ok, _) in out["qa"]),
+                "n_gates": len(out["qa"]),
+            }
+        except Exception as e:  # a red gate must show up, not crash bench
+            pipeline = {
+                "wall_sec": round(time.perf_counter() - t0, 3),
+                "error": f"{type(e).__name__}: {e}"[:300],
+            }
+        print(f"# pipeline: {pipeline}", file=sys.stderr)
+
     spark.stop()
 
     duck: dict[str, float] = {}
@@ -280,6 +328,10 @@ def main() -> None:
     print(json.dumps(
         {"section": "jobs", "jobs": job_counts, "extended_jobs": ext_jobs}
     ))
+    if pipeline:
+        print(json.dumps(
+            {"section": "pipeline", "pipeline": pipeline, "sf": sf_val}
+        ))
     print(json.dumps(
         {
             "section": "extended",

@@ -54,6 +54,7 @@ def run_corpus_pipeline(
     strata_col: str = "source",
     min_quality: float = 0.5,
     lang: str = "en",
+    min_lang_hits: int = 1,
     blocklist: list[str] | None = None,
     decontaminate_n: int = 13,
     fuzzy_threshold: float = 0.8,
@@ -131,7 +132,7 @@ def run_corpus_pipeline(
     # ---- stage 1: clean ------------------------------------------------
     kept, report = clean_corpus(
         docs, id_col, text_col,
-        min_quality=min_quality, lang=lang,
+        min_quality=min_quality, lang=lang, min_lang_hits=min_lang_hits,
         **({"blocklist": blocklist} if blocklist else {}),
     )
     status_counts = {r["status"]: r["docs"] for r in report.collect()}
