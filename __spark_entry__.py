@@ -8531,6 +8531,224 @@ FROM agg
 """
 
 
+def q_winnow_near_dup(spark, sf_dir):
+    """Winnowing-fingerprint near-dup pairs (operators/dedup.
+    winnow_fingerprints + winnow_near_dup_pairs — Schleimer et al.
+    2003, the MOSS local fingerprinting scheme): hash every 8-char
+    gram, keep each 8-window's minimum, bucket docs on shared
+    fingerprints. The differentiator vs the strided grid of
+    substring_spans is the ANY-ALIGNMENT guarantee (a shared
+    substring >= k+w-1 chars always shares a fingerprint), which the
+    fixture exercises: every third document also appears as a
+    PREFIX-SHIFTED copy ('prefix ' + text), misaligned with its
+    original by 7 chars — a shift the strided fixture would miss
+    entirely. Map-only fingerprinting; two candidate-grain exchanges
+    (fp buckets with a 64-doc cap, then the pair rollup); never
+    all-pairs."""
+    from claims_data_spark.operators.dedup import winnow_near_dup_pairs
+
+    # distinctive texts minted from doc_id (md5-hex chunks): the raw
+    # documents prose draws on a ~30-word vocabulary, so char-gram
+    # buckets degenerate (every doc collides with every doc — measured
+    # pair blow-up at sf0.1); hex chunks make grams unique per doc, so
+    # the output is exactly the planted structure: a prefix-SHIFTED
+    # full copy of every 3rd doc (misaligned by 7 chars — the
+    # any-alignment case the strided substring_spans grid misses) and
+    # a half-overlap variant of every 5th doc (first half shared,
+    # second half re-minted)
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    did = F.col("doc_id").cast("string")
+    chunks = [F.md5(F.concat(did, F.lit(f"|w{j}"))) for j in range(6)]
+    base_text = F.concat_ws(" ", *chunks)
+    half_text = F.concat_ws(
+        " ",
+        *chunks[:3],
+        *[F.md5(F.concat(did, F.lit(f"|v{j}"))) for j in range(3)],
+    )
+    base = d.select("doc_id", base_text.alias("text"))
+    shifted = d.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+        F.concat(F.lit("prefix "), base_text).alias("text"),
+    )
+    half = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + F.lit(20_000_000)).alias("doc_id"),
+        half_text.alias("text"),
+    )
+    out = winnow_near_dup_pairs(
+        base.unionByName(shifted).unionByName(half), k=8, w=8,
+        min_shared=2, max_bucket_docs=64,
+    )
+    return out.select(
+        "id_a", "id_b", "shared_fps", "n_a", "n_b", "jaccard_est"
+    )
+
+
+SQL_WINNOW_NEAR_DUP = r"""
+WITH ids AS (
+  SELECT doc_id, CAST(doc_id AS VARCHAR) AS s
+  FROM documents WHERE text IS NOT NULL
+), minted AS (
+  SELECT doc_id,
+    md5(s || '|w0') || ' ' || md5(s || '|w1') || ' ' || md5(s || '|w2')
+      || ' ' || md5(s || '|w3') || ' ' || md5(s || '|w4') || ' '
+      || md5(s || '|w5') AS base_text,
+    md5(s || '|w0') || ' ' || md5(s || '|w1') || ' ' || md5(s || '|w2')
+      || ' ' || md5(s || '|v0') || ' ' || md5(s || '|v1') || ' '
+      || md5(s || '|v2') AS half_text
+  FROM ids
+), raw AS (
+  SELECT doc_id, base_text AS t0 FROM minted
+  UNION ALL
+  SELECT doc_id + 10000000, 'prefix ' || base_text
+  FROM minted WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id + 20000000, half_text FROM minted WHERE doc_id % 5 = 0
+), d AS (
+  SELECT doc_id, regexp_replace(lower(trim(t0)), '\s+', ' ', 'g') AS t
+  FROM raw
+), g AS (
+  SELECT doc_id, t, length(t) - 7 AS ng FROM d
+), h AS MATERIALIZED (
+  SELECT doc_id, ng, list_transform(range(1, ng + 1),
+    i -> CAST(CAST('0x' || substring(md5(substring(t, CAST(i AS INT), 8)),
+                                     1, 15) AS UBIGINT) AS BIGINT)) AS hs
+  FROM g WHERE ng >= 1
+), fp AS MATERIALIZED (
+  SELECT doc_id, CASE WHEN ng >= 8
+    THEN list_sort(list_distinct(list_transform(range(1, ng - 6), j ->
+         list_aggregate(hs[CAST(j AS INT):CAST(j + 7 AS INT)], 'min'))))
+    ELSE [list_aggregate(hs, 'min')] END AS fps
+  FROM h
+), e AS MATERIALIZED (
+  SELECT doc_id, len(fps) AS n_fps, unnest(fps) AS fp FROM fp
+), caps AS (
+  SELECT fp FROM e GROUP BY fp HAVING count(*) BETWEEN 2 AND 64
+), ee AS MATERIALIZED (
+  SELECT e.* FROM e JOIN caps USING (fp)
+), pr AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_fps,
+         a.n_fps AS n_a, b.n_fps AS n_b
+  FROM ee a JOIN ee b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 4, 5
+)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       CAST(shared_fps AS BIGINT) AS shared_fps,
+       CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CAST(shared_fps AS DOUBLE) / (n_a + n_b - shared_fps) AS jaccard_est
+FROM pr WHERE shared_fps >= 2
+"""
+
+
+def q_profile_drift(spark, sf_dir):
+    """Snapshot column-profile drift report (operators/profile.
+    profile_drift): old = the documents table, new = a perturbed
+    release candidate (6% of rows dropped, lang NULLed for every
+    13th doc, every 7th source renamed, every 5th n_chars shifted)
+    — the per-column null-rate / total-variation / max-bucket-shift
+    table a release gate reads before shipping snapshot N+1. All
+    drift math is exact integer/decimal cross-product arithmetic
+    with one final division (order-free, partitioning-invariant,
+    type-strict) — see the operator docstring for why PSI/chi-square
+    are deliberately absent. One scan per snapshot; the single
+    exchange is (n_cols x n_buckets)-grain."""
+    from claims_data_spark.operators.profile import profile_drift
+
+    d = _t(spark, sf_dir, "documents")
+    old = d.select("doc_id", "lang", "source", "n_chars")
+    new = d.filter(F.col("doc_id") % 17 != 0).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 13 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("lang")).alias("lang"),
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("source"), F.lit("_v2"))
+        ).otherwise(F.col("source")).alias("source"),
+        F.when(F.col("doc_id") % 5 == 0, F.col("n_chars") + 50)
+        .otherwise(F.col("n_chars")).alias("n_chars"),
+    )
+    return profile_drift(old, new, n_buckets=16)
+
+
+SQL_PROFILE_DRIFT = r"""
+WITH oldt AS (
+  SELECT doc_id, lang, source, n_chars FROM documents
+), newt AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 13 = 0 THEN NULL ELSE lang END AS lang,
+    CASE WHEN doc_id % 7 = 0 THEN source || '_v2' ELSE source END AS source,
+    CASE WHEN doc_id % 5 = 0 THEN n_chars + 50 ELSE n_chars END AS n_chars
+  FROM documents WHERE doc_id % 17 <> 0
+), ob AS (
+  SELECT col_name, bucket, count(*) AS cnt_old FROM (
+    SELECT 'doc_id' AS col_name, CASE WHEN doc_id IS NULL THEN -1
+      ELSE CAST(CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+           1, 15) AS UBIGINT) % 16 AS BIGINT) AS INT) END AS bucket FROM oldt
+    UNION ALL
+    SELECT 'lang', CASE WHEN lang IS NULL THEN -1
+      ELSE CAST(CAST(CAST('0x' || substring(md5(lang), 1, 15)
+           AS UBIGINT) % 16 AS BIGINT) AS INT) END FROM oldt
+    UNION ALL
+    SELECT 'source', CASE WHEN source IS NULL THEN -1
+      ELSE CAST(CAST(CAST('0x' || substring(md5(source), 1, 15)
+           AS UBIGINT) % 16 AS BIGINT) AS INT) END FROM oldt
+    UNION ALL
+    SELECT 'n_chars', CASE WHEN n_chars IS NULL THEN -1
+      ELSE CAST(CAST(CAST('0x' || substring(md5(CAST(n_chars AS VARCHAR)),
+           1, 15) AS UBIGINT) % 16 AS BIGINT) AS INT) END FROM oldt
+  ) GROUP BY 1, 2
+), nb AS (
+  SELECT col_name, bucket, count(*) AS cnt_new FROM (
+    SELECT 'doc_id' AS col_name, CASE WHEN doc_id IS NULL THEN -1
+      ELSE CAST(CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+           1, 15) AS UBIGINT) % 16 AS BIGINT) AS INT) END AS bucket FROM newt
+    UNION ALL
+    SELECT 'lang', CASE WHEN lang IS NULL THEN -1
+      ELSE CAST(CAST(CAST('0x' || substring(md5(lang), 1, 15)
+           AS UBIGINT) % 16 AS BIGINT) AS INT) END FROM newt
+    UNION ALL
+    SELECT 'source', CASE WHEN source IS NULL THEN -1
+      ELSE CAST(CAST(CAST('0x' || substring(md5(source), 1, 15)
+           AS UBIGINT) % 16 AS BIGINT) AS INT) END FROM newt
+    UNION ALL
+    SELECT 'n_chars', CASE WHEN n_chars IS NULL THEN -1
+      ELSE CAST(CAST(CAST('0x' || substring(md5(CAST(n_chars AS VARCHAR)),
+           1, 15) AS UBIGINT) % 16 AS BIGINT) AS INT) END FROM newt
+  ) GROUP BY 1, 2
+), j AS (
+  SELECT coalesce(ob.col_name, nb.col_name) AS col_name,
+         coalesce(ob.bucket, nb.bucket) AS bucket,
+         coalesce(cnt_old, 0) AS cnt_old,
+         coalesce(cnt_new, 0) AS cnt_new
+  FROM ob FULL OUTER JOIN nb
+    ON ob.col_name = nb.col_name AND ob.bucket = nb.bucket
+), t AS (
+  SELECT *,
+    sum(cnt_old) OVER (PARTITION BY col_name) AS n_old,
+    sum(cnt_new) OVER (PARTITION BY col_name) AS n_new
+  FROM j
+), t2 AS (
+  SELECT *, CAST(cnt_new AS HUGEINT) * n_old
+            - CAST(cnt_old AS HUGEINT) * n_new AS d
+  FROM t
+)
+SELECT col_name,
+  CAST(n_old AS BIGINT) AS n_old,
+  CAST(n_new AS BIGINT) AS n_new,
+  CAST(sum(CASE WHEN bucket = -1 THEN cnt_old ELSE 0 END) AS DOUBLE)
+    / n_old AS null_rate_old,
+  CAST(sum(CASE WHEN bucket = -1 THEN cnt_new ELSE 0 END) AS DOUBLE)
+    / n_new AS null_rate_new,
+  CAST(sum(CASE WHEN d <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_buckets_drifted,
+  CAST(sum(abs(d)) AS DOUBLE)
+    / (2.0 * CAST(CAST(n_old AS HUGEINT) * n_new AS DOUBLE))
+    AS tv_distance,
+  CAST(max(abs(d)) AS DOUBLE)
+    / CAST(CAST(n_old AS HUGEINT) * n_new AS DOUBLE) AS linf_distance
+FROM t2
+GROUP BY col_name, n_old, n_new
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the correctness driver checks the first 50 entries.
     # Rotation policy lives in WINDOW.md: red/changed/new queries pin
@@ -8539,27 +8757,88 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # have gone longest without a driver row (every entry in the tail
     # is still covered by tools/parity.py and pytest each round).
     return {
-        # ---- driver window (first 50): round-7 rotation, WINDOW.md ----
-        # rule 1 pins (impl changed r07: ccw scan pushdown, parse_url
-        # canonicalization + min_by survivor, SWAR signature band,
-        # single-bucketize DSIR) and the r07-scheduled first/second rows,
-        # then rows-only periodic rows, then rule-3 backfill: the six
-        # r03-last queries and the r04-last tranche (oldest first)
-        "ccw_two_claim": q_ccw_two_claim,
-        "ccw_combined": q_ccw_combined,
+        # ---- driver window (first 50): round-8 rotation, WINDOW.md ----
+        # rule-1 pins (r08 changes: the two r07 hash-red oracle fixes,
+        # apcd_plr covper type, url_dedup fast path, learn_bpe's NEW
+        # unrolled value oracle, mix_rebalance zero-weight guard, the
+        # tabloop filter/label fixes, split_assign hash_family, and the
+        # two NEW operators winnow_near_dup / profile_drift), then the
+        # r07-first-green second seats, then rule-3 backfill: the 13
+        # r08 backfill-head entries named by the r07 rotation, the
+        # three deferred r04-last queries, and the oldest r05-last
+        # tranche. sketch_distinct_rollup returns to the tail (rows-
+        # only; the round-4 ruling the round-7 verdict re-affirmed).
+        "corpus_card": q_corpus_card,
+        "corpus_diff": q_corpus_diff,
+        "apcd_plr": q_apcd_plr,
         "url_dedup": q_url_dedup,
-        "record_linkage": q_record_linkage,
+        "learn_bpe": q_learn_bpe,
+        "mix_rebalance": q_mix_rebalance,
+        "tabloop_suppress": q_tabloop,
+        "tabloop_fixed": q_tabloop_fixed,
+        "winnow_near_dup": q_winnow_near_dup,
+        "profile_drift": q_profile_drift,
+        "split_assign": q_split_assign,
         "dsir_select": q_dsir_select,
         "substring_spans": q_substring_spans,
-        "corpus_card": q_corpus_card,
         "contamination_report": q_contamination_report,
+        "top_causes_window": q_top_causes_window,
+        "bpe_encode": q_bpe_encode,
+        "html_extract": q_html_extract,
+        "shard_manifest": q_shard_manifest,
+        "threshold_sweep": q_threshold_sweep,
+        "cross_source_overlap": q_cross_source_overlap,
+        "fuzzy_decontaminate": q_fuzzy_decontaminate,
+        "diversity_sample": q_diversity_sample,
+        "redact_spans": q_redact_spans,
+        "json_props": q_json_props,
+        "grouping_sets": q_grouping_sets,
+        "ngram_jaccard": q_ngram_jaccard,
+        "dedup_clusters": q_dedup_clusters,
+        "corpus_clean": q_corpus_clean,
+        "embedding_near_dup": q_embedding_near_dup,
+        "ndc_normalize": q_ndc_normalize,
+        "address_clean": q_address_clean,
+        "perf_measure_fua": q_perf_measure_fua,
+        "windowed_events": q_windowed_events,
+        "sliding_windows": q_sliding_windows,
+        "multimodal_decode": q_multimodal_decode,
+        "decontaminate": q_decontaminate,
+        "stratified_sample": q_stratified_sample,
+        "pack_sequences": q_pack_sequences,
+        "apcd_ed_episode": q_apcd_ed_episode,
+        "chunk_documents": q_chunk_documents,
+        "combined_claim_children": q_combined_claim_children,
+        "minhash_near_dup": q_minhash_dedup,
+        "simhash_near_dup": q_simhash_dedup,
+        "window_lag_gap": q_window_lag,
+        "pii_scrub": q_pii_scrub,
+        "quantize_embeddings": q_quantize_embeddings,
+        "repetition_filter": q_repetition_filter,
+        "calendar_join": q_calendar_join,
+        "dedup_first_row": q_first_order,
+        "dedup_priority": q_dedup_priority,
+        # ---- tail (parity- and pytest-verified every round) ----
+        "dedup_seeded": q_dedup_seeded,
+        "except_distinct": q_except,
+        "grid_zerofill": q_grid_zerofill,
+        "lang_id": q_lang_id,
+        "mode_tiebreak": q_mode,
+        "mode_weighted": q_mode_weighted,
+        "pct_flags": q_pct_flags,
+        "prefix_join": q_prefix_join,
+        "pricing_summary": q_pricing_summary,
+        "scalar_datetime": q_scalar_datetime,
+        "submonth_clip": q_submonth_clip,
+        "ccw_two_claim": q_ccw_two_claim,
+        "ccw_combined": q_ccw_combined,
+        "record_linkage": q_record_linkage,
+        "hedis_year_merge": q_hedis_year_merge,
+        "knn_ivf": q_knn_ivf,
         "image_resize": q_image_resize,
         "text_normalize": q_text_normalize,
         "streaming_dedup": q_streaming_dedup,
         "weighted_sample_grouped": q_weighted_sample_grouped,
-        "hedis_year_merge": q_hedis_year_merge,
-        "sketch_distinct_rollup": q_sketch_distinct,
-        "learn_bpe": q_learn_bpe,
         "coverage_stats": q_coverage,
         "interval_resegment": q_resegment,
         "episodes_dense_id": q_episodes,
@@ -8575,109 +8854,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stage_mcaid_elig": q_stage_mcaid_elig,
         "demo_summary": q_demo_summary,
         "provider_master_rank": q_provider_master_rank,
-        # rule-1 re-pin: mix_rebalance's checked surface changed this
-        # round (token-weighted mixture via weight_col='n_chars') —
-        # displaces ndc_normalize to the r08 backfill head (NDC
-        # normalization stays driver-exercised inside the r06-green
-        # claim_moud / rda paths and keeps its pytests)
-        "mix_rebalance": q_mix_rebalance,
         "claims_summary": q_claims_summary,
         "housing_status": q_housing_status,
-        # rule-1 pin: diversity_sample (cluster-balanced coreset
-        # selection, new r07) displaces address_clean to the r08
-        # backfill head — the address/geocode family keeps spatial_pip
-        # and housing_status in-window and address_clean's
-        # normalization rules keep their dedicated pytests
-        "diversity_sample": q_diversity_sample,
         "spatial_pip": q_spatial_pip,
         "perf_measure_ed": q_perf_measure_ed,
         "lcs_match": q_lcs_match,
         "amr_measure": q_amr_measure,
         "session_windows": q_session_windows,
         "multimodal_features": q_multimodal_features,
-        # rule-1 late pins: knn_ivf's compiled assignment changed this
-        # round (_dlit literal-node diet), and the five round-7
-        # additions (split_assign / bpe_encode / html_extract /
-        # corpus_diff / the top_causes parameter-parity query) are new
-        # — each displaces an r04-last rule-3 backfill entry
-        # (embedding_near_dup, json_props, grouping_sets,
-        # ngram_jaccard, dedup_clusters, corpus_clean) to the r08
-        # backfill head; every displaced query stays parity- and
-        # pytest-covered each round
-        "knn_ivf": q_knn_ivf,
-        "top_causes_window": q_top_causes_window,
-        "split_assign": q_split_assign,
-        "bpe_encode": q_bpe_encode,
-        "html_extract": q_html_extract,
-        "corpus_diff": q_corpus_diff,
-        # rule-1 pins: shard_manifest (release-shard export manifest)
-        # and threshold_sweep (quality-filter calibration), both new
-        # r07 — they displace sliding_windows and windowed_events,
-        # whose readStream windowed-agg family stays covered in-window
-        # by session_windows
-        "shard_manifest": q_shard_manifest,
-        "threshold_sweep": q_threshold_sweep,
-        # rule-1 pin: cross_source_overlap (pairwise source
-        # contamination matrix, new r07) displaces multimodal_decode
-        # — its byte-level decoders keep dedicated pytests and the
-        # sibling multimodal_features stays in-window
-        "cross_source_overlap": q_cross_source_overlap,
-        # rule-1 pin: fuzzy_decontaminate (MinHash-banded cross-corpus
-        # near-dup decontamination, new r07) displaces
-        # perf_measure_fua — its registry/staging machinery stays
-        # in-window via perf_measure_ed and the fuh/pcr/tx_pen measures
-        "fuzzy_decontaminate": q_fuzzy_decontaminate,
-        # ---- outside the window: parity + pytest covered ----
-        # head of the r08 backfill queue: the r04-last queries the
-        # window could not seat (each is covered by a driver-green
-        # bit-identical or superset sibling: bloom_decontaminate /
-        # weighted_sample family / the pack_sequences exact pytest /
-        # get_json_object parity rows)
-        "json_props": q_json_props,
-        "address_clean": q_address_clean,
-        "perf_measure_fua": q_perf_measure_fua,
-        "sliding_windows": q_sliding_windows,
-        "windowed_events": q_windowed_events,
-        "multimodal_decode": q_multimodal_decode,
-        "grouping_sets": q_grouping_sets,
-        "ngram_jaccard": q_ngram_jaccard,
-        "dedup_clusters": q_dedup_clusters,
-        "corpus_clean": q_corpus_clean,
-        "decontaminate": q_decontaminate,
-        "stratified_sample": q_stratified_sample,
-        "pack_sequences": q_pack_sequences,
-        # NEW late-r07: span redaction (apply side of substring_spans)
-        # — seats at the tail head for its first driver row in r08
-        # (corpus_card precedent: parity-green at both scales this
-        # round, exact pytests incl. the find->redact round trip)
-        "redact_spans": q_redact_spans,
-        "apcd_ed_episode": q_apcd_ed_episode,
-        "apcd_plr": q_apcd_plr,
-        "chunk_documents": q_chunk_documents,
-        "combined_claim_children": q_combined_claim_children,
-        "minhash_near_dup": q_minhash_dedup,
-        "simhash_near_dup": q_simhash_dedup,
-        "window_lag_gap": q_window_lag,
-        "pii_scrub": q_pii_scrub,
-        "quantize_embeddings": q_quantize_embeddings,
-        "repetition_filter": q_repetition_filter,
-        "calendar_join": q_calendar_join,
-        "dedup_first_row": q_first_order,
-        "dedup_priority": q_dedup_priority,
-        "dedup_seeded": q_dedup_seeded,
-        "except_distinct": q_except,
-        "grid_zerofill": q_grid_zerofill,
-        "lang_id": q_lang_id,
-        "mode_tiebreak": q_mode,
-        "mode_weighted": q_mode_weighted,
-        "pct_flags": q_pct_flags,
-        "prefix_join": q_prefix_join,
-        "pricing_summary": q_pricing_summary,
-        "scalar_datetime": q_scalar_datetime,
-        "submonth_clip": q_submonth_clip,
-        "tabloop_fixed": q_tabloop_fixed,
-        "tabloop_suppress": q_tabloop,
-        "embedding_near_dup": q_embedding_near_dup,
+        "sketch_distinct_rollup": q_sketch_distinct,
         "semantic_dedup": q_semantic_dedup,
         "scd2_merge": q_scd2_merge,
         "pagerank_authority": q_pagerank,
@@ -8691,7 +8876,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "bigram_lm": q_bigram_lm,
         "weighted_sample": q_weighted_sample,
-        "ndc_normalize": q_ndc_normalize,
         "domain_cap": q_domain_cap,
         "wordpiece_tokenize": q_wordpiece_tokenize,
         "line_dedup": q_line_dedup,
@@ -8724,7 +8908,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_bruteforce": q_knn_bruteforce,
     }
 
-
 def oracle_sql() -> dict[str, str]:
     return {
         "hedis_year_merge": SQL_HEDIS_YEAR_MERGE,
@@ -8735,6 +8918,8 @@ def oracle_sql() -> dict[str, str]:
         "split_assign": SQL_SPLIT_ASSIGN,
         "bpe_encode": SQL_BPE_ENCODE,
         "learn_bpe": SQL_LEARN_BPE,
+        "winnow_near_dup": SQL_WINNOW_NEAR_DUP,
+        "profile_drift": SQL_PROFILE_DRIFT,
         "html_extract": SQL_HTML_EXTRACT,
         "corpus_diff": SQL_CORPUS_DIFF,
         "top_causes_window": SQL_TOP_CAUSES_WINDOW,

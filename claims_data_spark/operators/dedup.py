@@ -760,6 +760,231 @@ def redact_spans(
 # Incremental near-dup: new batch vs a persisted signature index
 # ---------------------------------------------------------------------------
 
+def winnow_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 8,
+    hash_family: str = "md5",
+    fps_col: str = "fps",
+) -> DataFrame:
+    """Winnowing document fingerprints — Schleimer, Wilkerson &
+    Aiken 2003 (the MOSS algorithm), the classic local fingerprinting
+    scheme between "hash everything" (too many fingerprints) and
+    "hash every Nth gram" (a 1-char shift escapes): hash every
+    character ``k``-gram of the normalized text, slide a window of
+    ``w`` consecutive gram hashes, and keep each window's MINIMUM.
+    Guarantee: any shared substring of length >= ``k + w - 1`` shares
+    at least one selected fingerprint REGARDLESS of alignment — the
+    property the strided grid of :func:`substring_dup_spans` trades
+    away (its docstring's mod-``stride`` congruence condition).
+    Density: ~2/(w+1) of gram positions select, so the fingerprint
+    set is a tunable fraction of document length.
+
+    Output: one row per document with at least one full gram —
+    ``(id, fps array<bigint> DISTINCT SORTED, n_fps)``. Documents
+    shorter than a full window (but >= ``k`` chars) fall back to one
+    fingerprint (the global gram-hash min), so short docs still
+    participate. Selection keeps VALUES, not positions: for dedup
+    bucketing the distinct minima set is the fingerprint (MOSS keeps
+    positions only to localize matches — span localization is
+    ``substring_dup_spans``'s job).
+
+    Scale shape: map-only codegen — one ``transform`` hashing the
+    gram stream (O(L) md5 calls per doc), one ``transform`` of
+    window minima over the in-row array (O(L*w) long compares, no
+    allocation beyond the two arrays), ``array_distinct`` +
+    ``array_sort``. No shuffle, no UDF, no state; at 100 TB this is
+    a projected column on the corpus scan. ``hash_family='md5'``
+    (default) is the engine-portable oracle-checked stream;
+    ``'xxhash64'`` is the production stream (native JVM hash, same
+    selection algebra).
+    """
+    if k < 1 or w < 1:
+        raise ValueError("k and w must be >= 1")
+    if hash_family not in ("md5", "xxhash64"):
+        raise ValueError(
+            f"hash_family must be 'md5' or 'xxhash64', got {hash_family!r}"
+        )
+
+    # LET-BINDING via 1-element transforms (a hard-won evaluation-
+    # order lesson): an expression referenced inside a higher-order-
+    # function lambda is re-evaluated AT EVERY lambda invocation
+    # unless whole-stage codegen's subexpression elimination happens
+    # to rescue it — and large plans (a union of minted fixture
+    # branches was enough) fall off the codegen cliff into the
+    # interpreted path, which has no CSE. A naive
+    # ``slice(hashes, j, w)`` per window then re-runs the ENTIRE
+    # gram-hash transform per window — O(L^2 * w) md5 calls per
+    # document; measured as a multi-hour stall on a 10k-doc fixture.
+    # Wrapping each heavy intermediate in a one-element array and
+    # binding it as a ``transform`` lambda VARIABLE makes every
+    # re-reference a free variable read in BOTH evaluation modes:
+    # the normalized text evaluates once, the gram-hash array
+    # evaluates once (one md5 per gram), and the per-window work is
+    # w long-compares on the bound array.
+    def gram_hash(tt: Column, i: Column) -> Column:
+        gram = F.substring(tt, i, k)
+        if hash_family == "md5":
+            return F.conv(F.substring(F.md5(gram), 1, 15), 16, 10).cast("long")
+        return F.xxhash64(gram)
+
+    def bind(expr: Column, fn) -> Column:
+        """Let-binding: evaluate ``expr`` ONCE, hand it to ``fn`` as a
+        lambda variable (free to re-reference in either eval mode)."""
+        return F.element_at(F.transform(F.array(expr), fn), 1)
+
+    def window_minima(hs: Column) -> Column:
+        """Sliding-window minima by sparse-table DOUBLING: m_width[j]
+        = min(hs[j .. j+width-1]) builds in log2(w) zip_with(least)
+        passes (zip_with pads the shifted side with NULL; least skips
+        NULLs, and the partial-window tail entries are cut by the
+        final slice). O(L log w) long-compares and ~log w array
+        allocations per document — the naive per-window
+        ``array_min(slice(...))`` allocates L small arrays, which in
+        the interpreted HOF path (no whole-stage codegen for higher-
+        order functions) measured ~10x slower at sf1."""
+        p = 1 << ((w - 1).bit_length() - 1) if w > 1 else 1  # 2^a <= w
+
+        def doubled(m: Column, width: int) -> Column:
+            if width >= p:
+                if p == w:
+                    return m
+                shifted = F.slice(
+                    m, w - p + 1, F.greatest(F.size(m) - (w - p), F.lit(0))
+                )
+                return F.zip_with(m, shifted, lambda a, b: F.least(a, b))
+            nxt = F.zip_with(
+                m,
+                F.slice(
+                    m, width + 1,
+                    F.greatest(F.size(m) - width, F.lit(0)),
+                ),
+                lambda a, b: F.least(a, b),
+            )
+            return bind(nxt, lambda mm: doubled(mm, width * 2))
+
+        n_windows = F.size(hs) - F.lit(w - 1)
+        return F.when(
+            n_windows >= 1,
+            F.slice(doubled(hs, 1), 1, n_windows),
+        ).otherwise(F.array(F.array_min(hs)))
+
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    fps = bind(
+        norm,
+        lambda tt: bind(
+            F.transform(
+                F.sequence(F.lit(1), F.length(tt) - F.lit(k - 1)),
+                lambda i: gram_hash(tt, i),
+            ),
+            window_minima,
+        ),
+    )
+    return (
+        docs.filter(F.col(text_col).isNotNull())
+        # on the NORMALIZED length: whitespace collapse can shorten a
+        # trim-passing string below k, and sequence(1, 0) counts DOWN
+        # in Spark — the guard must see the same string fps sees
+        .filter(F.length(norm) >= k)
+        .select(
+            F.col(id_col),
+            F.array_sort(F.array_distinct(fps)).alias(fps_col),
+        )
+        .withColumn("n_fps", F.size(fps_col).cast("long"))
+    )
+
+
+def winnow_near_dup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 8,
+    min_shared: int = 2,
+    max_bucket_docs: int = 64,
+    hash_family: str = "md5",
+) -> DataFrame:
+    """Near-duplicate candidate pairs by shared winnowing fingerprints
+    — the MOSS match step re-expressed as the repo's bucket-local pair
+    pattern: fingerprints explode to ``(fp, id, n_fps)``, each fp
+    bucket collects its (capped) doc list and emits pairs ROW-LOCALLY,
+    and a pair-key aggregate counts shared fingerprints. Output:
+    ``(id_a < id_b, shared_fps, n_a, n_b, jaccard_est)`` where
+    ``jaccard_est = shared / (n_a + n_b - shared)`` is the exact
+    Jaccard of the two SELECTED-fingerprint sets (an unbiased local
+    similarity in the MOSS sense, not the raw-shingle Jaccard).
+
+    Scale: TWO exchanges, both candidate-grain — the fp stream
+    (keyed on the 60-bit fingerprint, list-collected per bucket, so
+    pairs never re-shuffle the stream) and the pair rollup. NEVER
+    all-pairs: ``max_bucket_docs`` drops fingerprints shared by more
+    documents than the cap (universal boilerplate — the same
+    too-common-shingle cut as :func:`substring_dup_spans`; that
+    signal belongs to ``corpus.line_dedup``), which also bounds the
+    per-row pair array. Exact integer/rational arithmetic throughout
+    — engine-portable under the md5 family.
+    """
+    fps = winnow_fingerprints(
+        docs, id_col, text_col, k=k, w=w, hash_family=hash_family
+    )
+    exploded = fps.select(
+        F.col(id_col), "n_fps", F.explode("fps").alias("_fp")
+    )
+    buckets = (
+        exploded.groupBy("_fp")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(id_col).alias("i"), "n_fps"))
+            ).alias("_ds"),
+        )
+        .filter(
+            (F.size("_ds") >= 2) & (F.size("_ds") <= max_bucket_docs)
+        )
+    )
+    n = F.size("_ds")
+    # row-local pair generation: flatten the triangular index grid
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), n - 1),
+                    lambda a: F.transform(
+                        F.sequence(a + 1, n),
+                        lambda b: F.struct(
+                            F.element_at("_ds", a).getField("i").alias("ia"),
+                            F.element_at("_ds", a).getField("n_fps").alias("na"),
+                            F.element_at("_ds", b).getField("i").alias("ib"),
+                            F.element_at("_ds", b).getField("n_fps").alias("nb"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("_p")
+    )
+    out = (
+        pairs.groupBy(
+            F.col("_p.ia").alias("id_a"),
+            F.col("_p.ib").alias("id_b"),
+            F.col("_p.na").alias("n_a"),
+            F.col("_p.nb").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )
+    return out.select(
+        "id_a", "id_b",
+        F.col("shared_fps").cast("long").alias("shared_fps"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        (
+            F.col("shared_fps")
+            / (F.col("n_a") + F.col("n_b") - F.col("shared_fps"))
+        ).alias("jaccard_est"),
+    )
+
+
 def sig_jaccard_estimate(sig_a: Column, sig_b: Column) -> Column:
     """MinHash's own similarity estimator: the fraction of agreeing
     signature positions is an unbiased estimate of Jaccard — the
