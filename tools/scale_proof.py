@@ -25,22 +25,21 @@ from claims_data_spark.session import get_spark  # noqa: E402
 
 # default set = the CURRENT weak/watch list (correct but >2x DuckDB at
 # the honest scale point, or floor-trend entries awaiting crossover);
-# end-of-r07 state — pass query names to override. knn_ivf /
-# record_linkage / diversity_sample / mix_rebalance closed under the
-# gate this round but stay listed one more round as borderline
-# (1.92 / 1.73 / 1.81@sf30 / 1.18@sf30).
+# end-of-r08 state — pass query names to override. Dropped after a
+# full borderline round + closure evidence: knn_ivf (1.92/1.96),
+# record_linkage (1.65-1.73), diversity_sample (1.81@sf30),
+# mix_rebalance (1.18@sf30), corpus_diff (1.38@sf30), url_dedup
+# (fast-path round-8 rows; residual is the published parser-vs-no-
+# parser decomposition), split_assign / threshold_sweep (round-8
+# production-variant + fixture-vs-operator decompositions). Kept:
+# the two fixture-structural claims entries (bucketed layouts of
+# record published), the rda stressor, and the round-8 newcomer
+# winnow_near_dup (2.02x at sf1 — borderline, one round of watch).
 WEAK_SET = [
     "ccw_two_claim",
     "rda_value_set",
-    "url_dedup",
-    "split_assign",
-    "threshold_sweep",
-    "corpus_diff",
-    "knn_ivf",
-    "record_linkage",
     "top_causes_window",
-    "diversity_sample",
-    "mix_rebalance",
+    "winnow_near_dup",
 ]
 
 
