@@ -2277,23 +2277,62 @@ WHERE len(list_intersect(a.s, b.s)) * 1.0
 
 
 # ---------------------------------------------------------------------------
-# Sketches: mergeable HLL distinct rollup (approximate — rows-only)
+# Sketches: mergeable HLL distinct rollup — deterministic md5-register
+# mirror (VALUE-checked as of round 9; the production DataSketches path
+# rollup_distinct_via_sketches keeps its tolerance/merge pytests)
 # ---------------------------------------------------------------------------
 
 def q_sketch_distinct(spark, sf_dir):
-    """Year-level distinct customers from merged per-month HLL
-    sketches — the store-sketch-bytes, merge-on-rollup pattern.
-    Approximate by design: rows-only checked."""
-    from claims_data_spark.operators.sketches import rollup_distinct_via_sketches
+    """Year-level HLL register algebra from per-(year,month) sketches
+    merged by max — the store-registers, merge-on-rollup pattern, in
+    its engine-portable md5 form (operators/sketches.hll_det_rollup).
+    Every output column is integer-exact except est_floor, which is a
+    single shared-literal IEEE division + floor — so the driver's
+    value hash checks the register MERGE path, closing the last
+    rows-only registry entry (round-8 verdict task 2)."""
+    from claims_data_spark.operators.sketches import hll_det_rollup
 
     o = _t(spark, sf_dir, "orders").select(
         F.year(F.col("o_orderdate").cast("date")).alias("year"),
         F.month(F.col("o_orderdate").cast("date")).alias("month"),
         "o_custkey",
     )
-    return rollup_distinct_via_sketches(
-        o, ["year", "month"], ["year"], "o_custkey"
-    )
+    return hll_det_rollup(o, ["year", "month"], ["year"], "o_custkey")
+
+
+# DuckDB mirror of hll_det_rollup: registers per (year, bucket) as
+# MAX(rank) — identical to fine-grain-then-merge because max is
+# associative (that associativity is exactly what the value row
+# certifies on the Spark side). 2.6499581405668102e19 is the shared
+# NUM literal (alpha_256 * 256^2 * 2^49), kept verbatim in both
+# engines so the est_floor division is bit-identical.
+SQL_SKETCH_DISTINCT = r"""
+WITH keyed AS (
+  SELECT EXTRACT(year FROM CAST(o_orderdate AS DATE)) AS year,
+    CAST(concat('0x', substr(md5(CAST(o_custkey AS VARCHAR)), 1, 2)) AS INT)
+      AS bucket,
+    CAST(concat('0x', substr(md5(CAST(o_custkey AS VARCHAR)), 3, 12)) AS BIGINT)
+      AS w
+  FROM orders
+), reg AS (
+  SELECT year, bucket,
+    MAX(CASE WHEN w = 0 THEN 49
+             ELSE 49 - length(ltrim(bin(w), '0')) END) AS reg
+  FROM keyed GROUP BY year, bucket
+)
+SELECT CAST(year AS INT) AS year,
+  CAST(256 AS BIGINT) AS m,
+  CAST(COUNT(*) AS BIGINT) AS n_present,
+  CAST(SUM(reg) AS BIGINT) AS sum_rank,
+  CAST(SUM(1::BIGINT << (49 - reg))
+       + (256 - COUNT(*)) * (1::BIGINT << 49) AS BIGINT) AS denom_scaled,
+  CAST(SUM((bucket + 1) * reg) AS BIGINT) AS reg_checksum,
+  CAST(FLOOR(2.6499581405668102e19
+             / CAST(SUM(1::BIGINT << (49 - reg))
+                    + (256 - COUNT(*)) * (1::BIGINT << 49) AS DOUBLE))
+       AS BIGINT) AS est_floor
+FROM reg GROUP BY year
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -8757,68 +8796,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # have gone longest without a driver row (every entry in the tail
     # is still covered by tools/parity.py and pytest each round).
     return {
-        # ---- driver window (first 50): round-8 rotation, WINDOW.md ----
-        # rule-1 pins (r08 changes: the two r07 hash-red oracle fixes,
-        # apcd_plr covper type, url_dedup fast path, learn_bpe's NEW
-        # unrolled value oracle, mix_rebalance zero-weight guard, the
-        # tabloop filter/label fixes, split_assign hash_family, and the
-        # two NEW operators winnow_near_dup / profile_drift), then the
-        # r07-first-green second seats, then rule-3 backfill: the 13
-        # r08 backfill-head entries named by the r07 rotation, the
-        # three deferred r04-last queries, and the oldest r05-last
-        # tranche. sketch_distinct_rollup returns to the tail (rows-
-        # only; the round-4 ruling the round-7 verdict re-affirmed).
-        "corpus_card": q_corpus_card,
-        "corpus_diff": q_corpus_diff,
-        "apcd_plr": q_apcd_plr,
-        "url_dedup": q_url_dedup,
+        # ---- driver window (first 50): round-9 rotation, WINDOW.md ----
+        # rule-1 pins (r09 changes: sketch_distinct_rollup's NEW
+        # deterministic md5-register HLL oracle — first value row ever,
+        # closing the last rows-only registry entry — and the
+        # ccw_two_claim/ccw_combined perf work on tables/conditions.py);
+        # then the r08-first-green second seats (learn_bpe,
+        # winnow_near_dup, profile_drift, redact_spans, and the two
+        # post-oracle-fix corpus_card/corpus_diff greens); then rule-3
+        # backfill: the 11 r05-stale queries named by the round-8
+        # verdict task 1, and the oldest 30 of the r06-last tranche.
+        "sketch_distinct_rollup": q_sketch_distinct,
+        "ccw_two_claim": q_ccw_two_claim,
+        "ccw_combined": q_ccw_combined,
         "learn_bpe": q_learn_bpe,
-        "mix_rebalance": q_mix_rebalance,
-        "tabloop_suppress": q_tabloop,
-        "tabloop_fixed": q_tabloop_fixed,
         "winnow_near_dup": q_winnow_near_dup,
         "profile_drift": q_profile_drift,
-        "split_assign": q_split_assign,
-        "dsir_select": q_dsir_select,
-        "substring_spans": q_substring_spans,
-        "contamination_report": q_contamination_report,
-        "top_causes_window": q_top_causes_window,
-        "bpe_encode": q_bpe_encode,
-        "html_extract": q_html_extract,
-        "shard_manifest": q_shard_manifest,
-        "threshold_sweep": q_threshold_sweep,
-        "cross_source_overlap": q_cross_source_overlap,
-        "fuzzy_decontaminate": q_fuzzy_decontaminate,
-        "diversity_sample": q_diversity_sample,
         "redact_spans": q_redact_spans,
-        "json_props": q_json_props,
-        "grouping_sets": q_grouping_sets,
-        "ngram_jaccard": q_ngram_jaccard,
-        "dedup_clusters": q_dedup_clusters,
-        "corpus_clean": q_corpus_clean,
-        "embedding_near_dup": q_embedding_near_dup,
-        "ndc_normalize": q_ndc_normalize,
-        "address_clean": q_address_clean,
-        "perf_measure_fua": q_perf_measure_fua,
-        "windowed_events": q_windowed_events,
-        "sliding_windows": q_sliding_windows,
-        "multimodal_decode": q_multimodal_decode,
-        "decontaminate": q_decontaminate,
-        "stratified_sample": q_stratified_sample,
-        "pack_sequences": q_pack_sequences,
-        "apcd_ed_episode": q_apcd_ed_episode,
-        "chunk_documents": q_chunk_documents,
-        "combined_claim_children": q_combined_claim_children,
-        "minhash_near_dup": q_minhash_dedup,
-        "simhash_near_dup": q_simhash_dedup,
-        "window_lag_gap": q_window_lag,
-        "pii_scrub": q_pii_scrub,
-        "quantize_embeddings": q_quantize_embeddings,
-        "repetition_filter": q_repetition_filter,
-        "calendar_join": q_calendar_join,
-        "dedup_first_row": q_first_order,
-        "dedup_priority": q_dedup_priority,
-        # ---- tail (parity- and pytest-verified every round) ----
+        "corpus_card": q_corpus_card,
+        "corpus_diff": q_corpus_diff,
         "dedup_seeded": q_dedup_seeded,
         "except_distinct": q_except,
         "grid_zerofill": q_grid_zerofill,
@@ -8830,39 +8826,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "scalar_datetime": q_scalar_datetime,
         "submonth_clip": q_submonth_clip,
-        "ccw_two_claim": q_ccw_two_claim,
-        "ccw_combined": q_ccw_combined,
-        "record_linkage": q_record_linkage,
-        "hedis_year_merge": q_hedis_year_merge,
-        "knn_ivf": q_knn_ivf,
-        "image_resize": q_image_resize,
-        "text_normalize": q_text_normalize,
-        "streaming_dedup": q_streaming_dedup,
-        "weighted_sample_grouped": q_weighted_sample_grouped,
-        "coverage_stats": q_coverage,
-        "interval_resegment": q_resegment,
-        "episodes_dense_id": q_episodes,
-        "islands_collapse": q_islands,
-        "rolling_months": q_rolling_months,
-        "asof_running_min": q_asof_min,
-        "fuh_followup": q_fuh_followup,
-        "pcr_readmission": q_pcr_readmission,
-        "tx_pen_measure": q_tx_pen,
-        "ah_utilization": q_ah_utilization,
-        "claim_value_set": q_claim_value_set,
-        "apcd_elig_month": q_apcd_elig_month,
-        "stage_mcaid_elig": q_stage_mcaid_elig,
-        "demo_summary": q_demo_summary,
-        "provider_master_rank": q_provider_master_rank,
-        "claims_summary": q_claims_summary,
-        "housing_status": q_housing_status,
-        "spatial_pip": q_spatial_pip,
-        "perf_measure_ed": q_perf_measure_ed,
-        "lcs_match": q_lcs_match,
-        "amr_measure": q_amr_measure,
-        "session_windows": q_session_windows,
-        "multimodal_features": q_multimodal_features,
-        "sketch_distinct_rollup": q_sketch_distinct,
         "semantic_dedup": q_semantic_dedup,
         "scd2_merge": q_scd2_merge,
         "pagerank_authority": q_pagerank,
@@ -8893,6 +8856,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "intersect_keys": q_intersect,
         "full_outer_coalesce": q_full_outer,
         "mode_random_tiebreak": q_mode_random_tiebreak,
+        # ---- tail (parity- and pytest-verified every round) ----
+        # r06-last remainder (r10 backfill head):
         "format_classify": q_format_classify,
         "icd_normalize": q_icd_normalize,
         "text_stats": q_text_stats,
@@ -8906,6 +8871,82 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "right_join": q_right_join,
         "dedup_exact": q_dedup_exact,
         "knn_bruteforce": q_knn_bruteforce,
+        # rotated out this round (driver-green r07+r08 or second green):
+        "apcd_plr": q_apcd_plr,
+        "url_dedup": q_url_dedup,
+        "mix_rebalance": q_mix_rebalance,
+        "tabloop_suppress": q_tabloop,
+        "tabloop_fixed": q_tabloop_fixed,
+        "split_assign": q_split_assign,
+        "dsir_select": q_dsir_select,
+        "substring_spans": q_substring_spans,
+        "contamination_report": q_contamination_report,
+        "top_causes_window": q_top_causes_window,
+        "bpe_encode": q_bpe_encode,
+        "html_extract": q_html_extract,
+        "shard_manifest": q_shard_manifest,
+        "threshold_sweep": q_threshold_sweep,
+        "cross_source_overlap": q_cross_source_overlap,
+        "fuzzy_decontaminate": q_fuzzy_decontaminate,
+        "diversity_sample": q_diversity_sample,
+        "json_props": q_json_props,
+        "grouping_sets": q_grouping_sets,
+        "ngram_jaccard": q_ngram_jaccard,
+        "dedup_clusters": q_dedup_clusters,
+        "corpus_clean": q_corpus_clean,
+        "embedding_near_dup": q_embedding_near_dup,
+        "ndc_normalize": q_ndc_normalize,
+        "address_clean": q_address_clean,
+        "perf_measure_fua": q_perf_measure_fua,
+        "windowed_events": q_windowed_events,
+        "sliding_windows": q_sliding_windows,
+        "multimodal_decode": q_multimodal_decode,
+        "decontaminate": q_decontaminate,
+        "stratified_sample": q_stratified_sample,
+        "pack_sequences": q_pack_sequences,
+        "apcd_ed_episode": q_apcd_ed_episode,
+        "chunk_documents": q_chunk_documents,
+        "combined_claim_children": q_combined_claim_children,
+        "minhash_near_dup": q_minhash_dedup,
+        "simhash_near_dup": q_simhash_dedup,
+        "window_lag_gap": q_window_lag,
+        "pii_scrub": q_pii_scrub,
+        "quantize_embeddings": q_quantize_embeddings,
+        "repetition_filter": q_repetition_filter,
+        "calendar_join": q_calendar_join,
+        "dedup_first_row": q_first_order,
+        "dedup_priority": q_dedup_priority,
+        # r07-last (after the r06 remainder in the r10 queue):
+        "record_linkage": q_record_linkage,
+        "hedis_year_merge": q_hedis_year_merge,
+        "knn_ivf": q_knn_ivf,
+        "image_resize": q_image_resize,
+        "text_normalize": q_text_normalize,
+        "streaming_dedup": q_streaming_dedup,
+        "weighted_sample_grouped": q_weighted_sample_grouped,
+        "coverage_stats": q_coverage,
+        "interval_resegment": q_resegment,
+        "episodes_dense_id": q_episodes,
+        "islands_collapse": q_islands,
+        "rolling_months": q_rolling_months,
+        "asof_running_min": q_asof_min,
+        "fuh_followup": q_fuh_followup,
+        "pcr_readmission": q_pcr_readmission,
+        "tx_pen_measure": q_tx_pen,
+        "ah_utilization": q_ah_utilization,
+        "claim_value_set": q_claim_value_set,
+        "apcd_elig_month": q_apcd_elig_month,
+        "stage_mcaid_elig": q_stage_mcaid_elig,
+        "demo_summary": q_demo_summary,
+        "provider_master_rank": q_provider_master_rank,
+        "claims_summary": q_claims_summary,
+        "housing_status": q_housing_status,
+        "spatial_pip": q_spatial_pip,
+        "perf_measure_ed": q_perf_measure_ed,
+        "lcs_match": q_lcs_match,
+        "amr_measure": q_amr_measure,
+        "session_windows": q_session_windows,
+        "multimodal_features": q_multimodal_features,
     }
 
 def oracle_sql() -> dict[str, str]:
@@ -9030,9 +9071,10 @@ def oracle_sql() -> dict[str, str]:
         "ah_utilization": SQL_AH_UTILIZATION,
         "claim_moud": SQL_CLAIM_MOUD,
         "claim_value_set": SQL_CLAIM_VALUE_SET,
-        # minhash_near_dup / simhash_near_dup / knn_ivf /
-        # sketch_distinct_rollup: rows-only (signature math and
-        # approximate estimates are not SQL-expressible)
+        # (as of round 9 no registry entry is rows-only: the former
+        # holdout sketch_distinct_rollup gained the deterministic
+        # md5-register mirror below)
+        "sketch_distinct_rollup": SQL_SKETCH_DISTINCT,
         "mcare_timevar": SQL_MCARE_TIMEVAR,
         "mcare_elig_month": SQL_MCARE_ELIG_MONTH,
         "apcd_plr": SQL_APCD_PLR,

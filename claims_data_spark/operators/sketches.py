@@ -58,6 +58,89 @@ def rollup_distinct_via_sketches(
     )
 
 
+# Deterministic md5-register HLL mirror (lg_k=8 -> m=256 registers).
+# Constants are shared verbatim with the DuckDB oracle SQL so both
+# engines evaluate the identical double literal.
+HLL_DET_LG_K = 8
+HLL_DET_M = 1 << HLL_DET_LG_K
+# alpha_m for m >= 128: 0.7213 / (1 + 1.079/m); NUM = alpha * m^2 * 2^49
+HLL_DET_NUM = 2.6499581405668102e19
+
+
+def hll_det_rollup(
+    df: DataFrame,
+    fine_keys: list[str],
+    coarse_keys: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Deterministic HLL register algebra, value-checkable against a
+    SQL oracle — the engine-portable mirror of
+    ``rollup_distinct_via_sketches`` (same store-registers-at-fine-
+    grain / merge-by-max-to-coarse-grain shape, md5 in place of the
+    DataSketches hash so Spark and DuckDB derive bit-identical
+    registers).
+
+    Per value: ``md5(cast(v as string))``; bucket = first 2 hex chars
+    (8 bits, m=256); w = next 12 hex chars (a 48-bit word); rank =
+    leading zeros of w + 1 = 49 - bitlen(w) (49 when w=0). Registers
+    are ``max(rank)`` per (fine_keys, bucket); the coarse merge is
+    ``max`` again — exactly the HLL union, so a green value row
+    checks the MERGE path, not just the hash.
+
+    All emitted columns are integer-exact: ``denom_scaled`` is the
+    harmonic denominator scaled by 2^49 (``sum(1L << (49-reg))`` over
+    present registers + ``2^49`` per absent register — every term a
+    power of two summed in BIGINT, never a float), ``reg_checksum``
+    pins every register's position and value, and ``est_floor`` is
+    the raw-HLL estimate ``floor(NUM / denom_scaled)`` — one IEEE
+    double division of a shared literal by an integer, identical
+    across engines (raw estimate by design; the production estimator
+    with small-range correction stays ``rollup_distinct_via_sketches``).
+
+    Scale shape: two hash aggregates, the first exchanging at most
+    ``|fine grain| * 256`` register rows regardless of input
+    cardinality — the whole point of sketching at 100 TB.
+
+    Reference intent: the distinct-count reconciliation QA in
+    ``claims_db/db_loader/.../qa_load_sql.R`` — this is its
+    mergeable, one-pass form.
+    """
+    h = F.md5(F.col(value_col).cast("string"))
+    w = F.conv(F.substring(h, 3, 12), 16, 10).cast("long")
+    keyed = df.select(
+        *[F.col(k) for k in fine_keys],
+        F.conv(F.substring(h, 1, 2), 16, 10).cast("int").alias("_bucket"),
+        F.when(w == 0, F.lit(49))
+        .otherwise(F.lit(49) - F.length(F.bin(w)))
+        .cast("int")
+        .alias("_rank"),
+    )
+    fine = keyed.groupBy(*fine_keys, "_bucket").agg(
+        F.max("_rank").alias("_reg")
+    )
+    coarse = fine.groupBy(*coarse_keys, "_bucket").agg(
+        F.max("_reg").alias("_reg")
+    )
+    m = F.lit(HLL_DET_M).cast("long")
+    present_denom = F.sum(
+        F.expr("shiftleft(cast(1 as bigint), 49 - _reg)")
+    )
+    n_present = F.count(F.lit(1))
+    denom = present_denom + (m - n_present) * F.lit(1 << 49).cast("long")
+    return coarse.groupBy(*coarse_keys).agg(
+        m.alias("m"),
+        n_present.cast("long").alias("n_present"),
+        F.sum("_reg").cast("long").alias("sum_rank"),
+        denom.cast("long").alias("denom_scaled"),
+        F.sum((F.col("_bucket") + 1) * F.col("_reg"))
+        .cast("long")
+        .alias("reg_checksum"),
+        F.floor(F.lit(HLL_DET_NUM) / denom.cast("double"))
+        .cast("long")
+        .alias("est_floor"),
+    )
+
+
 def approx_quantiles(
     df: DataFrame,
     keys: list[str],

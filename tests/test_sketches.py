@@ -85,3 +85,27 @@ def test_hll_merge_associativity_exact_bytes(spark):
     assert direct == via3 == via5 == via3_tree
     # and the estimate is in tolerance of the exact answer
     assert abs(direct - 4999) / 4999 < 0.05
+
+def test_hll_det_rollup_accuracy_and_merge(spark):
+    """The deterministic md5-register mirror (round-9): estimate in
+    HLL tolerance of exact (rsd ~ 1.04/sqrt(256) = 6.5%), and the
+    fine->coarse max-merge equals sketching directly at the coarse
+    grain — register algebra, not just estimates."""
+    from claims_data_spark.operators.sketches import hll_det_rollup
+
+    df = spark.range(60_000).select(
+        (F.col("id") % 12 + 1).alias("month"),
+        F.lit(2020).alias("year"),
+        (F.col("id") % 7001).alias("member"),
+    )
+    merged = hll_det_rollup(df, ["year", "month"], ["year"], "member").collect()[0]
+    direct = hll_det_rollup(df, ["year"], ["year"], "member").collect()[0]
+    assert merged.asDict() == direct.asDict()
+    assert merged["m"] == 256
+    assert abs(merged["est_floor"] - 7001) / 7001 < 0.15
+    # denominator is the integer-scaled harmonic sum: reconstructable
+    # bound checks (every register in [1, 49], denom within the
+    # all-zero .. all-max envelope)
+    assert 0 < merged["n_present"] <= 256
+    assert merged["sum_rank"] >= merged["n_present"]
+    assert merged["denom_scaled"] <= 256 * (1 << 49)
