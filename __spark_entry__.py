@@ -8595,6 +8595,19 @@ def q_winnow_near_dup(spark, sf_dir):
     # any-alignment case the strided substring_spans grid misses) and
     # a half-overlap variant of every 5th doc (first half shared,
     # second half re-minted)
+    out = winnow_near_dup_pairs(
+        _winnow_fixture(spark, sf_dir), k=8, w=8,
+        min_shared=2, max_bucket_docs=64,
+    )
+    return out.select(
+        "id_a", "id_b", "shared_fps", "n_a", "n_b", "jaccard_est"
+    )
+
+
+def _winnow_fixture(spark, sf_dir):
+    """Planted near-dup corpus for the winnowing queries (shared by
+    the md5-oracle stream and the xxhash64 production-stream bench
+    variant, so both time the same input)."""
     d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     did = F.col("doc_id").cast("string")
     chunks = [F.md5(F.concat(did, F.lit(f"|w{j}"))) for j in range(6)]
@@ -8613,13 +8626,7 @@ def q_winnow_near_dup(spark, sf_dir):
         (F.col("doc_id") + F.lit(20_000_000)).alias("doc_id"),
         half_text.alias("text"),
     )
-    out = winnow_near_dup_pairs(
-        base.unionByName(shifted).unionByName(half), k=8, w=8,
-        min_shared=2, max_bucket_docs=64,
-    )
-    return out.select(
-        "id_a", "id_b", "shared_fps", "n_a", "n_b", "jaccard_est"
-    )
+    return base.unionByName(shifted).unionByName(half)
 
 
 SQL_WINNOW_NEAR_DUP = r"""
@@ -8786,6 +8793,92 @@ SELECT col_name,
 FROM t2
 GROUP BY col_name, n_old, n_new
 """
+
+
+def production_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Production-hash-family variants of the md5-oracle-pinned
+    queries, over the SAME fixtures as their `queries()` twins.
+
+    The md5 streams exist so a DuckDB oracle can value-check every
+    signature/draw bit-for-bit; a deployment runs the native JVM
+    families (murmur3 `hash`, `xxhash64`) instead — one hash call per
+    row/gram versus md5's hex round-trip. DuckDB has neither family,
+    so these are NOT driver-checkable; cross-stream property tests
+    (tests/) pin that both families traverse identical plans. bench.py
+    times this set next to the oracle-stream totals so the artifact
+    of record carries the honest production number (round-8 verdict
+    task 6) rather than penalizing oracle portability.
+    """
+    from claims_data_spark.operators.corpus import assign_splits
+    from claims_data_spark.operators.dedup import (
+        simhash_near_dup_pairs,
+        winnow_near_dup_pairs,
+    )
+    from claims_data_spark.operators.sketches import cms_heavy_hitters
+
+    def p_minhash(spark, sf_dir):
+        d = _t(spark, sf_dir, "documents")
+        return minhash_near_dup_pairs(
+            d, "doc_id", "text", shingle_k=3, num_hashes=32, bands=8,
+            jaccard_threshold=0.8, portable=False,
+        )
+
+    def p_simhash(spark, sf_dir):
+        d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+        return simhash_near_dup_pairs(d, "doc_id", "text", max_hamming=4)
+
+    def p_winnow(spark, sf_dir):
+        out = winnow_near_dup_pairs(
+            _winnow_fixture(spark, sf_dir), k=8, w=8,
+            min_shared=2, max_bucket_docs=64, hash_family="xxhash64",
+        )
+        return out.select(
+            "id_a", "id_b", "shared_fps", "n_a", "n_b", "jaccard_est"
+        )
+
+    def p_split_assign(spark, sf_dir):
+        d = _t(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.concat(F.lit("dom"), (F.col("doc_id") % 23).cast("string"))
+            .alias("domain"),
+        )
+        out = assign_splits(
+            d, {"train": 8, "val": 1, "test": 1},
+            id_col="doc_id", group_col="domain", hash_family="xxhash64",
+        )
+        return out.groupBy("split").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("domain").alias("n_domains"),
+            F.sum("doc_id").cast("long").alias("id_checksum"),
+        )
+
+    def p_cms(spark, sf_dir):
+        d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+        words = d.select(
+            F.explode(
+                F.filter(
+                    F.split(
+                        F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "),
+                        " ",
+                    ),
+                    lambda w: F.length(w) > 0,
+                )
+            ).alias("word")
+        )
+        out = cms_heavy_hitters(
+            words, "word", threshold=40, hash_family="xxhash64"
+        )
+        return out.select(
+            "word", F.col("est_count").cast("long").alias("est_count")
+        )
+
+    return {
+        "minhash_near_dup": p_minhash,
+        "simhash_near_dup": p_simhash,
+        "winnow_near_dup": p_winnow,
+        "split_assign": p_split_assign,
+        "cms_heavy_hitters": p_cms,
+    }
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -103,6 +103,39 @@ def claims_elig(
             out = out.filter(F.col("age") <= age_max)
 
     all_filters = {**(demo_filters or {}), **named_filters}
+    # reference param-name -> column mappings (R/claims_elig.R:441-459):
+    # `female`/`male` filter the gender_female/gender_male ever flags,
+    # and `id` is the member-cohort restriction (``AND {id_name} IN
+    # ({id*})``) — a list compiles to an IN predicate, a DataFrame
+    # cohort to a broadcast semi join.
+    if "female" in all_filters:
+        all_filters["gender_female"] = all_filters.pop("female")
+    if "male" in all_filters:
+        all_filters["gender_male"] = all_filters.pop("male")
+    id_param = all_filters.pop("id", None)
+    if id_param is not None:
+        if isinstance(id_param, DataFrame):
+            out = out.join(
+                F.broadcast(id_param.select(id_col).distinct()),
+                id_col, "left_semi",
+            )
+        else:
+            out = out.filter(F.col(id_col).isin(list(id_param)))
+    # `geo_kc_ever` (R :578-580) is a stored demo column for the
+    # combined sources; the mcaid demo table doesn't carry it, so
+    # derive the ever flag from timevar's geo_kc when absent — same
+    # semantics, no schema invention.
+    if (
+        "geo_kc_ever" in all_filters
+        and "geo_kc_ever" not in out.columns
+        and "geo_kc" in timevar.columns
+    ):
+        out = out.join(
+            timevar.groupBy(id_col).agg(
+                F.max(F.col("geo_kc").cast("int")).alias("geo_kc_ever")
+            ),
+            id_col, "left",
+        )
     if all_filters:
         out = apply_filters(out, all_filters)
 

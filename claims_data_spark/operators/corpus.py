@@ -1279,6 +1279,16 @@ def assign_splits(
     GROUP, so every row of a group lands in the SAME split and
     near-duplicates can never straddle train and eval.
 
+    ``hash_family='xxhash64'`` is the production stream (one native
+    JVM hash per draw); ``'md5'`` is the engine-portable stream the
+    DuckDB oracle value-checks. DuckDB has NO xxhash64, so the
+    production stream is inherently un-oracle-able — its equivalence
+    to the checked stream is pinned structurally instead
+    (``tests/test_corpus_curation2.py::
+    test_assign_splits_cross_stream_properties_at_scale``: identical
+    weight behavior, zero group leakage, identical map-only plan at
+    real-table scale; plus the 4k-row determinism/cohesion suite).
+
     ``splits`` maps name -> weight (normalized internally, so
     {train: 8, val: 1, test: 1} works). Assignment is the md5-pinned
     uniform of the sampling family (identical across retries, stages

@@ -912,9 +912,15 @@ def winnow_near_dup_pairs(
     bucket collects its (capped) doc list and emits pairs ROW-LOCALLY,
     and a pair-key aggregate counts shared fingerprints. Output:
     ``(id_a < id_b, shared_fps, n_a, n_b, jaccard_est)`` where
-    ``jaccard_est = shared / (n_a + n_b - shared)`` is the exact
-    Jaccard of the two SELECTED-fingerprint sets (an unbiased local
-    similarity in the MOSS sense, not the raw-shingle Jaccard).
+    ``jaccard_est = shared / (n_a + n_b - shared)`` over the selected
+    (winnowed) fingerprints. Exact only when no shared fingerprint
+    hits the ``max_bucket_docs`` cap: capped fingerprints still count
+    in ``n_a``/``n_b`` but can never count in ``shared_fps``, so for
+    pairs sharing boilerplate-heavy fingerprints the estimate is a
+    LOWER BOUND on the selected-set Jaccard (the conservative
+    direction for a dedup gate — the cap can only under-merge, never
+    over-merge; raw-shingle Jaccard is a different quantity either
+    way).
 
     Scale: TWO exchanges, both candidate-grain — the fp stream
     (keyed on the 60-bit fingerprint, list-collected per bucket, so

@@ -56,7 +56,26 @@ def _bucketed_counts(
     df: DataFrame, columns: list[str], n_buckets: int
 ) -> DataFrame:
     """(col_name, bucket, cnt) for one snapshot — one map-only
-    projection + one dimension-grain aggregate. NULL -> bucket -1."""
+    projection + one dimension-grain aggregate. NULL -> bucket -1.
+
+    Timestamp columns hash through ``unix_micros`` (an absolute
+    instant), NOT ``cast(ts as string)`` — the string rendering
+    depends on ``spark.sql.session.timeZone``, so two snapshots
+    profiled under different session zones would show spurious drift
+    on identical data (round-8 advice)."""
+    from pyspark.sql.types import TimestampNTZType, TimestampType
+
+    ts_cols = {
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (TimestampType, TimestampNTZType))
+    }
+
+    def _stable(c: str) -> F.Column:
+        if c in ts_cols:
+            return F.unix_micros(F.col(c)).cast("string")
+        return F.col(c).cast("string")
+
     pairs = F.array(
         *[
             F.struct(
@@ -65,7 +84,7 @@ def _bucketed_counts(
                 .otherwise(
                     (
                         F.conv(
-                            F.substring(F.md5(F.col(c).cast("string")), 1, 15),
+                            F.substring(F.md5(_stable(c)), 1, 15),
                             16, 10,
                         ).cast("long")
                         % F.lit(n_buckets)

@@ -116,7 +116,14 @@ def tabloop(
         # numeric compare, not string: the reference keeps group == 1
         # numerically, so a double-typed flag that stacks as '1.0'
         # must still qualify (try_cast: non-numeric levels -> NULL,
-        # never an ANSI cast error)
+        # never an ANSI cast error). Intentional widening vs the R
+        # (round-8 advice): when the R column is CHARACTER, its
+        # `group == 1` coerces 1 to '1' and drops levels like '01',
+        # ' 1', '1e0' that this numeric coercion keeps — those levels
+        # are numerically the flag value 1, and a flag column whose
+        # string rendering varies by source should tabulate as one
+        # level, not silently vanish. Callers needing R-exact string
+        # semantics pass keep_cats explicitly.
         out = out.filter(
             F.col("group_cat").isin(keep)
             | (F.col("group").try_cast("double") == 1)

@@ -51,6 +51,14 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
+        # report the sortBy order of bucketed tables to the planner
+        # (off by default since SPARK-28632): with write_bucketed's
+        # one-file-per-bucket layout this erases BOTH SortMergeJoin
+        # sorts on every co-bucketed join (measured at sf10 CCW:
+        # 1.99 -> 1.57 s interleaved A/B). Safe under multi-file
+        # buckets — Spark verifies <=1 file per bucket before
+        # trusting the order, else it keeps the sorts.
+        .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

@@ -180,7 +180,21 @@ def write_bucketed(
     100 TB this converts the warehouse's dominant join pattern
     (everything joins on the person id) from an all-to-all exchange
     into a per-bucket local merge.
+
+    ONE FILE PER BUCKET when ``sort_cols`` is set: ``sortBy`` sorts
+    each output FILE, but Spark's scan only reports the sort order to
+    the planner when every bucket is a single file — with N upstream
+    tasks each bucket gets N sorted fragments, the metadata is
+    dropped, and downstream SortMergeJoins silently re-sort BOTH
+    sides (measured at sf10: the CCW dx⋈header join carried two
+    12M/7.5M-row sorts that the layout had already paid for). The
+    explicit repartition on the bucket columns costs one exchange AT
+    WRITE time — exactly where the reference's Synapse layout pays
+    its HASH distribution — and every sorted read afterwards is
+    zip-merge only.
     """
+    if sort_cols:
+        df = df.repartition(num_buckets, *[F.col(c) for c in bucket_cols])
     writer = df.write.mode(mode).format(fmt).bucketBy(num_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)

@@ -72,6 +72,10 @@ def build_elig_demo(raw_elig: DataFrame) -> DataFrame:
     """raw member-month rows -> one row per member.
 
     Columns: id_mcaid, dob, gender_me ('Female'/'Male'/'Multiple'),
+    gender_female/gender_male ever flags (``:190-191`` — the columns
+    the ``claims_elig`` ``female``/``male`` params filter,
+    ``R/claims_elig.R:456-459``), gender_recent (latest month's
+    cascade incl. 'Unknown', ``:174-177``),
     gender_female_t/gender_male_t (percent of months), race_* ever
     flags with NOT PROVIDED/OTHER nulled
     (``load_stage.mcaid_elig_demo.R:124-144``), lang_max (modal
@@ -163,8 +167,23 @@ def build_elig_demo(raw_elig: DataFrame) -> DataFrame:
             / F.count(F.lit(1)),
             1,
         ).alias("gender_male_t"),
-        F.max(F.when(F.col("gender") == "FEMALE", 1).otherwise(0)).alias("_ever_f"),
-        F.max(F.when(F.col("gender") == "MALE", 1).otherwise(0)).alias("_ever_m"),
+        # ever flags are OUTPUT columns (gender_female/gender_male,
+        # ``:190-191``) — the ones claims_elig's female/male params
+        # filter (R/claims_elig.R:456-459)
+        F.max(F.when(F.col("gender") == "FEMALE", 1).otherwise(0)).alias(
+            "gender_female"
+        ),
+        F.max(F.when(F.col("gender") == "MALE", 1).otherwise(0)).alias(
+            "gender_male"
+        ),
+        # latest month's flags for gender_recent (``:174-177``)
+        F.max(
+            F.struct(
+                F.col("ym"),
+                F.when(F.col("gender") == "FEMALE", 1).otherwise(0).alias("_f"),
+                F.when(F.col("gender") == "MALE", 1).otherwise(0).alias("_m"),
+            )
+        ).alias("_grecent"),
         # ever flags + person-time percentages for every race/language
         # variable in ONE pass: max() and sum()/count() both ignore the
         # NULL months (all inputs missing), matching the reference's
@@ -200,10 +219,22 @@ def build_elig_demo(raw_elig: DataFrame) -> DataFrame:
         ).alias("_recent"),
     ).withColumn(
         "gender_me",
-        F.when((F.col("_ever_f") == 1) & (F.col("_ever_m") == 1), "Multiple")
-        .when(F.col("_ever_f") == 1, "Female")
-        .when(F.col("_ever_m") == 1, "Male"),
-    ).drop("_ever_f", "_ever_m")
+        F.when(
+            (F.col("gender_female") == 1) & (F.col("gender_male") == 1),
+            "Multiple",
+        )
+        .when(F.col("gender_female") == 1, "Female")
+        .when(F.col("gender_male") == 1, "Male"),
+    ).withColumn(
+        "gender_recent",
+        F.when(
+            (F.col("_grecent._f") == 1) & (F.col("_grecent._m") == 1),
+            "Multiple",
+        )
+        .when(F.col("_grecent._f") == 1, "Female")
+        .when(F.col("_grecent._m") == 1, "Male")
+        .otherwise("Unknown"),
+    ).drop("_grecent")
 
     ever = {k: F.col(f"race_{k}") for k in [*RACE_PATTERNS, "latino"]}
     recent = {

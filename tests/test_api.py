@@ -405,3 +405,104 @@ def test_elig_timevar_collapse_cov_time_and_ids(spark, tables):
     assert "cov_time_day" not in off.columns
     with pytest.raises(ValueError, match="at least one column"):
         elig_timevar_collapse(tables["tv"], group_cols=[])
+
+
+# --- round-9: full reference named-parameter sweep -------------------------
+# every documented claims_elig demo-filter param (R/claims_elig.R:441-583)
+# driven through the generic apply_filters path against fixture
+# expectations, so a silent rename in demo/timevar schema or predicate
+# wiring cannot slip through. Fixture facts (tests/fixtures.py):
+#   p1 Female WHITE ENGLISH (dob 1990-05-15, age 27 at 2017-06-30)
+#   p2 Male->Female ('Multiple' ever, 'Female' recent), ASIAN,
+#      SPANISH+ENGLISH (dob 1985-01-01, age 32)
+#   p3 Male BLACK SOMALI (dob 2000-12-31, age 16)
+_ELIG_PARAM_SWEEP = [
+    ("id", ["p1", "p3"], {"p1", "p3"}),
+    ("age_min", 18, {"p1", "p2"}),
+    ("age_max", 16, {"p3"}),
+    ("female", 1, {"p1", "p2"}),
+    ("female", 0, {"p3"}),
+    ("male", 1, {"p2", "p3"}),
+    ("gender_me", ["female"], {"p1"}),
+    ("gender_me", ["Multiple"], {"p2"}),
+    ("gender_recent", ["FEMALE"], {"p1", "p2"}),
+    ("gender_recent", ["male"], {"p3"}),
+    ("race_aian", 1, set()),
+    ("race_asian", 1, {"p2"}),
+    ("race_black", 1, {"p3"}),
+    ("race_nhpi", 1, set()),
+    ("race_white", 1, {"p1"}),
+    ("race_unk", 1, set()),
+    ("race_unk", 0, {"p1", "p2", "p3"}),
+    ("race_me", ["white"], {"p1"}),
+    ("race_me", ["Asian", "Black"], {"p2", "p3"}),
+    ("race_eth_me", ["asian"], {"p2"}),
+    ("race_recent", ["black"], {"p3"}),
+    ("race_eth_recent", ["white"], {"p1"}),
+    ("lang_amharic", 1, set()),
+    ("lang_arabic", 1, set()),
+    ("lang_chinese", 1, set()),
+    ("lang_english", 1, {"p1", "p2"}),
+    ("lang_korean", 1, set()),
+    ("lang_russian", 1, set()),
+    ("lang_somali", 1, {"p3"}),
+    ("lang_spanish", 1, {"p2"}),
+    ("lang_ukrainian", 1, set()),
+    ("lang_vietnamese", 1, set()),
+    # geo_kc_ever derives from timevar geo_kc when the demo frame has
+    # no stored column (both fixture geocodes are county 033 = KC)
+    ("geo_kc_ever", 1, {"p1", "p2", "p3"}),
+    ("geo_kc_ever", 0, set()),
+]
+
+
+@pytest.mark.parametrize("name,value,expected", _ELIG_PARAM_SWEEP)
+def test_claims_elig_reference_param_sweep(spark, tables, name, value, expected):
+    cohort = claims_elig(
+        tables["demo"], tables["tv"],
+        from_date="2017-01-01", to_date="2017-06-30",
+        **{name: value},
+    )
+    assert {r["id_mcaid"] for r in cohort.select("id_mcaid").collect()} == expected
+
+
+def test_claims_elig_param_sweep_extras(spark, tables):
+    # lang_max IN-list: p2's EN/ES tie resolves via the deterministic
+    # tiebreak — whatever it picked, filtering on that value must
+    # return p2 (plus p1 when the winner is ENGLISH)
+    demo_rows = {r["id_mcaid"]: r for r in tables["demo"].collect()}
+    p2_lang = demo_rows["p2"]["lang_max"]
+    got = {
+        r["id_mcaid"]
+        for r in claims_elig(
+            tables["demo"], tables["tv"],
+            from_date="2017-01-01", to_date="2017-06-30",
+            lang_max=[p2_lang],
+        ).select("id_mcaid").collect()
+    }
+    assert "p2" in got and got == {
+        p for p, r in demo_rows.items() if r["lang_max"] == p2_lang
+    }
+
+    # id as a DataFrame cohort (the reference's ##temp_ids pattern,
+    # kept cluster-side as a broadcast semi join)
+    ids_df = spark.createDataFrame([("p2",)], "id_mcaid string")
+    got = {
+        r["id_mcaid"]
+        for r in claims_elig(
+            tables["demo"], tables["tv"],
+            from_date="2017-01-01", to_date="2017-06-30",
+            id=ids_df,
+        ).select("id_mcaid").collect()
+    }
+    assert got == {"p2"}
+
+    # race_asian_pi exists only in the combined-source demo tables —
+    # mcaid demo lacks the column, so it fails fast (the reference
+    # would fail server-side the same way)
+    with pytest.raises(KeyError):
+        claims_elig(
+            tables["demo"], tables["tv"],
+            from_date="2017-01-01", to_date="2017-06-30",
+            race_asian_pi=1,
+        ).collect()

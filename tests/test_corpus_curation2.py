@@ -1013,3 +1013,60 @@ def test_assign_splits_xxhash64_production_family(spark):
     assert pairs != xpairs
     with pytest.raises(ValueError, match="hash_family"):
         assign_splits(df, {"a": 1}, id_col="doc_id", hash_family="sha9")
+
+
+def test_assign_splits_cross_stream_properties_at_scale(spark):
+    """Round-9 (r08 verdict task 7): DuckDB has no xxhash64, so the
+    production stream can never be driver-value-checked — instead the
+    md5==xxhash64 SEMANTICS equivalence is pinned at real-table scale
+    (sf0.1 documents, ~10^5 rows): identical split-weight behavior
+    (per-family train fraction inside a tight band around 0.8 with a
+    9973-way group key), zero group leakage in both families, and
+    identical PLAN shape (map-only assignment — no exchange before
+    the rollup) so the production family cannot silently pick up a
+    different execution strategy."""
+    import os
+
+    import pytest as _pytest
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    doc_path = os.path.join(sf_dir, "documents.parquet")
+    if not os.path.exists(doc_path):
+        _pytest.skip(f"no documents table at {sf_dir}")
+    from claims_data_spark.operators.corpus import (
+        assign_splits,
+        split_leakage_report,
+    )
+
+    docs = spark.read.parquet(doc_path).select(
+        "doc_id",
+        F.concat(F.lit("d"), (F.col("doc_id") % 9973).cast("string"))
+        .alias("domain"),
+    )
+    n = docs.count()
+    outs = {}
+    for fam in ("md5", "xxhash64"):
+        out = assign_splits(
+            docs, {"train": 8, "val": 1, "test": 1},
+            id_col="doc_id", group_col="domain", hash_family=fam,
+        )
+        outs[fam] = out
+        got = {
+            r["split"]: r["n"]
+            for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()
+        }
+        # 9973 groups: binomial sd of the train share is ~0.4%, so a
+        # ±2.5% band is ~6 sigma — tight enough to catch a biased
+        # family, loose enough to never flake
+        assert abs(got["train"] / n - 0.8) < 0.025, (fam, got)
+        assert abs(got["val"] / n - 0.1) < 0.02, (fam, got)
+        assert split_leakage_report(out, "domain").count() == 0
+        # map-only assignment: the label projection shuffles nothing
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan[:500]
+    # different pseudo-random streams (not a re-labeled copy)
+    a = {r["domain"]: r["split"] for r in outs["md5"].select("domain", "split").distinct().collect()}
+    b = {r["domain"]: r["split"] for r in outs["xxhash64"].select("domain", "split").distinct().collect()}
+    assert a != b
+    # ... but same keys covered
+    assert set(a) == set(b)

@@ -148,21 +148,11 @@ def main() -> None:
             CFG,
         )
 
-    best, n = None, 0
-    for _ in range(runs):
-        t0 = time.perf_counter()
-        df = run()
-        n = df.count()
-        el = time.perf_counter() - t0
-        best = el if best is None else min(best, el)
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    n_ex = len(re.findall(r"Exchange (?:hash|range)partitioning", plan))
-    spark_s = round(best, 3)
-    print(f"# spark bucketed ccw: {spark_s}s ({n} rows, "
-          f"{n_ex} shuffle exchange(s))", file=sys.stderr)
-    spark.stop()
-
-    # ---- DuckDB over the same materialized inputs, same run
+    # ---- interleaved-warm protocol (the BASELINE.md round-7 standard
+    # scale_proof.py uses): both engines back-to-back within each
+    # round after an untimed warm-up, so the ±2x host-speed swings
+    # observed BETWEEN phases cancel out of the ratio instead of
+    # landing entirely on whichever engine ran second.
     import duckdb
 
     con = duckdb.connect()
@@ -170,14 +160,29 @@ def main() -> None:
                 f"read_parquet('{stage}/ccw_dx/*.parquet')")
     con.execute(f"CREATE VIEW ccw_hdr AS SELECT * FROM "
                 f"read_parquet('{stage}/ccw_hdr/*.parquet')")
-    dbest, dn = None, 0
+    run().count()                      # untimed warm-up, both engines
+    con.execute(ORACLE).fetchall()
+
+    best, dbest, n, dn = None, None, 0, 0
     for _ in range(runs):
+        t0 = time.perf_counter()
+        df = run()
+        n = df.count()
+        el = time.perf_counter() - t0
+        best = el if best is None else min(best, el)
         t0 = time.perf_counter()
         dn = len(con.execute(ORACLE).fetchall())
         el = time.perf_counter() - t0
         dbest = el if dbest is None else min(dbest, el)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_ex = len(re.findall(r"Exchange (?:hash|range)partitioning", plan))
+    n_sorts = len(re.findall(r"\bSort \[", plan))
+    spark_s = round(best, 3)
     duck_s = round(dbest, 3)
+    print(f"# spark bucketed ccw: {spark_s}s ({n} rows, "
+          f"{n_ex} shuffle exchange(s), {n_sorts} sort(s))", file=sys.stderr)
     print(f"# duckdb same inputs: {duck_s}s ({dn} rows)", file=sys.stderr)
+    spark.stop()
 
     print(json.dumps({
         "query": "ccw_two_claim_bucketed",
@@ -187,6 +192,7 @@ def main() -> None:
         "duckdb_sec": duck_s,
         "ratio": round(spark_s / duck_s, 3) if duck_s else None,
         "shuffle_exchanges": n_ex,
+        "sorts": n_sorts,
         "rows_match": n == dn,
         "spark_rows": n,
         "duckdb_rows": dn,
