@@ -25,21 +25,19 @@ from claims_data_spark.session import get_spark  # noqa: E402
 
 # default set = the CURRENT weak/watch list (correct but >2x DuckDB at
 # the honest scale point, or floor-trend entries awaiting crossover);
-# end-of-r08 state — pass query names to override. Dropped after a
-# full borderline round + closure evidence: knn_ivf (1.92/1.96),
-# record_linkage (1.65-1.73), diversity_sample (1.81@sf30),
-# mix_rebalance (1.18@sf30), corpus_diff (1.38@sf30), url_dedup
-# (fast-path round-8 rows; residual is the published parser-vs-no-
-# parser decomposition), split_assign / threshold_sweep (round-8
-# production-variant + fixture-vs-operator decompositions). Kept:
-# the two fixture-structural claims entries (bucketed layouts of
-# record published), the rda stressor, and the round-8 newcomer
-# winnow_near_dup (2.02x at sf1 — borderline, one round of watch).
+# end-of-r09 state — pass query names to override. Round-9 closures:
+# winnow_near_dup (1.93x at sf10, runs=3, rows_match — the newcomer
+# re-confirmation) and corpus_diff (sf30 row published: 1.45x).
+# Kept: the three decomposed-red entries whose rows of record are now
+# production layouts (BASELINE.md round-9 watch table) — ccw bucketed
+# 2.1-2.6x, rda realistic-vocab floor row, top_causes bucketed
+# (tools/top_causes_bucketed_proof.py) — plus url_dedup (2.3-2.7x
+# range, parser-vs-no-parser decomposition).
 WEAK_SET = [
     "ccw_two_claim",
     "rda_value_set",
     "top_causes_window",
-    "winnow_near_dup",
+    "url_dedup",
 ]
 
 
