@@ -21,6 +21,84 @@ from claims_data_spark.operators.intervals import collapse_islands, coverage_sta
 from claims_data_spark.operators.mode import mode_value
 from claims_data_spark.plans.predicates import apply_filters
 
+# Timevar-derived named-parameter families (R/claims_elig.R:788-1280,
+# the ``timevar_gen_sql`` machinery). Two shapes:
+#
+# - pct=T flags: ``{var}_min``/``{var}_max`` bound the percent of the
+#   denominator the person spent with flag=1 — the R's
+#   ``SUM(cov_days * var)`` grouped-max (identical to a direct
+#   NULL-skipping sum for a 0/1 flag), cast decimal(4,1)
+#   (``:806-846``), filtered ``{var}_pct >= min`` / ``<= max``
+#   (``:888-906, 958-976, 1067-1076, 1112-1190, 1270-1276``).
+# - pct=F modal values: ``{param}`` is an IN-list against the
+#   person's most-person-time value (rank by SUM(cov_days) DESC, then
+#   value ASC — mode_value's default tiebreak), per ``:866-880`` with
+#   the per-var WHERE fragments (``:980-1056, 1078-1097, 1193-1266``).
+#
+# Param -> candidate timevar columns (first present wins; a param
+# whose column is absent from the source's timevar fails fast like
+# the reference's server-side unknown-column error). geo_zip /
+# geo_county_code also accept this repo's cleaned/geocoded names.
+_TIMEVAR_PCT_FLAGS: dict[str, list[str]] = {
+    "mcaid": ["mcaid"],
+    "mcare": ["mcare"],
+    "pha": ["pha"],
+    "dual": ["dual"],
+    "full_benefit": ["full_benefit"],
+    "part_a": ["part_a"],
+    "part_b": ["part_b"],
+    "part_c": ["part_c"],
+    "buy_in": ["buy_in"],
+    "geo_kc": ["geo_kc"],
+}
+_TIMEVAR_MODAL_IN: dict[str, list[str]] = {
+    "cov_type": ["cov_type"],
+    "mco_id": ["mco_id"],
+    "bsp_group_cid": ["bsp_group_cid"],
+    "geo_zip": ["geo_zip", "geo_zip_clean"],
+    "geo_region": ["geo_region"],
+    "geo_hra_code": ["geo_hra_code", "geo_id20_hra"],
+    "geo_ach_code": ["geo_ach_code"],
+    "geo_school_code": ["geo_school_code"],
+    "geo_county_code": ["geo_county_code", "geo_id20_county"],
+    "pha_agency": ["pha_agency"],
+    "pha_subsidy": ["pha_subsidy"],
+    "pha_voucher": ["pha_voucher"],
+    "pha_operator": ["pha_operator"],
+    "pha_portfolio": ["pha_portfolio"],
+}
+
+
+def _flag_as_int(col: F.Column) -> F.Column:
+    """Normalize a timevar flag to 0/1 for person-time weighting.
+
+    The reference multiplies ``cov_days * var`` directly, which only
+    works when the column is already numeric — but the mcaid stage
+    timevar carries ``dual`` as the raw 'Y'/'N' DUALELIGIBLE_INDICATOR
+    text (``load_stage.mcaid_elig_timevar.R:98``). Accept both
+    encodings (and boolean) deterministically; unknown/NULL stays
+    NULL, so SUM skips it exactly like the reference's NULL
+    arithmetic. ANSI-safe: no string->int cast ever happens."""
+    s = F.upper(col.cast("string"))
+    return (
+        F.when(s.isin("1", "Y", "YES", "T", "TRUE"), F.lit(1))
+        .when(s.isin("0", "N", "NO", "F", "FALSE"), F.lit(0))
+        .otherwise(F.lit(None).cast("int"))
+    )
+
+
+def _resolve_timevar_col(
+    timevar: DataFrame, param: str, candidates: list[str]
+) -> str:
+    for c in candidates:
+        if c in timevar.columns:
+            return c
+    raise KeyError(
+        f"claims_elig parameter {param!r} needs a timevar column "
+        f"{candidates} which this source's timevar lacks "
+        f"(available: {sorted(timevar.columns)})"
+    )
+
 
 def _validate_window(from_date: str, to_date: str) -> None:
     """Up-front argument validation (the reference checks its ~50 args
@@ -67,7 +145,25 @@ def claims_elig(
     equality predicates and lists become case-insensitive IN, exactly
     the reference's ``AND col = x`` / ``AND LOWER(col) IN (...)``
     fragments; unknown names raise up front like the reference's
-    argument validation. The ``ref_*_names`` frames reproduce the
+    argument validation.
+
+    The TIMEVAR-derived families (``:788-1280``, round 9) are also
+    named parameters: ``{flag}_min``/``{flag}_max`` bound the percent
+    of the denominator spent with the 0/1 timevar flag set
+    (``dual_min=50``, ``geo_kc_min=80``, ``full_benefit_min=100``,
+    ``part_a_min/...``; denominator follows ``timevar_denom``), and
+    the modal-value params (``cov_type=["FFS"]``, ``mco_id``,
+    ``bsp_group_cid``, ``geo_zip``, ``geo_region``,
+    ``geo_hra_code``/``geo_ach_code``/``geo_school_code``/
+    ``geo_county_code``, ``pha_agency``/``pha_subsidy``/
+    ``pha_voucher``/``pha_operator``/``pha_portfolio``) filter on the
+    person's most-person-time value (rank = person-time DESC, value
+    ASC — the reference's ``rk = 1``). Comparison is case-insensitive
+    for all modal params (a superset of the R, which lowers only the
+    text-valued ones — digit codes are unaffected). A param whose
+    backing column is missing from this source's timevar raises
+    KeyError up front, mirroring the reference's per-source fragment
+    gating (``:885-1110``). The ``ref_*_names`` frames reproduce the
     post-join name attachment (``:1408-1438``): bsp_group_cid ->
     bsp_group_name, geo_hra_code -> geo_hra_name, geo_county_code ->
     geo_county_name, each a broadcast left join when the code column
@@ -136,6 +232,23 @@ def claims_elig(
             ),
             id_col, "left",
         )
+    # extract the timevar-derived families before the generic demo
+    # filter validation (they are not demo columns); applied below
+    # once the overlap-clipped timevar frame exists
+    _MISSING = object()
+    tv_pct_bounds: dict[str, tuple] = {}
+    for flag in _TIMEVAR_PCT_FLAGS:
+        mn = all_filters.pop(f"{flag}_min", None)
+        mx = all_filters.pop(f"{flag}_max", None)
+        if mn is not None or mx is not None:
+            tv_pct_bounds[flag] = (mn, mx)
+    tv_modal_in: dict[str, list] = {}
+    for param in _TIMEVAR_MODAL_IN:
+        v = all_filters.pop(param, _MISSING)
+        if v is not _MISSING and v is not None:
+            tv_modal_in[param] = v if isinstance(
+                v, (list, tuple, set, frozenset)
+            ) else [v]
     if all_filters:
         out = apply_filters(out, all_filters)
 
@@ -173,6 +286,50 @@ def claims_elig(
             "timevar_denom must be one of 'duration' or 'cov_days' "
             f"(R/claims_elig.R:691-696), got {timevar_denom!r}"
         )
+    # --- timevar-derived named-parameter families (R :888-1280) ---
+    # pct=T flags: percent of the denominator with flag=1, decimal(4,1)
+    window_days = F.datediff(win_to, win_from) + 1
+    for flag, (mn, mx) in tv_pct_bounds.items():
+        col = _resolve_timevar_col(timevar, flag, _TIMEVAR_PCT_FLAGS[flag])
+        flag_days = overlapping.groupBy(id_col).agg(
+            F.sum(F.col("_cov_days") * _flag_as_int(F.col(col))).alias("_fd")
+        )
+        pct_denom = (
+            window_days if timevar_denom == "duration" else F.col("cov_days")
+        )
+        out = (
+            out.join(flag_days, id_col, "left")
+            .withColumn(
+                f"{flag}_pct",
+                F.round(F.col("_fd") * 100.0 / pct_denom, 1),
+            )
+            .drop("_fd")
+        )
+        # NULL pct (flag NULL across the person's rows) fails either
+        # bound, like the reference's WHERE on the LEFT-JOINed subquery
+        if mn is not None:
+            out = out.filter(F.col(f"{flag}_pct") >= mn)
+        if mx is not None:
+            out = out.filter(F.col(f"{flag}_pct") <= mx)
+
+    # pct=F modal values: most-person-time value IN (...) —
+    # mode_value's default tiebreak IS the reference's ORDER BY
+    # SUM(cov_days) DESC, value ASC
+    for param, vals in tv_modal_in.items():
+        col = _resolve_timevar_col(timevar, param, _TIMEVAR_MODAL_IN[param])
+        best = mode_value(
+            overlapping, [id_col], col,
+            weight=F.col("_cov_days"), out_col=f"_{param}_best",
+        )
+        lowered = [str(v).lower() for v in vals]
+        out = (
+            out.join(best, id_col, "left")
+            .filter(
+                F.lower(F.col(f"_{param}_best").cast("string")).isin(lowered)
+            )
+            .drop(f"_{param}_best")
+        )
+
     denom = None
     if timevar_pct and timevar_denom == "cov_days":
         denom = overlapping.groupBy(id_col).agg(

@@ -506,3 +506,55 @@ def test_claims_elig_param_sweep_extras(spark, tables):
             from_date="2017-01-01", to_date="2017-06-30",
             race_asian_pi=1,
         ).collect()
+
+
+# --- round-9: timevar-derived named-parameter families (R :788-1280) -------
+# fixture person-time facts (window 2017-01-01..2017-06-30, 181 days):
+#   p1 cov 151d: cov_type FFS, dual N, geo_kc 1, zip 98004 (120d) / 98101 (31d)
+#   p2 cov 59d:  cov_type MC,  dual Y Jan (31d) N Feb (28d), mco m1, zip 98101
+#   p3 cov 11d:  cov_type FFS, dual N, zip 98004
+def _elig_ids(tables, **kw):
+    cohort = claims_elig(
+        tables["demo"], tables["tv"],
+        from_date="2017-01-01", to_date="2017-06-30", **kw,
+    )
+    return {r["id_mcaid"] for r in cohort.select("id_mcaid").collect()}
+
+
+def test_claims_elig_timevar_modal_params(spark, tables):
+    assert _elig_ids(tables, cov_type=["mc"]) == {"p2"}
+    assert _elig_ids(tables, cov_type="FFS") == {"p1", "p3"}
+    assert _elig_ids(tables, geo_zip=["98004"]) == {"p1", "p3"}
+    assert _elig_ids(tables, mco_id=["M1"]) == {"p2"}
+    assert _elig_ids(tables, bsp_group_cid=[12]) == {"p3"}
+    assert _elig_ids(tables, geo_county_code=["033"]) == {"p1", "p2", "p3"}
+
+
+def test_claims_elig_timevar_pct_params(spark, tables):
+    # dual is the raw 'Y'/'N' stage encoding — normalized, not cast
+    assert _elig_ids(tables, dual_min=10) == {"p2"}
+    assert _elig_ids(tables, dual_max=0) == {"p1", "p3"}
+    # p2: 31 dual days -> 17.1% of the 181-day window, 52.5% of 59 cov days
+    cohort = claims_elig(
+        tables["demo"], tables["tv"],
+        from_date="2017-01-01", to_date="2017-06-30", dual_min=10,
+    )
+    assert float(cohort.collect()[0]["dual_pct"]) == 17.1
+    cohort_cd = claims_elig(
+        tables["demo"], tables["tv"],
+        from_date="2017-01-01", to_date="2017-06-30", dual_min=10,
+        timevar_denom="cov_days",
+    )
+    assert float(cohort_cd.collect()[0]["dual_pct"]) == 52.5
+    # geo_kc: coverage-share vs covered-share denominators
+    assert _elig_ids(tables, geo_kc_min=50) == {"p1"}
+    assert _elig_ids(tables, geo_kc_min=50, timevar_denom="cov_days") == {
+        "p1", "p2", "p3",
+    }
+    assert _elig_ids(tables, full_benefit_min=80) == {"p1"}
+
+
+def test_claims_elig_timevar_param_missing_column(spark, tables):
+    # mcaid flag exists only in the combined-source timevar
+    with pytest.raises(KeyError, match="mcaid"):
+        _elig_ids(tables, mcaid_min=50)
