@@ -796,6 +796,130 @@ def q_coverage(spark, sf_dir):
     )
 
 
+def q_elig_cohort_filters(spark, sf_dir):
+    """Full claims_elig cohort pull exercising the round-9 named-
+    parameter families END TO END (api.claims_elig;
+    R/claims_elig.R:441-583 demo filters + :788-1280 timevar
+    families): coverage stats with cov_min, a demo flag filter
+    (female=1 -> gender_female), a timevar FLAG person-time bound
+    (dual_min=10 over the raw 'Y'/'N' dual encoding), and a
+    modal-value IN filter (cov_type=['mc'], rank = person-time DESC
+    then value ASC). Fixture: month-grain non-overlapping timevar
+    intervals minted from orders (flags are functions of (person,
+    month), so DISTINCT yields one row per covered month), demo from
+    customer. The oracle re-derives islands/gaps (the SQL_COVERAGE
+    pattern), the dual person-time percent, and the modal cov_type
+    in DuckDB."""
+    from claims_data_spark.api import claims_elig
+
+    o = _t(spark, sf_dir, "orders")
+    od = F.col("o_orderdate").cast("date")
+    m = F.date_trunc("month", od).cast("date")
+    tv = o.select(
+        F.col("o_custkey").alias("id_mcaid"),
+        m.alias("from_date"),
+        F.last_day(od).alias("to_date"),
+        F.when(F.month(od) % 3 == 0, "Y").otherwise("N").alias("dual"),
+        F.when((F.col("o_custkey") + F.month(od)) % 2 == 0, "MC")
+        .otherwise("FFS")
+        .alias("cov_type"),
+    ).distinct()
+    c = _t(spark, sf_dir, "customer")
+    demo = c.select(
+        F.col("c_custkey").alias("id_mcaid"),
+        F.date_add(
+            F.lit("1950-01-01").cast("date"),
+            ((F.col("c_custkey") * 7) % 17000).cast("int"),
+        ).alias("dob"),
+        (F.col("c_custkey") % 2).cast("int").alias("gender_female"),
+        (1 - F.col("c_custkey") % 2).cast("int").alias("gender_male"),
+    )
+    out = claims_elig(
+        demo, tv, "1996-01-01", "1996-12-31",
+        cov_min=20.0, female=1, dual_min=10, cov_type=["mc"],
+    )
+    return out.select(
+        "id_mcaid",
+        F.col("cov_days").cast("long").alias("cov_days"),
+        "cov_pct",
+        F.col("covgap_max").cast("long").alias("covgap_max"),
+        "dual_pct",
+    )
+
+
+SQL_ELIG_COHORT_FILTERS = """
+WITH tv AS (
+  SELECT DISTINCT o_custkey AS id,
+    CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS f,
+    last_day(CAST(o_orderdate AS DATE)) AS t,
+    CASE WHEN month(CAST(o_orderdate AS DATE)) % 3 = 0 THEN 1 ELSE 0 END
+      AS dual,
+    CASE WHEN (o_custkey + month(CAST(o_orderdate AS DATE))) % 2 = 0
+         THEN 'MC' ELSE 'FFS' END AS cov_type
+  FROM orders
+), ov AS (
+  SELECT *,
+    DATEDIFF('day', GREATEST(f, DATE '1996-01-01'),
+                    LEAST(t, DATE '1996-12-31')) + 1 AS part_days
+  FROM tv WHERE f <= DATE '1996-12-31' AND t >= DATE '1996-01-01'
+), flagged AS (
+  SELECT id, f, t,
+    CASE WHEN MAX(t) OVER (PARTITION BY id ORDER BY f, t
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+           OR DATEDIFF('day', MAX(t) OVER (PARTITION BY id ORDER BY f, t
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), f) > 0
+         THEN 1 ELSE 0 END AS s
+  FROM ov
+), grp AS (
+  SELECT *, SUM(s) OVER (PARTITION BY id ORDER BY f, t
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM flagged
+), islands AS (
+  SELECT id, MIN(f) AS f, MAX(t) AS t FROM grp GROUP BY id, island
+), clipped AS (
+  SELECT id, GREATEST(f, DATE '1996-01-01') AS cf,
+         LEAST(t, DATE '1996-12-31') AS ct
+  FROM islands
+), gaps AS (
+  SELECT id, cf, ct,
+    COALESCE(
+      DATEDIFF('day', LAG(ct) OVER (PARTITION BY id ORDER BY cf), cf) - 1,
+      DATEDIFF('day', DATE '1996-01-01', cf)
+    ) AS gap_before
+  FROM clipped
+), cov AS (
+  SELECT id,
+    CAST(SUM(DATEDIFF('day', cf, ct) + 1) AS BIGINT) AS cov_days,
+    ROUND(SUM(DATEDIFF('day', cf, ct) + 1) / 366.0 * 100, 1) AS cov_pct,
+    GREATEST(MAX(gap_before),
+             DATEDIFF('day', DATE '1996-01-01', MIN(cf)),
+             DATEDIFF('day', MAX(ct), DATE '1996-12-31')) AS covgap_max
+  FROM gaps GROUP BY id
+), dualpct AS (
+  SELECT id,
+    ROUND(SUM(part_days * dual) * 100.0 / 366, 1) AS dual_pct
+  FROM ov GROUP BY id
+), modal AS (
+  SELECT id, cov_type FROM (
+    SELECT id, cov_type,
+      ROW_NUMBER() OVER (PARTITION BY id
+        ORDER BY SUM(part_days) DESC, cov_type ASC) AS rk
+    FROM ov GROUP BY id, cov_type
+  ) WHERE rk = 1
+)
+SELECT cov.id AS id_mcaid, cov.cov_days, cov.cov_pct,
+  CAST(cov.covgap_max AS BIGINT) AS covgap_max, dualpct.dual_pct
+FROM customer cust
+JOIN cov ON cust.c_custkey = cov.id
+JOIN dualpct ON dualpct.id = cov.id
+JOIN modal ON modal.id = cov.id
+WHERE cust.c_custkey % 2 = 1
+  AND cov.cov_pct >= 20.0
+  AND dualpct.dual_pct >= 10
+  AND LOWER(modal.cov_type) IN ('mc')
+"""
+
+
 SQL_COVERAGE = """
 WITH iv AS (
   SELECT o_custkey,
@@ -8899,6 +9023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # post-oracle-fix corpus_card/corpus_diff greens); then rule-3
         # backfill: the 11 r05-stale queries named by the round-8
         # verdict task 1, and the oldest 30 of the r06-last tranche.
+        "elig_cohort_filters": q_elig_cohort_filters,
         "sketch_distinct_rollup": q_sketch_distinct,
         "ccw_two_claim": q_ccw_two_claim,
         "ccw_combined": q_ccw_combined,
@@ -8948,8 +9073,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_dedup": q_distinct,
         "intersect_keys": q_intersect,
         "full_outer_coalesce": q_full_outer,
-        "mode_random_tiebreak": q_mode_random_tiebreak,
         # ---- tail (parity- and pytest-verified every round) ----
+        # displaced by the rule-1 pin of elig_cohort_filters (NEW r09);
+        # first in the r10 backfill queue
+        "mode_random_tiebreak": q_mode_random_tiebreak,
         # r06-last remainder (r10 backfill head):
         "format_classify": q_format_classify,
         "icd_normalize": q_icd_normalize,
@@ -9168,6 +9295,7 @@ def oracle_sql() -> dict[str, str]:
         # holdout sketch_distinct_rollup gained the deterministic
         # md5-register mirror below)
         "sketch_distinct_rollup": SQL_SKETCH_DISTINCT,
+        "elig_cohort_filters": SQL_ELIG_COHORT_FILTERS,
         "mcare_timevar": SQL_MCARE_TIMEVAR,
         "mcare_elig_month": SQL_MCARE_ELIG_MONTH,
         "apcd_plr": SQL_APCD_PLR,

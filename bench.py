@@ -127,6 +127,8 @@ EXTENDED = [
     "profile_drift",
     # round-9: first bench appearance with its new value oracle
     "sketch_distinct_rollup",
+    # round-9 NEW query (claims_elig named-parameter families)
+    "elig_cohort_filters",
 ]
 
 
