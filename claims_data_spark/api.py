@@ -336,6 +336,13 @@ def claims_elig(
             F.sum("_cov_days").alias("_denom_days")
         )
     for var in timevar_pct or []:
+        if f"{var}_pct" in out.columns:
+            raise ValueError(
+                f"{var}_pct already produced by the {var}_min/{var}_max "
+                "flag-percent parameter — request one form or the other "
+                "(they compute different quantities: flag person-time "
+                "share vs modal-value share)"
+            )
         best = mode_value(
             overlapping,
             [id_col],
