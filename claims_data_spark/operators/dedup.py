@@ -360,15 +360,25 @@ def simhash_table(
     sums = hashed.groupBy(id_col).agg(
         *bit_aggs, F.count(F.lit(1)).alias("_n")
     )
-    sh = F.lit(0).cast("long")
-    for j in range(64):
-        mask = (1 << j) if j < 63 else -(1 << 63)
-        sh = sh.bitwiseOR(
-            F.when(
-                F.col(f"_b{j}") * 2 > F.col("_n"), F.lit(mask).cast("long")
-            ).otherwise(F.lit(0).cast("long"))
+    # FLAT bit assembly (round 9): the old form chained 64 nested
+    # bitwiseOR(when(...)) Column nodes — a 64-deep expression tree
+    # Catalyst re-walks on every optimizer pass (the knn_ivf
+    # literal-node lesson, BASELINE.md round-7), measured at 2.5 s vs
+    # 0.9 s for the portable twin's flat expr on identical data. One
+    # flat SUM of disjoint bit terms plans in milliseconds; adding
+    # the masks is exact because the terms never share a bit (and the
+    # j=63 term is the long MIN_VALUE, which two's-complement
+    # addition sets as the sign bit).
+    masks = [(1 << j) if j < 63 else -(1 << 63) for j in range(64)]
+    fp = F.expr(
+        "cast("
+        + " + ".join(
+            f"(case when 2 * _b{j} > _n then {masks[j]}L else 0L end)"
+            for j in range(64)
         )
-    return sums.select(F.col(id_col), sh.alias("_sh64"))
+        + " as bigint)"
+    )
+    return sums.select(F.col(id_col), fp.alias("_sh64"))
 
 
 def simhash_table_portable(
@@ -426,7 +436,13 @@ def simhash_near_dup_pairs_portable(
     hamming <= 3 exactly as in the 64-bit form), hamming via
     bit_count(xor) — every step ANSI-reproducible and pure integer
     codegen."""
-    base = simhash_table_portable(df, id_col, text_col)
+    # persist the per-doc fingerprint table: the banded self-join
+    # consumes it TWICE and Catalyst does not reuse the exchange
+    # across the aliased sides (measured: the whole explode->60-agg
+    # pipeline executed twice; 1 row/doc, so the cached footprint is
+    # id+fingerprint — the table a production deployment would store
+    # anyway). bench/tests clearCache() after each query.
+    base = simhash_table_portable(df, id_col, text_col).persist()
     chunks = F.array(*[
         F.struct(
             F.lit(c).alias("chunk_id"),
@@ -477,7 +493,9 @@ def simhash_near_dup_pairs(
     whose differing bits spread 1-per-chunk across all four chunks is
     never generated (the standard approximate-LSH tradeoff; use more/
     overlapping bands for a hard guarantee at wider radii)."""
-    base = simhash_table(df, id_col, text_col)
+    # persisted for the same double-consumption reason as the
+    # portable twin (see simhash_near_dup_pairs_portable)
+    base = simhash_table(df, id_col, text_col).persist()
     chunks = F.array(
         *[
             F.struct(
