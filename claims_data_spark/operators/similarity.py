@@ -588,11 +588,17 @@ def semantic_dedup(
     a smaller-id neighbor in the same cluster is >= threshold).
     """
     cents = _collect_fixed_centroids(corpus, centroid_ids, id_col, vec_col)
+    # persisted: the assignment (K centroid distances per row, the
+    # expensive unrolled-codegen pass) is consumed THREE times below
+    # (both self-join sides + the final flag join) and Catalyst does
+    # not reuse work across aliased self-join sides (SCALE.md round-9
+    # addendum). Materializing (id, vec, centroid) is also the
+    # standard SemDeDup shape — store assignments once, reuse.
     assigned = spread(
         _attach_centroid_rank(corpus, cents, vec_col, "_cr")
         .withColumn("centroid_id", F.col("_cr")[0]["cid"])
         .drop("_cr")
-    )
+    ).persist()
     left = assigned.select(
         F.col("centroid_id"),
         F.col(id_col).alias("_lid"),
