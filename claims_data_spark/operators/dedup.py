@@ -901,7 +901,14 @@ def winnow_fingerprints(
         ),
     )
     return (
-        docs.filter(F.col(text_col).isNotNull())
+        # spread() the CPU-heavy map stage (round 9): a unioned or
+        # few-file input reaches here with a handful of partitions —
+        # the sf10 fixture ran its entire O(L log w) fingerprinting
+        # on 3 of 42 tasks (the union's three branches), a 39-idle-
+        # cores straggler tail visible in every scale row. Round-
+        # robin to the default parallelism ONLY when under it (the
+        # spread() contract: a no-op on real multi-split corpora).
+        spread(docs.filter(F.col(text_col).isNotNull()))
         # on the NORMALIZED length: whitespace collapse can shorten a
         # trim-passing string below k, and sequence(1, 0) counts DOWN
         # in Spark — the guard must see the same string fps sees

@@ -77,12 +77,49 @@ def spread(df, min_partitions: int | None = None):
     arrive as thousands of splits and this is a no-op; on small or
     badly-laid-out inputs it round-robins rows across the default
     parallelism so the map stage actually uses the cluster. Only
-    repartitions when the input has FEWER partitions than requested —
-    never shrinks, never shuffles an already-parallel scan.
+    repartitions when the input has FEWER effective partitions than
+    requested — never shrinks, never shuffles an already-parallel
+    scan.
+
+    EFFECTIVE partitions, not reported partitions (round 9): Spark
+    targets ``defaultParallelism`` byte-range splits per scan
+    (``spark.sql.files.minPartitionNum``), so a 55 MB single-row-
+    group file reports 40+ partitions while only the ONE split
+    containing the row-group start carries rows — the partition-count
+    heuristic no-ops and the whole map stage runs on one core per
+    scan branch (measured: the sf10 winnow fingerprint pass ran 3 of
+    42 tasks, 39 cores idle). Parquet's parallelizable unit is the
+    ROW GROUP, and footers are driver-readable metadata — so when the
+    frame reads FEW files (a probe bounded at 16; real warehouse
+    inputs have thousands of files and skip it), count their row
+    groups and round-robin when the true unit count is below target.
     """
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    local = [
+        f for f in files
+        if f.endswith(".parquet")
+        and (f.startswith("file:") or f.startswith("/"))
+    ]
+    if files and len(files) <= 16 and len(local) == len(files):
+        try:
+            import pyarrow.parquet as pq
+
+            row_groups = sum(
+                pq.ParquetFile(
+                    f[len("file:"):] if f.startswith("file:") else f
+                ).metadata.num_row_groups
+                for f in local
+            )
+            if row_groups < target:
+                return df.repartition(target)
+        except Exception:
+            pass
     return df
 
 
