@@ -341,8 +341,14 @@ def url_dedup(
     # never reads.
     gate = _canonical_shape_gate(cu) if fast_path else F.lit(False)
     parse = F.try_parse_url(cu, F.lit("PROTOCOL"))
+    # spread(): the parse+assembly below is the CPU cost of the whole
+    # operator and a single-row-group input would otherwise run it on
+    # one task per scan branch (round-9 lesson, SCALE.md addendum 2);
+    # no-op on real multi-row-group corpora
+    from claims_data_spark.session import spread
+
     out = (
-        df.withColumn("_cu", u)
+        spread(df).withColumn("_cu", u)
         .withColumn("_cg", gate)
         .withColumn(
             "_cp",

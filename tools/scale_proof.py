@@ -26,18 +26,17 @@ from claims_data_spark.session import get_spark  # noqa: E402
 # default set = the CURRENT weak/watch list (correct but >2x DuckDB at
 # the honest scale point, or floor-trend entries awaiting crossover);
 # end-of-r09 state — pass query names to override. Round-9 closures:
-# winnow_near_dup (1.93x at sf10, runs=3, rows_match — the newcomer
-# re-confirmation) and corpus_diff (sf30 row published: 1.45x).
-# Kept: the three decomposed-red entries whose rows of record are now
-# production layouts (BASELINE.md round-9 watch table) — ccw bucketed
-# 2.1-2.6x, rda realistic-vocab floor row, top_causes bucketed
-# (tools/top_causes_bucketed_proof.py) — plus url_dedup (2.3-2.7x
-# range, parser-vs-no-parser decomposition).
+# winnow_near_dup (1.93 -> 1.03x at sf10 after the spread() row-group
+# probe), url_dedup (2.69 -> 1.45x, same single-row-group root cause)
+# and corpus_diff (sf30 row published: 1.45x). Kept: the three
+# decomposed-red entries whose rows of record are production layouts
+# (BASELINE.md round-9 watch table) — ccw bucketed 2.1-2.6x, rda
+# realistic-vocab floor row, top_causes bucketed
+# (tools/top_causes_bucketed_proof.py).
 WEAK_SET = [
     "ccw_two_claim",
     "rda_value_set",
     "top_causes_window",
-    "url_dedup",
 ]
 
 
