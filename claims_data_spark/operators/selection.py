@@ -90,8 +90,11 @@ def bucket_counts(
     """Per-bucket feature-occurrence counts as a driver dict —
     ``dim``-bounded metadata (the exchange carries at most ``dim``
     rows per task thanks to partial aggregation)."""
+    from claims_data_spark.session import spread
+
     rows = (
-        df.select(
+        spread(df.select(F.col(text_col)))
+        .select(
             F.explode(hashed_features(F.col(text_col), word_ngrams))
             .alias("_tok")
         )
@@ -196,8 +199,17 @@ def dsir_select(
     bk = F.transform(
         feats, lambda tok: _bucket_fn(portable)(tok, dim, seed)
     )
-    rawb = raw.select(F.col(id_col), bk.alias("_bk")).persist(
-        StorageLevel.MEMORY_AND_DISK
+    # spread the NARROW (id, text) frame BEFORE the bucket projection
+    # (the corpus.py pattern: repartitioning after would push the
+    # whole tokenize tree below the exchange back onto the scan's
+    # effective tasks — which a single-row-group input serializes;
+    # round-9 spread() row-group probe, SCALE.md addendum 2)
+    from claims_data_spark.session import spread
+
+    rawb = (
+        spread(raw.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), bk.alias("_bk"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     rc = {
         int(r["_b"]): int(r["_n"])
