@@ -75,16 +75,48 @@ def _flag_as_int(col: F.Column) -> F.Column:
     The reference multiplies ``cov_days * var`` directly, which only
     works when the column is already numeric — but the mcaid stage
     timevar carries ``dual`` as the raw 'Y'/'N' DUALELIGIBLE_INDICATOR
-    text (``load_stage.mcaid_elig_timevar.R:98``). Accept both
-    encodings (and boolean) deterministically; unknown/NULL stays
-    NULL, so SUM skips it exactly like the reference's NULL
-    arithmetic. ANSI-safe: no string->int cast ever happens."""
+    text (``load_stage.mcaid_elig_timevar.R:98``). Accept numeric
+    (any non-zero is truthy, matching the reference's arithmetic on
+    int flags — a double-typed flag renders '1.0' and must not fall
+    through the string table to NULL), string Y/N/T/F, and boolean
+    deterministically; unknown/NULL stays NULL, so SUM skips it
+    exactly like the reference's NULL arithmetic. ANSI-safe: only
+    try_cast, no throwing string->int cast ever happens."""
+    d = col.cast("string").try_cast("double")
     s = F.upper(col.cast("string"))
     return (
-        F.when(s.isin("1", "Y", "YES", "T", "TRUE"), F.lit(1))
-        .when(s.isin("0", "N", "NO", "F", "FALSE"), F.lit(0))
+        F.when(d.isNotNull(), F.when(d != 0.0, F.lit(1)).otherwise(F.lit(0)))
+        .when(s.isin("Y", "YES", "T", "TRUE"), F.lit(1))
+        .when(s.isin("N", "NO", "F", "FALSE"), F.lit(0))
         .otherwise(F.lit(None).cast("int"))
     )
+
+
+def _canon_modal_col(col: F.Column) -> F.Column:
+    """Canonical comparison rendering for modal-value IN filters:
+    whole numbers (any numeric type, or numeric-looking strings)
+    render as their integer string so double-typed code columns
+    ('12.0') match integer params (12); everything else compares
+    case-insensitively. try_cast only — ANSI-safe."""
+    s = col.cast("string")
+    d = s.try_cast("double")
+    i = d.try_cast("bigint")
+    return (
+        F.when(d.isNotNull() & (d == i.cast("double")), i.cast("string"))
+        .when(d.isNotNull(), d.cast("string"))
+        .otherwise(F.lower(s))
+    )
+
+
+def _canon_modal_py(v: Any) -> str:
+    """Python mirror of :func:`_canon_modal_col` for parameter values."""
+    try:
+        d = float(v)
+    except (TypeError, ValueError):
+        return str(v).lower()
+    if d == int(d):
+        return str(int(d))
+    return repr(d)
 
 
 def _resolve_timevar_col(
@@ -228,7 +260,9 @@ def claims_elig(
     ):
         out = out.join(
             timevar.groupBy(id_col).agg(
-                F.max(F.col("geo_kc").cast("int")).alias("geo_kc_ever")
+                # _flag_as_int, not cast('int'): a 'Y'/'N'-encoded stage
+                # flag would throw under ANSI mode instead of filtering
+                F.max(_flag_as_int(F.col("geo_kc"))).alias("geo_kc_ever")
             ),
             id_col, "left",
         )
@@ -314,19 +348,21 @@ def claims_elig(
 
     # pct=F modal values: most-person-time value IN (...) —
     # mode_value's default tiebreak IS the reference's ORDER BY
-    # SUM(cov_days) DESC, value ASC
+    # SUM(cov_days) DESC, value ASC. Both sides of the IN are
+    # canonicalized (whole numbers render as their integer string,
+    # everything else lowercases) so a double-typed code column
+    # rendering '12.0' still matches bsp_group_cid=[12] instead of
+    # silently emptying the cohort.
     for param, vals in tv_modal_in.items():
         col = _resolve_timevar_col(timevar, param, _TIMEVAR_MODAL_IN[param])
         best = mode_value(
             overlapping, [id_col], col,
             weight=F.col("_cov_days"), out_col=f"_{param}_best",
         )
-        lowered = [str(v).lower() for v in vals]
+        canon = [_canon_modal_py(v) for v in vals]
         out = (
             out.join(best, id_col, "left")
-            .filter(
-                F.lower(F.col(f"_{param}_best").cast("string")).isin(lowered)
-            )
+            .filter(_canon_modal_col(F.col(f"_{param}_best")).isin(canon))
             .drop(f"_{param}_best")
         )
 

@@ -105,6 +105,10 @@ def hll_det_rollup(
     ``claims_db/db_loader/.../qa_load_sql.R`` — this is its
     mergeable, one-pass form.
     """
+    # NULL values never update a sketch (DataSketches update semantics):
+    # md5(NULL) would mint a NULL bucket whose register row inflates
+    # n_present while contributing nothing to the harmonic sum.
+    df = df.filter(F.col(value_col).isNotNull())
     h = F.md5(F.col(value_col).cast("string"))
     w = F.conv(F.substring(h, 3, 12), 16, 10).cast("long")
     keyed = df.select(

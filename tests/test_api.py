@@ -558,3 +558,32 @@ def test_claims_elig_timevar_param_missing_column(spark, tables):
     # mcaid flag exists only in the combined-source timevar
     with pytest.raises(KeyError, match="mcaid"):
         _elig_ids(tables, mcaid_min=50)
+
+
+def test_claims_elig_numeric_typed_flag_and_modal(spark):
+    """Round-9 advice: a double-typed flag column renders '1.0' after
+    the string cast and a double-typed modal code column renders
+    '12.0' — both must normalize (numeric-first try_cast) instead of
+    silently emptying the cohort."""
+    tv = spark.createDataFrame(
+        [
+            ("pA", d("2017-01-01"), d("2017-06-30"), 1.0, 12.0, 1.0),
+            ("pB", d("2017-01-01"), d("2017-06-30"), 0.0, 13.0, 0.0),
+        ],
+        "id_mcaid string, from_date date, to_date date, "
+        "dual double, bsp_group_cid double, geo_kc double",
+    )
+    demo = spark.createDataFrame(
+        [("pA", d("1980-01-01")), ("pB", d("1980-01-01"))],
+        "id_mcaid string, dob date",
+    )
+    flag = claims_elig(demo, tv, "2017-01-01", "2017-06-30", dual_min=50)
+    assert {r["id_mcaid"] for r in flag.collect()} == {"pA"}
+    modal = claims_elig(
+        demo, tv, "2017-01-01", "2017-06-30", bsp_group_cid=[12]
+    )
+    assert {r["id_mcaid"] for r in modal.collect()} == {"pA"}
+    # derived geo_kc_ever over a numeric-typed stage flag (was a raw
+    # cast('int'); now _flag_as_int for Y/N safety) still filters
+    ever = claims_elig(demo, tv, "2017-01-01", "2017-06-30", geo_kc_ever=1)
+    assert {r["id_mcaid"] for r in ever.collect()} == {"pA"}

@@ -13,14 +13,19 @@ def test_production_twins_schema_and_rows(spark):
     qs = entry.queries()
     prod = entry.production_queries()
     assert set(prod) <= set(qs)
+    # The aggregate twins deterministically yield rows on the sf0.001
+    # fixture (every document lands in a split; common words clear the
+    # CMS threshold). The pair-generating twins (minhash/simhash/
+    # winnow) may legitimately find zero near-dup pairs at this scale,
+    # so for them the pinned property is schema parity + runnability.
+    must_have_rows = {"split_assign", "cms_heavy_hitters"}
     for name, fn in prod.items():
         twin = qs[name](spark, sf_dir)
         out = fn(spark, sf_dir)
         assert [f.name for f in out.schema.fields] == [
             f.name for f in twin.schema.fields
         ], name
-        # non-degenerate: the production family actually computes
-        # (row counts may differ from the md5 stream for the
-        # candidate-generating queries; both must be runnable)
-        assert out.count() >= 0, name
-        assert twin.count() >= 0, name
+        n_out, n_twin = out.count(), twin.count()
+        if name in must_have_rows:
+            assert n_out > 0, f"{name}: production twin returned no rows"
+            assert n_twin > 0, f"{name}: oracle stream returned no rows"

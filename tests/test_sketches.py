@@ -109,3 +109,21 @@ def test_hll_det_rollup_accuracy_and_merge(spark):
     assert 0 < merged["n_present"] <= 256
     assert merged["sum_rank"] >= merged["n_present"]
     assert merged["denom_scaled"] <= 256 * (1 << 49)
+
+
+def test_hll_det_rollup_skips_nulls(spark):
+    """Round-9 advice: NULL values must not mint a register row
+    (DataSketches update semantics skip nulls); with the fix, a frame
+    with NULLs sketches identically to the same frame without them."""
+    from claims_data_spark.operators.sketches import hll_det_rollup
+
+    with_nulls = spark.createDataFrame(
+        [("a", "x"), ("a", None), ("a", "y"), ("a", None)],
+        "g string, v string",
+    )
+    without = spark.createDataFrame(
+        [("a", "x"), ("a", "y")], "g string, v string"
+    )
+    r1 = hll_det_rollup(with_nulls, ["g"], ["g"], "v").collect()[0]
+    r2 = hll_det_rollup(without, ["g"], ["g"], "v").collect()[0]
+    assert r1.asDict() == r2.asDict()
