@@ -9013,20 +9013,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # have gone longest without a driver row (every entry in the tail
     # is still covered by tools/parity.py and pytest each round).
     return {
-        # ---- driver window (first 50): round-9 rotation, WINDOW.md ----
-        # rule-1 pins (r09 changes: sketch_distinct_rollup's NEW
-        # deterministic md5-register HLL oracle — first value row ever,
-        # closing the last rows-only registry entry — and the
-        # ccw_two_claim/ccw_combined perf work on tables/conditions.py);
-        # then the r08-first-green second seats (learn_bpe,
-        # winnow_near_dup, profile_drift, redact_spans, and the two
-        # post-oracle-fix corpus_card/corpus_diff greens); then rule-3
-        # backfill: the 11 r05-stale queries named by the round-8
-        # verdict task 1, and the oldest 30 of the r06-last tranche.
+        # ---- driver window (first 50): round-10 rotation, WINDOW.md ----
+        # rule-1 pins (r10 code changes: the api.py flag/modal
+        # normalization touching claims_elig, the HLL null-skip in
+        # sketches.py, and the conditions.py ccw perf work); then
+        # rule-3 backfill: the 14 r06-last queries (mode_random_tiebreak
+        # + the r06 remainder), the entire 30-query r07-last tranche,
+        # and the 2 oldest r08 seats to fill the window.
         "elig_cohort_filters": q_elig_cohort_filters,
         "sketch_distinct_rollup": q_sketch_distinct,
         "ccw_two_claim": q_ccw_two_claim,
         "ccw_combined": q_ccw_combined,
+        "mode_random_tiebreak": q_mode_random_tiebreak,
+        "format_classify": q_format_classify,
+        "icd_normalize": q_icd_normalize,
+        "text_stats": q_text_stats,
+        "theta_or_join": q_theta_or_join,
+        "topk_ties": q_topk_ties,
+        "typed_projection": q_typed_projection,
+        "union_bindrows": q_union_bindrows,
+        "union_stack": q_union,
+        "unpivot_long": q_unpivot,
+        "quality_fingerprint": q_quality,
+        "right_join": q_right_join,
+        "dedup_exact": q_dedup_exact,
+        "knn_bruteforce": q_knn_bruteforce,
+        "record_linkage": q_record_linkage,
+        "hedis_year_merge": q_hedis_year_merge,
+        "knn_ivf": q_knn_ivf,
+        "image_resize": q_image_resize,
+        "text_normalize": q_text_normalize,
+        "streaming_dedup": q_streaming_dedup,
+        "weighted_sample_grouped": q_weighted_sample_grouped,
+        "coverage_stats": q_coverage,
+        "interval_resegment": q_resegment,
+        "episodes_dense_id": q_episodes,
+        "islands_collapse": q_islands,
+        "rolling_months": q_rolling_months,
+        "asof_running_min": q_asof_min,
+        "fuh_followup": q_fuh_followup,
+        "pcr_readmission": q_pcr_readmission,
+        "tx_pen_measure": q_tx_pen,
+        "ah_utilization": q_ah_utilization,
+        "claim_value_set": q_claim_value_set,
+        "apcd_elig_month": q_apcd_elig_month,
+        "stage_mcaid_elig": q_stage_mcaid_elig,
+        "demo_summary": q_demo_summary,
+        "provider_master_rank": q_provider_master_rank,
+        "claims_summary": q_claims_summary,
+        "housing_status": q_housing_status,
+        "spatial_pip": q_spatial_pip,
+        "perf_measure_ed": q_perf_measure_ed,
+        "lcs_match": q_lcs_match,
+        "amr_measure": q_amr_measure,
+        "session_windows": q_session_windows,
+        "multimodal_features": q_multimodal_features,
+        "apcd_plr": q_apcd_plr,
+        "url_dedup": q_url_dedup,
+        # ---- tail (parity- and pytest-verified every round) ----
+        # r08-green cohort first (next backfill tranche), then the
+        # r09-green cohort (rotated out on second green by rule 2).
         "learn_bpe": q_learn_bpe,
         "winnow_near_dup": q_winnow_near_dup,
         "profile_drift": q_profile_drift,
@@ -9073,27 +9119,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_dedup": q_distinct,
         "intersect_keys": q_intersect,
         "full_outer_coalesce": q_full_outer,
-        # ---- tail (parity- and pytest-verified every round) ----
-        # displaced by the rule-1 pin of elig_cohort_filters (NEW r09);
-        # first in the r10 backfill queue
-        "mode_random_tiebreak": q_mode_random_tiebreak,
-        # r06-last remainder (r10 backfill head):
-        "format_classify": q_format_classify,
-        "icd_normalize": q_icd_normalize,
-        "text_stats": q_text_stats,
-        "theta_or_join": q_theta_or_join,
-        "topk_ties": q_topk_ties,
-        "typed_projection": q_typed_projection,
-        "union_bindrows": q_union_bindrows,
-        "union_stack": q_union,
-        "unpivot_long": q_unpivot,
-        "quality_fingerprint": q_quality,
-        "right_join": q_right_join,
-        "dedup_exact": q_dedup_exact,
-        "knn_bruteforce": q_knn_bruteforce,
-        # rotated out this round (driver-green r07+r08 or second green):
-        "apcd_plr": q_apcd_plr,
-        "url_dedup": q_url_dedup,
         "mix_rebalance": q_mix_rebalance,
         "tabloop_suppress": q_tabloop,
         "tabloop_fixed": q_tabloop_fixed,
@@ -9136,37 +9161,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calendar_join": q_calendar_join,
         "dedup_first_row": q_first_order,
         "dedup_priority": q_dedup_priority,
-        # r07-last (after the r06 remainder in the r10 queue):
-        "record_linkage": q_record_linkage,
-        "hedis_year_merge": q_hedis_year_merge,
-        "knn_ivf": q_knn_ivf,
-        "image_resize": q_image_resize,
-        "text_normalize": q_text_normalize,
-        "streaming_dedup": q_streaming_dedup,
-        "weighted_sample_grouped": q_weighted_sample_grouped,
-        "coverage_stats": q_coverage,
-        "interval_resegment": q_resegment,
-        "episodes_dense_id": q_episodes,
-        "islands_collapse": q_islands,
-        "rolling_months": q_rolling_months,
-        "asof_running_min": q_asof_min,
-        "fuh_followup": q_fuh_followup,
-        "pcr_readmission": q_pcr_readmission,
-        "tx_pen_measure": q_tx_pen,
-        "ah_utilization": q_ah_utilization,
-        "claim_value_set": q_claim_value_set,
-        "apcd_elig_month": q_apcd_elig_month,
-        "stage_mcaid_elig": q_stage_mcaid_elig,
-        "demo_summary": q_demo_summary,
-        "provider_master_rank": q_provider_master_rank,
-        "claims_summary": q_claims_summary,
-        "housing_status": q_housing_status,
-        "spatial_pip": q_spatial_pip,
-        "perf_measure_ed": q_perf_measure_ed,
-        "lcs_match": q_lcs_match,
-        "amr_measure": q_amr_measure,
-        "session_windows": q_session_windows,
-        "multimodal_features": q_multimodal_features,
     }
 
 def oracle_sql() -> dict[str, str]:

@@ -440,7 +440,24 @@ def main() -> None:
             "sf": sf_val,
         }
     ))
-    # headline line LAST so a tail-capture always keeps it
+    # headline line LAST so a tail-capture always keeps it. The
+    # production-stream and pipeline scalars are folded in here too
+    # (round-9 verdict task 2): BENCH_r09 kept only a 2,000-char tail,
+    # so evidence that lives solely in earlier sections does not
+    # survive into the artifact of record.
+    prod_total = round(sum(prod_timings.values()), 3) if prod_timings else None
+    prod_oracle_total = (
+        round(
+            sum(
+                v
+                for n in prod_timings
+                if (v := (timings | ext_timings).get(n)) is not None
+            ),
+            3,
+        )
+        if prod_timings
+        else None
+    )
     print(
         json.dumps(
             {
@@ -450,6 +467,14 @@ def main() -> None:
                 "queries": timings,
                 "extended_total": round(sum(ext_timings.values()), 3),
                 "spark_vs_duckdb_same_run": ratio,
+                "production_streams_total": prod_total,
+                "production_vs_oracle_ratio": (
+                    round(prod_total / prod_oracle_total, 3)
+                    if prod_total and prod_oracle_total
+                    else None
+                ),
+                "pipeline_wall": pipeline.get("wall_sec"),
+                "pipeline_sf1_wall": pipeline_sf1.get("wall_sec"),
                 "calib": calib,
                 "sf": sf_val,
             }
