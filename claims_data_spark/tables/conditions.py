@@ -144,30 +144,77 @@ def build_claim_ccw(
         )
 
     flag_cols = sorted({m[0] for m in map_rows})
-    stack_expr = ", ".join(f"'{c}', `{c}`" for c in flag_cols)
-    long_ref = (
-        ref_icdcm.selectExpr(
-            "icdcm", "icdcm_version",
-            f"stack({len(flag_cols)}, {stack_expr}) as (flag_col, flag)",
+
+    # ---- fused bitmask membership (round 10) ----
+    # The old shape melted the flag matrix to long (one broadcast row
+    # per (code, flag)), fanned every dx hit out per matching flag,
+    # probed a linear-scan literal map for flag metadata, and hash-
+    # aggregated the fan-out keyed by (claim, abbrev-string, id).
+    # This compiles the whole per-condition dx-match rule into bit
+    # positions instead (the rda_value_set codegen-CASE precedent):
+    # the ref carries one row per code with per-role/per-dx-position
+    # masks (condition bit b set when that code flags condition b), so
+    # the dx scan does ONE broadcast probe returning a handful of
+    # longs, the claim-grain aggregation is bit_or keyed by the claim
+    # id alone (rides the claim bucketing — no exchange, no string
+    # keys, no fan-out), and qualified (claim, condition) rows only
+    # materialize AFTER exclusion bits clear: qual = cond & ~excl.
+    # Conditions chunk into 62-bit words so any config size compiles.
+    abbrevs = [a for a, _t1, _t2, _ct, _lb in cfg_rows]
+    bitpos = {a: i for i, a in enumerate(abbrevs)}
+    _CHUNK = 62
+    n_chunks = max(1, -(-len(abbrevs) // _CHUNK))
+    # (role, dx-position class, chunk) -> {bit: [flag cols]}
+    groups: dict[tuple, dict[int, list[str]]] = {}
+    for fc, abbrev, is_excl, dxf in map_rows:
+        b = bitpos[abbrev]
+        c = (
+            "pos1" if dxf == "1"
+            else "pos12" if dxf in ("1-2", "1;2")
+            else "any"
         )
-        .filter(F.col("flag") == 1)
-        .select(F.col("icdcm").alias("icdcm_norm"), "icdcm_version", "flag_col")
-    )
-    # flag_col -> (abbrev, is_excl, dx_fields) as a LITERAL map: the
-    # config is a driver-side list, so a broadcast join would spend an
-    # AQE job materializing data the plan can carry as an expression
-    flag_meta = F.create_map(*[
-        x
-        for fc, abbrev, is_excl, dxf in map_rows
-        for x in (
-            F.lit(fc),
-            F.struct(
-                F.lit(abbrev).alias("abbrev"),
-                F.lit(is_excl).alias("is_excl"),
-                F.lit(dxf).alias("dx_fields"),
-            ),
+        key = ("excl" if is_excl else "cond", c, b // _CHUNK)
+        groups.setdefault(key, {}).setdefault(b % _CHUNK, []).append(fc)
+
+    mask_names: dict[tuple, str] = {}
+    mask_select: list = []
+    for (role, c, ch), terms in sorted(groups.items()):
+        # flat SUM of disjoint bit terms (the simhash round-9 lesson:
+        # a nested bitwiseOR(when) tree re-walks per optimizer pass);
+        # two flags sharing a bit (exclude1+exclude2, same class) OR
+        # inside one term, so bits stay disjoint and + is exact
+        parts = [
+            "(case when "
+            + " or ".join(f"`{fc}` = 1" for fc in fcs)
+            + f" then {1 << bb}L else 0L end)"
+            for bb, fcs in sorted(terms.items())
+        ]
+        name = f"_m_{role}_{c}_{ch}"
+        mask_names[(role, c, ch)] = name
+        mask_select.append(
+            F.expr("cast(" + " + ".join(parts) + " as bigint)").alias(name)
         )
-    ])
+    _zero = F.lit(0).cast("long")
+
+    def _eff_mask(role: str, ch: int) -> F.Column:
+        """Row-effective mask: 'any' bits always, position-gated bits
+        only when the dx position satisfies the flag's rule
+        (_dx_fields_ok, load_ccw.R:346-360)."""
+        e = None
+        n = mask_names.get((role, "any", ch))
+        if n:
+            e = F.col(n)
+        n = mask_names.get((role, "pos1", ch))
+        if n:
+            t = F.when(F.col("icdcm_number") == "01", F.col(n)).otherwise(_zero)
+            e = t if e is None else e.bitwiseOR(t)
+        n = mask_names.get((role, "pos12", ch))
+        if n:
+            t = F.when(
+                F.col("icdcm_number").isin("01", "02"), F.col(n)
+            ).otherwise(_zero)
+            e = t if e is None else e.bitwiseOR(t)
+        return _zero if e is None else e
 
     # scan-pushdown of the flag code set: the melted flag matrix is
     # vocabulary-bounded (ICD codes x conditions, ~10-40k rows for the
@@ -187,13 +234,53 @@ def build_claim_ccw(
     for c in flag_cols:
         p = F.col(c) == 1
         flag_pred = p if flag_pred is None else (flag_pred | p)
+    ref_masks = ref_icdcm.filter(flag_pred).select(
+        F.col("icdcm").alias("icdcm_norm"), "icdcm_version", *mask_select
+    )
     code_rows = (
-        ref_icdcm.filter(flag_pred).select("icdcm")
+        ref_icdcm.filter(flag_pred)
+        .select("icdcm", "icdcm_version", *flag_cols)
         .limit(4 * _CODE_PUSHDOWN_MAX).collect()
     )
     codes = {r["icdcm"] for r in code_rows}
-    if len(code_rows) < 4 * _CODE_PUSHDOWN_MAX and len(codes) <= _CODE_PUSHDOWN_MAX:
+    pushdown_ok = (
+        len(code_rows) < 4 * _CODE_PUSHDOWN_MAX
+        and len(codes) <= _CODE_PUSHDOWN_MAX
+    )
+    if pushdown_ok:
         icdcm = icdcm.filter(F.col("icdcm_norm").isin(list(codes)))
+
+    # literal-class compilation (round 10, the rda_value_set codegen-
+    # CASE precedent): codes sharing an identical (version, mask
+    # tuple) form an equivalence class — usually ≈ one per condition.
+    # With few classes, a chained isin() CASE assigns each dx row a
+    # class id in the SCAN stage and every mask column becomes a tiny
+    # literal CASE on that id, so the per-invocation broadcast
+    # materialization job AND the per-row join probe disappear from
+    # the plan. Above the class threshold (a full 31-condition CCW
+    # run) the broadcast-join path below stays — O(1) per-row probe
+    # beats ~n_classes hash-set probes once classes are many.
+    _LITERAL_CLASS_MAX = 16
+    literal_classes: list[tuple[int, tuple, list[str]]] | None = None
+    if pushdown_ok:
+        by_class: dict[tuple, list[str]] = {}
+        for r in code_rows:
+            vals = []
+            for key in sorted(mask_names):
+                role, c, ch = key
+                v = 0
+                for bb, fcs in groups[key].items():
+                    if any(r[fc] == 1 for fc in fcs):
+                        v |= 1 << bb
+                vals.append(v)
+            by_class.setdefault(
+                (r["icdcm_version"], tuple(vals)), []
+            ).append(r["icdcm"])
+        if len(by_class) <= _LITERAL_CLASS_MAX:
+            literal_classes = [
+                (ver, mt, sorted(cds))
+                for (ver, mt), cds in sorted(by_class.items())
+            ]
 
     # claim-type pushdown (round 9): a claim whose type is outside the
     # UNION of every condition's claim_type_1/claim_type_2 lists can
@@ -214,44 +301,87 @@ def build_claim_ccw(
     # ONE scan of the dx table -> claim-level condition membership.
     # The header join happens at HIT grain (before the agg): header is
     # one narrow row per claim, the hits keep their claim-keyed
-    # partitioning, and the membership groupBy below — whose keys
-    # contain claim_header_id — then needs no exchange of its own.
-    # join order (round 9): header FIRST, flags second. Both fact
+    # partitioning, and the membership groupBy below — keyed by the
+    # claim id alone — then needs no exchange of its own.
+    # join order (round 9): header FIRST, masks second. Both fact
     # sides ride the claim bucketing (sorted zip join, no exchange, no
     # sort), and the type-pushdown-filtered header drops its share of
-    # dx rows BEFORE the broadcast flag join — the per-row string-key
+    # dx rows BEFORE the broadcast mask probe — the per-row string-key
     # hash probe is the costliest scalar work in the pass, so it runs
     # over the intersection, not the full code-filtered scan.
-    hits = (
-        icdcm.select(
-            "id_mcaid", "claim_header_id", "first_service_date",
-            "icdcm_norm", "icdcm_version", "icdcm_number",
-        )
-        .join(
-            header.select("claim_header_id", "claim_type_id"),
-            "claim_header_id",
-        )
-        .join(F.broadcast(long_ref), ["icdcm_norm", "icdcm_version"])
-        .withColumn("_fm", flag_meta[F.col("flag_col")])
-        .select(
-            "id_mcaid", "claim_header_id", "first_service_date",
-            "icdcm_number", "claim_type_id",
-            F.col("_fm.abbrev").alias("abbrev"),
-            F.col("_fm.is_excl").alias("is_excl"),
-            F.col("_fm.dx_fields").alias("dx_fields"),
-        )
-        .filter(_dx_fields_ok(F.col("dx_fields"), F.col("icdcm_number")))
+    joined = icdcm.select(
+        "id_mcaid", "claim_header_id", "first_service_date",
+        "icdcm_norm", "icdcm_version", "icdcm_number",
+    ).join(
+        header.select("claim_header_id", "claim_type_id"),
+        "claim_header_id",
     )
-    claim_cond = (
-        hits.groupBy("claim_header_id", "abbrev", "id_mcaid")
+    if literal_classes is not None:
+        cid = None
+        for idx, (ver, _mt, cds) in enumerate(literal_classes):
+            p = (F.col("icdcm_version") == ver) & F.col(
+                "icdcm_norm"
+            ).isin(cds)
+            cid = F.when(p, idx) if cid is None else cid.when(p, idx)
+        cid = cid.otherwise(F.lit(-1))
+        mask_vals: dict[str, F.Column] = {}
+        for pos, key in enumerate(sorted(mask_names)):
+            e = None
+            for idx, (_ver, mt, _cds) in enumerate(literal_classes):
+                if mt[pos]:
+                    t = F.lit(mt[pos]).cast("long")
+                    e = (
+                        F.when(F.col("_cid") == idx, t)
+                        if e is None
+                        else e.when(F.col("_cid") == idx, t)
+                    )
+            mask_vals[mask_names[key]] = (
+                _zero if e is None else e.otherwise(_zero)
+            )
+        with_masks = (
+            joined.withColumn("_cid", cid)
+            .filter(F.col("_cid") >= 0)
+            .withColumns(mask_vals)
+        )
+    else:
+        with_masks = joined.join(
+            F.broadcast(ref_masks), ["icdcm_norm", "icdcm_version"]
+        )
+    hits = with_masks.select(
+        "id_mcaid", "claim_header_id", "first_service_date",
+        "claim_type_id",
+        *[_eff_mask("cond", ch).alias(f"_cb{ch}")
+          for ch in range(n_chunks)],
+        *[_eff_mask("excl", ch).alias(f"_eb{ch}")
+          for ch in range(n_chunks)],
+    )
+    # bit_or per claim, then qualified conditions = cond & ~excl;
+    # (claim, abbrev) rows only materialize for qualifying pairs
+    claim_masks = (
+        hits.groupBy("claim_header_id")
         .agg(
+            F.first("id_mcaid").alias("id_mcaid"),
             F.first("first_service_date").alias("first_service_date"),
             F.first("claim_type_id").alias("claim_type_id"),
-            F.max(1 - F.col("is_excl")).alias("has_cond"),
-            F.max("is_excl").alias("has_excl"),
+            *[F.bit_or(f"_cb{ch}").alias(f"_cb{ch}")
+              for ch in range(n_chunks)],
+            *[F.bit_or(f"_eb{ch}").alias(f"_eb{ch}")
+              for ch in range(n_chunks)],
         )
-        .filter((F.col("has_cond") == 1) & (F.col("has_excl") == 0))
-        .drop("has_cond", "has_excl")
+    )
+    qual_abbrevs = F.array_compact(F.array(*[
+        F.when(
+            F.col(f"_cb{b // _CHUNK}")
+            .bitwiseAND(F.bitwise_not(F.col(f"_eb{b // _CHUNK}")))
+            .bitwiseAND(F.lit(1 << (b % _CHUNK)).cast("long")) != 0,
+            F.lit(a),
+        )
+        for a, b in bitpos.items()
+    ]))
+    claim_cond = claim_masks.select(
+        "claim_header_id", "id_mcaid", "first_service_date",
+        "claim_type_id",
+        F.explode(qual_abbrevs).alias("abbrev"),
     )
 
     # claim-type split -> condition1/condition2 from-dates
