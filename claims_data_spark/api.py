@@ -551,37 +551,6 @@ def top_causes(
     if type != "all":
         flt = flt & F.col(count_col).isNotNull()
 
-    if ind_dates:
-        # unique (id, window) rows; drop persons entirely outside the
-        # global window; clip to it (R :198-214, pmax typo corrected)
-        ids = (
-            cohort.select(
-                id_col,
-                F.col(ind_from_col).cast("date").alias("_ind_from"),
-                F.col(ind_to_col).cast("date").alias("_ind_to"),
-            )
-            .distinct()
-            .filter(~((F.col("_ind_to") < gf) | (F.col("_ind_from") > gt)))
-            .withColumn("_ind_from", F.greatest("_ind_from", gf))
-            .withColumn("_ind_to", F.least("_ind_to", gt))
-            .distinct()
-        )
-        events = (
-            header.filter(flt)
-            .join(ids, id_col)
-            .filter(
-                (F.col("first_service_date") >= F.col("_ind_from"))
-                & (F.col("first_service_date") <= F.col("_ind_to"))
-            )
-            .select("claim_header_id", id_col, count_col)
-        )
-    else:
-        events = (
-            header.filter(flt)
-            .join(cohort.select(id_col).distinct(), id_col, "left_semi")
-            .select("claim_header_id", id_col, count_col)
-        )
-
     dx = icdcm.select("claim_header_id", "icdcm_norm", "icdcm_version")
     if primary_dx:
         dx = icdcm.filter(
@@ -593,12 +562,64 @@ def top_causes(
         "ccs_detail_desc",
         "ccs_catch_all",
     )
-    joined = events.join(dx, "claim_header_id").join(
-        F.broadcast(ccs), ["icdcm_norm", "icdcm_version"]
-    )
     if not catch_all:
-        joined = joined.filter(
+        # filter the dimension BEFORE broadcast: the inner join then
+        # drops catch-all dx rows as probe misses instead of
+        # materializing them for a post-join filter
+        ccs = ccs.filter(
             F.col("ccs_catch_all").isNull() | (F.col("ccs_catch_all") == 0)
+        )
+    ccs = ccs.drop("ccs_catch_all")
+    # claim-grain joins FIRST (round 10): header⋈dx⋈ccs before the
+    # cohort restriction. On the stored claim-bucketed layout both
+    # fact sides ride the bucketing (zip join, zero exchange) and the
+    # cohort join becomes ONE id-grain shuffle of the already-matched
+    # events. The old cohort-first order left the dx join between a
+    # cohort-partitioned events frame and the claim-keyed dx fact, so
+    # the planner broadcast the whole cohort's event set — a
+    # fact-sized build growing with the cohort (~4M rows at sf30),
+    # the broadcast-the-fact trap. Inner/semi joins: order does not
+    # change the result.
+    matched = (
+        header.filter(flt)
+        .select(
+            "claim_header_id", id_col, count_col, "first_service_date"
+        )
+        .join(dx, "claim_header_id")
+        .join(F.broadcast(ccs), ["icdcm_norm", "icdcm_version"])
+    )
+    if ind_dates:
+        # (id, window) rows; drop persons entirely outside the global
+        # window; clip to it (R :198-214, pmax typo corrected). The
+        # R's DISTINCT on the temp-id table is dropped on purpose:
+        # the result feeds COUNT(DISTINCT event), which duplicate or
+        # overlapping window rows cannot skew, and the dedup agg cost
+        # a full extra pass over the cohort (sf30 A/B: 2.8 vs 2.6 s
+        # whole-query with the hint below). shuffle_hash: the join is
+        # a one-shot equi probe per event row — SMJ's two sorts
+        # (events + cohort) are pure overhead, and the per-partition
+        # build side is |cohort|/shuffle-partitions clipped window
+        # rows, bounded at any cohort size once hashed.
+        ids = (
+            cohort.select(
+                id_col,
+                F.col(ind_from_col).cast("date").alias("_ind_from"),
+                F.col(ind_to_col).cast("date").alias("_ind_to"),
+            )
+            .filter(~((F.col("_ind_to") < gf) | (F.col("_ind_from") > gt)))
+            .withColumn("_ind_from", F.greatest("_ind_from", gf))
+            .withColumn("_ind_to", F.least("_ind_to", gt))
+        )
+        joined = (
+            matched.join(ids.hint("shuffle_hash"), id_col)
+            .filter(
+                (F.col("first_service_date") >= F.col("_ind_from"))
+                & (F.col("first_service_date") <= F.col("_ind_to"))
+            )
+        )
+    else:
+        joined = matched.join(
+            cohort.select(id_col).distinct(), id_col, "left_semi"
         )
     counted = joined.groupBy("ccs_detail_desc").agg(
         F.countDistinct(count_col).alias("event_count")

@@ -88,44 +88,69 @@ def scale_plain(con, src_dir, dst_dir, k, offsets):
         print(f"{name}: x{k}", flush=True)
 
 
+def _row_group_rows(sample_table, target_bytes=32 << 20):
+    """Rows per parquet row group targeting ~32 MB uncompressed — the
+    warehouse-layout shape (several groups per file) rather than
+    pyarrow's default whole-table single group, which reports
+    byte-range splits to Spark but serializes all map work onto one
+    task (SCALE.md round-9 trap; spread() probes footers as the
+    backstop, but the fixture itself should not need it)."""
+    bpr = max(1, sample_table.nbytes // max(1, sample_table.num_rows))
+    return max(8192, min(1 << 20, target_bytes // bpr))
+
+
 def scale_documents(src_dir, dst_dir, k):
     """Copy 0 verbatim; copies 1..k-1 re-sample each document's words
     from its own vocabulary (seeded per row) — same length and word
-    statistics, no cross-copy near-duplicate structure."""
+    statistics, no cross-copy near-duplicate structure. Written one
+    copy at a time through a ParquetWriter with explicit row-group
+    sizing (bounded memory, multi-group layout)."""
     t = pq.read_table(os.path.join(src_dir, "documents.parquet"))
     n = t.num_rows
     doc_ids = t.column("doc_id").to_pylist()
     texts = t.column("text").to_pylist()
     langs = t.column("lang").to_pylist()
     sources = t.column("source").to_pylist()
-    out_ids, out_text, out_lang, out_src, out_n = [], [], [], [], []
+    schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("text", pa.string()),
+            ("lang", pa.string()),
+            ("source", pa.string()),
+            ("n_chars", pa.int64()),
+        ]
+    )
+    group_rows = _row_group_rows(t)
+    writer = pq.ParquetWriter(
+        os.path.join(dst_dir, "documents.parquet"), schema
+    )
     for i in range(k):
+        out_ids, out_text, out_n = [], [], []
         for j in range(n):
-            did = doc_ids[j] + i * n
             if i == 0:
                 txt = texts[j]
             else:
                 words = texts[j].split()
                 rng = random.Random(doc_ids[j] * 1009 + i)
                 txt = " ".join(rng.choice(words) for _ in range(len(words)))
-            out_ids.append(did)
+            out_ids.append(doc_ids[j] + i * n)
             out_text.append(txt)
-            out_lang.append(langs[j])
-            out_src.append(sources[j])
             out_n.append(len(txt))
-    pq.write_table(
-        pa.table(
-            {
-                "doc_id": pa.array(out_ids, pa.int64()),
-                "text": pa.array(out_text, pa.string()),
-                "lang": pa.array(out_lang, pa.string()),
-                "source": pa.array(out_src, pa.string()),
-                "n_chars": pa.array(out_n, pa.int64()),
-            }
-        ),
-        os.path.join(dst_dir, "documents.parquet"),
-    )
-    print(f"documents: x{k} (resampled)", flush=True)
+        writer.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(out_ids, pa.int64()),
+                    "text": pa.array(out_text, pa.string()),
+                    "lang": pa.array(langs, pa.string()),
+                    "source": pa.array(sources, pa.string()),
+                    "n_chars": pa.array(out_n, pa.int64()),
+                },
+                schema=schema,
+            ),
+            row_group_size=group_rows,
+        )
+    writer.close()
+    print(f"documents: x{k} (resampled, {group_rows} rows/group)", flush=True)
 
 
 def scale_embeddings(src_dir, dst_dir, k):
@@ -137,30 +162,41 @@ def scale_embeddings(src_dir, dst_dir, k):
     vec_ids = t.column("vec_id").to_pylist()
     vecs = t.column("embedding").to_pylist()
     labels = t.column("label").to_pylist()
-    out_ids, out_vec, out_lab = [], [], []
+    schema = pa.schema(
+        [
+            ("vec_id", pa.int64()),
+            ("embedding", pa.list_(pa.float32())),
+            ("label", pa.int32()),
+        ]
+    )
+    group_rows = _row_group_rows(t)
+    writer = pq.ParquetWriter(
+        os.path.join(dst_dir, "embeddings.parquet"), schema
+    )
     for i in range(k):
+        out_ids, out_vec = [], []
         for j in range(n):
-            vid = vec_ids[j] + i * n
             v = vecs[j]
             if i > 0:
                 v = [
                     c + (((vec_ids[j] * 31 + i * 7 + d) % 997) - 498) * 2e-4
                     for d, c in enumerate(v)
                 ]
-            out_ids.append(vid)
+            out_ids.append(vec_ids[j] + i * n)
             out_vec.append(v)
-            out_lab.append(labels[j])
-    pq.write_table(
-        pa.table(
-            {
-                "vec_id": pa.array(out_ids, pa.int64()),
-                "embedding": pa.array(out_vec, pa.list_(pa.float32())),
-                "label": pa.array(out_lab, pa.int32()),
-            }
-        ),
-        os.path.join(dst_dir, "embeddings.parquet"),
-    )
-    print(f"embeddings: x{k} (perturbed)", flush=True)
+        writer.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array(out_ids, pa.int64()),
+                    "embedding": pa.array(out_vec, pa.list_(pa.float32())),
+                    "label": pa.array(labels, pa.int32()),
+                },
+                schema=schema,
+            ),
+            row_group_size=group_rows,
+        )
+    writer.close()
+    print(f"embeddings: x{k} (perturbed, {group_rows} rows/group)", flush=True)
 
 
 def main():
