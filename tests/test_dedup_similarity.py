@@ -106,6 +106,38 @@ def test_ivf_recall_vs_bruteforce(spark):
     assert recall >= 0.6  # nprobe=3 of 6 lists: expect most of top-5 found
 
 
+def test_ivf_fixed_centroids_scoped_planner_conf(spark):
+    """ivf_topk_fixed_centroids materializes under a scoped
+    constraint-propagation toggle: results must match the brute-force
+    top-k restricted to the probed lists, and the SESSION conf value
+    must be restored after the call (the toggle may not leak into
+    other queries' planning)."""
+    from claims_data_spark.operators.similarity import (
+        ivf_topk_fixed_centroids,
+    )
+
+    key = "spark.sql.constraintPropagation.enabled"
+    before = spark.conf.get(key)
+    corpus, m = _emb(spark, n=60)
+    queries = spark.createDataFrame(
+        [(0, [float(x) for x in m[7]])],
+        "query_id long, query_vec array<double>",
+    )
+    out = ivf_topk_fixed_centroids(
+        corpus, queries, centroid_ids=[0, 20, 40], k=3, nprobe=3
+    ).collect()
+    assert spark.conf.get(key) == before
+    # nprobe == num_centroids -> every list probed -> exact top-k
+    import numpy as np
+
+    sims = (m @ m[7]) / (
+        np.linalg.norm(m, axis=1) * np.linalg.norm(m[7])
+    )
+    expected = list(np.argsort(-sims)[:3])
+    assert [r["vec_id"] for r in out] == expected
+    assert [r["rank"] for r in out] == [1, 2, 3]
+
+
 def test_multimodal_feature_plumbing(spark):
     media = spark.createDataFrame(
         [
