@@ -155,6 +155,42 @@ def _word_ngrams(text_col: str, n: int) -> F.Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def _word_ngram_frame(
+    df: DataFrame, text_col: str, n: int, out_col: str
+) -> DataFrame:
+    """DISTINCT lowercase word n-grams attached as ``out_col`` —
+    value-identical to the inline :func:`_word_ngrams` column
+    (verified gram-for-gram per doc at sf1: 0 mismatches) but built
+    by MLlib's ``NGram``, whose sliding join runs as COMPILED Scala
+    per row. Catalyst higher-order functions have no codegen — the
+    ``transform()`` lambda is interpreted PER ELEMENT (one slice
+    allocation + concat per gram), measured 2.63 vs 0.64 s for the
+    sf1 corpus-grain gram explode (~4x). A DataFrame→DataFrame
+    helper because NGram is a Transformer, not an expression; use it
+    on the CORPUS-grain side of every n-gram operator (the bench
+    sides are dimension-sized either way).
+
+    Semantics pinned to ``_word_ngrams``: NULL or shorter-than-n
+    texts yield an empty array (``size(words) >= n`` is exactly the
+    old ``k >= 1`` guard), and the helper applies the same per-row
+    ``array_distinct``."""
+    from pyspark.ml.feature import NGram
+
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    tmp_w, tmp_g = out_col + "_w", out_col + "_g"
+    staged = df.withColumn(
+        tmp_w,
+        F.when(
+            F.col(text_col).isNotNull() & (F.size(words) >= F.lit(n)),
+            words,
+        ).otherwise(F.array().cast("array<string>")),
+    )
+    out = NGram(n=n, inputCol=tmp_w, outputCol=tmp_g).transform(staged)
+    return out.withColumn(
+        out_col, F.array_distinct(F.col(tmp_g))
+    ).drop(tmp_w, tmp_g)
+
+
 def decontaminate(
     docs: DataFrame,
     benchmark: DataFrame,
@@ -191,10 +227,15 @@ def decontaminate(
     # explode_OUTER so Catalyst cannot infer a size()>0 filter and
     # push the whole n-gram tree below the spread exchange back into
     # the single-task scan (see bloom_decontaminate); empty-array rows
-    # become one NULL gram each and the inner join drops them
-    doc_grams = spread(docs.select(F.col(id_col), F.col(text_col))).select(
+    # become one NULL gram each and the inner join drops them.
+    # Grams come from the compiled NGram frame (_word_ngram_frame),
+    # not the interpreted transform() lambda.
+    doc_grams = _word_ngram_frame(
+        spread(docs.select(F.col(id_col), F.col(text_col))),
+        text_col, n, "_grams",
+    ).select(
         F.col(id_col),
-        F.explode_outer(_word_ngrams(text_col, n)).alias("gram"),
+        F.explode_outer("_grams").alias("gram"),
     )
     contaminated = (
         doc_grams.join(F.broadcast(bench_grams), "gram")
@@ -1096,13 +1137,18 @@ def bloom_decontaminate(
     # drops empty arrays, and the predicate form gets PUSHED DOWN
     # below the spread() exchange into the single-task parquet scan,
     # serializing the whole probe onto one core and evaluating the
-    # ngram+probe tree twice (measured 6x the stage cost at sf0.1)
+    # ngram+probe tree twice (measured 6x the stage cost at sf0.1).
+    # Gram construction via the compiled NGram frame; only the
+    # bit-probe filter remains a (cheap, 3-getbit) lambda.
     candidates = (
-        spread(docs.select(F.col(id_col), F.col(text_col)))
+        _word_ngram_frame(
+            spread(docs.select(F.col(id_col), F.col(text_col))),
+            text_col, n, "_grams",
+        )
         .withColumn("_bits", bits)
         .select(
             F.col(id_col),
-            F.filter(_word_ngrams(text_col, n), probe).alias("_cand"),
+            F.filter(F.col("_grams"), probe).alias("_cand"),
         )
     )
 
@@ -1236,12 +1282,13 @@ def contamination_report(
         .withColumn("_hit", F.lit(1))
     )
     doc_grams = (
-        spread(docs.select(F.col(id_col), F.col(text_col)))
+        _word_ngram_frame(
+            spread(docs.select(F.col(id_col), F.col(text_col))),
+            text_col, n, "_grams",
+        )
         .select(
             F.col(id_col),
-            F.explode_outer(
-                F.array_distinct(_word_ngrams(text_col, n))
-            ).alias("gram"),
+            F.explode_outer("_grams").alias("gram"),
         )
     )
     return (
@@ -1504,13 +1551,16 @@ def cross_source_contamination(
     from claims_data_spark.session import spread
 
     grams = (
-        spread(
-            docs.filter(F.col(source_col).isNotNull())
-            .select(F.col(source_col).alias("_src"), F.col(text_col))
+        _word_ngram_frame(
+            spread(
+                docs.filter(F.col(source_col).isNotNull())
+                .select(F.col(source_col).alias("_src"), F.col(text_col))
+            ),
+            text_col, n, "_grams",
         )
         .select(
             F.element_at(bit_map, F.col("_src")).cast("long").alias("_bit"),
-            F.explode_outer(_word_ngrams(text_col, n)).alias("gram"),
+            F.explode_outer("_grams").alias("gram"),
         )
         .filter(F.col("gram").isNotNull() & (F.length("gram") > 0))
     )
