@@ -1070,3 +1070,42 @@ def test_assign_splits_cross_stream_properties_at_scale(spark):
     assert a != b
     # ... but same keys covered
     assert set(a) == set(b)
+
+
+# ---------------------------------------------------------------------------
+# _word_ngram_frame (compiled NGram path) == _word_ngrams (column form)
+# ---------------------------------------------------------------------------
+
+def test_word_ngram_frame_matches_column_form(spark):
+    """The MLlib-NGram gram builder must be value-identical to the
+    inline transform() column it replaced, per doc, including the
+    NULL / shorter-than-n / whitespace / duplicate-gram edges."""
+    from claims_data_spark.operators.corpus import _word_ngram_frame, _word_ngrams
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta alpha beta gamma"),
+            (2, "one two"),                # shorter than n=3 -> []
+            (3, None),                     # NULL -> []
+            (4, "  Mixed   CASE   words  here  "),  # trim + \s+ split + lower
+            (5, "x x x x x"),              # duplicate grams -> distinct
+            (6, ""),                       # empty string -> []
+        ],
+        "doc_id long, text string",
+    )
+    for n in (2, 3):
+        got = {
+            r["doc_id"]: sorted(r["g"])
+            for r in _word_ngram_frame(docs, "text", n, "g").collect()
+        }
+        want = {
+            r["doc_id"]: sorted(r["g"])
+            for r in docs.select(
+                "doc_id", _word_ngrams("text", n).alias("g")
+            ).collect()
+        }
+        assert got == want
+        if n == 3:
+            assert got[2] == []  # shorter than n
+        assert got[3] == [] and got[6] == []
+        assert len(got[5]) == 1  # distinct applied
