@@ -1044,6 +1044,11 @@ def test_assign_splits_cross_stream_properties_at_scale(spark):
         .alias("domain"),
     )
     n = docs.count()
+    if n < 20000:
+        # the ±2-2.5% bands are ~6 sigma at sf0.1 (~10^5 docs) but
+        # only ~1.5 sigma at sf0.001 (500 docs) — below real-table
+        # scale the statistical assertions are noise, not evidence
+        _pytest.skip(f"at-scale property test needs >=20k docs, got {n}")
     outs = {}
     for fam in ("md5", "xxhash64"):
         out = assign_splits(
