@@ -299,7 +299,7 @@ def fuzzy_decontaminate(
     from claims_data_spark.operators.dedup import (
         minhash_signature,
         minhash_signature_portable,
-        word_shingles,
+        word_shingles_frame,
     )
     from claims_data_spark.session import spread
 
@@ -324,8 +324,8 @@ def fuzzy_decontaminate(
         )
         if par:
             base = spread(base)
-        return base.withColumn(
-            "_sh", word_shingles(txtc, shingle_k)
+        return word_shingles_frame(
+            base, txtc, shingle_k, "_sh"
         ).withColumn("_sig", sig_fn("_sh", num_hashes))
 
     def _bands(df: DataFrame, idc: str) -> DataFrame:

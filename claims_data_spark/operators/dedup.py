@@ -30,15 +30,51 @@ def _norm_words(text: Column) -> Column:
 
 def word_shingles(text: Column | str, k: int = 3) -> Column:
     """k-word shingles (distinct) of the normalized text, as an array —
-    row-local, no shuffle."""
+    row-local, no shuffle.
+
+    Round-10 form: the sliding window is ``arrays_zip`` of k shifted
+    ``slice`` views — regular codegen expressions — so the only
+    interpreted higher-order lambda left is a ``concat_ws`` over the
+    zipped struct's fields, replacing the old
+    ``transform(sequence(...), i → concat_ws(slice(words, i, k)))``
+    whose per-ELEMENT slice allocated an array per gram with no
+    codegen. Value-identical to the old form (exact array equality,
+    order included — interleaved sweep 0 mismatches at sf0.1 AND sf1;
+    NULL/empty/short-text edges pinned in
+    ``tests/test_dedup_gram_builders.py``): fewer-than-k-word texts
+    yield the single whole-text shingle and NULL text yields ``[""]``,
+    matching the old ``greatest(..., 1)`` guard. k=1 short-circuits to
+    ``array_distinct`` of the words (no lambda at all). Interleaved
+    full-query A/B on minhash_near_dup: 1.07 → 0.81 s sf0.1,
+    5.31 → 3.22 s sf1 (an MLlib NGram variant tied at sf1, 3.26, but
+    pays a Scala-UDF conversion boundary and two temp columns — the
+    zip form stays in one codegen span)."""
     t = F.col(text) if isinstance(text, str) else text
     words = _norm_words(t)
+    if k == 1:
+        return F.when(
+            words.isNotNull(), F.array_distinct(words)
+        ).otherwise(F.array(F.lit("")))
     n = F.size(words)
-    sh = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(words, i, k)),
+    m = n - F.lit(k - 1)
+    zipped = F.arrays_zip(
+        *[F.slice(words, i + 1, m).alias(f"g{i}") for i in range(k)]
     )
-    return F.array_distinct(sh)
+    grams = F.transform(
+        zipped, lambda x: F.concat_ws(" ", *[x[f"g{i}"] for i in range(k)])
+    )
+    return F.when(n >= F.lit(k), F.array_distinct(grams)).otherwise(
+        F.array(F.concat_ws(" ", words))
+    )
+
+
+def word_shingles_frame(
+    df: DataFrame, text_col: str, k: int, out_col: str = "_sh"
+) -> DataFrame:
+    """DISTINCT k-word shingles attached as ``out_col`` — thin frame
+    wrapper over ``word_shingles`` kept as the call-site idiom for the
+    corpus-grain side of the shingle pipelines."""
+    return df.withColumn(out_col, word_shingles(text_col, k))
 
 
 def exact_dedup(
@@ -181,12 +217,12 @@ def minhash_near_dup_pairs(
     """
     rows_per_band = num_hashes // bands
     sig_fn = minhash_signature_portable if portable else minhash_signature
-    with_sig = (
-        spread(df.select(id_col, F.col(text_col)))
-        .filter(F.col(text_col).isNotNull())
-        .withColumn("_sh", word_shingles(text_col, shingle_k))
-        .withColumn("_sig", sig_fn("_sh", num_hashes))
-    )
+    with_sig = word_shingles_frame(
+        spread(df.select(id_col, F.col(text_col))).filter(
+            F.col(text_col).isNotNull()
+        ),
+        text_col, shingle_k, "_sh",
+    ).withColumn("_sig", sig_fn("_sh", num_hashes))
     # persisted because banding + two verification joins reuse it; the
     # cache is LRU-evictable and bounded by the shingle arrays — at
     # warehouse scale prefer checkpointing this frame to storage and
@@ -276,11 +312,12 @@ def ngram_jaccard_pairs(
         )
     t = F.col(text_col)
     block = block_col
-    base = spread(
-        df.select(F.col(id_col), t.alias(text_col), block.alias("_blk"))
-    ).select(
-        F.col(id_col), word_shingles(text_col, shingle_k).alias("_sh"), "_blk"
-    )
+    base = word_shingles_frame(
+        spread(
+            df.select(F.col(id_col), t.alias(text_col), block.alias("_blk"))
+        ),
+        text_col, shingle_k, "_sh",
+    ).select(F.col(id_col), "_sh", "_blk")
     a, b = base.alias("a"), base.alias("b")
     return (
         a.join(
@@ -1070,9 +1107,12 @@ def incremental_minhash_dedup(
         )
     rows_per_band = num_hashes // bands
     new_sigs = (
-        spread(new_docs.select(id_col, text_col))
-        .filter(F.col(text_col).isNotNull())
-        .withColumn("_sh", word_shingles(text_col, shingle_k))
+        word_shingles_frame(
+            spread(new_docs.select(id_col, text_col)).filter(
+                F.col(text_col).isNotNull()
+            ),
+            text_col, shingle_k, "_sh",
+        )
         .withColumn("sig", minhash_signature("_sh", num_hashes))
         .select(id_col, "sig")
         .persist()
