@@ -66,12 +66,17 @@ def hashed_linear_logit(
     words = F.filter(_norm_words(t), lambda w: F.length(w) > 0)
     feats = words
     if word_ngrams == 2:
+        # round-10: sliding bigrams as zip_with of two shifted slice
+        # views (compiled) instead of transform(sequence(...)) whose
+        # lambda Catalyst interprets per element — value-identical
+        # (pinned in tests/test_dedup_gram_builders.py)
         n = F.size(words)
         bigrams = F.when(
             n >= 2,
-            F.transform(
-                F.sequence(F.lit(1), n - 1),
-                lambda i: F.concat_ws(" ", F.slice(words, i, 2)),
+            F.zip_with(
+                F.slice(words, 1, n - 1),
+                F.slice(words, 2, n - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
             ),
         ).otherwise(F.array().cast("array<string>"))
         feats = F.concat(words, bigrams)

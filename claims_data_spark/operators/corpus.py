@@ -568,15 +568,24 @@ def repetition_stats(
 
     words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     k = F.size(words) - F.lit(ngram_n - 1)
+    # round-10: sliding window as arrays_zip of ngram_n shifted slice
+    # views (compiled) instead of transform(sequence(...)) whose
+    # lambda Catalyst interprets per element; the when-guard keeps the
+    # slices unevaluated when k < 1 (value-identical, non-distinct
+    # gram stream in the same order — pinned in
+    # tests/test_dedup_gram_builders.py)
+    zipped = F.arrays_zip(
+        *[F.slice(words, i + 1, k).alias(f"g{i}") for i in range(ngram_n)]
+    )
+    gram_arr = F.transform(
+        zipped,
+        lambda x: F.concat_ws(" ", *[x[f"g{i}"] for i in range(ngram_n)]),
+    )
     grams = df.select(
         F.col(id_col),
         F.explode(
             F.when(
-                F.col(text_col).isNotNull() & (k >= 1),
-                F.transform(
-                    F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
-                    lambda i: F.concat_ws(" ", F.slice(words, i, ngram_n)),
-                ),
+                F.col(text_col).isNotNull() & (k >= 1), gram_arr
             ).otherwise(F.array().cast("array<string>"))
         ).alias("_g"),
     )

@@ -90,6 +90,123 @@ def test_word_shingles_frame_null_and_short_text_values(spark):
     assert rows[3] == ["one two"]
 
 
+def _legacy_fasttext_bigrams(words):
+    """The pre-round-10 classify/selection bigram expression."""
+    n = F.size(words)
+    return F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(" ", F.slice(words, i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def test_hashed_feature_bigrams_match_legacy(spark):
+    """classify.hashed_linear_logit and selection.hashed_features
+    share the fastText bigram builder, now zip_with of two shifted
+    slices — pin both against the legacy transform(sequence) form
+    (feature ARRAYS equal, so any downstream hash/weight sum is
+    equal too)."""
+    from claims_data_spark.operators.dedup import _norm_words
+    from claims_data_spark.operators.selection import hashed_features
+
+    df = spark.createDataFrame(EDGE_TEXTS, ["id", "text"])
+    words = F.filter(
+        _norm_words(F.col("text")), lambda w: F.length(w) > 0
+    )
+    legacy = F.concat(words, _legacy_fasttext_bigrams(words))
+    out = df.select(
+        "id",
+        hashed_features(F.col("text"), word_ngrams=2).alias("new"),
+        legacy.alias("old"),
+    )
+    bad = out.filter(~F.col("new").eqNullSafe(F.col("old"))).collect()
+    assert bad == [], bad
+
+
+def test_hashed_linear_logit_bigrams_match_legacy(spark):
+    from claims_data_spark.operators.classify import (
+        _bucket,
+        hashed_linear_logit,
+    )
+    from claims_data_spark.operators.dedup import _norm_words
+
+    weights = [((i * 37) % 17) - 8 for i in range(64)]
+    words = F.filter(
+        _norm_words(F.col("text")), lambda w: F.length(w) > 0
+    )
+    feats = F.concat(words, _legacy_fasttext_bigrams(words))
+    w = F.lit(weights)
+    legacy = F.aggregate(
+        F.transform(
+            feats,
+            lambda tok: F.element_at(
+                w, _bucket(tok, len(weights), "hlc") + 1
+            ).cast("long"),
+        ),
+        F.lit(3).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    df = spark.createDataFrame(EDGE_TEXTS, ["id", "text"]).filter(
+        F.col("text").isNotNull()
+    )
+    out = df.select(
+        "id",
+        hashed_linear_logit(
+            "text", weights, bias=3, word_ngrams=2
+        ).alias("new"),
+        legacy.alias("old"),
+    )
+    bad = out.filter(~F.col("new").eqNullSafe(F.col("old"))).collect()
+    assert bad == [], bad
+
+
+def test_repetition_stats_gram_stream_matches_legacy(spark):
+    """repetition_stats' non-distinct bigram explode moved to the
+    zipped-slices form — pin the (id, gram) count table against the
+    legacy transform(sequence) stream (counts pin both multiset AND
+    per-doc membership; gram order does not reach the output)."""
+    from claims_data_spark.operators.corpus import repetition_stats
+
+    df = spark.createDataFrame(EDGE_TEXTS, ["id", "text"])
+    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    k = F.size(words) - F.lit(1)
+    legacy = df.select(
+        "id",
+        F.explode(
+            F.when(
+                F.col("text").isNotNull() & (k >= 1),
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+                    lambda i: F.concat_ws(" ", F.slice(words, i, 2)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("_g"),
+    ).groupBy("id", "_g").count()
+    # the new stream, built exactly as repetition_stats now does
+    zipped = F.arrays_zip(
+        F.slice(words, 1, k).alias("g0"), F.slice(words, 2, k).alias("g1")
+    )
+    new_stream = df.select(
+        "id",
+        F.explode(
+            F.when(
+                F.col("text").isNotNull() & (k >= 1),
+                F.transform(
+                    zipped, lambda x: F.concat_ws(" ", x["g0"], x["g1"])
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("_g"),
+    ).groupBy("id", "_g").count()
+    assert (
+        new_stream.exceptAll(legacy).count() == 0
+        and legacy.exceptAll(new_stream).count() == 0
+    )
+    # and the operator output itself stays one row per doc
+    assert repetition_stats(df, "id", "text").count() == df.count()
+
+
 def _legacy_pairs(df, a: str, b: str):
     return df.select(
         "id",
