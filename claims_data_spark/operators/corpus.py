@@ -547,15 +547,35 @@ def repetition_stats(
         lines, F.lit(0), lambda acc, x: acc + F.length(x)
     )
     # chars inside lines occurring >= 2 times: total minus chars of
-    # lines occurring exactly once (count via a row-local filter —
-    # lines per document are bounded small, unlike n-grams)
+    # lines occurring exactly once. A line occurs once iff, after
+    # array_sort, it differs from both neighbors — O(L log L) per doc
+    # instead of the nested-filter O(L²) form this replaced (round 10:
+    # 19x on 200-line docs, value-identical; fixture docs are
+    # single-line so the bench is unchanged — this is a scale fix for
+    # real multi-line corpora).
+    srt = F.array_sort(lines)
+    _n = F.size(lines)
+    nxt = F.slice(srt, 2, F.greatest(_n - 1, F.lit(0)))
+    prv = F.concat(
+        F.array(F.lit(None).cast("string")),
+        F.slice(srt, 1, F.greatest(_n - 1, F.lit(0))),
+    )
     uniq_chars = F.aggregate(
-        F.filter(
-            lines,
-            lambda x: F.size(F.filter(lines, lambda y: y == x)) == 1,
+        F.zip_with(
+            F.zip_with(
+                srt,
+                nxt,
+                lambda a, b: F.struct(
+                    a.alias("v"), (b.isNull() | (a != b)).alias("dn")
+                ),
+            ),
+            prv,
+            lambda s, p: F.when(
+                (p.isNull() | (s["v"] != p)) & s["dn"], F.length(s["v"])
+            ).otherwise(F.lit(0)),
         ),
         F.lit(0),
-        lambda acc, x: acc + F.length(x),
+        lambda acc, x: acc + x,
     )
     base = df.select(
         F.col(id_col),

@@ -249,3 +249,67 @@ def test_adjacent_pairs_matches_legacy_stream(spark):
         ("one", "two"), ("two", "three"), ("three", "four"),
         ("four", "five"), ("five", "six"),
     ]
+
+
+def test_repetition_stats_line_fracs_match_legacy_quadratic(spark):
+    """Round-10: uniq_chars (chars in lines occurring exactly once)
+    moved from the nested-filter O(L²) form to the sorted-neighbor
+    O(L log L) form. Pin both line fractions against the legacy
+    expression on multi-line edge cases (the shared fixture texts are
+    single-line, so a dedicated multi-line set is used here)."""
+    from claims_data_spark.operators.corpus import repetition_stats
+
+    texts = [
+        (1, None),
+        (2, ""),
+        (3, "\n\n   \n"),                      # blank lines only
+        (4, "solo line"),
+        (5, "dup\ndup"),                        # all duplicated
+        (6, "a\nb\nc"),                         # all unique
+        (7, "a\nb\na\nc\nb\nd"),                # interleaved dups
+        (8, "x\n x \nx"),                       # trim does NOT rewrite the line
+        (9, "long line here\nshort\nlong line here\nother"),
+        (10, "\n".join(f"l{i % 7}" for i in range(40))),  # many dups
+    ]
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+
+    lines = F.filter(
+        F.split(F.coalesce(F.col("text"), F.lit("")), r"\n"),
+        lambda x: F.length(F.trim(x)) > 0,
+    )
+    n_lines = F.size(lines)
+    n_dist = F.size(F.array_distinct(lines))
+    line_chars = F.aggregate(lines, F.lit(0), lambda acc, x: acc + F.length(x))
+    legacy_uniq = F.aggregate(
+        F.filter(
+            lines,
+            lambda x: F.size(F.filter(lines, lambda y: y == x)) == 1,
+        ),
+        F.lit(0),
+        lambda acc, x: acc + F.length(x),
+    )
+    legacy = df.select(
+        "doc_id",
+        F.round(
+            F.when(n_lines > 0, (n_lines - n_dist) / n_lines)
+            .otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_line_frac"),
+        F.round(
+            F.when(line_chars > 0, (line_chars - legacy_uniq) / line_chars)
+            .otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_line_char_frac"),
+    )
+    new = repetition_stats(df, "doc_id", "text").select(
+        "doc_id", "dup_line_frac", "dup_line_char_frac"
+    )
+    joined = new.alias("n").join(legacy.alias("l"), "doc_id")
+    bad = joined.filter(
+        ~F.col("n.dup_line_frac").eqNullSafe(F.col("l.dup_line_frac"))
+        | ~F.col("n.dup_line_char_frac").eqNullSafe(
+            F.col("l.dup_line_char_frac")
+        )
+    ).collect()
+    assert bad == [], bad
+    assert new.count() == len(texts)
