@@ -595,11 +595,23 @@ def top_causes(
         # the result feeds COUNT(DISTINCT event), which duplicate or
         # overlapping window rows cannot skew, and the dedup agg cost
         # a full extra pass over the cohort (sf30 A/B: 2.8 vs 2.6 s
-        # whole-query with the hint below). shuffle_hash: the join is
-        # a one-shot equi probe per event row — SMJ's two sorts
-        # (events + cohort) are pure overhead, and the per-partition
-        # build side is |cohort|/shuffle-partitions clipped window
-        # rows, bounded at any cohort size once hashed.
+        # whole-query with a shuffle_hash hint). BROADCAST the
+        # clipped cohort (round 10, second pass): the build side is
+        # MEMBER-grain — three narrow columns bounded by the member
+        # dimension, the same cohort the engine already broadcasts in
+        # claims_elig's id_param semi join, and the reference itself
+        # ships driver-side as ##temp_ids literals (:216-273) — while
+        # the probe side is the matched EVENT stream. Broadcasting
+        # keeps the events on their claim-bucket partitioning (zero
+        # fact exchanges end to end — bucketed plan: 5 exchanges → 3,
+        # both id-grain fact exchanges deleted); the shuffle_hash
+        # form it replaced moved every matched event through an
+        # id-grain exchange that existed only to meet the cohort.
+        # sf30 local walls are a measured WASH (three interleaved A/B
+        # sessions: 5.70 vs 3.43, then 2.73 vs 3.21, then a best-of-6
+        # ABBA tie 3.58 vs 3.54 — window noise dominates); kept on
+        # the plan shape: at scale the event shuffle grows with
+        # claims while the broadcast grows with members.
         ids = (
             cohort.select(
                 id_col,
@@ -611,7 +623,7 @@ def top_causes(
             .withColumn("_ind_to", F.least("_ind_to", gt))
         )
         joined = (
-            matched.join(ids.hint("shuffle_hash"), id_col)
+            matched.join(F.broadcast(ids), id_col)
             .filter(
                 (F.col("first_service_date") >= F.col("_ind_from"))
                 & (F.col("first_service_date") <= F.col("_ind_to"))
