@@ -90,7 +90,19 @@ def asof_join(
         "*", F.last("_rrow", ignorenulls=True).over(w).alias("_asof")
     ).filter(F.col("_is_left") == 1)
 
+    # Key columns come from the TOP-LEVEL union keys (the window's
+    # partition attributes), not re-extracted from the struct: the
+    # values are identical for left rows by construction, but struct
+    # re-extraction mints fresh attributes that hide the exchange's
+    # hash partitioning from EnsureRequirements — any downstream
+    # operator keyed on the same ids (a distinct, an aggregation, a
+    # window) then pays a redundant id-grain shuffle (measured on
+    # fuh_followup: the rolled-distinct re-exchange, 6 -> 3 exchanges
+    # together with the fused flag pass).
     return carried.select(
-        F.col("_lrow.*"),
+        *[
+            F.col(c) if c in key_cols else F.col(f"_lrow.{c}").alias(c)
+            for c in left.columns
+        ],
         *[F.col(f"_asof.{c}").alias(c) for c in right_payload],
     )

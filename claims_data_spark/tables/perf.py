@@ -220,6 +220,74 @@ def _flag_within(
     ).drop("_probe", "_evt_date")
 
 
+def _flags_within_multi(
+    index_df: DataFrame,
+    id_col: str,
+    probe_col: str,
+    event_streams: list[DataFrame],
+    flag_specs: list[tuple[str, int, str]],
+) -> DataFrame:
+    """Fused forward as-of over several event streams: ONE union +
+    ONE id-partitioned window computes every (stream, horizon) flag.
+
+    Each stream carries ``[id_col, "_ts", payload date column(s)]``
+    (a payload column may be conditionally NULL to encode a stream
+    subset, e.g. FUH's only_30_day_fu='N' 7-day channel);
+    ``flag_specs`` = (payload_col, max_days, flag_col) and appends
+    the flags in order. Per-flag semantics are exactly
+    ``_flag_within``'s — earliest event with date >= the row's probe,
+    flagged when within ``max_days`` — and the flags are row-local,
+    so fusing the passes cannot change any value; it deletes one
+    fact-grain exchange + sort per extra pass (guide §2.4: window
+    functions keyed the same way share one shuffle)."""
+    payload_cols: list[str] = []
+    for s in event_streams:
+        payload_cols += [c for c in s.columns if c not in (id_col, "_ts")]
+    l_tag = index_df.select(
+        F.col(id_col),
+        F.col(probe_col).alias("_ts"),
+        F.lit(1).alias("_is_left"),
+        F.struct(*[F.col(c) for c in index_df.columns]).alias("_lrow"),
+    )
+    unioned = l_tag
+    for s in event_streams:
+        unioned = unioned.unionByName(
+            s.withColumn("_is_left", F.lit(0)), allowMissingColumns=True
+        )
+    # forward as-of frame: order ts DESC so the running last() is the
+    # SMALLEST event date >= the probe; events sort before left rows
+    # at equal ts so same-day events are included (asof_join's rule)
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy(F.col("_ts").desc(), F.col("_is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = unioned.select(
+        "*",
+        *[
+            F.last(c, ignorenulls=True).over(w).alias(f"_c_{c}")
+            for c in payload_cols
+        ],
+    ).filter(F.col("_is_left") == 1)
+    probe = F.col(f"_lrow.{probe_col}")
+    flags = [
+        F.coalesce(
+            F.when(F.datediff(F.col(f"_c_{p}"), probe) <= d, 1).otherwise(0),
+            F.lit(0),
+        ).alias(name)
+        for p, d, name in flag_specs
+    ]
+    # id from the top level (keeps the exchange's partitioning visible
+    # downstream, same as asof_join), the rest from the left struct
+    return carried.select(
+        *[
+            F.col(c) if c == id_col else F.col(f"_lrow.{c}").alias(c)
+            for c in index_df.columns
+        ],
+        *flags,
+    )
+
+
 def ed_followup_measure(
     ed_visits: DataFrame,
     inpatient_events: DataFrame,
@@ -248,29 +316,35 @@ def ed_followup_measure(
         F.col("first_service_date").between(measurement_start, measurement_end)
     )
     idx = thin_events_greedy(idx, [id_col], "first_service_date", 31)
-    idx = _flag_within(
-        idx,
-        inpatient_events.select(
-            id_col, F.col("first_service_date").alias("_ipt_date")
-        ),
-        id_col,
-        F.col("last_service_date"),
-        "_ipt_date",
-        30,
-        "inpatient_within_30_day",
-    ).filter(F.col("inpatient_within_30_day") == 0)
-
+    # all three forward flags probe the SAME date, so they fuse into
+    # one union + one id window (round 11, guide §2.4) — one fact
+    # exchange instead of three; the exclusion filter moves after the
+    # fused pass, which cannot change values (flags are row-local)
     fu = follow_ups.filter(
         F.col("service_date").between(measurement_start, measurement_end)
     )
-    idx = _flag_within(
-        idx, fu, id_col, F.col("last_service_date"), "service_date", 7,
-        "follow_up_7_day",
-    )
-    idx = _flag_within(
-        idx, fu, id_col, F.col("last_service_date"), "service_date", 30,
-        "follow_up_30_day",
-    )
+    idx = _flags_within_multi(
+        idx,
+        id_col,
+        "last_service_date",
+        [
+            inpatient_events.select(
+                id_col,
+                F.col("first_service_date").alias("_ts"),
+                F.col("first_service_date").alias("_evt_ipt"),
+            ),
+            fu.select(
+                id_col,
+                F.col("service_date").alias("_ts"),
+                F.col("service_date").alias("_evt_fu"),
+            ),
+        ],
+        [
+            ("_evt_ipt", 30, "inpatient_within_30_day"),
+            ("_evt_fu", 7, "follow_up_7_day"),
+            ("_evt_fu", 30, "follow_up_30_day"),
+        ],
+    ).filter(F.col("inpatient_within_30_day") == 0)
     return idx.withColumn(
         "need_1_month_coverage",
         (
@@ -342,30 +416,42 @@ def fuh_measure(
         ).alias("discharge_date"),
     ).distinct()
 
-    # readmission/transfer exclusion over the rolled-forward discharge
-    rolled = _flag_within(
-        rolled.withColumn("_day1", F.date_add("discharge_date", 1)),
-        readmits.select(id_col, F.col("admit_date").alias("_re_admit")),
-        id_col,
-        F.col("_day1"),
-        "_re_admit",
-        29,  # (d+1) .. (d+30) == probe .. probe+29
-        "inpatient_within_30_day",
-    ).filter(F.col("inpatient_within_30_day") == 0).drop("_day1")
-
+    # readmission/transfer exclusion + the two follow-up flags all
+    # probe discharge+1, so they fuse into one union + one id window
+    # (round 11, guide §2.4) — one fact exchange instead of three.
+    # The TCM rule (only_30_day_fu='Y' counts only toward the 30-day
+    # flag) is a conditionally-NULL payload channel on the same fu
+    # rows; the exclusion filter moves after the fused pass, which
+    # cannot change values (flags are row-local).
     fu = follow_ups.filter(
         F.col("service_date").between(measurement_start, measurement_end)
     )
-    fu7 = fu.filter(F.col("only_30_day_fu") == "N")
-    rolled = rolled.withColumn("_day1", F.date_add("discharge_date", 1))
-    rolled = _flag_within(
-        rolled, fu7, id_col, F.col("_day1"), "service_date", 6,
-        "follow_up_7_day",
-    )
-    rolled = _flag_within(
-        rolled, fu, id_col, F.col("_day1"), "service_date", 29,
-        "follow_up_30_day",
-    )
+    rolled = _flags_within_multi(
+        rolled.withColumn("_day1", F.date_add("discharge_date", 1)),
+        id_col,
+        "_day1",
+        [
+            readmits.select(
+                id_col,
+                F.col("admit_date").alias("_ts"),
+                F.col("admit_date").alias("_evt_re"),
+            ),
+            fu.select(
+                id_col,
+                F.col("service_date").alias("_ts"),
+                F.when(
+                    F.col("only_30_day_fu") == "N", F.col("service_date")
+                ).alias("_evt_fu7"),
+                F.col("service_date").alias("_evt_fu30"),
+            ),
+        ],
+        [
+            # (d+1) .. (d+30) == probe .. probe+29
+            ("_evt_re", 29, "inpatient_within_30_day"),
+            ("_evt_fu7", 6, "follow_up_7_day"),
+            ("_evt_fu30", 29, "follow_up_30_day"),
+        ],
+    ).filter(F.col("inpatient_within_30_day") == 0)
     return rolled.drop("_day1").withColumn(
         "need_1_month_coverage",
         (
