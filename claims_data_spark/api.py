@@ -486,6 +486,7 @@ def top_causes(
     ind_to_col: str = "to_date",
     event_id_col: str | None = None,
     id_col: str = "id_mcaid",
+    max_broadcast_cohort_rows: int | None = 10_000_000,
 ) -> DataFrame:
     """Top causes (CCS categories) among a cohort's events
     (``R/top_causes.R:55-346``): cohort ⋈ date/event-filtered headers
@@ -522,6 +523,12 @@ def top_causes(
       window"). This port clips with ``least``, honoring the
       documented intent; set ``ind_to_col`` to a column of global
       to_dates to reproduce the R's literal behavior.
+    * ``max_broadcast_cohort_rows`` — the ``ind_dates`` cohort join
+      broadcasts the clipped member windows (zero fact exchanges)
+      only while the cohort fits this bound (probed with a bounded
+      LIMIT count); above it the join falls back to shuffle_hash
+      instead of hard-failing on the 8 GB / 512M-row broadcast cap.
+      ``None`` skips the probe and always broadcasts.
 
     The cohort is a DataFrame — no 1,000-literal ``##temp_ids``
     batches (``:216-273``); the join IS the temp table. The per-person
@@ -573,13 +580,13 @@ def top_causes(
     # claim-grain joins FIRST (round 10): header⋈dx⋈ccs before the
     # cohort restriction. On the stored claim-bucketed layout both
     # fact sides ride the bucketing (zip join, zero exchange) and the
-    # cohort join becomes ONE id-grain shuffle of the already-matched
-    # events. The old cohort-first order left the dx join between a
-    # cohort-partitioned events frame and the claim-keyed dx fact, so
-    # the planner broadcast the whole cohort's event set — a
-    # fact-sized build growing with the cohort (~4M rows at sf30),
-    # the broadcast-the-fact trap. Inner/semi joins: order does not
-    # change the result.
+    # cohort join is a broadcast of the member cohort (zero fact
+    # exchanges — see the ind_dates block below). The old cohort-first
+    # order left the dx join between a cohort-partitioned events
+    # frame and the claim-keyed dx fact, so the planner broadcast the
+    # whole cohort's event set — a fact-sized build growing with the
+    # cohort (~4M rows at sf30), the broadcast-the-fact trap.
+    # Inner/semi joins: order does not change the result.
     matched = (
         header.filter(flt)
         .select(
@@ -622,8 +629,27 @@ def top_causes(
             .withColumn("_ind_from", F.greatest("_ind_from", gf))
             .withColumn("_ind_to", F.least("_ind_to", gt))
         )
+        # Size-guard the broadcast (round 11): F.broadcast() overrides
+        # the autoBroadcastJoinThreshold unconditionally, and the
+        # cohort is caller-supplied — an unfiltered 100 TB cohort can
+        # exceed the 8 GB / 512M-row broadcast-relation cap and
+        # driver memory, turning a perf hint into a hard failure. A
+        # bounded LIMIT probe (reads at most max_broadcast_cohort_rows
+        # + 1 rows, then short-circuits) decides: in-bound cohorts
+        # broadcast (zero fact exchanges, the round-10 plan);
+        # oversized cohorts fall back to the shuffle_hash form, whose
+        # per-partition build is |cohort|/shuffle-partitions clipped
+        # window rows — bounded at any cohort size once hashed.
+        fits = (
+            max_broadcast_cohort_rows is None
+            or ids.limit(max_broadcast_cohort_rows + 1).count()
+            <= max_broadcast_cohort_rows
+        )
+        cohort_side = (
+            F.broadcast(ids) if fits else ids.hint("shuffle_hash")
+        )
         joined = (
-            matched.join(F.broadcast(ids), id_col)
+            matched.join(cohort_side, id_col)
             .filter(
                 (F.col("first_service_date") >= F.col("_ind_from"))
                 & (F.col("first_service_date") <= F.col("_ind_to"))

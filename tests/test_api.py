@@ -240,6 +240,36 @@ def test_top_causes_param_parity(spark, tables):
     }
 
 
+def test_top_causes_broadcast_guard(spark, tables):
+    """max_broadcast_cohort_rows: in-bound cohorts broadcast the
+    clipped member windows (the round-10 zero-fact-exchange plan);
+    oversized cohorts fall back to the shuffle_hash join with
+    identical values instead of hard-failing on the 8 GB / 512M-row
+    broadcast-relation cap."""
+    ref = fx.ref_icdcm_codes(spark)
+    coh = spark.createDataFrame(
+        [("p1", d("2017-01-01"), d("2017-12-31"))],
+        "id_mcaid string, from_date date, to_date date",
+    )
+    kw = dict(
+        from_date="2017-01-01", to_date="2017-12-31", ind_dates=True
+    )
+    bc = top_causes(coh, tables["header"], tables["icdcm"], ref, **kw)
+    fb = top_causes(
+        coh, tables["header"], tables["icdcm"], ref,
+        max_broadcast_cohort_rows=0, **kw,
+    )
+    bc_plan = bc._jdf.queryExecution().executedPlan().toString()
+    fb_plan = fb._jdf.queryExecution().executedPlan().toString()
+    # the guard decides the cohort join strategy: broadcast in-bound,
+    # forced shuffle_hash when over the cap
+    assert "ShuffledHashJoin" not in bc_plan
+    assert "ShuffledHashJoin" in fb_plan
+    assert sorted(map(tuple, bc.collect())) == sorted(
+        map(tuple, fb.collect())
+    )
+
+
 def test_elig_timevar_collapse(spark, tables):
     # dropping the address covariate merges p1's Jan | Feb-Mar islands
     collapsed = elig_timevar_collapse(
