@@ -13,7 +13,24 @@ sys.path.insert(0, str(REPO))
 def spark():
     from claims_data_spark.session import get_spark
 
-    s = get_spark("tests", master="local[8]", shuffle_partitions=8)
+    # Test-session sizing (round 11): suite data is tiny (fixtures +
+    # sf0.001), so per-action wall is TASK-COUNT floor, not compute —
+    # measured 0.22 s/action at 2 shuffle partitions vs 0.71 s at 8
+    # (3.2x) with identical values. 2 partitions (never 1) keeps every
+    # multi-partition code path — partial aggregation, exchange
+    # hashing, partitioning-invariance tests — honest. The same cap is
+    # applied to leaf parallelism so a 2-row createDataFrame does not
+    # launch 8 tasks. Production defaults in session.get_spark are
+    # unchanged; this is the test harness only.
+    s = get_spark(
+        "tests",
+        master="local[8]",
+        shuffle_partitions=2,
+        extra_conf={
+            "spark.default.parallelism": "2",
+            "spark.sql.leafNodeDefaultParallelism": "2",
+        },
+    )
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     yield s
     s.stop()
