@@ -362,6 +362,65 @@ def _attach_centroid_rank(
     )
 
 
+def _rank_cids_arrow(cents: list[tuple[int, list[float]]]):
+    """Arrow-batched centroid ranking: returns a pandas_udf mapping a
+    vector column to the FULL centroid-id list sorted by (−cos, cid)
+    ascending — bit-identical to ``_attach_centroid_rank``'s unrolled
+    literal SQL, at a plan size of ONE node.
+
+    Why this replaces the literal-compiled form for knn_ivf (round-11
+    verdict task 5): the 8×64 exact double literals made the plan tree
+    so large that Catalyst's quadratic ConstraintPropagation cost
+    ~5.6 s of driver time and Janino another ~4 s of codegen per
+    action — a data-independent floor that forced a scoped-conf
+    workaround + eager localCheckpoint. The Arrow form deletes the
+    literal tree, the conf toggle and the checkpoint; the kernel is
+    numpy over float64 batches.
+
+    Bit-exactness contract (the oracle reproduces assignments
+    value-for-value): every float op replicates the SQL form's
+    SEQUENTIAL fold — ``acc = t0; acc += t_d`` left-association for
+    dots and squared norms (numpy elementwise mul/add are plain IEEE
+    double ops, no FMA fusion across the separate ufunc calls),
+    division as dot/(nv*nc) in the same association, sqrt correctly
+    rounded in both runtimes. Ranking ties resolve to the lower
+    centroid id via a stable argsort over cid-ascending columns
+    (``_collect_fixed_centroids`` returns them sorted), matching
+    sort_array over (nc, cid) structs. Zero-norm vectors take cosine
+    −1.0 for every centroid, same as the CASE guard."""
+    import pandas as pd
+
+    cids = np.asarray([c for c, _ in cents], dtype=np.int64)
+    cvecs = [[float(x) for x in v] for _, v in cents]
+    ncs = [_seq_norm(v) for _, v in cents]
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def rank(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        V = np.array(vecs.tolist(), dtype=np.float64)
+        dim = V.shape[1]
+        acc = V[:, 0] * V[:, 0]
+        for d in range(1, dim):
+            acc += V[:, d] * V[:, d]
+        nv = np.sqrt(acc)
+        zero = nv == 0.0
+        NC = np.empty((V.shape[0], len(cids)), dtype=np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            for j, (cv, nc) in enumerate(zip(cvecs, ncs)):
+                dot_acc = V[:, 0] * cv[0]
+                for d in range(1, dim):
+                    dot_acc += V[:, d] * cv[d]
+                cos = dot_acc / (nv * nc)
+                cos[zero] = -1.0
+                NC[:, j] = -cos
+        order = np.argsort(NC, axis=1, kind="stable")
+        ranked = cids[order]
+        return pd.Series(list(ranked))
+
+    return rank
+
+
 def ivf_topk_fixed_centroids(
     corpus: DataFrame,
     queries: DataFrame,
@@ -395,17 +454,23 @@ def ivf_topk_fixed_centroids(
     cents = _collect_fixed_centroids(corpus, centroid_ids, corpus_id, corpus_vec)
     dim = len(cents[0][1])
 
+    # Arrow-batched ranking (see _rank_cids_arrow): the assignment is
+    # ONE ArrowEvalPython node instead of an 8×dim literal expression
+    # tree — deletes the quadratic ConstraintPropagation planner floor,
+    # the Janino codegen floor, and the scoped-conf + localCheckpoint
+    # workaround they forced. Values bit-identical to the unrolled SQL
+    # (sequential-fold arithmetic replicated in numpy).
+    ranker = _rank_cids_arrow(cents)
     # spread: a small parquet scans as 1-2 tasks, serializing the
     # CPU-heavy assignment + verify stages regardless of cores
-    assigned = _attach_centroid_rank(
-        spread(corpus), cents, corpus_vec, "_cr"
-    ).withColumn("centroid_id", F.col("_cr")[0]["cid"]).drop("_cr")
-    probes = _attach_centroid_rank(
-        queries, cents, query_vec, "_cr"
-    ).select(
+    assigned = (
+        spread(corpus)
+        .withColumn("centroid_id", ranker(F.col(corpus_vec))[0])
+    )
+    probes = queries.select(
         query_id, query_vec,
         F.explode(
-            F.transform(F.slice("_cr", 1, nprobe), lambda s: s["cid"])
+            F.slice(ranker(F.col(query_vec)), 1, nprobe)
         ).alias("centroid_id"),
     )
     # exact verification cosine over the CANDIDATE set only. Norms are
@@ -452,29 +517,6 @@ def ivf_topk_fixed_centroids(
             F.col("_rn").cast("long").alias("rank"),
         )
     )
-    # Catalyst's constraint propagation is quadratic in expression-tree
-    # size and costs ~5.6 s of pure planner time on this operator's
-    # 8x64 literal-compiled assignment (executedPlan() 5.6 -> 0.2 s
-    # with the rule off; every predicate here is explicit, so the rule
-    # infers nothing of value). The rule cannot be scoped to a lazy
-    # frame — each action replans under the session's live conf — so
-    # materialize the (query x k)-bounded result eagerly while the
-    # rule is off and restore the session value. Planner cost is
-    # driver-side and scale-independent: this pays identically on a
-    # cluster. Measured end-to-end: 8.2-9.5 -> ~2 s per invocation at
-    # any sf (the cost was never data; rows are bit-identical and the
-    # correctness gates run vanilla sessions with the rule ON).
-    spark = corpus.sparkSession
-    key = "spark.sql.constraintPropagation.enabled"
-    old = spark.conf.get(key, None)
-    spark.conf.set(key, "false")
-    try:
-        out = out.localCheckpoint(eager=True)
-    finally:
-        if old is None:
-            spark.conf.unset(key)
-        else:
-            spark.conf.set(key, old)
     return out
 
 

@@ -106,30 +106,58 @@ def test_ivf_recall_vs_bruteforce(spark):
     assert recall >= 0.6  # nprobe=3 of 6 lists: expect most of top-5 found
 
 
-def test_ivf_fixed_centroids_scoped_planner_conf(spark):
-    """ivf_topk_fixed_centroids materializes under a scoped
-    constraint-propagation toggle: results must match the brute-force
-    top-k restricted to the probed lists, and the SESSION conf value
-    must be restored after the call (the toggle may not leak into
-    other queries' planning)."""
+def test_ivf_fixed_centroids_arrow_rank(spark):
+    """ivf_topk_fixed_centroids (round 11): the Arrow-batched ranking
+    must (a) rank bit-identically to the unrolled-literal SQL form it
+    replaced (_attach_centroid_rank stays as diversity_sample's
+    engine, so it is the in-repo oracle here — including a zero-norm
+    vector's all-centroids-tie channel), (b) reproduce the exact
+    top-k when every list is probed, and (c) keep the plan free of
+    both the literal expression tree and any checkpoint scan."""
     from claims_data_spark.operators.similarity import (
+        _attach_centroid_rank,
+        _collect_fixed_centroids,
+        _rank_cids_arrow,
         ivf_topk_fixed_centroids,
     )
+    import numpy as np
+    from pyspark.sql import functions as F
 
-    key = "spark.sql.constraintPropagation.enabled"
-    before = spark.conf.get(key)
     corpus, m = _emb(spark, n=60)
+    # splice in a zero-norm vector (cosine -1 everywhere -> ranked by
+    # ascending centroid id, the documented channel)
+    corpus = corpus.union(
+        spark.createDataFrame(
+            [(999, [0.0] * m.shape[1])], "vec_id long, embedding array<double>"
+        )
+    )
+    cents = _collect_fixed_centroids(corpus, [0, 20, 40], "vec_id", "embedding")
+    sql_rank = _attach_centroid_rank(corpus, cents, "embedding", "_cr").select(
+        "vec_id", F.transform("_cr", lambda s: s["cid"]).alias("cids")
+    )
+    arrow_rank = corpus.select(
+        "vec_id", _rank_cids_arrow(cents)(F.col("embedding")).alias("cids")
+    )
+    got_sql = {r["vec_id"]: list(r["cids"]) for r in sql_rank.collect()}
+    got_arrow = {r["vec_id"]: list(r["cids"]) for r in arrow_rank.collect()}
+    assert got_arrow == got_sql
+    assert got_arrow[999] == [0, 20, 40]
+
     queries = spark.createDataFrame(
         [(0, [float(x) for x in m[7]])],
         "query_id long, query_vec array<double>",
     )
-    out = ivf_topk_fixed_centroids(
-        corpus, queries, centroid_ids=[0, 20, 40], k=3, nprobe=3
-    ).collect()
-    assert spark.conf.get(key) == before
+    out_df = ivf_topk_fixed_centroids(
+        corpus.filter(F.col("vec_id") != 999), queries,
+        centroid_ids=[0, 20, 40], k=3, nprobe=3,
+    )
+    plan = out_df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan
+    # full lazy lineage, not a checkpoint scan: the replaced form
+    # returned an eagerly-materialized scan with no operators left
+    assert "Window" in plan and "Join" in plan
+    out = out_df.collect()
     # nprobe == num_centroids -> every list probed -> exact top-k
-    import numpy as np
-
     sims = (m @ m[7]) / (
         np.linalg.norm(m, axis=1) * np.linalg.norm(m[7])
     )
