@@ -9013,13 +9013,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # have gone longest without a driver row (every entry in the tail
     # is still covered by tools/parity.py and pytest each round).
     return {
-        # ---- driver window (first 50): round-10 rotation, WINDOW.md ----
-        # rule-1 pins (r10 code changes: the api.py flag/modal
-        # normalization touching claims_elig, the HLL null-skip in
-        # sketches.py, and the conditions.py ccw perf work); then
-        # rule-3 backfill: the 14 r06-last queries (mode_random_tiebreak
-        # + the r06 remainder), the entire 30-query r07-last tranche,
-        # and the 2 oldest r08 seats to fill the window.
+        # ---- driver window (first 50): round-11 rotation, WINDOW.md ----
+        # rule-1 pins first: the four queries whose implementation
+        # changed THIS round (fused as-of flags + asof_join key fix,
+        # the Arrow knn_ivf ranking, the guarded top_causes broadcast),
+        # then the 15 round-10-touched queries the r10 verdict requires
+        # pinned (their changes landed after the r10 rotation, so they
+        # ended round 10 without a driver value row); then rule-3
+        # backfill: the r11 queue (oldest r08-green entries first) and
+        # the head of the r09-green cohort to fill the window.
+        "fuh_followup": q_fuh_followup,
+        "pcr_readmission": q_pcr_readmission,
+        "knn_ivf": q_knn_ivf,
+        "top_causes_window": q_top_causes_window,
+        "minhash_near_dup": q_minhash_dedup,
+        "simhash_near_dup": q_simhash_dedup,
+        "fuzzy_decontaminate": q_fuzzy_decontaminate,
+        "ngram_jaccard": q_ngram_jaccard,
+        "dedup_clusters": q_dedup_clusters,
+        "bigram_lm": q_bigram_lm,
+        "collocations": q_collocations,
+        "decontaminate": q_decontaminate,
+        "bloom_decontaminate": q_bloom_decontaminate,
+        "contamination_report": q_contamination_report,
+        "cross_source_overlap": q_cross_source_overlap,
+        "quality_classify": q_quality_classify,
+        "dsir_select": q_dsir_select,
+        "threshold_sweep": q_threshold_sweep,
+        "repetition_filter": q_repetition_filter,
+        "mix_rebalance": q_mix_rebalance,
+        "tabloop_suppress": q_tabloop,
+        "tabloop_fixed": q_tabloop_fixed,
+        "split_assign": q_split_assign,
+        "substring_spans": q_substring_spans,
+        "bpe_encode": q_bpe_encode,
+        "html_extract": q_html_extract,
+        "shard_manifest": q_shard_manifest,
+        "diversity_sample": q_diversity_sample,
+        "json_props": q_json_props,
+        "grouping_sets": q_grouping_sets,
+        "corpus_clean": q_corpus_clean,
+        "embedding_near_dup": q_embedding_near_dup,
+        "ndc_normalize": q_ndc_normalize,
+        "address_clean": q_address_clean,
+        "windowed_events": q_windowed_events,
+        "sliding_windows": q_sliding_windows,
+        "multimodal_decode": q_multimodal_decode,
+        "stratified_sample": q_stratified_sample,
+        "pack_sequences": q_pack_sequences,
+        "apcd_ed_episode": q_apcd_ed_episode,
+        "chunk_documents": q_chunk_documents,
+        "combined_claim_children": q_combined_claim_children,
+        "window_lag_gap": q_window_lag,
+        "pii_scrub": q_pii_scrub,
+        "quantize_embeddings": q_quantize_embeddings,
+        "calendar_join": q_calendar_join,
+        "dedup_first_row": q_first_order,
+        "dedup_priority": q_dedup_priority,
+        "dedup_seeded": q_dedup_seeded,
+        "except_distinct": q_except,
+        # ---- tail (parity- and pytest-verified every round) ----
+        # r10-green cohort first (rotated out on second green or
+        # displaced by rule-1 pins), then the rest of the r09-green
+        # cohort in queue order.
         "elig_cohort_filters": q_elig_cohort_filters,
         "sketch_distinct_rollup": q_sketch_distinct,
         "ccw_two_claim": q_ccw_two_claim,
@@ -9040,7 +9096,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_bruteforce": q_knn_bruteforce,
         "record_linkage": q_record_linkage,
         "hedis_year_merge": q_hedis_year_merge,
-        "knn_ivf": q_knn_ivf,
         "image_resize": q_image_resize,
         "text_normalize": q_text_normalize,
         "streaming_dedup": q_streaming_dedup,
@@ -9051,8 +9106,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "islands_collapse": q_islands,
         "rolling_months": q_rolling_months,
         "asof_running_min": q_asof_min,
-        "fuh_followup": q_fuh_followup,
-        "pcr_readmission": q_pcr_readmission,
         "tx_pen_measure": q_tx_pen,
         "ah_utilization": q_ah_utilization,
         "claim_value_set": q_claim_value_set,
@@ -9070,17 +9123,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "apcd_plr": q_apcd_plr,
         "url_dedup": q_url_dedup,
-        # ---- tail (parity- and pytest-verified every round) ----
-        # r08-green cohort first (next backfill tranche), then the
-        # r09-green cohort (rotated out on second green by rule 2).
         "learn_bpe": q_learn_bpe,
         "winnow_near_dup": q_winnow_near_dup,
         "profile_drift": q_profile_drift,
         "redact_spans": q_redact_spans,
         "corpus_card": q_corpus_card,
         "corpus_diff": q_corpus_diff,
-        "dedup_seeded": q_dedup_seeded,
-        "except_distinct": q_except,
         "grid_zerofill": q_grid_zerofill,
         "lang_id": q_lang_id,
         "mode_tiebreak": q_mode,
@@ -9101,15 +9149,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_rh_lsh": q_knn_rh_lsh,
         "rda_value_set": q_rda_value_set,
         "bm25_topk": q_bm25_topk,
-        "bigram_lm": q_bigram_lm,
         "weighted_sample": q_weighted_sample,
         "domain_cap": q_domain_cap,
         "wordpiece_tokenize": q_wordpiece_tokenize,
         "line_dedup": q_line_dedup,
-        "bloom_decontaminate": q_bloom_decontaminate,
-        "quality_classify": q_quality_classify,
         "cms_heavy_hitters": q_cms_heavy_hitters,
-        "collocations": q_collocations,
         "anti_join": q_anti_join,
         "semi_join": q_semi_join,
         "join_revenue_by_nation": q_join_revenue_by_nation,
@@ -9119,48 +9163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_dedup": q_distinct,
         "intersect_keys": q_intersect,
         "full_outer_coalesce": q_full_outer,
-        "mix_rebalance": q_mix_rebalance,
-        "tabloop_suppress": q_tabloop,
-        "tabloop_fixed": q_tabloop_fixed,
-        "split_assign": q_split_assign,
-        "dsir_select": q_dsir_select,
-        "substring_spans": q_substring_spans,
-        "contamination_report": q_contamination_report,
-        "top_causes_window": q_top_causes_window,
-        "bpe_encode": q_bpe_encode,
-        "html_extract": q_html_extract,
-        "shard_manifest": q_shard_manifest,
-        "threshold_sweep": q_threshold_sweep,
-        "cross_source_overlap": q_cross_source_overlap,
-        "fuzzy_decontaminate": q_fuzzy_decontaminate,
-        "diversity_sample": q_diversity_sample,
-        "json_props": q_json_props,
-        "grouping_sets": q_grouping_sets,
-        "ngram_jaccard": q_ngram_jaccard,
-        "dedup_clusters": q_dedup_clusters,
-        "corpus_clean": q_corpus_clean,
-        "embedding_near_dup": q_embedding_near_dup,
-        "ndc_normalize": q_ndc_normalize,
-        "address_clean": q_address_clean,
         "perf_measure_fua": q_perf_measure_fua,
-        "windowed_events": q_windowed_events,
-        "sliding_windows": q_sliding_windows,
-        "multimodal_decode": q_multimodal_decode,
-        "decontaminate": q_decontaminate,
-        "stratified_sample": q_stratified_sample,
-        "pack_sequences": q_pack_sequences,
-        "apcd_ed_episode": q_apcd_ed_episode,
-        "chunk_documents": q_chunk_documents,
-        "combined_claim_children": q_combined_claim_children,
-        "minhash_near_dup": q_minhash_dedup,
-        "simhash_near_dup": q_simhash_dedup,
-        "window_lag_gap": q_window_lag,
-        "pii_scrub": q_pii_scrub,
-        "quantize_embeddings": q_quantize_embeddings,
-        "repetition_filter": q_repetition_filter,
-        "calendar_join": q_calendar_join,
-        "dedup_first_row": q_first_order,
-        "dedup_priority": q_dedup_priority,
     }
 
 def oracle_sql() -> dict[str, str]:
