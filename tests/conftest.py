@@ -18,18 +18,17 @@ def spark():
     # measured 0.22 s/action at 2 shuffle partitions vs 0.71 s at 8
     # (3.2x) with identical values. 2 partitions (never 1) keeps every
     # multi-partition code path — partial aggregation, exchange
-    # hashing, partitioning-invariance tests — honest. The same cap is
-    # applied to leaf parallelism so a 2-row createDataFrame does not
-    # launch 8 tasks. Production defaults in session.get_spark are
-    # unchanged; this is the test harness only.
+    # hashing, partitioning-invariance tests — honest. Do NOT also cap
+    # spark.default.parallelism / leafNodeDefaultParallelism: those
+    # govern scan splits and spread()'s target, and capping them ran
+    # the CPU-heavy fixture tests (production md5 streams, profile
+    # drift, bucketed writes) on 2 cores — measured +160 s across the
+    # suite. Production defaults in session.get_spark are unchanged;
+    # this is the test harness only.
     s = get_spark(
         "tests",
         master="local[8]",
         shuffle_partitions=2,
-        extra_conf={
-            "spark.default.parallelism": "2",
-            "spark.sql.leafNodeDefaultParallelism": "2",
-        },
     )
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     yield s
